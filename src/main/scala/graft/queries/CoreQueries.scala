@@ -1,0 +1,482 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.2 / §7.3): scans, joins,
+  * aggregations, windows, sorts, set ops, and scalar function families.
+  *
+  * Every query is declarative DataFrame API so Catalyst gets predicate
+  * pushdown / column pruning / join selection for free; small dimensions
+  * are broadcast explicitly where the plan must stay shuffle-free at
+  * scale.
+  */
+object CoreQueries {
+  private def r2(c: Column) = round(c, 2)
+
+  /** Exact money aggregation: Spark's `round` (HALF_UP on the decimal
+    * string) and DuckDB's (`floor(x*10^n+0.5)` on the binary double)
+    * disagree on ties, so for on-grid money columns we aggregate exactly
+    * in DECIMAL and cast the exact result to DOUBLE — bit-identical on
+    * both engines, no rounding step at all. (SURVEY.md §7.6 hazard 2.)
+    */
+  private def moneySum(c: String) =
+    expr(s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)")
+  private val moneySumSql: String => String =
+    c => s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- aggregation: group-by with sum/avg/count (flagship, TPC-H Q1 shape)
+    Q(
+      "agg_group_sum",
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        | sum(l_quantity) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          moneySum("l_extendedprice").as("sum_base_price"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)").as("sum_disc_price"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)").as("sum_charge"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (moneySum("l_extendedprice") / count(lit(1))).as("avg_price"),
+          (expr("CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ----- scan with filter + projection (pushdown/pruning demo)
+    Q(
+      "scan_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem WHERE l_quantity >= 45 AND l_discount <= 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_quantity") >= 45 && col("l_discount") <= 0.02)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ----- inner equi-join
+    Q(
+      "join_inner",
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450000 ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .where(col("o_totalprice") > 450000)
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ----- left outer join + aggregation over the nullable side
+    Q(
+      "join_left",
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0) AS big_total
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 300000), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count("o_orderkey").as("n_big_orders"),
+          coalesce(moneySum("o_totalprice"), lit(0.0)).as("big_total"),
+        )
+        .orderBy("c_custkey")
+    },
+
+    // ----- left-semi join (EXISTS)
+    Q(
+      "join_semi",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 400000), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ----- left-anti join (NOT EXISTS)
+    Q(
+      "join_anti",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 400000), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ----- star-schema join with explicitly broadcast dimensions
+    Q(
+      "join_broadcast_dim",
+      """SELECT r_name, count(DISTINCT n_name) AS n_nations,
+        |       count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          countDistinct("n_name").as("n_nations"),
+          count(lit(1)).as("n_customers"),
+          (moneySum("c_acctbal") / count(lit(1))).as("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    },
+
+    // ----- equi-join with an additional range (non-equi) condition
+    Q(
+      "join_range",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       count(*) AS n_late,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS late_value
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 120 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(
+          Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"),
+        )
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_late"), moneySum("l_extendedprice").as("late_value"))
+        .orderBy("o_year")
+    },
+
+    // ----- distinct aggregation
+    Q(
+      "agg_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // ----- rollup (hierarchical grouping sets)
+    Q(
+      "agg_rollup",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // ----- cube (all grouping sets)
+    Q(
+      "agg_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(moneySum("l_extendedprice").as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // ----- approximate distinct (HLL++). Estimates are engine-specific, so
+    // no DuckDB oracle — driver records the weaker rows-only check.
+    Q.noOracle("agg_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // ----- ranking window: top-3 orders per customer
+    Q(
+      "window_rank",
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ----- analytic window: running frame sum + lag
+    Q(
+      "window_lag_frame",
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |       lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .withColumn(
+          "running_total",
+          sum(col("o_totalprice").cast("decimal(12,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"),
+        )
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "running_total", "prev_price")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    // ----- global sort + limit (TakeOrderedAndProject top-k)
+    Q(
+      "sort_limit_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    },
+
+    // ----- union all (bag union)
+    Q(
+      "union_all",
+      """SELECT * FROM (
+        |  SELECT 'urgent' AS src, o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT 'big' AS src, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY src, o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val a = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(lit("urgent").as("src"), col("o_orderkey"), col("o_totalprice"))
+      val b = o.where(col("o_totalprice") > 450000)
+        .select(lit("big").as("src"), col("o_orderkey"), col("o_totalprice"))
+      a.union(b).orderBy("src", "o_orderkey")
+    },
+
+    // ----- intersect (distinct set semantics, both engines)
+    Q(
+      "intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ----- except (distinct set semantics, both engines)
+    Q(
+      "except_",
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY c_custkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d).select("c_custkey")
+        .except(
+          Tables.orders(s, d).where(col("o_totalprice") > 300000)
+            .select(col("o_custkey").as("c_custkey")),
+        )
+        .orderBy("c_custkey")
+    },
+
+    // ----- exact row dedup (dropDuplicates ↔ SELECT DISTINCT)
+    Q(
+      "dedup_exact",
+      """SELECT DISTINCT l_returnflag, l_linestatus,
+        |       CAST(year(l_shipdate) AS INTEGER) AS ship_year
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), year(col("l_shipdate")).as("ship_year"))
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus", "ship_year")
+    },
+
+    // ----- string function family (mirrors the reference's path parsing,
+    // SURVEY.md §2.1 O5/O8 — split/regexp_extract/concat on key-like strings)
+    Q(
+      "string_funcs",
+      """SELECT p_partkey,
+        | upper(p_brand) AS brand_u,
+        | split_part(p_brand, '#', 2) AS brand_num,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | concat_ws('/', p_type, p_brand) AS tagged,
+        | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        | substr(p_name, 1, 3) AS pfx,
+        | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          split_part(col("p_brand"), lit("#"), lit(2)).as("brand_num"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("/", col("p_type"), col("p_brand")).as("tagged"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          substring(col("p_name"), 1, 3).as("pfx"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+        )
+        .orderBy("p_partkey")
+    },
+
+    // ----- date/time function family (mirrors O4/O6 freshness & partition math)
+    Q(
+      "date_funcs",
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | CAST(o_orderdate AS DATE) + 30 AS due_date,
+        | CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+        )
+        .orderBy("o_orderkey")
+    },
+
+    // ----- math function family
+    Q(
+      "math_funcs",
+      """SELECT p_partkey,
+        | round(sqrt(p_retailprice), 4) AS sqrt_price,
+        | round(ln(p_retailprice), 4) AS ln_price,
+        | pow(CAST(p_size AS DOUBLE), 2) AS size_sq,
+        | abs(p_size - 25) AS size_dev,
+        | CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        | CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        | p_partkey % 7 AS key_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          round(sqrt(col("p_retailprice")), 4).as("sqrt_price"),
+          round(log(col("p_retailprice")), 4).as("ln_price"),
+          pow(col("p_size").cast("double"), 2.0).as("size_sq"),
+          abs(col("p_size") - lit(25)).as("size_dev"),
+          ceil(col("p_retailprice")).as("ceil_price"),
+          floor(col("p_retailprice")).as("floor_price"),
+          pmod(col("p_partkey"), lit(7L)).as("key_mod"),
+        )
+        .orderBy("p_partkey")
+    },
+
+    // ----- array / higher-order function family over embedding vectors.
+    // Folds are sequential in both engines (Spark `aggregate` starts at 0.0,
+    // DuckDB `list_reduce` starts at the first element — identical double
+    // sequences), so values are bit-exact before the safety rounding.
+    Q(
+      "array_funcs",
+      """SELECT vec_id, label,
+        | CAST(len(embedding) AS INTEGER) AS dim,
+        | round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                   (a, x) -> a + x), 6) AS vec_sum,
+        | round(sqrt(list_reduce(list_transform(embedding,
+        |                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |                   (a, x) -> a + x)), 6) AS vec_norm,
+        | round(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          col("label"),
+          size(col("embedding")).as("dim"),
+          round(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0.0D, (a, x) -> a + x)"), 6).as("vec_sum"),
+          round(expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (a, x) -> a + x))"), 6).as("vec_norm"),
+          round(expr("CAST(array_max(embedding) AS DOUBLE)"), 6).as("vec_max"),
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+        )
+        .orderBy("vec_id")
+    },
+
+    // ----- JSON extraction from string payloads
+    Q(
+      "json_funcs",
+      """SELECT event_id,
+        | CAST(props->>'$.k' AS INTEGER) AS k,
+        | CAST(props->>'$.k' AS INTEGER) % 10 AS k_mod
+        |FROM events WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("event_type") === "click")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"),
+        )
+        .orderBy("event_id")
+    },
+  )
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for an LLM training-data pipeline, over the
+  * `documents` table:
+  *   - exact dedup by content hash (hash-groupBy),
+  *   - n-gram Jaccard via posting-list self-join (exact pairwise, scales
+  *     as sum-of-squared posting sizes, not #docs²),
+  *   - MinHash + LSH banding (the 100-TB-scale fuzzy-dedup path: cost is
+  *     linear in corpus size; only docs sharing a band signature pair up),
+  *   - SimHash fingerprinting.
+  *
+  * MinHash permutations are emulated as `min(md5(seed || '|' || shingle))`
+  * so the DuckDB oracle reproduces the exact signatures (lexicographic min
+  * over identical md5 strings on both engines).
+  */
+object DedupQueries {
+
+  /** 3-word shingles, Spark side (1-based element_at). */
+  private val shinglesExpr =
+    """transform(sequence(0, size(split(text, ' ')) - 3),
+      |          i -> concat_ws(' ', element_at(split(text, ' '), i + 1),
+      |                              element_at(split(text, ' '), i + 2),
+      |                              element_at(split(text, ' '), i + 3)))""".stripMargin
+
+  /** Same shingling in DuckDB (1-based list indexing, end-exclusive range). */
+  private val shinglesSqlCte =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |       FROM ws)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- exact dedup by content hash; min doc_id is the keeper
+    Q(
+      "dedup_exact_docs",
+      """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper")
+    },
+
+    // ----- exact pairwise n-gram Jaccard via posting-list join
+    Q(
+      "dedup_ngram_jaccard",
+      s"""WITH $shinglesSqlCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.02
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+      val jac = col("ni").cast("double") / (col("sa.n") + col("sb.n") - col("ni"))
+      inter
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .where(jac >= 0.02)
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- MinHash (16 hashes) + LSH banding (4 bands × 4 rows): candidate
+    // pairs = docs agreeing on at least one full band signature
+    Q(
+      "dedup_minhash_lsh",
+      s"""WITH $shinglesSqlCte,
+         |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+         |       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+         |       GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |                 string_agg(mh, '' ORDER BY seed) AS sig
+         |          FROM mh GROUP BY doc_id, seed // 4)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .distinct()
+      val seeds = broadcast(s.range(16).select(col("id").cast("int").as("seed")))
+      val mh = sh.crossJoin(seeds)
+        .groupBy("doc_id", "seed")
+        .agg(min(md5(concat_ws("|", col("seed"), col("sh")))).as("mh"))
+      val bands = mh
+        .groupBy(col("doc_id"), expr("seed div 4").cast("int").as("band"))
+        .agg(expr("array_join(transform(sort_array(collect_list(struct(seed, mh))), x -> x.mh), '')").as("sig"))
+      bands.as("x")
+        .join(
+          bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"),
+        )
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- SimHash: 16-bit fingerprint from token-frequency-weighted bit votes
+    Q(
+      "dedup_simhash",
+      """WITH t AS (SELECT doc_id, w, count(*) AS cnt
+        |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |           GROUP BY doc_id, w),
+        |h AS (SELECT doc_id, cnt, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h32 FROM t),
+        |bits AS (SELECT doc_id, j,
+        |                CASE WHEN sum(cnt * (2 * ((h32 >> j) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+        |         FROM h CROSS JOIN (SELECT unnest(range(16)) AS j)
+        |         GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("h32", expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
+      val js = broadcast(s.range(16).select(col("id").cast("int").as("j")))
+      toks.crossJoin(js)
+        .groupBy("doc_id", "j")
+        .agg(
+          when(sum(col("cnt") * (lit(2) * expr("(h32 >> j) & 1") - 1)) > 0, 1).otherwise(0).as("bit"),
+        )
+        .groupBy("doc_id")
+        .agg(sum(expr("bit * shiftleft(1L, j)")).as("simhash"))
+        .orderBy("doc_id")
+    },
+  )
+}

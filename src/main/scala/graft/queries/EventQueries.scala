@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time batch windowing over the `events` table.
+  *
+  * `ts` arrives as parquet TIMESTAMP(NANOS); Tables.events truncates to
+  * micros exactly like DuckDB's ns→us coercion, so timestamps compare
+  * bit-for-bit (pinned by `max_ts` in the tumbling query).
+  */
+object EventQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- tumbling event-time window (Spark `window()` ↔ date_trunc)
+    Q(
+      "event_tumbling_window",
+      """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value, max(ts) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"),
+          max("ts").as("max_ts"),
+        )
+        .select(col("window.start").as("bucket"), col("n_events"), col("total_value"), col("max_ts"))
+        .orderBy("bucket")
+    },
+
+    // ----- sessionization (gap > 30 min starts a new session), batch form:
+    // lag window to flag session starts, then count sessions per user.
+    Q(
+      "event_session_like",
+      """WITH flagged AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn(
+          "is_new",
+          when(col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L, 1)
+            .otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+  )
+}

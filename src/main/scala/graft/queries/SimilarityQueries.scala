@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  *   - `similarity_topk`: brute-force cosine top-k against a query vector —
+  *     the exact baseline. The query side is a 1-row broadcast, so the scan
+  *     is a single embarrassingly-parallel pass (no shuffle before top-k).
+  *   - `ann_lsh_topk`: the scale path — sign-LSH blocking (axis-aligned
+  *     hyperplanes on the first 8 dims → 256 buckets) prunes candidates
+  *     before scoring.
+  *   - `dedup_embedding_cosine`: near-duplicate pairs within LSH buckets.
+  *
+  * Dot products / norms are sequential double folds in both engines
+  * (Spark `aggregate` ↔ DuckDB `list_reduce`), so cosines are bit-exact
+  * and the top-k cut is deterministic.
+  */
+object SimilarityQueries {
+
+  /** Spark cosine between two double-array columns via zip_with + fold. */
+  private def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0.0D, (acc, v) -> acc + v)"
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+  }
+
+  /** Same cosine in DuckDB SQL (list_zip pairs are accessed 1-based). */
+  private def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (acc, v) -> acc + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Embeddings with elements pre-cast to double (column `v`). */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  private val vecsSqlCte =
+    "v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  /** Sign-LSH bucket over the first 8 dims: '10110100'-style key. */
+  private val bucketExpr =
+    "array_join(transform(slice(v, 1, 8), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+  private val bucketSql =
+    "array_to_string(list_transform(v[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- brute-force cosine top-k (exact ANN baseline)
+    Q(
+      "similarity_topk",
+      s"""WITH $vecsSqlCte,
+         |q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+         |SELECT vec_id, label, round(${cosineSql("v", "qv")}, 6) AS sim
+         |FROM v CROSS JOIN q WHERE vec_id <> 0
+         |ORDER BY ${cosineSql("v", "qv")} DESC, vec_id LIMIT 10""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      val q = broadcast(e.where(col("vec_id") === 0).select(col("v").as("qv")))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .withColumn("sim_exact", cosine("v", "qv"))
+        .orderBy(col("sim_exact").desc, col("vec_id"))
+        .select(col("vec_id"), col("label"), round(col("sim_exact"), 6).as("sim"))
+        .limit(10)
+    },
+
+    // ----- LSH-blocked ANN top-k: only candidates in the query's sign bucket
+    Q(
+      "ann_lsh_topk",
+      s"""WITH $vecsSqlCte,
+         |b AS (SELECT vec_id, label, v, $bucketSql AS bucket FROM v),
+         |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, label, bucket, round(${cosineSql("v", "qv")}, 6) AS sim
+         |FROM b JOIN q ON bucket = qbucket WHERE vec_id <> 0
+         |ORDER BY ${cosineSql("v", "qv")} DESC, vec_id LIMIT 5""".stripMargin,
+    ) { (s, d) =>
+      val b = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+      val q = broadcast(b.where(col("vec_id") === 0).select(col("v").as("qv"), col("bucket").as("qbucket")))
+      b.join(q, col("bucket") === col("qbucket"))
+        .where(col("vec_id") =!= 0)
+        .withColumn("sim_exact", cosine("v", "qv"))
+        .orderBy(col("sim_exact").desc, col("vec_id"))
+        .select(col("vec_id"), col("label"), col("bucket"), round(col("sim_exact"), 6).as("sim"))
+        .limit(5)
+    },
+
+    // ----- embedding near-duplicate pairs, LSH-bucketed (pairs only form
+    // within a bucket — at scale this is the shuffle-bounded variant of
+    // the quadratic all-pairs cosine)
+    Q(
+      "dedup_embedding_cosine",
+      s"""WITH $vecsSqlCte,
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM v)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |       round(${cosineSql("x.v", "y.v")}, 6) AS cos_sim
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${cosineSql("x.v", "y.v")} >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    ) { (s, d) =>
+      val b = vecs(s, d).withColumn("bucket", expr(bucketExpr)).select("vec_id", "v", "bucket")
+      val sim = cosine("x.v", "y.v")
+      b.as("x")
+        .join(b.as("y"), col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .where(sim >= 0.2)
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), round(sim, 6).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+  )
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, word counting, and document fingerprinting.
+  *
+  * All hashing is md5-based so the DuckDB oracle computes the identical
+  * value; folds/ratios are exact-integer-derived doubles, so both engines
+  * agree bit-for-bit before the safety rounding.
+  */
+object TextQueries {
+
+  /** Tiny per-language keyword lexicon over the fixture vocabulary.
+    * A real pipeline would use character-n-gram profiles; the Spark-side
+    * plumbing (explode → broadcast lexicon join → per-doc argmax) is the
+    * part that matters at scale.
+    */
+  val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "table", "en" -> "row",
+    "es" -> "data", "es" -> "join", "es" -> "fast",
+    "de" -> "merge", "de" -> "batch", "de" -> "group",
+    "fr" -> "spark", "fr" -> "stream", "fr" -> "column",
+    "zh" -> "key", "zh" -> "hash", "zh" -> "value",
+  )
+
+  private val lexiconValues =
+    lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- word count (explode ↔ unnest)
+    Q(
+      "text_wordcount",
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word"))
+    },
+
+    // ----- token counting: whitespace, regex word-class, and BPE-ish runs
+    Q(
+      "text_tokens",
+      """SELECT doc_id, n_chars,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens,
+        | CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_re_tokens"),
+          (length(col("text")).cast("double") / size(split(col("text"), " "))).as("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    },
+
+    // ----- quality scoring: type-token ratio, stopword ratio, length prior
+    Q(
+      "text_quality",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |m AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct,
+        |             CAST(sum(CASE WHEN w IN ('the','a','th') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |      FROM w GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_words, n_distinct,
+        |             CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+        |             CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+        |             least(CAST(n_words AS DOUBLE) / 100, 1.0) AS len_prior
+        |      FROM m)
+        |SELECT doc_id, n_words, n_distinct, ttr, stop_ratio, len_prior,
+        |       0.5 * ttr + 0.3 * (1 - stop_ratio) + 0.2 * len_prior AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          countDistinct("w").as("n_distinct"),
+          sum(when(col("w").isin("the", "a", "th"), 1).otherwise(0)).as("n_stop"),
+        )
+        .withColumn("ttr", col("n_distinct").cast("double") / col("n_words"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+        .withColumn("len_prior", least(col("n_words").cast("double") / 100, lit(1.0)))
+        .withColumn(
+          "quality",
+          lit(0.5) * col("ttr") + lit(0.3) * (lit(1) - col("stop_ratio")) + lit(0.2) * col("len_prior"),
+        )
+        .select("doc_id", "n_words", "n_distinct", "ttr", "stop_ratio", "len_prior", "quality")
+        .orderBy("doc_id")
+    },
+
+    // ----- language-ID heuristic: keyword-lexicon hits → per-doc argmax
+    Q(
+      "text_langid",
+      s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         |lex(lex_lang, lex_word) AS (VALUES $lexiconValues),
+         |h AS (SELECT doc_id, any_value(lang) AS lang, lex_lang, count(*) AS hits
+         |      FROM w JOIN lex ON w = lex_word GROUP BY doc_id, lex_lang)
+         |SELECT doc_id, lang, lex_lang AS pred_lang, hits FROM h
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lex_lang) = 1
+         |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val lex = broadcast(lexicon.toDF("lex_lang", "lex_word"))
+      val hits = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .join(lex, col("w") === col("lex_word"))
+        .groupBy("doc_id", "lex_lang")
+        .agg(any_value(col("lang")).as("lang"), count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("hits"), col("lex_lang"))
+      hits
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("lex_lang").as("pred_lang"), col("hits"))
+        .orderBy("doc_id")
+    },
+
+    // ----- document fingerprinting: order-sensitive rolling hash (fold over
+    // token lengths, mod-prime) + md5-based position-weighted hash
+    Q(
+      "text_fingerprint",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |             CAST(sum(('0x' || substr(md5(w), 1, 8))::BIGINT * pos) AS BIGINT) AS pos_hash
+        |      FROM t GROUP BY doc_id),
+        |r AS (SELECT doc_id,
+        |             list_reduce(list_transform(string_split(text, ' '),
+        |                                        w -> CAST(length(w) AS BIGINT)),
+        |                         (a, b) -> (a * 31 + b) % 1000000007) AS roll_hash
+        |      FROM documents)
+        |SELECT r.doc_id, r.roll_hash, p.pos_hash
+        |FROM r JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val roll = docs.select(
+        col("doc_id"),
+        expr("aggregate(split(text, ' '), 0L, (a, w) -> (a * 31 + length(w)) % 1000000007)").as("roll_hash"),
+      )
+      val pos = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .groupBy("doc_id")
+        .agg(sum(expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) * (pos + 1)")).as("pos_hash"))
+      roll.join(pos, "doc_id").orderBy("doc_id")
+    },
+  )
+}
