@@ -1,0 +1,51 @@
+package graft.compact
+
+/** File-metadata plane (reference: parquet_compactor.py:101-122 builds
+  * `(key, size, LastModified)` triples; see SURVEY.md §1.1). `mtimeMs`
+  * is epoch millis so the case class has a simple, deterministic
+  * Encoder.
+  */
+final case class FileMeta(path: String, size: Long, mtimeMs: Long)
+
+/** One unit of compaction work: all selected input files of one output
+  * group. `stem` is the output-file name stem — the `source=` id (or
+  * "data") for standard providers (parquet_compactor.py:236-244), or
+  * `<invoice_month>_<date>` for GCP leaves (parquet_compactor.py:188-208)
+  * so one output file never mixes GCP dates (SURVEY.md §2.3.7).
+  */
+final case class LeafPlan(
+    leaf: String,
+    stem: String,
+    files: Seq[String],
+    totalBytes: Long,
+)
+
+/** Outcome of merging one LeafPlan (per-leaf fault isolation —
+  * SURVEY.md §2.3.9).
+  */
+final case class LeafResult(
+    leaf: String,
+    stem: String,
+    success: Boolean,
+    rowsWritten: Long,
+    filesWritten: Int,
+    error: Option[String],
+)
+
+/** Knobs mirroring the reference's envelope (BASELINE.md): 0.3 GiB
+  * candidate threshold (parquet_compactor.py:21-22), 1M-row output cap
+  * (`CHUNKED_ROWS`, :20), 5-day freshness guard (:275), current-month
+  * AWS/Azure skip (:24-26). `asOf` injects "now" for deterministic
+  * tests; None → current UTC date (reference uses utcnow, :58-66).
+  */
+final case class CompactorConfig(
+    targetFileBytes: Long = (0.3 * (1L << 30)).toLong,
+    maxRowsPerFile: Long = 1000000L,
+    freshnessDays: Int = 5,
+    skipProvidersCurrentMonth: Seq[String] = Seq("AWS", "Azure"),
+    asOf: Option[java.time.LocalDate] = None,
+    maxConcurrentLeaves: Int = 4,
+) {
+  def asOfDate: java.time.LocalDate =
+    asOf.getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Registry sanity + flagship smoke. Full per-query correctness runs
+  * through the DuckDB differential gate (tools/oracle_check.py, driver
+  * t2) — these specs pin the contract shape instead of re-running it.
+  */
+class QueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("registry names are unique") {
+    val names = SparkEntry.registry.map(_.name)
+    names.distinct.size shouldBe names.size
+  }
+
+  test("every oracle key has a query") {
+    SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
+  }
+
+  test("flagship entry returns rows") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("every query analyzes against sf0.001 (schema resolves)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      withClue(name) {
+        noException should be thrownBy fn(spark, sf).schema
+      }
+    }
+  }
+
+  test("oracled queries alias columns identically to their SQL (spot-check)") {
+    // The driver sorts columns by name before hashing — Spark and oracle
+    // column sets must match exactly (SURVEY.md §7.1).
+    val q = SparkEntry.queries("agg_group_sum")(spark, sf)
+    q.columns.toSeq shouldBe Seq(
+      "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+      "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order",
+    )
+  }
+}
