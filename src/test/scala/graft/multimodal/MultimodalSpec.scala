@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.util.CollectionAccumulator
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+
+/** Codec that records batch sizes via an accumulator (closures are
+  * serialized per task even in local mode — plain fields won't do; and
+  * it must be top-level so no suite `$outer` is captured).
+  */
+class RecordingCodec(val batches: CollectionAccumulator[Int]) extends Multimodal.Codec {
+  override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Multimodal.Decoded] = {
+    batches.add(payloads.size)
+    Multimodal.StubCodec.decodeBatch(payloads)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("extractFeatures produces typed features for every row") {
+    val media = Multimodal.asMedia(spark, Tables.documents(spark, sf))
+    val feats = Multimodal.extractFeatures(media, Multimodal.StubCodec).collect()
+    feats.length shouldBe 500
+    feats.foreach { f =>
+      f.width shouldBe 8
+      f.height shouldBe 8
+      f.n_bytes should be > 0
+      f.embedding.length shouldBe 8
+      f.mean_intensity should (be >= 0.0f and be <= 1.0f)
+    }
+  }
+
+  test("decode is called in batches, never per-row") {
+    val media = Multimodal.asMedia(spark, Tables.documents(spark, sf)).repartition(4)
+    val codec = new RecordingCodec(spark.sparkContext.collectionAccumulator[Int]("batches"))
+    Multimodal.extractFeatures(media, codec, batchSize = 32).count() shouldBe 500L
+    val sizes = codec.batches.value.asScala.toSeq
+    sizes.max should be <= 32
+    // 500 rows / 4 partitions / 32-batches -> far fewer calls than rows
+    sizes.size should be < 30
+    sizes.sum shouldBe 500
+  }
+
+  test("features are deterministic") {
+    val media = Multimodal.asMedia(spark, Tables.documents(spark, sf))
+    val a = Multimodal.extractFeatures(media, Multimodal.StubCodec).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractFeatures(media, Multimodal.StubCodec).collect().sortBy(_.doc_id)
+    a.map(_.mean_intensity).toSeq shouldBe b.map(_.mean_intensity).toSeq
+  }
+
+  test("sampleFrames emits nFrames rows per video payload") {
+    val media = Multimodal.asMedia(spark, Tables.documents(spark, sf))
+    val nVideos = media.filter(_.media_type == "video").count()
+    val frames = Multimodal.sampleFrames(media, Multimodal.StubCodec, nFrames = 3)
+    frames.count() shouldBe nVideos * 3
+    frames.columns.toSeq shouldBe Seq("doc_id", "frame_idx", "frame")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // batches append new part-files into one flat dir the stream watches
+  private def writeBatch(dir: String, name: String, rows: Seq[EventStream.Event]): Unit = {
+    val s = spark
+    import s.implicits._
+    rows.toDF().coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  private def mkDirs() = {
+    val in = Files.createTempDirectory("stream-in").toFile.getAbsolutePath
+    val chk = Files.createTempDirectory("stream-chk").toFile.getAbsolutePath
+    (in, in, chk)
+  }
+
+  test("hourlyStats aggregates event-time windows over a file stream") {
+    val (glob, in, chk) = mkDirs()
+    writeBatch(in, "b1", Seq(
+      EventStream.Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 10:55:00"), 7, "click", 2.0),
+      EventStream.Event(3, ts("2024-01-01 11:05:00"), 8, "view", 4.0),
+    ))
+    val q = EventStream
+      .hourlyStats(EventStream.readEvents(spark, glob))
+      .writeStream
+      .format("memory")
+      .queryName("hourly")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    q.processAllAvailable()
+    // watermark (2h) hasn't passed the open windows yet -> nothing emitted
+    // in append mode until later data advances it
+    writeBatch(in, "b2", Seq(EventStream.Event(4, ts("2024-01-01 14:30:00"), 8, "view", 8.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT bucket, event_type, n_events, total_value FROM hourly ORDER BY bucket")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    out should contain("2024-01-01 10:00:00.0", "click", 2L, 3.0)
+    out should contain("2024-01-01 11:00:00.0", "view", 1L, 4.0)
+  }
+
+  test("sessionize emits a session once the gap passes the watermark") {
+    val (glob, in, chk) = mkDirs()
+    writeBatch(in, "b1", Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      EventStream.Event(3, ts("2024-01-01 10:12:00"), 2, "view", 5.0),
+    ))
+    val q = EventStream
+      .sessionize(spark, EventStream.readEvents(spark, glob), gapMinutes = 30)
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    q.processAllAvailable()
+    // advance the watermark far enough to time out both open sessions
+    writeBatch(in, "b2", Seq(EventStream.Event(9, ts("2024-01-01 13:00:00"), 3, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT user_id, session_start, session_end, n_events, total_value FROM sessions")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    out should contain((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 3.0))
+    out should contain((2L, "2024-01-01 10:12:00.0", "2024-01-01 10:12:00.0", 1L, 5.0))
+  }
+}
