@@ -223,6 +223,51 @@ object CoreQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // ----- explicit grouping sets with grouping() markers (via spark.sql —
+    // also exercises the SQL entry surface)
+    Q(
+      "agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          |       sum(l_quantity) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+      )
+    },
+
+    // ----- map functions: JSON payload parsed to a typed map
+    Q(
+      "map_funcs",
+      """SELECT event_id,
+        | CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        | list_sort(json_keys(props))[1] AS first_key,
+        | CAST(props->>'$.k' AS BIGINT) AS k_val
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .withColumn("m", from_json(col("props"), lit("map<string,bigint>")))
+        .select(
+          col("event_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          array_min(map_keys(col("m"))).as("first_key"),
+          col("m").getItem("k").as("k_val"),
+        )
+        .orderBy("event_id")
+    },
+
     // ----- approximate distinct (HLL++). Estimates are engine-specific, so
     // no DuckDB oracle — driver records the weaker rows-only check.
     Q.noOracle("agg_approx_distinct") { (s, d) =>

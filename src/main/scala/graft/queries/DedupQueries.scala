@@ -18,12 +18,16 @@ import graft.Tables
   */
 object DedupQueries {
 
-  /** 3-word shingles, Spark side (1-based element_at). */
+  /** 3-word shingles over a pre-split `w` array column (1-based
+    * element_at). Splitting once into `w` matters: `split(text)` inlined
+    * into the lambda is re-evaluated per element access — O(words²) work
+    * per document.
+    */
   private val shinglesExpr =
-    """transform(sequence(0, size(split(text, ' ')) - 3),
-      |          i -> concat_ws(' ', element_at(split(text, ' '), i + 1),
-      |                              element_at(split(text, ' '), i + 2),
-      |                              element_at(split(text, ' '), i + 3)))""".stripMargin
+    """transform(sequence(0, size(w) - 3),
+      |          i -> concat_ws(' ', element_at(w, i + 1),
+      |                              element_at(w, i + 2),
+      |                              element_at(w, i + 3)))""".stripMargin
 
   /** Same shingling in DuckDB (1-based list indexing, end-exclusive range). */
   private val shinglesSqlCte =
@@ -65,6 +69,7 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
       val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -97,16 +102,25 @@ object DedupQueries {
          |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
+      // One shuffle: the 16 per-seed min-hashes are 16 aggregate columns
+      // of a single groupBy (not a 16x crossJoin + two extra shuffles);
+      // bands then unpivot via stack. Values are identical to the
+      // oracle's cross-join formulation (min over the same md5 strings).
       val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
         .distinct()
-      val seeds = broadcast(s.range(16).select(col("id").cast("int").as("seed")))
-      val mh = sh.crossJoin(seeds)
-        .groupBy("doc_id", "seed")
-        .agg(min(md5(concat_ws("|", col("seed"), col("sh")))).as("mh"))
-      val bands = mh
-        .groupBy(col("doc_id"), expr("seed div 4").cast("int").as("band"))
-        .agg(expr("array_join(transform(sort_array(collect_list(struct(seed, mh))), x -> x.mh), '')").as("sig"))
+      val mhAggs = (0 until 16).map(seed => min(md5(concat_ws("|", lit(seed), col("sh")))).as(s"mh$seed"))
+      val sigs = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val withBands = sigs.select(
+        col("doc_id") +: (0 until 4).map(b =>
+          concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*).as(s"band$b"),
+        ): _*,
+      )
+      val bands = withBands.select(
+        col("doc_id"),
+        expr(s"stack(4, ${(0 until 4).map(b => s"$b, band$b").mkString(", ")}) AS (band, sig)"),
+      )
       bands.as("x")
         .join(
           bands.as("y"),

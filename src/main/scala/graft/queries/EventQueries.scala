@@ -32,6 +32,35 @@ object EventQueries {
         .orderBy("bucket")
     },
 
+    // ----- as-of join: each click matched to the latest view at-or-before
+    // its event time, per user. Composed from existing ops (SURVEY.md
+    // §7.5(a)): non-equi join + deterministic argmax window — DuckDB's
+    // ASOF JOIN leaves ties unspecified, so both sides use the same
+    // explicit (view_ts, view_id) DESC tiebreak.
+    Q(
+      "join_asof",
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+        |j AS (SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts,
+        |             row_number() OVER (PARTITION BY c.click_id
+        |                                ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+        |      FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.view_ts <= c.click_ts)
+        |SELECT click_id, user_id, click_ts, view_id, view_ts
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+      val c = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+      val w = Window.partitionBy("click_id").orderBy(col("view_ts").desc, col("view_id").desc)
+      c.join(v, col("user_id") === col("v_user_id") && col("view_ts") <= col("click_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+        .orderBy("click_id")
+    },
+
     // ----- sessionization (gap > 30 min starts a new session), batch form:
     // lag window to flag session starts, then count sessions per user.
     Q(
