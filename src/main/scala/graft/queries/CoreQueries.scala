@@ -280,6 +280,30 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // ----- exact percentiles (linear interpolation — identical on both
+    // engines; quantity is integer-valued so interpolated values sit on
+    // the .25 grid and compare bit-exact)
+    Q(
+      "agg_percentile",
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.75) AS q75,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    },
+
     // ----- ranking window: top-3 orders per customer
     Q(
       "window_rank",

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -86,6 +87,50 @@ object SimilarityQueries {
         .withColumn("sim_exact", cosine("v", "qv"))
         .orderBy(col("sim_exact").desc, col("vec_id"))
         .select(col("vec_id"), col("label"), col("bucket"), round(col("sim_exact"), 6).as("sim"))
+        .limit(5)
+    },
+
+    // ----- IVF ANN top-k: the other scale path. "Train" picks vectors
+    // 1..16 as coarse centroids (deterministic, oracle-reproducible);
+    // every vector joins its nearest centroid's inverted list (linear
+    // N*K assignment pass, the real IVF cost); the query probes its
+    // nprobe=2 nearest lists and scores only those members.
+    Q(
+      "ann_ivf_topk",
+      s"""WITH $vecsSqlCte,
+         |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id BETWEEN 1 AND 16),
+         |scored0 AS (SELECT v.vec_id, v.label, v.v, c.cid,
+         |                   ${cosineSql("v.v", "c.cv")} AS acos
+         |            FROM v CROSS JOIN c),
+         |scored AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                        ORDER BY acos DESC, cid) AS rn
+         |           FROM scored0),
+         |members AS (SELECT vec_id, label, v, cid FROM scored WHERE rn = 1),
+         |probes AS (SELECT cid FROM scored WHERE vec_id = 0 AND rn <= 2),
+         |q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+         |SELECT m.vec_id, m.label, m.cid, round(${cosineSql("m.v", "qv")}, 6) AS sim
+         |FROM members m JOIN probes p ON m.cid = p.cid CROSS JOIN q
+         |WHERE m.vec_id <> 0
+         |ORDER BY ${cosineSql("m.v", "qv")} DESC, m.vec_id LIMIT 5""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      val cents = broadcast(
+        e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv")),
+      )
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
+      val scored = e.crossJoin(cents)
+        .withColumn("acos", cosine("v", "cv"))
+        .withColumn("rn", row_number().over(wAssign))
+      val members = scored.where(col("rn") === 1).select(col("vec_id"), col("label"), col("v"), col("cid"))
+      val probes = broadcast(scored.where(col("vec_id") === 0 && col("rn") <= 2).select(col("cid").as("pcid")))
+      val q = broadcast(e.where(col("vec_id") === 0).select(col("v").as("qv")))
+      members
+        .join(probes, col("cid") === col("pcid"))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .withColumn("sim_exact", cosine("v", "qv"))
+        .orderBy(col("sim_exact").desc, col("vec_id"))
+        .select(col("vec_id"), col("label"), col("cid"), round(col("sim_exact"), 6).as("sim"))
         .limit(5)
     },
 
