@@ -530,6 +530,19 @@ object CoreQueries {
         .orderBy("vec_id")
     },
 
+    // ----- file-metadata plane as a query surface: the hidden _metadata
+    // struct exposes (file_path, file_size, file_modification_time) on
+    // any file-source read — the same triple the reference builds its
+    // whole plan on (parquet_compactor.py:101-122). DuckDB has no
+    // equivalent column → rows-only check.
+    Q.noOracle("meta_file_source") { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("_metadata.file_name").as("file_name"), col("_metadata.file_size").as("file_size"))
+        .groupBy("file_name", "file_size")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("file_name")
+    },
+
     // ----- JSON extraction from string payloads
     Q(
       "json_funcs",
