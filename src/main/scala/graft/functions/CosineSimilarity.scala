@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native cosine similarity over two double-array columns, with
+  * whole-stage codegen.
+  *
+  * The composable form (`aggregate(zip_with(a,b,(p,q)->p*q),0,+)` over
+  * three folds — SimilarityQueries.cosine) materializes an intermediate
+  * array per row and evaluates three lambda chains; this expression is
+  * one fused loop, and `doGenCode` keeps it inside the surrounding
+  * WholeStageCodegen span. Accumulation order (sequential, from 0.0)
+  * and the final `dot/(sqrt(nn)*sqrt(mm))` shape are IDENTICAL to the
+  * fold form, so results are bit-exact with the DuckDB oracle's
+  * `list_reduce` formulation — swapping implementations cannot change a
+  * hash-compared result.
+  *
+  * This is the §7.5 escape hatch used as designed: a scalar the built-ins
+  * *can* express but where the hot path earns a native Expression
+  * (preference (b) of SURVEY.md §2.1's custom-operator ladder).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // ExpectsInputTypes would be the idiomatic route, but AbstractDataType
+  // is private[sql]; the registration builder inserts Casts instead, and
+  // this check guards direct construction.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"cosine_similarity expects (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = $a.getDouble($i);
+         |  final double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi;
+         |  $nx += $xi * $xi;
+         |  $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

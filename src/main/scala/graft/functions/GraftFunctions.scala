@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Registration for graft's native expressions.
+  *
+  * Two routes:
+  *   - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     (the production config-time route), and
+  *   - [[GraftFunctions.register]] for an already-built session (the
+  *     driver owns session construction in this harness, so queries call
+  *     this idempotently at build time).
+  */
+object GraftFunctions {
+
+  private val cosineInfo = new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity")
+
+  private def cosineBuilder(args: Seq[Expression]): Expression = args match {
+    // Cast stands in for ExpectsInputTypes' implicit coercion (float
+    // arrays welcome); a double->double array cast folds away.
+    case Seq(a, b) =>
+      CosineSimilarity(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
+    case _ => throw new IllegalArgumentException(s"cosine_similarity expects 2 arguments, got ${args.size}")
+  }
+
+  /** Idempotent: safe to call from every query builder. */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("cosine_similarity", cosineBuilder, "built-in")
+}
+
+/** `SparkSessionExtensions` hook: injects graft functions at session
+  * build time (`--conf spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cosine_similarity"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)),
+      ),
+    )
+    ()
+  }
+}

@@ -21,12 +21,13 @@ import graft.Tables
   */
 object SimilarityQueries {
 
-  /** Spark cosine between two double-array columns via zip_with + fold. */
-  private def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0.0D, (acc, v) -> acc + v)"
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
-  }
+  /** Spark cosine between two double-array columns — the native codegen
+    * [[graft.functions.CosineSimilarity]] expression (registered in
+    * [[vecs]]). Bit-exact with the zip_with+fold composition it
+    * replaced, and with the oracle's list_reduce form.
+    */
+  private def cosine(a: String, b: String): Column =
+    expr(s"cosine_similarity($a, $b)")
 
   /** Same cosine in DuckDB SQL (list_zip pairs are accessed 1-based). */
   private def cosineSql(a: String, b: String): String = {
@@ -35,10 +36,15 @@ object SimilarityQueries {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
-  /** Embeddings with elements pre-cast to double (column `v`). */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** Embeddings with elements pre-cast to double (column `v`); also the
+    * single hook where graft's native functions get registered on the
+    * (driver-owned) session.
+    */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
 
   private val vecsSqlCte =
     "v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
