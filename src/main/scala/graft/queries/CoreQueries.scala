@@ -280,6 +280,63 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // ----- pivot (conditional cross-tab; Spark pivot API <-> portable
+    // conditional aggregation in the oracle)
+    Q(
+      "agg_pivot",
+      """SELECT l_returnflag,
+        | sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_f,
+        | sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))
+        .na.fill(0.0, Seq("F", "O"))
+        .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+        .orderBy("l_returnflag")
+    },
+
+    // ----- list aggregation with deterministic ordering
+    Q(
+      "agg_listagg",
+      """SELECT o_orderpriority,
+        | array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"),
+        )
+        .orderBy("o_orderpriority")
+    },
+
+    // ----- distribution windows: ntile / percent_rank / cume_dist
+    // (rank-derived rationals of row counts -> bit-exact on both engines)
+    Q(
+      "window_ntile",
+      """SELECT o_orderkey,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+        )
+        .orderBy("o_orderkey")
+    },
+
     // ----- exact percentiles (linear interpolation — identical on both
     // engines; quantity is integer-valued so interpolated values sit on
     // the .25 grid and compare bit-exact)
