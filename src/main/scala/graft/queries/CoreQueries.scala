@@ -280,6 +280,23 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // ----- two-phase salted aggregation (graft.operators.Skew): result is
+    // identical to the plain GROUP BY the oracle runs — the salt only
+    // spreads hot keys across reducers (integer sums, so order-exact)
+    Q(
+      "agg_salted",
+      """SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    ) { (s, d) =>
+      graft.operators.Skew
+        .saltedAgg(
+          Tables.lineitem(s, d), "l_suppkey", 8,
+          Map("sum_qty" -> col("l_quantity"), "n" -> lit(1L)),
+        )
+        .select("l_suppkey", "sum_qty", "n")
+        .orderBy("l_suppkey")
+    },
+
     // ----- pivot (conditional cross-tab; Spark pivot API <-> portable
     // conditional aggregation in the oracle)
     Q(
