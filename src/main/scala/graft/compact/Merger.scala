@@ -3,8 +3,9 @@ package graft.compact
 import java.util.UUID
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Observation, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
 
 /** Merge + commit for one LeafPlan.
   *
@@ -30,42 +31,72 @@ import org.apache.spark.sql.functions._
   */
 object Merger {
 
+  /** Sum of row counts from parquet footers — metadata-only reads on the
+    * driver. Linear in file count; at extreme per-leaf file counts this
+    * loop is trivially parallelizable, but compaction's whole purpose is
+    * keeping these counts small.
+    */
+  private def footerRows(spark: SparkSession, files: Seq[String]): Long = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val conf = spark.sparkContext.hadoopConfiguration
+    val counts = Future.traverse(files) { p =>
+      Future {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+        try r.getRecordCount
+        finally r.close()
+      }
+    }
+    Await.result(counts, Duration.Inf).sum
+  }
+
   def mergeAndCommit(spark: SparkSession, plan: LeafPlan, cfg: CompactorConfig): LeafResult =
     try {
       val runId = UUID.randomUUID().toString.replace("-", "")
       val stagingDir = s"${plan.leaf}/.staging-$runId"
       val fs = FileIndexer.fsFor(spark, plan.leaf)
 
+      // Input row count from parquet footers (metadata-only, no data
+      // scan) — sizes the output partitioning AND anchors the commit
+      // validation.
+      val rowsIn = footerRows(spark, plan.files)
+
       val df = spark.read
         .option("mergeSchema", "true")
         .parquet(plan.files: _*)
 
-      val nOut = math.max(1L, (plan.totalBytes + cfg.targetFileBytes - 1) / cfg.targetFileBytes).toInt
-      val obs = Observation()
-      df.observe(obs, count(lit(1)).as("rows"))
-        .coalesce(nOut)
+      // Output partitions sized by bytes AND rows: the row cap splits
+      // files anyway, so giving each prospective output file its own
+      // task costs nothing in file count and buys read/write
+      // parallelism within a leaf — all without a shuffle.
+      val nOut = math.max(
+        math.max(1L, (plan.totalBytes + cfg.targetFileBytes - 1) / cfg.targetFileBytes),
+        (rowsIn + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile,
+      ).toInt
+      df.coalesce(nOut)
         .write
         .option("compression", "snappy")
         .option("maxRecordsPerFile", cfg.maxRowsPerFile)
         .parquet(stagingDir)
-      val rowsRead = obs.get("rows").asInstanceOf[Long]
 
       // Validate the staged output before touching the originals.
-      val rowsStaged = spark.read.parquet(stagingDir).count()
-      if (rowsStaged != rowsRead) {
+      val staged0 = fs
+        .listStatus(new Path(stagingDir))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val rowsStaged = footerRows(spark, staged0.map(_.getPath.toString).toSeq)
+      if (rowsStaged != rowsIn) {
         fs.delete(new Path(stagingDir), true)
         return LeafResult(
           plan.leaf, plan.stem, success = false, rowsStaged, 0,
-          Some(s"validation failed: staged $rowsStaged rows != read $rowsRead"),
+          Some(s"validation failed: staged $rowsStaged rows != input $rowsIn"),
         )
       }
 
       // Commit: move staged parts into place under idempotence-friendly
       // names ({stem}_{32hex}.parquet — recognized by the Planner's
       // compacted classifier on the next run), then delete originals.
-      val staged = fs
-        .listStatus(new Path(stagingDir))
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val staged = staged0
       var moved = 0
       staged.foreach { f =>
         val outName = s"${plan.stem}_${UUID.randomUUID().toString.replace("-", "")}.parquet"

@@ -1,6 +1,7 @@
 package graft.compact
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Metadata-plane planning: turns a file listing into `LeafPlan`s using
@@ -52,6 +53,7 @@ object Planner {
         col("leaf").contains(curYear) && col("leaf").contains(curMonth)
 
     val base = files.toDF
+      .where(col("path").endsWith(".parquet")) // never markers (_SUCCESS) or stray junk
       .where(!col("path").contains("/.staging-"))
       .where(col("size") < cfg.targetFileBytes)
       .withColumn("leaf", regexp_replace(col("path"), "/[^/]*$", ""))
@@ -84,14 +86,16 @@ object Planner {
       .withColumn("staleNew", !col("isCompacted") && to_date(timestamp_millis(col("mtimeMs"))) < lit(cutoff).cast("date"))
 
     // Newest compacted file per group is re-included at the head so the
-    // (probably under-sized) tail file keeps absorbing rows.
-    val newest = base
-      .where(col("isCompacted"))
-      .groupBy("leaf", "stem")
-      .agg(max_by(col("path"), struct(col("mtimeMs"), col("path"))).as("newestCompacted"))
-
+    // (probably under-sized) tail file keeps absorbing rows. Computed as
+    // a window max over the same (leaf, stem) key the final groupBy
+    // uses, so the whole plan needs exactly ONE shuffle — the follow-up
+    // aggregation reuses the window's hash partitioning.
+    val w = Window.partitionBy("leaf", "stem")
     base
-      .join(newest, Seq("leaf", "stem"), "left")
+      .withColumn(
+        "newestCompacted",
+        max(when(col("isCompacted"), struct(col("mtimeMs"), col("path")))).over(w).getField("path"),
+      )
       .where(col("staleNew") || col("path") === col("newestCompacted"))
       .groupBy("leaf", "stem")
       .agg(

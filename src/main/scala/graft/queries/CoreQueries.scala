@@ -179,6 +179,32 @@ object CoreQueries {
         .orderBy("o_year")
     },
 
+    // ----- null-safe equality join (<=> / IS NOT DISTINCT FROM): rows
+    // whose join key is NULL still pair up, unlike plain equality
+    Q(
+      "join_null_safe",
+      """WITH l AS (SELECT o_orderkey,
+        |                  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS k
+        |           FROM orders),
+        |r AS (SELECT DISTINCT CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_orderstatus END AS k
+        |      FROM orders)
+        |SELECT l.o_orderkey, l.k
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |ORDER BY l.o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = o.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_orderstatus")).as("k"),
+      )
+      val r = o.select(
+        when(col("o_totalprice") < 50000, lit(null)).otherwise(col("o_orderstatus")).as("rk"),
+      ).distinct()
+      l.join(r, col("k") <=> col("rk"))
+        .select(col("o_orderkey"), col("k"))
+        .orderBy("o_orderkey")
+    },
+
     // ----- distinct aggregation
     Q(
       "agg_distinct",
