@@ -179,6 +179,24 @@ object CoreQueries {
         .orderBy("o_year")
     },
 
+    // ----- scalar subquery: each row scaled by a whole-table aggregate
+    // (exact decimal avg so both engines agree bitwise)
+    Q(
+      "scalar_subquery",
+      """SELECT o_orderkey,
+        | o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |                 FROM orders) AS price_ratio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_ss")
+      s.sql(
+        """SELECT o_orderkey,
+          | o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+          |                 FROM orders_ss) AS price_ratio
+          |FROM orders_ss ORDER BY o_orderkey""".stripMargin,
+      )
+    },
+
     // ----- null-safe equality join (<=> / IS NOT DISTINCT FROM): rows
     // whose join key is NULL still pair up, unlike plain equality
     Q(
@@ -640,6 +658,21 @@ object CoreQueries {
         .select(col("_metadata.file_name").as("file_name"), col("_metadata.file_size").as("file_size"))
         .groupBy("file_name", "file_size")
         .agg(count(lit(1)).as("n_rows"))
+        .orderBy("file_name")
+    },
+
+    // ----- custom DataSource V2 connector: the recursive listing as a
+    // relational table (graft.sources.FileMetaSource). DuckDB's glob()
+    // exposes names but not sizes/mtimes -> rows-only check.
+    Q.noOracle("meta_listing_source") { (s, d) =>
+      s.read
+        .format("graft.sources.FileMetaSource")
+        .load(d)
+        .where(col("path").endsWith(".parquet"))
+        .select(
+          substring_index(col("path"), "/", -1).as("file_name"),
+          col("size"),
+        )
         .orderBy("file_name")
     },
 

@@ -127,6 +127,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- fuzzy string matching by edit distance: nearest other part
+    // name among the first 100 parts (both engines implement classic
+    // Levenshtein with identical integer results)
+    Q(
+      "text_levenshtein",
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 100),
+        |d AS (SELECT a.p_partkey AS k, b.p_partkey AS other,
+        |             levenshtein(a.p_name, b.p_name) AS dist,
+        |             row_number() OVER (PARTITION BY a.p_partkey
+        |                                ORDER BY levenshtein(a.p_name, b.p_name), b.p_partkey) AS rn
+        |      FROM p a JOIN p b ON a.p_partkey <> b.p_partkey)
+        |SELECT k AS p_partkey, other AS nearest_key, CAST(dist AS INTEGER) AS dist
+        |FROM d WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    ) { (s, d) =>
+      val p = Tables.part(s, d).where(col("p_partkey") <= 100).select("p_partkey", "p_name")
+      val w = Window.partitionBy(col("a.p_partkey")).orderBy(col("dist"), col("b.p_partkey"))
+      p.as("a")
+        .join(p.as("b"), col("a.p_partkey") =!= col("b.p_partkey"))
+        .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("a.p_partkey").as("p_partkey"), col("b.p_partkey").as("nearest_key"), col("dist"))
+        .orderBy("p_partkey")
+    },
+
     // ----- document fingerprinting: order-sensitive rolling hash (fold over
     // token lengths, mod-prime) + md5-based position-weighted hash
     Q(

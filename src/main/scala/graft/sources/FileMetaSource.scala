@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector exposing a recursive file listing as a
+  * relational table:
+  *
+  * {{{
+  *   spark.read.format("graft.sources.FileMetaSource").load("s3a://bucket/prefix")
+  *   // => DataFrame(path STRING, size BIGINT, mtimeMs BIGINT)
+  * }}}
+  *
+  * This is the reference's file-metadata plane (the `(key, size,
+  * LastModified)` triples all compaction planning runs on,
+  * parquet_compactor.py:101-122) surfaced through the standard
+  * connector API, so metadata queries compose with the whole engine.
+  * One input partition per first-level directory — listing parallelism
+  * scales with the cluster exactly like
+  * [[graft.compact.FileIndexer]].
+  */
+class FileMetaSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = FileMetaSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String],
+  ): Table =
+    new FileMetaTable(properties.get("path"))
+}
+
+object FileMetaSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("mtimeMs", LongType, nullable = false),
+  ))
+}
+
+class FileMetaTable(root: String) extends Table with SupportsRead {
+  require(root != null, "FileMetaSource requires a path: .load(<root>)")
+  override def name(): String = s"filemeta($root)"
+  override def schema(): StructType = FileMetaSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FileMetaScanBuilder(root)
+}
+
+class FileMetaScanBuilder(root: String) extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = FileMetaSource.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"FileMetaScan($root)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val confEntries = hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    val status = fs.listStatus(rootPath)
+    val dirs = status.filter(_.isDirectory).map(_.getPath.toString)
+    // root-level files ride along in the first partition
+    val rootFiles = status.filter(_.isFile).map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+    if (dirs.isEmpty) Array(FileMetaPartition(Array.empty, rootFiles, confEntries))
+    else
+      dirs.zipWithIndex.map { case (d, i) =>
+        FileMetaPartition(Array(d), if (i == 0) rootFiles else Array.empty, confEntries)
+      }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new FileMetaReaderFactory
+}
+
+final case class FileMetaPartition(
+    dirs: Array[String],
+    inlineFiles: Array[(String, Long, Long)],
+    confEntries: Array[(String, String)],
+) extends InputPartition
+
+class FileMetaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FileMetaPartition]
+    new PartitionReader[InternalRow] {
+      private val conf = {
+        val c = new Configuration(false)
+        p.confEntries.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      private val it: Iterator[(String, Long, Long)] =
+        p.inlineFiles.iterator ++ p.dirs.iterator.flatMap { d =>
+          val path = new Path(d)
+          val fs = path.getFileSystem(conf)
+          val files = fs.listFiles(path, true)
+          new Iterator[(String, Long, Long)] {
+            override def hasNext: Boolean = files.hasNext
+            override def next(): (String, Long, Long) = {
+              val f = files.next()
+              (f.getPath.toString, f.getLen, f.getModificationTime)
+            }
+          }
+        }
+      private var current: (String, Long, Long) = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(current._1), current._2, current._3)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -53,6 +53,31 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     out should contain("2024-01-01 11:00:00.0", "view", 1L, 4.0)
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark removes replayed events") {
+    val (glob, in, chk) = mkDirs()
+    writeBatch(in, "b1", Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // exact replay
+      EventStream.Event(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0),
+    ))
+    val q = EventStream.readEvents(spark, glob)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    q.processAllAvailable()
+    // a replay arriving in a later batch, still inside the watermark
+    writeBatch(in, "b2", Seq(EventStream.Event(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT event_id FROM dedup_stream").collect().map(_.getLong(0)).sorted
+    ids shouldBe Array(1L, 2L)
+  }
+
   test("sessionize emits a session once the gap passes the watermark") {
     val (glob, in, chk) = mkDirs()
     writeBatch(in, "b1", Seq(
