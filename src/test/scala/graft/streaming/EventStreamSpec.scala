@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -76,6 +77,43 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     q.stop()
     val ids = spark.sql("SELECT event_id FROM dedup_stream").collect().map(_.getLong(0)).sorted
     ids shouldBe Array(1L, 2L)
+  }
+
+  test("stream-stream interval join: views attributed to clicks within 10 minutes") {
+    val s = spark
+    import s.implicits._
+    val (glob, in, chk) = mkDirs()
+    writeBatch(in, "b1", Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      EventStream.Event(2, ts("2024-01-01 10:04:00"), 1, "view", 0.0), // within window
+      EventStream.Event(3, ts("2024-01-01 10:20:00"), 1, "view", 0.0), // outside window
+      EventStream.Event(4, ts("2024-01-01 10:05:00"), 2, "view", 0.0), // other user, no click
+    ))
+    val events = EventStream.readEvents(spark, glob)
+    val clicks = events.where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val views = events.where($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val q = views
+      .join(
+        clicks,
+        expr("v_user = c_user AND v_ts >= c_ts AND v_ts <= c_ts + INTERVAL 10 MINUTES"),
+      )
+      .select("click_id", "view_id")
+      .writeStream
+      .format("memory")
+      .queryName("attributed")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT click_id, view_id FROM attributed").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    pairs shouldBe Set((1L, 2L))
   }
 
   test("sessionize emits a session once the gap passes the watermark") {
