@@ -32,6 +32,34 @@ object EventQueries {
         .orderBy("bucket")
     },
 
+    // ----- funnel analysis: users whose first signup precedes their
+    // first click precedes their first purchase (conditional min-by-type
+    // aggregation — one pass, one shuffle)
+    Q(
+      "event_funnel",
+      """SELECT user_id,
+        | min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        | min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        | min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |FROM events GROUP BY user_id
+        |HAVING first_signup IS NOT NULL AND first_click IS NOT NULL AND first_purchase IS NOT NULL
+        |   AND first_signup < first_click AND first_click < first_purchase
+        |ORDER BY user_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+        )
+        .where(
+          col("first_signup").isNotNull && col("first_click").isNotNull && col("first_purchase").isNotNull &&
+            col("first_signup") < col("first_click") && col("first_click") < col("first_purchase"),
+        )
+        .orderBy("user_id")
+    },
+
     // ----- as-of join: each click matched to the latest view at-or-before
     // its event time, per user. Composed from existing ops (SURVEY.md
     // §7.5(a)): non-equi join + deterministic argmax window — DuckDB's
