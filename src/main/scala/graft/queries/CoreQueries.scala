@@ -422,6 +422,107 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // ----- statistical aggregates (corr/stddev/var/skew are off-grid
+    // doubles: both engines compute from the same sufficient statistics,
+    // rounding only masks last-ulp merge-order differences)
+    Q(
+      "agg_stats",
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        | round(var_samp(l_quantity), 6) AS qty_var,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("qty_price_corr"),
+          round(stddev_samp("l_quantity"), 6).as("qty_stddev"),
+          round(var_samp("l_quantity"), 6).as("qty_var"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("qty_price_cov"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // ----- RANGE window frame: trailing 30-day sum per customer (frame
+    // bounds by value, not row position)
+    Q(
+      "window_range_frame",
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS day_no,
+        |                  CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |       CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY day_no
+        |                             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).cast("long").as("day_no"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"),
+        )
+        .withColumn("trailing_30d", sum("price").over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "trailing_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ----- navigation window functions: first/last/nth in frame
+    Q(
+      "window_navigation",
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+        | nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order,
+        | lead(o_orderkey) OVER w AS next_order
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          first("o_orderkey").over(w).as("first_order"),
+          last("o_orderkey").over(wFull).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"),
+          lead("o_orderkey", 1).over(w).as("next_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ----- conditional / comparison scalar family
+    Q(
+      "cond_funcs",
+      """SELECT p_partkey,
+        | CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid' ELSE 'big' END AS size_class,
+        | CAST(greatest(p_size, 25) AS INTEGER) AS g25,
+        | CAST(least(p_size, 25) AS INTEGER) AS l25,
+        | nullif(p_size, 25) AS nn,
+        | coalesce(nullif(p_size, 25), -1) AS nn_filled,
+        | CASE WHEN p_size % 2 = 0 THEN p_size ELSE -p_size END AS signed_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          when(col("p_size") < 10, "small").when(col("p_size") < 30, "mid").otherwise("big").as("size_class"),
+          greatest(col("p_size"), lit(25)).as("g25"),
+          least(col("p_size"), lit(25)).as("l25"),
+          nullif(col("p_size"), lit(25)).as("nn"),
+          coalesce(nullif(col("p_size"), lit(25)), lit(-1)).as("nn_filled"),
+          when(pmod(col("p_size"), lit(2)) === 0, col("p_size")).otherwise(-col("p_size")).as("signed_size"),
+        )
+        .orderBy("p_partkey")
+    },
+
     // ----- ranking window: top-3 orders per customer
     Q(
       "window_rank",
