@@ -37,6 +37,38 @@ object DedupQueries {
       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |       FROM ws)""".stripMargin
 
+  /** MinHash+LSH candidate pairs (doc_a < doc_b). One shuffle: the 16
+    * per-seed min-hashes are 16 aggregate columns of a single groupBy
+    * (not a 16x crossJoin + two extra shuffles); bands then unpivot via
+    * stack. Values are identical to the oracle's cross-join formulation
+    * (min over the same md5 strings).
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .distinct()
+    val mhAggs = (0 until 16).map(seed => min(md5(concat_ws("|", lit(seed), col("sh")))).as(s"mh$seed"))
+    val sigs = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val withBands = sigs.select(
+      col("doc_id") +: (0 until 4).map(b =>
+        concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*).as(s"band$b"),
+      ): _*,
+    )
+    val bands = withBands.select(
+      col("doc_id"),
+      expr(s"stack(4, ${(0 until 4).map(b => s"$b, band$b").mkString(", ")}) AS (band, sig)"),
+    )
+    bands.as("x")
+      .join(
+        bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ----- exact dedup by content hash; min doc_id is the keeper
@@ -102,34 +134,58 @@ object DedupQueries {
          |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
-      // One shuffle: the 16 per-seed min-hashes are 16 aggregate columns
-      // of a single groupBy (not a 16x crossJoin + two extra shuffles);
-      // bands then unpivot via stack. Values are identical to the
-      // oracle's cross-join formulation (min over the same md5 strings).
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-        .distinct()
-      val mhAggs = (0 until 16).map(seed => min(md5(concat_ws("|", lit(seed), col("sh")))).as(s"mh$seed"))
-      val sigs = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-      val withBands = sigs.select(
-        col("doc_id") +: (0 until 4).map(b =>
-          concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*).as(s"band$b"),
-        ): _*,
-      )
-      val bands = withBands.select(
-        col("doc_id"),
-        expr(s"stack(4, ${(0 until 4).map(b => s"$b, band$b").mkString(", ")}) AS (band, sig)"),
-      )
-      bands.as("x")
-        .join(
-          bands.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"),
-        )
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+      minhashPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // ----- near-duplicate clusters: connected components over the LSH
+    // candidate-pair graph, each doc labeled with the min doc_id of its
+    // component (the canonical "keeper"). Spark side is iterative
+    // min-label propagation — the standard scalable pattern (each round
+    // is one join+groupBy; rounds ~ graph diameter); the oracle is a
+    // recursive-CTE transitive closure, tractable at oracle scale.
+    Q(
+      "dedup_clusters",
+      s"""WITH RECURSIVE $shinglesSqlCte,
+         |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+         |       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+         |       GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |                 string_agg(mh, '' ORDER BY seed) AS sig
+         |          FROM mh GROUP BY doc_id, seed // 4),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bands x JOIN bands y
+         |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON reach.node = e.a)
+         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val pairs = minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+      var changed = 1L
+      while (changed > 0) {
+        // each node adopts the min label among itself and its neighbors
+        val next = edges
+          .join(labels, edges("b") === labels("node"))
+          .select(edges("a").as("node"), col("label"))
+          .union(labels)
+          .groupBy("node")
+          .agg(min("label").as("label"))
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .where(col("n.label") =!= col("o.label"))
+          .count()
+        labels = next.cache()
+      }
+      edges.unpersist()
+      labels.select(col("node").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
     },
 
     // ----- SimHash: 16-bit fingerprint from token-frequency-weighted bit votes

@@ -127,6 +127,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- training-data chunking: fixed-size token windows (16 tokens,
+    // stride 12 -> 4-token overlap), one row per chunk with its text and
+    // bounds — the shape an LLM-ingestion pipeline feeds the tokenizer
+    Q(
+      "text_chunking",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |             unnest(range(0, greatest(len(w) - 4, 1), 12)) AS start_tok,
+        |             w
+        |      FROM t)
+        |SELECT doc_id, CAST(start_tok AS INTEGER) AS start_tok,
+        |       CAST(least(start_tok + 16, len(w)) AS INTEGER) AS end_tok,
+        |       array_to_string(w[start_tok + 1 : start_tok + 16], ' ') AS chunk
+        |FROM c ORDER BY doc_id, start_tok""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(
+          col("doc_id"),
+          col("w"),
+          explode(expr("sequence(0, greatest(size(w) - 5, 0), 12)")).as("start_tok"),
+        )
+        .select(
+          col("doc_id"),
+          col("start_tok").cast("int").as("start_tok"),
+          least(col("start_tok") + 16, size(col("w"))).cast("int").as("end_tok"),
+          array_join(expr("slice(w, start_tok + 1, 16)"), " ").as("chunk"),
+        )
+        .orderBy("doc_id", "start_tok")
+    },
+
     // ----- fuzzy string matching by edit distance: nearest other part
     // name among the first 100 parts (both engines implement classic
     // Levenshtein with identical integer results)
