@@ -140,6 +140,24 @@ object SimilarityQueries {
         .limit(5)
     },
 
+    // ----- per-label centroids: element-wise mean of embeddings, long
+    // form (label, pos, avg) — posexplode + groupBy partitions by
+    // (label, pos), so the reduction parallelizes over dims x labels
+    Q(
+      "vector_centroids",
+      s"""WITH $vecsSqlCte,
+         |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v)
+         |SELECT label, CAST(pos - 1 AS INTEGER) AS pos, round(avg(x), 6) AS centroid_val,
+         |       count(*) AS n
+         |FROM u GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    ) { (s, d) =>
+      vecs(s, d)
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg("x"), 6).as("centroid_val"), count(lit(1)).as("n"))
+        .orderBy("label", "pos")
+    },
+
     // ----- embedding near-duplicate pairs, LSH-bucketed (pairs only form
     // within a bucket — at scale this is the shuffle-bounded variant of
     // the quadratic all-pairs cosine)

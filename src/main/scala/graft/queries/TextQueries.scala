@@ -127,6 +127,45 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- end-to-end ingestion pipeline in one plan: quality filter
+    // (type-token ratio) -> exact-dedup keeper selection -> chunk count.
+    // Composes filter, agg, join-on-hash, and windowing; at scale each
+    // stage is the operator benchmarked individually.
+    Q(
+      "pipeline_quality_dedup",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |m AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+        |      FROM w GROUP BY doc_id),
+        |q AS (SELECT doc_id, n_words FROM m
+        |      WHERE CAST(n_distinct AS DOUBLE) / n_words >= 0.35),
+        |k AS (SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper
+        |      FROM documents GROUP BY md5(text))
+        |SELECT d.doc_id, q.n_words,
+        |       CAST(ceil(CAST(q.n_words AS DOUBLE) / 16) AS BIGINT) AS n_chunks
+        |FROM documents d
+        |JOIN q ON d.doc_id = q.doc_id
+        |JOIN k ON md5(d.text) = k.h AND k.keeper = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), countDistinct("w").as("n_distinct"))
+      val q = m.where(col("n_distinct").cast("double") / col("n_words") >= 0.35)
+        .select("doc_id", "n_words")
+      val k = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keeper"))
+      docs
+        .join(q, "doc_id")
+        .join(k, md5(col("text")) === col("h") && col("keeper") === col("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          ceil(col("n_words").cast("double") / 16).as("n_chunks"),
+        )
+        .orderBy("doc_id")
+    },
+
     // ----- training-data chunking: fixed-size token windows (16 tokens,
     // stride 12 -> 4-token overlap), one row per chunk with its text and
     // bounds — the shape an LLM-ingestion pipeline feeds the tokenizer
