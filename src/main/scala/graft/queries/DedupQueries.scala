@@ -165,27 +165,50 @@ object DedupQueries {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
       import s.implicits._
-      val pairs = minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
-      var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node"))
-      var changed = 1L
-      while (changed > 0) {
-        // each node adopts the min label among itself and its neighbors
-        val next = edges
-          .join(labels, edges("b") === labels("node"))
-          .select(edges("a").as("node"), col("label"))
-          .union(labels)
-          .groupBy("node")
-          .agg(min("label").as("label"))
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.node") === col("o.node"))
-          .where(col("n.label") =!= col("o.label"))
-          .count()
-        labels = next.cache()
-      }
-      edges.unpersist()
-      labels.select(col("node").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+      val pairs = minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+      // Adaptive: a candidate graph that fits on the driver is solved
+      // with union-find in one pass (Spark itself localizes small work —
+      // cf. LocalTableScan / broadcast); bigger graphs take the
+      // distributed min-label-propagation loop (one join+groupBy per
+      // round, rounds ~ diameter).
+      val result =
+        if (pairs.count() <= 100000L) {
+          val es = pairs.as[(Long, Long)].collect()
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          es.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster")
+        } else {
+          val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+          var labels = edges.select(col("a").as("node")).distinct()
+            .withColumn("label", col("node"))
+          var changed = 1L
+          while (changed > 0) {
+            // each node adopts the min label among itself and its neighbors
+            val next = edges
+              .join(labels, edges("b") === labels("node"))
+              .select(edges("a").as("node"), col("label"))
+              .union(labels)
+              .groupBy("node")
+              .agg(min("label").as("label"))
+            changed = next.as("n")
+              .join(labels.as("o"), col("n.node") === col("o.node"))
+              .where(col("n.label") =!= col("o.label"))
+              .count()
+            labels = next.cache()
+          }
+          edges.unpersist()
+          labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+        }
+      pairs.unpersist()
+      result.orderBy("doc_id")
     },
 
     // ----- SimHash: 16-bit fingerprint from token-frequency-weighted bit votes
