@@ -172,12 +172,18 @@ object DedupQueries {
       // distributed min-label-propagation loop (one join+groupBy per
       // round, rounds ~ diameter).
       val result =
-        if (pairs.count() <= 100000L) {
+        if (pairs.count() < 100000L) {
           val es = pairs.as[(Long, Long)].collect()
+          pairs.unpersist()
           val parent = scala.collection.mutable.Map.empty[Long, Long]
+          // iterative find with path compression — a chain-shaped graph
+          // near the threshold would blow the stack recursively
           def find(x: Long): Long = {
-            val p = parent.getOrElse(x, x)
-            if (p == x) x else { val r = find(p); parent(x) = r; r }
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+            r
           }
           es.foreach { case (a, b) =>
             parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
@@ -187,6 +193,8 @@ object DedupQueries {
           parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster")
         } else {
           val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+          edges.count() // materialize, then release the upstream cache
+          pairs.unpersist()
           var labels = edges.select(col("a").as("node")).distinct()
             .withColumn("label", col("node"))
           var changed = 1L
@@ -198,16 +206,19 @@ object DedupQueries {
               .union(labels)
               .groupBy("node")
               .agg(min("label").as("label"))
+              .cache()
             changed = next.as("n")
               .join(labels.as("o"), col("n.node") === col("o.node"))
               .where(col("n.label") =!= col("o.label"))
-              .count()
-            labels = next.cache()
+              .count() // also materializes next's cache
+            val old = labels
+            labels = next
+            old.unpersist()
           }
+          // labels is cached+materialized, so dropping edges is safe
           edges.unpersist()
           labels.select(col("node").as("doc_id"), col("label").as("cluster"))
         }
-      pairs.unpersist()
       result.orderBy("doc_id")
     },
 
