@@ -19,16 +19,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
 
-  def configFromEnv(env: Map[String, String]): CompactorConfig =
-    CompactorConfig(
-      targetFileBytes = (env.getOrElse("TARGET_FILE_SIZE_GB", "0.3").toDouble * (1L << 30)).toLong,
-      maxRowsPerFile = env.getOrElse("CHUNKED_ROWS", "1000000").toLong,
-      freshnessDays = env.getOrElse("FRESHNESS_DAYS", "5").toInt,
-      skipProvidersCurrentMonth = env
-        .getOrElse("SKIP_SOURCE_TYPE_CURRENT_MONTH", "AWS,Azure")
-        .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-      maxConcurrentLeaves = env.getOrElse("MAX_CONCURRENT_LEAVES", "4").toInt,
+  def configFromEnv(env: Map[String, String]): CompactorConfig = {
+    // Defaults come from CompactorConfig itself — one source of truth.
+    val base = CompactorConfig()
+    base.copy(
+      targetFileBytes = env.get("TARGET_FILE_SIZE_GB")
+        .map(g => (g.toDouble * (1L << 30)).toLong).getOrElse(base.targetFileBytes),
+      maxRowsPerFile = env.get("CHUNKED_ROWS").map(_.toLong).getOrElse(base.maxRowsPerFile),
+      freshnessDays = env.get("FRESHNESS_DAYS").map(_.toInt).getOrElse(base.freshnessDays),
+      skipProvidersCurrentMonth = env.get("SKIP_SOURCE_TYPE_CURRENT_MONTH")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(base.skipProvidersCurrentMonth),
+      maxConcurrentLeaves = env.get("MAX_CONCURRENT_LEAVES").map(_.toInt).getOrElse(base.maxConcurrentLeaves),
     )
+  }
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption

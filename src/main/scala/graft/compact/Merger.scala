@@ -20,8 +20,8 @@ import org.apache.spark.sql.SparkSession
   *      partitions and cap rows per file — the reference only row-caps,
   *      we also size-target,
   *   3. write to `leaf/.staging-<runid>/` with snappy,
-  *   4. validate: rows staged == rows read (via `Observation`, no second
-  *      scan of the inputs),
+  *   4. validate: staged footer row count == input footer row count
+  *      (metadata-only reads on both sides, no extra Spark jobs),
   *   5. commit: rename staged files to `{stem}_{32hex}.parquet` in the
   *      leaf, delete originals, drop staging.
   *
@@ -37,24 +37,31 @@ object Merger {
     * keeping these counts small.
     */
   private def footerRows(spark: SparkSession, files: Seq[String]): Long = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    // Dedicated bounded pool: footer reads are blocking I/O and must not
+    // starve ExecutionContext.global (shared with concurrent merges).
     val conf = spark.sparkContext.hadoopConfiguration
-    val counts = Future.traverse(files) { p =>
-      Future {
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
-        try r.getRecordCount
-        finally r.close()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(math.max(files.size, 1), 16))
+    try {
+      val futures = files.map { p =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+            try r.getRecordCount
+            finally r.close()
+          }
+        })
       }
+      futures.map(_.get()).sum
+    } finally {
+      pool.shutdown()
+      ()
     }
-    Await.result(counts, Duration.Inf).sum
   }
 
-  def mergeAndCommit(spark: SparkSession, plan: LeafPlan, cfg: CompactorConfig): LeafResult =
+  def mergeAndCommit(spark: SparkSession, plan: LeafPlan, cfg: CompactorConfig): LeafResult = {
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val stagingDir = s"${plan.leaf}/.staging-$runId"
     try {
-      val runId = UUID.randomUUID().toString.replace("-", "")
-      val stagingDir = s"${plan.leaf}/.staging-$runId"
       val fs = FileIndexer.fsFor(spark, plan.leaf)
 
       // Input row count from parquet footers (metadata-only, no data
@@ -69,12 +76,17 @@ object Merger {
       // Output partitions sized by bytes AND rows: the row cap splits
       // files anyway, so giving each prospective output file its own
       // task costs nothing in file count and buys read/write
-      // parallelism within a leaf — all without a shuffle.
+      // parallelism within a leaf. coalesce cannot RAISE the partition
+      // count — when the scan bin-packs into fewer splits than the
+      // byte target demands, fall back to a shuffle so the size target
+      // actually holds.
       val nOut = math.max(
         math.max(1L, (plan.totalBytes + cfg.targetFileBytes - 1) / cfg.targetFileBytes),
         (rowsIn + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile,
       ).toInt
-      df.coalesce(nOut)
+      val sized =
+        if (nOut > df.rdd.getNumPartitions) df.repartition(nOut) else df.coalesce(nOut)
+      sized
         .write
         .option("compression", "snappy")
         .option("maxRecordsPerFile", cfg.maxRowsPerFile)
@@ -108,7 +120,14 @@ object Merger {
 
       LeafResult(plan.leaf, plan.stem, success = true, rowsStaged, moved, None)
     } catch {
-      case e: Exception =>
+      // Throwable, not Exception: an AssertionError/LinkageError from one
+      // leaf must not abort the whole run (SURVEY.md §2.3.9) — and the
+      // staging dir must never be leaked (a daily job would accumulate
+      // partial copies forever; the Planner deliberately ignores them).
+      case e: Throwable =>
+        try FileIndexer.fsFor(spark, plan.leaf).delete(new Path(stagingDir), true)
+        catch { case _: Throwable => () }
         LeafResult(plan.leaf, plan.stem, success = false, 0L, 0, Some(e.toString))
     }
+  }
 }

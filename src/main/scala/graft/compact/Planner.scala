@@ -43,7 +43,7 @@ object Planner {
     val asOf = cfg.asOfDate
     val curYear = s"year=${asOf.getYear}"
     val curMonth = f"month=${asOf.getMonthValue}%02d"
-    val cutoff = asOf.minusDays(cfg.freshnessDays.toLong).toString
+    val cutoffEpochDay = asOf.minusDays(cfg.freshnessDays.toLong).toEpochDay
 
     val inVolatile =
       cfg.skipProvidersCurrentMonth
@@ -76,14 +76,23 @@ object Planner {
           concat_ws("_", split(col("fname"), "_").getItem(0), split(col("fname"), "_").getItem(1)),
         ).otherwise(col("basename")),
       )
+      // Adjacency matters: the suffix must follow the stem IMMEDIATELY
+      // (`{stem}_{32hex}.parquet`), so capture everything before the
+      // suffix and require equality with the stem — plain
+      // startsWith+endsWith would misclassify `data_2026_01.parquet`
+      // as legacy-compacted and orphan it forever.
       .withColumn(
         "isCompacted",
-        col("fname").startsWith(concat(col("stem"), lit("_"))) && (
-          col("fname").rlike(hexSuffix) ||
-            (!col("isGcp") && col("fname").rlike(numSuffix))
-        ),
+        regexp_extract(col("fname"), s"^(.*)$hexSuffix", 1) === col("stem") ||
+          (!col("isGcp") && regexp_extract(col("fname"), s"^(.*)$numSuffix", 1) === col("stem")),
       )
-      .withColumn("staleNew", !col("isCompacted") && to_date(timestamp_millis(col("mtimeMs"))) < lit(cutoff).cast("date"))
+      // Freshness compares UTC epoch days, independent of the session
+      // time zone (the reference pins utcnow on both sides,
+      // parquet_compactor.py:275).
+      .withColumn(
+        "staleNew",
+        !col("isCompacted") && (col("mtimeMs") / lit(86400000L)).cast("long") < lit(cutoffEpochDay),
+      )
 
     // Newest compacted file per group is re-included at the head so the
     // (probably under-sized) tail file keeps absorbing rows. Computed as
