@@ -17,13 +17,18 @@ object Bench {
     // Two timed runs per query, report the min: the first run pays
     // per-query codegen compilation; steady-state throughput is what a
     // resident engine delivers.
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); () }
+      catch {
+        // keep timing but NEVER silently: a broken query must not read
+        // as a near-zero-cost success in the report
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(time(fn), time(fn))
+      name -> math.min(time(name, fn), time(name, fn))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,42 +28,50 @@ object CompactBench {
 
     // Layout: 4 leaves x (nFiles/4) small files, stale mtimes.
     val root = Files.createTempDirectory("compact-bench").toFile
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val rows = li.count()
-    (0 until 4).foreach { leaf =>
-      val dir = s"${root.getAbsolutePath}/acct$leaf/source=s$leaf/year=2026/month=01"
-      import org.apache.spark.sql.functions.{col, lit, pmod}
-      li.where(pmod(col("l_orderkey"), lit(4)) === leaf)
-        .repartition(nFiles / 4)
-        .write.parquet(dir)
-    }
-    val staleMs = System.currentTimeMillis() - 30L * 86400000L
-    def touch(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(touch) else f.setLastModified(staleMs)
-      ()
-    }
-    touch(root)
-    val inBytes = {
-      def size(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(size).sum else f.length()
-      size(root)
-    }
-
-    val t0 = System.nanoTime()
-    val results = Compactor.run(
-      spark, root.getAbsolutePath,
-      CompactorConfig(targetFileBytes = 128L * 1024 * 1024, maxConcurrentLeaves = 4),
-    )
-    val sec = (System.nanoTime() - t0) / 1e9
-    val ok = results.forall(_.success)
-    val outFiles = results.map(_.filesWritten).sum
-    println(
-      s"""{"metric":"compact_sec","value":$sec,"unit":"sec","success":$ok,""" +
-        s""""files_in":$nFiles,"files_out":$outFiles,"rows":$rows,""" +
-        s""""mb_in":${inBytes / 1048576.0},"mb_per_sec":${inBytes / 1048576.0 / sec}}""",
-    )
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
-    rm(root)
-    spark.stop()
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val rows = li.count()
+      (0 until 4).foreach { leaf =>
+        val dir = s"${root.getAbsolutePath}/acct$leaf/source=s$leaf/year=2026/month=01"
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        li.where(pmod(col("l_orderkey"), lit(4)) === leaf)
+          .repartition(math.max(1, nFiles / 4))
+          .write.parquet(dir)
+      }
+      val staleMs = System.currentTimeMillis() - 30L * 86400000L
+      var filesIn = 0
+      def touch(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(touch)
+        else {
+          if (f.getName.endsWith(".parquet")) filesIn += 1
+          f.setLastModified(staleMs)
+        }
+        ()
+      }
+      touch(root)
+      val inBytes = {
+        def size(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(size).sum else f.length()
+        size(root)
+      }
+
+      val t0 = System.nanoTime()
+      val results = Compactor.run(
+        spark, root.getAbsolutePath,
+        CompactorConfig(targetFileBytes = 128L * 1024 * 1024, maxConcurrentLeaves = 4),
+      )
+      val sec = (System.nanoTime() - t0) / 1e9
+      val ok = results.forall(_.success)
+      val outFiles = results.map(_.filesWritten).sum
+      println(
+        s"""{"metric":"compact_sec","value":$sec,"unit":"sec","success":$ok,""" +
+          s""""files_in":$filesIn,"files_out":$outFiles,"rows":$rows,""" +
+          s""""mb_in":${inBytes / 1048576.0},"mb_per_sec":${inBytes / 1048576.0 / sec}}""",
+      )
+    } finally {
+      rm(root)
+      spark.stop()
+    }
   }
 }

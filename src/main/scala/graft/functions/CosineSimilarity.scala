@@ -37,16 +37,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  // can yield NULL even for non-null inputs (ragged lengths, null
+  // elements) — without this, codegen would assign into a constant
+  override def nullable: Boolean = true
 
+  // NULL semantics match the fold form (and DuckDB's list_reduce): a
+  // length mismatch (zip_with would null-pad) or any null element makes
+  // the whole result NULL — required for the bit-exact-oracle claim.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -67,16 +75,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = $a.getDouble($i);
-         |  final double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi;
-         |  $nx += $xi * $xi;
-         |  $ny += $yi * $yi;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      final double $xi = $a.getDouble($i);
+         |      final double $yi = $b.getDouble($i);
+         |      $dot += $xi * $yi;
+         |      $nx += $xi * $xi;
+         |      $ny += $yi * $yi;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -16,9 +16,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 object GraftFunctions {
 
-  private val cosineInfo = new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity")
-
-  private def cosineBuilder(args: Seq[Expression]): Expression = args match {
+  private[functions] def cosineBuilder(args: Seq[Expression]): Expression = args match {
     // Cast stands in for ExpectsInputTypes' implicit coercion (float
     // arrays welcome); a double->double array cast folds away.
     case Seq(a, b) =>
@@ -38,11 +36,13 @@ object GraftFunctions {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    // same builder as GraftFunctions.register — identical coercion and
+    // arity errors on both registration routes
     ext.injectFunction(
       (
         FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)),
+        (args: Seq[Expression]) => GraftFunctions.cosineBuilder(args),
       ),
     )
     ()

@@ -78,11 +78,14 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      // one digest per partition — getInstance is a JCA provider lookup,
+      // not something to pay per row; digest() resets it between calls
+      val md5 = MessageDigest.getInstance("MD5")
       rows.grouped(batchSize).flatMap { batch =>
         val decoded = codec.decodeBatch(batch.map(_.payload))
         batch.lazyZip(decoded).map { (r, d) =>
           val mean = d.pixels.sum / d.pixels.length
-          val md = MessageDigest.getInstance("MD5").digest(r.payload)
+          val md = md5.digest(r.payload)
           val emb = md.take(8).map(b => (b & 0xff) / 255.0f)
           MediaFeatures(r.doc_id, r.media_type, r.payload.length, d.width, d.height, mean, emb)
         }
@@ -95,16 +98,20 @@ object Multimodal {
     * stays long-form (doc_id, frame_idx, frame) — the layout that
     * partitions evenly downstream.
     */
-  def sampleFrames(media: Dataset[MediaRow], codec: Codec, nFrames: Int = 3): DataFrame = {
+  def sampleFrames(media: Dataset[MediaRow], codec: Codec, nFrames: Int = 3, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media
       .filter(_.media_type == "video")
       .mapPartitions { rows =>
-        rows.flatMap { r =>
-          val base = codec.decodeBatch(Seq(r.payload)).head
-          (0 until nFrames).iterator.map { f =>
-            (r.doc_id, f, base.pixels.map(p => math.min(1.0f, p + f * 0.01f)))
+        // batched like extractFeatures — one codec call per batch, never
+        // per row
+        rows.grouped(batchSize).flatMap { batch =>
+          val decoded = codec.decodeBatch(batch.map(_.payload))
+          batch.lazyZip(decoded).flatMap { (r, base) =>
+            (0 until nFrames).map { f =>
+              (r.doc_id, f, base.pixels.map(p => math.min(1.0f, p + f * 0.01f)))
+            }
           }
         }
       }

@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   *     (key, salt) — a hot key's rows land on `numSalts` tasks instead
   *     of one.
   *
-  * Results are identical to the unsalted forms regardless of salt
-  * assignment; `rand(seed)` only spreads rows.
+  * Join results are identical to the unsalted forms regardless of salt
+  * assignment; `rand(seed)` only spreads rows. For [[saltedAgg]],
+  * bit-identity with a plain groupBy additionally requires the summed
+  * column to be order-insensitive under addition — integral or DECIMAL
+  * values, not fractional doubles (two-phase summation reorders
+  * non-associative float additions).
   */
 object Skew {
 

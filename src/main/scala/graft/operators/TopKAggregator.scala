@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed top-k aggregator: keeps the k largest (score, id) pairs.
@@ -21,7 +21,10 @@ class TopKAggregator(k: Int) extends Aggregator[(Long, Double), Seq[(Double, Lon
     s.sortBy { case (score, id) => (-score, id) }.take(k)
 
   override def reduce(buf: Seq[(Double, Long)], in: (Long, Double)): Seq[(Double, Long)] =
-    trim(buf :+ ((in._2, in._1)))
+    // O(1) reject for the common case: a full buffer whose worst entry
+    // already beats the incoming row (same result, no re-sort per row)
+    if (buf.size == k && (buf.last._1 > in._2 || (buf.last._1 == in._2 && buf.last._2 <= in._1))) buf
+    else trim(buf :+ ((in._2, in._1)))
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)

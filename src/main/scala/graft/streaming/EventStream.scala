@@ -62,48 +62,43 @@ object EventStream {
         col("total_value"),
       )
 
-  /** Sessionization with explicit state: a session closes when no event
-    * arrives for `gapMinutes` (tracked via event-time timeout against
-    * the watermark). Closed sessions are emitted downstream; open ones
-    * live in the state store.
+  /** Sessionization with explicit state. Sessions are held in the state
+    * store until the WATERMARK passes `last event + gap` — only then are
+    * they emitted (append mode cannot retract, so emitting a session the
+    * moment a gap appears within a batch would be wrong: a late-but-
+    * in-watermark event may still belong to it). State is a session
+    * LIST per user, merged interval-style, so late events extend or
+    * bridge existing sessions correctly.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int, lateness: String = "10 minutes"): Dataset[UserSession] = {
     import spark.implicits._
     val gapMs = gapMinutes.toLong * 60000L
 
-    def update(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[UserSession] = {
+    def update(userId: Long, it: Iterator[Event], state: GroupState[Seq[SessionState]]): Iterator[UserSession] = {
       def emit(s: SessionState) =
         UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents, s.totalValue)
 
-      if (state.hasTimedOut) {
-        val out = state.getOption.map(emit).iterator
-        state.remove()
-        return out
+      val wm = state.getCurrentWatermarkMs()
+      val existing = state.getOption.getOrElse(Seq.empty)
+      val points = it.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)).toSeq
+      // interval merge with gap tolerance (inputs sorted by start)
+      val merged = scala.collection.mutable.ListBuffer.empty[SessionState]
+      (existing ++ points).sortBy(s => (s.startMs, s.lastMs)).foreach { s =>
+        if (merged.nonEmpty && s.startMs - merged.last.lastMs <= gapMs) {
+          val p = merged.remove(merged.size - 1)
+          merged += SessionState(
+            math.min(p.startMs, s.startMs), math.max(p.lastMs, s.lastMs),
+            p.nEvents + s.nEvents, p.totalValue + s.totalValue,
+          )
+        } else merged += s
       }
-
-      val sorted = it.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[UserSession]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.lastMs <= gapMs =>
-            cur = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.nEvents + 1, s.totalValue + e.value))
-          case Some(s) =>
-            closed ::= emit(s)
-            cur = Some(SessionState(t, t, 1L, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1L, e.value))
-        }
-      }
-      cur match {
-        case Some(s) =>
-          state.update(s)
-          // close when the watermark passes last-event + gap
-          state.setTimeoutTimestamp(s.lastMs + gapMs)
-        case None => state.remove()
-      }
-      closed.reverseIterator
+      // a session is final once no in-watermark event can still touch it
+      val (closed, open) = merged.partition(_.lastMs + gapMs <= wm)
+      if (open.nonEmpty) {
+        state.update(open.toSeq)
+        state.setTimeoutTimestamp(open.map(_.lastMs + gapMs).min)
+      } else state.remove()
+      closed.iterator.map(emit)
     }
 
     events

@@ -44,6 +44,18 @@ class CosineSimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     row.isNullAt(2) shouldBe true
   }
 
+  test("null elements and ragged lengths yield NULL, matching the fold form") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS nul_elem, " +
+        "cosine_similarity(array(1.0D), array(1.0D, 2.0D)) AS ragged, " +
+        "aggregate(zip_with(array(1.0D), array(1.0D, 2.0D), (p, q) -> p * q), 0.0D, (a, v) -> a + v) AS fold_ragged",
+    ).collect().head
+    row.isNullAt(0) shouldBe true
+    row.isNullAt(1) shouldBe true
+    row.isNullAt(2) shouldBe true // the fold form agrees
+  }
+
   test("implicit cast accepts float arrays directly") {
     GraftFunctions.register(spark)
     val c = Tables.embeddings(spark, sf)

@@ -79,6 +79,37 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     ids shouldBe Array(1L, 2L)
   }
 
+  test("sessionize: a late in-watermark event joins its original session, not a later one") {
+    val (glob, in, chk) = mkDirs()
+    // two events 40 min apart = two prospective sessions (gap 30)
+    writeBatch(in, "b1", Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 5, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 10:40:00"), 5, "click", 2.0),
+    ))
+    val q = EventStream
+      .sessionize(spark, EventStream.readEvents(spark, glob), gapMinutes = 30, lateness = "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("late_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    q.processAllAvailable()
+    // late event at 10:20 (inside the 2h watermark) BRIDGES the two
+    // sessions into one — emitting the first session eagerly at the
+    // batch-1 gap would have made this impossible
+    writeBatch(in, "b2", Seq(EventStream.Event(3, ts("2024-01-01 10:20:00"), 5, "click", 4.0)))
+    q.processAllAvailable()
+    // advance the watermark far enough to close everything
+    writeBatch(in, "b3", Seq(EventStream.Event(9, ts("2024-01-01 14:00:00"), 6, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT session_start, session_end, n_events, total_value FROM late_sessions WHERE user_id = 5")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    out.toSeq shouldBe Seq(("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 3L, 7.0))
+  }
+
   test("stream-stream interval join: views attributed to clicks within 10 minutes") {
     val s = spark
     import s.implicits._
