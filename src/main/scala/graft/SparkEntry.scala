@@ -12,9 +12,15 @@ import graft.queries._
 object SparkEntry {
 
   /** Complete registry, grouped by operator family. */
-  val registry: Seq[Q] =
-    CoreQueries.qs ++ EventQueries.qs ++ TextQueries.qs ++
+  val registry: Seq[Q] = {
+    val all = CoreQueries.qs ++ EventQueries.qs ++ TextQueries.qs ++
       DedupQueries.qs ++ SimilarityQueries.qs ++ MultimodalQueries.qs
+    // toMap would silently shadow a colliding name — the shadowed query
+    // would skip verification while the driver still reports green
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped pricing summary over lineitem.

@@ -24,8 +24,6 @@ object CoreQueries {
     */
   private def moneySum(c: String) =
     expr(s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)")
-  private val moneySumSql: String => String =
-    c => s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
 
   val qs: Seq[Q] = Seq(
 

@@ -37,6 +37,18 @@ object DedupQueries {
       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |       FROM ws)""".stripMargin
 
+  /** MinHash signatures + LSH banding in DuckDB, shared by the
+    * dedup_minhash_lsh and dedup_clusters oracles so the candidate
+    * graphs can never drift apart.
+    */
+  private val minhashBandsSqlCte =
+    """mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      |       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      |       GROUP BY doc_id, seed),
+      |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+      |                 string_agg(mh, '' ORDER BY seed) AS sig
+      |          FROM mh GROUP BY doc_id, seed // 4)""".stripMargin
+
   /** MinHash+LSH candidate pairs (doc_a < doc_b). One shuffle: the 16
     * per-seed min-hashes are 16 aggregate columns of a single groupBy
     * (not a 16x crossJoin + two extra shuffles); bands then unpivot via
@@ -46,6 +58,7 @@ object DedupQueries {
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
       .distinct()
     val mhAggs = (0 until 16).map(seed => min(md5(concat_ws("|", lit(seed), col("sh")))).as(s"mh$seed"))
@@ -102,6 +115,7 @@ object DedupQueries {
     ) { (s, d) =>
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
         .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -123,12 +137,7 @@ object DedupQueries {
     Q(
       "dedup_minhash_lsh",
       s"""WITH $shinglesSqlCte,
-         |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-         |       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
-         |       GROUP BY doc_id, seed),
-         |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         |                 string_agg(mh, '' ORDER BY seed) AS sig
-         |          FROM mh GROUP BY doc_id, seed // 4)
+         |$minhashBandsSqlCte
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
@@ -146,12 +155,7 @@ object DedupQueries {
     Q(
       "dedup_clusters",
       s"""WITH RECURSIVE $shinglesSqlCte,
-         |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-         |       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
-         |       GROUP BY doc_id, seed),
-         |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         |                 string_agg(mh, '' ORDER BY seed) AS sig
-         |          FROM mh GROUP BY doc_id, seed // 4),
+         |$minhashBandsSqlCte,
          |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |          FROM bands x JOIN bands y
          |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
