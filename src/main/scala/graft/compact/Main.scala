@@ -38,10 +38,14 @@ object Main {
     val root = args.headOption
       .orElse(sys.env.get("GRAFT_DATA_PATH"))
       .getOrElse(sys.error("GRAFT_DATA_PATH (or argv[0]) is required"))
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-compactor")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit injects spark.master; standalone runs fall back to
+    // local[*] without overriding a submitted master
+    val spark =
+      (if (sys.props.contains("spark.master")) builder else builder.master("local[*]"))
+        .getOrCreate()
     val results = Compactor.run(spark, root, configFromEnv(sys.env))
     val (ok, bad) = results.partition(_.success)
     println(s"[compact] ${ok.size} groups compacted, ${bad.size} failed")
