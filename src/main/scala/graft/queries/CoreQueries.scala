@@ -690,6 +690,97 @@ object CoreQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- string family II: regex replace, translate, trims, repetition
+    Q(
+      "string_funcs2",
+      """SELECT p_partkey,
+        | regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+        | translate(p_brand, '#', '-') AS brand_t,
+        | reverse(p_name) AS rev_name,
+        | repeat(substr(p_name, 1, 2), 2) AS rep2,
+        | ltrim(p_name, 'abcdef') AS ltrimmed,
+        | CAST(position('a' IN p_name) AS INTEGER) AS first_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"),
+          translate(col("p_brand"), "#", "-").as("brand_t"),
+          reverse(col("p_name")).as("rev_name"),
+          repeat(substring(col("p_name"), 1, 2), 2).as("rep2"),
+          ltrim(col("p_name"), "abcdef").as("ltrimmed"),
+          instr(col("p_name"), "a").as("first_a"),
+        )
+        .orderBy("p_partkey")
+    },
+
+    // ----- array family II: dedup/sort/search/flatten over word arrays
+    Q(
+      "array_funcs2",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_distinct(w)) AS INTEGER) AS n_vocab,
+        | list_sort(list_distinct(w))[1] AS first_vocab,
+        | list_contains(w, 'the') AS has_the,
+        | CAST(list_position(w, 'the') AS INTEGER) AS pos_the,
+        | CAST(len(flatten([w, w])) AS INTEGER) AS n_doubled
+        |FROM t ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(
+          col("doc_id"),
+          size(array_distinct(col("w"))).as("n_vocab"),
+          element_at(sort_array(array_distinct(col("w"))), 1).as("first_vocab"),
+          array_contains(col("w"), "the").as("has_the"),
+          array_position(col("w"), "the").cast("int").as("pos_the"),
+          size(flatten(array(col("w"), col("w")))).as("n_doubled"),
+        )
+        .orderBy("doc_id")
+    },
+
+    // ----- date family II: calendar arithmetic with month-end clamping
+    Q(
+      "date_funcs2",
+      """SELECT o_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+        | last_day(CAST(o_orderdate AS DATE)) AS eom,
+        | CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow0,
+        | CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          add_months(to_date(col("o_orderdate")), 1).as("next_month"),
+          last_day(to_date(col("o_orderdate"))).as("eom"),
+          // Spark: Sunday=1; DuckDB: Sunday=0 — align to DuckDB's zero base
+          (dayofweek(to_date(col("o_orderdate"))) - 1).as("dow0"),
+          weekofyear(to_date(col("o_orderdate"))).as("iso_week"),
+        )
+        .orderBy("o_orderkey")
+    },
+
+    // ----- error-tolerant scalar family: try_cast / null-on-zero division
+    Q(
+      "try_funcs",
+      """SELECT o_orderkey,
+        | TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+        | TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS pri_num,
+        | o_totalprice / nullif(o_custkey % 3, 0) AS risky_div
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("pri_int"),
+          expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").as("pri_num"),
+          expr("try_divide(o_totalprice, o_custkey % 3)").as("risky_div"),
+        )
+        .orderBy("o_orderkey")
+    },
+
     // ----- math function family
     Q(
       "math_funcs",
