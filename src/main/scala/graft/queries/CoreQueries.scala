@@ -357,6 +357,32 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // ----- unpivot / melt: wide measures to long form (Spark unpivot
+    // API <-> portable UNION ALL oracle)
+    Q(
+      "unpivot_melt",
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price"), col("l_discount").as("discount"),
+        )
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price"), col("discount")),
+          "measure",
+          "value",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
     // ----- list aggregation with deterministic ordering
     Q(
       "agg_listagg",
