@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   FRESHNESS_DAYS       min age before a new file is compacted (5)
   *   SKIP_SOURCE_TYPE_CURRENT_MONTH  comma list (AWS,Azure)
   *   MAX_CONCURRENT_LEAVES           merge-job pool size (4)
+  *   DRY_RUN=1                       print the plan, touch nothing
   */
 object Main {
 
@@ -46,11 +47,22 @@ object Main {
     val spark =
       (if (sys.props.contains("spark.master")) builder else builder.master("local[*]"))
         .getOrCreate()
-    val results = Compactor.run(spark, root, configFromEnv(sys.env))
-    val (ok, bad) = results.partition(_.success)
-    println(s"[compact] ${ok.size} groups compacted, ${bad.size} failed")
-    bad.foreach(r => println(s"[compact] FAILED ${r.leaf}/${r.stem}: ${r.error.getOrElse("?")}"))
-    spark.stop()
-    if (bad.nonEmpty) sys.exit(1)
+    val cfg = configFromEnv(sys.env)
+    if (sys.env.get("DRY_RUN").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+      // plan only — nothing written, nothing deleted
+      val plans = Planner.plan(spark, FileIndexer.list(spark, root), cfg)
+      println(s"[compact] DRY RUN: ${plans.size} groups would compact")
+      plans.foreach(p =>
+        println(s"[compact]   ${p.leaf} stem=${p.stem} files=${p.files.size} bytes=${p.totalBytes}"),
+      )
+      spark.stop()
+    } else {
+      val results = Compactor.run(spark, root, cfg)
+      val (ok, bad) = results.partition(_.success)
+      println(s"[compact] ${ok.size} groups compacted, ${bad.size} failed")
+      bad.foreach(r => println(s"[compact] FAILED ${r.leaf}/${r.stem}: ${r.error.getOrElse("?")}"))
+      spark.stop()
+      if (bad.nonEmpty) sys.exit(1)
+    }
   }
 }
