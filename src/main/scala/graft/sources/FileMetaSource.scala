@@ -39,8 +39,15 @@ class FileMetaSource extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String],
-  ): Table =
+  ): Table = {
+    // DataFrameReader.load(a, b, ...) encodes multiple paths as a JSON
+    // array under "paths" — fail with the real reason, not "no path"
+    require(
+      !properties.containsKey("paths"),
+      "FileMetaSource supports a single root: .load(<root>) — union multiple loads instead",
+    )
     new FileMetaTable(properties.get("path"))
+  }
 }
 
 object FileMetaSource {
@@ -67,39 +74,49 @@ class FileMetaScanBuilder(root: String) extends ScanBuilder with Scan with Batch
   override def toBatch: Batch = this
   override def description(): String = s"FileMetaScan($root)"
 
+  // Hadoop Configuration is not serializable; broadcast its entries ONCE
+  // (one copy per executor) instead of embedding a full copy in every
+  // partition — with thousands of first-level prefixes the per-task
+  // serialization would otherwise scale with partition count.
+  private lazy val confBroadcast: org.apache.spark.broadcast.Broadcast[Array[(String, String)]] = {
+    val spark = SparkSession.active
+    val entries = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    spark.sparkContext.broadcast(entries)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val hconf = spark.sparkContext.hadoopConfiguration
-    val confEntries = hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(hconf)
     val status = fs.listStatus(rootPath)
     val dirs = status.filter(_.isDirectory).map(_.getPath.toString)
     // root-level files ride along in the first partition
     val rootFiles = status.filter(_.isFile).map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
-    if (dirs.isEmpty) Array(FileMetaPartition(Array.empty, rootFiles, confEntries))
+    if (dirs.isEmpty) Array(FileMetaPartition(Array.empty, rootFiles))
     else
       dirs.zipWithIndex.map { case (d, i) =>
-        FileMetaPartition(Array(d), if (i == 0) rootFiles else Array.empty, confEntries)
+        FileMetaPartition(Array(d), if (i == 0) rootFiles else Array.empty)
       }.toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new FileMetaReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new FileMetaReaderFactory(confBroadcast)
 }
 
 final case class FileMetaPartition(
     dirs: Array[String],
     inlineFiles: Array[(String, Long, Long)],
-    confEntries: Array[(String, String)],
 ) extends InputPartition
 
-class FileMetaReaderFactory extends PartitionReaderFactory {
+class FileMetaReaderFactory(confBc: org.apache.spark.broadcast.Broadcast[Array[(String, String)]])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FileMetaPartition]
     new PartitionReader[InternalRow] {
       private val conf = {
         val c = new Configuration(false)
-        p.confEntries.foreach { case (k, v) => c.set(k, v) }
+        confBc.value.foreach { case (k, v) => c.set(k, v) }
         c
       }
       private val it: Iterator[(String, Long, Long)] =

@@ -53,10 +53,22 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in s.columns:
             sv, ov = s[c].reset_index(drop=True), o[c].reset_index(drop=True)
             # normalize for comparison (driver hashes values; match exactly,
-            # except both-null which any sane hasher treats as equal)
-            sn, on_ = pd.isnull(sv), pd.isnull(ov)
-            eq = (sv.astype(object) == ov.astype(object)) | (sn & on_)
-            if not eq.all():
+            # except both-null which any sane hasher treats as equal).
+            # Array-typed cells make elementwise == raise; fall back to a
+            # per-cell compare so one query can't abort the whole gate.
+            try:
+                sn, on_ = pd.isnull(sv), pd.isnull(ov)
+                eq = (sv.astype(object) == ov.astype(object)) | (sn & on_)
+                ok_all = bool(eq.all())
+            except Exception:
+                import numpy as np
+                cells = [
+                    (a is None and b is None) or bool(np.array_equal(a, b))
+                    for a, b in zip(sv.tolist(), ov.tolist())
+                ]
+                eq = pd.Series(cells)
+                ok_all = all(cells)
+            if not ok_all:
                 i = int(eq.idxmin())
                 bad = (c, i, sv.iloc[i], ov.iloc[i], str(sv.dtype), str(ov.dtype))
                 break

@@ -52,14 +52,21 @@ def compact_leaf(dirpath, files):
         buf, buf_rows = [], 0
 
     for batch in scanner.to_batches():
+        # flush BEFORE exceeding the cap — appending first could emit a
+        # ~2x-CHUNK_ROWS file, unlike the reference's chunked read
+        if buf_rows and buf_rows + batch.num_rows > CHUNK_ROWS:
+            flush()
         buf.append(batch)
         buf_rows += batch.num_rows
         rows += batch.num_rows
         if buf_rows >= CHUNK_ROWS:
             flush()
     flush()
-    for f in files:
-        os.remove(f)
+    # reference semantics: originals are deleted only after output exists
+    # (its failure mode is duplication, never loss)
+    if out > 0:
+        for f in files:
+            os.remove(f)
     return rows, out
 
 
