@@ -132,6 +132,50 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ----- frequency-capped n-gram Jaccard: the 100-TB form of the
+    // pairwise query above. Stop-shingles (document frequency > cap)
+    // are dropped BEFORE the self-join, bounding the Σ|posting|² blowup;
+    // sizes still count all shingles so the Jaccard denominator is
+    // unchanged — the cap only prunes which pairs can surface.
+    Q(
+      "dedup_ngram_jaccard_capped",
+      s"""WITH $shinglesSqlCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |         WHERE df <= 150),
+         |shr AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard_lb
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.02
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 150).select("sh")
+      val shr = sh.join(rare, "sh")
+      val inter = shr.as("a")
+        .join(shr.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+      val jac = col("ni").cast("double") / (col("sa.n") + col("sb.n") - col("ni"))
+      inter
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .where(jac >= 0.02)
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard_lb"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ----- MinHash (16 hashes) + LSH banding (4 bands × 4 rows): candidate
     // pairs = docs agreeing on at least one full band signature
     Q(
