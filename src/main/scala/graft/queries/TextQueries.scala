@@ -222,6 +222,53 @@ object TextQueries {
         .orderBy("p_partkey")
     },
 
+    // ----- language-ID via character-n-gram profiles (the classic
+    // Cavnar-Trenkle shape): per-language top-20 char bigrams are
+    // "trained" from the corpus itself (deterministic tiebreaks), then
+    // each doc is scored by how much of its bigram mass hits each
+    // profile — argmax wins. Profiles are tiny -> broadcast join.
+    Q(
+      "text_langid_ngram",
+      """WITH bg AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+        |  FROM documents),
+        |doc_bg AS (SELECT doc_id, lang, bg, count(*) AS cnt FROM bg GROUP BY doc_id, lang, bg),
+        |lang_bg AS (SELECT lang, bg, count(*) AS n FROM bg GROUP BY lang, bg),
+        |prof AS (SELECT lang AS p_lang, bg FROM (
+        |           SELECT lang, bg, row_number() OVER (PARTITION BY lang
+        |                                               ORDER BY n DESC, bg) AS rn
+        |           FROM lang_bg) WHERE rn <= 20),
+        |score AS (SELECT d.doc_id, d.lang, p.p_lang, CAST(sum(d.cnt) AS BIGINT) AS hits
+        |          FROM doc_bg d JOIN prof p ON d.bg = p.bg
+        |          GROUP BY d.doc_id, d.lang, p.p_lang),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                      ORDER BY hits DESC, p_lang) AS rn FROM score)
+        |SELECT doc_id, lang, p_lang AS pred_lang, hits FROM best
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"),
+        )
+      val docBg = bg.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("cnt"))
+      val langBg = bg.groupBy("lang", "bg").agg(count(lit(1)).as("n"))
+      val wProf = Window.partitionBy("lang").orderBy(desc("n"), col("bg"))
+      val prof = broadcast(
+        langBg.withColumn("rn", row_number().over(wProf)).where(col("rn") <= 20)
+          .select(col("lang").as("p_lang"), col("bg")),
+      )
+      val score = docBg.join(prof, "bg")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(sum("cnt").as("hits"))
+      val wBest = Window.partitionBy("doc_id").orderBy(desc("hits"), col("p_lang"))
+      score.withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"), col("hits"))
+        .orderBy("doc_id")
+    },
+
     // ----- document fingerprinting: order-sensitive rolling hash (fold over
     // token lengths, mod-prime) + md5-based position-weighted hash
     Q(
