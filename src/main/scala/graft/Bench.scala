@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,23 +18,36 @@ object Bench {
     // Two timed runs per query, report the min: the first run pays
     // per-query codegen compilation; steady-state throughput is what a
     // resident engine delivers.
+    //
+    // The timing action is a noop-format write, NOT count(): count()
+    // lets Catalyst prune every projected column, so expensive projected
+    // expressions (e.g. cosine similarities) would never be evaluated
+    // and the bench would measure less work than Verify verifies. The
+    // noop sink materializes every output column and discards the rows.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); () }
       catch {
         // keep timing but NEVER silently: a broken query must not read
         // as a near-zero-cost success in the report
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_FILTER: local iteration aid (substring match);
+    // the driver runs without it -> all queries.
+    val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+    val results = SparkEntry.queries.toSeq.filter(_._1.contains(filter)).sortBy(_._1).map { case (name, fn) =>
       name -> math.min(time(name, fn), time(name, fn))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

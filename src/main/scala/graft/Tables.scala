@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * place. The one real hazard: `events.ts` is parquet TIMESTAMP(NANOS)
   * (pandas-written), which Spark 4 refuses to read as a timestamp
   * ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos via the legacy
-  * conf and truncate to microseconds — the same truncation DuckDB
-  * applies when it coerces ns→us on read, so oracle comparisons line
-  * up exactly.
+  * conf `spark.sql.legacy.parquet.nanosAsLong` — which every graft
+  * session builder (Verify, Bench, Main, SparkSpec) sets at
+  * construction, so loaders stay pure — and truncate to microseconds,
+  * the same truncation DuckDB applies when it coerces ns→us on read,
+  * so oracle comparisons line up exactly.
   */
 object Tables {
 
@@ -28,9 +30,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` with `ts` normalized to a microsecond TIMESTAMP. */
+  /** `events` with `ts` normalized to a microsecond TIMESTAMP.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set by all graft session builders); fails fast with a clear message
+    * if a foreign session lacks it rather than surfacing
+    * [PARQUET_TYPE_ILLEGAL] downstream.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet has TIMESTAMP(NANOS); build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench/SparkSpec)",
+    )
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -12,11 +12,24 @@ import graft.Tables
   *     linear in corpus size; only docs sharing a band signature pair up),
   *   - SimHash fingerprinting.
   *
-  * MinHash permutations are emulated as `min(md5(seed || '|' || shingle))`
-  * so the DuckDB oracle reproduces the exact signatures (lexicographic min
-  * over identical md5 strings on both engines).
+  * MinHash permutations: each shingle is digested ONCE (`md5`), a 32-bit
+  * slice `h` is taken, and the 16 "permutations" are linear congruential
+  * bijections `(aᵢ·h + bᵢ) mod 2³²` with odd aᵢ — true permutations of the
+  * 32-bit space, pure integer arithmetic (16 mul/add/mod per shingle row
+  * instead of 16 string digests), and reproduced bit-exactly by the DuckDB
+  * oracle. No signed-64 overflow: aᵢ < 2³¹ and h < 2³² give aᵢ·h+bᵢ < 2⁶³.
   */
 object DedupQueries {
+
+  /** The 16 (aᵢ, bᵢ) affine constants, derived deterministically from
+    * Knuth's multiplicative-hash constant so Spark columns and oracle SQL
+    * literals can never drift apart. aᵢ is forced odd (bijectivity mod 2³²).
+    */
+  private val perms: Seq[(Long, Long)] = (1 to 16).map { i =>
+    val a = ((2654435761L * i) % 2147483648L) | 1L
+    val b = (2971215073L * i + 40503L * i * i) % 4294967296L
+    (a, b)
+  }
 
   /** 3-word shingles over a pre-split `w` array column (1-based
     * element_at). Splitting once into `w` matters: `split(text)` inlined
@@ -39,33 +52,49 @@ object DedupQueries {
 
   /** MinHash signatures + LSH banding in DuckDB, shared by the
     * dedup_minhash_lsh and dedup_clusters oracles so the candidate
-    * graphs can never drift apart.
+    * graphs can never drift apart. Mirrors the Spark kernel exactly:
+    * one md5 per shingle, 32-bit slice, 16 affine permutations.
+    * Dedup happens on `h`, not the shingle string — a same-doc slice
+    * collision merges identically on both engines, and min() is
+    * multiset-invariant anyway.
     */
-  private val minhashBandsSqlCte =
-    """mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-      |       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
-      |       GROUP BY doc_id, seed),
-      |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-      |                 string_agg(mh, '' ORDER BY seed) AS sig
-      |          FROM mh GROUP BY doc_id, seed // 4)""".stripMargin
+  private val minhashBandsSqlCte: String = {
+    val permValues = perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""perm AS (SELECT * FROM (VALUES $permValues) t(seed, a, b)),
+       |shh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+       |mh AS (SELECT doc_id, seed, min((a * h + b) % 4294967296) AS mh
+       |       FROM shh CROSS JOIN perm
+       |       GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+       |                 string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+       |          FROM mh GROUP BY doc_id, seed // 4)""".stripMargin
+  }
 
   /** MinHash+LSH candidate pairs (doc_a < doc_b). One shuffle: the 16
     * per-seed min-hashes are 16 aggregate columns of a single groupBy
     * (not a 16x crossJoin + two extra shuffles); bands then unpivot via
-    * stack. Values are identical to the oracle's cross-join formulation
-    * (min over the same md5 strings).
+    * stack. The kernel digests each shingle ONCE (md5 → 32-bit slice),
+    * then derives the 16 permutations as affine maps — ~16× less digest
+    * work than hashing (seed, shingle) pairs, and the shingle string is
+    * dropped before the shuffle (8-byte h instead of ~24-byte text).
+    * Values are identical to the oracle's cross-join formulation.
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .select(col("doc_id"), expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("h"))
       .distinct()
-    val mhAggs = (0 until 16).map(seed => min(md5(concat_ws("|", lit(seed), col("sh")))).as(s"mh$seed"))
+    val mhAggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * lit(a) + lit(b)) % lit(4294967296L)).as(s"mh$i")
+    }
     val sigs = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val withBands = sigs.select(
       col("doc_id") +: (0 until 4).map(b =>
-        concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*).as(s"band$b"),
+        concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*).as(s"band$b"),
       ): _*,
     )
     val bands = withBands.select(
@@ -218,10 +247,14 @@ object DedupQueries {
       // with union-find in one pass (Spark itself localizes small work —
       // cf. LocalTableScan / broadcast); bigger graphs take the
       // distributed min-label-propagation loop (one join+groupBy per
-      // round, rounds ~ diameter).
+      // round, rounds ~ diameter). The branch probe IS the collection:
+      // head(cap+1) pulls at most cap+1 edges (~1.6 MB), so the small
+      // case pays no extra pass and the big case stops at the cap.
+      val cap = 100000
+      val headEdges = pairs.as[(Long, Long)].head(cap + 1)
       val result =
-        if (pairs.count() < 100000L) {
-          val es = pairs.as[(Long, Long)].collect()
+        if (headEdges.length <= cap) {
+          val es = headEdges
           pairs.unpersist()
           val parent = scala.collection.mutable.Map.empty[Long, Long]
           // iterative find with path compression — a chain-shaped graph

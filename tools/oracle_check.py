@@ -62,10 +62,22 @@ def main(sf_dir: str, out_dir: str) -> int:
                 ok_all = bool(eq.all())
             except Exception:
                 import numpy as np
-                cells = [
-                    (a is None and b is None) or bool(np.array_equal(a, b))
-                    for a, b in zip(sv.tolist(), ov.tolist())
-                ]
+
+                def _scalar_null(x):
+                    try:
+                        return x is None or bool(pd.isna(x))
+                    except (TypeError, ValueError):
+                        return False  # pd.isna on arrays is elementwise
+
+                def _cell_eq(a, b):
+                    if _scalar_null(a) or _scalar_null(b):
+                        return _scalar_null(a) and _scalar_null(b)
+                    try:  # float-like arrays: NaN==NaN counts as equal
+                        return bool(np.array_equal(a, b, equal_nan=True))
+                    except TypeError:  # non-float (str/object) arrays
+                        return bool(np.array_equal(a, b))
+
+                cells = [_cell_eq(a, b) for a, b in zip(sv.tolist(), ov.tolist())]
                 eq = pd.Series(cells)
                 ok_all = all(cells)
             if not ok_all:
