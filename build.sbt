@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts all 32 task threads in this one heap; 8g is enough
+  // for any single query at sf0.1 but accumulates GC pressure across a
+  // 69-query bench suite (suite timings ran 3-9x standalone ones).
+  // The bench box has 128 GiB; size like an executor, not a driver.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -35,19 +35,36 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Suite hygiene: a query that caches and forgets (or a temp view
+      // holding a plan alive) must not tax every query after it.
+      spark.catalog.clearCache()
+      dt
     }
     // SPARK_GRAFT_BENCH_FILTER: local iteration aid (substring match);
     // the driver runs without it -> all queries.
     val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
     val results = SparkEntry.queries.toSeq.filter(_._1.contains(filter)).sortBy(_._1).map { case (name, fn) =>
       name -> math.min(time(name, fn), time(name, fn))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    // The driver captures only the LAST ~2000 chars of output and parses
+    // the JSON line out of that window (BENCH_r01/r02 both came back
+    // parsed:null because the full-precision line overflowed it). Keep
+    // the line compact: 2-decimal seconds per query, and print it after
+    // spark.stop() so nothing but the sbt epilogue follows it.
+    def sec(v: Double) = f"$v%.2f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    // Self-identify partial runs (SPARK_GRAFT_BENCH_FILTER set): report
+    // the active filter + query count so a filtered total can't be
+    // mistaken for the full suite.
+    val filterJson = if (filter.nonEmpty) s""","filter":"$filter"""" else ""
+    val line =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size}$filterJson,""" +
+        s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
   }
 }

@@ -28,6 +28,20 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+
+  /** Raise scan parallelism to the session default when the source is
+    * narrower (a small table is often a single parquet row group = ONE
+    * scan partition, serializing any CPU-heavy per-row work — shingling,
+    * hashing, bigram explode — onto one core). At scale this is a no-op:
+    * a 100-TB scan already has more partitions than cores, and the guard
+    * keeps the repartition from ever ADDING a shuffle there. Only use
+    * upstream of genuinely expensive per-row transforms; the shuffle it
+    * does add locally is bounded by the (small) source size.
+    */
+  def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** `events` with `ts` normalized to a microsecond TIMESTAMP.

@@ -82,7 +82,7 @@ object DedupQueries {
     * Values are identical to the oracle's cross-join formulation.
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val sh = Tables.documents(s, d)
+    val sh = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
@@ -142,7 +142,7 @@ object DedupQueries {
          |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.02
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
-      val sh = Tables.documents(s, d)
+      val sh = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
         .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
@@ -184,7 +184,7 @@ object DedupQueries {
          |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.02
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
-      val sh = Tables.documents(s, d)
+      val sh = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3)
         .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
@@ -317,7 +317,7 @@ object DedupQueries {
         |SELECT doc_id, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      val toks = Tables.documents(s, d)
+      val toks = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w")
         .agg(count(lit(1)).as("cnt"))

@@ -39,7 +39,7 @@ object TextQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word""".stripMargin,
     ) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("n"))
@@ -82,7 +82,7 @@ object TextQueries {
         |       0.5 * ttr + 0.3 * (1 - stop_ratio) + 0.2 * len_prior AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id")
         .agg(
@@ -114,7 +114,7 @@ object TextQueries {
     ) { (s, d) =>
       import s.implicits._
       val lex = broadcast(lexicon.toDF("lex_lang", "lex_word"))
-      val hits = Tables.documents(s, d)
+      val hits = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
         .join(lex, col("w") === col("lex_word"))
         .groupBy("doc_id", "lex_lang")
@@ -148,7 +148,7 @@ object TextQueries {
         |ORDER BY d.doc_id""".stripMargin,
     ) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val m = docs
+      val m = Tables.fanout(docs)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), countDistinct("w").as("n_distinct"))
@@ -247,13 +247,29 @@ object TextQueries {
         |SELECT doc_id, lang, p_lang AS pred_lang, hits FROM best
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      val bg = Tables.documents(s, d)
+      // Two deliberate divergences from the naive (oracle) formulation,
+      // neither visible in the output:
+      //   1. Overlapping bigrams come from ONE codegen'd regex
+      //      (lookahead-with-capture) instead of a substring-per-index
+      //      lambda: substring(text, i, 2) re-scans the string to find
+      //      the char offset on every call — O(len²) per document — and
+      //      transform()'s lambda runs on the interpreted (non-codegen)
+      //      path. A doc under 2 chars yields no bigrams in both engines.
+      //   2. docBg is aggregated once and reused for both the language
+      //      profiles and the per-doc scores (the isNotNull sits inside
+      //      the shared subtree so the join can't break exchange reuse by
+      //      pushing its own null filter into one branch).
+      val bg = Tables.fanout(Tables.documents(s, d))
         .select(
           col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"),
+          explode(expr("regexp_extract_all(text, '(?=(..))', 1)")).as("bg"),
         )
+        .where(col("bg").isNotNull)
       val docBg = bg.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("cnt"))
-      val langBg = bg.groupBy("lang", "bg").agg(count(lit(1)).as("n"))
+      // Language totals are the per-doc counts re-aggregated — same values
+      // as counting raw bigram rows, but the second aggregation hangs off
+      // docBg's exchange (ReuseExchange), not a second corpus explode.
+      val langBg = docBg.groupBy("lang", "bg").agg(sum("cnt").as("n"))
       val wProf = Window.partitionBy("lang").orderBy(desc("n"), col("bg"))
       val prof = broadcast(
         langBg.withColumn("rn", row_number().over(wProf)).where(col("rn") <= 20)
@@ -292,7 +308,7 @@ object TextQueries {
         col("doc_id"),
         expr("aggregate(split(text, ' '), 0L, (a, w) -> (a * 31 + length(w)) % 1000000007)").as("roll_hash"),
       )
-      val pos = docs
+      val pos = Tables.fanout(docs)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
         .groupBy("doc_id")
         .agg(sum(expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) * (pos + 1)")).as("pos_hash"))
