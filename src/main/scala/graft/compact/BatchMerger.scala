@@ -1,0 +1,182 @@
+package graft.compact
+
+import java.util.UUID
+import java.util.concurrent.Executors
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Many-tiny-leaf merge: N small output groups in ONE Spark job.
+  *
+  * The reference's daily reality is thousands of tiny leaves
+  * (parquet_compactor.py:295-328 iterates them serially); the per-leaf
+  * [[Merger]] keeps that shape — one scan job + one write job per group —
+  * which at swarm scale is driver-bound on fixed job overhead, not I/O.
+  * Here a batch of schema-homogeneous tiny plans becomes:
+  *
+  *   1. one multi-path scan of every input file, tagged with its plan's
+  *      `__gid` (dense plan index) via a broadcast path→gid join,
+  *   2. one `repartition(__gid)` + `partitionBy(__gid)` staged write —
+  *      each group lands in its own `__gid=K/` subdir, WITHOUT the
+  *      synthetic column (partitionBy keeps it out of the data files),
+  *   3. per-plan validation (staged footer rows == input footer rows) and
+  *      per-plan commit (rename to `{stem}_{32hex}.parquet`, delete
+  *      originals) — exactly [[Merger]]'s invariants, still isolated per
+  *      group: one failed validation skips only that plan.
+  *
+  * Plans whose input files disagree on footer schema (needs mergeSchema),
+  * or that fail batch validation (e.g. a path the gid join couldn't tag),
+  * fall back to the solo [[Merger]] — correctness never depends on the
+  * batch path succeeding.
+  */
+object BatchMerger {
+
+  private final case class Probe(plan: LeafPlan, rowsIn: Long, schemas: Set[String])
+
+  /** Footer rows + distinct footer schemas per plan, on a bounded driver
+    * pool (same metadata-only discipline as Merger.footerRows; the probe
+    * doubles as the row-count anchor for commit validation).
+    */
+  private def probe(spark: SparkSession, plans: Seq[LeafPlan]): Seq[Probe] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pool = Executors.newFixedThreadPool(16)
+    try {
+      val futures = plans.map { p =>
+        pool.submit(new java.util.concurrent.Callable[Probe] {
+          override def call(): Probe = {
+            var rows = 0L
+            val schemas = scala.collection.mutable.Set.empty[String]
+            p.files.foreach { f =>
+              val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+              try {
+                rows += r.getRecordCount
+                schemas += r.getFooter.getFileMetaData.getSchema.toString
+              } finally r.close()
+            }
+            Probe(p, rows, schemas.toSet)
+          }
+        })
+      }
+      futures.map(_.get())
+    } finally { pool.shutdown(); () }
+  }
+
+  /** Scheme-strip normalization applied identically to driver-held paths
+    * and `input_file_name()` — "file:/x", "file:///x" and "/x" all map to
+    * "/x", so the gid join can't miss on URI-rendering differences.
+    */
+  private val schemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+  private def norm(p: String): String = "/" + p.replaceFirst(schemeRe, "").dropWhile(_ == '/')
+
+  def mergeAndCommitBatch(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {
+    if (plans.isEmpty) return Seq.empty
+    val probed =
+      try probe(spark, plans)
+      catch {
+        case _: Throwable => return plans.map(Merger.mergeAndCommit(spark, _, cfg))
+      }
+    val (homog, mixed) = probed.partition(_.schemas.size == 1)
+    val soloResults = mixed.map(p => Merger.mergeAndCommit(spark, p.plan, cfg))
+    // One job per (schema, filesystem) group: a single read can't span
+    // schemas without mergeSchema, and commit renames can't span
+    // filesystems.
+    val grouped = homog.groupBy { p =>
+      val uri = new Path(p.plan.leaf).toUri
+      (p.schemas.head, s"${uri.getScheme}//${uri.getAuthority}")
+    }
+    val batchResults = grouped.values.toSeq.flatMap { group =>
+      if (group.size == 1) group.map(p => Merger.mergeAndCommit(spark, p.plan, cfg))
+      else mergeGroup(spark, group, cfg)
+    }
+    (soloResults ++ batchResults).sortBy(r => (r.leaf, r.stem))
+  }
+
+  private def mergeGroup(spark: SparkSession, group: Seq[Probe], cfg: CompactorConfig): Seq[LeafResult] = {
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val stagingRoot = s"${group.head.plan.leaf}/.staging-$runId"
+    val fs = FileIndexer.fsFor(spark, group.head.plan.leaf)
+    try {
+      val pathToGid = group.zipWithIndex.flatMap { case (p, gid) =>
+        p.plan.files.map(f => (norm(f), gid))
+      }
+      val gidDf = broadcast(
+        spark.createDataFrame(pathToGid).toDF("__path", "__gid"),
+      )
+      val allFiles = group.flatMap(_.plan.files)
+      val tagged = spark.read
+        .parquet(allFiles: _*)
+        .withColumn("__path", regexp_replace(input_file_name(), schemeRe, "/"))
+        .join(gidDf, "__path")
+        .drop("__path")
+      // ~one partition per group: every plan here is under targetFileBytes,
+      // so a group is at most one output file (modulo the row cap, which
+      // maxRecordsPerFile still enforces). Hash collisions just mean one
+      // task writes several gid dirs.
+      tagged
+        .repartition(group.size, col("__gid"))
+        .write
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", cfg.maxRowsPerFile)
+        .partitionBy("__gid")
+        .parquet(stagingRoot)
+
+      val results = group.zipWithIndex.map { case (p, gid) =>
+        commitOne(spark, fs, p, s"$stagingRoot/__gid=$gid", cfg)
+      }
+      fs.delete(new Path(stagingRoot), true)
+      results
+    } catch {
+      case e: Throwable =>
+        try fs.delete(new Path(stagingRoot), true)
+        catch { case _: Throwable => () }
+        // the batch vehicle failed, not any one plan — retry each solo
+        System.err.println(s"[compact] batch merge failed (${e.toString}); retrying ${group.size} plans solo")
+        group.map(p => Merger.mergeAndCommit(spark, p.plan, cfg))
+    }
+  }
+
+  /** Validate one plan's staged subdir against its input footer rows and
+    * commit it — or leave its originals untouched and fall back solo.
+    */
+  private def commitOne(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: Probe,
+      stagedDir: String,
+      cfg: CompactorConfig,
+  ): LeafResult = {
+    try {
+      val staged = fs
+        .listStatus(new Path(stagedDir))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      var rowsStaged = 0L
+      val conf = spark.sparkContext.hadoopConfiguration
+      staged.foreach { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try rowsStaged += r.getRecordCount
+        finally r.close()
+      }
+      if (rowsStaged != p.rowsIn) {
+        System.err.println(
+          s"[compact] batch validation failed for ${p.plan.leaf}/${p.plan.stem} " +
+            s"(staged $rowsStaged != input ${p.rowsIn}); retrying solo",
+        )
+        return Merger.mergeAndCommit(spark, p.plan, cfg)
+      }
+      var moved = 0
+      staged.foreach { f =>
+        val outName = s"${p.plan.stem}_${UUID.randomUUID().toString.replace("-", "")}.parquet"
+        if (fs.rename(f.getPath, new Path(s"${p.plan.leaf}/$outName"))) moved += 1
+        else throw new java.io.IOException(s"rename failed for ${f.getPath}")
+      }
+      p.plan.files.foreach(f => fs.delete(new Path(f), false))
+      LeafResult(p.plan.leaf, p.plan.stem, success = true, rowsStaged, moved, None)
+    } catch {
+      case e: Throwable =>
+        LeafResult(p.plan.leaf, p.plan.stem, success = false, 0L, 0, Some(e.toString))
+    }
+  }
+}

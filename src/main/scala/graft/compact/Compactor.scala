@@ -16,9 +16,32 @@ import org.apache.spark.sql.SparkSession
 object Compactor {
 
   def run(spark: SparkSession, root: String, cfg: CompactorConfig = CompactorConfig()): Seq[LeafResult] = {
+    import spark.implicits._
     val files = FileIndexer.list(spark, root)
-    val plans = Planner.plan(spark, files, cfg)
-    runPlans(spark, plans, cfg)
+    // The plan never lands on the driver whole: toLocalIterator pulls one
+    // partition of LeafPlans at a time (each row carries its group's full
+    // file list — the multi-GB structure at 10⁶ leaves), and execution
+    // consumes it in planBatchSize slices. The orderBy keeps the
+    // deterministic (leaf, stem) run order the collect() path had.
+    val planIt = Planner.planned(spark, files, cfg)
+      .orderBy("leaf", "stem")
+      .as[LeafPlan]
+      .toLocalIterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[LeafResult]
+    planIt.asScala.grouped(math.max(1, cfg.planBatchSize)).foreach { batch =>
+      out ++= runBatch(spark, batch.toSeq, cfg)
+    }
+    out.toSeq
+  }
+
+  /** One slice of the plan: tiny single-output-file groups ride the
+    * batched one-job path ([[BatchMerger]]); everything else gets its own
+    * merge job on the bounded pool.
+    */
+  def runBatch(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {
+    val (tiny, big) = plans.partition(p => cfg.batchTinyLeaves && p.totalBytes <= cfg.targetFileBytes)
+    if (tiny.size < 2) runPlans(spark, plans, cfg)
+    else BatchMerger.mergeAndCommitBatch(spark, tiny, cfg) ++ runPlans(spark, big, cfg)
   }
 
   def runPlans(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {

@@ -45,6 +45,14 @@ final case class CompactorConfig(
     skipProvidersCurrentMonth: Seq[String] = Seq("AWS", "Azure"),
     asOf: Option[java.time.LocalDate] = None,
     maxConcurrentLeaves: Int = 4,
+    // Plans are pulled off the distributed plan in batches of this size
+    // (toLocalIterator), so driver memory holds one batch of file lists,
+    // never the whole swarm's.
+    planBatchSize: Int = 256,
+    // Within a batch, plans small enough to produce a single output file
+    // (totalBytes <= targetFileBytes) and schema-homogeneous merge in ONE
+    // Spark job ([[BatchMerger]]) instead of one job per group.
+    batchTinyLeaves: Boolean = true,
 ) {
   def asOfDate: java.time.LocalDate =
     asOf.getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
