@@ -45,17 +45,23 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** `events` with `ts` normalized to a microsecond TIMESTAMP.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set by all graft session builders); fails fast with a clear message
-    * if a foreign session lacks it rather than surfacing
-    * [PARQUET_TYPE_ILLEGAL] downstream.
+    * Expects `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set by all graft session builders). A foreign session lacking it
+    * still works — the flag is set here with a WARNING instead of
+    * failing, because the alternative is [PARQUET_TYPE_ILLEGAL]
+    * downstream; the warning exists because the flag changes how any
+    * ns-timestamp parquet reads session-wide, which the caller should
+    * know they've opted into.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet has TIMESTAMP(NANOS); build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench/SparkSpec)",
-    )
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "setting spark.sql.legacy.parquet.nanosAsLong=true session-wide to read " +
+          "events.parquet (TIMESTAMP(NANOS)); prefer setting it at session construction " +
+          "(see Verify/Bench/SparkSpec)",
+      )
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

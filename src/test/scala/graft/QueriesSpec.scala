@@ -32,6 +32,15 @@ class QueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("Tables.events self-heals on a session lacking the nanos flag (with a warning)") {
+    // newSession shares the SparkContext but owns its SQLConf — a stand-in
+    // for a foreign caller that didn't build the session the graft way.
+    val s2 = spark.newSession()
+    s2.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    Tables.events(s2, sf).count() should be > 0L
+    s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") shouldBe "true"
+  }
+
   test("oracled queries alias columns identically to their SQL (spot-check)") {
     // The driver sorts columns by name before hashing — Spark and oracle
     // column sets must match exactly (SURVEY.md §7.1).

@@ -50,6 +50,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         bad = None
+        lenient = [0]  # None-vs-NaN cells passed leniently (logged on PASS)
         for c in s.columns:
             sv, ov = s[c].reset_index(drop=True), o[c].reset_index(drop=True)
             # normalize for comparison (driver hashes values; match exactly,
@@ -71,7 +72,15 @@ def main(sf_dir: str, out_dir: str) -> int:
 
                 def _cell_eq(a, b):
                     if _scalar_null(a) or _scalar_null(b):
-                        return _scalar_null(a) and _scalar_null(b)
+                        if not (_scalar_null(a) and _scalar_null(b)):
+                            return False
+                        # Both null, but None-vs-NaN is a representational
+                        # difference the driver's hasher may or may not
+                        # forgive — pass, but SAY SO, so a masked
+                        # divergence is visible in the gate output.
+                        if (a is None) != (b is None):
+                            lenient[0] += 1
+                        return True
                     try:  # float-like arrays: NaN==NaN counts as equal
                         return bool(np.array_equal(a, b, equal_nan=True))
                     except TypeError:  # non-float (str/object) arrays
@@ -92,6 +101,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             dtypes_s = [str(t) for t in s.dtypes]
             dtypes_o = [str(t) for t in o.dtypes]
             note = "" if dtypes_s == dtypes_o else f"  [dtype diff: {list(zip(s.columns, dtypes_s, dtypes_o))}]"
+            if lenient[0]:
+                note += f"  [null-leniency: {lenient[0]} None-vs-NaN cells]"
             print(f"PASS {name} ({len(s)} rows){note}")
     print(f"\n{len(oracles) - failures}/{len(oracles)} oracled queries pass")
     return 1 if failures else 0
