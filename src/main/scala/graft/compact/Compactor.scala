@@ -15,9 +15,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Compactor {
 
-  def run(spark: SparkSession, root: String, cfg: CompactorConfig = CompactorConfig()): Seq[LeafResult] = {
+  def run(spark: SparkSession, root: String, cfg: CompactorConfig = CompactorConfig()): Seq[LeafResult] =
+    runOnFiles(spark, FileIndexer.list(spark, root), cfg)
+
+  /** Plan + merge over an explicit file-metadata Dataset — the entry the
+    * streaming trigger uses to re-plan only the leaves a micro-batch
+    * touched, without re-listing the whole root.
+    */
+  def runOnFiles(
+      spark: SparkSession,
+      files: org.apache.spark.sql.Dataset[FileMeta],
+      cfg: CompactorConfig,
+  ): Seq[LeafResult] = {
     import spark.implicits._
-    val files = FileIndexer.list(spark, root)
     // The plan never lands on the driver whole: toLocalIterator pulls one
     // partition of LeafPlans at a time (each row carries its group's full
     // file list — the multi-GB structure at 10⁶ leaves), and execution

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,7 +64,7 @@ class FileMetaTable(root: String) extends Table with SupportsRead {
   override def name(): String = s"filemeta($root)"
   override def schema(): StructType = FileMetaSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FileMetaScanBuilder(root)
 }
@@ -72,6 +73,8 @@ class FileMetaScanBuilder(root: String) extends ScanBuilder with Scan with Batch
   override def build(): Scan = this
   override def readSchema(): StructType = FileMetaSource.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FileMetaMicroBatchStream(root, confBroadcast)
   override def description(): String = s"FileMetaScan($root)"
 
   // Hadoop Configuration is not serializable; broadcast its entries ONCE
@@ -107,7 +110,60 @@ class FileMetaScanBuilder(root: String) extends ScanBuilder with Scan with Batch
 final case class FileMetaPartition(
     dirs: Array[String],
     inlineFiles: Array[(String, Long, Long)],
+    // mtime window [startMs, endMs) — full range for batch reads; a
+    // micro-batch narrows it to "files that appeared since last trigger"
+    startMs: Long = 0L,
+    endMs: Long = Long.MaxValue,
 ) extends InputPartition
+
+/** Streaming face of the listing: each trigger emits the files whose
+  * mtime falls in `[lastOffset, now - slackMs)` — i.e. "what appeared
+  * since the previous micro-batch". Offsets are driver wall-clock
+  * timestamps; `slackMs` keeps a safety lag so a storage clock slightly
+  * behind the driver can't stamp a file into an already-claimed window
+  * (skew beyond the slack means a missed file — the companion
+  * compaction trigger tolerates that: the next touching event re-plans
+  * the whole leaf). Duplicate delivery on restart (the checkpointed
+  * offset re-claims an uncommitted window) is by design at-least-once;
+  * downstream planning is idempotent.
+  */
+class FileMetaMicroBatchStream(
+    root: String,
+    confBc: org.apache.spark.broadcast.Broadcast[Array[(String, String)]],
+    slackMs: Long = 2000L,
+) extends MicroBatchStream {
+
+  private case class TimeOffset(ms: Long) extends Offset {
+    override def json(): String = ms.toString
+  }
+
+  override def initialOffset(): Offset = TimeOffset(0L)
+  override def deserializeOffset(json: String): Offset = TimeOffset(json.toLong)
+  override def latestOffset(): Offset =
+    TimeOffset(math.max(0L, System.currentTimeMillis() - slackMs))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[TimeOffset].ms, end.asInstanceOf[TimeOffset].ms)
+    val spark = SparkSession.active
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Array.empty
+    val status = fs.listStatus(rootPath)
+    val dirs = status.filter(_.isDirectory).map(_.getPath.toString)
+    val rootFiles = status
+      .filter(f => f.isFile && f.getModificationTime >= s && f.getModificationTime < e)
+      .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+    if (dirs.isEmpty) Array(FileMetaPartition(Array.empty, rootFiles, s, e))
+    else
+      dirs.zipWithIndex.map { case (d, i) =>
+        FileMetaPartition(Array(d), if (i == 0) rootFiles else Array.empty, s, e)
+      }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new FileMetaReaderFactory(confBc)
+}
 
 class FileMetaReaderFactory(confBc: org.apache.spark.broadcast.Broadcast[Array[(String, String)]])
     extends PartitionReaderFactory {
@@ -120,18 +176,13 @@ class FileMetaReaderFactory(confBc: org.apache.spark.broadcast.Broadcast[Array[(
         c
       }
       private val it: Iterator[(String, Long, Long)] =
-        p.inlineFiles.iterator ++ p.dirs.iterator.flatMap { d =>
+        (p.inlineFiles.iterator ++ p.dirs.iterator.flatMap { d =>
           val path = new Path(d)
           val fs = path.getFileSystem(conf)
-          val files = fs.listFiles(path, true)
-          new Iterator[(String, Long, Long)] {
-            override def hasNext: Boolean = files.hasNext
-            override def next(): (String, Long, Long) = {
-              val f = files.next()
-              (f.getPath.toString, f.getLen, f.getModificationTime)
-            }
-          }
-        }
+          // vanish-tolerant: compaction deletes files behind listings
+          SafeListing.walk(fs, path)
+            .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+        }).filter(f => f._3 >= p.startMs && f._3 < p.endMs)
       private var current: (String, Long, Long) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
       override def get(): InternalRow =

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.compact.{Compactor, CompactorConfig, FileMeta}
+
+/** Continuous compaction: the cron model (reference `pr_check`/CronJob,
+  * parquet_compactor.py:295-328 re-crawls everything daily) replaced by a
+  * Structured Streaming loop that reacts to file arrivals.
+  *
+  * `readStream` on [[graft.sources.FileMetaSource]] emits, per trigger,
+  * the files whose mtime falls in the new offset window. Each micro-batch
+  * then:
+  *   1. reduces the new files to the DISTINCT LEAVES they touched
+  *      (collected to the driver — bounded by leaves-per-trigger, not
+  *      files; a leaf path is ~100 bytes),
+  *   2. re-lists JUST those leaves inside Spark tasks (never the whole
+  *      root — that's the point: a 10⁶-leaf store re-plans only what
+  *      changed),
+  *   3. feeds the listing through the normal Planner → BatchMerger/Merger
+  *      pipeline ([[Compactor.runOnFiles]]), inheriting every eligibility
+  *      rule (freshness, volatile skip, ≥2 gate) and the staged-commit
+  *      protocol.
+  *
+  * Delivery is at-least-once (restart re-claims the uncommitted window);
+  * planning is idempotent — a redelivered file either still matches the
+  * eligibility rules (re-planned, converges) or no longer exists /
+  * is already compacted (dropped by the fresh leaf listing). Compacted
+  * outputs written by a previous batch surface as "new files" in the
+  * next window; their leaves re-plan to the ≥2-files gate and no-op.
+  */
+object CompactionStream {
+
+  /** Start the trigger. `onBatch` (optional) observes each batch's
+    * results — tests use it; production would log/metric it.
+    */
+  def start(
+      spark: SparkSession,
+      root: String,
+      cfg: CompactorConfig,
+      trigger: Trigger,
+      checkpointDir: String,
+      onBatch: Seq[graft.compact.LeafResult] => Unit = _ => (),
+  ): StreamingQuery = {
+    val confBc = spark.sparkContext.broadcast(
+      {
+        import scala.jdk.CollectionConverters._
+        spark.sparkContext.hadoopConfiguration
+          .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+      },
+    )
+    spark.readStream
+      .format("graft.sources.FileMetaSource")
+      .load(root)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val leaves = batch
+          .where(col("path").endsWith(".parquet"))
+          .where(!col("path").contains("/.staging-"))
+          .select(regexp_replace(col("path"), "/[^/]*$", "").as("leaf"))
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+          .toSeq
+        if (leaves.nonEmpty) {
+          val results = Compactor.runOnFiles(spark, listLeaves(spark, leaves, confBc), cfg)
+          onBatch(results)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Fresh listing of exactly these leaf dirs, one task per leaf —
+    * micro-batch rows are file *events*; planning needs current truth.
+    */
+  private def listLeaves(
+      spark: SparkSession,
+      leaves: Seq[String],
+      confBc: org.apache.spark.broadcast.Broadcast[Array[(String, String)]],
+  ): org.apache.spark.sql.Dataset[FileMeta] = {
+    import spark.implicits._
+    spark
+      .createDataset(leaves)
+      .repartition(math.min(leaves.size, spark.sparkContext.defaultParallelism))
+      .flatMap { leaf =>
+        val conf = new Configuration(false)
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
+        val p = new Path(leaf)
+        val fs = p.getFileSystem(conf)
+        // vanish-tolerant walk: a concurrent commit may delete originals
+        // between the dir scan and the stat
+        graft.sources.SafeListing.walk(fs, p)
+          .map(f => FileMeta(f.getPath.toString, f.getLen, f.getModificationTime))
+          .toList
+          .iterator
+      }
+  }
+}

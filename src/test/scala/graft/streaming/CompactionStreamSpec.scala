@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.Files
+import java.time.LocalDate
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.compact.{CompactorConfig, LeafResult}
+
+/** Continuous compaction end-to-end: files arrive → the micro-batch
+  * claims their mtime window → only the touched leaves re-plan → merged
+  * output commits — then the NEXT arrivals absorb into the compacted
+  * tail, all through the public streaming API with a real checkpoint.
+  */
+class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  // Eligibility window: staleNew needs mtimeDay < asOf - freshnessDays,
+  // and the stream's offset windows only claim CURRENT mtimes — so make
+  // today eligible by pushing asOf one day ahead with no freshness lag.
+  private val cfg = CompactorConfig(
+    targetFileBytes = 10L * 1024 * 1024,
+    freshnessDays = 0,
+    asOf = Some(LocalDate.now(java.time.ZoneOffset.UTC).plusDays(1)),
+    maxConcurrentLeaves = 2,
+  )
+
+  private var root: File = _
+  private var checkpoint: File = _
+  private var leaf: File = _
+
+  private def df(tag: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (1 to 20).map(i => (i.toLong, tag)).toDF("id", "tag")
+  }
+
+  private def writeFile(dir: File, name: String, data: DataFrame): Unit = {
+    val tmp = new File(dir, s".tmp-${System.nanoTime()}")
+    data.coalesce(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(dir, name).toPath)
+    tmp.listFiles().foreach(_.delete())
+    tmp.delete()
+    ()
+  }
+
+  private def names(dir: File): Seq[String] =
+    dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSeq.sorted
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-stream-compact").toFile
+    checkpoint = Files.createTempDirectory("graft-stream-ckpt").toFile
+    leaf = new File(root, "acct/source=live/year=2026/month=01")
+    leaf.mkdirs()
+    ()
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root); rm(checkpoint)
+    super.afterAll()
+  }
+
+  test("file arrivals drive compaction; later arrivals absorb into the tail") {
+    val hex32 = "[0-9a-f]{32}"
+    val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
+    writeFile(leaf, "a.parquet", df("a"))
+    writeFile(leaf, "b.parquet", df("b"))
+
+    val query = CompactionStream.start(
+      spark, root.getAbsolutePath, cfg,
+      Trigger.ProcessingTime(200L), checkpoint.getAbsolutePath,
+      onBatch = r => { batches.add(r); () },
+    )
+    try {
+      // processAllAvailable() can't be used here: the source's offset is
+      // wall-clock, so "all available" never drains. Poll the observed
+      // batch results instead (the 2 s mtime slack delays the first
+      // claim; triggers fire every 200 ms).
+      def awaitResults(deadlineMs: Long): Seq[LeafResult] = {
+        val deadline = System.currentTimeMillis() + deadlineMs
+        while (batches.asScala.flatten.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        batches.asScala.flatten.toSeq
+      }
+      // generous deadlines: suites share one session and may run
+      // concurrently — under contention a micro-batch can starve for
+      // tens of seconds without anything being wrong
+      val wave1 = awaitResults(90000)
+      withClue(wave1) {
+        wave1.nonEmpty shouldBe true
+        wave1.foreach(_.success shouldBe true)
+      }
+      names(leaf).size shouldBe 1
+      names(leaf).head should fullyMatch regex s"live_$hex32\\.parquet"
+      spark.read.parquet(leaf.getAbsolutePath).count() shouldBe 40
+
+      // wave 2: two more files; the compacted tail must absorb them
+      batches.clear()
+      writeFile(leaf, "c.parquet", df("c"))
+      writeFile(leaf, "d.parquet", df("d"))
+      val wave2 = awaitResults(90000)
+      withClue(wave2) {
+        wave2.nonEmpty shouldBe true
+        wave2.foreach(_.success shouldBe true)
+      }
+      names(leaf).size shouldBe 1 // c + d + previous tail merged into one
+      spark.read.parquet(leaf.getAbsolutePath).count() shouldBe 80
+      val s = spark
+      import s.implicits._
+      spark.read.parquet(leaf.getAbsolutePath).as[(Long, String)]
+        .collect().map(_._2).distinct.sorted shouldBe Array("a", "b", "c", "d")
+    } finally {
+      query.stop()
+    }
+  }
+}
