@@ -18,6 +18,10 @@ object CompactBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_COMPACT_FILES", "256").toInt
+    // many-tiny-leaf swarm mode: nLeaves output groups instead of 4 —
+    // exercises BatchMerger's job-count collapse (the reference's daily
+    // shape). Jobs are counted and reported either way.
+    val nLeaves = sys.env.getOrElse("SPARK_GRAFT_COMPACT_LEAVES", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,13 +37,25 @@ object CompactBench {
     try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val rows = li.count()
-      (0 until 4).foreach { leaf =>
-        val dir = s"${root.getAbsolutePath}/acct$leaf/source=s$leaf/year=2026/month=01"
-        import org.apache.spark.sql.functions.{col, lit, pmod}
-        li.where(pmod(col("l_orderkey"), lit(4)) === leaf)
-          .repartition(math.max(1, nFiles / 4))
-          .write.parquet(dir)
+      // one write job for ALL leaves: partitionBy splits into leaf dirs
+      // (fixture setup only — the compactor under test still sees plain
+      // hive-free leaf paths because we pick the dirs up by name)
+      import org.apache.spark.sql.functions.{col, lit, lpad, pmod}
+      // round-robin into filesPerLeaf partitions: each partition carries
+      // rows of every leaf, so partitionBy emits filesPerLeaf files per
+      // leaf dir (>=2 so every leaf clears the planner's group gate)
+      val filesPerLeaf = math.max(2, nFiles / nLeaves)
+      li.withColumn("leafno", lpad(pmod(col("l_orderkey"), lit(nLeaves)).cast("string"), 4, "0"))
+        .repartition(filesPerLeaf)
+        .write.partitionBy("leafno").parquet(s"${root.getAbsolutePath}/staging")
+      val staged = new java.io.File(root, "staging")
+      staged.listFiles().filter(_.isDirectory).foreach { d =>
+        val leafno = d.getName.stripPrefix("leafno=")
+        val dest = new java.io.File(root, s"acct$leafno/source=s$leafno/year=2026/month=01")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.move(d.toPath, dest.toPath)
       }
+      rm(staged)
       val staleMs = System.currentTimeMillis() - 30L * 86400000L
       var filesIn = 0
       def touch(f: java.io.File): Unit = {
@@ -57,16 +73,26 @@ object CompactBench {
         size(root)
       }
 
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val results = Compactor.run(
         spark, root.getAbsolutePath,
         CompactorConfig(targetFileBytes = 128L * 1024 * 1024, maxConcurrentLeaves = 4),
       )
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // drain the async listener bus
+      spark.sparkContext.removeSparkListener(listener)
       val ok = results.forall(_.success)
       val outFiles = results.map(_.filesWritten).sum
       println(
         s"""{"metric":"compact_sec","value":$sec,"unit":"sec","success":$ok,""" +
+          s""""leaves":${results.size},"jobs":${jobs.get()},""" +
           s""""files_in":$filesIn,"files_out":$outFiles,"rows":$rows,""" +
           s""""mb_in":${inBytes / 1048576.0},"mb_per_sec":${inBytes / 1048576.0 / sec}}""",
       )
