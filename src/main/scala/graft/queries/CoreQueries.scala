@@ -339,6 +339,40 @@ object CoreQueries {
         .orderBy("l_suppkey")
     },
 
+    // ----- salted join for a pathological key: 90% of fact rows share
+    // key 0 — one reducer would own 90% of the shuffle. saltedJoin gives
+    // every fact row a uniform salt and replicates the (small) build side
+    // once per salt, so the hot key spreads over 16 tasks; results are
+    // identical to the plain join the oracle runs (salting only routes
+    // rows). This is the explicit escape hatch for skew AQE can't split
+    // (e.g. a build side too big to broadcast but a probe distribution
+    // concentrated beyond AQE's partition-split granularity).
+    Q(
+      "join_skew_salted",
+      """WITH probe AS (SELECT CAST(CASE WHEN l_orderkey % 10 <> 0 THEN 0
+        |                              ELSE l_orderkey % 97 END AS BIGINT) AS k,
+        |                      l_quantity
+        |               FROM lineitem),
+        |build AS (SELECT CAST(s_suppkey % 97 AS BIGINT) AS k, count(*) AS n_sup
+        |          FROM supplier GROUP BY 1)
+        |SELECT p.k, b.n_sup, count(*) AS n_li, sum(l_quantity) AS sum_qty
+        |FROM probe p JOIN build b ON p.k = b.k
+        |GROUP BY p.k, b.n_sup ORDER BY p.k""".stripMargin,
+    ) { (s, d) =>
+      val probe = Tables.lineitem(s, d).select(
+        expr("CAST(CASE WHEN l_orderkey % 10 != 0 THEN 0 ELSE l_orderkey % 97 END AS BIGINT)").as("k"),
+        col("l_quantity"),
+      )
+      val build = Tables.supplier(s, d)
+        .groupBy(expr("CAST(s_suppkey % 97 AS BIGINT)").as("k"))
+        .agg(count(lit(1)).as("n_sup"))
+      graft.operators.Skew
+        .saltedJoin(probe, build, "k", 16)
+        .groupBy("k", "n_sup")
+        .agg(count(lit(1)).as("n_li"), sum("l_quantity").as("sum_qty"))
+        .orderBy("k")
+    },
+
     // ----- pivot (conditional cross-tab; Spark pivot API <-> portable
     // conditional aggregation in the oracle)
     Q(
