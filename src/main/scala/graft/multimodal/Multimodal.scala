@@ -93,6 +93,33 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize of decoded frames to `(outW, outH)` —
+    * the normalization step every vision pipeline runs before batching
+    * into a model. Pure arithmetic on the decoded pixels (no codec), so
+    * unlike decode it needs no batching; it rides the same
+    * partition-parallel typed path. Output embeds the new dimensions so
+    * downstream schema stays self-describing.
+    */
+  def resize(decoded: Dataset[(Long, Decoded)], outW: Int, outH: Int): Dataset[(Long, Decoded)] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { case (id, d) =>
+      val px = new Array[Float](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val srcY = math.min(d.height - 1, y * d.height / outH)
+        var x = 0
+        while (x < outW) {
+          val srcX = math.min(d.width - 1, x * d.width / outW)
+          px(y * outW + x) = d.pixels(srcY * d.width + srcX)
+          x += 1
+        }
+        y += 1
+      }
+      (id, Decoded(outW, outH, px))
+    }
+  }
+
   /** Frame sampling for video-typed rows: the stub synthesizes
     * `nFrames` per payload; real impl would seek the container. Output
     * stays long-form (doc_id, frame_idx, frame) — the layout that

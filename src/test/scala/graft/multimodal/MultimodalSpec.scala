@@ -54,6 +54,38 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     a.map(_.mean_intensity).toSeq shouldBe b.map(_.mean_intensity).toSeq
   }
 
+  test("resize maps every output pixel from the nearest source pixel") {
+    val s = spark
+    import s.implicits._
+    val media = Multimodal.asMedia(spark, Tables.documents(spark, sf)).limit(20)
+    val decoded = media.mapPartitions { rows =>
+      rows.grouped(16).flatMap { b =>
+        b.lazyZip(Multimodal.StubCodec.decodeBatch(b.map(_.payload))).map((r, d) => (r.doc_id, d))
+      }
+    }
+    // upscale 8x8 -> 16x16: every source pixel appears exactly 4 times
+    val up = Multimodal.resize(decoded, 16, 16).collect()
+    up.length shouldBe 20
+    up.foreach { case (_, d) =>
+      d.width shouldBe 16
+      d.height shouldBe 16
+      d.pixels.length shouldBe 256
+    }
+    val src = decoded.collect().toMap
+    up.foreach { case (id, d) =>
+      val orig = src(id)
+      // corner pixels survive; 2x2 blocks are constant
+      d.pixels(0) shouldBe orig.pixels(0)
+      d.pixels(1) shouldBe orig.pixels(0)
+      d.pixels(16) shouldBe orig.pixels(0)
+      d.pixels(255) shouldBe orig.pixels(63)
+    }
+    // downscale back 16x16 -> 8x8 reproduces the original exactly
+    // (nearest-neighbor inverse of an integer upscale)
+    val down = Multimodal.resize(Multimodal.resize(decoded, 16, 16), 8, 8).collect().toMap
+    down.foreach { case (id, d) => d.pixels.toSeq shouldBe src(id).pixels.toSeq }
+  }
+
   test("sampleFrames emits nFrames rows per video payload") {
     val media = Multimodal.asMedia(spark, Tables.documents(spark, sf))
     val nVideos = media.filter(_.media_type == "video").count()
