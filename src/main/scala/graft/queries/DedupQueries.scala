@@ -58,7 +58,7 @@ object DedupQueries {
     * collision merges identically on both engines, and min() is
     * multiset-invariant anyway.
     */
-  private val minhashBandsSqlCte: String = {
+  private def minhashBandsSqlCte(rowsPerBand: Int): String = {
     val permValues = perms.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
@@ -67,9 +67,9 @@ object DedupQueries {
        |mh AS (SELECT doc_id, seed, min((a * h + b) % 4294967296) AS mh
        |       FROM shh CROSS JOIN perm
        |       GROUP BY doc_id, seed),
-       |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+       |bands AS (SELECT doc_id, CAST(seed // $rowsPerBand AS INTEGER) AS band,
        |                 string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
-       |          FROM mh GROUP BY doc_id, seed // 4)""".stripMargin
+       |          FROM mh GROUP BY doc_id, seed // $rowsPerBand)""".stripMargin
   }
 
   /** MinHash+LSH candidate pairs (doc_a < doc_b). One shuffle: the 16
@@ -81,7 +81,12 @@ object DedupQueries {
     * dropped before the shuffle (8-byte h instead of ~24-byte text).
     * Values are identical to the oracle's cross-join formulation.
     */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private def minhashPairs(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      rowsPerBand: Int = 4,
+  ): org.apache.spark.sql.DataFrame = {
+    val nBands = 16 / rowsPerBand
     val sh = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
@@ -93,13 +98,14 @@ object DedupQueries {
     }
     val sigs = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val withBands = sigs.select(
-      col("doc_id") +: (0 until 4).map(b =>
-        concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*).as(s"band$b"),
+      col("doc_id") +: (0 until nBands).map(b =>
+        concat_ws("|", (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
+          .as(s"band$b"),
       ): _*,
     )
     val bands = withBands.select(
       col("doc_id"),
-      expr(s"stack(4, ${(0 until 4).map(b => s"$b, band$b").mkString(", ")}) AS (band, sig)"),
+      expr(s"stack($nBands, ${(0 until nBands).map(b => s"$b, band$b").mkString(", ")}) AS (band, sig)"),
     )
     bands.as("x")
       .join(
@@ -210,13 +216,31 @@ object DedupQueries {
     Q(
       "dedup_minhash_lsh",
       s"""WITH $shinglesSqlCte,
-         |$minhashBandsSqlCte
+         |${minhashBandsSqlCte(4)}
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
       minhashPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // ----- the banding recall/cost dial: same 16 minhashes cut as
+    // 8 bands × 2 rows. Agreement on any 2-row band is far likelier than
+    // on a 4-row band, so the candidate set is a superset at higher
+    // join cost — the S-curve steers: b×r trades recall threshold
+    // (≈ (1/b)^(1/r)) against candidate volume, per-corpus, without
+    // touching the signature pass (one groupBy either way).
+    Q(
+      "dedup_minhash_lsh_wide",
+      s"""WITH $shinglesSqlCte,
+         |${minhashBandsSqlCte(2)}
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      minhashPairs(s, d, rowsPerBand = 2).orderBy("doc_a", "doc_b")
     },
 
     // ----- near-duplicate clusters: connected components over the LSH
@@ -228,7 +252,7 @@ object DedupQueries {
     Q(
       "dedup_clusters",
       s"""WITH RECURSIVE $shinglesSqlCte,
-         |$minhashBandsSqlCte,
+         |${minhashBandsSqlCte(4)},
          |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |          FROM bands x JOIN bands y
          |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
