@@ -62,6 +62,27 @@ object EventStream {
         col("total_value"),
       )
 
+  /** Built-in session windows: the declarative form of [[sessionize]] for
+    * the common case (gap-merged per-key sessions with standard
+    * aggregates). Prefer this when no custom state shape is needed —
+    * Catalyst owns the state store layout and merge, and the watermark
+    * bounds state exactly as in [[hourlyStats]]. [[sessionize]] remains
+    * the escape hatch for semantics `session_window` can't express
+    * (list-valued state, bridging emission rules, custom timeouts).
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("total_value"),
+      )
+
   /** Sessionization with explicit state. Sessions are held in the state
     * store until the WATERMARK passes `last event + gap` — only then are
     * they emitted (append mode cannot retract, so emitting a session the

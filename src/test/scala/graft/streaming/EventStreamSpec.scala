@@ -110,6 +110,39 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.toSeq shouldBe Seq(("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 3L, 7.0))
   }
 
+  test("sessionWindows: built-in session_window merges and closes like sessionize") {
+    val (glob, in, chk) = mkDirs()
+    writeBatch(in, "b1", Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0), // same session (gap 30)
+      EventStream.Event(3, ts("2024-01-01 11:30:00"), 1, "view", 4.0),  // new session
+    ))
+    val q = EventStream
+      .sessionWindows(EventStream.readEvents(spark, glob), gapMinutes = 30)
+      .writeStream
+      .format("memory")
+      .queryName("builtin_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    q.processAllAvailable()
+    // advance the watermark to close both sessions
+    writeBatch(in, "b2", Seq(EventStream.Event(9, ts("2024-01-01 15:00:00"), 2, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT session_start, session_end, n_events, total_value FROM builtin_sessions WHERE user_id = 1",
+    ).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // session_window's end is last-event + gap (the built-in's convention;
+    // sessionize reports last-event time instead)
+    out.toSeq shouldBe Seq(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0),
+      ("2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L, 4.0),
+    )
+  }
+
   test("stream-stream interval join: views attributed to clicks within 10 minutes") {
     val s = spark
     import s.implicits._
