@@ -52,7 +52,9 @@ object Bench {
     // parsed:null because the full-precision line overflowed it). Keep
     // the line compact: 2-decimal seconds per query, and print it after
     // spark.stop() so nothing but the sbt epilogue follows it.
-    def sec(v: Double) = f"$v%.2f"
+    // Locale.ROOT: f"$v%.2f" uses the default locale — a comma-decimal
+    // locale would emit invalid JSON on the one line that must parse
+    def sec(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -79,7 +79,9 @@ object BatchMerger {
         case _: Throwable => return plans.map(Merger.mergeAndCommit(spark, _, cfg))
       }
     val (homog, mixed) = probed.partition(_.schemas.size == 1)
-    val soloResults = mixed.map(p => Merger.mergeAndCommit(spark, p.plan, cfg))
+    // schema-mixed plans keep the bounded-pool concurrency of the normal
+    // per-leaf path — they are ordinary solo merges, just routed here
+    val soloResults = Compactor.runPlans(spark, mixed.map(_.plan), cfg)
     // One job per (schema, filesystem) group: a single read can't span
     // schemas without mergeSchema, and commit renames can't span
     // filesystems.
@@ -88,7 +90,7 @@ object BatchMerger {
       (p.schemas.head, s"${uri.getScheme}//${uri.getAuthority}")
     }
     val batchResults = grouped.values.toSeq.flatMap { group =>
-      if (group.size == 1) group.map(p => Merger.mergeAndCommit(spark, p.plan, cfg))
+      if (group.size == 1) Compactor.runPlans(spark, group.map(_.plan), cfg)
       else mergeGroup(spark, group, cfg)
     }
     (soloResults ++ batchResults).sortBy(r => (r.leaf, r.stem))
@@ -98,33 +100,38 @@ object BatchMerger {
     val runId = UUID.randomUUID().toString.replace("-", "")
     val stagingRoot = s"${group.head.plan.leaf}/.staging-$runId"
     val fs = FileIndexer.fsFor(spark, group.head.plan.leaf)
+    // runId-suffixed helper columns: a data column literally named
+    // "__gid"/"__path" must survive the merge untouched (withColumn would
+    // silently REPLACE it and drop real data)
+    val pathCol = s"__path_$runId"
+    val gidCol = s"__gid_$runId"
     try {
       val pathToGid = group.zipWithIndex.flatMap { case (p, gid) =>
         p.plan.files.map(f => (norm(f), gid))
       }
       val gidDf = broadcast(
-        spark.createDataFrame(pathToGid).toDF("__path", "__gid"),
+        spark.createDataFrame(pathToGid).toDF(pathCol, gidCol),
       )
       val allFiles = group.flatMap(_.plan.files)
       val tagged = spark.read
         .parquet(allFiles: _*)
-        .withColumn("__path", regexp_replace(input_file_name(), schemeRe, "/"))
-        .join(gidDf, "__path")
-        .drop("__path")
+        .withColumn(pathCol, regexp_replace(input_file_name(), schemeRe, "/"))
+        .join(gidDf, pathCol)
+        .drop(pathCol)
       // ~one partition per group: every plan here is under targetFileBytes,
       // so a group is at most one output file (modulo the row cap, which
       // maxRecordsPerFile still enforces). Hash collisions just mean one
       // task writes several gid dirs.
       tagged
-        .repartition(group.size, col("__gid"))
+        .repartition(group.size, col(gidCol))
         .write
         .option("compression", "snappy")
         .option("maxRecordsPerFile", cfg.maxRowsPerFile)
-        .partitionBy("__gid")
+        .partitionBy(gidCol)
         .parquet(stagingRoot)
 
       val results = group.zipWithIndex.map { case (p, gid) =>
-        commitOne(spark, fs, p, s"$stagingRoot/__gid=$gid", cfg)
+        commitOne(spark, fs, p, s"$stagingRoot/$gidCol=$gid", cfg)
       }
       fs.delete(new Path(stagingRoot), true)
       results
@@ -132,9 +139,10 @@ object BatchMerger {
       case e: Throwable =>
         try fs.delete(new Path(stagingRoot), true)
         catch { case _: Throwable => () }
-        // the batch vehicle failed, not any one plan — retry each solo
+        // the batch vehicle failed, not any one plan — retry on the
+        // normal bounded-pool path
         System.err.println(s"[compact] batch merge failed (${e.toString}); retrying ${group.size} plans solo")
-        group.map(p => Merger.mergeAndCommit(spark, p.plan, cfg))
+        Compactor.runPlans(spark, group.map(_.plan), cfg)
     }
   }
 
@@ -149,9 +157,12 @@ object BatchMerger {
       cfg: CompactorConfig,
   ): LeafResult = {
     try {
-      val staged = fs
-        .listStatus(new Path(stagedDir))
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      // a 0-row group writes no partitionBy dir at all — that's a valid
+      // empty stage (validated as 0 rows below), not an error
+      val staged =
+        (try fs.listStatus(new Path(stagedDir))
+         catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] })
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       var rowsStaged = 0L
       val conf = spark.sparkContext.hadoopConfiguration
       staged.foreach { f =>
@@ -176,7 +187,13 @@ object BatchMerger {
       LeafResult(p.plan.leaf, p.plan.stem, success = true, rowsStaged, moved, None)
     } catch {
       case e: Throwable =>
-        LeafResult(p.plan.leaf, p.plan.stem, success = false, 0L, 0, Some(e.toString))
+        // commit-path surprise (failed rename, vanished staging): the
+        // originals are untouched, so the solo merger can still do the
+        // job — the batch vehicle must never be the reason a plan fails
+        System.err.println(
+          s"[compact] batch commit failed for ${p.plan.leaf}/${p.plan.stem} (${e.toString}); retrying solo",
+        )
+        Merger.mergeAndCommit(spark, p.plan, cfg)
     }
   }
 }

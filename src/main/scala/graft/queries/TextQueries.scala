@@ -276,7 +276,10 @@ object TextQueries {
       //      lambda: substring(text, i, 2) re-scans the string to find
       //      the char offset on every call — O(len²) per document — and
       //      transform()'s lambda runs on the interpreted (non-codegen)
-      //      path. A doc under 2 chars yields no bigrams in both engines.
+      //      path. A doc under 2 chars yields no bigrams in both engines;
+      //      [\s\S] (not `.`, which Java excludes line terminators from)
+      //      keeps newline-containing bigrams, matching the oracle's
+      //      substr on multi-line text.
       //   2. docBg is aggregated once and reused for both the language
       //      profiles and the per-doc scores (the isNotNull sits inside
       //      the shared subtree so the join can't break exchange reuse by
@@ -284,7 +287,7 @@ object TextQueries {
       val bg = Tables.fanout(Tables.documents(s, d))
         .select(
           col("doc_id"), col("lang"),
-          explode(expr("regexp_extract_all(text, '(?=(..))', 1)")).as("bg"),
+          explode(expr("regexp_extract_all(text, '(?=([\\\\s\\\\S][\\\\s\\\\S]))', 1)")).as("bg"),
         )
         .where(col("bg").isNotNull)
       val docBg = bg.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("cnt"))

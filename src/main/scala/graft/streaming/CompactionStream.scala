@@ -37,6 +37,20 @@ object CompactionStream {
 
   /** Start the trigger. `onBatch` (optional) observes each batch's
     * results — tests use it; production would log/metric it.
+    *
+    * The freshness gate and arrival-driven planning interact: a file seen
+    * the moment it arrives is by definition FRESHER than
+    * `freshnessDays`, so planning the leaf right away would (correctly)
+    * select nothing — and the mtime-window source never re-emits the
+    * file. The trigger therefore keeps a driver-side schedule of dirty
+    * leaves: an arrival books its leaf for re-planning at
+    * `max(file mtime) + freshnessDays`, and every micro-batch processes
+    * the leaves that have come due (immediately, when freshnessDays=0).
+    * The schedule is bounded by the count of distinct dirty leaves and
+    * lives in memory only — after a restart it is rebuilt from
+    * subsequent arrivals, so set `catchUpOnStart=true` (one full batch
+    * compaction on start) when leaves booked before a crash must not
+    * wait for their next arrival.
     */
   def start(
       spark: SparkSession,
@@ -45,6 +59,7 @@ object CompactionStream {
       trigger: Trigger,
       checkpointDir: String,
       onBatch: Seq[graft.compact.LeafResult] => Unit = _ => (),
+      catchUpOnStart: Boolean = false,
   ): StreamingQuery = {
     val confBc = spark.sparkContext.broadcast(
       {
@@ -53,6 +68,23 @@ object CompactionStream {
           .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
       },
     )
+    if (catchUpOnStart) onBatch(Compactor.run(spark, root, cfg))
+    // Dirty-leaf schedule: leaf -> epoch ms at which its newest known
+    // file clears the freshness gate. Mirrors Planner.staleNew's exact
+    // day arithmetic (UTC epoch-day compare, strict <): with a moving
+    // asOf the file's day must END and freshnessDays more must pass;
+    // with a pinned asOf eligibility is time-independent — due now or
+    // never.
+    val due = scala.collection.concurrent.TrieMap.empty[String, Long]
+    def dueMsOf(mtimeMs: Long): Option[Long] = {
+      val mtimeDay = mtimeMs / 86400000L
+      cfg.asOf match {
+        case Some(d) =>
+          if (mtimeDay < d.toEpochDay - cfg.freshnessDays) Some(0L) else None
+        case None =>
+          Some((mtimeDay + cfg.freshnessDays + 1) * 86400000L)
+      }
+    }
     spark.readStream
       .format("graft.sources.FileMetaSource")
       .load(root)
@@ -60,16 +92,23 @@ object CompactionStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val leaves = batch
+        val arrivals = batch
           .where(col("path").endsWith(".parquet"))
           .where(!col("path").contains("/.staging-"))
-          .select(regexp_replace(col("path"), "/[^/]*$", "").as("leaf"))
-          .distinct()
+          .groupBy(regexp_replace(col("path"), "/[^/]*$", "").as("leaf"))
+          .agg(max(col("mtimeMs")).as("maxMtime"))
           .collect()
-          .map(_.getString(0))
-          .toSeq
-        if (leaves.nonEmpty) {
-          val results = Compactor.runOnFiles(spark, listLeaves(spark, leaves, confBc), cfg)
+          .map(r => (r.getString(0), r.getLong(1)))
+        arrivals.foreach { case (leaf, maxMtime) =>
+          dueMsOf(maxMtime).foreach { dueMs =>
+            due.updateWith(leaf)(prev => Some(math.max(prev.getOrElse(0L), dueMs)))
+          }
+        }
+        val now = System.currentTimeMillis()
+        val ready = due.filter(_._2 <= now).keys.toSeq.sorted
+        if (ready.nonEmpty) {
+          ready.foreach(due.remove)
+          val results = Compactor.runOnFiles(spark, listLeaves(spark, ready, confBc), cfg)
           onBatch(results)
         }
         ()

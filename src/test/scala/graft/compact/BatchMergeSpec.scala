@@ -131,6 +131,32 @@ class BatchMergeSpec extends AnyFunSuite with Matchers with SparkSpec with Befor
     }
   }
 
+  test("a zero-row group survives the batch path (no partitionBy dir is written for it)") {
+    val zroot = Files.createTempDirectory("graft-batch-zero").toFile
+    try {
+      // two normal tiny leaves + one whose files are footer-only (0 rows)
+      Seq("z1", "z2").foreach { n =>
+        val leaf = new File(zroot, s"acct/source=$n/year=2026/month=01"); leaf.mkdirs()
+        writeFile(leaf, "a.parquet", df(s"$n-a")); writeFile(leaf, "b.parquet", df(s"$n-b"))
+      }
+      val empty = new File(zroot, "acct/source=empty/year=2026/month=01"); empty.mkdirs()
+      writeFile(empty, "a.parquet", df("e").where(org.apache.spark.sql.functions.lit(false)))
+      writeFile(empty, "b.parquet", df("e").where(org.apache.spark.sql.functions.lit(false)))
+
+      val results = Compactor.run(spark, zroot.getAbsolutePath, cfg)
+      results.size shouldBe 3
+      results.foreach(r => withClue(r) { r.success shouldBe true })
+      val er = results.find(_.leaf.contains("source=empty")).get
+      er.rowsWritten shouldBe 0L
+      // the empty originals are gone — the group converged instead of
+      // re-failing forever
+      empty.listFiles().count(_.getName.endsWith(".parquet")) should be <= 1
+    } finally {
+      def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+      rm(zroot)
+    }
+  }
+
   test("oversized plans are routed solo even when tiny plans batch") {
     val s = spark
     import s.implicits._
