@@ -24,11 +24,23 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"cosine_similarity expects 2 arguments, got ${args.size}")
   }
 
+  private[functions] def shinglesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(arr, n) =>
+      val width = n match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"word_shingles width must be an int literal, got $other")
+      }
+      WordShingles(arr, width)
+    case _ => throw new IllegalArgumentException(s"word_shingles expects 2 arguments, got ${args.size}")
+  }
+
   /** Idempotent: safe to call from every query builder. */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("cosine_similarity", cosineBuilder, "built-in")
+    registry.createOrReplaceTempFunction("cosine_similarity", cosineBuilder, "built-in")
+    registry.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "built-in")
+  }
 }
 
 /** `SparkSessionExtensions` hook: injects graft functions at session
@@ -43,6 +55,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
         (args: Seq[Expression]) => GraftFunctions.cosineBuilder(args),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("word_shingles"),
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+        (args: Seq[Expression]) => GraftFunctions.shinglesBuilder(args),
       ),
     )
     ()

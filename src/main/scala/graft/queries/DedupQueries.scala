@@ -31,16 +31,18 @@ object DedupQueries {
     (a, b)
   }
 
-  /** 3-word shingles over a pre-split `w` array column (1-based
-    * element_at). Splitting once into `w` matters: `split(text)` inlined
-    * into the lambda is re-evaluated per element access — O(words²) work
-    * per document.
+  /** 3-word shingles over a pre-split `w` array column, via the native
+    * codegen [[graft.functions.WordShingles]] expression (one fused loop
+    * inside WholeStageCodegen; the equivalent
+    * `transform(sequence(…), i -> concat_ws(…))` lambda runs on the
+    * interpreted HOF path — WordShinglesSpec pins exact parity).
+    * Splitting once into `w` still matters: `split(text)` inlined per
+    * element access would be O(words²) per document.
     */
-  private val shinglesExpr =
-    """transform(sequence(0, size(w) - 3),
-      |          i -> concat_ws(' ', element_at(w, i + 1),
-      |                              element_at(w, i + 2),
-      |                              element_at(w, i + 3)))""".stripMargin
+  private def shingles(s: org.apache.spark.sql.SparkSession) = {
+    graft.functions.GraftFunctions.register(s)
+    expr("word_shingles(w, 3)")
+  }
 
   /** Same shingling in DuckDB (1-based list indexing, end-exclusive range). */
   private val shinglesSqlCte =
@@ -103,7 +105,7 @@ object DedupQueries {
     val sh = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .select(col("doc_id"), explode(shingles(s)).as("sh"))
       .select(col("doc_id"), expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("h"))
       .distinct()
     val mhAggs = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -164,7 +166,7 @@ object DedupQueries {
       val sh = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
-        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .select(col("doc_id"), explode(shingles(s)).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
@@ -206,7 +208,7 @@ object DedupQueries {
       val sh = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .select(col("doc_id"), explode(shingles(s)).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 150).select("sh")

@@ -60,6 +60,10 @@ object CompactionStream {
       checkpointDir: String,
       onBatch: Seq[graft.compact.LeafResult] => Unit = _ => (),
       catchUpOnStart: Boolean = false,
+      // Backpressure: at most this many due leaves compact per
+      // micro-batch; the rest stay booked and drain on subsequent
+      // triggers, bounding batch latency under a backfill storm.
+      maxLeavesPerBatch: Int = 4096,
   ): StreamingQuery = {
     val confBc = spark.sparkContext.broadcast(
       {
@@ -105,7 +109,9 @@ object CompactionStream {
           }
         }
         val now = System.currentTimeMillis()
-        val ready = due.filter(_._2 <= now).keys.toSeq.sorted
+        // oldest-due first under the cap, so a storm drains fairly
+        val ready = due.filter(_._2 <= now).toSeq.sortBy(e => (e._2, e._1))
+          .take(math.max(1, maxLeavesPerBatch)).map(_._1)
         if (ready.nonEmpty) {
           ready.foreach(due.remove)
           val results = Compactor.runOnFiles(spark, listLeaves(spark, ready, confBc), cfg)
