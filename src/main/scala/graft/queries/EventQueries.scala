@@ -32,6 +32,51 @@ object EventQueries {
         .orderBy("bucket")
     },
 
+    // ----- time-series resample + gap fill: the hourly series per event
+    // type is re-gridded onto a dense hour spine (sequence/generate_series
+    // from the observed bounds × the type dimension — a 1-row broadcast
+    // crossJoin, not data-sized), missing hours get n_events=0, and the
+    // value channel is interpolated by last-observation-carried-forward
+    // (window `last(_, ignoreNulls)` over an unbounded-preceding frame,
+    // partitioned by type so the fill parallelizes per series). max() is
+    // the carried statistic — order-insensitive, so bit-exact across
+    // engines where a float sum would not be.
+    Q(
+      "event_resample_locf",
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+        |agg AS (SELECT h, event_type, count(*) AS n, max(value) AS vmax
+        |        FROM ev GROUP BY h, event_type),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |grid AS (SELECT s.h, t.event_type
+        |         FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+        |j AS (SELECT g.h, g.event_type, coalesce(a.n, 0) AS n_events, a.vmax
+        |      FROM grid g LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type)
+        |SELECT h, event_type, CAST(n_events AS BIGINT) AS n_events,
+        |       last_value(vmax IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM j ORDER BY event_type, h""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"), col("value"))
+      val agg = ev.groupBy("h", "event_type")
+        .agg(count(lit(1)).as("n"), max("value").as("vmax"))
+      val spine = ev.agg(min("h").as("h0"), max("h").as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val grid = spine.crossJoin(broadcast(ev.select("event_type").distinct()))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("h", "event_type"), "left")
+        .select(
+          col("h"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          col("vmax"),
+        )
+        .withColumn("locf_value", last("vmax", ignoreNulls = true).over(w))
+        .select("h", "event_type", "n_events", "locf_value")
+        .orderBy("event_type", "h")
+    },
+
     // ----- funnel analysis: users whose first signup precedes their
     // first click precedes their first purchase (conditional min-by-type
     // aggregation — one pass, one shuffle)
