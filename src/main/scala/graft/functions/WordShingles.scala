@@ -11,12 +11,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen — the hot inner loop of every pairwise-dedup
   * query (n-gram Jaccard, MinHash, their capped/banded variants).
   *
-  * Semantics are IDENTICAL to the composable form
-  * `transform(sequence(0, size(w)-n), i -> concat_ws(' ', element_at(w,i+1), …))`:
-  * `size(w) - n + 1` shingles (empty array below n words — no ANSI
-  * element_at throw, so the upstream size guard becomes optional), and
-  * null words are SKIPPED in the join exactly as `concat_ws` skips
-  * them. The lambda form evaluates on the interpreted higher-order-
+  * Semantics are identical to the composable form
+  * `transform(sequence(0, size(w)-n), i -> concat_ws(' ', element_at(w,i+1), …))`
+  * FOR ARRAYS OF >= n WORDS: `size(w) - n + 1` shingles, null words
+  * SKIPPED in the join exactly as `concat_ws` skips them. Below n words
+  * the two deliberately diverge: the lambda's descending
+  * `sequence(0, negative)` makes ANSI `element_at` throw, while this
+  * expression returns an empty array — strictly safer, which is why the
+  * call sites' `size >= 3` guard is row pruning, not a crash guard.
+  * The lambda form evaluates on the interpreted higher-order-
   * function path and allocates a sequence + closure frames per row;
   * this is one fused loop inside the surrounding WholeStageCodegen
   * span. Swapping it in cannot change a hash-compared result.

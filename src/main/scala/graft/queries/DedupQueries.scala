@@ -104,7 +104,7 @@ object DedupQueries {
     val nBands = 16 / rowsPerBand
     val sh = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
+      .where(size(col("w")) >= 3) // <3 words -> no shingles; prune before the explode
       .select(col("doc_id"), explode(shingles(s)).as("sh"))
       .select(col("doc_id"), expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("h"))
       .distinct()
@@ -165,7 +165,7 @@ object DedupQueries {
     ) { (s, d) =>
       val sh = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 3) // <3 words -> no shingles (ANSI element_at would throw)
+        .where(size(col("w")) >= 3) // <3 words -> no shingles; prune before the explode
         .select(col("doc_id"), explode(shingles(s)).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -207,7 +207,7 @@ object DedupQueries {
     ) { (s, d) =>
       val sh = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 3)
+        .where(size(col("w")) >= 3) // <3 words -> no shingles; prune before the explode
         .select(col("doc_id"), explode(shingles(s)).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -383,8 +383,11 @@ object DedupQueries {
       // doesn't fire across the broadcast/shuffle split). On an idle
       // local box the three copies run concurrently so the cache costs a
       // little wall-clock; on a saturated cluster 3x compute is 3x cost
-      // and the cache wins outright. Same pattern as dedup_clusters;
-      // Bench clears the cache between queries.
+      // and the cache wins outright. Unlike dedup_clusters (which runs
+      // eagerly and unpersists inline), this plan is lazy, so the tiny
+      // cached table (~20 B/doc) stays pinned until the session's next
+      // clearCache — Bench does that between queries; Verify JVMs are
+      // one-shot.
       val fp = simhashFp(s, d).cache()
       val bands = fp.select(
         col("doc_id"), col("simhash"),

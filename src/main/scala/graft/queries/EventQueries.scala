@@ -59,11 +59,17 @@ object EventQueries {
     ) { (s, d) =>
       val ev = Tables.events(s, d)
         .select(date_trunc("hour", col("ts")).as("h"), col("event_type"), col("value"))
+      // ONE scan of events: bounds and the type dimension both derive
+      // from the (hours x types)-sized agg, which is cached — without it
+      // each would re-run the full base-table aggregation (see the
+      // dedup_simhash_pairs cache note for the pin-until-clearCache
+      // caveat; this table is a few thousand rows)
       val agg = ev.groupBy("h", "event_type")
         .agg(count(lit(1)).as("n"), max("value").as("vmax"))
-      val spine = ev.agg(min("h").as("h0"), max("h").as("h1"))
+        .cache()
+      val spine = agg.agg(min("h").as("h0"), max("h").as("h1"))
         .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-      val grid = spine.crossJoin(broadcast(ev.select("event_type").distinct()))
+      val grid = spine.crossJoin(broadcast(agg.select("event_type").distinct()))
       val w = Window.partitionBy("event_type").orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(agg, Seq("h", "event_type"), "left")

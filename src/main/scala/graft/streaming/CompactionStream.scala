@@ -60,11 +60,16 @@ object CompactionStream {
       checkpointDir: String,
       onBatch: Seq[graft.compact.LeafResult] => Unit = _ => (),
       catchUpOnStart: Boolean = false,
-      // Backpressure: at most this many due leaves compact per
-      // micro-batch; the rest stay booked and drain on subsequent
-      // triggers, bounding batch latency under a backfill storm.
+      // Backpressure: at most this many due leaves compact per planning
+      // slice; under a continuous trigger the rest stay booked and drain
+      // on subsequent triggers, bounding batch latency under a backfill
+      // storm. One-shot triggers (Once/AvailableNow) drain ALL due
+      // leaves before the batch ends — the in-memory schedule would
+      // otherwise strand them when the query stops.
       maxLeavesPerBatch: Int = 4096,
   ): StreamingQuery = {
+    require(maxLeavesPerBatch >= 1, s"maxLeavesPerBatch must be >= 1, got $maxLeavesPerBatch")
+    val oneShot = trigger.getClass.getName.matches(".*(OneTime|AvailableNow).*")
     val confBc = spark.sparkContext.broadcast(
       {
         import scala.jdk.CollectionConverters._
@@ -110,12 +115,14 @@ object CompactionStream {
         }
         val now = System.currentTimeMillis()
         // oldest-due first under the cap, so a storm drains fairly
-        val ready = due.filter(_._2 <= now).toSeq.sortBy(e => (e._2, e._1))
-          .take(math.max(1, maxLeavesPerBatch)).map(_._1)
-        if (ready.nonEmpty) {
+        def nextReady(): Seq[String] = due.filter(_._2 <= now).toSeq
+          .sortBy(e => (e._2, e._1)).take(maxLeavesPerBatch).map(_._1)
+        var ready = nextReady()
+        while (ready.nonEmpty) {
           ready.foreach(due.remove)
           val results = Compactor.runOnFiles(spark, listLeaves(spark, ready, confBc), cfg)
           onBatch(results)
+          ready = if (oneShot) nextReady() else Seq.empty
         }
         ()
       }
