@@ -356,7 +356,7 @@ object DedupQueries {
     // 16 bits split into two 8-bit halves, and any pair within distance 1
     // agrees exactly on at least one half — so candidates only form
     // inside equal-half buckets, never all-pairs. A bucket-frequency cap
-    // (like the capped Jaccard's stop-shingle cap) bounds the Σ|bucket|²
+    // (like the capped Jaccard’s stop-shingle cap) bounds the Σ|bucket|²
     // blowup a degenerate corpus would cause; output is per-doc near-dup
     // counts, not pairs — near-dup clusters are quadratic in the clique
     // size and belong in aggregate form.
@@ -367,7 +367,7 @@ object DedupQueries {
          |          UNION ALL
          |          SELECT doc_id, simhash, 1 AS band, simhash % 256 AS key FROM fp),
          |ok AS (SELECT band, key FROM (SELECT band, key, count(*) AS df FROM bands
-         |                              GROUP BY band, key) WHERE df <= 2000),
+         |                              GROUP BY band, key) WHERE df <= 500),
          |bb AS (SELECT b.* FROM bands b JOIN ok USING (band, key)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
          |                         b.doc_id AS doc_b, b.simhash AS sb
@@ -394,7 +394,7 @@ object DedupQueries {
         expr("stack(2, 0, simhash div 256, 1, simhash % 256) AS (band, key)"),
       )
       val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("df"))
-        .where(col("df") <= 2000).select("band", "key")
+        .where(col("df") <= 500).select("band", "key")
       val bb = bands.join(ok, Seq("band", "key"))
       // Hamming filter BEFORE the pair-dedup shuffle: bit_count is a few
       // instructions, the distinct is a shuffle — cutting the candidate
