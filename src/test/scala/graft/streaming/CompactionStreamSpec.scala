@@ -71,6 +71,56 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
     super.afterAll()
   }
 
+  test("one-shot trigger drains every due leaf past the batch cap") {
+    val oroot = Files.createTempDirectory("graft-stream-oneshot").toFile
+    val ockpt = Files.createTempDirectory("graft-stream-oneshot-ckpt").toFile
+    try {
+      val leaves = (1 to 3).map { i =>
+        val l = new File(oroot, s"acct/source=o$i/year=2026/month=01")
+        l.mkdirs()
+        writeFile(l, "a.parquet", df(s"o$i-a"))
+        writeFile(l, "b.parquet", df(s"o$i-b"))
+        l
+      }
+      val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
+      // cap 1: a cron-style one-shot run must still drain all 3 due
+      // leaves (in 3 slices) before its only batch ends — the in-memory
+      // schedule dies with the query
+      val q = CompactionStream.start(
+        spark, oroot.getAbsolutePath, cfg,
+        Trigger.AvailableNow(), ockpt.getAbsolutePath,
+        onBatch = r => { batches.add(r); () },
+        maxLeavesPerBatch = 1,
+      )
+      // the 2 s source slack means the first AvailableNow window may
+      // close before the files' mtimes are claimable; retry the one-shot
+      // run until the arrivals land (each run is cheap and idempotent)
+      q.awaitTermination(60000)
+      val deadline = System.currentTimeMillis() + 60000
+      while (batches.asScala.flatten.size < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val q2 = CompactionStream.start(
+          spark, oroot.getAbsolutePath, cfg,
+          Trigger.AvailableNow(), ockpt.getAbsolutePath,
+          onBatch = r => { batches.add(r); () },
+          maxLeavesPerBatch = 1,
+        )
+        q2.awaitTermination(60000)
+      }
+      val all = batches.asScala.flatten.toSeq
+      withClue(all) {
+        all.size shouldBe 3
+        all.foreach(_.success shouldBe true)
+      }
+      leaves.foreach { l =>
+        l.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1
+      }
+    } finally {
+      def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+      rm(oroot); rm(ockpt)
+    }
+  }
+
   test("file arrivals drive compaction; later arrivals absorb into the tail") {
     val hex32 = "[0-9a-f]{32}"
     val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
