@@ -27,6 +27,10 @@ class BatchMergeSpec extends AnyFunSuite with Matchers with SparkSpec with Befor
     targetFileBytes = 10L * 1024 * 1024, // every fixture leaf is "tiny"
     asOf = Some(asOf),
     maxConcurrentLeaves = 2,
+    // smaller than the leaf count, so the swarm test exercises the
+    // toLocalIterator MULTI-SLICE path (several runBatch calls), not
+    // just one big batch
+    planBatchSize = 7,
   )
   private val hex32 = "[0-9a-f]{32}"
 
