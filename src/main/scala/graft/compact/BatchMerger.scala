@@ -177,19 +177,68 @@ object BatchMerger {
         )
         return Merger.mergeAndCommit(spark, p.plan, cfg)
       }
-      var moved = 0
-      staged.foreach { f =>
-        val outName = s"${p.plan.stem}_${UUID.randomUUID().toString.replace("-", "")}.parquet"
-        if (fs.rename(f.getPath, new Path(s"${p.plan.leaf}/$outName"))) moved += 1
-        else throw new java.io.IOException(s"rename failed for ${f.getPath}")
+      // Track every output that actually lands in the leaf: a rename
+      // failure mid-loop leaves the earlier outputs in place, and those
+      // carry committed-looking {stem}_{32hex} names — falling back to a
+      // solo re-merge with them present would DUPLICATE every row they
+      // hold, permanently (the next run merges stray + solo output
+      // together). So on failure we first undo the partial commit; only
+      // if the leaf is verifiably clean again is the solo retry safe.
+      val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      try {
+        staged.foreach { f =>
+          val outName = s"${p.plan.stem}_${UUID.randomUUID().toString.replace("-", "")}.parquet"
+          val dest = new Path(s"${p.plan.leaf}/$outName")
+          if (fs.rename(f.getPath, dest)) renamed += dest
+          else throw new java.io.IOException(s"rename failed for ${f.getPath}")
+        }
+      } catch {
+        case e: Throwable =>
+          val undeleted = renamed.filterNot { out =>
+            try fs.delete(out, false)
+            catch { case _: Throwable => false }
+          }
+          if (undeleted.isEmpty) {
+            // partial commit fully undone — originals untouched, leaf
+            // clean, the solo merger can still do the job
+            System.err.println(
+              s"[compact] batch commit failed for ${p.plan.leaf}/${p.plan.stem} (${e.toString}); retrying solo",
+            )
+            return Merger.mergeAndCommit(spark, p.plan, cfg)
+          }
+          // a stray committed-named output survives next to the
+          // originals: re-merging now would duplicate its rows. Report
+          // failure (solo Merger takes the same stance mid-commit) and
+          // leave reconciliation to the operator/next run's visibility.
+          return LeafResult(
+            p.plan.leaf, p.plan.stem, success = false, 0L, renamed.size,
+            Some(
+              s"batch commit failed after ${renamed.size} rename(s) (${e.toString}); " +
+                s"could not remove ${undeleted.mkString(", ")} — not retrying (would duplicate rows)",
+            ),
+          )
       }
-      p.plan.files.foreach(f => fs.delete(new Path(f), false))
-      LeafResult(p.plan.leaf, p.plan.stem, success = true, rowsStaged, moved, None)
+      val undeletedOriginals = p.plan.files.filterNot { f =>
+        try fs.delete(new Path(f), false)
+        catch { case _: Throwable => false }
+      }
+      if (undeletedOriginals.nonEmpty) {
+        System.err.println(
+          s"[compact] ${undeletedOriginals.size} original(s) in ${p.plan.leaf}/${p.plan.stem} " +
+            s"could not be deleted after commit: ${undeletedOriginals.mkString(", ")}",
+        )
+      }
+      LeafResult(
+        p.plan.leaf, p.plan.stem, success = true, rowsStaged, renamed.size,
+        if (undeletedOriginals.isEmpty) None
+        else Some(s"committed, but ${undeletedOriginals.size} original(s) not deleted (duplicates until removed): ${undeletedOriginals.mkString(", ")}"),
+      )
     } catch {
       case e: Throwable =>
-        // commit-path surprise (failed rename, vanished staging): the
-        // originals are untouched, so the solo merger can still do the
-        // job — the batch vehicle must never be the reason a plan fails
+        // pre-commit surprise (vanished staging, footer read failure):
+        // nothing has touched the leaf yet, so the solo merger can still
+        // do the job — the batch vehicle must never be the reason a plan
+        // fails
         System.err.println(
           s"[compact] batch commit failed for ${p.plan.leaf}/${p.plan.stem} (${e.toString}); retrying solo",
         )

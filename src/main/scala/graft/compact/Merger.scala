@@ -110,15 +110,57 @@ object Merger {
       // compacted classifier on the next run), then delete originals.
       val staged = staged0
       var moved = 0
-      staged.foreach { f =>
-        val outName = s"${plan.stem}_${UUID.randomUUID().toString.replace("-", "")}.parquet"
-        if (fs.rename(f.getPath, new Path(s"${plan.leaf}/$outName"))) moved += 1
-        else throw new java.io.IOException(s"rename failed for ${f.getPath}")
+      // Undo-tracked commit: a rename failure mid-loop would leave the
+      // already-moved outputs in the leaf under committed-looking names —
+      // the next run would merge them WITH the still-present originals
+      // and duplicate their rows. Deleting the partial outputs before
+      // reporting failure restores the pre-commit state whenever the FS
+      // still lets us.
+      val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      try {
+        staged.foreach { f =>
+          val outName = s"${plan.stem}_${UUID.randomUUID().toString.replace("-", "")}.parquet"
+          val dest = new Path(s"${plan.leaf}/$outName")
+          if (fs.rename(f.getPath, dest)) { moved += 1; renamed += dest }
+          else throw new java.io.IOException(s"rename failed for ${f.getPath}")
+        }
+      } catch {
+        case e: Throwable =>
+          val undeleted = renamed.filterNot { out =>
+            try fs.delete(out, false)
+            catch { case _: Throwable => false }
+          }
+          try fs.delete(new Path(stagingDir), true)
+          catch { case _: Throwable => () }
+          return LeafResult(
+            plan.leaf, plan.stem, success = false, 0L, 0,
+            Some(
+              if (undeleted.isEmpty) s"commit failed (${e.toString}); partial outputs removed, originals intact"
+              else s"commit failed (${e.toString}); ${undeleted.size} partial output(s) could not be removed " +
+                s"(rows duplicated until reconciled): ${undeleted.mkString(", ")}",
+            ),
+          )
       }
-      plan.files.foreach(p => fs.delete(new Path(p), false))
+      // A delete returning false (no exception) would otherwise leave an
+      // original alongside the committed output — duplicates with no
+      // trace. Surface any survivor in the result instead of silently
+      // reporting a clean success.
+      val undeleted = plan.files.filterNot { p =>
+        try fs.delete(new Path(p), false)
+        catch { case _: Throwable => false }
+      }
       fs.delete(new Path(stagingDir), true)
-
-      LeafResult(plan.leaf, plan.stem, success = true, rowsStaged, moved, None)
+      if (undeleted.nonEmpty) {
+        System.err.println(
+          s"[compact] ${undeleted.size} original(s) in ${plan.leaf}/${plan.stem} " +
+            s"could not be deleted after commit: ${undeleted.mkString(", ")}",
+        )
+      }
+      LeafResult(
+        plan.leaf, plan.stem, success = true, rowsStaged, moved,
+        if (undeleted.isEmpty) None
+        else Some(s"committed, but ${undeleted.size} original(s) not deleted (duplicates until removed): ${undeleted.mkString(", ")}"),
+      )
     } catch {
       // Throwable, not Exception: an AssertionError/LinkageError from one
       // leaf must not abort the whole run (SURVEY.md §2.3.9) — and the

@@ -1,0 +1,153 @@
+package graft.compact
+
+import java.io.File
+import java.net.URI
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Fault-injecting FileSystem: fails the Nth commit-rename (a rename
+  * whose destination carries a committed `{stem}_{32hex}.parquet` name)
+  * by returning false, and/or makes `delete` return false for paths
+  * matching a pattern — the two silent-failure modes object stores
+  * exhibit that exceptions don't cover.
+  */
+class FaultFs extends GraftTestFs {
+  override def getScheme: String = "faultfs"
+  override def getUri: URI = URI.create("faultfs:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (dst.toString.matches(FaultFs.committedRe)) {
+      val n = FaultFs.renameCount.incrementAndGet()
+      if (n == FaultFs.failNthCommitRename) return false
+    }
+    super.rename(src, dst)
+  }
+
+  override def delete(p: Path, recursive: Boolean): Boolean = {
+    if (FaultFs.failDeleteRe.exists(re => p.toString.matches(re))) false
+    else super.delete(p, recursive)
+  }
+}
+
+object FaultFs {
+  val committedRe = ".*/[A-Za-z0-9]+_[0-9a-f]{32}\\.parquet$"
+  @volatile var failNthCommitRename: Int = 0 // 1-based commit-rename ordinal; 0 = off
+  @volatile var failDeleteRe: Option[String] = None
+  val renameCount = new AtomicInteger(0)
+  def reset(): Unit = { failNthCommitRename = 0; failDeleteRe = None; renameCount.set(0) }
+}
+
+/** Commit-path failure semantics (ADVICE r3): a partial batch commit must
+  * never hand the leaf to a solo re-merge with committed-named strays in
+  * place — that deterministically duplicates rows, permanently (the next
+  * run merges stray + originals together). And a `delete` returning false
+  * must surface, not vanish into a clean success.
+  */
+class CommitFaultSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private var root: File = _
+  private val cfg = CompactorConfig(targetFileBytes = 10L * 1024 * 1024, maxRowsPerFile = 10L)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    root = Files.createTempDirectory("graft-commitfault").toFile
+  }
+
+  override def afterAll(): Unit = {
+    FaultFs.reset()
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    super.afterAll()
+  }
+
+  /** Two 10-row files in a fresh leaf; returns the hand-built plan. */
+  private def mkLeaf(name: String): LeafPlan = {
+    val s = spark
+    import s.implicits._
+    val leaf = new File(root, s"acct/source=$name/year=2026/month=01")
+    leaf.mkdirs()
+    Seq("x", "y").foreach { n =>
+      val tmp = new File(leaf, s".tmp-$n")
+      (1 to 10).map(i => (i.toLong, s"$name-$n")).toDF("id", "tag")
+        .coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new File(leaf, s"$n.parquet").toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    val leafUri = s"faultfs:${leaf.getAbsolutePath}"
+    val files = Seq(s"$leafUri/x.parquet", s"$leafUri/y.parquet")
+    LeafPlan(leafUri, name, files, files.map(f => new File(leaf, f.split('/').last).length()).sum)
+  }
+
+  private def bag(plans: Seq[LeafPlan]): Seq[String] =
+    spark.read.parquet(plans.map(_.leaf): _*).collect().map(_.toString).sorted.toSeq
+
+  test("batch commit rename failure undoes the partial commit and retries solo — no duplicates") {
+    FaultFs.reset()
+    val plans = Seq(mkLeaf("pa"), mkLeaf("pb"))
+    val before = bag(plans)
+    // each plan stages 2 files (20 rows / 10-row cap); plan order is
+    // probed order, so commit-renames 1,2 belong to pa and 3,4 to pb
+    FaultFs.failNthCommitRename = 4
+    val results = BatchMerger.mergeAndCommitBatch(spark, plans, cfg)
+    results.size shouldBe 2
+    results.foreach(r => withClue(r) { r.success shouldBe true })
+    bag(plans) shouldBe before // at-least-once never became more-than-once
+    plans.foreach { p =>
+      val leafDir = new File(new URI("file:" + p.leaf.stripPrefix("faultfs:")))
+      val names = leafDir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq
+      withClue(s"${p.leaf}: $names") {
+        names.foreach(_ should fullyMatch regex s"${p.stem}_[0-9a-f]{32}\\.parquet")
+      }
+    }
+  }
+
+  test("batch commit failure with an un-deletable stray reports failure instead of re-merging") {
+    FaultFs.reset()
+    val plans = Seq(mkLeaf("qa"), mkLeaf("qb"))
+    FaultFs.failNthCommitRename = 2 // qa's second commit-rename
+    FaultFs.failDeleteRe = Some(FaultFs.committedRe) // the undo can't remove the stray
+    val results = BatchMerger.mergeAndCommitBatch(spark, plans, cfg)
+    FaultFs.reset()
+    val ra = results.find(_.stem == "qa").get
+    val rb = results.find(_.stem == "qb").get
+    withClue(ra) {
+      ra.success shouldBe false
+      ra.error.get should include("duplicate")
+    }
+    rb.success shouldBe true
+    // qa's leaf: originals intact plus the one stray the FS refused to
+    // delete — surfaced, never silently re-merged
+    val leafDir = new File(new URI("file:" + plans.head.leaf.stripPrefix("faultfs:")))
+    val names = leafDir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    names should contain allOf ("x.parquet", "y.parquet")
+    names.count(_.matches("qa_[0-9a-f]{32}\\.parquet")) shouldBe 1
+  }
+
+  test("solo merge surfaces originals whose delete returned false") {
+    FaultFs.reset()
+    val plan = mkLeaf("rc")
+    FaultFs.failDeleteRe = Some(".*/x\\.parquet$")
+    val result = Merger.mergeAndCommit(spark, plan, cfg)
+    FaultFs.reset()
+    withClue(result) {
+      result.success shouldBe true
+      result.rowsWritten shouldBe 20L
+      result.error.get should include("not deleted")
+      result.error.get should include("x.parquet")
+    }
+    val leafDir = new File(new URI("file:" + plan.leaf.stripPrefix("faultfs:")))
+    val names = leafDir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    names should contain("x.parquet") // the survivor is really there
+    names should not contain "y.parquet"
+  }
+}
