@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -47,10 +47,15 @@ object CompactionStream {
     * `max(file mtime) + freshnessDays`, and every micro-batch processes
     * the leaves that have come due (immediately, when freshnessDays=0).
     * The schedule is bounded by the count of distinct dirty leaves and
-    * lives in memory only — after a restart it is rebuilt from
-    * subsequent arrivals, so set `catchUpOnStart=true` (one full batch
-    * compaction on start) when leaves booked before a crash must not
-    * wait for their next arrival.
+    * is PERSISTED next to the checkpoint (`graft-due-schedule`, atomic
+    * tmp+rename, rewritten only when it changes): a restart reloads the
+    * booked leaves, so a last-write-then-quiet leaf booked before a
+    * crash still compacts when it comes due — the mtime-window source
+    * never re-emits old files, so without the snapshot it would wait
+    * for an arrival that never comes. The snapshot is best-effort (a
+    * failed write logs and continues); `catchUpOnStart=true` (one full
+    * batch compaction on start) remains the belt-and-braces recovery
+    * when the snapshot itself was lost.
     */
   def start(
       spark: SparkSession,
@@ -85,6 +90,13 @@ object CompactionStream {
     // with a pinned asOf eligibility is time-independent — due now or
     // never.
     val due = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val scheduleFile = new Path(checkpointDir, scheduleFileName)
+    val scheduleFs = scheduleFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    due ++= loadSchedule(scheduleFs, scheduleFile)
+    // change-tracked snapshot: continuous triggers fire constantly
+    // (wall-clock offsets), so only rewrite the file when the schedule
+    // actually moved
+    var lastPersisted: Map[String, Long] = due.toMap
     def dueMsOf(mtimeMs: Long): Option[Long] = {
       val mtimeDay = mtimeMs / 86400000L
       cfg.asOf match {
@@ -124,10 +136,64 @@ object CompactionStream {
           onBatch(results)
           ready = if (oneShot) nextReady() else Seq.empty
         }
+        val snapshot = due.toMap
+        if (snapshot != lastPersisted) {
+          persistSchedule(scheduleFs, scheduleFile, snapshot)
+          lastPersisted = snapshot
+        }
         ()
       }
       .start()
   }
+
+  private[streaming] val scheduleFileName = "graft-due-schedule"
+
+  /** Read a persisted due schedule: `dueMs<TAB>leaf` lines. Missing file
+    * → empty; a corrupt line or read failure drops the snapshot (logged)
+    * rather than failing the stream — `catchUpOnStart` covers the loss.
+    */
+  private[streaming] def loadSchedule(fs: FileSystem, file: Path): Map[String, Long] =
+    try {
+      if (!fs.exists(file)) Map.empty
+      else {
+        val in = fs.open(file)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { line =>
+          val i = line.indexOf('\t')
+          if (i <= 0) None else Some(line.substring(i + 1) -> line.substring(0, i).toLong)
+        }.toMap
+        finally in.close()
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[compact-stream] could not load due schedule $file (${e.toString}); starting empty")
+        Map.empty
+    }
+
+  /** Atomically (tmp + rename) snapshot the due schedule next to the
+    * checkpoint. Best-effort: a failure logs and the stream continues —
+    * the schedule is an optimization over `catchUpOnStart`, never the
+    * source of truth for correctness (planning re-derives eligibility).
+    */
+  private[streaming] def persistSchedule(fs: FileSystem, file: Path, entries: Map[String, Long]): Unit =
+    try {
+      val tmp = new Path(file.getParent, s".${file.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try {
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+        entries.toSeq.sorted.foreach { case (leaf, ms) => w.write(s"$ms\t$leaf\n") }
+        w.flush()
+      } finally out.close()
+      // local FS rename won't overwrite: drop the old snapshot first. A
+      // crash in the gap loses one snapshot generation, which the next
+      // changed batch rewrites.
+      fs.delete(file, false)
+      if (!fs.rename(tmp, file)) {
+        System.err.println(s"[compact-stream] could not publish due schedule $file (rename failed)")
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[compact-stream] could not persist due schedule $file (${e.toString})")
+    }
 
   /** Fresh listing of exactly these leaf dirs, one task per leaf —
     * micro-batch rows are file *events*; planning needs current truth.

@@ -121,6 +121,79 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
     }
   }
 
+  test("persisted due schedule rescues a booked-but-quiet leaf across restart") {
+    val sroot = Files.createTempDirectory("graft-stream-sched").toFile
+    val sckpt = Files.createTempDirectory("graft-stream-sched-ckpt").toFile
+    try {
+      val l = new File(sroot, "acct/source=sched/year=2026/month=01")
+      l.mkdirs()
+      writeFile(l, "a.parquet", df("a"))
+      writeFile(l, "b.parquet", df("b"))
+      // moving asOf + freshnessDays=1: today's arrivals book their leaf
+      // for a due time >= 24h away — the classic last-write-then-quiet
+      // strand if the schedule dies with the process
+      val movingCfg = CompactorConfig(
+        targetFileBytes = 10L * 1024 * 1024, freshnessDays = 1, asOf = None,
+      )
+      val q1 = CompactionStream.start(
+        spark, sroot.getAbsolutePath, movingCfg,
+        Trigger.ProcessingTime(200L), sckpt.getAbsolutePath,
+      )
+      val schedFile = new File(sckpt, "graft-due-schedule")
+      try {
+        val deadline = System.currentTimeMillis() + 90000
+        while (
+          (!schedFile.exists() ||
+            !new String(Files.readAllBytes(schedFile.toPath), "UTF-8").contains("source=sched")) &&
+          System.currentTimeMillis() < deadline
+        ) Thread.sleep(200)
+        // keep committing offsets until they are PAST mtime + source
+        // slack (2 s): the restarted query must not be able to re-claim
+        // the arrivals — only the reloaded schedule may trigger it
+        Thread.sleep(5000)
+      } finally q1.stop()
+      val schedPath = new org.apache.hadoop.fs.Path(schedFile.getAbsolutePath)
+      val schedFs = schedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val persisted = CompactionStream.loadSchedule(schedFs, schedPath)
+      withClue(persisted) {
+        persisted.keySet.exists(_.contains("source=sched")) shouldBe true
+      }
+      names(l).size shouldBe 2 // booked, not due — nothing compacted yet
+
+      // simulate the due day arriving: the booked time becomes past, and
+      // the planner's clock (asOf) moves past the files' freshness window.
+      // Rewrite through the same FileSystem so the checksum sibling stays
+      // consistent — a raw edit would fail the reload with ChecksumException.
+      CompactionStream.persistSchedule(schedFs, schedPath, persisted.map { case (k, _) => k -> 0L })
+      val laterCfg = movingCfg.copy(
+        asOf = Some(LocalDate.now(java.time.ZoneOffset.UTC).plusDays(2)),
+      )
+      val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
+      // no new file will ever arrive in this leaf: only the reloaded
+      // schedule can trigger the compaction
+      val q2 = CompactionStream.start(
+        spark, sroot.getAbsolutePath, laterCfg,
+        Trigger.ProcessingTime(200L), sckpt.getAbsolutePath,
+        onBatch = r => { batches.add(r); () },
+      )
+      try {
+        val deadline = System.currentTimeMillis() + 90000
+        while (batches.asScala.flatten.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+      } finally q2.stop()
+      val all = batches.asScala.flatten.toSeq
+      withClue(all) {
+        all.nonEmpty shouldBe true
+        all.foreach(_.success shouldBe true)
+      }
+      names(l).size shouldBe 1
+      spark.read.parquet(l.getAbsolutePath).count() shouldBe 40
+    } finally {
+      def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+      rm(sroot); rm(sckpt)
+    }
+  }
+
   test("file arrivals drive compaction; later arrivals absorb into the tail") {
     val hex32 = "[0-9a-f]{32}"
     val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
