@@ -7,13 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * All queries read through here so schema hazards are handled in one
   * place. The one real hazard: `events.ts` is parquet TIMESTAMP(NANOS)
-  * (pandas-written), which Spark 4 refuses to read as a timestamp
-  * ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos via the legacy
-  * conf `spark.sql.legacy.parquet.nanosAsLong` — which every graft
-  * session builder (Verify, Bench, Main, SparkSpec) sets at
-  * construction, so loaders stay pure — and truncate to microseconds,
-  * the same truncation DuckDB applies when it coerces ns→us on read,
-  * so oracle comparisons line up exactly.
+  * (pandas-written), which Spark 4 refuses to infer as a timestamp
+  * ([PARQUET_TYPE_ILLEGAL]). An EXPLICIT user schema mapping `ts` to
+  * LongType sidesteps inference entirely — no session conf involved —
+  * and the loader truncates the raw nanos to microseconds, the same
+  * truncation DuckDB applies when it coerces ns→us on read, so oracle
+  * comparisons line up exactly.
   */
 object Tables {
 
@@ -44,25 +43,22 @@ object Tables {
   }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` with `ts` normalized to a microsecond TIMESTAMP.
-    * Expects `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set by all graft session builders). A foreign session lacking it
-    * still works — the flag is set here with a WARNING instead of
-    * failing, because the alternative is [PARQUET_TYPE_ILLEGAL]
-    * downstream; the warning exists because the flag changes how any
-    * ns-timestamp parquet reads session-wide, which the caller should
-    * know they've opted into.
+  /** The driver's events schema (TESTDATA.md), with `ts` pinned to
+    * LongType: providing the schema (instead of inferring it from the
+    * footer) is what lets Spark read TIMESTAMP(NANOS) as raw nanos
+    * without the session-wide `spark.sql.legacy.parquet.nanosAsLong`
+    * flag. Pinning also skips the footer-inference pass — a scan on a
+    * 10⁶-file table starts without reading any footers.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "setting spark.sql.legacy.parquet.nanosAsLong=true session-wide to read " +
-          "events.parquet (TIMESTAMP(NANOS)); prefer setting it at session construction " +
-          "(see Verify/Bench/SparkSpec)",
-      )
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    table(spark, sfDir, "events")
+  private val eventsRawSchema =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  /** `events` with `ts` normalized to a microsecond TIMESTAMP. Pure:
+    * works on any session (no conf read, no conf mutation).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .schema(eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 }

@@ -42,9 +42,6 @@ object Main {
     val builder = SparkSession.builder()
       .appName("graft-compactor")
       .config("spark.sql.session.timeZone", "UTC")
-      // uniform across graft sessions: ns-timestamp parquet reads as raw
-      // nanos instead of failing (Tables.events documents the contract)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // spark-submit injects spark.master; standalone runs fall back to
     // local[*] without overriding a submitted master
     val spark =

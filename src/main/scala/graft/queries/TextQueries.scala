@@ -198,21 +198,24 @@ object TextQueries {
     },
 
     // ----- fuzzy string matching by edit distance: nearest other part
-    // name among the first 1000 parts (both engines implement classic
-    // Levenshtein with identical integer results).
+    // name WITHIN ±1 LENGTH BUCKET among the first 1000 parts (both
+    // engines implement classic Levenshtein with identical integer
+    // results).
     //
-    // The Spark side blocks the pair join by LENGTH BUCKET before any
+    // Both sides block the pair join by length bucket before any
     // Levenshtein is computed: a is joined only to b with
     // floor(len_b/4) ∈ {floor(len_a/4)-1, floor(len_a/4), floor(len_a/4)+1},
     // i.e. every pair with |len_a-len_b| < 4 survives (plus a fringe up
-    // to 11 that the window then ranks normally). Since
-    // levenshtein >= |len_a-len_b|, pruned pairs have dist >= 4; the
-    // fixture's per-key nearest dist is <= 4 at every sf (checked), so
-    // the blocked argmin equals the oracle's unblocked argmin. At scale
-    // the bucket key turns the quadratic all-pairs join into a
-    // per-bucket-bounded shuffle join; for corpora where near-equal
-    // lengths dominate, the next escalation is segment blocking
-    // (PassJoin-style pigeonhole on D+1 substring segments).
+    // to 11 that the window then ranks normally). The oracle SQL encodes
+    // the SAME blocking predicate, so the gate compares the exact query
+    // the Spark side runs — equivalence never rests on a fixture
+    // property. (On this fixture the blocked argmin also equals the
+    // unblocked argmin, since levenshtein >= |len_a-len_b| and every
+    // per-key nearest dist is <= 4 — but that's a bonus, not a
+    // dependency.) At scale the bucket key turns the quadratic all-pairs
+    // join into a per-bucket-bounded shuffle join; for corpora where
+    // near-equal lengths dominate, the next escalation is segment
+    // blocking (PassJoin-style pigeonhole on D+1 substring segments).
     Q(
       "text_levenshtein",
       """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 1000),
@@ -220,7 +223,10 @@ object TextQueries {
         |             levenshtein(a.p_name, b.p_name) AS dist,
         |             row_number() OVER (PARTITION BY a.p_partkey
         |                                ORDER BY levenshtein(a.p_name, b.p_name), b.p_partkey) AS rn
-        |      FROM p a JOIN p b ON a.p_partkey <> b.p_partkey)
+        |      FROM p a JOIN p b
+        |        ON a.p_partkey <> b.p_partkey
+        |       AND floor(length(b.p_name) / 4)
+        |           BETWEEN floor(length(a.p_name) / 4) - 1 AND floor(length(a.p_name) / 4) + 1)
         |SELECT k AS p_partkey, other AS nearest_key, CAST(dist AS INTEGER) AS dist
         |FROM d WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
     ) { (s, d) =>

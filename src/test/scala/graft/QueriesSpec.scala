@@ -32,13 +32,13 @@ class QueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
-  test("Tables.events self-heals on a session lacking the nanos flag (with a warning)") {
+  test("Tables.events is pure: reads ns-timestamps on a foreign session, mutates no conf") {
     // newSession shares the SparkContext but owns its SQLConf — a stand-in
     // for a foreign caller that didn't build the session the graft way.
     val s2 = spark.newSession()
     s2.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     Tables.events(s2, sf).count() should be > 0L
-    s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") shouldBe "true"
+    s2.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") should not be Some("true")
   }
 
   test("oracled queries alias columns identically to their SQL (spot-check)") {
