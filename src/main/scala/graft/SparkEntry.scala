@@ -14,7 +14,8 @@ object SparkEntry {
   /** Complete registry, grouped by operator family. */
   val registry: Seq[Q] = {
     val all = CoreQueries.qs ++ EventQueries.qs ++ TextQueries.qs ++
-      DedupQueries.qs ++ SimilarityQueries.qs ++ MultimodalQueries.qs
+      DedupQueries.qs ++ SimilarityQueries.qs ++ MultimodalQueries.qs ++
+      PipelineQueries.qs
     // toMap would silently shadow a colliding name — the shadowed query
     // would skip verification while the driver still reports green
     val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }

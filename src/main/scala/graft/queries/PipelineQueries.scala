@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline operators beyond the dedup/similarity/text
+  * families: benchmark decontamination, token-budget sequence packing,
+  * deterministic stratified sampling, distinctive-term extraction
+  * (integer-safe TF-IDF), PassJoin segment blocking for edit-distance
+  * self-join, and int8 embedding quantization.
+  *
+  * Shared discipline with the other query files: md5-derived hashes so
+  * DuckDB computes identical values, integer-first ranking metrics so no
+  * float tie ever decides a row, and every oracled query ends in a total
+  * ORDER BY (SURVEY.md §7.6).
+  */
+object PipelineQueries {
+
+  /** 5-word shingles (decontamination uses longer n-grams than dedup's
+    * 3-shingles — a short n-gram collides on common phrases; a training
+    * pipeline flags eval contamination on long, rare spans).
+    */
+  private def shingles5(s: org.apache.spark.sql.SparkSession) = {
+    graft.functions.GraftFunctions.register(s)
+    expr("word_shingles(w, 5)")
+  }
+
+  private val shingles5SqlCte =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(range(1, len(w) - 3),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+      |       FROM ws)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- benchmark decontamination: which training documents share
+    // >= 2 distinct 5-gram spans with a held-out eval slice? The eval
+    // set (doc_id % 7 = 0 here; a real benchmark table in production) is
+    // tiny relative to the corpus, so its shingle set is BROADCAST —
+    // the 100-TB scan streams past it with no shuffle on the train side
+    // until the per-pair count, which is bounded by actual collisions.
+    Q(
+      "text_decontaminate",
+      s"""WITH $shingles5SqlCte,
+         |ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 7 = 0),
+         |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 7 <> 0)
+         |SELECT ev.doc_id AS eval_doc, tr.doc_id AS train_doc,
+         |       count(*) AS n_shared
+         |FROM tr JOIN ev ON tr.sh = ev.sh
+         |GROUP BY ev.doc_id, tr.doc_id
+         |HAVING count(*) >= 2
+         |ORDER BY eval_doc, train_doc""".stripMargin,
+    ) { (s, d) =>
+      val sh = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(shingles5(s)).as("sh"))
+        .distinct()
+      val ev = sh.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eval_doc"), col("sh"))
+      val tr = sh.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("sh"))
+      tr.join(broadcast(ev), "sh")
+        .groupBy("eval_doc", "train_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("eval_doc", "train_doc")
+    },
+
+    // ----- token-budget sequence packing: assign documents (in stable
+    // doc_id order, per lang) to fixed-budget context windows by running
+    // token count — the pack is where the document STARTS. One window
+    // function per lang partition = one shuffle, integer arithmetic
+    // only. (True greedy bin packing needs sequential state; offset
+    // packing is the standard distributed approximation and is exactly
+    // reproducible in SQL.)
+    Q(
+      "text_pack_sequences",
+      """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT lang, doc_id, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT lang, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM c GROUP BY lang, (cum - n_tok) // 256
+        |ORDER BY lang, pack_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 256").cast("bigint"))
+        .groupBy("lang", "pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("bigint").as("pack_tokens"),
+          min("doc_id").as("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    },
+
+    // ----- deterministic stratified sampling: md5(doc_id) → uniform
+    // bucket 0..99, per-stratum keep-rate (10% of the dominant lang,
+    // 40% elsewhere — downsample the head, keep the tail). Reproducible
+    // across engines, runs, and cluster sizes — unlike rand()-based
+    // TABLESAMPLE — so a 100-TB sample is re-derivable from the rule
+    // alone. Pure scan + filter: no shuffle at all.
+    Q(
+      "sample_stratified_hash",
+      """SELECT doc_id, lang,
+        |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INTEGER) AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val bucket =
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+      Tables.documents(s, d)
+        .withColumn("bucket", bucket.cast("int"))
+        .where(col("bucket") < when(col("lang") === "en", 10).otherwise(40))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    },
+
+    // ----- distinctive terms per document: top-3 by (tf DESC, df ASC,
+    // word ASC). Integer-only TF-IDF ranking — tf and document
+    // frequency order the terms without ever computing a float score,
+    // so no log()-ulp difference between engines can flip a rank. Two
+    // shuffles: per-(doc,word) tf, then the broadcast-joined df.
+    Q(
+      "text_tfidf_topk",
+      """WITH tf AS (SELECT doc_id, word, count(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |            GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |             row_number() OVER (PARTITION BY tf.doc_id
+        |                                ORDER BY tf.tf DESC, df.df ASC, tf.word) AS rank
+        |      FROM tf JOIN df ON tf.word = df.word)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, tf, df
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("word"))
+      tf.join(broadcast(df), "word")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= 3)
+        .select("doc_id", "rank", "word", "tf", "df")
+        .orderBy("doc_id", "rank")
+    },
+
+    // ----- PassJoin-style segment blocking: all pairs with edit
+    // distance <= 2 among the first 1000 part names, WITHOUT an
+    // all-pairs join. The indexed side splits each name into D+1 = 3
+    // contiguous segments (lengths derived only from the string length);
+    // the probe side, for each candidate partner length lb in
+    // [len, len+2], extracts the substrings where a segment of an
+    // lb-long partner could sit, shifted by the net edit drift
+    // delta in [-2, 2]. Pigeonhole: 2 edits cannot touch all 3
+    // segments, so every true pair shares an (lb, segment_index, text)
+    // key — the blocking is LOSSLESS, which is why the oracle is the
+    // plain unblocked self-join: a hash match proves zero false
+    // negatives, not just agreement on the same shortcut.
+    // Candidates per probe row: 3 lengths x 3 segments x 5 shifts = 45
+    // keys — linear in corpus size, vs the quadratic all-pairs verify.
+    Q(
+      "text_passjoin",
+      """WITH p AS (SELECT p_partkey AS k, p_name AS n FROM part WHERE p_partkey <= 1000)
+        |SELECT a.k AS key_a, b.k AS key_b,
+        |       CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.k < b.k
+        |WHERE levenshtein(a.n, b.n) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
+    ) { (s, d) =>
+      val p = Tables.part(s, d)
+        .where(col("p_partkey") <= 1000)
+        .select(col("p_partkey").as("k"), col("p_name").as("n"), length(col("p_name")).as("len"))
+      // indexed side: own 3 segments; start/length derived from len only
+      val segs = p.select(
+        col("k").as("kb"), col("n").as("nb"), col("len").as("lb"),
+        explode(expr(
+          """transform(sequence(0, 2), i -> named_struct(
+            |  'idx', i,
+            |  'st', 1 + i * (len div 3) + greatest(0, i - (3 - len % 3)),
+            |  'ln', (len div 3) + IF(i >= 3 - len % 3, 1, 0)))""".stripMargin,
+        )).as("sg"),
+      ).select(
+        col("kb"), col("nb"), col("lb"), col("sg.idx").as("idx"),
+        expr("substring(nb, sg.st, sg.ln)").as("seg"),
+      )
+      // probe side: substrings where an lb-long partner's segment could
+      // sit, for each lb in [len, len+2] and drift delta in [-2, 2]
+      val probes = p.select(
+        col("k").as("ka"), col("n").as("na"), col("len"),
+        explode(expr(
+          """flatten(flatten(transform(sequence(len, len + 2), lb ->
+            |  transform(sequence(0, 2), i ->
+            |    transform(sequence(-2, 2), d -> named_struct(
+            |      'lb', lb, 'idx', i,
+            |      'st', 1 + i * (lb div 3) + greatest(0, i - (3 - lb % 3)) + d,
+            |      'ln', (lb div 3) + IF(i >= 3 - lb % 3, 1, 0)))))))""".stripMargin,
+        )).as("pr"),
+      ).where(col("pr.st") >= 1)
+        .select(
+          col("ka"), col("na"), col("pr.lb").as("lb"), col("pr.idx").as("idx"),
+          expr("substring(na, pr.st, pr.ln)").as("seg"),
+        )
+      probes
+        .join(segs, Seq("lb", "idx", "seg"))
+        .where(col("ka") =!= col("kb"))
+        .select(
+          least(col("ka"), col("kb")).as("key_a"),
+          greatest(col("ka"), col("kb")).as("key_b"),
+          when(col("ka") < col("kb"), col("na")).otherwise(col("nb")).as("n1"),
+          when(col("ka") < col("kb"), col("nb")).otherwise(col("na")).as("n2"),
+        )
+        .distinct()
+        .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("int"))
+        .where(col("dist") <= 2)
+        .select("key_a", "key_b", "dist")
+        .orderBy("key_a", "key_b")
+    },
+
+    // ----- int8 embedding quantization: per-vector symmetric scale
+    // (max |x| / 127), floor-quantize (floor, never round — round-half
+    // ties differ between engines; floor is exact IEEE on both), and
+    // the max reconstruction error as the quality metric. Pure map —
+    // no shuffle; at 100 TB this is the standard 4x storage/bandwidth
+    // cut before ANN indexing.
+    Q(
+      "vector_quantize_int8",
+      """WITH s AS (SELECT vec_id,
+        |                  list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127 AS scale,
+        |                  embedding
+        |           FROM embeddings)
+        |SELECT vec_id, scale,
+        |       CAST(floor(CAST(embedding[1] AS DOUBLE) / scale) AS INTEGER) AS q1,
+        |       CAST(floor(CAST(embedding[2] AS DOUBLE) / scale) AS INTEGER) AS q2,
+        |       CAST(floor(CAST(embedding[3] AS DOUBLE) / scale) AS INTEGER) AS q3,
+        |       list_aggregate(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale) * scale)), 'max') AS max_err
+        |FROM s WHERE scale > 0 ORDER BY vec_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn(
+          "scale",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127"),
+        )
+        .where(col("scale") > 0)
+        .select(
+          col("vec_id"), col("scale"),
+          expr("CAST(floor(CAST(embedding[0] AS DOUBLE) / scale) AS INT)").as("q1"),
+          expr("CAST(floor(CAST(embedding[1] AS DOUBLE) / scale) AS INT)").as("q2"),
+          expr("CAST(floor(CAST(embedding[2] AS DOUBLE) / scale) AS INT)").as("q3"),
+          expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale) * scale)))",
+          ).as("max_err"),
+        )
+        .orderBy("vec_id")
+    },
+  )
+}
