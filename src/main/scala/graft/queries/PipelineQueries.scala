@@ -17,6 +17,69 @@ import graft.Tables
   */
 object PipelineQueries {
 
+  /** All pairs with `levenshtein <= 2` from a `(k BIGINT, n STRING)`
+    * DataFrame, via PassJoin segment blocking — no all-pairs join.
+    *
+    * The indexed side splits each string into D+1 = 3 contiguous
+    * segments (lengths derived only from the string length); the probe
+    * side, for each candidate partner length lb in [len, len+2],
+    * extracts the substrings where a segment of an lb-long partner
+    * could sit, shifted by the net edit drift delta in [-2, 2].
+    * Pigeonhole: 2 edits cannot touch all 3 segments, so every true
+    * pair shares an (lb, segment_index, text) join key — the blocking
+    * is LOSSLESS (PassJoinSpec pins this against the naive quadratic
+    * join on adversarial shapes). Requires strings of length >= 3 so
+    * every segment is non-empty; shorter strings are the caller's
+    * fallback (an all-pairs join over a length<3 slice is trivially
+    * small).
+    */
+  def passjoinPairs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.select(col("k"), col("n"), length(col("n")).as("len"))
+    // indexed side: own 3 segments; start/length derived from len only
+    val segs = p.select(
+      col("k").as("kb"), col("n").as("nb"), col("len").as("lb"),
+      explode(expr(
+        """transform(sequence(0, 2), i -> named_struct(
+          |  'idx', i,
+          |  'st', 1 + i * (len div 3) + greatest(0, i - (3 - len % 3)),
+          |  'ln', (len div 3) + IF(i >= 3 - len % 3, 1, 0)))""".stripMargin,
+      )).as("sg"),
+    ).select(
+      col("kb"), col("nb"), col("lb"), col("sg.idx").as("idx"),
+      expr("substring(nb, sg.st, sg.ln)").as("seg"),
+    )
+    // probe side: substrings where an lb-long partner's segment could
+    // sit, for each lb in [len, len+2] and drift delta in [-2, 2]
+    val probes = p.select(
+      col("k").as("ka"), col("n").as("na"), col("len"),
+      explode(expr(
+        """flatten(flatten(transform(sequence(len, len + 2), lb ->
+          |  transform(sequence(0, 2), i ->
+          |    transform(sequence(-2, 2), d -> named_struct(
+          |      'lb', lb, 'idx', i,
+          |      'st', 1 + i * (lb div 3) + greatest(0, i - (3 - lb % 3)) + d,
+          |      'ln', (lb div 3) + IF(i >= 3 - lb % 3, 1, 0)))))))""".stripMargin,
+      )).as("pr"),
+    ).where(col("pr.st") >= 1)
+      .select(
+        col("ka"), col("na"), col("pr.lb").as("lb"), col("pr.idx").as("idx"),
+        expr("substring(na, pr.st, pr.ln)").as("seg"),
+      )
+    probes
+      .join(segs, Seq("lb", "idx", "seg"))
+      .where(col("ka") =!= col("kb"))
+      .select(
+        least(col("ka"), col("kb")).as("key_a"),
+        greatest(col("ka"), col("kb")).as("key_b"),
+        when(col("ka") < col("kb"), col("na")).otherwise(col("nb")).as("n1"),
+        when(col("ka") < col("kb"), col("nb")).otherwise(col("na")).as("n2"),
+      )
+      .distinct()
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("int"))
+      .where(col("dist") <= 2)
+      .select("key_a", "key_b", "dist")
+  }
+
   /** 5-word shingles (decontamination uses longer n-grams than dedup's
     * 3-shingles — a short n-gram collides on common phrases; a training
     * pipeline flags eval contamination on long, rare spans).
@@ -158,20 +221,13 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     },
 
-    // ----- PassJoin-style segment blocking: all pairs with edit
-    // distance <= 2 among the first 1000 part names, WITHOUT an
-    // all-pairs join. The indexed side splits each name into D+1 = 3
-    // contiguous segments (lengths derived only from the string length);
-    // the probe side, for each candidate partner length lb in
-    // [len, len+2], extracts the substrings where a segment of an
-    // lb-long partner could sit, shifted by the net edit drift
-    // delta in [-2, 2]. Pigeonhole: 2 edits cannot touch all 3
-    // segments, so every true pair shares an (lb, segment_index, text)
-    // key — the blocking is LOSSLESS, which is why the oracle is the
-    // plain unblocked self-join: a hash match proves zero false
-    // negatives, not just agreement on the same shortcut.
-    // Candidates per probe row: 3 lengths x 3 segments x 5 shifts = 45
-    // keys — linear in corpus size, vs the quadratic all-pairs verify.
+    // ----- PassJoin segment blocking (see [[passjoinPairs]]): all
+    // pairs with edit distance <= 2 among the first 1000 part names,
+    // WITHOUT an all-pairs join. The blocking is lossless (pigeonhole),
+    // which is why the oracle is the plain unblocked self-join: a hash
+    // match proves zero false negatives, not just agreement on the same
+    // shortcut. Candidates per probe row: 3 lengths x 3 segments x 5
+    // shifts = 45 keys — linear in corpus size vs the quadratic verify.
     Q(
       "text_passjoin",
       """WITH p AS (SELECT p_partkey AS k, p_name AS n FROM part WHERE p_partkey <= 1000)
@@ -181,53 +237,11 @@ object PipelineQueries {
         |WHERE levenshtein(a.n, b.n) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
     ) { (s, d) =>
-      val p = Tables.part(s, d)
-        .where(col("p_partkey") <= 1000)
-        .select(col("p_partkey").as("k"), col("p_name").as("n"), length(col("p_name")).as("len"))
-      // indexed side: own 3 segments; start/length derived from len only
-      val segs = p.select(
-        col("k").as("kb"), col("n").as("nb"), col("len").as("lb"),
-        explode(expr(
-          """transform(sequence(0, 2), i -> named_struct(
-            |  'idx', i,
-            |  'st', 1 + i * (len div 3) + greatest(0, i - (3 - len % 3)),
-            |  'ln', (len div 3) + IF(i >= 3 - len % 3, 1, 0)))""".stripMargin,
-        )).as("sg"),
-      ).select(
-        col("kb"), col("nb"), col("lb"), col("sg.idx").as("idx"),
-        expr("substring(nb, sg.st, sg.ln)").as("seg"),
-      )
-      // probe side: substrings where an lb-long partner's segment could
-      // sit, for each lb in [len, len+2] and drift delta in [-2, 2]
-      val probes = p.select(
-        col("k").as("ka"), col("n").as("na"), col("len"),
-        explode(expr(
-          """flatten(flatten(transform(sequence(len, len + 2), lb ->
-            |  transform(sequence(0, 2), i ->
-            |    transform(sequence(-2, 2), d -> named_struct(
-            |      'lb', lb, 'idx', i,
-            |      'st', 1 + i * (lb div 3) + greatest(0, i - (3 - lb % 3)) + d,
-            |      'ln', (lb div 3) + IF(i >= 3 - lb % 3, 1, 0)))))))""".stripMargin,
-        )).as("pr"),
-      ).where(col("pr.st") >= 1)
-        .select(
-          col("ka"), col("na"), col("pr.lb").as("lb"), col("pr.idx").as("idx"),
-          expr("substring(na, pr.st, pr.ln)").as("seg"),
-        )
-      probes
-        .join(segs, Seq("lb", "idx", "seg"))
-        .where(col("ka") =!= col("kb"))
-        .select(
-          least(col("ka"), col("kb")).as("key_a"),
-          greatest(col("ka"), col("kb")).as("key_b"),
-          when(col("ka") < col("kb"), col("na")).otherwise(col("nb")).as("n1"),
-          when(col("ka") < col("kb"), col("nb")).otherwise(col("na")).as("n2"),
-        )
-        .distinct()
-        .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("int"))
-        .where(col("dist") <= 2)
-        .select("key_a", "key_b", "dist")
-        .orderBy("key_a", "key_b")
+      passjoinPairs(
+        Tables.part(s, d)
+          .where(col("p_partkey") <= 1000)
+          .select(col("p_partkey").as("k"), col("p_name").as("n")),
+      ).orderBy("key_a", "key_b")
     },
 
     // ----- int8 embedding quantization: per-vector symmetric scale
