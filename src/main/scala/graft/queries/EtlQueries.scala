@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Warehouse-ETL operators: CDC upsert (MERGE without a table format),
+  * SCD type-2 interval construction, and the `spark.sql` front end run
+  * on the dialect intersection with the oracle.
+  *
+  * Money arithmetic follows the repo-wide discipline (CoreQueries
+  * moneySum): exact DECIMAL aggregation cast to DOUBLE at the end, so
+  * no float-summation order can make the engines disagree.
+  */
+object EtlQueries {
+
+  /** Runs verbatim on BOTH engines — keep to the ANSI intersection:
+    * no backticks, no engine-specific functions, DECIMAL money math.
+    * (Declared before `qs`: object vals initialize in source order, and
+    * `qs` captures this string at construction.)
+    */
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- CDC upsert: apply a change set onto a base table via FULL
+    // OUTER join — the MERGE INTO shape without a table format. Change
+    // rows win; base-only rows carry through; change-only rows insert.
+    // At scale both sides shuffle once on the key (or the change side
+    // broadcasts when small); the action column costs nothing extra.
+    // Fixture: base = keys % 3 = 0, changes = keys % 2 = 0 with a 10%
+    // price uplift computed in exact DECIMAL.
+    Q(
+      "upsert_cdc",
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |chg AS (SELECT o_orderkey,
+        |               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE) AS new_price
+        |        FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT coalesce(base.o_orderkey, chg.o_orderkey) AS o_orderkey,
+        |       CASE WHEN base.o_orderkey IS NULL THEN 'inserted'
+        |            WHEN chg.o_orderkey IS NULL THEN 'kept'
+        |            ELSE 'updated' END AS action,
+        |       coalesce(chg.new_price, base.o_totalprice) AS price
+        |FROM base FULL JOIN chg ON base.o_orderkey = chg.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val base = orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("bk"), col("o_totalprice"))
+      val chg = orders.where(col("o_orderkey") % 2 === 0)
+        .select(
+          col("o_orderkey").as("ck"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE)")
+            .as("new_price"),
+        )
+      base.join(chg, col("bk") === col("ck"), "full_outer")
+        .select(
+          coalesce(col("bk"), col("ck")).as("o_orderkey"),
+          when(col("bk").isNull, "inserted")
+            .when(col("ck").isNull, "kept")
+            .otherwise("updated").as("action"),
+          coalesce(col("new_price"), col("o_totalprice")).as("price"),
+        )
+        .orderBy("o_orderkey")
+    },
+
+    // ----- SCD type-2 intervals: collapse each user's event stream to
+    // its TYPE CHANGES, then stamp validity windows — valid_from at the
+    // change, valid_to when the next change arrives (NULL = current
+    // version). Two window passes over one (user, time) sort; at scale
+    // that is a single shuffle on user_id reused by both windows.
+    Q(
+      "scd2_intervals",
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |           FROM events),
+        |chg AS (SELECT user_id, ts, event_id, event_type FROM e
+        |        WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version,
+        |       event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM chg ORDER BY user_id, version""".stripMargin,
+    ) { (s, d) =>
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(byTime))
+        .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(
+          col("user_id"),
+          row_number().over(byTime).cast("int").as("version"),
+          col("event_type"),
+          col("ts").as("valid_from"),
+          lead("ts", 1).over(byTime).as("valid_to"),
+        )
+        .orderBy("user_id", "version")
+    },
+
+    // ----- the spark.sql front end, on the dialect intersection: ONE
+    // SQL string is both the Spark input and the DuckDB oracle (TPC-H
+    // Q3 shape — shipping priority). Demonstrates that the engine's SQL
+    // surface, not just the DataFrame API, matches the oracle. Catalyst
+    // plans the 3-way join identically to the DataFrame form (broadcast
+    // dims, pushed date filters).
+    Q("sql_api_q3", EtlQueries.q3Sql) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(q3Sql)
+    },
+  )
+}
