@@ -121,5 +121,27 @@ object EtlQueries {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(q3Sql)
     },
+
+    // ----- keep-newest-per-key: the compaction primitive under every
+    // CDC table — one row_number window over (key, time DESC), rank 1
+    // survives. Single shuffle on the key; at scale this is the
+    // standard "latest snapshot" materialization.
+    Q(
+      "dedup_keep_latest",
+      """WITH r AS (SELECT user_id, event_id, event_type, ts,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events)
+        |SELECT user_id, event_id, event_type, ts AS latest_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts").as("latest_ts"))
+        .orderBy("user_id")
+    },
   )
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph computation on the part↔supplier bipartite graph
+  * (distinct lineitem pairs, symmetrized). Complements `dedup_clusters`
+  * (connected components / label propagation) with a weighted
+  * propagation: PageRank.
+  *
+  * All rank arithmetic is INTEGER micro-units (1e9 = rank 1.0, damping
+  * 0.85 as `(85 * s) div 100`, per-edge contribution as integer
+  * division by out-degree): float summation order differs between
+  * engines and across partitionings, so a double-based rank would never
+  * hash-match — the integer form is exactly reproducible everywhere,
+  * which is also what you want from a 1000-executor run (bit-identical
+  * reruns). Each iteration is one join (rank × edges) + one groupBy —
+  * the standard distributed PR shape; edges partition on src and the
+  * shuffle is reused across iterations.
+  */
+object GraphQueries {
+
+  private val iterations = 3
+
+  /** Supplier node ids are offset so the two key spaces cannot collide. */
+  private val supplierOffset = 1000000L
+
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + supplierOffset).as("sup"))
+      .distinct()
+    li.select(col("p").as("src"), col("sup").as("dst"))
+      .unionAll(li.select(col("sup").as("src"), col("p").as("dst")))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "graph_pagerank",
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, $supplierOffset + l_suppkey AS sup FROM lineitem),
+         |edges AS (SELECT p AS src, sup AS dst FROM pairs
+         |          UNION ALL SELECT sup AS src, p AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS node, 1000000000::BIGINT AS rank FROM deg),
+         |r1 AS (SELECT e.dst AS node, 150000000 + (85 * sum(r.rank // d.outdeg)) // 100 AS rank
+         |       FROM r0 r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
+         |       GROUP BY e.dst),
+         |r2 AS (SELECT e.dst AS node, 150000000 + (85 * sum(r.rank // d.outdeg)) // 100 AS rank
+         |       FROM r1 r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
+         |       GROUP BY e.dst),
+         |r3 AS (SELECT e.dst AS node, 150000000 + (85 * sum(r.rank // d.outdeg)) // 100 AS rank
+         |       FROM r2 r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
+         |       GROUP BY e.dst)
+         |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 100""".stripMargin,
+    ) { (s, d) =>
+      val e = edges(s, d).cache()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      var rank = deg.select(col("src").as("node"), lit(1000000000L).as("rank"))
+      (1 to iterations).foreach { _ =>
+        rank = rank
+          .join(deg, deg("src") === rank("node"))
+          .join(e.as("e"), col("e.src") === col("node"))
+          .select(col("e.dst").as("node2"), expr("rank div outdeg").as("contrib"))
+          .groupBy(col("node2").as("node"))
+          .agg(expr("150000000 + (85 * sum(contrib)) div 100").as("rank"))
+      }
+      rank.orderBy(desc("rank"), col("node")).limit(100)
+    },
+  )
+}
