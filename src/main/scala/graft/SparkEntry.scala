@@ -15,7 +15,7 @@ object SparkEntry {
   val registry: Seq[Q] = {
     val all = CoreQueries.qs ++ EventQueries.qs ++ TextQueries.qs ++
       DedupQueries.qs ++ SimilarityQueries.qs ++ MultimodalQueries.qs ++
-      PipelineQueries.qs ++ EtlQueries.qs ++ GraphQueries.qs
+      PipelineQueries.qs ++ EtlQueries.qs ++ GraphQueries.qs ++ SearchQueries.qs
     // toMap would silently shadow a colliding name — the shadowed query
     // would skip verification while the driver still reports green
     val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }

@@ -70,5 +70,52 @@ object GraphQueries {
       }
       rank.orderBy(desc("rank"), col("node")).limit(100)
     },
+
+    // ----- triangle counting on the part co-purchase graph: parts are
+    // linked when they appear in the same order at least TWICE (the
+    // co-occurrence threshold is the hub-pruning dial — the same
+    // frequency-cap idea as the jaccard stop-shingle cap; without it a
+    // popular part's degree makes the wedge join quadratic). Edges are
+    // oriented low-id → high-id so each triangle materializes exactly
+    // once; at 100 TB the standard refinement is degree-based
+    // orientation (low-degree endpoint first), which bounds wedges per
+    // node by sqrt(|E|). Per-order pair generation is quadratic in
+    // basket size — bounded here (~7 items); a real pipeline caps it.
+    Q(
+      "graph_triangles",
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+        |       FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY a.l_partkey, b.l_partkey),
+        |e AS (SELECT a, b FROM e0 WHERE w >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM e0) AS n_pairs,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin,
+    ) { (s, d) =>
+      val pp = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      // cached: e0 (the expensive per-order pair join + groupBy) feeds
+      // both the pair count and the thresholded edge set — one
+      // materialization; the filtered re-scans of the cache are cheap
+      val e0 = pp.join(pp.select(col("ok"), col("pk").as("pk2")), "ok")
+        .where(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("a"), col("pk2").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .cache()
+      val e = e0.where(col("w") >= 2).select("a", "b")
+      val wedges = e.join(e.select(col("a").as("b"), col("b").as("z")), "b")
+        .select(col("a").as("x"), col("b").as("y"), col("z"))
+      val tri = wedges.join(
+        e.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"),
+      )
+      e0.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    },
   )
 }

@@ -190,6 +190,96 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- per-stratum cap: keep at most K docs per lang, chosen by a
+    // deterministic md5 shuffle order (not "first K by doc_id", which
+    // biases toward old data). The complement of sample_stratified_hash:
+    // that one filters by RATE with no shuffle; this one guarantees an
+    // exact per-group COUNT, at the cost of one shuffle on the stratum
+    // key. At 100 TB a stratum fits a partition after the hash shuffle,
+    // and the window never sees more than one stratum.
+    Q(
+      "sample_group_cap",
+      """WITH r AS (SELECT doc_id, lang, source,
+        |                  row_number() OVER (
+        |                    PARTITION BY lang
+        |                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+        |                  ) AS rn
+        |           FROM documents)
+        |SELECT doc_id, lang, source, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    ) { (s, d) =>
+      val order = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+      val w = Window.partitionBy("lang").orderBy(order.asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .where(col("rn") <= 20)
+        .orderBy("lang", "rn")
+    },
+
+    // ----- TRUE greedy (next-fit) sequence packing: walk each lang's
+    // docs in doc_id order, keep a running fill, open a new pack when
+    // the next doc would overflow the 256-token budget. Genuinely
+    // sequential state → one repartition on lang + sortWithinPartitions
+    // + a per-partition fold (the mapPartitions escape hatch used as
+    // designed: the dependency is irreducibly sequential WITHIN a
+    // stratum, while strata stay parallel). Contrast with
+    // text_pack_sequences, whose offset rule is window-expressible but
+    // lets a pack overflow when a doc straddles the boundary; next-fit
+    // never overflows (oversize docs get a solo pack). The oracle
+    // replays the same walk as a recursive CTE — sequential semantics,
+    // declared declaratively.
+    Q(
+      "text_pack_greedy",
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT lang, doc_id, n_tok, rn, 0 AS pack_id, n_tok AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.doc_id, t.n_tok, t.rn,
+        |         CASE WHEN rec.fill + t.n_tok <= 256 THEN rec.pack_id ELSE rec.pack_id + 1 END,
+        |         CASE WHEN rec.fill + t.n_tok <= 256 THEN rec.fill + t.n_tok ELSE t.n_tok END
+        |  FROM rec JOIN t ON t.lang = rec.lang AND t.rn = rec.rn + 1)
+        |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM rec GROUP BY lang, pack_id
+        |ORDER BY lang, pack_id""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val budget = 256
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+        .as[(String, Long, Int)]
+        .repartition(col("lang"))
+        .sortWithinPartitions("lang", "doc_id")
+        .mapPartitions { it =>
+          // several langs can share a partition (hash-partitioned);
+          // state resets on the lang boundary — sortWithinPartitions
+          // groups each lang contiguously
+          var lang: String = null
+          var pack = 0L
+          var fill = 0
+          it.map { case (l, id, n) =>
+            if (l != lang) { lang = l; pack = 0L; fill = n }
+            else if (fill + n <= budget) fill += n
+            else { pack += 1; fill = n }
+            (l, id, n, pack)
+          }
+        }
+        .toDF("lang", "doc_id", "n_tok", "pack_id")
+        .groupBy("lang", "pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("bigint").as("pack_tokens"),
+          min("doc_id").as("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    },
+
     // ----- distinctive terms per document: top-3 by (tf DESC, df ASC,
     // word ASC). Integer-only TF-IDF ranking — tf and document
     // frequency order the terms without ever computing a float score,

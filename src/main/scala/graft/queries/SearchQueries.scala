@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Retrieval-side operators over the `documents` table: BM25 scoring,
+  * frequency-ranked vocabulary construction, and inverted-index build.
+  * A training-data pipeline uses these for corpus search (dedup triage,
+  * contamination forensics) and for tokenizer/vocab prep.
+  *
+  * Float discipline: BM25 sums per-term contributions in a FIXED
+  * expression tree (term1 + term2 + term3), never through a float
+  * aggregate — aggregation order varies with partitioning, a fixed tree
+  * does not. The only transcendental (`ln`) gets the repo's round(…, 6)
+  * safety (off-grid, tie mass ~0). Everything else is integer counts.
+  */
+object SearchQueries {
+
+  /** The literal search query. Terms are fixture-vocabulary words; a
+    * production run would parameterize them (they land in the plan as
+    * literals either way — the corpus side never shuffles for them).
+    */
+  private val terms = Seq("spark", "merge", "window")
+
+  // BM25 constants, written identically in both engines' SQL:
+  // k1 = 1.2, b = 0.75 → k1+1 = 2.2, 1-b = 0.25.
+  private def contribSql(tf: String, df: String) =
+    s"ln((n - $df + 0.5) / ($df + 0.5) + 1) * ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- BM25 search: per-doc term frequencies and document length
+    // from ONE explode+groupBy pass (a single shuffle on doc_id); the
+    // global stats (N, avgdl, per-term df) are ONE single-row aggregate
+    // over that result, broadcast back. At 100 TB the per-doc relation
+    // is corpus-sized but the scoring join is against a 1-row broadcast;
+    // nothing quadratic, nothing re-shuffled.
+    Q(
+      "bm25_search",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |tf AS (SELECT doc_id, count(*) AS dl,
+         |              count(CASE WHEN word = '${terms(0)}' THEN 1 END) AS tf1,
+         |              count(CASE WHEN word = '${terms(1)}' THEN 1 END) AS tf2,
+         |              count(CASE WHEN word = '${terms(2)}' THEN 1 END) AS tf3
+         |       FROM w GROUP BY doc_id),
+         |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |             CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+         |             CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2,
+         |             CAST(count(CASE WHEN tf3 > 0 THEN 1 END) AS DOUBLE) AS df3
+         |      FROM tf)
+         |SELECT doc_id, CAST(tf1 AS INTEGER) AS tf1, CAST(tf2 AS INTEGER) AS tf2,
+         |       CAST(tf3 AS INTEGER) AS tf3,
+         |       round(${contribSql("tf1", "df1")} + ${contribSql("tf2", "df2")}
+         |             + ${contribSql("tf3", "df3")}, 6) AS bm25
+         |FROM tf CROSS JOIN g
+         |WHERE tf1 + tf2 + tf3 > 0
+         |ORDER BY bm25 DESC, doc_id""".stripMargin,
+    ) { (s, d) =>
+      val tf = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("dl"),
+          count(when(col("word") === terms(0), 1)).as("tf1"),
+          count(when(col("word") === terms(1), 1)).as("tf2"),
+          count(when(col("word") === terms(2), 1)).as("tf3"),
+        )
+      val g = tf.agg(
+        count(lit(1)).cast("double").as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+        count(when(col("tf1") > 0, 1)).cast("double").as("df1"),
+        count(when(col("tf2") > 0, 1)).cast("double").as("df2"),
+        count(when(col("tf3") > 0, 1)).cast("double").as("df3"),
+      )
+      tf.crossJoin(broadcast(g))
+        .where(col("tf1") + col("tf2") + col("tf3") > 0)
+        .select(
+          col("doc_id"),
+          col("tf1").cast("int").as("tf1"),
+          col("tf2").cast("int").as("tf2"),
+          col("tf3").cast("int").as("tf3"),
+          round(
+            expr(contribSql("tf1", "df1")) + expr(contribSql("tf2", "df2"))
+              + expr(contribSql("tf3", "df3")),
+            6,
+          ).as("bm25"),
+        )
+        .orderBy(desc("bm25"), col("doc_id"))
+    },
+
+    // ----- vocabulary build: frequency-ranked token ids (BPE-prep /
+    // embedding-table layout). The id assignment is a TOTAL order over
+    // the vocab, realized as a distributed range-partitioned sort +
+    // zipWithIndex — not a single-partition window. The sort is over the
+    // VOCAB (distinct terms), which is orders of magnitude smaller than
+    // the corpus; min_count=2 drops hapax legomena the way real vocab
+    // builds do.
+    Q(
+      "vocab_build",
+      """WITH c AS (SELECT word, count(*) AS n
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |           GROUP BY word HAVING count(*) >= 2)
+        |SELECT word, n, CAST(row_number() OVER (ORDER BY n DESC, word) AS INTEGER) AS token_id
+        |FROM c ORDER BY token_id""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val counts = Tables.fanout(Tables.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+      // orderBy range-partitions; zipWithIndex preserves the global
+      // order across partitions — the scalable form of an unpartitioned
+      // row_number() window (which would funnel the vocab to one task)
+      counts.orderBy(desc("n"), col("word"))
+        .rdd.zipWithIndex()
+        .map { case (r, i) => (r.getString(0), r.getLong(1), (i + 1).toInt) }
+        .toDF("word", "n", "token_id")
+        .orderBy("token_id")
+    },
+
+    // ----- inverted index: term → document frequency + ordered posting
+    // list. Posting lists materialize as sorted CSV strings so the
+    // oracle comparison is a plain string equality. One shuffle on the
+    // term; per-term state is the posting list itself (at 100 TB the
+    // heavy tail is stopword terms — cap or bucket those postings; here
+    // the df column is the dial a caller would cap on).
+    Q(
+      "text_inverted_index",
+      """WITH wd AS (SELECT DISTINCT word, doc_id
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents))
+        |SELECT word, count(*) AS df,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM wd GROUP BY word ORDER BY word""".stripMargin,
+    ) { (s, d) =>
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(
+          count(lit(1)).as("df"),
+          expr("concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)))")
+            .as("postings"),
+        )
+        .orderBy("word")
+    },
+  )
+}

@@ -329,5 +329,50 @@ object SimilarityQueries {
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), round(sim, 6).as("cos_sim"))
         .orderBy("vec_a", "vec_b")
     },
+
+    // ----- per-DIMENSION affine int8 quantization (the codebook form of
+    // vector_quantize_int8's per-vector scale): each dimension gets its
+    // own (min, scale) learned from the corpus — one posexplode +
+    // groupBy(pos) pass (64 rows out, broadcast back), then a pure map.
+    // Per-dim ranges cut reconstruction error vs one global scale when
+    // dimensions have unequal spread, at zero extra scan cost; this is
+    // the scalar-quantization half of product quantization (ROADMAP:
+    // k-means codebooks are the remaining half). floor() not round()
+    // (round-half ties differ between engines; floor is exact IEEE);
+    // max-error aggregate is exact (no float summation).
+    Q(
+      "vector_quantize_perdim",
+      s"""WITH $vecsSqlCte,
+         |u AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v),
+         |st AS (SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255 AS scale
+         |       FROM u GROUP BY pos),
+         |q AS (SELECT vec_id, u.pos, x, mn, scale,
+         |             least(floor((x - mn) / scale), 255) AS code
+         |      FROM u JOIN st ON u.pos = st.pos WHERE scale > 0)
+         |SELECT vec_id,
+         |       CAST(max(CASE WHEN pos = 1 THEN code END) AS INTEGER) AS q1,
+         |       CAST(max(CASE WHEN pos = 2 THEN code END) AS INTEGER) AS q2,
+         |       CAST(max(CASE WHEN pos = 3 THEN code END) AS INTEGER) AS q3,
+         |       max(abs(x - (mn + (CAST(code AS DOUBLE) + 0.5) * scale))) AS max_err
+         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    ) { (s, d) =>
+      val u = vecs(s, d).select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val st = u.groupBy("pos")
+        .agg(min("x").as("mn"), ((max("x") - min("x")) / 255).as("scale"))
+      val q = u.join(broadcast(st), "pos")
+        .where(col("scale") > 0)
+        // Spark floor(DOUBLE) is BIGINT, DuckDB's stays DOUBLE — both
+        // exact integers; CAST AS DOUBLE below unifies the arithmetic
+        .withColumn("code", least(floor((col("x") - col("mn")) / col("scale")), lit(255L)))
+      q.groupBy("vec_id")
+        .agg(
+          max(when(col("pos") === 0, col("code"))).cast("int").as("q1"),
+          max(when(col("pos") === 1, col("code"))).cast("int").as("q2"),
+          max(when(col("pos") === 2, col("code"))).cast("int").as("q3"),
+          max(abs(col("x") - (col("mn") + (col("code").cast("double") + 0.5) * col("scale"))))
+            .as("max_err"),
+        )
+        .orderBy("vec_id")
+    },
   )
 }
