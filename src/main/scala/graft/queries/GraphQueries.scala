@@ -26,6 +26,18 @@ object GraphQueries {
   /** Supplier node ids are offset so the two key spaces cannot collide. */
   private val supplierOffset = 1000000L
 
+  /** Count triangles in an undirected simple graph given as oriented
+    * edges `(a, b)` with `a < b` (each undirected edge once). Wedge
+    * join on the middle node, closed by an edge lookup — each triangle
+    * (x < y < z) materializes exactly once. Reusable so the property
+    * spec can pit it against brute force on arbitrary graphs.
+    */
+  def triangles(e: DataFrame): DataFrame = {
+    val wedges = e.join(e.select(col("a").as("b"), col("b").as("z")), "b")
+      .select(col("a").as("x"), col("b").as("y"), col("z"))
+    wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+  }
+
   private def edges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), (col("l_suppkey") + supplierOffset).as("sup"))
@@ -107,12 +119,7 @@ object GraphQueries {
         .agg(count(lit(1)).as("w"))
         .cache()
       val e = e0.where(col("w") >= 2).select("a", "b")
-      val wedges = e.join(e.select(col("a").as("b"), col("b").as("z")), "b")
-        .select(col("a").as("x"), col("b").as("y"), col("z"))
-      val tri = wedges.join(
-        e.select(col("a").as("x"), col("b").as("z")),
-        Seq("x", "z"),
-      )
+      val tri = triangles(e)
       e0.agg(count(lit(1)).as("n_pairs"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
         .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))

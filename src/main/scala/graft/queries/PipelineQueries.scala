@@ -80,6 +80,38 @@ object PipelineQueries {
       .select("key_a", "key_b", "dist")
   }
 
+  /** Next-fit greedy pack assignment over a `(lang, doc_id, n_tok)`
+    * DataFrame: within each lang, docs in doc_id order accumulate into
+    * the current pack until the next doc would exceed `budget`, which
+    * opens a new pack (an oversize doc gets a solo pack). Returns
+    * `(lang, doc_id, n_tok, pack_id)`. The state is irreducibly
+    * sequential WITHIN a stratum — one repartition on lang +
+    * sortWithinPartitions + a per-partition fold; strata stay parallel.
+    */
+  def packGreedy(docs: org.apache.spark.sql.DataFrame, budget: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .as[(String, Long, Int)]
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .mapPartitions { it =>
+        // several langs can share a partition (hash-partitioned);
+        // state resets on the lang boundary — sortWithinPartitions
+        // groups each lang contiguously
+        var lang: String = null
+        var pack = 0L
+        var fill = 0
+        it.map { case (l, id, n) =>
+          if (l != lang) { lang = l; pack = 0L; fill = n }
+          else if (fill + n <= budget) fill += n
+          else { pack += 1; fill = n }
+          (l, id, n, pack)
+        }
+      }
+      .toDF("lang", "doc_id", "n_tok", "pack_id")
+  }
+
   /** 5-word shingles (decontamination uses longer n-grams than dedup's
     * 3-shingles — a short n-gram collides on common phrases; a training
     * pipeline flags eval contamination on long, rare spans).
@@ -249,28 +281,11 @@ object PipelineQueries {
         |FROM rec GROUP BY lang, pack_id
         |ORDER BY lang, pack_id""".stripMargin,
     ) { (s, d) =>
-      import s.implicits._
-      val budget = 256
-      Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
-        .as[(String, Long, Int)]
-        .repartition(col("lang"))
-        .sortWithinPartitions("lang", "doc_id")
-        .mapPartitions { it =>
-          // several langs can share a partition (hash-partitioned);
-          // state resets on the lang boundary — sortWithinPartitions
-          // groups each lang contiguously
-          var lang: String = null
-          var pack = 0L
-          var fill = 0
-          it.map { case (l, id, n) =>
-            if (l != lang) { lang = l; pack = 0L; fill = n }
-            else if (fill + n <= budget) fill += n
-            else { pack += 1; fill = n }
-            (l, id, n, pack)
-          }
-        }
-        .toDF("lang", "doc_id", "n_tok", "pack_id")
+      packGreedy(
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_tok")),
+        budget = 256,
+      )
         .groupBy("lang", "pack_id")
         .agg(
           count(lit(1)).as("n_docs"),
