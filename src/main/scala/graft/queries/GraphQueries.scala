@@ -63,7 +63,7 @@ object GraphQueries {
          |r3 AS (SELECT e.dst AS node, 150000000 + (85 * sum(r.rank // d.outdeg)) // 100 AS rank
          |       FROM r2 r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
          |       GROUP BY e.dst)
-         |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 100""".stripMargin,
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100""".stripMargin,
     ) { (s, d) =>
       // out-degree is pre-joined into the edge relation ONCE and the
       // result cached: each of the 3 iterations is then a single join
