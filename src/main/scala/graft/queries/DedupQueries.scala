@@ -421,21 +421,31 @@ object DedupQueries {
   /** Shared SimHash fingerprint pipeline (doc_id, simhash BIGINT):
     * per-token md5 32-bit slice, frequency-weighted ±1 votes per bit,
     * 16-bit assembly — identical in [[simhashSqlCte]].
+    *
+    * The 16 bit-votes are 16 aggregate columns of ONE groupBy(doc_id)
+    * (the same single-shuffle shape as the MinHash kernel): the vote
+    * `sum(cnt * sign)` over distinct (doc, token) pairs equals
+    * `sum(sign)` over raw token occurrences, so the (doc_id, w) count
+    * pass, the 16× bit-index fanout join, and the (doc_id, j) shuffle
+    * all collapse away. Map-side partial aggregation means the only
+    * shuffled bytes are 16 longs per doc per partition; everything up
+    * to the exchange is one WholeStageCodegen span. Values are
+    * bit-identical to the oracle's distinct-token formulation.
     */
   private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val toks = Tables.fanout(Tables.documents(s, d))
+    val occ = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w")
-      .agg(count(lit(1)).as("cnt"))
       .withColumn("h32", expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
-    val js = broadcast(s.range(16).select(col("id").cast("int").as("j")))
-    toks.crossJoin(js)
-      .groupBy("doc_id", "j")
-      .agg(
-        when(sum(col("cnt") * (lit(2) * expr("(h32 >> j) & 1") - 1)) > 0, 1).otherwise(0).as("bit"),
+    val voteAggs = (0 until 16).map { j =>
+      sum(expr(s"2 * ((h32 >> $j) & 1) - 1")).as(s"v$j")
+    }
+    occ.groupBy("doc_id")
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 16).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"),
       )
-      .groupBy("doc_id")
-      .agg(sum(expr("bit * shiftleft(1L, j)")).as("simhash"))
   }
 
 }

@@ -68,10 +68,14 @@ object GraphQueries {
       // out-degree is pre-joined into the edge relation ONCE and the
       // result cached: each of the 3 iterations is then a single join
       // (rank × edge+deg) + one groupBy, instead of two joins — and
-      // lineitem is scanned once, not per iteration
+      // lineitem is scanned once, not per iteration. The cache is
+      // hash-partitioned on src so every iteration's join reuses that
+      // layout and only the (small) rank side shuffles — on a cluster
+      // this is the difference between moving the edge relation once
+      // vs once per iteration.
       val e = edges(s, d).cache()
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val edgeDeg = e.join(deg, "src").cache()
+      val edgeDeg = e.join(deg, "src").repartition(col("src")).cache()
       var rank = deg.select(col("src").as("node"), lit(1000000000L).as("rank"))
       (1 to iterations).foreach { _ =>
         rank = rank
