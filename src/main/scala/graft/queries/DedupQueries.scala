@@ -74,17 +74,30 @@ object DedupQueries {
        |          FROM mh GROUP BY doc_id, seed // $rowsPerBand)""".stripMargin
   }
 
-  /** DuckDB mirror of [[simhashFp]], ending in `fp(doc_id, simhash)`. */
+  /** DuckDB mirror of [[simhashFp]], ending in `fp(doc_id, simhash)`.
+    * Bit 63 cannot be built as `1 << 63` (DuckDB overflow-checks the
+    * shift) nor summed in (BIGINT sum would overflow): bits 0–62 sum to
+    * at most 2⁶³−1, and the sign bit is OR'd in as the explicit
+    * `-2⁶³` literal — bitwise OR never overflows, and the resulting
+    * two's-complement pattern is exactly what Spark's long arithmetic
+    * produces.
+    */
   private val simhashSqlCte =
     """t AS (SELECT doc_id, w, count(*) AS cnt
       |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       |      GROUP BY doc_id, w),
-      |h AS (SELECT doc_id, cnt, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h32 FROM t),
+      |h AS (SELECT doc_id, cnt, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h_lo,
+      |             ('0x' || substr(md5(w), 9, 8))::BIGINT AS h_hi FROM t),
       |bits AS (SELECT doc_id, j,
-      |                CASE WHEN sum(cnt * (2 * ((h32 >> j) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
-      |         FROM h CROSS JOIN (SELECT unnest(range(16)) AS j)
+      |                CASE WHEN sum(cnt * (2 * (CASE WHEN j < 32 THEN (h_lo >> j) & 1
+      |                                               ELSE (h_hi >> (j - 32)) & 1 END) - 1)) > 0
+      |                     THEN 1 ELSE 0 END AS bit
+      |         FROM h CROSS JOIN (SELECT unnest(range(64)) AS j)
       |         GROUP BY doc_id, j),
-      |fp AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
+      |fp AS (SELECT doc_id,
+      |              CAST(sum(CASE WHEN j < 63 THEN bit * (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+      |              | (CASE WHEN max(CASE WHEN j = 63 THEN bit ELSE 0 END) = 1
+      |                      THEN (-9223372036854775807 - 1) ELSE 0 END) AS simhash
       |       FROM bits GROUP BY doc_id)""".stripMargin
 
   /** MinHash+LSH candidate pairs (doc_a < doc_b). One shuffle: the 16
@@ -342,7 +355,7 @@ object DedupQueries {
       result.orderBy("doc_id")
     },
 
-    // ----- SimHash: 16-bit fingerprint from token-frequency-weighted bit votes
+    // ----- SimHash: 64-bit fingerprint from token-frequency-weighted bit votes
     Q(
       "dedup_simhash",
       s"""WITH $simhashSqlCte
@@ -353,19 +366,23 @@ object DedupQueries {
 
     // ----- SimHash near-duplicate counts: Hamming-distance pairing over
     // the fingerprints. Pigeonhole banding makes it shuffle-bounded: the
-    // 16 bits split into two 8-bit halves, and any pair within distance 1
-    // agrees exactly on at least one half — so candidates only form
-    // inside equal-half buckets, never all-pairs. A bucket-frequency cap
-    // (like the capped Jaccard’s stop-shingle cap) bounds the Σ|bucket|²
-    // blowup a degenerate corpus would cause; output is per-doc near-dup
+    // 64 bits split into four 16-bit bands, and any pair within Hamming
+    // distance 3 agrees exactly on at least one band (3 differing bits
+    // can dirty at most 3 of the 4 bands) — so candidates only form
+    // inside equal-band buckets, never all-pairs. 16-bit bands give
+    // 65 536 bucket values each, so buckets stay O(1)-sized until the
+    // corpus dwarfs the band space; the bucket-frequency cap (like the
+    // capped Jaccard’s stop-shingle cap) bounds the Σ|bucket|² blowup a
+    // degenerate corpus would still cause. Output is per-doc near-dup
     // counts, not pairs — near-dup clusters are quadratic in the clique
-    // size and belong in aggregate form.
+    // size and belong in aggregate form. Band keys extract as
+    // `(simhash >> 16·b) & 65535`: the mask makes arithmetic shift of a
+    // sign-bit-set fingerprint logical, identically in both engines.
     Q(
       "dedup_simhash_pairs",
       s"""WITH $simhashSqlCte,
-         |bands AS (SELECT doc_id, simhash, 0 AS band, simhash // 256 AS key FROM fp
-         |          UNION ALL
-         |          SELECT doc_id, simhash, 1 AS band, simhash % 256 AS key FROM fp),
+         |bands AS (SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS key
+         |          FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band)),
          |ok AS (SELECT band, key FROM (SELECT band, key, count(*) AS df FROM bands
          |                              GROUP BY band, key) WHERE df <= 500),
          |bb AS (SELECT b.* FROM bands b JOIN ok USING (band, key)),
@@ -373,7 +390,7 @@ object DedupQueries {
          |                         b.doc_id AS doc_b, b.simhash AS sb
          |         FROM bb a JOIN bb b
          |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |near AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+         |near AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
          |e AS (SELECT doc_a AS d FROM near UNION ALL SELECT doc_b FROM near)
          |SELECT d AS doc_id, count(*) AS n_near FROM e GROUP BY d ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
@@ -389,24 +406,25 @@ object DedupQueries {
       // clearCache — Bench does that between queries; Verify JVMs are
       // one-shot.
       val fp = simhashFp(s, d).cache()
+      val bandExprs = (0 until 4).flatMap(b => Seq(s"$b", s"(simhash >> ${16 * b}) & 65535"))
       val bands = fp.select(
         col("doc_id"), col("simhash"),
-        expr("stack(2, 0, simhash div 256, 1, simhash % 256) AS (band, key)"),
+        expr(s"stack(4, ${bandExprs.mkString(", ")}) AS (band, key)"),
       )
       val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("df"))
         .where(col("df") <= 500).select("band", "key")
       val bb = bands.join(ok, Seq("band", "key"))
       // Hamming filter BEFORE the pair-dedup shuffle: bit_count is a few
       // instructions, the distinct is a shuffle — cutting the candidate
-      // stream first shrinks the exchange ~10x (a dist-0 pair appears in
-      // both band buckets, so the distinct on (doc_a, doc_b) still runs)
+      // stream first shrinks the exchange ~10x (a near pair can match in
+      // up to 4 band buckets, so the distinct on (doc_a, doc_b) still runs)
       val near = bb.as("a")
         .join(
           bb.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"),
         )
-        .where(expr("bit_count(a.simhash ^ b.simhash) <= 1"))
+        .where(expr("bit_count(a.simhash ^ b.simhash) <= 3"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       near.select(col("doc_a").as("d"))
@@ -419,32 +437,44 @@ object DedupQueries {
   )
 
   /** Shared SimHash fingerprint pipeline (doc_id, simhash BIGINT):
-    * per-token md5 32-bit slice, frequency-weighted ±1 votes per bit,
-    * 16-bit assembly — identical in [[simhashSqlCte]].
+    * two 32-bit md5 slices per token, frequency-weighted ±1 votes per
+    * bit, 64-bit assembly — identical in [[simhashSqlCte]].
     *
-    * The 16 bit-votes are 16 aggregate columns of ONE groupBy(doc_id)
+    * The 64 bit-votes are 64 aggregate columns of ONE groupBy(doc_id)
     * (the same single-shuffle shape as the MinHash kernel): the vote
     * `sum(cnt * sign)` over distinct (doc, token) pairs equals
     * `sum(sign)` over raw token occurrences, so the (doc_id, w) count
-    * pass, the 16× bit-index fanout join, and the (doc_id, j) shuffle
+    * pass, the 64× bit-index fanout join, and the (doc_id, j) shuffle
     * all collapse away. Map-side partial aggregation means the only
-    * shuffled bytes are 16 longs per doc per partition; everything up
+    * shuffled bytes are 64 longs per doc per partition; everything up
     * to the exchange is one WholeStageCodegen span. Values are
     * bit-identical to the oracle's distinct-token formulation.
+    *
+    * 64 bits (vs the original 16) is a candidate-volume decision, not a
+    * quality nicety: a 16-bit fingerprint banded into two 8-bit halves
+    * has only 256 values per band, so band buckets birthday-saturate by
+    * a few hundred docs and the pair join degenerates toward a cross
+    * product. 16-bit bands (65 536 values) keep buckets O(1) until the
+    * corpus dwarfs the band space ~256× — and the df cap bounds even
+    * that. Assembly is bitwise OR of disjoint single-bit masks (never
+    * `+`): bit 63's mask is `Long.MinValue`, and OR-ing it in is
+    * overflow-free and mirror-exact with the oracle's literal.
     */
   private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val occ = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h32", expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
-    val voteAggs = (0 until 16).map { j =>
-      sum(expr(s"2 * ((h32 >> $j) & 1) - 1")).as(s"v$j")
+      .withColumn("h_lo", expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("h_hi", expr("CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)"))
+    val voteAggs = (0 until 64).map { j =>
+      val src = if (j < 32) s"(h_lo >> $j)" else s"(h_hi >> ${j - 32})"
+      sum(expr(s"2 * ($src & 1) - 1")).as(s"v$j")
     }
     occ.groupBy("doc_id")
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(
         col("doc_id"),
-        (0 until 16).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"),
+        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"),
       )
   }
 
