@@ -95,8 +95,8 @@ object DedupQueries {
       |         FROM h CROSS JOIN (SELECT unnest(range(64)) AS j)
       |         GROUP BY doc_id, j),
       |fp AS (SELECT doc_id,
-      |              CAST(sum(CASE WHEN j < 63 THEN bit * (1::BIGINT << j) ELSE 0 END) AS BIGINT)
-      |              | (CASE WHEN max(CASE WHEN j = 63 THEN bit ELSE 0 END) = 1
+      |              CAST(sum(CASE WHEN j < 63 THEN bit * (1::BIGINT << j) ELSE 0 END) AS BIGINT) |
+      |              (CASE WHEN max(CASE WHEN j = 63 THEN bit ELSE 0 END) = 1
       |                      THEN (-9223372036854775807 - 1) ELSE 0 END) AS simhash
       |       FROM bits GROUP BY doc_id)""".stripMargin
 

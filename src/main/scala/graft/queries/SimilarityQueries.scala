@@ -152,9 +152,9 @@ object SimilarityQueries {
          |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
          |probes AS (SELECT qv, unnest(list_prepend(qbucket,
          |             list_transform(range(1, 9), i ->
-         |               substr(qbucket, 1, i - 1)
-         |               || (CASE WHEN substr(qbucket, i, 1) = '1' THEN '0' ELSE '1' END)
-         |               || substr(qbucket, i + 1)))) AS pbucket
+         |               substr(qbucket, 1, i - 1) ||
+         |               (CASE WHEN substr(qbucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+         |               substr(qbucket, i + 1)))) AS pbucket
          |           FROM q)
          |SELECT vec_id, label, bucket, round(${cosineSql("v", "qv")}, 6) AS sim
          |FROM b JOIN probes ON bucket = pbucket WHERE vec_id <> 0
