@@ -36,6 +36,17 @@ object SimilarityQueries {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  /** Squared L2 between two double-array columns — a sequential left
+    * fold in both engines (Spark `aggregate` ↔ DuckDB `list_reduce`),
+    * so the accumulation order is identical and the result bit-exact,
+    * the same determinism argument as [[cosine]]/[[cosineSql]].
+    */
+  private def l2sq(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+
+  private def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)"
+
   /** Embeddings with elements pre-cast to double (column `v`); also the
     * single hook where graft's native functions get registered on the
     * (driver-owned) session.
@@ -336,8 +347,8 @@ object SimilarityQueries {
     // groupBy(pos) pass (64 rows out, broadcast back), then a pure map.
     // Per-dim ranges cut reconstruction error vs one global scale when
     // dimensions have unequal spread, at zero extra scan cost; this is
-    // the scalar-quantization half of product quantization (ROADMAP:
-    // k-means codebooks are the remaining half). floor() not round()
+    // the scalar-quantization half of product quantization
+    // (vector_pq_codes below is the k-means-codebook half). floor() not round()
     // (round-half ties differ between engines; floor is exact IEEE);
     // max-error aggregate is exact (no float summation).
     Q(
@@ -371,6 +382,90 @@ object SimilarityQueries {
           max(when(col("pos") === 2, col("code"))).cast("int").as("q3"),
           max(abs(col("x") - (col("mn") + (col("code").cast("double") + 0.5) * col("scale"))))
             .as("max_err"),
+        )
+        .orderBy("vec_id")
+    },
+
+    // ----- product-quantization codebook: the k-means half of PQ
+    // (Jégou et al., "Product Quantization for Nearest Neighbor
+    // Search", TPAMI 2011). The 64-dim vector splits into M=4 blocks of
+    // 16 dims; each block trains its own K=8 codebook with two
+    // deterministic Lloyd iterations under squared-L2 (seeds = blocks
+    // of vectors 1..8, ties broken by cid — the ann_ivf_trained recipe
+    // on subvectors), and every vector's code is its 4 nearest-centroid
+    // ids. Scale shape: the codebook is M*K = 32 rows, always broadcast;
+    // the assignment pass is linear in N*M*K with no shuffle before the
+    // final groupBy(vec_id); recentering shuffles only M*K*16 = 512
+    // mean cells. The error column is max-over-blocks (order-invariant),
+    // NOT sum — summing 53-bit-mantissa squares is accumulation-order-
+    // sensitive and Spark/DuckDB group in different orders, while every
+    // individual d2 is a sequential fold, bit-exact in both engines.
+    Q(
+      "vector_pq_codes",
+      s"""WITH $vecsSqlCte,
+         |blk AS (SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS sv
+         |        FROM v CROSS JOIN (SELECT unnest(range(4)) AS m)),
+         |cb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM blk WHERE vec_id BETWEEN 1 AND 8),
+         |${(1 to 2).map(it => s"""
+         |s$it AS (SELECT b.vec_id, b.m, b.sv, c.cid, ${l2sqSql("b.sv", "c.cv")} AS d2
+         |        FROM blk b JOIN cb${it - 1} c ON b.m = c.m),
+         |a$it AS (SELECT vec_id, m, sv, cid FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |                                        ORDER BY d2, cid) AS rn FROM s$it)
+         |        WHERE rn = 1),
+         |cb$it AS (SELECT m, cid, list(cav ORDER BY pos) AS cv FROM
+         |           (SELECT m, cid, pos, avg(x) AS cav
+         |            FROM (SELECT m, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+         |                  FROM a$it)
+         |            GROUP BY m, cid, pos)
+         |         GROUP BY m, cid)""".stripMargin).mkString("", ",\n", ",")}
+         |sf AS (SELECT b.vec_id, b.m, c.cid, ${l2sqSql("b.sv", "c.cv")} AS d2
+         |       FROM blk b JOIN cb2 c ON b.m = c.m),
+         |af AS (SELECT vec_id, m, cid, d2 FROM
+         |         (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |                                       ORDER BY d2, cid) AS rn FROM sf)
+         |       WHERE rn = 1)
+         |SELECT vec_id,
+         |       CAST(max(CASE WHEN m = 0 THEN cid END) AS INTEGER) AS c0,
+         |       CAST(max(CASE WHEN m = 1 THEN cid END) AS INTEGER) AS c1,
+         |       CAST(max(CASE WHEN m = 2 THEN cid END) AS INTEGER) AS c2,
+         |       CAST(max(CASE WHEN m = 3 THEN cid END) AS INTEGER) AS c3,
+         |       round(max(d2), 6) AS max_block_err
+         |FROM af GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    ) { (s, d) =>
+      val blocks = vecs(s, d).select(
+        col("vec_id"),
+        explode(expr("transform(sequence(0, 3), m -> struct(m AS m, slice(v, m * 16 + 1, 16) AS sv))"))
+          .as("b"),
+      ).select(col("vec_id"), col("b.m").as("m"), col("b.sv").as("sv"))
+      // one Lloyd step per block: broadcast the 32-row codebook, score
+      // every (block, centroid) pair, rank per (vec_id, m)
+      def score(cb: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+        blocks.join(broadcast(cb), "m")
+          .withColumn("d2", l2sq("sv", "cv"))
+          .withColumn("rn", row_number().over(w))
+      }
+      def assign(cb: DataFrame): DataFrame = score(cb).where(col("rn") === 1)
+      // element-wise member mean per (block, centroid), rebuilt in
+      // position order — the ann_ivf_trained recenter on subvectors
+      def recenter(a: DataFrame): DataFrame =
+        a.select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("m", "cid", "pos")
+          .agg(avg("x").as("cav"))
+          .groupBy("m", "cid")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, cav))), p -> p.cav)").as("cv"))
+      val seeds = blocks.where(col("vec_id").between(1, 8))
+        .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+      val trained = recenter(assign(recenter(assign(seeds))))
+      assign(trained)
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("m") === 0, col("cid"))).cast("int").as("c0"),
+          max(when(col("m") === 1, col("cid"))).cast("int").as("c1"),
+          max(when(col("m") === 2, col("cid"))).cast("int").as("c2"),
+          max(when(col("m") === 3, col("cid"))).cast("int").as("c3"),
+          round(max("d2"), 6).as("max_block_err"),
         )
         .orderBy("vec_id")
     },
