@@ -46,9 +46,11 @@ object CompactionStream {
     * leaves: an arrival books its leaf for re-planning at
     * `max(file mtime) + freshnessDays`, and every micro-batch processes
     * the leaves that have come due (immediately, when freshnessDays=0).
-    * The schedule is bounded by the count of distinct dirty leaves and
-    * is PERSISTED next to the checkpoint (`graft-due-schedule`, atomic
-    * tmp+rename, rewritten only when it changes): a restart reloads the
+    * The schedule keeps at most `maxTrackedLeaves` entries resident (the
+    * soonest-due window; overflow spills to the snapshot, see
+    * [[DueSchedule]]) and is PERSISTED next to the checkpoint
+    * (`graft-due-schedule`, atomic tmp+rename, rewritten only when it
+    * changes): a restart reloads the
     * booked leaves, so a last-write-then-quiet leaf booked before a
     * crash still compacts when it comes due — the mtime-window source
     * never re-emits old files, so without the snapshot it would wait
@@ -72,6 +74,12 @@ object CompactionStream {
       // leaves before the batch ends — the in-memory schedule would
       // otherwise strand them when the query stops.
       maxLeavesPerBatch: Int = 4096,
+      // Driver-memory bound: at most this many booked leaves stay
+      // resident (the soonest-due window); the rest spill to the
+      // persisted schedule and are pulled back as the window drains.
+      // ~100 bytes per resident entry -> the default holds a 10 MB
+      // ceiling no matter how many leaves the store has.
+      maxTrackedLeaves: Int = 100000,
   ): StreamingQuery = {
     require(maxLeavesPerBatch >= 1, s"maxLeavesPerBatch must be >= 1, got $maxLeavesPerBatch")
     val oneShot = trigger.getClass.getName.matches(".*(OneTime|AvailableNow).*")
@@ -88,15 +96,13 @@ object CompactionStream {
     // day arithmetic (UTC epoch-day compare, strict <): with a moving
     // asOf the file's day must END and freshnessDays more must pass;
     // with a pinned asOf eligibility is time-independent — due now or
-    // never.
-    val due = scala.collection.concurrent.TrieMap.empty[String, Long]
+    // never. Bounded resident footprint: [[DueSchedule]] keeps only the
+    // maxTrackedLeaves soonest-due entries in driver memory and spills
+    // the rest to the persisted snapshot, change-tracked so continuous
+    // triggers don't rewrite an unchanged file.
     val scheduleFile = new Path(checkpointDir, scheduleFileName)
     val scheduleFs = scheduleFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    due ++= loadSchedule(scheduleFs, scheduleFile)
-    // change-tracked snapshot: continuous triggers fire constantly
-    // (wall-clock offsets), so only rewrite the file when the schedule
-    // actually moved
-    var lastPersisted: Map[String, Long] = due.toMap
+    val sched = new DueSchedule(scheduleFs, scheduleFile, maxTrackedLeaves)
     def dueMsOf(mtimeMs: Long): Option[Long] = {
       val mtimeDay = mtimeMs / 86400000L
       cfg.asOf match {
@@ -121,27 +127,17 @@ object CompactionStream {
           .collect()
           .map(r => (r.getString(0), r.getLong(1)))
         arrivals.foreach { case (leaf, maxMtime) =>
-          dueMsOf(maxMtime).foreach { dueMs =>
-            due.updateWith(leaf)(prev => Some(math.max(prev.getOrElse(0L), dueMs)))
-          }
+          dueMsOf(maxMtime).foreach(sched.book(leaf, _))
         }
         val now = System.currentTimeMillis()
         // oldest-due first under the cap, so a storm drains fairly
-        def nextReady(): Seq[String] = due.filter(_._2 <= now).toSeq
-          .sortBy(e => (e._2, e._1)).take(maxLeavesPerBatch).map(_._1)
-        var ready = nextReady()
+        var ready = sched.takeReady(now, maxLeavesPerBatch)
         while (ready.nonEmpty) {
-          ready.foreach(due.remove)
           val results = Compactor.runOnFiles(spark, listLeaves(spark, ready, confBc), cfg)
           onBatch(results)
-          ready = if (oneShot) nextReady() else Seq.empty
+          ready = if (oneShot) sched.takeReady(now, maxLeavesPerBatch) else Seq.empty
         }
-        val snapshot = due.toMap
-        if (snapshot != lastPersisted) {
-          persistSchedule(scheduleFs, scheduleFile, snapshot)
-          lastPersisted = snapshot
-        }
-        ()
+        sched.flush()
       }
       .start()
   }

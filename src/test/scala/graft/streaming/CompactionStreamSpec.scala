@@ -121,6 +121,52 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
     }
   }
 
+  test("more dirty leaves than maxTrackedLeaves still all compact") {
+    val oroot = Files.createTempDirectory("graft-stream-cap").toFile
+    val ockpt = Files.createTempDirectory("graft-stream-cap-ckpt").toFile
+    try {
+      val leaves = (1 to 5).map { i =>
+        val l = new File(oroot, s"acct/source=c$i/year=2026/month=01")
+        l.mkdirs()
+        writeFile(l, "a.parquet", df(s"c$i-a"))
+        writeFile(l, "b.parquet", df(s"c$i-b"))
+        l
+      }
+      val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
+      // resident window 2 << 5 booked leaves: the overflow spills to the
+      // persisted schedule and must drain back within the same one-shot
+      // batch — NOTHING booked may be lost to the cap
+      def runOnce(): Unit = {
+        val q = CompactionStream.start(
+          spark, oroot.getAbsolutePath, cfg,
+          Trigger.AvailableNow(), ockpt.getAbsolutePath,
+          onBatch = r => { batches.add(r); () },
+          maxLeavesPerBatch = 2,
+          maxTrackedLeaves = 2,
+        )
+        q.awaitTermination(60000)
+        ()
+      }
+      runOnce()
+      val deadline = System.currentTimeMillis() + 60000
+      while (batches.asScala.flatten.size < 5 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        runOnce()
+      }
+      val all = batches.asScala.flatten.toSeq
+      withClue(all) {
+        all.size shouldBe 5
+        all.foreach(_.success shouldBe true)
+      }
+      leaves.foreach { l =>
+        l.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1
+      }
+    } finally {
+      def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+      rm(oroot); rm(ockpt)
+    }
+  }
+
   test("persisted due schedule rescues a booked-but-quiet leaf across restart") {
     val sroot = Files.createTempDirectory("graft-stream-sched").toFile
     val sckpt = Files.createTempDirectory("graft-stream-sched-ckpt").toFile

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path, RawLocalFileSystem}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Unit semantics of the bounded due schedule (no Spark session): the
+  * residency cap holds while NOTHING booked is lost — overflow spills to
+  * the snapshot file and drains back in due order; bookings max-merge;
+  * restarts restore both the window and the spill; a failing FileSystem
+  * degrades the bound, never the stream.
+  */
+class DueScheduleSpec extends AnyFunSuite with Matchers {
+
+  private def withFs(f: (FileSystem, Path) => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft-due-sched").toFile
+    val p = new Path(new java.io.File(dir, "graft-due-schedule").getAbsolutePath)
+    val fs = p.getFileSystem(new Configuration())
+    try f(fs, p)
+    finally {
+      def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); () }
+      rm(dir)
+    }
+  }
+
+  test("booking past the cap keeps the soonest window resident and spills the rest") {
+    withFs { (fs, p) =>
+      val s = new DueSchedule(fs, p, cap = 3)
+      (1 to 10).foreach(i => s.book(s"file:/leaf$i", i.toLong))
+      s.residentCount should be <= 3
+      s.flush()
+      s.residentCount shouldBe 3
+      s.spilledCount shouldBe 7
+      // the resident window is the SOONEST three
+      CompactionStream.loadSchedule(fs, p).size shouldBe 10
+    }
+  }
+
+  test("takeReady drains resident AND spilled entries in due order") {
+    withFs { (fs, p) =>
+      val s = new DueSchedule(fs, p, cap = 2)
+      (1 to 7).foreach(i => s.book(s"file:/leaf$i", i.toLong))
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      var batch = s.takeReady(nowMs = 100L, max = 3)
+      while (batch.nonEmpty) { got ++= batch; batch = s.takeReady(100L, 3) }
+      got.toSeq shouldBe (1 to 7).map(i => s"file:/leaf$i")
+      s.flush()
+      CompactionStream.loadSchedule(fs, p) shouldBe Map.empty
+    }
+  }
+
+  test("future-due spilled entries stay booked, not taken") {
+    withFs { (fs, p) =>
+      val s = new DueSchedule(fs, p, cap = 2)
+      s.book("file:/a", 10L)
+      s.book("file:/b", 20L)
+      s.book("file:/c", 500L) // spills (latest-due of the three)
+      s.takeReady(nowMs = 100L, max = 10) shouldBe Seq("file:/a", "file:/b")
+      s.flush()
+      CompactionStream.loadSchedule(fs, p) shouldBe Map("file:/c" -> 500L)
+      s.takeReady(nowMs = 1000L, max = 10) shouldBe Seq("file:/c")
+    }
+  }
+
+  test("bookings max-merge across residency states") {
+    withFs { (fs, p) =>
+      val s = new DueSchedule(fs, p, cap = 1)
+      s.book("file:/a", 10L)
+      s.book("file:/b", 99L) // spilled (pending)
+      s.book("file:/a", 5L) // resident, older booking loses
+      s.book("file:/b", 120L) // pending booking grows
+      s.flush()
+      CompactionStream.loadSchedule(fs, p) shouldBe Map("file:/a" -> 10L, "file:/b" -> 120L)
+      // a booking for a leaf already spilled to DISK max-merges on rewrite
+      s.book("file:/b", 80L) // below the on-disk 120
+      s.book("file:/c", 1L) // soonest — takes the single resident slot
+      s.flush()
+      CompactionStream.loadSchedule(fs, p) shouldBe
+        Map("file:/a" -> 10L, "file:/b" -> 120L, "file:/c" -> 1L)
+    }
+  }
+
+  test("restart restores the window and the spill from the snapshot") {
+    withFs { (fs, p) =>
+      val s1 = new DueSchedule(fs, p, cap = 2)
+      (1 to 5).foreach(i => s1.book(s"file:/leaf$i", i.toLong))
+      s1.flush()
+      val s2 = new DueSchedule(fs, p, cap = 2)
+      s2.residentCount shouldBe 2
+      s2.spilledCount shouldBe 3
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      var batch = s2.takeReady(100L, 10)
+      while (batch.nonEmpty) { got ++= batch; batch = s2.takeReady(100L, 10) }
+      got.toSeq shouldBe (1 to 5).map(i => s"file:/leaf$i")
+    }
+  }
+
+  test("a failing FileSystem keeps every booking buffered and never throws") {
+    val broken = new RawLocalFileSystem() {
+      initialize(java.net.URI.create("file:///"), new Configuration())
+      override def create(p: Path, overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("injected create failure")
+      override def exists(p: Path): Boolean = false
+    }
+    val p = new Path("/tmp/graft-due-sched-never-written")
+    val s = new DueSchedule(broken, p, cap = 2)
+    noException should be thrownBy (1 to 5).foreach(i => s.book(s"file:/leaf$i", i.toLong))
+    noException should be thrownBy s.flush()
+    // rewrites fail, so nothing can spill — but nothing is LOST either:
+    // all five drain from the buffers
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    var batch = s.takeReady(100L, 10)
+    while (batch.nonEmpty) { got ++= batch; batch = s.takeReady(100L, 10) }
+    got.toSeq shouldBe (1 to 5).map(i => s"file:/leaf$i")
+  }
+}
