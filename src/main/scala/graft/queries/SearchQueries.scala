@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -16,16 +17,49 @@ import graft.Tables
   */
 object SearchQueries {
 
-  /** The literal search query. Terms are fixture-vocabulary words; a
-    * production run would parameterize them (they land in the plan as
-    * literals either way — the corpus side never shuffles for them).
-    */
+  /** The oracle's literal search query — fixture-vocabulary words. */
   private val terms = Seq("spark", "merge", "window")
 
   // BM25 constants, written identically in both engines' SQL:
   // k1 = 1.2, b = 0.75 → k1+1 = 2.2, 1-b = 0.25.
   private def contribSql(tf: String, df: String) =
     s"ln((n - $df + 0.5) / ($df + 0.5) + 1) * ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+
+  /** BM25 scoring over `documents` for a caller-supplied term list
+    * (defaulted to the oracle's fixture terms — the registered
+    * `bm25_search` query runs this with the default). Terms land in the
+    * plan as literals; the corpus side never shuffles for them, so any
+    * term count keeps the same two-shuffle shape: per-doc tf/dl from
+    * ONE explode+groupBy pass, global stats as ONE single-row aggregate
+    * broadcast back. Per-term contributions sum in a FIXED expression
+    * tree (left fold), never a float aggregate — the summation order is
+    * independent of partitioning.
+    */
+  def bm25(s: SparkSession, d: String, queryTerms: Seq[String] = terms): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val n = queryTerms.size
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      count(when(col("word") === t, 1)).as(s"tf${i + 1}")
+    }
+    val tf = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val gCols = Seq(
+      count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+    ) ++ (1 to n).map(i => count(when(col(s"tf$i") > 0, 1)).cast("double").as(s"df$i"))
+    val g = tf.agg(gCols.head, gCols.tail: _*)
+    val anyHit = (1 to n).map(i => col(s"tf$i")).reduce(_ + _) > 0
+    val score = (1 to n).map(i => expr(contribSql(s"tf$i", s"df$i"))).reduce(_ + _)
+    val outCols = col("doc_id") +:
+      (1 to n).map(i => col(s"tf$i").cast("int").as(s"tf$i")) :+
+      round(score, 6).as("bm25")
+    tf.crossJoin(broadcast(g))
+      .where(anyHit)
+      .select(outCols: _*)
+      .orderBy(desc("bm25"), col("doc_id"))
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -56,38 +90,7 @@ object SearchQueries {
          |FROM tf CROSS JOIN g
          |WHERE tf1 + tf2 + tf3 > 0
          |ORDER BY bm25 DESC, doc_id""".stripMargin,
-    ) { (s, d) =>
-      val tf = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("dl"),
-          count(when(col("word") === terms(0), 1)).as("tf1"),
-          count(when(col("word") === terms(1), 1)).as("tf2"),
-          count(when(col("word") === terms(2), 1)).as("tf3"),
-        )
-      val g = tf.agg(
-        count(lit(1)).cast("double").as("n"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
-        count(when(col("tf1") > 0, 1)).cast("double").as("df1"),
-        count(when(col("tf2") > 0, 1)).cast("double").as("df2"),
-        count(when(col("tf3") > 0, 1)).cast("double").as("df3"),
-      )
-      tf.crossJoin(broadcast(g))
-        .where(col("tf1") + col("tf2") + col("tf3") > 0)
-        .select(
-          col("doc_id"),
-          col("tf1").cast("int").as("tf1"),
-          col("tf2").cast("int").as("tf2"),
-          col("tf3").cast("int").as("tf3"),
-          round(
-            expr(contribSql("tf1", "df1")) + expr(contribSql("tf2", "df2"))
-              + expr(contribSql("tf3", "df3")),
-            6,
-          ).as("bm25"),
-        )
-        .orderBy(desc("bm25"), col("doc_id"))
-    },
+    ) { (s, d) => bm25(s, d) },
 
     // ----- vocabulary build: frequency-ranked token ids (BPE-prep /
     // embedding-table layout). The id assignment is a TOTAL order over

@@ -41,6 +41,17 @@ class QueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
     s2.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") should not be Some("true")
   }
 
+  test("bm25 accepts a caller-supplied term list; the default matches the registered query") {
+    val custom = graft.queries.SearchQueries.bm25(spark, sf, Seq("spark", "etl"))
+    custom.columns.toSeq shouldBe Seq("doc_id", "tf1", "tf2", "bm25")
+    custom.count() should be > 0L
+    // the registered oracle-checked query IS the defaulted call
+    val registered = SparkEntry.queries("bm25_search")(spark, sf)
+    val defaulted = graft.queries.SearchQueries.bm25(spark, sf)
+    registered.columns.toSeq shouldBe defaulted.columns.toSeq
+    registered.exceptAll(defaulted).count() shouldBe 0L
+  }
+
   test("oracled queries alias columns identically to their SQL (spot-check)") {
     // The driver sorts columns by name before hashing — Spark and oracle
     // column sets must match exactly (SURVEY.md §7.1).
