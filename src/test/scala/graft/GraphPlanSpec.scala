@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.BaseJoinExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -27,10 +27,17 @@ import org.scalatest.matchers.should.Matchers
   */
 class GraphPlanSpec extends AnyFunSuite with Matchers with SparkSpec {
 
-  /** Unwrap AQE adapters so children traversal sees the real operators. */
+  /** Unwrap AQE adapters so children traversal sees the real operators.
+    * ReusedExchangeExec unwraps to the exchange it reuses: a reused
+    * shuffle IS a shuffle for the pin's purposes — without this arm an
+    * AQE exchange-reuse on the rank side would hide its
+    * ShuffleExchangeExec and fail the "rank side shuffles" assertion
+    * spuriously.
+    */
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
     case q: QueryStageExec        => unwrap(q.plan)
+    case r: ReusedExchangeExec    => unwrap(r.child)
     case other                    => other
   }
 
