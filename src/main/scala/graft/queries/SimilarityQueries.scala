@@ -47,6 +47,81 @@ object SimilarityQueries {
   private def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)"
 
+  // ---- product quantization (Jégou et al., TPAMI 2011), shared by
+  // vector_pq_codes and vector_pq_topk: the 64-dim vector splits into
+  // M=4 blocks of 16 dims; each block trains its own K=8 codebook with
+  // two deterministic Lloyd iterations under squared-L2 (seeds = blocks
+  // of vectors 1..8, ties broken by cid — the ann_ivf_trained recipe on
+  // subvectors). The codebook is M*K = 32 rows, always broadcast;
+  // assignment passes are linear in N*M*K.
+
+  /** Long-form subvector blocks: (vec_id, m, sv). */
+  private def pqBlocks(e: DataFrame): DataFrame =
+    e.select(
+      col("vec_id"),
+      explode(expr("transform(sequence(0, 3), m -> struct(m AS m, slice(v, m * 16 + 1, 16) AS sv))"))
+        .as("b"),
+    ).select(col("vec_id"), col("b.m").as("m"), col("b.sv").as("sv"))
+
+  /** One Lloyd scoring pass: broadcast the 32-row codebook, score every
+    * (block, centroid) pair, rank per (vec_id, m).
+    */
+  private def pqScore(blocks: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+    blocks.join(broadcast(cb), "m")
+      .withColumn("d2", l2sq("sv", "cv"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  private def pqAssign(blocks: DataFrame, cb: DataFrame): DataFrame =
+    pqScore(blocks, cb).where(col("rn") === 1)
+
+  /** Element-wise member mean per (block, centroid), rebuilt in
+    * position order — the ann_ivf_trained recenter on subvectors.
+    */
+  private def pqRecenter(a: DataFrame): DataFrame =
+    a.select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("m", "cid", "pos")
+      .agg(avg("x").as("cav"))
+      .groupBy("m", "cid")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cav))), p -> p.cav)").as("cv"))
+
+  /** Two Lloyd iterations from the deterministic seeds (vectors 1..8). */
+  private def pqTrain(blocks: DataFrame): DataFrame = {
+    val seeds = blocks.where(col("vec_id").between(1, 8))
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    pqRecenter(pqAssign(blocks, pqRecenter(pqAssign(blocks, seeds))))
+  }
+
+  /** DuckDB mirror of the PQ train+assign pipeline, step for step,
+    * ending in `af(vec_id, m, cid, d2)` (and exposing `blk` and `cb2`
+    * for the ADC lookup table). Interpolated into each query template;
+    * OracleSqlLintSpec guards the double-stripMargin hazard.
+    */
+  private val pqSqlCte =
+    s"""blk AS (SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS sv
+       |        FROM v CROSS JOIN (SELECT unnest(range(4)) AS m)),
+       |cb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM blk WHERE vec_id BETWEEN 1 AND 8),
+       |${(1 to 2).map(it => s"""
+       |s$it AS (SELECT b.vec_id, b.m, b.sv, c.cid, ${l2sqSql("b.sv", "c.cv")} AS d2
+       |        FROM blk b JOIN cb${it - 1} c ON b.m = c.m),
+       |a$it AS (SELECT vec_id, m, sv, cid FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |                                        ORDER BY d2, cid) AS rn FROM s$it)
+       |        WHERE rn = 1),
+       |cb$it AS (SELECT m, cid, list(cav ORDER BY pos) AS cv FROM
+       |           (SELECT m, cid, pos, avg(x) AS cav
+       |            FROM (SELECT m, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+       |                  FROM a$it)
+       |            GROUP BY m, cid, pos)
+       |         GROUP BY m, cid)""".stripMargin).mkString("", ",\n", ",")}
+       |sf AS (SELECT b.vec_id, b.m, c.cid, ${l2sqSql("b.sv", "c.cv")} AS d2
+       |       FROM blk b JOIN cb2 c ON b.m = c.m),
+       |af AS (SELECT vec_id, m, cid, d2 FROM
+       |         (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |                                       ORDER BY d2, cid) AS rn FROM sf)
+       |       WHERE rn = 1)""".stripMargin
+
   /** Embeddings with elements pre-cast to double (column `v`); also the
     * single hook where graft's native functions get registered on the
     * (driver-owned) session.
@@ -386,45 +461,18 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
-    // ----- product-quantization codebook: the k-means half of PQ
-    // (Jégou et al., "Product Quantization for Nearest Neighbor
-    // Search", TPAMI 2011). The 64-dim vector splits into M=4 blocks of
-    // 16 dims; each block trains its own K=8 codebook with two
-    // deterministic Lloyd iterations under squared-L2 (seeds = blocks
-    // of vectors 1..8, ties broken by cid — the ann_ivf_trained recipe
-    // on subvectors), and every vector's code is its 4 nearest-centroid
-    // ids. Scale shape: the codebook is M*K = 32 rows, always broadcast;
-    // the assignment pass is linear in N*M*K with no shuffle before the
-    // final groupBy(vec_id); recentering shuffles only M*K*16 = 512
-    // mean cells. The error column is max-over-blocks (order-invariant),
-    // NOT sum — summing 53-bit-mantissa squares is accumulation-order-
-    // sensitive and Spark/DuckDB group in different orders, while every
-    // individual d2 is a sequential fold, bit-exact in both engines.
+    // ----- product-quantization codebook: train per-block codebooks and
+    // emit every vector's code (its 4 nearest-centroid ids). No shuffle
+    // before the final groupBy(vec_id); recentering shuffles only
+    // M*K*16 = 512 mean cells. The error column is max-over-blocks
+    // (order-invariant), NOT sum — summing 53-bit-mantissa squares is
+    // accumulation-order-sensitive and Spark/DuckDB group in different
+    // orders, while every individual d2 is a sequential fold, bit-exact
+    // in both engines.
     Q(
       "vector_pq_codes",
       s"""WITH $vecsSqlCte,
-         |blk AS (SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS sv
-         |        FROM v CROSS JOIN (SELECT unnest(range(4)) AS m)),
-         |cb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM blk WHERE vec_id BETWEEN 1 AND 8),
-         |${(1 to 2).map(it => s"""
-         |s$it AS (SELECT b.vec_id, b.m, b.sv, c.cid, ${l2sqSql("b.sv", "c.cv")} AS d2
-         |        FROM blk b JOIN cb${it - 1} c ON b.m = c.m),
-         |a$it AS (SELECT vec_id, m, sv, cid FROM
-         |          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-         |                                        ORDER BY d2, cid) AS rn FROM s$it)
-         |        WHERE rn = 1),
-         |cb$it AS (SELECT m, cid, list(cav ORDER BY pos) AS cv FROM
-         |           (SELECT m, cid, pos, avg(x) AS cav
-         |            FROM (SELECT m, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
-         |                  FROM a$it)
-         |            GROUP BY m, cid, pos)
-         |         GROUP BY m, cid)""".stripMargin).mkString("", ",\n", ",")}
-         |sf AS (SELECT b.vec_id, b.m, c.cid, ${l2sqSql("b.sv", "c.cv")} AS d2
-         |       FROM blk b JOIN cb2 c ON b.m = c.m),
-         |af AS (SELECT vec_id, m, cid, d2 FROM
-         |         (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-         |                                       ORDER BY d2, cid) AS rn FROM sf)
-         |       WHERE rn = 1)
+         |$pqSqlCte
          |SELECT vec_id,
          |       CAST(max(CASE WHEN m = 0 THEN cid END) AS INTEGER) AS c0,
          |       CAST(max(CASE WHEN m = 1 THEN cid END) AS INTEGER) AS c1,
@@ -433,32 +481,8 @@ object SimilarityQueries {
          |       round(max(d2), 6) AS max_block_err
          |FROM af GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     ) { (s, d) =>
-      val blocks = vecs(s, d).select(
-        col("vec_id"),
-        explode(expr("transform(sequence(0, 3), m -> struct(m AS m, slice(v, m * 16 + 1, 16) AS sv))"))
-          .as("b"),
-      ).select(col("vec_id"), col("b.m").as("m"), col("b.sv").as("sv"))
-      // one Lloyd step per block: broadcast the 32-row codebook, score
-      // every (block, centroid) pair, rank per (vec_id, m)
-      def score(cb: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
-        blocks.join(broadcast(cb), "m")
-          .withColumn("d2", l2sq("sv", "cv"))
-          .withColumn("rn", row_number().over(w))
-      }
-      def assign(cb: DataFrame): DataFrame = score(cb).where(col("rn") === 1)
-      // element-wise member mean per (block, centroid), rebuilt in
-      // position order — the ann_ivf_trained recenter on subvectors
-      def recenter(a: DataFrame): DataFrame =
-        a.select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy("m", "cid", "pos")
-          .agg(avg("x").as("cav"))
-          .groupBy("m", "cid")
-          .agg(expr("transform(sort_array(collect_list(struct(pos, cav))), p -> p.cav)").as("cv"))
-      val seeds = blocks.where(col("vec_id").between(1, 8))
-        .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
-      val trained = recenter(assign(recenter(assign(seeds))))
-      assign(trained)
+      val blocks = pqBlocks(vecs(s, d))
+      pqAssign(blocks, pqTrain(blocks))
         .groupBy("vec_id")
         .agg(
           max(when(col("m") === 0, col("cid"))).cast("int").as("c0"),
@@ -468,6 +492,61 @@ object SimilarityQueries {
           round(max("d2"), 6).as("max_block_err"),
         )
         .orderBy("vec_id")
+    },
+
+    // ----- PQ asymmetric-distance top-k: the search path PQ codes exist
+    // for. The query vector never decodes the corpus — it builds a 32-row
+    // lookup table (squared L2 from each of its 4 subvectors to each of
+    // the 8 centroids of that block), broadcasts it, and every encoded
+    // vector's approximate distance is 4 table lookups. At 100 TB the
+    // corpus side carries only (vec_id, 4 codes) — the 64-dim floats are
+    // never touched after encoding, which is the entire memory-bandwidth
+    // argument for PQ. The 4 lookups sum in a FIXED expression tree
+    // (a0+a1+a2+a3), not a float aggregate, so the total is
+    // order-deterministic and the top-k cut identical in both engines;
+    // the final orderBy().limit() plans TakeOrderedAndProject (bounded
+    // per-partition heaps), never a global sort.
+    Q(
+      "vector_pq_topk",
+      s"""WITH $vecsSqlCte,
+         |$pqSqlCte,
+         |lut AS (SELECT c.m, c.cid, ${l2sqSql("b.sv", "c.cv")} AS qd2
+         |        FROM blk b JOIN cb2 c ON b.m = c.m WHERE b.vec_id = 0),
+         |pp AS (SELECT a.vec_id,
+         |              max(CASE WHEN a.m = 0 THEN l.qd2 END) AS a0,
+         |              max(CASE WHEN a.m = 1 THEN l.qd2 END) AS a1,
+         |              max(CASE WHEN a.m = 2 THEN l.qd2 END) AS a2,
+         |              max(CASE WHEN a.m = 3 THEN l.qd2 END) AS a3
+         |       FROM af a JOIN lut l ON a.m = l.m AND a.cid = l.cid
+         |       GROUP BY a.vec_id)
+         |SELECT p.vec_id, v.label, round(p.a0 + p.a1 + p.a2 + p.a3, 6) AS adc
+         |FROM pp p JOIN v ON p.vec_id = v.vec_id
+         |WHERE p.vec_id <> 0
+         |ORDER BY (p.a0 + p.a1 + p.a2 + p.a3), p.vec_id LIMIT 5""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      val blocks = pqBlocks(e)
+      // two consumers (assignment + lookup table) — cache the 32-row
+      // codebook so the Lloyd chain doesn't execute twice
+      val trained = pqTrain(blocks).cache()
+      val af = pqAssign(blocks, trained).select("vec_id", "m", "cid")
+      val lut = blocks.where(col("vec_id") === 0)
+        .join(broadcast(trained), "m")
+        .select(col("m"), col("cid"), l2sq("sv", "cv").as("qd2"))
+      af.join(broadcast(lut), Seq("m", "cid"))
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("m") === 0, col("qd2"))).as("a0"),
+          max(when(col("m") === 1, col("qd2"))).as("a1"),
+          max(when(col("m") === 2, col("qd2"))).as("a2"),
+          max(when(col("m") === 3, col("qd2"))).as("a3"),
+        )
+        .where(col("vec_id") =!= 0)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .withColumn("adc_raw", col("a0") + col("a1") + col("a2") + col("a3"))
+        .orderBy(col("adc_raw"), col("vec_id"))
+        .select(col("vec_id"), col("label"), round(col("adc_raw"), 6).as("adc"))
+        .limit(5)
     },
   )
 }
