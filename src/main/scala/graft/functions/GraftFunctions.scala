@@ -34,12 +34,18 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"word_shingles expects 2 arguments, got ${args.size}")
   }
 
+  private[functions] def tryToIntBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(s) => TryToInt(Cast(s, org.apache.spark.sql.types.StringType))
+    case _ => throw new IllegalArgumentException(s"try_to_int expects 1 argument, got ${args.size}")
+  }
+
   /** Idempotent: safe to call from every query builder. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     registry.createOrReplaceTempFunction("cosine_similarity", cosineBuilder, "built-in")
     registry.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "built-in")
+    registry.createOrReplaceTempFunction("try_to_int", tryToIntBuilder, "built-in")
   }
 }
 
@@ -62,6 +68,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("word_shingles"),
         new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
         (args: Seq[Expression]) => GraftFunctions.shinglesBuilder(args),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("try_to_int"),
+        new ExpressionInfo(classOf[TryToInt].getName, "try_to_int"),
+        (args: Seq[Expression]) => GraftFunctions.tryToIntBuilder(args),
       ),
     )
     ()
