@@ -63,13 +63,13 @@ object Bench {
     // Full fidelity for the judge: both pass timings per query, written
     // into the repo (driver snapshots uncommitted work each round). The
     // stdout line below is capture-window-budgeted; this file is not.
-    val detail = results.map { case (k, _, t1, t2) => s"""  "$k": [${sec(t1)}, ${sec(t2)}]""" }
-      .mkString("{\n", ",\n", ",\n")
-    val detailMeta =
-      s"""  "unit": "sec", "passes": 2, "reported": "min", "cpus": $cpus, "sf": "$sfDir"\n}"""
+    // meta appended as one more element so the separators stay valid even
+    // when a filter matches zero queries (no leading-comma JSON bug)
+    val detailEntries = results.map { case (k, _, t1, t2) => s"""  "$k": [${sec(t1)}, ${sec(t2)}]""" } :+
+      s"""  "unit": "sec", "passes": 2, "reported": "min", "cpus": $cpus, "sf": "$sfDir""""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
-      detail + detailMeta,
+      detailEntries.mkString("{\n", ",\n", "\n}"),
     )
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The driver captures only the LAST ~2000 chars of output and parses
@@ -93,5 +93,14 @@ object Bench {
         s""""metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir"}"""
     spark.stop()
     println(line)
+    // A second, SHORT aggregate-only object after the big line: the
+    // driver's ~2000-char capture window truncates the per-query line's
+    // head at ~95 queries, so this complete object is what its JSON
+    // parse actually lands on (BENCH_DETAIL.json carries per-query
+    // fidelity for the judge either way).
+    println(
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},""" +
+        s""""failed":$failedJson$filterJson,"sf":"$sfDir"}""",
+    )
   }
 }

@@ -13,10 +13,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * and catching a per-row exception; on data where most rows DON'T
   * parse (the common shape for a quality/validation pass over dirty
   * text) that costs ~10 µs/row — measured 1.7 s vs 0.1 s over 1.5 M
-  * always-failing rows in this repo's bench. This expression returns
+  * always-failing rows in this repo's bench. This expression reaches
   * the identical result through `UTF8String.toInt(IntWrapper)`, the
-  * non-throwing parser the LEGACY cast uses, after `trimAll()` — the
-  * same trim TRY cast applies.
+  * non-throwing parser, after `trimAll()` — the same trim TRY cast
+  * applies — plus one extra guard: that parser is the LEGACY-cast
+  * dialect, which truncates fractional strings (`"5.0"` → 5) where
+  * `try_cast` returns null (its strict `allowDecimal=false` overload is
+  * private to UTF8String), so any trimmed input containing a `.` is
+  * rejected up front. With `.` excluded the two dialects agree on every
+  * remaining input class: sign handling, inner whitespace, overflow,
+  * non-ASCII digits, and junk all fail identically.
   *
   * Semantics are pinned expression-vs-`try_cast` over the full edge-case
   * set (signs, whitespace, decimals, overflow, unicode digits, junk) in
@@ -38,20 +44,28 @@ case class TryToInt(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
-    // wrapper per call: the interpreted path is the rare fallback, and a
-    // shared instance could race across threads evaluating one plan
-    val w = new UTF8String.IntWrapper
-    if (input.asInstanceOf[UTF8String].trimAll().toInt(w)) w.value else null
+    val s = input.asInstanceOf[UTF8String].trimAll()
+    if (s.contains(TryToInt.Dot)) null
+    else {
+      // wrapper per call: the interpreted path is the rare fallback, and
+      // a shared instance could race across threads evaluating one plan
+      val w = new UTF8String.IntWrapper
+      if (s.toInt(w)) w.value else null
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val utf8Class = classOf[UTF8String].getName
     val wrapperClass = classOf[UTF8String.IntWrapper].getName.replace('$', '.')
     val wrapper = ctx.addMutableState(
       wrapperClass, "tryToIntWrapper", v => s"$v = new $wrapperClass();",
     )
+    val dot = ctx.addReferenceObj("tryToIntDot", TryToInt.Dot, utf8Class)
+    val trimmed = ctx.freshName("trimmed")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |if ($c.trimAll().toInt($wrapper)) {
+         |$utf8Class $trimmed = $c.trimAll();
+         |if (!$trimmed.contains($dot) && $trimmed.toInt($wrapper)) {
          |  ${ev.value} = $wrapper.value;
          |} else {
          |  ${ev.isNull} = true;
@@ -62,4 +76,11 @@ case class TryToInt(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object TryToInt {
+  /** Fractional-marker guard shared by both eval paths (immutable, so
+    * safe as a process-wide singleton and as a codegen reference obj).
+    */
+  private[functions] val Dot: UTF8String = UTF8String.fromString(".")
 }

@@ -831,11 +831,16 @@ object CoreQueries {
         | o_totalprice / nullif(o_custkey % 3, 0) AS risky_div
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     ) { (s, d) =>
+      // try_to_int is the native non-throwing parse with pinned try_cast
+      // parity (TryToIntSpec): on this column — where most rows DON'T
+      // parse — the built-in TRY cast pays a caught exception per
+      // failing row, the dominant cost of this whole query.
+      graft.functions.GraftFunctions.register(s)
       Tables.orders(s, d)
         .select(
           col("o_orderkey"),
-          expr("try_cast(o_orderpriority AS INT)").as("pri_int"),
-          expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").as("pri_num"),
+          expr("try_to_int(o_orderpriority)").as("pri_int"),
+          expr("try_to_int(split_part(o_orderpriority, '-', 1))").as("pri_num"),
           expr("try_divide(o_totalprice, o_custkey % 3)").as("risky_div"),
         )
         .orderBy("o_orderkey")
