@@ -39,8 +39,15 @@ private[streaming] final class DueSchedule(fs: FileSystem, file: Path, cap: Int)
   private val idx = mutable.HashMap.empty[String, Long]
   // booked past the cap (or evicted), destined for disk at next rewrite
   private val pendingBook = mutable.HashMap.empty[String, Long]
-  // processed leaves to delete from the snapshot at next rewrite
-  private val pendingRemove = mutable.HashSet.empty[String]
+  // leaf -> dueMs it was SERVED at. Two reasons this is a map, not a
+  // set: (1) a disk entry booked LATER than the served time is a
+  // booking the serve did not cover (a new arrival pushed the due time
+  // out while an earlier-due copy was being taken) — the final rewrite
+  // must keep it or the leaf strands forever (the mtime-window source
+  // never re-emits); (2) mid-batch refill rewrites must keep served
+  // leaves on disk until the post-processing flush, so a driver crash
+  // between serve and compaction re-books them on restart.
+  private val pendingRemove = mutable.HashMap.empty[String, Long]
   // entries that exist ONLY in the snapshot file
   private var spilled = 0
   private var dirty = false
@@ -84,15 +91,18 @@ private[streaming] final class DueSchedule(fs: FileSystem, file: Path, cap: Int)
       while (mem.nonEmpty && mem.head._1 <= nowMs && out.size < max) {
         val (ms, leaf) = mem.head
         mem -= ((ms, leaf)); idx -= leaf
-        pendingRemove += leaf
+        pendingRemove(leaf) = math.max(pendingRemove.getOrElse(leaf, Long.MinValue), ms)
         out += leaf
         dirty = true
       }
       continue = false
       // every spilled entry is due >= every resident one, so a refill
-      // can only surface more ready work once the window is empty
+      // can only surface more ready work once the window is empty. The
+      // refill rewrite keeps served leaves on disk (dropTaken=false):
+      // they are removed only by the post-processing flush, so a crash
+      // between serve and compaction re-books them on restart.
       if (out.size < max && mem.isEmpty && (spilled > 0 || pendingBook.nonEmpty)) {
-        if (rewrite()) continue = mem.nonEmpty && mem.head._1 <= nowMs
+        if (rewrite(dropTaken = false)) continue = mem.nonEmpty && mem.head._1 <= nowMs
         else {
           // degraded drain: the snapshot is unwritable, so serve ready
           // buffered entries directly (they are resident anyway);
@@ -100,8 +110,9 @@ private[streaming] final class DueSchedule(fs: FileSystem, file: Path, cap: Int)
           // idempotent and catchUpOnStart covers a lost snapshot
           pendingBook.toSeq.map { case (l, ms) => (ms, l) }.sorted
             .filter(_._1 <= nowMs).take(max - out.size)
-            .foreach { case (_, leaf) =>
-              pendingBook -= leaf; pendingRemove += leaf
+            .foreach { case (ms, leaf) =>
+              pendingBook -= leaf
+              pendingRemove(leaf) = math.max(pendingRemove.getOrElse(leaf, Long.MinValue), ms)
               out += leaf
               dirty = true
             }
@@ -113,8 +124,9 @@ private[streaming] final class DueSchedule(fs: FileSystem, file: Path, cap: Int)
 
   /** Persist pending changes (no-op when nothing moved — continuous
     * triggers fire constantly and must not rewrite an unchanged file).
+    * Called AFTER batch processing, so dropping served leaves is safe.
     */
-  def flush(): Unit = { if (dirty) { rewrite(); () } }
+  def flush(): Unit = { if (dirty) { rewrite(dropTaken = true); () } }
 
   /** Resident entries — bounded by `cap`; tests pin the bound here. */
   def residentCount: Int = mem.size
@@ -158,8 +170,19 @@ private[streaming] final class DueSchedule(fs: FileSystem, file: Path, cap: Int)
     * a bounded heap during the same pass. On success the pending buffers
     * clear; on failure everything stays buffered for the next attempt
     * and the resident window is untouched. Returns success.
+    *
+    * `dropTaken` picks the serve-accounting mode:
+    *   - true (post-batch flush): a served leaf's disk entry is dropped
+    *     — UNLESS the entry is booked LATER than the time it was served
+    *     at, which means a new arrival extended the booking while the
+    *     earlier-due copy was in flight; that entry stays (off-window
+    *     until its own serve) or the leaf would strand forever.
+    *   - false (mid-batch refill): served leaves stay on disk, excluded
+    *     from the rebuilt window so the same batch can't serve them
+    *     twice; pendingRemove survives (and keeps the schedule dirty)
+    *     so the post-batch flush still drops them.
     */
-  private def rewrite(): Boolean =
+  private def rewrite(dropTaken: Boolean): Boolean =
     try {
       val updates = (idx ++ pendingBook).toArray.sortBy(_._1)
       val tmp = new Path(file.getParent, s".${file.getName}.tmp")
@@ -170,11 +193,13 @@ private[streaming] final class DueSchedule(fs: FileSystem, file: Path, cap: Int)
         val w = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8),
         )
-        def emit(leaf: String, ms: Long): Unit = {
+        def emit(leaf: String, ms: Long, resident: Boolean = true): Unit = {
           w.write(s"$ms\t$leaf\n")
           total += 1
-          window.enqueue((ms, leaf))
-          if (window.size > cap) { window.dequeue(); () }
+          if (resident) {
+            window.enqueue((ms, leaf))
+            if (window.size > cap) { window.dequeue(); () }
+          }
         }
         var ui = 0
         if (fs.exists(file)) {
@@ -185,8 +210,16 @@ private[streaming] final class DueSchedule(fs: FileSystem, file: Path, cap: Int)
                 emit(updates(ui)._1, updates(ui)._2); ui += 1
               }
               if (ui < updates.length && updates(ui)._1 == leaf) {
+                // a re-booked leaf is never in pendingRemove (book()
+                // clears it), so max-merge unconditionally
                 emit(leaf, math.max(ms, updates(ui)._2)); ui += 1
-              } else if (!pendingRemove.contains(leaf)) emit(leaf, ms)
+              } else pendingRemove.get(leaf) match {
+                case None => emit(leaf, ms)
+                case Some(takenMs) =>
+                  if (!dropTaken) emit(leaf, ms, resident = false)
+                  else if (ms > takenMs) emit(leaf, ms)
+                // else: this serve covered the booking — drop it
+              }
             }
           }
           finally in.close()
@@ -205,8 +238,9 @@ private[streaming] final class DueSchedule(fs: FileSystem, file: Path, cap: Int)
         mem.clear(); idx.clear()
         window.foreach { case (ms, leaf) => mem += ((ms, leaf)); idx(leaf) = ms }
         spilled = total - mem.size
-        pendingBook.clear(); pendingRemove.clear()
-        dirty = false
+        pendingBook.clear()
+        if (dropTaken) { pendingRemove.clear(); dirty = false }
+        else dirty = pendingRemove.nonEmpty // served leaves still owe their removal
         true
       }
     } catch {

@@ -98,6 +98,46 @@ class DueScheduleSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("serving an earlier re-booking keeps a later on-disk booking alive") {
+    withFs { (fs, p) =>
+      val s = new DueSchedule(fs, p, cap = 1)
+      s.book("file:/a", 10L)
+      s.book("file:/b", 500L) // spills
+      s.flush()
+      CompactionStream.loadSchedule(fs, p) shouldBe Map("file:/a" -> 10L, "file:/b" -> 500L)
+      // a new arrival books b EARLIER than its on-disk 500 (already-due
+      // time); serving that copy must not delete the 500 booking — the
+      // mtime-window source never re-emits, so dropping it would strand
+      // whatever arrives before 500 forever
+      s.book("file:/b", 5L)
+      s.takeReady(nowMs = 100L, max = 1) shouldBe Seq("file:/b")
+      s.flush()
+      CompactionStream.loadSchedule(fs, p) shouldBe Map("file:/a" -> 10L, "file:/b" -> 500L)
+      s.takeReady(nowMs = 1000L, max = 10).toSet shouldBe Set("file:/a", "file:/b")
+      s.flush()
+      CompactionStream.loadSchedule(fs, p) shouldBe Map.empty
+    }
+  }
+
+  test("a mid-batch refill keeps served-but-unflushed leaves in the snapshot") {
+    withFs { (fs, p) =>
+      val s = new DueSchedule(fs, p, cap = 1)
+      s.book("file:/a", 10L)
+      s.book("file:/b", 20L) // spills
+      s.flush()
+      // one takeReady serves a (resident) AND b (via the refill rewrite):
+      // that mid-batch rewrite must not persist either removal — a crash
+      // before the post-processing flush() must re-book both on restart
+      s.takeReady(nowMs = 100L, max = 10) shouldBe Seq("file:/a", "file:/b")
+      CompactionStream.loadSchedule(fs, p) shouldBe Map("file:/a" -> 10L, "file:/b" -> 20L)
+      val crashed = new DueSchedule(fs, p, cap = 1)
+      crashed.takeReady(nowMs = 100L, max = 10).toSet shouldBe Set("file:/a", "file:/b")
+      // no crash: the post-batch flush is what finally drops them
+      s.flush()
+      CompactionStream.loadSchedule(fs, p) shouldBe Map.empty
+    }
+  }
+
   test("a failing FileSystem keeps every booking buffered and never throws") {
     val broken = new RawLocalFileSystem() {
       initialize(java.net.URI.create("file:///"), new Configuration())
