@@ -394,18 +394,16 @@ object DedupQueries {
          |e AS (SELECT doc_a AS d FROM near UNION ALL SELECT doc_b FROM near)
          |SELECT d AS doc_id, count(*) AS n_near FROM e GROUP BY d ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      // cache: the fingerprint table (ONE row per doc) feeds both sides
-      // of the band self-join plus the bucket-cap — without it the whole
-      // token->votes pipeline executes three times (exchange reuse
-      // doesn't fire across the broadcast/shuffle split). On an idle
-      // local box the three copies run concurrently so the cache costs a
-      // little wall-clock; on a saturated cluster 3x compute is 3x cost
-      // and the cache wins outright. Unlike dedup_clusters (which runs
-      // eagerly and unpersists inline), this plan is lazy, so the tiny
-      // cached table (~20 B/doc) stays pinned until the session's next
-      // clearCache — Bench does that between queries; Verify JVMs are
-      // one-shot.
-      val fp = simhashFp(s, d).cache()
+      // materialization barrier: the fingerprint table (ONE row per doc)
+      // feeds both sides of the band self-join plus the bucket-cap —
+      // without a barrier the whole token->votes pipeline executes three
+      // times (its own groupBy exchange can't be reused across the
+      // broadcast/shuffle consumer split). The repartition exchange IS
+      // identical under every consumer, so exchange reuse computes the
+      // votes once and each consumer replays ~20 B/doc of shuffle data —
+      // the effect of the .cache() this replaces, minus the pinned-RDD
+      // leak (this plan is lazy, so a cache would outlive the query).
+      val fp = simhashFp(s, d).repartition(col("doc_id"))
       val bandExprs = (0 until 4).flatMap(b => Seq(s"$b", s"(simhash >> ${16 * b}) & 65535"))
       val bands = fp.select(
         col("doc_id"), col("simhash"),

@@ -59,14 +59,13 @@ object EventQueries {
     ) { (s, d) =>
       val ev = Tables.events(s, d)
         .select(date_trunc("hour", col("ts")).as("h"), col("event_type"), col("value"))
-      // ONE scan of events: bounds and the type dimension both derive
-      // from the (hours x types)-sized agg, which is cached — without it
-      // each would re-run the full base-table aggregation (see the
-      // dedup_simhash_pairs cache note for the pin-until-clearCache
-      // caveat; this table is a few thousand rows)
+      // ONE scan of events: bounds, the type dimension, and the final
+      // left join all derive from the (hours x types)-sized agg, whose
+      // groupBy exchange is identical under each consumer — exchange
+      // reuse scans the base table once and only the cheap post-shuffle
+      // aggregation re-runs per consumer, with nothing left cached
       val agg = ev.groupBy("h", "event_type")
         .agg(count(lit(1)).as("n"), max("value").as("vmax"))
-        .cache()
       val spine = agg.agg(min("h").as("h0"), max("h").as("h1"))
         .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
       val grid = spine.crossJoin(broadcast(agg.select("event_type").distinct()))

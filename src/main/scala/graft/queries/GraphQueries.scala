@@ -38,6 +38,56 @@ object GraphQueries {
     wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
   }
 
+  /** Re-orient each undirected edge `(a, b)` (given `a < b`, once per
+    * edge) from its LOWER-(degree, id) endpoint to the higher —
+    * `(src, dst, dd)` with `dd` = dst's degree, kept so downstream
+    * wedge generation can compare endpoints in the same total order.
+    * Degree orientation is the classic scale fix for triangle counting
+    * (Ortmann & Brandes 2014 survey it): out-degrees are bounded by
+    * ~sqrt(|E|), so a hub of degree d contributes 0 wedge pairs instead
+    * of C(d, 2) — the id-oriented wedge join is quadratic in hub degree,
+    * this one never is.
+    */
+  def orientEdges(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dv"))
+    val lower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    e.join(deg.select(col("v").as("a"), col("dv").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dv").as("db")), "b")
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("src"),
+        when(lower, col("b")).otherwise(col("a")).as("dst"),
+        when(lower, col("db")).otherwise(col("da")).as("dd"),
+      )
+  }
+
+  /** Open wedges `(y, z)` from a degree-oriented edge set: two
+    * out-edges of one `src`, ordered `(deg, id)(y) < (deg, id)(z)`.
+    * Exposed so the spec can pin the hub bound (a star graph yields
+    * ZERO wedges here vs C(n, 2) under id orientation).
+    */
+  def orientedWedges(oe: DataFrame): DataFrame =
+    oe.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
+      .join(oe.select(col("src"), col("dst").as("z"), col("dd").as("dz")), "src")
+      .where(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("y"), col("z"))
+
+  /** Triangle enumeration via degree orientation: every triangle has
+    * exactly one vertex that is the (deg, id)-minimum of its three, and
+    * materializes exactly once as that vertex's wedge closed by the
+    * edge between the two higher endpoints — which the orientation
+    * guarantees points lower→higher in the same order, so the closing
+    * lookup is a plain equi-join on `(src, dst)`. The oriented edge set
+    * sits behind a repartition exchange: all three consumers (both
+    * wedge sides and the closure) replay ONE materialization of the
+    * orient pipeline instead of re-running its joins.
+    */
+  def trianglesOriented(e: DataFrame): DataFrame = {
+    val oe = orientEdges(e)
+    orientedWedges(oe)
+      .join(oe.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+  }
+
   private def edges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), (col("l_suppkey") + supplierOffset).as("sup"))
@@ -65,17 +115,20 @@ object GraphQueries {
          |       GROUP BY e.dst)
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100""".stripMargin,
     ) { (s, d) =>
-      // out-degree is pre-joined into the edge relation ONCE and the
-      // result cached: each of the 3 iterations is then a single join
-      // (rank × edge+deg) + one groupBy, instead of two joins — and
-      // lineitem is scanned once, not per iteration. The cache is
-      // hash-partitioned on src so every iteration's join reuses that
-      // layout and only the (small) rank side shuffles — on a cluster
-      // this is the difference between moving the edge relation once
-      // vs once per iteration.
-      val e = edges(s, d).cache()
+      // out-degree is pre-joined into the edge relation ONCE, and the
+      // result hash-partitioned on src: each of the 3 iterations is then
+      // a single join (rank × edge+deg) + one groupBy, and because the
+      // repartition exchange is IDENTICAL under every iteration, Spark's
+      // exchange reuse materializes it once and streams it into each
+      // join — only the (small) rank side shuffles per iteration
+      // (GraphPlanSpec pins both properties). Exchange reuse is
+      // deliberately chosen over .cache() here: shuffle files spill to
+      // executor disk, so the plan's memory footprint is independent of
+      // |E| — at 100 TB an edge relation does not have to fit in the
+      // storage-memory pool, and the query leaves no pinned RDDs behind.
+      val e = edges(s, d)
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val edgeDeg = e.join(deg, "src").repartition(col("src")).cache()
+      val edgeDeg = e.join(deg, "src").repartition(col("src"))
       var rank = deg.select(col("src").as("node"), lit(1000000000L).as("rank"))
       (1 to iterations).foreach { _ =>
         rank = rank
@@ -89,14 +142,12 @@ object GraphQueries {
 
     // ----- triangle counting on the part co-purchase graph: parts are
     // linked when they appear in the same order at least TWICE (the
-    // co-occurrence threshold is the hub-pruning dial — the same
-    // frequency-cap idea as the jaccard stop-shingle cap; without it a
-    // popular part's degree makes the wedge join quadratic). Edges are
-    // oriented low-id → high-id so each triangle materializes exactly
-    // once; at 100 TB the standard refinement is degree-based
-    // orientation (low-degree endpoint first), which bounds wedges per
-    // node by sqrt(|E|). Per-order pair generation is quadratic in
-    // basket size — bounded here (~7 items); a real pipeline caps it.
+    // co-occurrence threshold prunes incidental pairs; degree-based
+    // orientation in trianglesOriented is what bounds wedge fan-out —
+    // a hub vertex contributes ZERO wedge pairs instead of C(d, 2), so
+    // the join survives power-law degree distributions at 100 TB).
+    // Per-order pair generation is quadratic in basket size — bounded
+    // here (~7 items); a real pipeline caps it.
     Q(
       "graph_triangles",
       """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -114,19 +165,28 @@ object GraphQueries {
       val pp = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      // cached: e0 (the expensive per-order pair join + groupBy) feeds
-      // both the pair count and the thresholded edge set — one
-      // materialization; the filtered re-scans of the cache are cheap
+      // e0 (the expensive per-order pair join + groupBy) feeds the two
+      // counts and the thresholded edge set. The repartition above it is
+      // a materialization barrier: the exchange is identical under every
+      // consumer, so exchange reuse computes the pair join + aggregation
+      // ONCE and each consumer replays the shuffle output — unlike
+      // .cache(), the materialization lives in shuffle files (no
+      // storage-memory budget, nothing left pinned after the query).
       val e0 = pp.join(pp.select(col("ok"), col("pk").as("pk2")), "ok")
         .where(col("pk") < col("pk2"))
         .groupBy(col("pk").as("a"), col("pk2").as("b"))
         .agg(count(lit(1)).as("w"))
-        .cache()
-      val e = e0.where(col("w") >= 2).select("a", "b")
-      val tri = triangles(e)
-      e0.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .repartition(col("a"))
+      // second (tiny) barrier: the orientation pipeline consumes the
+      // thresholded edge set three times — replaying a ~|E|-row exchange
+      // beats re-filtering the |pairs|-row one per consumer
+      val e = e0.where(col("w") >= 2).select("a", "b").repartition(col("a"))
+      val tri = trianglesOriented(e)
+      // both e0-level counts in ONE pass over the reused exchange
+      e0.agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("w") >= 2, lit(1))).as("n_edges"),
+      ).crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
     },
   )
 }

@@ -526,9 +526,11 @@ object SimilarityQueries {
     ) { (s, d) =>
       val e = vecs(s, d)
       val blocks = pqBlocks(e)
-      // two consumers (assignment + lookup table) — cache the 32-row
-      // codebook so the Lloyd chain doesn't execute twice
-      val trained = pqTrain(blocks).cache()
+      // two consumers (assignment + lookup table), both via
+      // broadcast(trained): the two broadcast exchanges are identical,
+      // so exchange reuse runs the Lloyd chain once and shares the
+      // 32-row broadcast — no cache to leave pinned behind
+      val trained = pqTrain(blocks)
       val af = pqAssign(blocks, trained).select("vec_id", "m", "cid")
       val lut = blocks.where(col("vec_id") === 0)
         .join(broadcast(trained), "m")

@@ -32,6 +32,22 @@ class QueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("no query leaves cached RDDs behind after executing") {
+    // Cache hygiene: a builder may cache during its own eager work
+    // (dedup_clusters' probe) but must release everything it pinned —
+    // in a long-lived server session, per-query leaks accumulate until
+    // the storage pool squeezes out shuffle memory. Exchange-reuse
+    // barriers (graph/PQ/event queries) materialize in shuffle files
+    // precisely so nothing needs pinning.
+    spark.catalog.clearCache()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      withClue(name) {
+        fn(spark, sf).write.mode("overwrite").format("noop").save()
+        spark.sparkContext.getPersistentRDDs shouldBe empty
+      }
+    }
+  }
+
   test("Tables.events is pure: reads ns-timestamps on a foreign session, mutates no conf") {
     // newSession shares the SparkContext but owns its SQLConf — a stand-in
     // for a foreign caller that didn't build the session the graft way.

@@ -101,6 +101,26 @@ class RankingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       } yield 1).size
       val got = GraphQueries.triangles(edges.toDF("a", "b")).count()
       withClue(s"round $round, ${edges.size} edges") { got shouldBe brute.toLong }
+      // the degree-oriented enumeration counts the same triangles —
+      // random graphs have plenty of equal-degree ties, exercising the
+      // id tiebreak of the total order
+      val oriented = GraphQueries.trianglesOriented(edges.toDF("a", "b")).count()
+      withClue(s"round $round (oriented), ${edges.size} edges") { oriented shouldBe brute.toLong }
     }
+  }
+
+  test("degree orientation generates zero wedges at a hub (star graph)") {
+    val s = spark
+    import s.implicits._
+    // star: hub 1 joined to 2..41. Under id orientation the hub fans out
+    // C(40, 2) = 780 wedge pairs; under degree orientation every edge
+    // points leaf->hub (deg 1 < deg 40), so out-degrees are all <= 1 and
+    // the wedge join emits NOTHING — the property that keeps the join
+    // linear on power-law graphs.
+    val star = (2 to 41).map(b => (1L, b.toLong)).toDF("a", "b")
+    val oe = GraphQueries.orientEdges(star)
+    oe.where(col("src") === 1L).count() shouldBe 0L
+    GraphQueries.orientedWedges(oe).count() shouldBe 0L
+    GraphQueries.trianglesOriented(star).count() shouldBe 0L
   }
 }
