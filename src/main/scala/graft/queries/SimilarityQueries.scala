@@ -86,25 +86,39 @@ object SimilarityQueries {
       .groupBy("m", "cid")
       .agg(expr("transform(sort_array(collect_list(struct(pos, cav))), p -> p.cav)").as("cv"))
 
-  /** Two Lloyd iterations from the deterministic seeds (vectors 1..8). */
-  private def pqTrain(blocks: DataFrame): DataFrame = {
-    val seeds = blocks.where(col("vec_id").between(1, 8))
+  /** Two Lloyd iterations over `train` from deterministic seed vectors
+    * (by id, ties impossible). Split from assignment so the training
+    * side can be a SAMPLE of the corpus — at 100 TB a codebook is
+    * trained on a hash-sample (Lloyd passes must not scan the corpus
+    * twice each) and only the single assignment pass is full-corpus.
+    */
+  private def pqTrainOn(train: DataFrame, seedIds: Seq[Long]): DataFrame = {
+    val seeds = train.where(col("vec_id").isin(seedIds: _*))
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
-    pqRecenter(pqAssign(blocks, pqRecenter(pqAssign(blocks, seeds))))
+    pqRecenter(pqAssign(train, pqRecenter(pqAssign(train, seeds))))
   }
+
+  /** Full-corpus training (seeds = vectors 1..8). */
+  private def pqTrain(blocks: DataFrame): DataFrame =
+    pqTrainOn(blocks, 1L to 8L)
+
+  /** Deterministic 1-in-16 training sample: `vec_id % 16 = 1`, seeded
+    * by the sample's own first 8 members.
+    */
+  private val pqSampleSeedIds: Seq[Long] = (0 until 8).map(i => 1L + 16L * i)
 
   /** DuckDB mirror of the PQ train+assign pipeline, step for step,
     * ending in `af(vec_id, m, cid, d2)` (and exposing `blk` and `cb2`
     * for the ADC lookup table). Interpolated into each query template;
     * OracleSqlLintSpec guards the double-stripMargin hazard.
     */
-  private val pqSqlCte =
+  private def pqSqlCteFor(trainRel: String, seedPred: String): String =
     s"""blk AS (SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS sv
        |        FROM v CROSS JOIN (SELECT unnest(range(4)) AS m)),
-       |cb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM blk WHERE vec_id BETWEEN 1 AND 8),
+       |cb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM $trainRel WHERE $seedPred),
        |${(1 to 2).map(it => s"""
        |s$it AS (SELECT b.vec_id, b.m, b.sv, c.cid, ${l2sqSql("b.sv", "c.cv")} AS d2
-       |        FROM blk b JOIN cb${it - 1} c ON b.m = c.m),
+       |        FROM $trainRel b JOIN cb${it - 1} c ON b.m = c.m),
        |a$it AS (SELECT vec_id, m, sv, cid FROM
        |          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
        |                                        ORDER BY d2, cid) AS rn FROM s$it)
@@ -121,6 +135,16 @@ object SimilarityQueries {
        |         (SELECT *, row_number() OVER (PARTITION BY vec_id, m
        |                                       ORDER BY d2, cid) AS rn FROM sf)
        |       WHERE rn = 1)""".stripMargin
+
+  private val pqSqlCte = pqSqlCteFor("blk", "vec_id BETWEEN 1 AND 8")
+
+  /** Sampled-training mirror: Lloyd passes scan only the 1-in-16 hash
+    * sample; the final `sf`/`af` assignment still scans the full corpus.
+    */
+  private val pqSampledSqlCte = pqSqlCteFor(
+    "(SELECT * FROM blk WHERE vec_id % 16 = 1)",
+    s"vec_id IN (${pqSampleSeedIds.mkString(", ")})",
+  )
 
   /** Embeddings with elements pre-cast to double (column `v`); also the
     * single hook where graft's native functions get registered on the
@@ -483,6 +507,39 @@ object SimilarityQueries {
     ) { (s, d) =>
       val blocks = pqBlocks(vecs(s, d))
       pqAssign(blocks, pqTrain(blocks))
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("m") === 0, col("cid"))).cast("int").as("c0"),
+          max(when(col("m") === 1, col("cid"))).cast("int").as("c1"),
+          max(when(col("m") === 2, col("cid"))).cast("int").as("c2"),
+          max(when(col("m") === 3, col("cid"))).cast("int").as("c3"),
+          round(max("d2"), 6).as("max_block_err"),
+        )
+        .orderBy("vec_id")
+    },
+
+    // ----- the 100-TB training shape: the codebook trains on a
+    // deterministic 1-in-16 hash-sample (each Lloyd pass scans only the
+    // sample — training cost is independent of corpus size), and only
+    // the single assignment pass is full-corpus. Codebook quality
+    // degrades gracefully with sample size (Jégou et al. train on
+    // subsets for exactly this reason); correctness is unchanged
+    // because assignment is still exact nearest-centroid.
+    Q(
+      "vector_pq_codes_sampled",
+      s"""WITH $vecsSqlCte,
+         |$pqSampledSqlCte
+         |SELECT vec_id,
+         |       CAST(max(CASE WHEN m = 0 THEN cid END) AS INTEGER) AS c0,
+         |       CAST(max(CASE WHEN m = 1 THEN cid END) AS INTEGER) AS c1,
+         |       CAST(max(CASE WHEN m = 2 THEN cid END) AS INTEGER) AS c2,
+         |       CAST(max(CASE WHEN m = 3 THEN cid END) AS INTEGER) AS c3,
+         |       round(max(d2), 6) AS max_block_err
+         |FROM af GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    ) { (s, d) =>
+      val blocks = pqBlocks(vecs(s, d))
+      val sample = blocks.where(col("vec_id") % 16 === 1)
+      pqAssign(blocks, pqTrainOn(sample, pqSampleSeedIds))
         .groupBy("vec_id")
         .agg(
           max(when(col("m") === 0, col("cid"))).cast("int").as("c0"),
