@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.collection.mutable
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path, RawLocalFileSystem}
 import org.scalatest.funsuite.AnyFunSuite
@@ -135,6 +137,69 @@ class DueScheduleSpec extends AnyFunSuite with Matchers {
       // no crash: the post-batch flush is what finally drops them
       s.flush()
       CompactionStream.loadSchedule(fs, p) shouldBe Map.empty
+    }
+  }
+
+  test("randomized book/spill/drain/restart interleavings preserve the contract") {
+    // Model-based fuzz over the operations a stream actually performs
+    // (book with max-merge, bounded takeReady with mid-drain refills,
+    // flush, clean restart), with tiny caps so nearly everything spills
+    // and the merge-join rewrite runs constantly. Invariants:
+    //   1. the residency cap holds at every step;
+    //   2. a leaf is only served once SOME booking for it was due;
+    //   3. nothing strands: after a final drain every leaf ever booked
+    //      was served at least once (at-least-once delivery — re-serves
+    //      after a re-booking are legitimate), and the snapshot is empty.
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { round =>
+      withFs { (fs, p) =>
+        val cap = 1 + rnd.nextInt(4)
+        var s = new DueSchedule(fs, p, cap)
+        val leaves = (0 until 30).map(i => f"file:/leaf$i%02d")
+        val minBook = mutable.Map.empty[String, Long]
+        val served = mutable.Set.empty[String]
+        var now = 0L
+        (0 until 200).foreach { _ =>
+          rnd.nextInt(10) match {
+            case op if op <= 5 => // book (max-merge; duplicates common)
+              val leaf = leaves(rnd.nextInt(leaves.size))
+              val ms = rnd.nextLong(1000L)
+              s.book(leaf, ms)
+              minBook(leaf) = math.min(minBook.getOrElse(leaf, Long.MaxValue), ms)
+            case 6 | 7 => // drain a slice
+              now += rnd.nextLong(300L)
+              s.takeReady(now, 1 + rnd.nextInt(5)).foreach { leaf =>
+                withClue(s"round $round: served $leaf before any booking was due: ") {
+                  minBook.getOrElse(leaf, Long.MaxValue) should be <= now
+                }
+                served += leaf
+              }
+            case 8 => s.flush()
+            case _ => // clean restart: flush, then reload from snapshot
+              s.flush()
+              s = new DueSchedule(fs, p, cap)
+          }
+          s.residentCount should be <= cap
+        }
+        // final drain to a fixpoint: a leaf served from an early
+        // re-booking keeps its later on-disk booking alive (by design),
+        // and a batch never serves one leaf twice — so that booking
+        // surfaces in the NEXT batch, i.e. after the flush() boundary
+        var more = true
+        while (more) {
+          more = false
+          var batch = s.takeReady(Long.MaxValue / 2, 10)
+          while (batch.nonEmpty) {
+            more = true; served ++= batch
+            batch = s.takeReady(Long.MaxValue / 2, 10)
+          }
+          s.flush()
+        }
+        withClue(s"round $round (cap $cap): ") {
+          served.toSet shouldBe minBook.keySet
+          CompactionStream.loadSchedule(fs, p) shouldBe Map.empty
+        }
+      }
     }
   }
 
