@@ -931,6 +931,107 @@ object CoreQueries {
         .orderBy("file_name")
     },
 
+    // ----- full outer join: both sides contribute unmatched rows (the
+    // left side is a filtered customer subset, the right an aggregate of
+    // big orders, so NULLs appear on both sides of the seam)
+    Q(
+      "join_full_outer",
+      """WITH rich AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500),
+        |big AS (SELECT o_custkey, count(*) AS n_big,
+        |               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS big_total
+        |        FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        |       coalesce(n_big, 0) AS n_big, coalesce(big_total, 0) AS big_total
+        |FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    ) { (s, d) =>
+      val rich = Tables.customer(s, d)
+        .where(col("c_acctbal") > 7500)
+        .select("c_custkey", "c_name")
+      val big = Tables.orders(s, d)
+        .where(col("o_totalprice") > 350000)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_big"), moneySum("o_totalprice").as("big_total"))
+      rich.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("big_total"), lit(0.0)).as("big_total"),
+        )
+        .orderBy("custkey")
+    },
+
+    // ----- correlated scalar subquery: each order compared against its
+    // own customer's exact-decimal average (Catalyst decorrelates this
+    // into an aggregate + join — no per-row re-execution)
+    Q(
+      "correlated_subquery",
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_corr")
+      s.sql(
+        """SELECT o_orderkey, o_custkey
+          |FROM orders_corr o
+          |WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+          |                            FROM orders_corr o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin,
+      )
+    },
+
+    // ----- distribution-rank window family: percent_rank / cume_dist /
+    // ndv-free relative position. Orderings carry the unique o_orderkey
+    // tiebreaker so rank ties (duplicate prices) resolve identically in
+    // both engines and the ratio doubles are bit-identical (same integer
+    // operands, one IEEE division each).
+    Q(
+      "window_cume_dist",
+      """SELECT o_orderkey, o_orderstatus,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd,
+        | CAST(ntile(10) OVER w AS INTEGER) AS decile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(10).over(w).as("decile"),
+        )
+        .orderBy("o_orderkey")
+    },
+
+    // ----- argmax/argmin aggregation via max_by/min_by (single-pass,
+    // map-side combinable — the Planner's newest-file rule at scale).
+    // The by-key is the unique o_orderkey so ties are impossible.
+    Q(
+      "agg_max_by",
+      """SELECT o_orderstatus,
+        | max_by(o_orderdate, o_orderkey) AS latest_keyed_date,
+        | min_by(o_orderdate, o_orderkey) AS first_keyed_date,
+        | max(o_orderkey) AS max_key, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          max_by(col("o_orderdate"), col("o_orderkey")).as("latest_keyed_date"),
+          min_by(col("o_orderdate"), col("o_orderkey")).as("first_keyed_date"),
+          max("o_orderkey").as("max_key"),
+          count(lit(1)).as("n"),
+        )
+        .orderBy("o_orderstatus")
+    },
+
     // ----- JSON extraction from string payloads
     Q(
       "json_funcs",

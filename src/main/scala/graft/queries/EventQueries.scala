@@ -32,6 +32,31 @@ object EventQueries {
         .orderBy("bucket")
     },
 
+    // ----- hopping (sliding) event-time window: 1-hour windows every 30
+    // minutes, so each event lands in exactly two windows. Spark's
+    // `window(ts, size, slide)` generates both assignments natively; the
+    // oracle replays the same epoch-aligned arithmetic (a window start s
+    // contains ts iff s ≡ 0 mod 30min and s ∈ {bucket30(ts), bucket30(ts)
+    // − 30min}) via an explicit 2-row cross join.
+    Q(
+      "event_hopping_window",
+      """WITH e AS (SELECT epoch_us(ts) // 1800000000 AS b, value FROM events),
+        |w AS (SELECT make_timestamp((b - k) * 1800000000) AS w_start, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
+        |SELECT w_start, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"),
+        )
+        .select(col("window.start").as("w_start"), col("n_events"), col("total_value"))
+        .orderBy("w_start")
+    },
+
     // ----- time-series resample + gap fill: the hourly series per event
     // type is re-gridded onto a dense hour spine (sequence/generate_series
     // from the observed bounds × the type dimension — a 1-row broadcast
