@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees broadcast blocks / shuffle state only when a
+      // JVM GC collects their weak references; the default periodic-GC
+      // interval (30 min) exceeds the whole suite, so on a big heap the
+      // blocks of 100+ queries pile up in storage memory and squeeze
+      // execution memory for late queries. Keep the periodic floor short
+      // as defense-in-depth (the per-query System.gc() below is primary).
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet paths so the first measured query
@@ -34,6 +41,12 @@ object Bench {
       // Suite hygiene: a query that caches and forgets (or a temp view
       // holding a plan alive) must not tax every query after it.
       spark.catalog.clearCache()
+      // Untimed (after dt): give ContextCleaner its GC so each query's
+      // broadcast/shuffle blocks are actually released before the next
+      // query runs, instead of accumulating across the suite (observed:
+      // broadcast-heavy queries 10x slower in-suite than isolated, in
+      // BOTH interleaved passes, with the spikes moving between runs).
+      System.gc()
       dt
     }
     // SPARK_GRAFT_BENCH_FILTER: local iteration aid (substring match);
