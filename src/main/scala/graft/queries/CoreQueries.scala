@@ -903,6 +903,31 @@ object CoreQueries {
         .orderBy("vec_id")
     },
 
+    // ----- generator with ordinality: posexplode flattens each vector to
+    // (position, value) rows — the UDTF/lateral-view shape. Spark's pos
+    // is 0-based, DuckDB's generate_subscripts 1-based; both sides emit
+    // the 1-based position. float→double cast is exact, so round(…,6)
+    // sees identical doubles in both engines.
+    Q(
+      "array_posexplode",
+      """SELECT vec_id, CAST(i AS INTEGER) AS pos,
+        |       round(CAST(x AS DOUBLE), 6) AS x
+        |FROM (SELECT vec_id, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |WHERE vec_id < 50 ORDER BY vec_id, pos""".stripMargin,
+    ) { (s, d) =>
+      Tables.embeddings(s, d)
+        .where(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(
+          col("vec_id"),
+          (col("pos") + 1).cast("int").as("pos"),
+          round(col("x").cast("double"), 6).as("x"),
+        )
+        .orderBy("vec_id", "pos")
+    },
+
     // ----- file-metadata plane as a query surface: the hidden _metadata
     // struct exposes (file_path, file_size, file_modification_time) on
     // any file-source read — the same triple the reference builds its
