@@ -32,6 +32,25 @@ object TextQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ----- text normalization: casefold → strip non-alphanumerics →
+    // squeeze whitespace → trim. The canonical first stage of a
+    // training-data pipeline (dedup keys, tokenizer input). Spark's
+    // regexp_replace is global by default; DuckDB needs the 'g' flag.
+    Q(
+      "text_normalize",
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                     ' +', ' ', 'g')) AS norm,
+        | CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                 ' +', ' ', 'g'))) AS INTEGER) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm"), length(norm).as("norm_len"))
+        .orderBy("doc_id")
+    },
+
     // ----- word count (explode ↔ unnest)
     Q(
       "text_wordcount",
