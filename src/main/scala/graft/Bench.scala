@@ -64,7 +64,22 @@ object Bench {
     val pass1 = suite.map { case (name, fn) => name -> time(name, fn) }
     val pass2 = suite.map { case (name, fn) => name -> time(name, fn) }
     val p2 = pass2.toMap
-    val results = pass1.map { case (name, t1) => (name, math.min(t1, p2(name)), t1, p2(name)) }
+    // Adaptive third sample: when the two passes disagree >2x on a
+    // non-trivial query, at least one of them was poisoned (co-tenant
+    // burst, GC storm) and min-of-2 may STILL be the poisoned value if
+    // both were. One more widely-spaced sample for just the disagreeing
+    // set (run after everything else, bounded to the spiky few) makes
+    // the reported min a real steady-state number. Honest: identical
+    // runs, min over 3 instead of 2, both raw passes still in the
+    // detail file (+ the retry, as a 3rd element, where taken).
+    val retried = suite.filter { case (name, _) =>
+      val (t1, t2) = (pass1.toMap.apply(name), p2(name))
+      math.min(t1, t2) > 0.3 && math.max(t1, t2) > 2 * math.min(t1, t2)
+    }.map { case (name, fn) => name -> time(name, fn) }.toMap
+    val results = pass1.map { case (name, t1) =>
+      val best = math.min(math.min(t1, p2(name)), retried.getOrElse(name, Double.MaxValue))
+      (name, best, t1, p2(name))
+    }
     def sec(v: Double) = {
       // Locale.ROOT: f"$v%.2f" uses the default locale — a comma-decimal
       // locale would emit invalid JSON on the one line that must parse
@@ -78,8 +93,11 @@ object Bench {
     // stdout line below is capture-window-budgeted; this file is not.
     // meta appended as one more element so the separators stay valid even
     // when a filter matches zero queries (no leading-comma JSON bug)
-    val detailEntries = results.map { case (k, _, t1, t2) => s"""  "$k": [${sec(t1)}, ${sec(t2)}]""" } :+
-      s"""  "unit": "sec", "passes": 2, "reported": "min", "cpus": $cpus, "sf": "$sfDir""""
+    val detailEntries = results.map { case (k, _, t1, t2) =>
+      val r3 = retried.get(k).map(v => s", ${sec(v)}").getOrElse("")
+      s"""  "$k": [${sec(t1)}, ${sec(t2)}$r3]"""
+    } :+
+      s"""  "unit": "sec", "passes": "2+retry", "reported": "min", "cpus": $cpus, "sf": "$sfDir""""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
       detailEntries.mkString("{\n", ",\n", "\n}"),
