@@ -112,6 +112,39 @@ object PipelineQueries {
       .toDF("lang", "doc_id", "n_tok", "pack_id")
   }
 
+  /** First-fit pack assignment over a `(lang, doc_id, n_tok)` DataFrame:
+    * within each lang, each doc (in doc_id order) lands in the FIRST
+    * open pack with room, opening a new pack only when none fits — the
+    * classic bin-packing heuristic, tighter than [[packGreedy]]'s
+    * next-fit (which only ever looks at the newest pack). Same
+    * distribution shape: repartition on lang + sortWithinPartitions +
+    * per-partition fold; the extra state is the open-pack fill list,
+    * which grows with packs-per-stratum — at 100 TB cap it (first-fit
+    * over a bounded window of newest packs) or pre-split strata; here
+    * strata are bounded so the pure form is exact.
+    */
+  def packFirstFit(docs: org.apache.spark.sql.DataFrame, budget: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .as[(String, Long, Int)]
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .mapPartitions { it =>
+        var lang: String = null
+        var fills: scala.collection.mutable.ArrayBuffer[Int] = null
+        it.map { case (l, id, n) =>
+          if (l != lang) { lang = l; fills = scala.collection.mutable.ArrayBuffer.empty[Int] }
+          val i = fills.indexWhere(_ + n <= budget)
+          val pack =
+            if (i >= 0) { fills(i) += n; i.toLong }
+            else { fills += n; (fills.length - 1).toLong }
+          (l, id, n, pack)
+        }
+      }
+      .toDF("lang", "doc_id", "n_tok", "pack_id")
+  }
+
   /** 5-word shingles (decontamination uses longer n-grams than dedup's
     * 3-shingles — a short n-gram collides on common phrases; a training
     * pipeline flags eval contamination on long, rare spans).
@@ -282,6 +315,50 @@ object PipelineQueries {
         |ORDER BY lang, pack_id""".stripMargin,
     ) { (s, d) =>
       packGreedy(
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_tok")),
+        budget = 256,
+      )
+        .groupBy("lang", "pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("bigint").as("pack_tokens"),
+          min("doc_id").as("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    },
+
+    // ----- FIRST-FIT sequence packing (see [[packFirstFit]]): each doc
+    // lands in the first open pack with room, not just the newest — the
+    // tighter classic heuristic next to text_pack_greedy's next-fit.
+    // The oracle replays the identical walk as a recursive CTE whose
+    // state is the open-pack fill LIST (list_position finds the first
+    // fit, an indexed list_transform applies it) — sequential list
+    // semantics, declared declaratively.
+    Q(
+      "text_pack_firstfit",
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT lang, doc_id, n_tok, rn, 0 AS pack_id, [n_tok] AS fills
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT lang, doc_id, n_tok, rn,
+        |         CASE WHEN pos = 0 THEN len(fills) ELSE pos - 1 END,
+        |         CASE WHEN pos = 0 THEN list_append(fills, n_tok)
+        |              ELSE list_transform(fills, (f, j) -> CASE WHEN j = pos THEN f + n_tok ELSE f END) END
+        |  FROM (SELECT t.lang, t.doc_id, t.n_tok, t.rn, rec.fills,
+        |               coalesce(list_position(list_transform(rec.fills, f -> f + t.n_tok <= 256), true), 0) AS pos
+        |        FROM rec JOIN t ON t.lang = rec.lang AND t.rn = rec.rn + 1))
+        |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM rec GROUP BY lang, pack_id
+        |ORDER BY lang, pack_id""".stripMargin,
+    ) { (s, d) =>
+      packFirstFit(
         Tables.documents(s, d)
           .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_tok")),
         budget = 256,

@@ -52,6 +52,49 @@ class RankingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("packFirstFit matches the sequential reference, never overflows, and beats-or-ties next-fit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(43)
+    val budget = 100
+    val docs = (1L to 1500L).map { id =>
+      val lang = s"l${rnd.nextInt(4)}"
+      val n = if (rnd.nextInt(20) == 0) budget + 1 + rnd.nextInt(50) else 1 + rnd.nextInt(60)
+      (lang, id, n)
+    }
+    val packed = PipelineQueries
+      .packFirstFit(docs.toDF("lang", "doc_id", "n_tok"), budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // no pack overfull except a solo oversize doc
+    packed.groupBy(p => (p._1, p._4)).foreach { case ((lang, pack), ds) =>
+      withClue(s"$lang pack $pack") {
+        (ds.map(_._3).sum <= budget || ds.length == 1) shouldBe true
+      }
+    }
+    // sequential reference replay per lang
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Int]
+      ds.sortBy(_._2).foreach { case (_, id, n) =>
+        val i = fills.indexWhere(_ + n <= budget)
+        val expected = if (i >= 0) { fills(i) += n; i.toLong } else { fills += n; (fills.length - 1).toLong }
+        val got = packed.find(p => p._1 == lang && p._2 == id).get._4
+        withClue(s"$lang doc $id") { got shouldBe expected }
+      }
+      // first-fit never opens more packs than next-fit on the same walk
+      val nextFitPacks = {
+        var pack = 0L; var fill = 0; var first = true
+        ds.sortBy(_._2).foreach { case (_, _, n) =>
+          if (first) { first = false; fill = n }
+          else if (fill + n <= budget) fill += n
+          else { pack += 1; fill = n }
+        }
+        pack + 1
+      }
+      withClue(s"$lang pack counts") { fills.length.toLong should be <= nextFitPacks }
+    }
+  }
+
   test("packGreedy is exhaustive and deterministic across partitionings") {
     val s = spark
     import s.implicits._
