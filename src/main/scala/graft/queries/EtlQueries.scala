@@ -33,6 +33,27 @@ object EtlQueries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** DuckDB side of `layout_zorder`: the same 8-bit interleave written
+    * out as explicit shift-mask-add terms (bit j of x → position 2j, of
+    * y → 2j+1), generated once at object init so the two engines can
+    * never drift apart term-by-term. (Before `qs` for the same
+    * source-order reason as `q3Sql`.)
+    */
+  private val zorderOracleSql: String = {
+    val terms = (0 until 8).flatMap { j =>
+      Seq(
+        s"((x >> $j) & 1) * ${1L << (2 * j)}",
+        s"((y >> $j) & 1) * ${1L << (2 * j + 1)}",
+      )
+    }
+    s"""WITH b AS (SELECT (l_partkey % 256) AS x, (l_suppkey % 256) AS y FROM lineitem),
+       |z AS (SELECT x, y, ${terms.mkString(" + ")} AS zval FROM b)
+       |SELECT CAST(zval >> 8 AS INTEGER) AS z_cell, count(*) AS n,
+       |       CAST(min(x) AS INTEGER) AS min_x, CAST(max(x) AS INTEGER) AS max_x,
+       |       CAST(min(y) AS INTEGER) AS min_y, CAST(max(y) AS INTEGER) AS max_y
+       |FROM z GROUP BY z_cell ORDER BY z_cell""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ----- CDC upsert: apply a change set onto a base table via FULL
@@ -142,6 +163,28 @@ object EtlQueries {
         .where(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts").as("latest_ts"))
         .orderBy("user_id")
+    },
+
+    // ----- Z-order layout (operators.ZOrder): Morton-interleave the low
+    // 8 bits of two keys and aggregate per 256-code Z-range. Each range
+    // is exactly a 16x16 tile in (x, y) space, so every cell's bounding
+    // box comes back [16-wide, 16-tall] — the tight two-dimensional
+    // min/max that makes Z-laid-out files prunable on EITHER key. The
+    // oracle recomputes the interleave with the same integer arithmetic.
+    Q("layout_zorder", EtlQueries.zorderOracleSql) { (s, d) =>
+      import graft.operators.ZOrder
+      val li = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      li.withColumn("zval", ZOrder.mortonCode(8, col("x"), col("y")))
+        .groupBy(shiftright(col("zval"), 8).cast("int").as("z_cell"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("x").cast("int").as("min_x"),
+          max("x").cast("int").as("max_x"),
+          min("y").cast("int").as("min_y"),
+          max("y").cast("int").as("max_y"),
+        )
+        .orderBy("z_cell")
     },
   )
 }
