@@ -463,5 +463,49 @@ object PipelineQueries {
         )
         .orderBy("vec_id")
     },
+
+    // ----- temperature (alpha) resampling across languages: flatten the
+    // lang distribution toward n_l^alpha (alpha = 0.5) by keeping each
+    // lang at rate sqrt(min_n / n_l) — the rarest lang keeps everything,
+    // head langs downsample toward it. The multilingual mixing step of
+    // every LLM corpus build (the alpha-sampling of GPT-3/CC-100),
+    // deterministic here via the md5-bucket trick of
+    // sample_stratified_hash so reruns and the oracle agree row-for-row.
+    // Plan shape at 100 TB: the rate table is a per-lang aggregate
+    // (bytes), broadcast back onto a pure scan+filter — the corpus
+    // itself never shuffles. sqrt over the same integers is correctly
+    // rounded IEEE in both engines, and floor(r * 10000) makes the
+    // threshold integral, so the filter boundary cannot drift.
+    Q(
+      "sample_temperature",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT lang, n,
+        |             CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) * 10000) AS BIGINT) AS thr
+        |      FROM c)
+        |SELECT d.doc_id, d.lang, CAST(t.thr AS INTEGER) AS thr,
+        |       CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INTEGER) AS bucket
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      // scalar min over a handful of lang rows: window-min avoids a
+      // second aggregate + cross join, stays one tiny exchange
+      val rates = counts
+        .withColumn("min_n", min("n").over(Window.partitionBy()))
+        .select(
+          col("lang"),
+          floor(sqrt(col("min_n").cast("double") / col("n")) * 10000).as("thr"),
+        )
+      val bucket =
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000")
+      docs
+        .join(broadcast(rates), "lang")
+        .withColumn("bucket", bucket.cast("int"))
+        .where(col("bucket") < col("thr"))
+        .select(col("doc_id"), col("lang"), col("thr").cast("int").as("thr"), col("bucket"))
+        .orderBy("doc_id")
+    },
   )
 }

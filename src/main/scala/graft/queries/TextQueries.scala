@@ -364,5 +364,53 @@ object TextQueries {
         .agg(sum(expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) * (pos + 1)")).as("pos_hash"))
       roll.join(pos, "doc_id").orderBy("doc_id")
     },
+
+    // ----- repetition scoring (the Gopher-rule family text_quality
+    // doesn't cover): top-word mass fraction and duplicate-2-gram
+    // fraction — the signals that catch boilerplate and degenerate
+    // repetition. Two partial-aggregated explodes joined on doc_id
+    // (each one shuffle of per-doc rows); the 2-gram side reuses the
+    // codegen word_shingles expression from the dedup family, the
+    // oracle recomputes the same space-joined bigrams with a list
+    // lambda. Ratios are int/int divisions — bit-identical doubles in
+    // both engines, no rounding needed (text_quality discipline).
+    Q(
+      "text_repetition",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY doc_id, w),
+        |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |              CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_word_frac
+        |       FROM wc GROUP BY doc_id),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+        |      FROM documents),
+        |gs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_2grams,
+        |              1 - CAST(count(DISTINCT bg) AS DOUBLE) / count(*) AS dup_2gram_frac
+        |       FROM g GROUP BY doc_id)
+        |SELECT ws.doc_id, n_words, top_word_frac, n_2grams, dup_2gram_frac
+        |FROM ws JOIN gs ON ws.doc_id = gs.doc_id ORDER BY ws.doc_id""".stripMargin,
+    ) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.fanout(Tables.documents(s, d))
+      val words = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(
+          sum("cnt").as("n_words"),
+          (max("cnt").cast("double") / sum("cnt")).as("top_word_frac"),
+        )
+      val grams = docs
+        .select(col("doc_id"), explode(expr("word_shingles(split(text, ' '), 2)")).as("bg"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_2grams"),
+          (lit(1) - countDistinct("bg").cast("double") / count(lit(1))).as("dup_2gram_frac"),
+        )
+      words.join(grams, "doc_id")
+        .select("doc_id", "n_words", "top_word_frac", "n_2grams", "dup_2gram_frac")
+        .orderBy("doc_id")
+    },
   )
 }
