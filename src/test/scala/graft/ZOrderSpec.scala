@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -52,5 +54,43 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
     // tiles, so require <=128, not the ideal 64.
     linSpan should be > 200.0
     zSpan should be <= 128.0
+  }
+
+  test("written Z-order files carry prunable min/max footer stats on BOTH keys") {
+    // The end-to-end property the layout exists for: after
+    // ZOrder.layout + write.parquet, EVERY file's parquet footer bounds
+    // both interleaved columns tightly, so a reader filtering on either
+    // key skips most files on stats alone — no data pages touched.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val base = s.range(0, 1 << 16)
+      .select((col("id") % 256).as("x"), ((col("id") * 2654435761L) % 256).as("y"))
+    graft.operators.ZOrder.layout(base, 16, 8, col("x"), col("y"))
+      .write.parquet(s"$dir/z")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/z").getFileSystem(conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/z"))
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    files.length shouldBe 16
+    val spans = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val cols = reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        def span(name: String): Long = {
+          val cs = cols.filter(_.getPath.toDotString == name).map(_.getStatistics)
+          cs.map(_.genericGetMax.asInstanceOf[Long]).max - cs.map(_.genericGetMin.asInstanceOf[Long]).min
+        }
+        (span("x"), span("y"))
+      } finally reader.close()
+    }
+    // a y=k point query reads files whose [min,max] covers it: with
+    // every file bounding y within ~half the domain, at most ~half the
+    // files qualify — vs ALL of them under an x-only sort
+    spans.foreach { case (xs, ys) =>
+      xs should be <= 127L
+      ys should be <= 127L
+    }
   }
 }
