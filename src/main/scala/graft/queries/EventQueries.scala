@@ -190,5 +190,58 @@ object EventQueries {
         .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
+
+    // ----- incremental aggregate maintenance (materialized-view
+    // refresh): an existing per-type aggregate ("old" partition) merges
+    // with the delta's partial aggregate instead of rescanning history —
+    // count merges by sum, sum by sum, max by max, all in exact DECIMAL
+    // so merged == direct bit-for-bit. The ORACLE computes the direct
+    // full aggregate, so a hash match PROVES the merge path equals a
+    // from-scratch rebuild. At 100 TB this is the difference between
+    // re-aggregating a day and re-aggregating a decade; the parity
+    // split stands in for the old-snapshot/new-files boundary.
+    Q(
+      "event_incremental_agg",
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |       max(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      val events = Tables.events(s, d)
+      def partial(half: org.apache.spark.sql.DataFrame) =
+        half.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(12,2)")).as("pv"),
+            max("ts").as("pm"),
+          )
+      val old = partial(events.where(col("event_id") % 2 === 0))
+      val delta = partial(events.where(col("event_id") % 2 === 1))
+      old.unionAll(delta)
+        .groupBy("event_type")
+        .agg(
+          sum("pn").as("n_events"),
+          sum("pv").cast("double").as("total_value"),
+          max("pm").as("max_ts"),
+        )
+        .orderBy("event_type")
+    },
+
+    // ----- mergeable sketches, the re-aggregatable form of approx
+    // distinct: one DataSketches HLL per event_type (the shape of a
+    // per-day sketch table), unioned into a global estimate WITHOUT
+    // touching raw data again — the 100-TB pattern where a year of
+    // distinct-user counts comes from 365 sketch rows, not 10^12
+    // events. Estimates are engine- and implementation-specific →
+    // rows-only check (same standing as agg_approx_distinct); the
+    // exact count rides along as the in-row accuracy witness.
+    Q.noOracle("agg_hll_sketch_merge") { (s, d) =>
+      val events = Tables.events(s, d)
+      val sketches = events.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      sketches
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_distinct_users"))
+        .crossJoin(events.agg(countDistinct("user_id").as("exact_distinct_users")))
+    },
   )
 }
