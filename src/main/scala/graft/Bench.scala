@@ -51,8 +51,15 @@ object Bench {
     }
     // SPARK_GRAFT_BENCH_FILTER: local iteration aid (substring match);
     // the driver runs without it -> all queries.
+    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated exact names to skip —
+    // the bisection knob for in-suite contamination hunts (run the
+    // suite minus a suspect, see whether the victim recovers).
     val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
-    val suite = SparkEntry.queries.toSeq.filter(_._1.contains(filter)).sortBy(_._1)
+    val exclude = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCLUDE", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val suite = SparkEntry.queries.toSeq
+      .filter { case (n, _) => n.contains(filter) && !exclude.contains(n) }
+      .sortBy(_._1)
     // Two timed passes per query, reported as the min — but INTERLEAVED
     // (whole suite once, then the whole suite again), not back-to-back.
     // Back-to-back repeats share whatever transient poisons the moment
