@@ -56,6 +56,24 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
     zSpan should be <= 128.0
   }
 
+  test("mortonCode matches the reference on randomized column counts, widths, and values (seeded)") {
+    val s = spark
+    import s.implicits._
+    def ref(bits: Int, xs: Seq[Long]): Long =
+      (for { (x, c) <- xs.zipWithIndex; j <- 0 until bits }
+        yield ((x >> j) & 1L) << (j * xs.size + c)).sum
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 10).foreach { _ =>
+      val k = 2 + rnd.nextInt(3) // 2..4 columns
+      val bits = 4 + rnd.nextInt(9) // 4..12 bits, k*bits <= 48
+      val rows = Seq.fill(200)(Seq.fill(k)(rnd.nextLong(1L << bits)))
+      val df = rows.map(r => (r, 0)).toDF("xs", "pad")
+      val cols = (0 until k).map(i => col("xs").getItem(i))
+      val got = df.select(ZOrder.mortonCode(bits, cols: _*).as("z")).as[Long].collect()
+      got.zip(rows).foreach { case (z, r) => z shouldBe ref(bits, r) }
+    }
+  }
+
   test("written Z-order files carry prunable min/max footer stats on BOTH keys") {
     // The end-to-end property the layout exists for: after
     // ZOrder.layout + write.parquet, EVERY file's parquet footer bounds
