@@ -31,4 +31,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 69-query bench suite (suite timings ran 3-9x standalone ones).
   // The bench box has 128 GiB; size like an executor, not a driver.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // 111 queries x 3 passes of whole-stage codegen compile thousands of
+  // generated classes; the default 240 MB JIT code cache fills mid-suite
+  // and the JVM silently disables compilation — late/heavy queries then
+  // run interpreted, 10-50x slower in-suite than in a fresh JVM (the
+  // round-9 dedup_clusters 76s-in-suite vs 3.6s-isolated signature).
+  // Size the cache for the suite and let flushing evict cold methods.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )
+// The forked bench JVM's stdout must reach the driver's capture window as
+// bare lines; sbt's default logger prefixes every line with "[info] ",
+// which defeats the driver's JSON parse of the bench aggregate line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

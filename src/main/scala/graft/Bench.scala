@@ -100,11 +100,20 @@ object Bench {
     // stdout line below is capture-window-budgeted; this file is not.
     // meta appended as one more element so the separators stay valid even
     // when a filter matches zero queries (no leading-comma JSON bug)
+    // Self-identify partial runs in BOTH outputs: a filtered/excluded
+    // total must never be mistakable for the full suite (the detail meta
+    // previously carried neither knob).
+    val filterJson = if (filter.nonEmpty) s""","filter":"$filter"""" else ""
+    val excludeJson =
+      if (exclude.nonEmpty) s""","exclude":"${exclude.toSeq.sorted.mkString(",")}"""" else ""
     val detailEntries = results.map { case (k, _, t1, t2) =>
       val r3 = retried.get(k).map(v => s", ${sec(v)}").getOrElse("")
       s"""  "$k": [${sec(t1)}, ${sec(t2)}$r3]"""
     } :+
-      s"""  "unit": "sec", "passes": "2+retry", "reported": "min", "cpus": $cpus, "sf": "$sfDir""""
+      // "passes" stays numeric (2 fixed passes); the adaptive third
+      // sample is reported separately so numeric consumers don't break.
+      (s"""  "unit": "sec", "passes": 2, "retried": ${retried.size}, "reported": "min",""" +
+        s""" "cpus": $cpus, "sf": "$sfDir"$filterJson$excludeJson""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
       detailEntries.mkString("{\n", ",\n", "\n}"),
@@ -122,12 +131,8 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // Self-identify partial runs (SPARK_GRAFT_BENCH_FILTER set): report
-    // the active filter + query count so a filtered total can't be
-    // mistaken for the full suite.
-    val filterJson = if (filter.nonEmpty) s""","filter":"$filter"""" else ""
     val line =
-      s"""{"queries":$qs,"failed":$failedJson,"n":${results.size}$filterJson,""" +
+      s"""{"queries":$qs,"failed":$failedJson,"n":${results.size}$filterJson$excludeJson,""" +
         s""""metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir"}"""
     spark.stop()
     println(line)
@@ -138,7 +143,7 @@ object Bench {
     // fidelity for the judge either way).
     println(
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},""" +
-        s""""failed":$failedJson$filterJson,"sf":"$sfDir"}""",
+        s""""failed":$failedJson$filterJson$excludeJson,"sf":"$sfDir"}""",
     )
   }
 }

@@ -23,8 +23,12 @@ object ZOrder {
 
   /** Morton code interleaving the low `bits` bits of each column: bit
     * `j` of `cols(c)` lands at output position `j * cols.length + c`.
-    * Inputs must already be non-negative and < 2^bits (callers bucket
-    * with `% (1 << bits)` or a width-scaled quantile rank first).
+    * Inputs should be non-negative and < 2^bits (callers bucket with
+    * `% (1 << bits)` or a width-scaled quantile rank first); out-of-
+    * contract values are clamped defensively rather than silently
+    * interleaving sign/overflow garbage — negatives floor to 0 and
+    * over-wide values wrap mod 2^bits, so a stray key degrades local
+    * clustering instead of destroying the whole curve.
     * Total width `bits * cols.length` must fit a signed long.
     */
   def mortonCode(bits: Int, cols: Column*): Column = {
@@ -32,8 +36,9 @@ object ZOrder {
     require(bits >= 1 && bits * cols.size <= 62, s"bits*cols must fit a long, got $bits*${cols.size}")
     val terms = for {
       (c, ci) <- cols.zipWithIndex
+      v = greatest(c.cast("long"), lit(0L)).bitwiseAND(lit((1L << bits) - 1))
       j <- 0 until bits
-    } yield shiftright(c.cast("long"), j).bitwiseAND(lit(1L)) * lit(1L << (j * cols.size + ci))
+    } yield shiftright(v, j).bitwiseAND(lit(1L)) * lit(1L << (j * cols.size + ci))
     terms.reduce(_ + _)
   }
 

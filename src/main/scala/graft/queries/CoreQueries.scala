@@ -1014,13 +1014,17 @@ object CoreQueries {
         |ORDER BY o_orderkey""".stripMargin,
     ) { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders_corr")
-      s.sql(
+      val df = s.sql(
         """SELECT o_orderkey, o_custkey
           |FROM orders_corr o
           |WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
           |                            FROM orders_corr o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin,
       )
+      // The analyzed DataFrame no longer needs the view; dropping it here
+      // keeps the session catalog clean across a 111-query bench suite.
+      s.catalog.dropTempView("orders_corr")
+      df
     },
 
     // ----- distribution-rank window family: percent_rank / cume_dist /

@@ -293,66 +293,13 @@ object DedupQueries {
          |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      import s.implicits._
-      val pairs = minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
-      // Adaptive: a candidate graph that fits on the driver is solved
-      // with union-find in one pass (Spark itself localizes small work —
-      // cf. LocalTableScan / broadcast); bigger graphs take the
-      // distributed min-label-propagation loop (one join+groupBy per
-      // round, rounds ~ diameter). The branch probe IS the collection:
-      // head(cap+1) pulls at most cap+1 edges (~1.6 MB), so the small
-      // case pays no extra pass and the big case stops at the cap.
-      val cap = 100000
-      val headEdges = pairs.as[(Long, Long)].head(cap + 1)
-      val result =
-        if (headEdges.length <= cap) {
-          val es = headEdges
-          pairs.unpersist()
-          val parent = scala.collection.mutable.Map.empty[Long, Long]
-          // iterative find with path compression — a chain-shaped graph
-          // near the threshold would blow the stack recursively
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent(r)
-            var c = x
-            while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
-            r
-          }
-          es.foreach { case (a, b) =>
-            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-          }
-          parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster")
-        } else {
-          val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
-          edges.count() // materialize, then release the upstream cache
-          pairs.unpersist()
-          var labels = edges.select(col("a").as("node")).distinct()
-            .withColumn("label", col("node"))
-          var changed = 1L
-          while (changed > 0) {
-            // each node adopts the min label among itself and its neighbors
-            val next = edges
-              .join(labels, edges("b") === labels("node"))
-              .select(edges("a").as("node"), col("label"))
-              .union(labels)
-              .groupBy("node")
-              .agg(min("label").as("label"))
-              .cache()
-            changed = next.as("n")
-              .join(labels.as("o"), col("n.node") === col("o.node"))
-              .where(col("n.label") =!= col("o.label"))
-              .count() // also materializes next's cache
-            val old = labels
-            labels = next
-            old.unpersist()
-          }
-          // labels is cached+materialized, so dropping edges is safe
-          edges.unpersist()
-          labels.select(col("node").as("doc_id"), col("label").as("cluster"))
-        }
-      result.orderBy("doc_id")
+      // Adaptive driver-local/distributed branching + lineage-cut label
+      // propagation live in [[graft.operators.ConnectedComponents]];
+      // both branches are pinned equal by ConnectedComponentsSpec.
+      val pairs = minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.ConnectedComponents.minLabel(pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+        .orderBy("doc_id")
     },
 
     // ----- SimHash: 64-bit fingerprint from token-frequency-weighted bit votes

@@ -145,6 +145,50 @@ object PipelineQueries {
       .toDF("lang", "doc_id", "n_tok", "pack_id")
   }
 
+  /** Bounded-window first-fit: like [[packFirstFit]], but a doc may only
+    * land in one of the newest `window` open packs — older packs are
+    * retired and never revisited. This is the 100-TB dial the pure form
+    * documents: pure first-fit's open-pack list grows with
+    * packs-per-stratum (at 100 TB, millions of packs → O(packs) scan
+    * per doc and unbounded state), while the windowed form holds O(window)
+    * state and still fills near-first-fit-tight for realistic doc-size
+    * distributions. Exactly equal to pure first-fit whenever a stratum's
+    * total pack count stays ≤ `window` (no pack is ever retired) —
+    * PackWindowSpec pins that property on randomized inputs.
+    */
+  def packFirstFitWindowed(docs: org.apache.spark.sql.DataFrame, budget: Int, window: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .as[(String, Long, Int)]
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .mapPartitions { it =>
+        var lang: String = null
+        var nextPack = 0L
+        // newest `window` open packs, ascending creation order
+        var open: scala.collection.mutable.ArrayBuffer[(Long, Int)] = null
+        it.map { case (l, id, n) =>
+          if (l != lang) {
+            lang = l; nextPack = 0L
+            open = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+          }
+          val i = open.indexWhere(_._2 + n <= budget)
+          val pack =
+            if (i >= 0) { val (p, f) = open(i); open(i) = (p, f + n); p }
+            else {
+              val p = nextPack; nextPack += 1
+              open += ((p, n))
+              if (open.length > window) open.remove(0) // retire the oldest
+              p
+            }
+          (l, id, n, pack)
+        }
+      }
+      .toDF("lang", "doc_id", "n_tok", "pack_id")
+  }
+
   /** 5-word shingles (decontamination uses longer n-grams than dedup's
     * 3-shingles — a short n-gram collides on common phrases; a training
     * pipeline flags eval contamination on long, rare spans).
@@ -362,6 +406,51 @@ object PipelineQueries {
         Tables.documents(s, d)
           .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_tok")),
         budget = 256,
+      )
+        .groupBy("lang", "pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("bigint").as("pack_tokens"),
+          min("doc_id").as("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    },
+
+    // ----- bounded-window first-fit: the 100-TB form of first-fit —
+    // only the newest 4 open packs are candidates, so per-doc state is
+    // O(window) instead of O(packs-per-stratum). Oracle: the same
+    // recursive-CTE list state, with candidacy restricted to the last 4
+    // list positions (retired packs are exactly the positions before
+    // the window).
+    Q(
+      "text_pack_firstfit_window",
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT lang, doc_id, n_tok, rn, 0 AS pack_id, [n_tok] AS fills
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT lang, doc_id, n_tok, rn,
+        |         CASE WHEN pos = 0 THEN len(fills) ELSE pos - 1 END,
+        |         CASE WHEN pos = 0 THEN list_append(fills, n_tok)
+        |              ELSE list_transform(fills, (f, j) -> CASE WHEN j = pos THEN f + n_tok ELSE f END) END
+        |  FROM (SELECT t.lang, t.doc_id, t.n_tok, t.rn, rec.fills,
+        |               coalesce(list_position(list_transform(rec.fills,
+        |                          (f, j) -> j > len(rec.fills) - 4 AND f + t.n_tok <= 256), true), 0) AS pos
+        |        FROM rec JOIN t ON t.lang = rec.lang AND t.rn = rec.rn + 1))
+        |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM rec GROUP BY lang, pack_id
+        |ORDER BY lang, pack_id""".stripMargin,
+    ) { (s, d) =>
+      packFirstFitWindowed(
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_tok")),
+        budget = 256,
+        window = 4,
       )
         .groupBy("lang", "pack_id")
         .agg(

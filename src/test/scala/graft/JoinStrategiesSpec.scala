@@ -102,6 +102,11 @@ class JoinStrategiesSpec extends AnyFunSuite with Matchers with SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
     val a = s.range(0, 10000L).select(col("id").as("k"), (col("id") * 2).as("va"))
     val b = s.range(0, 10000L).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    // A crashed prior run can leave the catalog entries behind (the
+    // finally-cleanup never ran); saveAsTable would then throw before
+    // this run's try/finally is even entered.
+    s.sql("DROP TABLE IF EXISTS graft_bucket_a")
+    s.sql("DROP TABLE IF EXISTS graft_bucket_b")
     a.write.bucketBy(4, "k").sortBy("k").option("path", s"$dir/ta").saveAsTable("graft_bucket_a")
     b.write.bucketBy(4, "k").sortBy("k").option("path", s"$dir/tb").saveAsTable("graft_bucket_b")
     try {
