@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Accuracy witnesses for the three sketch queries that run rows-only
+  * at the oracle gate (estimates are engine-specific, so DuckDB can't
+  * differential-test them). Each query carries its exact value in-row;
+  * these specs pin the estimate inside the sketch's published error
+  * envelope, so a broken sketch config (or a miswired column) fails a
+  * test even without an oracle.
+  */
+class SketchWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("agg_approx_distinct: HLL++ estimate within 3x the default 5% rsd of the exact count") {
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("agg_approx_distinct")(s, sf)
+      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    rows should not be empty
+    rows.foreach { case (approx, exact) =>
+      math.abs(approx - exact).toDouble should be <= math.max(0.15 * exact, 2.0)
+    }
+  }
+
+  test("agg_approx_quantile: rank error of the approximate percentiles within the 1/accuracy bound") {
+    val s = spark
+    import s.implicits._
+    // percentile_approx(accuracy=1000) guarantees a returned element
+    // whose rank is within n/1000 of the target rank; verify against
+    // the raw column, with a small cushion for tie plateaus.
+    val approx = SparkEntry.queries("agg_approx_quantile")(s, sf)
+      .select("l_returnflag", "approx_median", "approx_p99").as[(String, Double, Double)].collect()
+    approx should not be empty
+    val li = Tables.lineitem(s, sf).select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    approx.foreach { case (flag, med, p99) =>
+      val xs = li(flag)
+      def rankRange(v: Double): (Double, Double) =
+        (xs.count(_ < v).toDouble / xs.length, xs.count(_ <= v).toDouble / xs.length)
+      Seq((med, 0.5), (p99, 0.99)).foreach { case (v, q) =>
+        val (lo, hi) = rankRange(v)
+        withClue(s"$flag q=$q value=$v rank=[$lo,$hi]: ") {
+          lo should be <= q + 0.005
+          hi should be >= q - 0.005
+        }
+      }
+    }
+  }
+
+  test("agg_hll_sketch_merge: merged DataSketches estimate within 3x the lgK=12 ~1.6% rse of exact") {
+    val s = spark
+    import s.implicits._
+    val (est, exact) = SparkEntry.queries("agg_hll_sketch_merge")(s, sf)
+      .select(col("est_distinct_users").cast("double"), col("exact_distinct_users").cast("double"))
+      .as[(Double, Double)].head()
+    exact should be > 0.0
+    math.abs(est - exact) should be <= math.max(0.05 * exact, 2.0)
+  }
+}

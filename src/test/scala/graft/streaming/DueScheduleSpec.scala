@@ -203,6 +203,101 @@ class DueScheduleSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("randomized fuzz ALSO covers snapshot-unwritable (degraded drain) and lost-snapshot catch-up restarts") {
+    // The base fuzz above holds two modes fixed: the FS always writes,
+    // and restarts always have a snapshot to reload. This walk toggles
+    // both — unwritable periods exercise takeReady's degraded direct-
+    // serve branch, and lost-snapshot restarts exercise the
+    // catchUpOnStart contract (the snapshot is an optimization, never
+    // the source of truth: catch-up re-books whatever was lost).
+    // Invariants unchanged: cap bound, no serve before due, at-least-
+    // once delivery, empty snapshot after the healed final drain.
+    class FlakyFs extends RawLocalFileSystem {
+      initialize(java.net.URI.create("file:///"), new Configuration())
+      var failing = false
+      override def create(p: Path, overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        if (failing) throw new java.io.IOException("injected: snapshot unwritable")
+        else super.create(p, overwrite)
+    }
+    val rnd = new scala.util.Random(20260813L)
+    var sawDegradedServe, sawCatchUpHealthy, sawCatchUpFailing, sawHealthyRestart = false
+    (0 until 5).foreach { round =>
+      val dir = Files.createTempDirectory("graft-due-flaky").toFile
+      val p = new Path(new java.io.File(dir, "graft-due-schedule").getAbsolutePath)
+      val fs = new FlakyFs
+      try {
+        val cap = 1 + rnd.nextInt(4)
+        var s = new DueSchedule(fs, p, cap)
+        val leaves = (0 until 30).map(i => f"file:/leaf$i%02d")
+        val minBook = mutable.Map.empty[String, Long]
+        val served = mutable.Set.empty[String]
+        var now = 0L
+        (0 until 250).foreach { _ =>
+          rnd.nextInt(12) match {
+            case op if op <= 5 => // book (max-merge; duplicates common)
+              val leaf = leaves(rnd.nextInt(leaves.size))
+              val ms = rnd.nextLong(1000L)
+              s.book(leaf, ms)
+              minBook(leaf) = math.min(minBook.getOrElse(leaf, Long.MaxValue), ms)
+            case 6 | 7 => // drain a slice (degraded when fs.failing)
+              now += rnd.nextLong(300L)
+              val got = s.takeReady(now, 1 + rnd.nextInt(5))
+              if (fs.failing && got.nonEmpty) sawDegradedServe = true
+              got.foreach { leaf =>
+                withClue(s"round $round: served $leaf before any booking was due: ") {
+                  minBook.getOrElse(leaf, Long.MaxValue) should be <= now
+                }
+                served += leaf
+              }
+            case 8 => s.flush() // silently fails while fs.failing
+            case 9 => fs.failing = !fs.failing
+            case 10 if !fs.failing => // healthy restart: snapshot survives
+              sawHealthyRestart = true
+              s.flush()
+              s = new DueSchedule(fs, p, cap)
+            case _ => // crash with LOST snapshot + catchUpOnStart recovery:
+              // in-memory buffers die with the process and the snapshot
+              // file is gone; the catch-up batch re-discovers every
+              // leaf not yet compacted and re-books it
+              if (fs.failing) sawCatchUpFailing = true else sawCatchUpHealthy = true
+              fs.delete(p, false)
+              s = new DueSchedule(fs, p, cap)
+              (minBook.keySet -- served).foreach { leaf =>
+                val ms = rnd.nextLong(1000L)
+                s.book(leaf, ms)
+                minBook(leaf) = math.min(minBook(leaf), ms)
+              }
+          }
+          s.residentCount should be <= cap
+        }
+        // heal, then drain to a fixpoint (disk-spilled entries can only
+        // surface once the FS writes again)
+        fs.failing = false
+        var more = true
+        while (more) {
+          more = false
+          var batch = s.takeReady(Long.MaxValue / 2, 10)
+          while (batch.nonEmpty) {
+            more = true; served ++= batch
+            batch = s.takeReady(Long.MaxValue / 2, 10)
+          }
+          s.flush()
+        }
+        withClue(s"round $round (cap $cap): ") {
+          served.toSet shouldBe minBook.keySet
+          CompactionStream.loadSchedule(fs, p) shouldBe Map.empty
+        }
+      } finally {
+        def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); () }
+        rm(dir)
+      }
+    }
+    // the walk genuinely visited all four mode combinations
+    withClue("degraded serve / healthy restart / catch-up(healthy) / catch-up(failing): ") {
+      Seq(sawDegradedServe, sawHealthyRestart, sawCatchUpHealthy, sawCatchUpFailing) shouldBe Seq(true, true, true, true)
+    }
+  }
+
   test("a failing FileSystem keeps every booking buffered and never throws") {
     val broken = new RawLocalFileSystem() {
       initialize(java.net.URI.create("file:///"), new Configuration())
