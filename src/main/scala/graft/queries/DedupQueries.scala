@@ -271,6 +271,50 @@ object DedupQueries {
       minhashPairs(s, d, rowsPerBand = 2).orderBy("doc_a", "doc_b")
     },
 
+    // ----- two-stage fuzzy dedup, the standard production pipeline:
+    // LSH proposes candidates (cheap, linear, with false positives),
+    // then an exact-Jaccard pass over the candidates' shingle sets
+    // keeps only true near-dups. At 100 TB the verification join
+    // touches ONLY candidate pairs — |pairs| << |docs|² — so the
+    // expensive exact measure is paid where banding says it matters.
+    // Integer intersection/union sizes + one IEEE division keep the
+    // jaccard doubles bit-identical across engines.
+    Q(
+      "dedup_minhash_verify",
+      s"""WITH $shinglesSqlCte,
+         |${minhashBandsSqlCte(4)},
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bands x JOIN bands y
+         |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS ss FROM sh GROUP BY doc_id),
+         |scored AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         len(list_filter(a.ss, x -> list_contains(b.ss, x))) AS n_inter,
+         |         len(a.ss) + len(b.ss) AS n_sum
+         |  FROM pairs p
+         |  JOIN sets a ON a.doc_id = p.doc_a
+         |  JOIN sets b ON b.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b,
+         |       CAST(n_inter AS DOUBLE) / (n_sum - n_inter) AS jaccard
+         |FROM scored
+         |WHERE CAST(n_inter AS DOUBLE) / (n_sum - n_inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      val shRows = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(shingles(s)).as("sh"))
+      val sets = shRows.groupBy("doc_id").agg(collect_set("sh").as("ss"))
+      val nInter = size(array_intersect(col("a.ss"), col("b.ss")))
+      val jaccard = nInter.cast("double") / (size(col("a.ss")) + size(col("b.ss")) - nInter)
+      minhashPairs(s, d)
+        .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ----- near-duplicate clusters: connected components over the LSH
     // candidate-pair graph, each doc labeled with the min doc_id of its
     // component (the canonical "keeper"). Spark side is iterative
