@@ -701,6 +701,37 @@ object CoreQueries {
         .orderBy("c_custkey")
     },
 
+    // ----- multiset (bag) set ops: INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicities — min(m,n) copies / m-n copies — which
+    // distinct-set intersect/except destroy. The multiset forms are
+    // what dedup-accounting pipelines need ("how many copies survive
+    // in both snapshots"), and Spark implements them as a single
+    // aggregate-free shuffle (no global distinct).
+    Q(
+      "intersect_all",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |ORDER BY o_custkey""".stripMargin,
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .intersectAll(o.where(col("o_totalprice") > 100000).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    Q(
+      "except_all",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |ORDER BY o_custkey""".stripMargin,
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .exceptAll(o.where(col("o_totalprice") > 100000).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
     // ----- exact row dedup (dropDuplicates ↔ SELECT DISTINCT)
     Q(
       "dedup_exact",
@@ -1028,6 +1059,36 @@ object CoreQueries {
       // The analyzed DataFrame no longer needs the view; dropping it here
       // keeps the session catalog clean across a 111-query bench suite.
       s.catalog.dropTempView("orders_corr")
+      df
+    },
+
+    // ----- lateral join: a correlated subquery in FROM position — for
+    // each nation, its 2 highest-balance customers. Same result as a
+    // window rank, but a distinct operator surface (Catalyst
+    // decorrelates LATERAL ... LIMIT into a DomainJoin + per-key
+    // top-k); the unique c_custkey tiebreaker keeps both engines
+    // deterministic.
+    Q(
+      "join_lateral_topn",
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      val df = s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation_lat n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+      )
+      s.catalog.dropTempView("nation_lat")
+      s.catalog.dropTempView("customer_lat")
       df
     },
 

@@ -227,6 +227,32 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // ----- cohort retention, the classic product-analytics rollup: users
+    // grouped by first-seen week, counted at each later week offset.
+    // All-integer week arithmetic (epoch-day div 7) so both engines
+    // agree exactly — no timezone/week-start semantics in play. Scale
+    // shape: two user-keyed shuffles (cohort agg + join, co-partitioned
+    // so the exchange is reusable) then one small (cohort, offset) agg.
+    Q(
+      "event_retention_cohort",
+      """WITH weeks AS (SELECT user_id,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+        |       FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |       count(DISTINCT w.user_id) AS n_users
+        |FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    ) { (s, d) =>
+      val weeks = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_date(to_date(ts)) div 7").cast("long").as("week"))
+      val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // ----- mergeable sketches, the re-aggregatable form of approx
     // distinct: one DataSketches HLL per event_type (the shape of a
     // per-day sketch table), unioned into a global estimate WITHOUT
