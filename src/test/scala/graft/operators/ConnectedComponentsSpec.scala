@@ -57,6 +57,11 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSpec {
     big(103L) shouldBe 100L
   }
 
+  test("empty edge set yields an empty labeling from both branches") {
+    labelsOf(Nil, cap = 100) shouldBe Map.empty
+    labelsOf(Nil, cap = 0) shouldBe Map.empty // head(1) on empty -> small branch
+  }
+
   test("distributed branch keeps the plan bounded across rounds (localCheckpoint truncates lineage)") {
     val s = spark
     import s.implicits._
