@@ -38,4 +38,43 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkSpec {
     back.orderBy("o_orderkey").collect() shouldBe src.collect()
     back.groupBy("o_orderstatus").agg(count(lit(1))).count() should be > 0L
   }
+
+  test("orc round-trip preserves rows and pushes filters to the orc scan") {
+    val dir = Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
+    val src = sample
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    back.orderBy("o_orderkey").collect() shouldBe src.collect()
+    // columnar format: predicate pushdown reaches the scan like parquet
+    val plan = back.where(col("o_totalprice") > 100000).queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("o_totalprice")
+  }
+
+  test("binaryFile source feeds the multimodal pipeline: raw files -> features") {
+    // The ingest path real media takes: opaque files on disk read by the
+    // built-in binaryFile DSv2 source (path/length/content columns), then
+    // the batched codec boundary. No custom IO code to maintain.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-bin").toFile
+    (1 to 5).foreach { i =>
+      Files.write(new java.io.File(dir, f"media_$i%02d.bin").toPath, s"payload-$i".getBytes("UTF-8"))
+    }
+    val files = s.read.format("binaryFile").load(dir.getAbsolutePath)
+    files.columns.toSet should contain allOf ("path", "length", "content")
+    val media = files
+      .orderBy("path")
+      .select(
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("path")).cast("long")).as("doc_id"),
+        lit("image").as("media_type"),
+        col("content").as("payload"),
+      )
+      .as[multimodal.Multimodal.MediaRow]
+    val feats = multimodal.Multimodal.extractFeatures(media, multimodal.Multimodal.StubCodec).collect()
+    feats.length shouldBe 5
+    all(feats.map(_.n_bytes)) should be > 0
+    all(feats.map(_.width)) shouldBe 8
+    feats.map(_.doc_id).sorted shouldBe (1L to 5L).toArray
+  }
 }
