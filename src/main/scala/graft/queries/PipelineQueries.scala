@@ -275,6 +275,57 @@ object PipelineQueries {
         .orderBy("lang", "pack_id")
     },
 
+    // ----- full training-prep composition in ONE Catalyst plan:
+    // exact-dedup keeper selection -> minimum-length gate ->
+    // deterministic md5 stratified sample -> per-lang sequence packing.
+    // Each stage is the operator benchmarked individually; composed,
+    // Catalyst pipelines them into one job graph (dedup's hash agg is
+    // the only corpus-wide shuffle before the per-lang pack window).
+    // The sample stage costs no shuffle at all — the bucket predicate
+    // evaluates in the scan stage — and the pack window partitions by
+    // lang, the same per-stratum fold shape as text_pack_sequences.
+    Q(
+      "pipeline_train_prep",
+      """WITH k AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+        |           FROM documents GROUP BY md5(text)),
+        |base AS (SELECT d.lang, d.doc_id, len(string_split(d.text, ' ')) AS n_tok
+        |         FROM documents d
+        |         JOIN k ON md5(d.text) = k.h AND k.keeper = d.doc_id
+        |         WHERE len(string_split(d.text, ' ')) >= 8
+        |           AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |               < CASE WHEN d.lang = 'en' THEN 20 ELSE 50 END),
+        |c AS (SELECT lang, doc_id, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM base)
+        |SELECT lang, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM c GROUP BY lang, (cum - n_tok) // 256
+        |ORDER BY lang, pack_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val k = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keeper"))
+      val bucket =
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+      val base = docs
+        .join(k, md5(col("text")) === col("h") && col("keeper") === col("doc_id"))
+        .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_tok"), bucket.as("bucket"))
+        .where(col("n_tok") >= 8 && col("bucket") < when(col("lang") === "en", 20).otherwise(50))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 256").cast("bigint"))
+        .groupBy("lang", "pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("bigint").as("pack_tokens"),
+          min("doc_id").as("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    },
+
     // ----- deterministic stratified sampling: md5(doc_id) → uniform
     // bucket 0..99, per-stratum keep-rate (10% of the dominant lang,
     // 40% elsewhere — downsample the head, keep the tail). Reproducible
