@@ -39,6 +39,27 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"try_to_int expects 1 argument, got ${args.size}")
   }
 
+  // Spark ships BloomFilterAggregate / BloomFilterMightContain as
+  // optimizer-internal expressions (InjectRuntimeFilter builds them
+  // directly) without SQL registration. Exposing them as functions
+  // gives queries the "guard a new batch against a history bloom
+  // without a join" pattern — the filter side stays a scalar subquery,
+  // which is the form MightContain's input check demands.
+  private[functions] def bloomAggBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(child, items, bits) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items, bits)
+    case Seq(child, items) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items)
+    case Seq(child) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
+    case _ => throw new IllegalArgumentException(s"bloom_filter_agg expects 1-3 arguments, got ${args.size}")
+  }
+
+  private[functions] def mightContainBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(bf, v) => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+    case _ => throw new IllegalArgumentException(s"bloom_might_contain expects 2 arguments, got ${args.size}")
+  }
+
   /** Idempotent: safe to call from every query builder. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -46,6 +67,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("cosine_similarity", cosineBuilder, "built-in")
     registry.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "built-in")
     registry.createOrReplaceTempFunction("try_to_int", tryToIntBuilder, "built-in")
+    registry.createOrReplaceTempFunction("bloom_filter_agg", bloomAggBuilder, "built-in")
+    registry.createOrReplaceTempFunction("bloom_might_contain", mightContainBuilder, "built-in")
   }
 }
 
@@ -75,6 +98,26 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("try_to_int"),
         new ExpressionInfo(classOf[TryToInt].getName, "try_to_int"),
         (args: Seq[Expression]) => GraftFunctions.tryToIntBuilder(args),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("bloom_filter_agg"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "bloom_filter_agg",
+        ),
+        (args: Seq[Expression]) => GraftFunctions.bloomAggBuilder(args),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("bloom_might_contain"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          "bloom_might_contain",
+        ),
+        (args: Seq[Expression]) => GraftFunctions.mightContainBuilder(args),
       ),
     )
     ()

@@ -271,6 +271,38 @@ object DedupQueries {
       minhashPairs(s, d, rowsPerBand = 2).orderBy("doc_a", "doc_b")
     },
 
+    // ----- bloom-guarded incremental dedup: build a bloom filter over
+    // the HISTORY corpus once (one aggregation, ~100 KB of bits), then
+    // screen an incoming batch against it with a scalar-subquery
+    // broadcast — no join against history at all. might_contain=false
+    // is a PROOF the doc is new (blooms have no false negatives);
+    // =true sends the doc to an exact check. At 100 TB this is the
+    // difference between joining every new batch against the full
+    // corpus and touching history once per epoch. Exposed via
+    // GraftFunctions registering Spark's optimizer-internal
+    // BloomFilterAggregate/BloomFilterMightContain as SQL functions.
+    // Bloom bit patterns are engine-specific -> rows-only check;
+    // SketchWitnessSpec pins the no-false-negative guarantee and a
+    // sane false-positive rate against the exact anti-join witness
+    // (n_truly_new, computed in-row).
+    Q.noOracle("dedup_bloom_guard") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_bloom_guard")
+      val df = s.sql(
+        """WITH hist AS (SELECT text FROM docs_bloom_guard WHERE doc_id % 10 != 7),
+          |batch AS (SELECT doc_id, text FROM docs_bloom_guard WHERE doc_id % 10 = 7),
+          |bf AS (SELECT bloom_filter_agg(xxhash64(text), 100000L, 800000L) AS b FROM hist)
+          |SELECT
+          |  (SELECT count(*) FROM batch) AS n_batch,
+          |  (SELECT count_if(NOT bloom_might_contain((SELECT b FROM bf), xxhash64(text)))
+          |   FROM batch) AS n_definitely_new,
+          |  (SELECT count(*) FROM batch
+          |   WHERE text NOT IN (SELECT text FROM hist)) AS n_truly_new""".stripMargin,
+      )
+      s.catalog.dropTempView("docs_bloom_guard")
+      df
+    },
+
     // ----- two-stage fuzzy dedup, the standard production pipeline:
     // LSH proposes candidates (cheap, linear, with false positives),
     // then an exact-Jaccard pass over the candidates' shingle sets

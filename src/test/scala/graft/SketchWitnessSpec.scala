@@ -51,6 +51,20 @@ class SketchWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("dedup_bloom_guard: no false negatives, and the FP rate stays sane") {
+    val s = spark
+    import s.implicits._
+    val (nBatch, nDefNew, nTrulyNew) = SparkEntry.queries("dedup_bloom_guard")(s, sf)
+      .as[(Long, Long, Long)].head()
+    nBatch should be > 0L
+    // a bloom never misses a seen element, so everything it clears as
+    // "definitely new" must actually be new…
+    nDefNew should be <= nTrulyNew
+    // …and with 8 bits/item the FP rate is ~2-3%, so nearly all truly
+    // new docs clear the filter
+    nDefNew.toDouble should be >= 0.8 * nTrulyNew
+  }
+
   test("agg_hll_sketch_merge: merged DataSketches estimate within 3x the lgK=12 ~1.6% rse of exact") {
     val s = spark
     import s.implicits._
