@@ -253,6 +253,64 @@ object EventQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // ----- re-aggregatable heavy hitters: approx_top_k in its
+    // accumulate / combine / estimate split — per-shard sketch states
+    // (the shape of a per-partition or per-day sketch table) merged
+    // into a global top-k WITHOUT touching raw events again. At the
+    // fixture's cardinality (5 event types << maxItemsTracked=64) the
+    // counts are exact, which SketchWitnessSpec pins against a plain
+    // groupBy; at real cardinality the same plan degrades gracefully
+    // to an estimate. Rows-only check (sketch internals are
+    // engine-specific).
+    Q.noOracle("agg_heavy_hitters") { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_hh")
+      val df = s.sql(
+        """SELECT item, CAST(count AS BIGINT) AS est_count
+          |FROM (SELECT inline(approx_top_k_estimate(approx_top_k_combine(sk, 64), 3))
+          |      FROM (SELECT approx_top_k_accumulate(event_type, 64) AS sk
+          |            FROM events_hh GROUP BY user_id % 4)) t(item, count)
+          |ORDER BY est_count DESC, item""".stripMargin,
+      )
+      s.catalog.dropTempView("events_hh")
+      df
+    },
+
+    // ----- theta sketches: the distinct-count sketch that supports SET
+    // OPERATIONS (HLL unions only; theta intersects and differences).
+    // "High-value purchasers who also reported errors" without ever
+    // joining the two user sets — each side is one sketch, the overlap
+    // is sketch algebra. Below ~4k distinct items theta runs in exact
+    // mode, so SketchWitnessSpec pins the estimates to the exact
+    // INTERSECT/EXCEPT counts carried in-row. Rows-only check.
+    Q.noOracle("agg_theta_set_ops") { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_theta")
+      val df = s.sql(
+        """WITH a AS (SELECT theta_sketch_agg(user_id) AS s FROM events_theta
+          |           WHERE event_type = 'purchase' AND value > 80),
+          |b AS (SELECT theta_sketch_agg(user_id) AS s FROM events_theta
+          |      WHERE event_type = 'error' AND value < 20)
+          |SELECT
+          |  CAST(theta_sketch_estimate((SELECT s FROM a)) AS BIGINT) AS est_a,
+          |  CAST(theta_sketch_estimate((SELECT s FROM b)) AS BIGINT) AS est_b,
+          |  CAST(theta_sketch_estimate(theta_intersection((SELECT s FROM a), (SELECT s FROM b))) AS BIGINT) AS est_both,
+          |  CAST(theta_sketch_estimate(theta_difference((SELECT s FROM a), (SELECT s FROM b))) AS BIGINT) AS est_only_a,
+          |  (SELECT count(DISTINCT user_id) FROM events_theta
+          |   WHERE event_type = 'purchase' AND value > 80) AS exact_a,
+          |  (SELECT count(DISTINCT user_id) FROM events_theta
+          |   WHERE event_type = 'error' AND value < 20) AS exact_b,
+          |  (SELECT count(*) FROM (
+          |     SELECT DISTINCT user_id FROM events_theta WHERE event_type = 'purchase' AND value > 80
+          |     INTERSECT
+          |     SELECT DISTINCT user_id FROM events_theta WHERE event_type = 'error' AND value < 20)) AS exact_both,
+          |  (SELECT count(*) FROM (
+          |     SELECT DISTINCT user_id FROM events_theta WHERE event_type = 'purchase' AND value > 80
+          |     EXCEPT
+          |     SELECT DISTINCT user_id FROM events_theta WHERE event_type = 'error' AND value < 20)) AS exact_only_a""".stripMargin,
+      )
+      s.catalog.dropTempView("events_theta")
+      df
+    },
+
     // ----- mergeable sketches, the re-aggregatable form of approx
     // distinct: one DataSketches HLL per event_type (the shape of a
     // per-day sketch table), unioned into a global estimate WITHOUT

@@ -65,6 +65,34 @@ class SketchWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
     nDefNew.toDouble should be >= 0.8 * nTrulyNew
   }
 
+  test("agg_heavy_hitters: combined shard sketches report EXACT counts below maxItemsTracked") {
+    val s = spark
+    import s.implicits._
+    val got = SparkEntry.queries("agg_heavy_hitters")(s, sf).as[(String, Long)].collect()
+    got.length shouldBe 3
+    val exact = Tables.events(s, sf).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    // 5 distinct types << 64 tracked => every reported count is exact,
+    // and the reported set is a true top-3 (ties may reorder items)
+    got.foreach { case (item, n) => n shouldBe exact(item) }
+    val third = exact.values.toSeq.sorted(Ordering[Long].reverse)(2)
+    all(got.map(_._2)) should be >= third
+  }
+
+  test("agg_theta_set_ops: intersection/difference estimates are exact below the theta nominal size") {
+    val s = spark
+    import s.implicits._
+    val r = SparkEntry.queries("agg_theta_set_ops")(s, sf).collect().head
+    def l(name: String) = r.getAs[Long](name)
+    l("exact_a") should be > 0L
+    l("est_a") shouldBe l("exact_a")
+    l("est_b") shouldBe l("exact_b")
+    l("est_both") shouldBe l("exact_both")
+    l("est_only_a") shouldBe l("exact_only_a")
+    // the algebra itself: |A| = |A ∩ B| + |A \ B|
+    l("est_a") shouldBe l("est_both") + l("est_only_a")
+  }
+
   test("agg_hll_sketch_merge: merged DataSketches estimate within 3x the lgK=12 ~1.6% rse of exact") {
     val s = spark
     import s.implicits._
