@@ -43,6 +43,21 @@ class PackWindowSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("window=1 degenerates exactly to next-fit (packGreedy) on randomized inputs") {
+    // The family is consistent at its extremes: an unbounded window is
+    // pure first-fit (test above); a single-pack window can only look
+    // at the newest pack — which IS next-fit.
+    val rnd = new scala.util.Random(99L)
+    val budget = 100
+    (1 to 3).foreach { _ =>
+      val rows = for { lang <- Seq("en", "de"); id <- 1L to 80L }
+        yield (lang, id, 5 + rnd.nextInt(120)) // some docs exceed the budget
+      val nextFit = collectAssign(PipelineQueries.packGreedy(docsDF(rows), budget))
+      val windowed1 = collectAssign(PipelineQueries.packFirstFitWindowed(docsDF(rows), budget, window = 1))
+      windowed1 shouldBe nextFit
+    }
+  }
+
   test("a tight window retires packs but never overfills the budget, and ids stay dense") {
     val rnd = new scala.util.Random(7L)
     val budget = 100
