@@ -253,6 +253,33 @@ object EventQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // ----- semi-structured VARIANT path (Spark 4): parse the JSON props
+    // column ONCE into the binary variant encoding, then extract typed
+    // fields with variant_get — at 100 TB the variant form beats
+    // re-parsing the JSON string per extraction, and parquet shredding
+    // can push typed subcolumns to the scan. The oracle compares the
+    // extracted VALUES (DuckDB reads the same JSON with its own
+    // functions), so the encoding is free to differ.
+    Q(
+      "json_variant_agg",
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |       count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      val k = expr("variant_get(parse_json(props), '$.k', 'bigint')")
+      Tables.events(s, d)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          sum("k").cast("bigint").as("sum_k"),
+          max("k").as("max_k"),
+          count_if(col("k") > 50).as("n_high"),
+        )
+        .orderBy("event_type")
+    },
+
     // ----- re-aggregatable heavy hitters: approx_top_k in its
     // accumulate / combine / estimate split — per-shard sketch states
     // (the shape of a per-partition or per-day sketch table) merged
