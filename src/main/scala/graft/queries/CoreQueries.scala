@@ -1092,6 +1092,36 @@ object CoreQueries {
       df
     },
 
+    // ----- native recursive CTE (Spark 4 WITH RECURSIVE): every doc
+    // walks its binary-tree ancestor chain (parent = id div 2) to the
+    // root — ~log2(max id) iterative union steps, each a full Spark
+    // job over the frontier. Demonstrates the SQL recursion surface
+    // end-to-end against DuckDB's recursion; for data-sized graphs the
+    // scale path remains operators.ConnectedComponents' bounded-plan
+    // label propagation (a recursive CTE's unioned lineage grows with
+    // depth — fine at log depth, wrong at graph-diameter depth).
+    Q(
+      "recursive_cte_ancestors",
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, node // 2, depth + 1 FROM anc WHERE node > 1)
+        |SELECT doc_id, CAST(max(depth) AS INTEGER) AS depth_to_root
+        |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("docs_rec")
+      val df = s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT doc_id, doc_id AS node, 0 AS depth FROM docs_rec
+          |  UNION ALL
+          |  SELECT doc_id, node div 2, depth + 1 FROM anc WHERE node > 1)
+          |SELECT doc_id, CAST(max(depth) AS INT) AS depth_to_root
+          |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      )
+      s.catalog.dropTempView("docs_rec")
+      df
+    },
+
     // ----- distribution-rank window family: percent_rank / cume_dist /
     // ndv-free relative position. Orderings carry the unique o_orderkey
     // tiebreaker so rank ties (duplicate prices) resolve identically in
