@@ -3,15 +3,32 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Multimodal-column plumbing demo: treat a payload as an opaque `binary`
-  * column with typed metadata. The fixture tables carry no real media, so
-  * the payload is the UTF-8 encoding of `text`; the full decode /
-  * feature-extract path (with the stubbed codec) lives in
-  * `graft.multimodal.Multimodal` and its spec.
+/** Multimodal-column plumbing: treat a payload as an opaque `binary`
+  * column with typed metadata (`multimodal_meta`, oracled), and run the
+  * REAL decode path (`multimodal_decode`): deterministic PNG/WAV bytes in
+  * the binary column, decoded batched via JDK ImageIO / AudioSystem in
+  * `graft.multimodal.Multimodal.JdkCodec`. DuckDB has no image codec, so
+  * the decode query is no_oracle; MultimodalSpec pins bit-exact decoded
+  * pixels/samples against the generator's ground truth.
   */
 object MultimodalQueries {
 
   val qs: Seq[Q] = Seq(
+    Q.noOracle("multimodal_decode") { (s, d) =>
+      import graft.multimodal.Multimodal
+      val media = Multimodal.asMedia(s, Tables.documents(s, d))
+      Multimodal.extractFeatures(media, Multimodal.JdkCodec)
+        .toDF()
+        .select(
+          col("doc_id"),
+          col("media_type"),
+          col("n_bytes"),
+          col("width"),
+          col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+        )
+        .orderBy("doc_id")
+    },
     Q(
       "multimodal_meta",
       """SELECT doc_id,

@@ -59,7 +59,7 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkSpec {
     import s.implicits._
     val dir = Files.createTempDirectory("graft-bin").toFile
     (1 to 5).foreach { i =>
-      Files.write(new java.io.File(dir, f"media_$i%02d.bin").toPath, s"payload-$i".getBytes("UTF-8"))
+      Files.write(new java.io.File(dir, f"media_$i%02d.png").toPath, multimodal.Multimodal.syntheticPng(i.toLong, 8, 8))
     }
     val files = s.read.format("binaryFile").load(dir.getAbsolutePath)
     files.columns.toSet should contain allOf ("path", "length", "content")
@@ -71,7 +71,7 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkSpec {
         col("content").as("payload"),
       )
       .as[multimodal.Multimodal.MediaRow]
-    val feats = multimodal.Multimodal.extractFeatures(media, multimodal.Multimodal.StubCodec).collect()
+    val feats = multimodal.Multimodal.extractFeatures(media, multimodal.Multimodal.JdkCodec).collect()
     feats.length shouldBe 5
     all(feats.map(_.n_bytes)) should be > 0
     all(feats.map(_.width)) shouldBe 8
