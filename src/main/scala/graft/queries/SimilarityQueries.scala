@@ -150,7 +150,7 @@ object SimilarityQueries {
     * single hook where graft's native functions get registered on the
     * (driver-owned) session.
     */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -290,6 +290,28 @@ object SimilarityQueries {
         .orderBy(col("sim_exact").desc, col("vec_id"))
         .select(col("vec_id"), col("label"), col("bucket"), round(col("sim_exact"), 6).as("sim"))
         .limit(5)
+    },
+
+    // ----- exact batch kNN join: top-3 neighbors for EACH of 10 query
+    // vectors in one job, via operators.AnnSearch — queries broadcast,
+    // one corpus scan, per-query top-k as a WindowGroupLimit map-side
+    // heap (the shuffle carries <= queries*k rows per task regardless of
+    // corpus size). The oracled instantiation of the batch-retrieval
+    // path; AnnSearchSpec pins the ANN variants' recall against it.
+    Q(
+      "ann_knn_join",
+      s"""WITH $vecsSqlCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |sc AS (SELECT q.qid, v.vec_id, v.label, ${cosineSql("v.v", "q.qv")} AS sim
+         |       FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY sim DESC, vec_id) AS rn FROM sc)
+         |SELECT qid, vec_id, label, round(sim, 6) AS sim
+         |FROM r WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin,
+    ) { (s, d) =>
+      graft.operators.AnnSearch.exact(vecs(s, d), 0L until 10L, 3)
+        .select(col("qid"), col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "vec_id")
     },
 
     // ----- grouped top-k: top-3 nearest per label via the typed O(k)-state

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** ANN search-quality witness. The registered ann_* queries are oracled
+  * by DuckDB replaying the SAME bucketing, so a hash match proves
+  * determinism, not retrieval quality; this spec pins recall@k against
+  * the exact brute-force top-k (the thing ANN approximates).
+  *
+  * Two kinds of pins:
+  *   - construction-guaranteed monotonicity (candidate sets NEST: wider
+  *     probing and fewer bits can only add candidates), asserted as >=
+  *     with the fixture's strict gaps asserted strictly;
+  *   - absolute floors at a bucketing matched to corpus size
+  *     (bits ~ log2(N / targetBucket)); the production 8-bit scheme is
+  *     sized for millions of vectors, so on the 500-vector fixture its
+  *     buckets hold ~2 candidates and recall is occupancy-capped — the
+  *     spec demonstrates exactly that tuning law rather than hiding it.
+  */
+class AnnSearchSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val k = 5
+  private val qids: Seq[Long] = 0L until 20L
+
+  private lazy val e: DataFrame = graft.queries.SimilarityQueries.vecs(spark, sf).cache()
+  private lazy val exact: DataFrame = AnnSearch.exact(e, qids, k).cache()
+
+  private def recall(ann: DataFrame): Double = AnnSearch.recallAt(exact, ann, qids, k)
+
+  override def afterAll(): Unit = {
+    try { exact.unpersist(); e.unpersist() }
+    finally super.afterAll()
+  }
+
+  test("exact batch kNN matches the registered single-query brute force at its point") {
+    // bridge: AnnSearch.exact at qids=Seq(0), k=10 reproduces
+    // similarity_topk row-for-row (same ordering, same rounded sims)
+    val batch = AnnSearch.exact(e, Seq(0L), 10)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .collect()
+    val single = graft.SparkEntry.queries("similarity_topk")(spark, sf).collect()
+    batch.map(_.toSeq).toSeq shouldBe single.map(_.toSeq).toSeq
+  }
+
+  test("LSH/IVF batch search matches the registered single-query variants at their points") {
+    def rows(df: DataFrame) =
+      df.select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .collect()
+        .map(_.toSeq)
+        .toSeq
+    def registered(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf).select("vec_id", "label", "sim").collect().map(_.toSeq).toSeq
+
+    rows(AnnSearch.lsh(e, Seq(0L), 5, bits = 8)) shouldBe registered("ann_lsh_topk")
+    rows(AnnSearch.lsh(e, Seq(0L), 5, bits = 8, multiProbe = true)) shouldBe registered("ann_lsh_multiprobe")
+    rows(AnnSearch.ivf(e, Seq(0L), 5)) shouldBe registered("ann_ivf_topk")
+    rows(AnnSearch.ivf(e, Seq(0L), 5, lloydIters = 2)) shouldBe registered("ann_ivf_trained")
+  }
+
+  test("recall@5: IVF clears an absolute floor, trained and untrained") {
+    // measured 0.84 on the fixture for both; floor leaves noise margin
+    recall(AnnSearch.ivf(e, qids, k)) should be >= 0.70
+    recall(AnnSearch.ivf(e, qids, k, lloydIters = 2)) should be >= 0.70
+  }
+
+  test("recall@5: multi-probe dominates single-probe (candidate superset), strictly here") {
+    val single3 = recall(AnnSearch.lsh(e, qids, k, bits = 3))
+    val multi3 = recall(AnnSearch.lsh(e, qids, k, bits = 3, multiProbe = true))
+    val single8 = recall(AnnSearch.lsh(e, qids, k, bits = 8))
+    val multi8 = recall(AnnSearch.lsh(e, qids, k, bits = 8, multiProbe = true))
+    // guaranteed by construction (probe ring contains the bucket)
+    multi3 should be >= single3
+    multi8 should be >= single8
+    // and the fixture's gap is real, not a tie
+    multi3 should be > single3
+    multi8 should be > single8
+  }
+
+  test("recall@5: fewer bits dominate more bits (bucket nesting), and floors hold at matched bits") {
+    val single3 = recall(AnnSearch.lsh(e, qids, k, bits = 3))
+    val multi3 = recall(AnnSearch.lsh(e, qids, k, bits = 3, multiProbe = true))
+    val single8 = recall(AnnSearch.lsh(e, qids, k, bits = 8))
+    val multi8 = recall(AnnSearch.lsh(e, qids, k, bits = 8, multiProbe = true))
+    // an 8-bit bucket refines a 3-bit one -> candidates nest -> recall monotone
+    single3 should be >= single8
+    multi3 should be >= multi8
+    // absolute floors at bits matched to N=500 (measured 0.30 / 0.67)
+    single3 should be >= 0.15
+    multi3 should be >= 0.45
+  }
+
+  test("recall is computed against a sane exact baseline") {
+    // every query has exactly k exact neighbors, none of them itself
+    exact.groupBy("qid").count().select(min("count"), max("count")).collect().head.toSeq shouldBe Seq(k.toLong, k.toLong)
+    exact.where(col("qid") === col("vec_id")).count() shouldBe 0L
+    // and recall of exact against itself is 1
+    AnnSearch.recallAt(exact, exact, qids, k) shouldBe 1.0
+  }
+}
