@@ -23,8 +23,21 @@ import org.apache.spark.sql.functions._
   *     so the logical plan stays O(1) instead of growing with every
   *     round (a real 100-TB graph's diameter would otherwise blow
   *     analysis time and stack depth long before data cost matters).
-  *     Superseded round snapshots are unreferenced after the swap and
-  *     are freed by ContextCleaner.
+  *
+  * Storage footprint of the checkpoint chain: at most two snapshots
+  * (the current labels and the in-flight next round) are ever strongly
+  * referenced; superseded ones are freed by ContextCleaner when GC'd
+  * (localCheckpoint has no explicit free API), so worst-case transient
+  * storage between GCs is O(rounds-since-GC × labels), at
+  * MEMORY_AND_DISK — it spills rather than evicting working memory.
+  *
+  * Convergence is checked every `convergenceCheckEvery` rounds, not
+  * every round: min-label propagation is monotone and stationary once
+  * converged (a round with zero changes implies all later rounds change
+  * nothing), so a periodic consecutive-round comparison is still exact,
+  * and on diameter-heavy graphs it cuts job count from 2/round toward
+  * 1/round at the cost of up to `convergenceCheckEvery − 1` extra
+  * (cheap, already-converged) rounds.
   */
 object ConnectedComponents {
 
@@ -35,15 +48,30 @@ object ConnectedComponents {
     * @param cap max edge count solved driver-side; above it the
     *            distributed label-propagation branch runs. Exposed so
     *            tests can force the big branch on synthetic data.
+    * @param convergenceCheckEvery cadence (in rounds) of the
+    *            consecutive-round convergence count in the distributed
+    *            branch; 1 restores the check-every-round behavior.
     */
-  def minLabel(pairs: DataFrame, cap: Int = 100000): DataFrame = {
+  def minLabel(pairs: DataFrame, cap: Int = 100000, convergenceCheckEvery: Int = 3): DataFrame =
+    minLabelStats(pairs, cap, convergenceCheckEvery)._1
+
+  /** [[minLabel]], also returning the distributed rounds executed
+    * (0 = the driver union-find branch ran) — the observable the round
+    * cadence and the scale-timing harness ([[graft.CCBench]]) pin.
+    */
+  def minLabelStats(
+      pairs: DataFrame,
+      cap: Int = 100000,
+      convergenceCheckEvery: Int = 3,
+  ): (DataFrame, Int) = {
+    require(convergenceCheckEvery >= 1, s"convergenceCheckEvery must be >= 1, got $convergenceCheckEvery")
     val spark = pairs.sparkSession
     import spark.implicits._
     val edgesIn = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")).cache()
     val headEdges = edgesIn.as[(Long, Long)].head(cap + 1)
     if (headEdges.length <= cap) {
       edgesIn.unpersist()
-      local(spark, headEdges)
+      (local(spark, headEdges), 0)
     } else {
       val edges = edgesIn.union(edgesIn.select(col("b").as("a"), col("a").as("b"))).cache()
       edges.count() // materialize, then release the upstream cache
@@ -51,8 +79,10 @@ object ConnectedComponents {
       var labels = edges.select(col("a").as("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint() // eager: bounded plan from round 0
-      var changed = 1L
-      while (changed > 0) {
+      var round = 0
+      var converged = false
+      while (!converged) {
+        round += 1
         // each node adopts the min label among itself and its neighbors;
         // eager localCheckpoint materializes the round AND cuts lineage
         val next = edges
@@ -62,14 +92,16 @@ object ConnectedComponents {
           .groupBy("node")
           .agg(min("label").as("label"))
           .localCheckpoint()
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.node") === col("o.node"))
-          .where(col("n.label") =!= col("o.label"))
-          .count()
+        if (round % convergenceCheckEvery == 0) {
+          converged = next.as("n")
+            .join(labels.as("o"), col("n.node") === col("o.node"))
+            .where(col("n.label") =!= col("o.label"))
+            .count() == 0L
+        }
         labels = next
       }
       edges.unpersist()
-      labels
+      (labels, round)
     }
   }
 

@@ -109,7 +109,7 @@ object DedupQueries {
     * dropped before the shuffle (8-byte h instead of ~24-byte text).
     * Values are identical to the oracle's cross-join formulation.
     */
-  private def minhashPairs(
+  private[graft] def minhashPairs(
       s: org.apache.spark.sql.SparkSession,
       d: String,
       rowsPerBand: Int = 4,

@@ -62,6 +62,29 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSpec {
     labelsOf(Nil, cap = 0) shouldBe Map.empty // head(1) on empty -> small branch
   }
 
+  test("convergence cadence: periodic check is exact and wastes at most K-1 rounds") {
+    val s = spark
+    import s.implicits._
+    // chain of diameter D: propagation converges after D rounds (round
+    // D+1 is the first no-change round under check-every-round). With
+    // cadence K the loop stops at the first multiple of K where a
+    // consecutive-round comparison sees no change.
+    val chain = (0L until 8L).map(i => (i, i + 1))
+    val (lab1, r1) = ConnectedComponents.minLabelStats(chain.toDF("a", "b"), cap = 3, convergenceCheckEvery = 1)
+    val (lab3, r3) = ConnectedComponents.minLabelStats(chain.toDF("a", "b"), cap = 3, convergenceCheckEvery = 3)
+    lab3.as[(Long, Long)].collect().toMap shouldBe lab1.as[(Long, Long)].collect().toMap
+    lab3.as[(Long, Long)].collect().toMap shouldBe ref(chain)
+    // K=3 stops at the first multiple of 3 >= the every-round count,
+    // i.e. wastes at most 2 already-converged rounds
+    r3 should be >= r1
+    r3 should be <= (r1 + 2)
+    r3 % 3 shouldBe 0
+    // a star (diameter 2) converges almost immediately under both
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val (_, rs) = ConnectedComponents.minLabelStats(star.toDF("a", "b"), cap = 1, convergenceCheckEvery = 3)
+    rs shouldBe 3
+  }
+
   test("distributed branch keeps the plan bounded across rounds (localCheckpoint truncates lineage)") {
     val s = spark
     import s.implicits._
