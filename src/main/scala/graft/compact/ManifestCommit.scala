@@ -1,0 +1,209 @@
+package graft.compact
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Object-store-safe commit: the COMMIT path performs no renames.
+  *
+  * The rename-mode commit ([[Merger]]) assumes `rename` is atomic; real
+  * object stores implement it as copy+delete (s3a: non-atomic, O(bytes)).
+  * Here the merge output is written once into a hidden `.data-<runId>/`
+  * directory under the leaf (via the session's configured job committer —
+  * on s3a that should be a PUT-based committer such as the magic
+  * committer, keeping the whole pipeline rename-free), and the commit
+  * point is the creation of one small `_manifest-<stem>-<runId>.json`
+  * object in the leaf — a single-object PUT, which object stores make
+  * atomic — naming the input files it supersedes and the output files it
+  * adds.
+  *
+  * Reader contract: the live file set of a leaf is
+  * `visible *.parquet − union(inputs of sealed manifests) +
+  * union(outputs of sealed manifests)` ([[liveFiles]] / [[readLeaf]]).
+  * Crash matrix:
+  *
+  *   - before/during the data write: debris under `.data-*` only —
+  *     hidden from plain listings, Planner, and [[liveFiles]];
+  *     reclaimed by [[gcOrphans]].
+  *   - during the manifest PUT (torn upload): the file fails the
+  *     `"sealed":true}` terminator check and is ignored — readers still
+  *     see the originals; debris as above.
+  *   - after publish, during original-file GC: the manifest already
+  *     excludes the originals from the live set, so a reader through
+  *     [[liveFiles]] NEVER sees duplicates — leftover originals are
+  *     storage debris, not a correctness hazard (the rename-mode commit
+  *     cannot make this promise).
+  *
+  * The manifest names only files relative to its own leaf, so leaves
+  * stay independently movable; later compactions of a manifest-committed
+  * leaf list their inputs through [[liveFiles]] and may supersede
+  * `.data-*` members in turn (the subtraction is by relative path).
+  */
+object ManifestCommit {
+
+  private val sealMark = "\"sealed\":true}"
+
+  /** Merge one plan and commit via manifest publish. Mirrors
+    * [[Merger.mergeAndCommit]]'s validate-before-commit discipline; only
+    * the commit mechanism differs.
+    */
+  def mergeAndCommit(spark: SparkSession, plan: LeafPlan, cfg: CompactorConfig): LeafResult = {
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val dataDir = s"${plan.leaf}/.data-$runId"
+    try {
+      val fs = FileIndexer.fsFor(spark, plan.leaf)
+      val rowsIn = Merger.footerRows(spark, plan.files)
+
+      val df = spark.read
+        .option("mergeSchema", "true")
+        .parquet(plan.files: _*)
+      Merger.sizeForOutput(df, plan.totalBytes, rowsIn, cfg)
+        .write
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", cfg.maxRowsPerFile)
+        .parquet(dataDir)
+
+      val outFiles = fs
+        .listStatus(new Path(dataDir))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+        .sortBy(_.getName)
+        .toSeq
+      val rowsStaged = Merger.footerRows(spark, outFiles.map(_.toString))
+      if (rowsStaged != rowsIn) {
+        fs.delete(new Path(dataDir), true)
+        return LeafResult(
+          plan.leaf, plan.stem, success = false, rowsStaged, 0,
+          Some(s"validation failed: staged $rowsStaged rows != input $rowsIn"),
+        )
+      }
+
+      // COMMIT POINT: one PUT of the sealed manifest. Everything before
+      // this line is invisible; everything after is garbage collection.
+      val inputsRel = plan.files.map(relativeTo(plan.leaf, _))
+      val outputsRel = outFiles.map(p => s".data-$runId/${p.getName}")
+      val manifestPath = new Path(s"${plan.leaf}/_manifest-${plan.stem}-$runId.json")
+      val json =
+        s"""{"runId":"$runId","stem":"${plan.stem}","rows":$rowsStaged,""" +
+          s""""inputs":${jsonArray(inputsRel)},"outputs":${jsonArray(outputsRel)},""" +
+          sealMark
+      val out = fs.create(manifestPath, false)
+      try out.write(json.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+
+      // GC the superseded originals. Best-effort BY DESIGN: the manifest
+      // already subtracts them from the live set, so a failed delete is
+      // surfaced as debris, never as duplicate rows.
+      val undeleted = plan.files.filterNot { p =>
+        try fs.delete(new Path(p), false)
+        catch { case _: Throwable => false }
+      }
+      LeafResult(
+        plan.leaf, plan.stem, success = true, rowsStaged, outFiles.size,
+        if (undeleted.isEmpty) None
+        else Some(
+          s"committed; ${undeleted.size} superseded original(s) not deleted " +
+            s"(excluded from the live set by the manifest — debris, not duplicates): ${undeleted.mkString(", ")}",
+        ),
+      )
+    } catch {
+      case e: Throwable =>
+        // a crash here leaves only hidden .data-* debris and possibly no
+        // manifest — readers are unaffected; gcOrphans reclaims it
+        try FileIndexer.fsFor(spark, plan.leaf).delete(new Path(dataDir), true)
+        catch { case _: Throwable => () }
+        LeafResult(plan.leaf, plan.stem, success = false, 0L, 0, Some(e.toString))
+    }
+  }
+
+  /** Parsed manifest: (inputs, outputs), both leaf-relative. */
+  private[compact] final case class Manifest(inputs: Seq[String], outputs: Seq[String])
+
+  /** Read + parse one manifest; None if torn/garbled (a partial upload
+    * never carries the trailing seal mark, and any parse failure is
+    * treated as "this manifest does not exist").
+    */
+  private[compact] def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
+    val text =
+      try {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: Throwable => return None }
+    if (!text.endsWith(sealMark)) return None
+    def arr(field: String): Option[Seq[String]] = {
+      val m = s""""$field":\\[([^\\]]*)\\]""".r.findFirstMatchIn(text).map(_.group(1))
+      m.map { body =>
+        if (body.trim.isEmpty) Seq.empty
+        else body.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      }
+    }
+    for (ins <- arr("inputs"); outs <- arr("outputs")) yield Manifest(ins, outs)
+  }
+
+  /** The live parquet set of a leaf under manifest semantics: visible
+    * files minus superseded inputs plus manifest outputs. One listing of
+    * the leaf + one small read per manifest — O(manifests) metadata ops,
+    * no data I/O.
+    */
+  def liveFiles(spark: SparkSession, leaf: String): Seq[String] = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return Seq.empty
+    val entries = fs.listStatus(leafPath)
+    val manifests = entries
+      .filter(e => e.isFile && e.getPath.getName.startsWith("_manifest-") && e.getPath.getName.endsWith(".json"))
+      .flatMap(e => readManifest(fs, e.getPath))
+    val superseded = manifests.flatMap(_.inputs).toSet
+    val visible = entries
+      .filter { e =>
+        val n = e.getPath.getName
+        e.isFile && n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }
+      .map(_.getPath.getName)
+      .toSeq
+    val live = visible.filterNot(superseded) ++
+      manifests.flatMap(_.outputs).filterNot(superseded).distinct
+    live.sorted.map(rel => s"$leaf/$rel")
+  }
+
+  /** The leaf as a DataFrame, resolved through its manifests. */
+  def readLeaf(spark: SparkSession, leaf: String): DataFrame = {
+    val files = liveFiles(spark, leaf)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Reclaim `.data-*` dirs no sealed manifest references — debris from
+    * runs that died before their commit point. Returns dirs removed.
+    */
+  def gcOrphans(spark: SparkSession, leaf: String): Int = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return 0
+    val entries = fs.listStatus(leafPath)
+    val referenced = entries
+      .filter(e => e.isFile && e.getPath.getName.startsWith("_manifest-") && e.getPath.getName.endsWith(".json"))
+      .flatMap(e => readManifest(fs, e.getPath))
+      .flatMap(_.outputs)
+      .map(_.takeWhile(_ != '/'))
+      .toSet
+    val orphans = entries.filter { e =>
+      e.isDirectory && e.getPath.getName.startsWith(".data-") && !referenced.contains(e.getPath.getName)
+    }
+    orphans.count(o => fs.delete(o.getPath, true))
+  }
+
+  private def relativeTo(leaf: String, path: String): String = {
+    val pfx = if (leaf.endsWith("/")) leaf else leaf + "/"
+    require(path.startsWith(pfx), s"input $path is not under leaf $leaf")
+    path.stripPrefix(pfx)
+  }
+
+  private def jsonArray(xs: Seq[String]): String = {
+    xs.foreach(x => require(!x.exists(c => c == '"' || c == '\\'), s"unencodable file name: $x"))
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+  }
+}

@@ -36,7 +36,7 @@ object Merger {
     * loop is trivially parallelizable, but compaction's whole purpose is
     * keeping these counts small.
     */
-  private def footerRows(spark: SparkSession, files: Seq[String]): Long = {
+  private[compact] def footerRows(spark: SparkSession, files: Seq[String]): Long = {
     // Dedicated bounded pool: footer reads are blocking I/O and must not
     // starve ExecutionContext.global (shared with concurrent merges).
     val conf = spark.sparkContext.hadoopConfiguration
@@ -58,7 +58,29 @@ object Merger {
     }
   }
 
+  /** Output partitioning sized by bytes AND rows (shared by both commit
+    * modes): the row cap splits files anyway, so giving each prospective
+    * output file its own task costs nothing in file count and buys
+    * read/write parallelism within a leaf. coalesce cannot RAISE the
+    * partition count — when the scan bin-packs into fewer splits than
+    * the byte target demands, fall back to a shuffle so the size target
+    * actually holds.
+    */
+  private[compact] def sizeForOutput(
+      df: org.apache.spark.sql.DataFrame,
+      totalBytes: Long,
+      rowsIn: Long,
+      cfg: CompactorConfig,
+  ): org.apache.spark.sql.DataFrame = {
+    val nOut = math.max(
+      math.max(1L, (totalBytes + cfg.targetFileBytes - 1) / cfg.targetFileBytes),
+      (rowsIn + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile,
+    ).toInt
+    if (nOut > df.rdd.getNumPartitions) df.repartition(nOut) else df.coalesce(nOut)
+  }
+
   def mergeAndCommit(spark: SparkSession, plan: LeafPlan, cfg: CompactorConfig): LeafResult = {
+    if (cfg.commitMode == CommitMode.Manifest) return ManifestCommit.mergeAndCommit(spark, plan, cfg)
     val runId = UUID.randomUUID().toString.replace("-", "")
     val stagingDir = s"${plan.leaf}/.staging-$runId"
     try {
@@ -73,20 +95,7 @@ object Merger {
         .option("mergeSchema", "true")
         .parquet(plan.files: _*)
 
-      // Output partitions sized by bytes AND rows: the row cap splits
-      // files anyway, so giving each prospective output file its own
-      // task costs nothing in file count and buys read/write
-      // parallelism within a leaf. coalesce cannot RAISE the partition
-      // count — when the scan bin-packs into fewer splits than the
-      // byte target demands, fall back to a shuffle so the size target
-      // actually holds.
-      val nOut = math.max(
-        math.max(1L, (plan.totalBytes + cfg.targetFileBytes - 1) / cfg.targetFileBytes),
-        (rowsIn + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile,
-      ).toInt
-      val sized =
-        if (nOut > df.rdd.getNumPartitions) df.repartition(nOut) else df.coalesce(nOut)
-      sized
+      sizeForOutput(df, plan.totalBytes, rowsIn, cfg)
         .write
         .option("compression", "snappy")
         .option("maxRecordsPerFile", cfg.maxRowsPerFile)

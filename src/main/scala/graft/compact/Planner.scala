@@ -55,6 +55,10 @@ object Planner {
     val base = files.toDF
       .where(col("path").endsWith(".parquet")) // never markers (_SUCCESS) or stray junk
       .where(!col("path").contains("/.staging-"))
+      // manifest-mode outputs live under hidden .data-* dirs and are
+      // resolved via their manifest (ManifestCommit.liveFiles); planning
+      // them as rename-mode inputs would move them out from under it
+      .where(!col("path").contains("/.data-"))
       .where(col("size") < cfg.targetFileBytes)
       .withColumn("leaf", regexp_replace(col("path"), "/[^/]*$", ""))
       .where(!inVolatile)

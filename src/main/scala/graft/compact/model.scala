@@ -32,6 +32,26 @@ final case class LeafResult(
     error: Option[String],
 )
 
+/** How a validated merge output becomes live (SURVEY.md §2.3.8).
+  *
+  *   - [[CommitMode.Rename]]: staged write → validate → rename into the
+  *     leaf → delete originals. Correct wherever `rename` is atomic
+  *     (HDFS, POSIX). On object stores rename is copy+delete —
+  *     non-atomic and O(bytes) — so a crash mid-commit can duplicate.
+  *   - [[CommitMode.Manifest]]: data files are written ONCE into a
+  *     hidden `.data-<runId>/` dir and never moved; the commit point is
+  *     a single `_manifest-*.json` PUT (atomic on any object store)
+  *     naming inputs superseded and outputs added. Readers resolve the
+  *     live set via [[ManifestCommit.liveFiles]]; a crash before
+  *     publish leaves only invisible debris, a torn manifest upload
+  *     fails its seal check and is ignored.
+  */
+sealed trait CommitMode
+object CommitMode {
+  case object Rename extends CommitMode
+  case object Manifest extends CommitMode
+}
+
 /** Knobs mirroring the reference's envelope (BASELINE.md): 0.3 GiB
   * candidate threshold (parquet_compactor.py:21-22), 1M-row output cap
   * (`CHUNKED_ROWS`, :20), 5-day freshness guard (:275), current-month
@@ -52,7 +72,10 @@ final case class CompactorConfig(
     // Within a batch, plans small enough to produce a single output file
     // (totalBytes <= targetFileBytes) and schema-homogeneous merge in ONE
     // Spark job ([[BatchMerger]]) instead of one job per group.
+    // (Batching currently pairs with Rename commit only; Manifest-mode
+    // runs take the solo path per leaf.)
     batchTinyLeaves: Boolean = true,
+    commitMode: CommitMode = CommitMode.Rename,
 ) {
   def asOfDate: java.time.LocalDate =
     asOf.getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC))

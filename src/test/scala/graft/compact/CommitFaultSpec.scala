@@ -34,14 +34,48 @@ class FaultFs extends GraftTestFs {
     if (FaultFs.failDeleteRe.exists(re => p.toString.matches(re))) false
     else super.delete(p, recursive)
   }
+
+  // RawLocalFileSystem routes FileSystem.create(Path, boolean) through
+  // the 6-arg overload and permission-carrying callers through the
+  // 7-arg one — intercept both so the injection can't be bypassed.
+  private def maybeFailCreate(f: Path): Unit =
+    if (FaultFs.failCreateRe.exists(re => f.toString.matches(re)))
+      throw new java.io.IOException(s"injected create failure: $f")
+
+  override def create(
+      f: Path,
+      overwrite: Boolean,
+      bufferSize: Int,
+      replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable,
+  ): org.apache.hadoop.fs.FSDataOutputStream = {
+    maybeFailCreate(f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+
+  override def create(
+      f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean,
+      bufferSize: Int,
+      replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable,
+  ): org.apache.hadoop.fs.FSDataOutputStream = {
+    maybeFailCreate(f)
+    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
 }
 
 object FaultFs {
   val committedRe = ".*/[A-Za-z0-9]+_[0-9a-f]{32}\\.parquet$"
+  val manifestRe = ".*/_manifest-.*\\.json$"
   @volatile var failNthCommitRename: Int = 0 // 1-based commit-rename ordinal; 0 = off
   @volatile var failDeleteRe: Option[String] = None
+  @volatile var failCreateRe: Option[String] = None // kill-between-write-and-publish injection
   val renameCount = new AtomicInteger(0)
-  def reset(): Unit = { failNthCommitRename = 0; failDeleteRe = None; renameCount.set(0) }
+  def reset(): Unit = { failNthCommitRename = 0; failDeleteRe = None; failCreateRe = None; renameCount.set(0) }
 }
 
 /** Commit-path failure semantics (ADVICE r3): a partial batch commit must
@@ -131,6 +165,85 @@ class CommitFaultSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     val names = leafDir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
     names should contain allOf ("x.parquet", "y.parquet")
     names.count(_.matches("qa_[0-9a-f]{32}\\.parquet")) shouldBe 1
+  }
+
+  private val mcfg = cfg.copy(commitMode = CommitMode.Manifest)
+
+  private def leafDirOf(p: LeafPlan) = new File(new URI("file:" + p.leaf.stripPrefix("faultfs:")))
+
+  test("manifest commit: no leaf-level renames, readers resolve via manifest, originals GC'd") {
+    FaultFs.reset()
+    val plan = mkLeaf("ma")
+    val before = bag(Seq(plan))
+    val result = Merger.mergeAndCommit(spark, plan, mcfg) // dispatches on commitMode
+    withClue(result) {
+      result.success shouldBe true
+      result.rowsWritten shouldBe 20L
+    }
+    val names = leafDirOf(plan).listFiles().map(_.getName).toSet
+    names.exists(_.matches("_manifest-ma-[0-9a-f]{32}\\.json")) shouldBe true
+    names.exists(_.startsWith(".data-")) shouldBe true
+    names should contain noneOf ("x.parquet", "y.parquet") // originals GC'd
+    // readers through the manifest see exactly the original rows
+    ManifestCommit.readLeaf(spark, plan.leaf).collect().map(_.toString).sorted.toSeq shouldBe before
+    ManifestCommit.liveFiles(spark, plan.leaf).foreach(_ should include("/.data-"))
+  }
+
+  test("manifest commit: crash between data write and manifest publish leaves readers untouched") {
+    FaultFs.reset()
+    val plan = mkLeaf("mb")
+    val before = bag(Seq(plan))
+    FaultFs.failCreateRe = Some(FaultFs.manifestRe) // the kill point
+    FaultFs.failDeleteRe = Some(".*/\\.data-.*") // and the crash also skips its own cleanup
+    val result = Merger.mergeAndCommit(spark, plan, mcfg)
+    FaultFs.reset()
+    withClue(result) {
+      result.success shouldBe false
+      result.error.get should include("injected create failure")
+    }
+    // originals intact and still the live set; the orphaned hidden data
+    // dir is invisible to readers
+    val names = leafDirOf(plan).listFiles().map(_.getName).toSet
+    names should contain allOf ("x.parquet", "y.parquet")
+    names.exists(_.startsWith("_manifest-")) shouldBe false
+    names.exists(_.startsWith(".data-")) shouldBe true // the orphan survived the "crash"
+    ManifestCommit.liveFiles(spark, plan.leaf).map(_.split('/').last).sorted shouldBe Seq("x.parquet", "y.parquet")
+    ManifestCommit.readLeaf(spark, plan.leaf).collect().map(_.toString).sorted.toSeq shouldBe before
+    // gcOrphans reclaims the debris once the FS cooperates again
+    ManifestCommit.gcOrphans(spark, plan.leaf) shouldBe 1
+    leafDirOf(plan).listFiles().map(_.getName).exists(_.startsWith(".data-")) shouldBe false
+    ManifestCommit.readLeaf(spark, plan.leaf).collect().map(_.toString).sorted.toSeq shouldBe before
+  }
+
+  test("manifest commit: a torn manifest upload is ignored by readers") {
+    FaultFs.reset()
+    val plan = mkLeaf("mc")
+    val before = bag(Seq(plan))
+    // a partial PUT: valid-looking prefix, no seal mark
+    val torn = new File(leafDirOf(plan), "_manifest-mc-deadbeef.json")
+    Files.write(torn.toPath, """{"runId":"deadbeef","stem":"mc","inputs":["x.parquet"],"outp""".getBytes)
+    ManifestCommit.liveFiles(spark, plan.leaf).map(_.split('/').last).sorted shouldBe Seq("x.parquet", "y.parquet")
+    ManifestCommit.readLeaf(spark, plan.leaf).collect().map(_.toString).sorted.toSeq shouldBe before
+  }
+
+  test("manifest commit: failed GC of superseded originals is debris, never duplicate rows") {
+    FaultFs.reset()
+    val plan = mkLeaf("md")
+    val before = bag(Seq(plan))
+    FaultFs.failDeleteRe = Some(".*/[xy]\\.parquet$") // originals refuse to die
+    val result = Merger.mergeAndCommit(spark, plan, mcfg)
+    FaultFs.reset()
+    withClue(result) {
+      result.success shouldBe true
+      result.error.get should include("debris, not duplicates")
+    }
+    // plain listing shows originals AND committed outputs — but the
+    // manifest subtracts the originals, so readers never double-count
+    // (the rename-mode commit cannot make this promise)
+    val names = leafDirOf(plan).listFiles().map(_.getName).toSet
+    names should contain allOf ("x.parquet", "y.parquet")
+    ManifestCommit.readLeaf(spark, plan.leaf).collect().map(_.toString).sorted.toSeq shouldBe before
+    ManifestCommit.liveFiles(spark, plan.leaf).foreach(_ should include("/.data-"))
   }
 
   test("solo merge surfaces originals whose delete returned false") {
