@@ -60,6 +60,16 @@ object Bench {
     val suite = SparkEntry.queries.toSeq
       .filter { case (n, _) => n.contains(filter) && !exclude.contains(n) }
       .sortBy(_._1)
+    // Untimed per-query plan-compile warm-up: analysis + optimization +
+    // physical planning run once outside the timers, so pass 1 no longer
+    // charges each query its one-time Catalyst cost (the source of
+    // 6x first-pass spreads on trivial queries like string_funcs).
+    // Execution (and codegen) stays in pass 1 — that's real work the
+    // min-of-passes already handles.
+    suite.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).queryExecution.executedPlan; () }
+      catch { case _: Throwable => () } // the timed pass will surface it
+    }
     // Two timed passes per query, reported as the min — but INTERLEAVED
     // (whole suite once, then the whole suite again), not back-to-back.
     // Back-to-back repeats share whatever transient poisons the moment
@@ -103,9 +113,19 @@ object Bench {
     // Self-identify partial runs in BOTH outputs: a filtered/excluded
     // total must never be mistakable for the full suite (the detail meta
     // previously carried neither knob).
-    val filterJson = if (filter.nonEmpty) s""","filter":"$filter"""" else ""
+    // env-supplied knob values are interpolated into JSON string
+    // literals — escape backslash/quote (and strip control chars) so a
+    // hostile-or-fat-fingered value can't yield unparseable output
+    def jstr(v: String): String =
+      v.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => ""
+        case c => c.toString
+      }
+    val filterJson = if (filter.nonEmpty) s""","filter":"${jstr(filter)}"""" else ""
     val excludeJson =
-      if (exclude.nonEmpty) s""","exclude":"${exclude.toSeq.sorted.mkString(",")}"""" else ""
+      if (exclude.nonEmpty) s""","exclude":"${jstr(exclude.toSeq.sorted.mkString(","))}"""" else ""
     val detailEntries = results.map { case (k, _, t1, t2) =>
       val r3 = retried.get(k).map(v => s", ${sec(v)}").getOrElse("")
       s"""  "$k": [${sec(t1)}, ${sec(t2)}$r3]"""

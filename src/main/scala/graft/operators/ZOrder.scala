@@ -28,7 +28,12 @@ object ZOrder {
     * contract values are clamped defensively rather than silently
     * interleaving sign/overflow garbage — negatives floor to 0 and
     * over-wide values wrap mod 2^bits, so a stray key degrades local
-    * clustering instead of destroying the whole curve.
+    * clustering instead of destroying the whole curve. NULL keys also
+    * land at coordinate 0 (`greatest(NULL, 0)` = 0): a layout key needs
+    * a total order, and co-clustering NULL rows with the lowest keys is
+    * a deliberate placement choice, not silent corruption — callers who
+    * need NULLs segregated should filter or coalesce to a sentinel
+    * before layout.
     * Total width `bits * cols.length` must fit a signed long.
     */
   def mortonCode(bits: Int, cols: Column*): Column = {

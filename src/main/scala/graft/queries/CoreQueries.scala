@@ -186,13 +186,14 @@ object CoreQueries {
         |                 FROM orders) AS price_ratio
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     ) { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("orders_ss")
-      s.sql(
-        """SELECT o_orderkey,
-          | o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
-          |                 FROM orders_ss) AS price_ratio
-          |FROM orders_ss ORDER BY o_orderkey""".stripMargin,
-      )
+      Q.withTempViews(s)("orders_ss" -> Tables.orders(s, d)) {
+        s.sql(
+          """SELECT o_orderkey,
+            | o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+            |                 FROM orders_ss) AS price_ratio
+            |FROM orders_ss ORDER BY o_orderkey""".stripMargin,
+        )
+      }
     },
 
     // ----- null-safe equality join (<=> / IS NOT DISTINCT FROM): rows
@@ -277,16 +278,17 @@ object CoreQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     ) { (s, d) =>
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus,
-          |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
-          |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
-          |       sum(l_quantity) AS sum_qty
-          |FROM lineitem_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
-      )
+      Q.withTempViews(s)("lineitem_gs" -> Tables.lineitem(s, d)) {
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+            |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+            |       sum(l_quantity) AS sum_qty
+            |FROM lineitem_gs
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+        )
+      }
     },
 
     // ----- map functions: JSON payload parsed to a typed map
@@ -1048,18 +1050,15 @@ object CoreQueries {
         |                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
     ) { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("orders_corr")
-      val df = s.sql(
-        """SELECT o_orderkey, o_custkey
-          |FROM orders_corr o
-          |WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
-          |                            FROM orders_corr o2 WHERE o2.o_custkey = o.o_custkey)
-          |ORDER BY o_orderkey""".stripMargin,
-      )
-      // The analyzed DataFrame no longer needs the view; dropping it here
-      // keeps the session catalog clean across a 111-query bench suite.
-      s.catalog.dropTempView("orders_corr")
-      df
+      Q.withTempViews(s)("orders_corr" -> Tables.orders(s, d)) {
+        s.sql(
+          """SELECT o_orderkey, o_custkey
+            |FROM orders_corr o
+            |WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+            |                            FROM orders_corr o2 WHERE o2.o_custkey = o.o_custkey)
+            |ORDER BY o_orderkey""".stripMargin,
+        )
+      }
     },
 
     // ----- lateral join: a correlated subquery in FROM position — for
@@ -1077,19 +1076,16 @@ object CoreQueries {
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
     ) { (s, d) =>
-      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
-      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
-      val df = s.sql(
-        """SELECT n.n_name, t.c_custkey, t.c_acctbal
-          |FROM nation_lat n,
-          |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat c
-          |         WHERE c.c_nationkey = n.n_nationkey
-          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
-          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
-      )
-      s.catalog.dropTempView("nation_lat")
-      s.catalog.dropTempView("customer_lat")
-      df
+      Q.withTempViews(s)("nation_lat" -> Tables.nation(s, d), "customer_lat" -> Tables.customer(s, d)) {
+        s.sql(
+          """SELECT n.n_name, t.c_custkey, t.c_acctbal
+            |FROM nation_lat n,
+            |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat c
+            |         WHERE c.c_nationkey = n.n_nationkey
+            |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+            |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+        )
+      }
     },
 
     // ----- native recursive CTE (Spark 4 WITH RECURSIVE): every doc
@@ -1109,17 +1105,16 @@ object CoreQueries {
         |SELECT doc_id, CAST(max(depth) AS INTEGER) AS depth_to_root
         |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      Tables.documents(s, d).createOrReplaceTempView("docs_rec")
-      val df = s.sql(
-        """WITH RECURSIVE anc AS (
-          |  SELECT doc_id, doc_id AS node, 0 AS depth FROM docs_rec
-          |  UNION ALL
-          |  SELECT doc_id, node div 2, depth + 1 FROM anc WHERE node > 1)
-          |SELECT doc_id, CAST(max(depth) AS INT) AS depth_to_root
-          |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-      )
-      s.catalog.dropTempView("docs_rec")
-      df
+      Q.withTempViews(s)("docs_rec" -> Tables.documents(s, d)) {
+        s.sql(
+          """WITH RECURSIVE anc AS (
+            |  SELECT doc_id, doc_id AS node, 0 AS depth FROM docs_rec
+            |  UNION ALL
+            |  SELECT doc_id, node div 2, depth + 1 FROM anc WHERE node > 1)
+            |SELECT doc_id, CAST(max(depth) AS INT) AS depth_to_root
+            |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        )
+      }
     },
 
     // ----- distribution-rank window family: percent_rank / cume_dist /

@@ -287,20 +287,19 @@ object DedupQueries {
     // (n_truly_new, computed in-row).
     Q.noOracle("dedup_bloom_guard") { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      Tables.documents(s, d).createOrReplaceTempView("docs_bloom_guard")
-      val df = s.sql(
-        """WITH hist AS (SELECT text FROM docs_bloom_guard WHERE doc_id % 10 != 7),
-          |batch AS (SELECT doc_id, text FROM docs_bloom_guard WHERE doc_id % 10 = 7),
-          |bf AS (SELECT bloom_filter_agg(xxhash64(text), 100000L, 800000L) AS b FROM hist)
-          |SELECT
-          |  (SELECT count(*) FROM batch) AS n_batch,
-          |  (SELECT count_if(NOT bloom_might_contain((SELECT b FROM bf), xxhash64(text)))
-          |   FROM batch) AS n_definitely_new,
-          |  (SELECT count(*) FROM batch
-          |   WHERE text NOT IN (SELECT text FROM hist)) AS n_truly_new""".stripMargin,
-      )
-      s.catalog.dropTempView("docs_bloom_guard")
-      df
+      Q.withTempViews(s)("docs_bloom_guard" -> Tables.documents(s, d)) {
+        s.sql(
+          """WITH hist AS (SELECT text FROM docs_bloom_guard WHERE doc_id % 10 != 7),
+            |batch AS (SELECT doc_id, text FROM docs_bloom_guard WHERE doc_id % 10 = 7),
+            |bf AS (SELECT bloom_filter_agg(xxhash64(text), 100000L, 800000L) AS b FROM hist)
+            |SELECT
+            |  (SELECT count(*) FROM batch) AS n_batch,
+            |  (SELECT count_if(NOT bloom_might_contain((SELECT b FROM bf), xxhash64(text)))
+            |   FROM batch) AS n_definitely_new,
+            |  (SELECT count(*) FROM batch
+            |   WHERE text NOT IN (SELECT text FROM hist)) AS n_truly_new""".stripMargin,
+        )
+      }
     },
 
     // ----- two-stage fuzzy dedup, the standard production pipeline:

@@ -137,10 +137,13 @@ object EtlQueries {
     // plans the 3-way join identically to the DataFrame form (broadcast
     // dims, pushed date filters).
     Q("sql_api_q3", EtlQueries.q3Sql) { (s, d) =>
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      s.sql(q3Sql)
+      Q.withTempViews(s)(
+        "customer" -> Tables.customer(s, d),
+        "orders" -> Tables.orders(s, d),
+        "lineitem" -> Tables.lineitem(s, d),
+      ) {
+        s.sql(q3Sql)
+      }
     },
 
     // ----- keep-newest-per-key: the compaction primitive under every

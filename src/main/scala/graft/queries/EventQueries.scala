@@ -290,16 +290,15 @@ object EventQueries {
     // to an estimate. Rows-only check (sketch internals are
     // engine-specific).
     Q.noOracle("agg_heavy_hitters") { (s, d) =>
-      Tables.events(s, d).createOrReplaceTempView("events_hh")
-      val df = s.sql(
-        """SELECT item, CAST(count AS BIGINT) AS est_count
-          |FROM (SELECT inline(approx_top_k_estimate(approx_top_k_combine(sk, 64), 3))
-          |      FROM (SELECT approx_top_k_accumulate(event_type, 64) AS sk
-          |            FROM events_hh GROUP BY user_id % 4)) t(item, count)
-          |ORDER BY est_count DESC, item""".stripMargin,
-      )
-      s.catalog.dropTempView("events_hh")
-      df
+      Q.withTempViews(s)("events_hh" -> Tables.events(s, d)) {
+        s.sql(
+          """SELECT item, CAST(count AS BIGINT) AS est_count
+            |FROM (SELECT inline(approx_top_k_estimate(approx_top_k_combine(sk, 64), 3))
+            |      FROM (SELECT approx_top_k_accumulate(event_type, 64) AS sk
+            |            FROM events_hh GROUP BY user_id % 4)) t(item, count)
+            |ORDER BY est_count DESC, item""".stripMargin,
+        )
+      }
     },
 
     // ----- theta sketches: the distinct-count sketch that supports SET
@@ -310,8 +309,8 @@ object EventQueries {
     // mode, so SketchWitnessSpec pins the estimates to the exact
     // INTERSECT/EXCEPT counts carried in-row. Rows-only check.
     Q.noOracle("agg_theta_set_ops") { (s, d) =>
-      Tables.events(s, d).createOrReplaceTempView("events_theta")
-      val df = s.sql(
+      Q.withTempViews(s)("events_theta" -> Tables.events(s, d)) {
+        s.sql(
         """WITH a AS (SELECT theta_sketch_agg(user_id) AS s FROM events_theta
           |           WHERE event_type = 'purchase' AND value > 80),
           |b AS (SELECT theta_sketch_agg(user_id) AS s FROM events_theta
@@ -333,9 +332,8 @@ object EventQueries {
           |     SELECT DISTINCT user_id FROM events_theta WHERE event_type = 'purchase' AND value > 80
           |     EXCEPT
           |     SELECT DISTINCT user_id FROM events_theta WHERE event_type = 'error' AND value < 20)) AS exact_only_a""".stripMargin,
-      )
-      s.catalog.dropTempView("events_theta")
-      df
+        )
+      }
     },
 
     // ----- mergeable sketches, the re-aggregatable form of approx

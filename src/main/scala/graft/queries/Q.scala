@@ -23,4 +23,17 @@ object Q {
     Q(name, run, Some(sql))
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
+
+  /** Temp-view scaffolding for SQL-bodied queries: register the views,
+    * build the frame, drop the views. Safe because `spark.sql` resolves
+    * view references at ANALYSIS time — the returned (lazy) frame holds
+    * the resolved child plans, not the view names — and leak-proof
+    * because the drop runs even when `body` throws (a leaked view would
+    * shadow the next query's table of the same name).
+    */
+  def withTempViews(s: SparkSession)(views: (String, DataFrame)*)(body: => DataFrame): DataFrame = {
+    views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    try body
+    finally views.foreach { case (n, _) => s.catalog.dropTempView(n); () }
+  }
 }

@@ -71,9 +71,10 @@ class PackWindowSpec extends AnyFunSuite with Matchers with SparkSpec {
     // creation-order ids: 0..max with no holes
     val ids = packs.map(_._2).sorted
     ids shouldBe (0L until ids.length.toLong).toArray
-    // the window genuinely binds on this input: more packs than pure
-    // first-fit would open means at least one fitting-but-retired pack
+    // the window genuinely binds on this input: STRICTLY more packs than
+    // pure first-fit proves at least one fitting pack was retired by the
+    // window (>= would be vacuous — windowed can never open fewer)
     val pureCount = collectAssign(PipelineQueries.packFirstFit(docsDF(rows), budget)).values.max + 1
-    ids.length.toLong should be >= pureCount
+    ids.length.toLong should be > pureCount
   }
 }
