@@ -177,6 +177,7 @@ object BatchMerger {
         )
         return Merger.mergeAndCommit(spark, p.plan, cfg)
       }
+      if (cfg.commitMode == CommitMode.Manifest) return commitOneManifest(spark, fs, p, staged, rowsStaged, cfg)
       // Track every output that actually lands in the leaf: a rename
       // failure mid-loop leaves the earlier outputs in place, and those
       // carry committed-looking {stem}_{32hex} names — falling back to a
@@ -241,6 +242,57 @@ object BatchMerger {
         // fails
         System.err.println(
           s"[compact] batch commit failed for ${p.plan.leaf}/${p.plan.stem} (${e.toString}); retrying solo",
+        )
+        Merger.mergeAndCommit(spark, p.plan, cfg)
+    }
+  }
+
+  /** Manifest-mode batch commit for one plan: move its staged files into
+    * a hidden `leaf/.data-<runId>/` dir (non-atomic is FINE here — the
+    * dir is invisible until publish, so unlike the rename-mode loop
+    * there is no partial-visible-commit state and no undo dance), then
+    * the atomic manifest PUT, then original GC. Any failure before
+    * publish deletes the hidden dir and retries solo — the leaf was
+    * never touched visibly.
+    */
+  private def commitOneManifest(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: Probe,
+      staged: Array[org.apache.hadoop.fs.FileStatus],
+      rowsStaged: Long,
+      cfg: CompactorConfig,
+  ): LeafResult = {
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val dataDir = new Path(s"${p.plan.leaf}/.data-$runId")
+    try {
+      fs.mkdirs(dataDir)
+      val outputsRel = staged.map { f =>
+        val dest = new Path(dataDir, f.getPath.getName)
+        if (!fs.rename(f.getPath, dest))
+          throw new java.io.IOException(s"move into hidden data dir failed for ${f.getPath}")
+        s".data-$runId/${f.getPath.getName}"
+      }.toSeq
+      val inputsRel = p.plan.files.map(ManifestCommit.relativeTo(p.plan.leaf, _))
+      ManifestCommit.publish(fs, p.plan.leaf, p.plan.stem, runId, inputsRel, outputsRel, rowsStaged)
+      val undeleted = p.plan.files.filterNot { f =>
+        try fs.delete(new Path(f), false)
+        catch { case _: Throwable => false }
+      }
+      LeafResult(
+        p.plan.leaf, p.plan.stem, success = true, rowsStaged, outputsRel.size,
+        if (undeleted.isEmpty) None
+        else Some(
+          s"committed; ${undeleted.size} superseded original(s) not deleted " +
+            s"(excluded from the live set by the manifest — debris, not duplicates): ${undeleted.mkString(", ")}",
+        ),
+      )
+    } catch {
+      case e: Throwable =>
+        try fs.delete(dataDir, true)
+        catch { case _: Throwable => () }
+        System.err.println(
+          s"[compact] batch manifest commit failed for ${p.plan.leaf}/${p.plan.stem} (${e.toString}); retrying solo",
         )
         Merger.mergeAndCommit(spark, p.plan, cfg)
     }

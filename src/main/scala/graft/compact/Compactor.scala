@@ -49,9 +49,7 @@ object Compactor {
     * merge job on the bounded pool.
     */
   def runBatch(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {
-    val (tiny, big) = plans.partition(p =>
-      cfg.batchTinyLeaves && cfg.commitMode == CommitMode.Rename && p.totalBytes <= cfg.targetFileBytes,
-    )
+    val (tiny, big) = plans.partition(p => cfg.batchTinyLeaves && p.totalBytes <= cfg.targetFileBytes)
     if (tiny.size < 2) runPlans(spark, plans, cfg)
     else BatchMerger.mergeAndCommitBatch(spark, tiny, cfg) ++ runPlans(spark, big, cfg)
   }

@@ -84,14 +84,7 @@ object ManifestCommit {
       // this line is invisible; everything after is garbage collection.
       val inputsRel = plan.files.map(relativeTo(plan.leaf, _))
       val outputsRel = outFiles.map(p => s".data-$runId/${p.getName}")
-      val manifestPath = new Path(s"${plan.leaf}/_manifest-${plan.stem}-$runId.json")
-      val json =
-        s"""{"runId":"$runId","stem":"${plan.stem}","rows":$rowsStaged,""" +
-          s""""inputs":${jsonArray(inputsRel)},"outputs":${jsonArray(outputsRel)},""" +
-          sealMark
-      val out = fs.create(manifestPath, false)
-      try out.write(json.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      publish(fs, plan.leaf, plan.stem, runId, inputsRel, outputsRel, rowsStaged)
 
       // GC the superseded originals. Best-effort BY DESIGN: the manifest
       // already subtracts them from the live set, so a failed delete is
@@ -116,6 +109,29 @@ object ManifestCommit {
         catch { case _: Throwable => () }
         LeafResult(plan.leaf, plan.stem, success = false, 0L, 0, Some(e.toString))
     }
+  }
+
+  /** The atomic publish: one create of the sealed manifest object.
+    * Shared by the solo path above and [[BatchMerger]]'s manifest-mode
+    * commit.
+    */
+  private[compact] def publish(
+      fs: FileSystem,
+      leaf: String,
+      stem: String,
+      runId: String,
+      inputsRel: Seq[String],
+      outputsRel: Seq[String],
+      rows: Long,
+  ): Unit = {
+    val manifestPath = new Path(s"$leaf/_manifest-$stem-$runId.json")
+    val json =
+      s"""{"runId":"$runId","stem":"$stem","rows":$rows,""" +
+        s""""inputs":${jsonArray(inputsRel)},"outputs":${jsonArray(outputsRel)},""" +
+        sealMark
+    val out = fs.create(manifestPath, false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Parsed manifest: (inputs, outputs), both leaf-relative. */
@@ -196,7 +212,7 @@ object ManifestCommit {
     orphans.count(o => fs.delete(o.getPath, true))
   }
 
-  private def relativeTo(leaf: String, path: String): String = {
+  private[compact] def relativeTo(leaf: String, path: String): String = {
     val pfx = if (leaf.endsWith("/")) leaf else leaf + "/"
     require(path.startsWith(pfx), s"input $path is not under leaf $leaf")
     path.stripPrefix(pfx)

@@ -71,9 +71,8 @@ final case class CompactorConfig(
     planBatchSize: Int = 256,
     // Within a batch, plans small enough to produce a single output file
     // (totalBytes <= targetFileBytes) and schema-homogeneous merge in ONE
-    // Spark job ([[BatchMerger]]) instead of one job per group.
-    // (Batching currently pairs with Rename commit only; Manifest-mode
-    // runs take the solo path per leaf.)
+    // Spark job ([[BatchMerger]]) instead of one job per group, under
+    // either commit mode.
     batchTinyLeaves: Boolean = true,
     commitMode: CommitMode = CommitMode.Rename,
 ) {

@@ -246,6 +246,39 @@ class CommitFaultSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     ManifestCommit.liveFiles(spark, plan.leaf).foreach(_ should include("/.data-"))
   }
 
+  test("batch manifest commit: both plans publish atomically, readers resolve via manifest") {
+    FaultFs.reset()
+    val plans = Seq(mkLeaf("me"), mkLeaf("mf"))
+    val before = plans.map(p => ManifestCommit.readLeaf(spark, p.leaf).collect().map(_.toString).sorted.toSeq)
+    val results = BatchMerger.mergeAndCommitBatch(spark, plans, mcfg)
+    results.size shouldBe 2
+    results.foreach(r => withClue(r) { r.success shouldBe true; r.rowsWritten shouldBe 20L })
+    plans.lazyZip(before).foreach { (p, b) =>
+      val names = leafDirOf(p).listFiles().map(_.getName).toSet
+      names.exists(_.matches(s"_manifest-${p.stem}-[0-9a-f]{32}\\.json")) shouldBe true
+      names should contain noneOf ("x.parquet", "y.parquet")
+      ManifestCommit.readLeaf(spark, p.leaf).collect().map(_.toString).sorted.toSeq shouldBe b
+    }
+  }
+
+  test("batch manifest commit: publish failure falls back without ever touching the visible leaf") {
+    FaultFs.reset()
+    val plans = Seq(mkLeaf("mg"), mkLeaf("mh"))
+    val before = plans.map(p => bag(Seq(p)))
+    FaultFs.failCreateRe = Some(FaultFs.manifestRe) // batch publish AND solo retry both blocked
+    val results = BatchMerger.mergeAndCommitBatch(spark, plans, mcfg)
+    FaultFs.reset()
+    results.size shouldBe 2
+    results.foreach(r => withClue(r) { r.success shouldBe false })
+    // originals are still the live set everywhere; no visible strays
+    plans.lazyZip(before).foreach { (p, b) =>
+      val visible = leafDirOf(p).listFiles().map(_.getName).filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSet
+      visible shouldBe Set("x.parquet", "y.parquet")
+      leafDirOf(p).listFiles().map(_.getName).exists(_.startsWith("_manifest-")) shouldBe false
+      ManifestCommit.readLeaf(spark, p.leaf).collect().map(_.toString).sorted.toSeq shouldBe b
+    }
+  }
+
   test("solo merge surfaces originals whose delete returned false") {
     FaultFs.reset()
     val plan = mkLeaf("rc")
