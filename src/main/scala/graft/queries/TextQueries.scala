@@ -65,6 +65,50 @@ object TextQueries {
         .orderBy(desc("n"), col("word"))
     },
 
+    // ----- unigram-LM perplexity scoring (the CCNet-style quality
+    // filter): train a unigram model on the corpus itself (one token
+    // explode + one vocab-sized agg), score every doc by mean negative
+    // log-likelihood. At 100 TB the vocab agg is the only corpus-wide
+    // shuffle and the count table broadcasts (vocab ≪ corpus); the LM
+    // would train on a hash-sample exactly like vector_pq_codes_sampled.
+    // Float discipline: the per-doc sum folds over a POSITION-ORDERED
+    // list (sort_array(collect_list) ↔ list(ORDER BY pos) + list_reduce)
+    // so both engines accumulate in the same sequence; ln() can differ
+    // in the last ulp between libm and the JDK, so the output rounds to
+    // 4 decimals (non-grid transcendental values — tie risk ~0).
+    Q(
+      "text_perplexity",
+      """WITH toks AS (SELECT doc_id,
+        |                     generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |                     unnest(string_split(text, ' ')) AS w
+        |              FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+        |j AS (SELECT doc_id, pos, -ln(c / t) AS nll
+        |      FROM toks JOIN cnt USING (w) CROSS JOIN tot),
+        |d AS (SELECT doc_id, count(*) AS n_tokens,
+        |             list_reduce(list(nll ORDER BY pos), (a, b) -> a + b) AS s
+        |      FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(s / n_tokens, 4) AS avg_nll
+        |FROM d ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val toks = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).cast("double").as("t"))
+      toks
+        .join(broadcast(cnt), "w")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", -log(col("c") / col("t")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          expr("aggregate(transform(sort_array(collect_list(struct(pos, nll))), p -> p.nll), 0D, (a, v) -> a + v)").as("s"),
+        )
+        .select(col("doc_id"), col("n_tokens"), round(col("s") / col("n_tokens"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
     // ----- token counting: whitespace, regex word-class, and BPE-ish runs
     Q(
       "text_tokens",
