@@ -98,6 +98,48 @@ class AnnSearchSpec extends AnyFunSuite with Matchers with SparkSpec with Before
     multi3 should be >= 0.45
   }
 
+  test("bucketed pair-finding obeys the sign-LSH collision law (dedup_embedding_cosine's guarantee)") {
+    // dedup_embedding_cosine only pairs vectors sharing a bucket, so its
+    // recall on near-dup pairs is EXACTLY the sign-LSH collision
+    // probability (1 - theta/pi)^bits. Pinning measured collisions to
+    // that law (rather than an arbitrary floor) proves the bucketing
+    // implements the scheme whose guarantee the operator inherits:
+    // recall ~1 for near-identical pairs (theta -> 0), tunable via bits.
+    val b = e.withColumn("bucket", expr(AnnSearch.bucketExpr(8)))
+    val stats = b.as("x")
+      .join(b.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(
+        expr("cosine_similarity(x.v, y.v)").as("sim"),
+        (col("x.bucket") === col("y.bucket")).cast("int").as("hit"),
+      )
+      .where(col("sim") >= 0.1)
+      .withColumn("theory", pow(lit(1.0) - acos(least(col("sim"), lit(1.0))) / lit(math.Pi), 8))
+      .withColumn(
+        "bin",
+        when(col("sim") < 0.2, 0).when(col("sim") < 0.3, 1).otherwise(2),
+      )
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("hit").as("hits"), sum("theory").as("expected"))
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    stats.length shouldBe 3
+    stats.foreach { case (bin, n, hits, expected) =>
+      withClue(s"bin $bin: n=$n hits=$hits expected=$expected") {
+        n should be > 500L // enough pairs for the law to bind statistically
+        // measured within [0.5, 1.6]x of the law's prediction per bin
+        hits.toDouble should be >= expected * 0.5
+        hits.toDouble should be <= expected * 1.6
+      }
+    }
+    // collision RATE rises with similarity — the property that makes
+    // bucketed pairing a near-dup finder rather than a random sample
+    val rates = stats.map { case (_, n, hits, _) => hits.toDouble / n }
+    rates(0) should be < rates(1)
+    rates(1) should be < rates(2)
+  }
+
   test("recall is computed against a sane exact baseline") {
     // every query has exactly k exact neighbors, none of them itself
     exact.groupBy("qid").count().select(min("count"), max("count")).collect().head.toSeq shouldBe Seq(k.toLong, k.toLong)

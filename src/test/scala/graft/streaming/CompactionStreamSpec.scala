@@ -121,6 +121,55 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
     }
   }
 
+  test("streaming compaction composes with the manifest commit mode") {
+    val oroot = Files.createTempDirectory("graft-stream-manifest").toFile
+    val ockpt = Files.createTempDirectory("graft-stream-manifest-ckpt").toFile
+    try {
+      val l = new File(oroot, "acct/source=mst/year=2026/month=01")
+      l.mkdirs()
+      writeFile(l, "a.parquet", df("mst-a"))
+      writeFile(l, "b.parquet", df("mst-b"))
+      val mcfg = cfg.copy(commitMode = graft.compact.CommitMode.Manifest)
+      val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
+      def runOnce(): Unit = {
+        val q = CompactionStream.start(
+          spark, oroot.getAbsolutePath, mcfg,
+          Trigger.AvailableNow(), ockpt.getAbsolutePath,
+          onBatch = r => { batches.add(r); () },
+        )
+        q.awaitTermination(60000)
+        ()
+      }
+      runOnce()
+      val deadline = System.currentTimeMillis() + 60000
+      while (batches.asScala.flatten.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        runOnce()
+      }
+      val all = batches.asScala.flatten.toSeq
+      withClue(all) {
+        all.size shouldBe 1
+        all.head.success shouldBe true
+        all.head.rowsWritten shouldBe 40L
+      }
+      // no visible committed files: outputs are hidden behind the manifest
+      names(l) shouldBe Seq.empty
+      val entries = l.listFiles().map(_.getName).toSet
+      entries.exists(_.matches("_manifest-mst-[0-9a-f]{32}\\.json")) shouldBe true
+      entries.exists(_.startsWith(".data-")) shouldBe true
+      val live = graft.compact.ManifestCommit.readLeaf(spark, l.getAbsolutePath)
+      live.count() shouldBe 40L
+      // and a follow-up streaming run sees nothing left to do (the leaf's
+      // visible plane is empty; manifest artifacts are planner-invisible)
+      val sizeBefore = batches.asScala.flatten.size
+      runOnce()
+      batches.asScala.flatten.size shouldBe sizeBefore
+    } finally {
+      def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+      rm(oroot); rm(ockpt)
+    }
+  }
+
   test("more dirty leaves than maxTrackedLeaves still all compact") {
     val oroot = Files.createTempDirectory("graft-stream-cap").toFile
     val ockpt = Files.createTempDirectory("graft-stream-cap-ckpt").toFile
