@@ -219,7 +219,14 @@ object ManifestCommit {
   }
 
   private def jsonArray(xs: Seq[String]): String = {
-    xs.foreach(x => require(!x.exists(c => c == '"' || c == '\\'), s"unencodable file name: $x"))
+    // '"'/'\\' would need escaping; ']'/',' would break the regex-based
+    // array parse in readManifest (truncated or mis-split lists — a
+    // WRONG live set, far worse than a refused commit). Reject all four:
+    // the format stays bijective for every name it accepts, and real
+    // lake file names never contain them.
+    xs.foreach(x =>
+      require(!x.exists(c => c == '"' || c == '\\' || c == ']' || c == ','), s"unencodable file name: $x"),
+    )
     xs.map("\"" + _ + "\"").mkString("[", ",", "]")
   }
 }
