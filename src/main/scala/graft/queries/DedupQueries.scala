@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -452,6 +453,78 @@ object DedupQueries {
         .groupBy("d")
         .agg(count(lit(1)).as("n_near"))
         .select(col("d").as("doc_id"), col("n_near"))
+        .orderBy("doc_id")
+    },
+
+    // ----- exact substring-span deduplication (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"): find
+    // every k-gram (k=5 words) that occurs more than once in the corpus,
+    // then merge each doc's duplicated-gram hit positions into maximal
+    // contiguous SPANS — the regions a span-removal pass would cut,
+    // reported as (span count, covered tokens) per affected doc. Two
+    // shuffles at any scale: the gram groupBy (dup detection) and the
+    // gram-keyed join back; the span merge is a classic gaps-and-islands
+    // window per doc (running max of span end, island break when a hit
+    // starts past it). At 100 TB the gram table is the big object — the
+    // production mitigation is hashing grams to 8-byte fingerprints
+    // before the shuffle (the dedup_minhash_lsh kernel's trick), which
+    // changes none of the span logic.
+    Q(
+      "dedup_substring_spans",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |g0 AS (SELECT doc_id,
+        |              list_transform(range(len(words) - 4),
+        |                             i -> array_to_string(words[(i+1):(i+5)], ' ')) AS gl
+        |       FROM w),
+        |grams AS (SELECT doc_id, generate_subscripts(gl, 1) - 1 AS pos, unnest(gl) AS gram FROM g0),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |               CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -99) + 5
+        |                    THEN 1 ELSE 0 END AS brk
+        |        FROM hits),
+        |isl2 AS (SELECT doc_id, pos,
+        |                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |         FROM isl),
+        |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+        |          FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
+        |       CAST(sum(e - s) AS INTEGER) AS dup_tokens
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val k = 5
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .where(size(col("words")) >= k)
+        .select(
+          col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, size(words) - $k), i -> array_join(slice(words, i + 1, $k), ' '))"))
+            .as(Seq("pos", "gram")),
+        )
+      val dup = grams.groupBy("gram").agg(count(lit(1)).as("n")).where(col("n") > 1).select("gram")
+      val hits = grams.join(dup, "gram").select("doc_id", "pos")
+      val isl = hits
+        .withColumn(
+          "brk",
+          when(
+            col("pos") > coalesce(
+              max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(-99),
+            ) + k,
+            1,
+          ).otherwise(0),
+        )
+        .withColumn("island", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      isl
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), (max("pos") + k).as("e"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("int").as("n_dup_spans"),
+          sum(col("e") - col("s")).cast("int").as("dup_tokens"),
+        )
         .orderBy("doc_id")
     },
   )
