@@ -14,6 +14,36 @@ import graft.Tables
 object MultimodalQueries {
 
   val qs: Seq[Q] = Seq(
+    // frame-sample each video payload's real decoded keyframe, resize
+    // every frame to a fixed 4x4 model-input grid, emit per-frame pixel
+    // stats — the decode -> sample -> normalize front half of a vision
+    // training pipeline, end-to-end on real PNG bytes. no_oracle (no
+    // image codec in DuckDB); MultimodalSpec pins decode/resize/sample
+    // exactness component-wise.
+    Q.noOracle("multimodal_frames") { (s, d) =>
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val media = Multimodal.asMedia(s, Tables.documents(s, d))
+      val frames = Multimodal.sampleFrames(media, Multimodal.JdkCodec, nFrames = 3)
+      // each long-form frame re-enters the typed resize path
+      val decoded = frames
+        .select(col("doc_id"), col("frame_idx"), col("frame"))
+        .as[(Long, Int, Array[Float])]
+        .map { case (id, idx, px) =>
+          // frames of a doc share dims with its keyframe: recover them
+          val w = 6 + (id % 4).toInt
+          val h = 5 + ((id / 4) % 4).toInt
+          (id * 10 + idx, Multimodal.Decoded(w, h, px))
+        }
+      Multimodal.resize(decoded, 4, 4)
+        .map { case (key, dd) =>
+          (key / 10, (key % 10).toInt, dd.pixels.sum / dd.pixels.length)
+        }
+        .toDF("doc_id", "frame_idx", "mean_intensity")
+        .select(col("doc_id"), col("frame_idx"), round(col("mean_intensity"), 4).as("mean_intensity"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     Q.noOracle("multimodal_decode") { (s, d) =>
       import graft.multimodal.Multimodal
       val media = Multimodal.asMedia(s, Tables.documents(s, d))
