@@ -289,6 +289,20 @@ object BatchMerger {
       )
     } catch {
       case e: Throwable =>
+        // same rollback order as ManifestCommit: the manifest must be
+        // verifiably gone before the data dir goes (a sealed manifest
+        // naming deleted outputs breaks readers), and the solo retry is
+        // only safe once neither artifact can affect the live set
+        val mp = new Path(s"${p.plan.leaf}/_manifest-${p.plan.stem}-$runId.json")
+        val manifestGone =
+          try { fs.delete(mp, false); !fs.exists(mp) }
+          catch { case _: Throwable => false }
+        if (!manifestGone) {
+          return LeafResult(
+            p.plan.leaf, p.plan.stem, success = false, 0L, 0,
+            Some(s"batch manifest commit failed (${e.toString}) and the manifest could not be removed — not retrying"),
+          )
+        }
         try fs.delete(dataDir, true)
         catch { case _: Throwable => () }
         System.err.println(

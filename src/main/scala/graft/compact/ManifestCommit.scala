@@ -103,10 +103,21 @@ object ManifestCommit {
       )
     } catch {
       case e: Throwable =>
-        // a crash here leaves only hidden .data-* debris and possibly no
-        // manifest — readers are unaffected; gcOrphans reclaims it
-        try FileIndexer.fsFor(spark, plan.leaf).delete(new Path(dataDir), true)
-        catch { case _: Throwable => () }
+        // Rollback order matters: a torn-or-even-complete manifest (e.g.
+        // close() threw after a full write) must go BEFORE the data dir —
+        // a sealed manifest naming deleted outputs would break readers.
+        // If the manifest can't be removed, leave the data dir intact so
+        // the (manifest, data) pair stays consistent.
+        val fsR = try Some(FileIndexer.fsFor(spark, plan.leaf)) catch { case _: Throwable => None }
+        val manifestGone = fsR.exists { f =>
+          val mp = new Path(s"${plan.leaf}/_manifest-${plan.stem}-$runId.json")
+          try { f.delete(mp, false); !f.exists(mp) }
+          catch { case _: Throwable => false }
+        }
+        if (manifestGone) {
+          try fsR.foreach(_.delete(new Path(dataDir), true))
+          catch { case _: Throwable => () }
+        }
         LeafResult(plan.leaf, plan.stem, success = false, 0L, 0, Some(e.toString))
     }
   }
