@@ -92,6 +92,13 @@ object TextQueries {
         |SELECT doc_id, n_tokens, round(s / n_tokens, 4) AS avg_nll
         |FROM d ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
+      // Three consumers re-tokenize (vocab counts, corpus total, scoring
+      // join) — deliberate: a repartition barrier does NOT dedupe here
+      // (each consumer prunes different columns below it, so the
+      // exchanges aren't identical and reuse never fires — measured as a
+      // pure regression), and the re-scans are cheap column-pruned
+      // parquet reads. At 100 TB you'd persist the tokenized view across
+      // the whole text-pipeline run instead.
       val toks = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
