@@ -1,0 +1,121 @@
+package graft.compact
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Repeated manifest-mode compaction of the SAME leaf — the real
+  * production sequence, where later runs' inputs are earlier runs'
+  * hidden `.data-*` outputs resolved through [[ManifestCommit.liveFiles]].
+  * The chain exercises:
+  *   - relative input paths that live in `.data-*` subdirs,
+  *   - output-superseding (a later manifest's inputs subtract an earlier
+  *     manifest's outputs from the live set),
+  *   - torn manifests and orphan data dirs injected mid-chain not
+  *     perturbing the live set,
+  *   - gcOrphans never touching referenced dirs.
+  * Invariant after every step: the leaf's bag of rows (read through the
+  * resolver) is exactly the original bag.
+  */
+class ManifestChainSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private val cfg = CompactorConfig(
+    targetFileBytes = 10L * 1024 * 1024,
+    maxRowsPerFile = 1000L,
+    commitMode = CommitMode.Manifest,
+  )
+
+  private var root: File = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-manifest-chain").toFile
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    super.afterAll()
+  }
+
+  private def writeFile(leaf: File, name: String, tag: String, n: Int): Unit = {
+    val s = spark
+    import s.implicits._
+    val tmp = new File(leaf, s".tmp-$name")
+    (1 to n).map(i => (i.toLong, tag)).toDF("id", "tag").coalesce(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(leaf, name).toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    ()
+  }
+
+  private def bag(leaf: String): Seq[String] =
+    ManifestCommit.readLeaf(spark, leaf).collect().map(_.toString).sorted.toSeq
+
+  test("three chained compactions preserve the bag; later manifests supersede earlier outputs") {
+    val leaf = new File(root, "acct/source=chain/year=2026/month=01")
+    leaf.mkdirs()
+    Seq("a", "b", "c", "d").foreach(n => writeFile(leaf, s"$n.parquet", s"chain-$n", 10))
+    val leafPath = leaf.getAbsolutePath
+    val before = bag(leafPath)
+    before.size shouldBe 40
+
+    def compactLive(expectRows: Long): LeafResult = {
+      val live = ManifestCommit.liveFiles(spark, leafPath)
+      live.size should be >= 2
+      val bytes = live.map(p => new File(p).length()).sum
+      val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "chain", live, bytes), cfg)
+      withClue(r) { r.success shouldBe true; r.rowsWritten shouldBe expectRows }
+      r
+    }
+
+    // step 1: compact the four originals
+    compactLive(40L)
+    bag(leafPath) shouldBe before
+    // noise injected mid-chain: a torn manifest and an orphan data dir
+    Files.write(
+      new File(leaf, "_manifest-chain-cafebabe.json").toPath,
+      """{"runId":"cafebabe","stem":"chain","inputs":["a.parquet"],"outp""".getBytes,
+    )
+    val orphan = new File(leaf, ".data-0000orphan")
+    orphan.mkdirs()
+    Files.write(new File(orphan, "junk.parquet").toPath, Array[Byte](1, 2, 3))
+    bag(leafPath) shouldBe before
+
+    // new arrivals land next to the compacted tail, then step 2's inputs
+    // MIX a .data-* member with visible originals, resolved via liveFiles
+    Seq("e", "f").foreach(n => writeFile(leaf, s"$n.parquet", s"chain-$n", 10))
+    val after2Arrivals = bag(leafPath)
+    after2Arrivals.size shouldBe 60
+    compactLive(60L)
+    bag(leafPath) shouldBe after2Arrivals
+
+    // step 3: one more arrival, three-manifest chain
+    writeFile(leaf, "g.parquet", "chain-g", 10)
+    val after3Arrivals = bag(leafPath)
+    after3Arrivals.size shouldBe 70
+    compactLive(70L)
+    bag(leafPath) shouldBe after3Arrivals
+
+    // the live set is exactly the LAST manifest's outputs — everything
+    // earlier was superseded (no duplicates ever entered the resolver)
+    val live = ManifestCommit.liveFiles(spark, leafPath)
+    live.foreach(_ should include("/.data-"))
+    ManifestCommit.readLeaf(spark, leafPath).count() shouldBe 70L
+    // three sealed manifests accumulated, plus the ignored torn one
+    leaf.listFiles().count(f => f.getName.startsWith("_manifest-") && f.getName.endsWith(".json")) shouldBe 4
+
+    // gcOrphans removes ONLY the injected orphan, never a referenced dir
+    ManifestCommit.gcOrphans(spark, leafPath) shouldBe 1
+    bag(leafPath) shouldBe after3Arrivals
+    // superseded-but-referenced data dirs survive (their manifests still
+    // name them; pruning manifest CHAINS is a compaction-of-manifests
+    // concern, out of scope here)
+    leaf.listFiles().count(_.getName.startsWith(".data-")) shouldBe 3
+  }
+}
