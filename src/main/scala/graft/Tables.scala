@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
   * All queries read through here so schema hazards are handled in one
-  * place. The one real hazard: `events.ts` is parquet TIMESTAMP(NANOS)
-  * (pandas-written), which Spark 4 refuses to infer as a timestamp
-  * ([PARQUET_TYPE_ILLEGAL]). An EXPLICIT user schema mapping `ts` to
-  * LongType sidesteps inference entirely — no session conf involved —
-  * and the loader truncates the raw nanos to microseconds, the same
-  * truncation DuckDB applies when it coerces ns→us on read, so oracle
-  * comparisons line up exactly.
+  * place. The one real hazard: `events.ts` has shipped as BOTH parquet
+  * TIMESTAMP(NANOS) (pandas-written, earlier rounds) and TIMESTAMP(MICROS)
+  * (current fixtures). Spark 4 refuses to infer NANOS as a timestamp
+  * ([PARQUET_TYPE_ILLEGAL]), so the loader sniffs the unit once (one
+  * driver-side footer inference) and picks the matching explicit schema:
+  * MICROS reads natively; NANOS maps `ts` to LongType — sidestepping
+  * inference, no session conf involved — and truncates raw nanos to
+  * microseconds, the same truncation DuckDB applies when it coerces
+  * ns→us on read, so oracle comparisons line up exactly either way.
   */
 object Tables {
 
@@ -43,22 +45,53 @@ object Tables {
   }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** The driver's events schema (TESTDATA.md), with `ts` pinned to
-    * LongType: providing the schema (instead of inferring it from the
-    * footer) is what lets Spark read TIMESTAMP(NANOS) as raw nanos
-    * without the session-wide `spark.sql.legacy.parquet.nanosAsLong`
-    * flag. Pinning also skips the footer-inference pass — a scan on a
-    * 10⁶-file table starts without reading any footers.
+  /** The driver's events schema (TESTDATA.md) in its two variants: `ts`
+    * pinned to LongType (NANOS fixtures — an explicit user schema is what
+    * lets Spark read TIMESTAMP(NANOS) as raw nanos without the
+    * session-wide `spark.sql.legacy.parquet.nanosAsLong` flag) or to
+    * TimestampType (MICROS fixtures). Pinning either way also skips the
+    * per-query footer-inference pass — a scan on a 10⁶-file table starts
+    * without reading any footers beyond the one-time unit sniff.
     */
   private val eventsRawSchema =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+  private def eventsTsSchema(tsType: String) =
+    s"event_id BIGINT, ts $tsType, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
-  /** `events` with `ts` normalized to a microsecond TIMESTAMP. Pure:
-    * works on any session (no conf read, no conf mutation).
+  /** `ts`'s inferable Spark type at this path: TIMESTAMP(MICROS) infers
+    * as TimestampNTZType (pandas writes isAdjustedToUTC=false) or
+    * TimestampType; TIMESTAMP(NANOS) makes inference throw
+    * [PARQUET_TYPE_ILLEGAL] → None. One footer read per path per JVM —
+    * memoized so repeated query builds against the same fixture dir stay
+    * footer-free.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read
-      .schema(eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private val tsType = scala.collection.concurrent.TrieMap.empty[String, Option[org.apache.spark.sql.types.DataType]]
+
+  /** `events` with `ts` normalized to a microsecond TIMESTAMP (session-tz
+    * semantics; every session here pins UTC, making the NTZ→LTZ cast a
+    * value identity). Pure: works on any session (no conf read, no conf
+    * mutation).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val path = s"$sfDir/events.parquet"
+    val inferred = tsType.getOrElseUpdate(path,
+      try Some(spark.read.parquet(path).schema("ts").dataType)
+      catch { case scala.util.control.NonFatal(_) => None }, // NANOS: inference refuses
+    )
+    inferred match {
+      case Some(TimestampType) =>
+        spark.read.schema(eventsTsSchema("TIMESTAMP")).parquet(path)
+      case Some(TimestampNTZType) =>
+        spark.read
+          .schema(eventsTsSchema("TIMESTAMP_NTZ"))
+          .parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        spark.read
+          .schema(eventsRawSchema)
+          .parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
 }

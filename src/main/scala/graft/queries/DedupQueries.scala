@@ -347,6 +347,54 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ----- asymmetric containment over the same LSH candidates: score
+    // |A∩B| / min(|A|,|B|) (the overlap coefficient) instead of Jaccard.
+    // Containment is what catches QUOTE/SUBSET duplication — a short doc
+    // wholly embedded in a long one has Jaccard ≈ |A|/|B| (arbitrarily
+    // low) but containment 1.0. Candidates still come from MinHash LSH,
+    // which recalls by Jaccard — honest limitation: a high-containment /
+    // low-Jaccard pair can be missed at the banding stage; the exhaustive
+    // path for those is dedup_substring_spans. The threshold compares in
+    // exact integer arithmetic (10·n_inter ≥ 6·n_min) so no float edge
+    // exists at the cut; the reported ratio is an exact-integer-derived
+    // double, bit-identical in both engines.
+    Q(
+      "dedup_minhash_containment",
+      s"""WITH $shinglesSqlCte,
+         |${minhashBandsSqlCte(4)},
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bands x JOIN bands y
+         |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS ss FROM sh GROUP BY doc_id),
+         |scored AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         len(list_filter(a.ss, x -> list_contains(b.ss, x))) AS n_inter,
+         |         least(len(a.ss), len(b.ss)) AS n_min
+         |  FROM pairs p
+         |  JOIN sets a ON a.doc_id = p.doc_a
+         |  JOIN sets b ON b.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b,
+         |       CAST(n_inter AS DOUBLE) / n_min AS containment
+         |FROM scored
+         |WHERE 10 * n_inter >= 6 * n_min
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      val shRows = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(shingles(s)).as("sh"))
+      val sets = shRows.groupBy("doc_id").agg(collect_set("sh").as("ss"))
+      val nInter = size(array_intersect(col("a.ss"), col("b.ss")))
+      val nMin = least(size(col("a.ss")), size(col("b.ss")))
+      minhashPairs(s, d)
+        .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), nInter.as("n_inter"), nMin.as("n_min"))
+        .where(lit(10) * col("n_inter") >= lit(6) * col("n_min"))
+        .select(col("doc_a"), col("doc_b"), (col("n_inter").cast("double") / col("n_min")).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ----- near-duplicate clusters: connected components over the LSH
     // candidate-pair graph, each doc labeled with the min doc_id of its
     // component (the canonical "keeper"). Spark side is iterative

@@ -30,6 +30,50 @@ object TextQueries {
   private val lexiconValues =
     lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
+  /** Shared unigram-LM scoring pipeline (doc_id, n_tokens, s) where `s`
+    * is the position-ordered fold of per-token negative log-likelihoods —
+    * the base of both `text_perplexity` and `text_ppl_buckets`. Ends in
+    * CTE `d`; the Spark twin is [[docNll]].
+    */
+  private val pplSqlCte =
+    """toks AS (SELECT doc_id,
+      |               generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |               unnest(string_split(text, ' ')) AS w
+      |        FROM documents),
+      |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+      |j AS (SELECT doc_id, pos, -ln(c / t) AS nll
+      |      FROM toks JOIN cnt USING (w) CROSS JOIN tot),
+      |d AS (SELECT doc_id, count(*) AS n_tokens,
+      |             list_reduce(list(nll ORDER BY pos), (a, b) -> a + b) AS s
+      |      FROM j GROUP BY doc_id)""".stripMargin
+
+  /** Spark twin of [[pplSqlCte]]: per-doc (doc_id, n_tokens, s).
+    *
+    * Three consumers re-tokenize (vocab counts, corpus total, scoring
+    * join) — deliberate: a repartition barrier does NOT dedupe here
+    * (each consumer prunes different columns below it, so the exchanges
+    * aren't identical and reuse never fires — measured as a pure
+    * regression), and the re-scans are cheap column-pruned parquet
+    * reads. At 100 TB you'd persist the tokenized view across the whole
+    * text-pipeline run instead.
+    */
+  private def docNll(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("t"))
+    toks
+      .join(broadcast(cnt), "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("nll", -log(col("c") / col("t")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        expr("aggregate(transform(sort_array(collect_list(struct(pos, nll))), p -> p.nll), 0D, (a, v) -> a + v)").as("s"),
+      )
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ----- text normalization: casefold → strip non-alphanumerics →
@@ -48,6 +92,32 @@ object TextQueries {
       val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
       Tables.documents(s, d)
         .select(col("doc_id"), norm.as("norm"), length(norm).as("norm_len"))
+        .orderBy("doc_id")
+    },
+
+    // ----- blocklist masking: replace listed terms with a sentinel token
+    // (the safety-scrub / PII-redaction shape — the fixture corpus has no
+    // real PII, so a two-term blocklist stands in for the pattern list).
+    // Token-level transform() rather than a word-boundary regex: it keeps
+    // whole-token semantics trivially correct in BOTH engines (Java regex
+    // vs RE2 \b edge cases never enter the picture) and runs inside
+    // whole-stage codegen. Per-doc, embarrassingly parallel — no shuffle
+    // at any scale; the hash keeps the verified artifact narrow while
+    // still pinning every byte of the masked text.
+    Q(
+      "text_blocklist_mask",
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), w -> w IN ('slow', 'big'))) AS INTEGER) AS n_masked,
+        | md5(array_to_string(list_transform(string_split(text, ' '),
+        |       w -> CASE WHEN w IN ('slow', 'big') THEN '<masked>' ELSE w END), ' ')) AS masked_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(expr("filter(split(text, ' '), w -> w IN ('slow', 'big'))")).as("n_masked"),
+          md5(expr("array_join(transform(split(text, ' '), w -> CASE WHEN w IN ('slow', 'big') THEN '<masked>' ELSE w END), ' ')")).as("masked_hash"),
+        )
         .orderBy("doc_id")
     },
 
@@ -78,42 +148,50 @@ object TextQueries {
     // 4 decimals (non-grid transcendental values — tie risk ~0).
     Q(
       "text_perplexity",
-      """WITH toks AS (SELECT doc_id,
-        |                     generate_subscripts(string_split(text, ' '), 1) AS pos,
-        |                     unnest(string_split(text, ' ')) AS w
-        |              FROM documents),
-        |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
-        |j AS (SELECT doc_id, pos, -ln(c / t) AS nll
-        |      FROM toks JOIN cnt USING (w) CROSS JOIN tot),
-        |d AS (SELECT doc_id, count(*) AS n_tokens,
-        |             list_reduce(list(nll ORDER BY pos), (a, b) -> a + b) AS s
-        |      FROM j GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, round(s / n_tokens, 4) AS avg_nll
-        |FROM d ORDER BY doc_id""".stripMargin,
+      s"""WITH $pplSqlCte
+         |SELECT doc_id, n_tokens, round(s / n_tokens, 4) AS avg_nll
+         |FROM d ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      // Three consumers re-tokenize (vocab counts, corpus total, scoring
-      // join) — deliberate: a repartition barrier does NOT dedupe here
-      // (each consumer prunes different columns below it, so the
-      // exchanges aren't identical and reuse never fires — measured as a
-      // pure regression), and the re-scans are cheap column-pruned
-      // parquet reads. At 100 TB you'd persist the tokenized view across
-      // the whole text-pipeline run instead.
-      val toks = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
-      val tot = toks.agg(count(lit(1)).cast("double").as("t"))
-      toks
-        .join(broadcast(cnt), "w")
-        .crossJoin(broadcast(tot))
-        .withColumn("nll", -log(col("c") / col("t")))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          expr("aggregate(transform(sort_array(collect_list(struct(pos, nll))), p -> p.nll), 0D, (a, v) -> a + v)").as("s"),
-        )
+      docNll(s, d)
         .select(col("doc_id"), col("n_tokens"), round(col("s") / col("n_tokens"), 4).as("avg_nll"))
         .orderBy("doc_id")
+    },
+
+    // ----- CCNet-style head/middle/tail bucketing: rank every doc by
+    // unigram perplexity WITHIN its language and cut terciles (CCNet
+    // keeps "head" as the cleanest training slice). ntile orders by the
+    // UNROUNDED avg_nll — bit-exact across engines because the per-doc
+    // fold is position-ordered (see pplSqlCte) — with doc_id as a unique
+    // tiebreaker. The per-bucket mean folds in doc_id order for the same
+    // bit-exactness, then rounds. At 100 TB the rank is one window over
+    // (lang) — a per-language sort, the same shape as window_ntile — and
+    // the bucket agg is a 15-row result.
+    Q(
+      "text_ppl_buckets",
+      s"""WITH $pplSqlCte,
+         |p AS (SELECT doc_id, s / n_tokens AS avg_nll FROM d),
+         |b AS (SELECT l.lang, p.doc_id, p.avg_nll,
+         |             CAST(ntile(3) OVER (PARTITION BY l.lang
+         |                                 ORDER BY p.avg_nll, p.doc_id) AS INTEGER) AS bucket
+         |      FROM p JOIN documents l ON l.doc_id = p.doc_id)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |       round(list_reduce(list(avg_nll ORDER BY doc_id), (a, v) -> a + v)
+         |             / count(*), 4) AS mean_nll
+         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    ) { (s, d) =>
+      val langs = Tables.documents(s, d).select("doc_id", "lang")
+      val w = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+      docNll(s, d)
+        .select(col("doc_id"), (col("s") / col("n_tokens")).as("avg_nll"))
+        .join(langs, "doc_id")
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("aggregate(transform(sort_array(collect_list(struct(doc_id, avg_nll))), p -> p.avg_nll), 0D, (a, v) -> a + v)").as("snll"),
+        )
+        .select(col("lang"), col("bucket"), col("n_docs"), round(col("snll") / col("n_docs"), 4).as("mean_nll"))
+        .orderBy("lang", "bucket")
     },
 
     // ----- token counting: whitespace, regex word-class, and BPE-ish runs

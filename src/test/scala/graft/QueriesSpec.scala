@@ -48,13 +48,17 @@ class QueriesSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
-  test("Tables.events is pure: reads ns-timestamps on a foreign session, mutates no conf") {
+  test("Tables.events is pure: reads any ts unit on a foreign session, mutates no conf") {
     // newSession shares the SparkContext but owns its SQLConf — a stand-in
     // for a foreign caller that didn't build the session the graft way.
+    // Works whether the fixture carries TIMESTAMP(NANOS) (needs the
+    // pinned-long sidestep) or TIMESTAMP(MICROS); either way the reader
+    // must not lean on the session-wide legacy flag.
     val s2 = spark.newSession()
     s2.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     Tables.events(s2, sf).count() should be > 0L
     s2.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") should not be Some("true")
+    Tables.events(s2, sf).schema("ts").dataType shouldBe org.apache.spark.sql.types.TimestampType
   }
 
   test("bm25 accepts a caller-supplied term list; the default matches the registered query") {
