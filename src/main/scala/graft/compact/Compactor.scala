@@ -46,10 +46,14 @@ object Compactor {
 
   /** One slice of the plan: tiny single-output-file groups ride the
     * batched one-job path ([[BatchMerger]]); everything else gets its own
-    * merge job on the bounded pool.
+    * merge job on the bounded pool. Z-order layout disables the batched
+    * path — its one-job partitionBy write can't range-cluster per group,
+    * and a layout run wants every leaf through [[Merger.sizeForOutput]]'s
+    * range shuffle (layout correctness over job-count savings).
     */
   def runBatch(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {
-    val (tiny, big) = plans.partition(p => cfg.batchTinyLeaves && p.totalBytes <= cfg.targetFileBytes)
+    val (tiny, big) = plans.partition(p =>
+      cfg.batchTinyLeaves && cfg.layoutKeys.isEmpty && p.totalBytes <= cfg.targetFileBytes)
     if (tiny.size < 2) runPlans(spark, plans, cfg)
     else BatchMerger.mergeAndCommitBatch(spark, tiny, cfg) ++ runPlans(spark, big, cfg)
   }

@@ -65,6 +65,14 @@ object Merger {
     * partition count — when the scan bin-packs into fewer splits than
     * the byte target demands, fall back to a shuffle so the size target
     * actually holds.
+    *
+    * With `cfg.layoutKeys` set (and every key present in this leaf's
+    * merged schema), the plain coalesce/repartition becomes
+    * [[graft.operators.ZOrder.layout]]: one range shuffle on the Morton
+    * code plus an in-partition sort, so each output file covers a
+    * disjoint Z-range and its footer min/max prune on all layout
+    * columns at once. Row content is untouched, so the footer-count
+    * commit validation is oblivious to layout.
     */
   private[compact] def sizeForOutput(
       df: org.apache.spark.sql.DataFrame,
@@ -76,7 +84,13 @@ object Merger {
       math.max(1L, (totalBytes + cfg.targetFileBytes - 1) / cfg.targetFileBytes),
       (rowsIn + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile,
     ).toInt
-    if (nOut > df.rdd.getNumPartitions) df.repartition(nOut) else df.coalesce(nOut)
+    if (cfg.layoutKeys.nonEmpty && cfg.layoutKeys.forall(df.columns.contains))
+      graft.operators.ZOrder.layout(
+        df, nOut, cfg.layoutBits,
+        cfg.layoutKeys.map(org.apache.spark.sql.functions.col): _*,
+      )
+    else if (nOut > df.rdd.getNumPartitions) df.repartition(nOut)
+    else df.coalesce(nOut)
   }
 
   def mergeAndCommit(spark: SparkSession, plan: LeafPlan, cfg: CompactorConfig): LeafResult = {

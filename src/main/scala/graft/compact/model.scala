@@ -75,6 +75,17 @@ final case class CompactorConfig(
     // either commit mode.
     batchTinyLeaves: Boolean = true,
     commitMode: CommitMode = CommitMode.Rename,
+    // Optional Z-order layout between merge and write (the OPTIMIZE …
+    // ZORDER BY step; operators.ZOrder): output files range-cluster on
+    // the Morton interleave of these columns' low `layoutBits` bits, so
+    // per-file min/max footer stats prune on EVERY listed column, not
+    // just a leading sort key. Leaves whose merged schema lacks any
+    // listed column fall back to arrival order (a heterogeneous swarm
+    // must not fail on layout); values wider than `layoutBits` wrap and
+    // only degrade clustering (ZOrder.mortonCode's clamp contract).
+    // Applies under both commit modes.
+    layoutKeys: Seq[String] = Nil,
+    layoutBits: Int = 16,
 ) {
   def asOfDate: java.time.LocalDate =
     asOf.getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC))

@@ -114,9 +114,19 @@ object DedupQueries {
       s: org.apache.spark.sql.SparkSession,
       d: String,
       rowsPerBand: Int = 4,
+  ): org.apache.spark.sql.DataFrame =
+    minhashPairsOf(s, Tables.fanout(Tables.documents(s, d)), rowsPerBand)
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text) frame — the same
+    * kernel, parameterized for witness specs that need synthetic corpora.
+    */
+  private[graft] def minhashPairsOf(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      rowsPerBand: Int = 4,
   ): org.apache.spark.sql.DataFrame = {
     val nBands = 16 / rowsPerBand
-    val sh = Tables.fanout(Tables.documents(s, d))
+    val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3) // <3 words -> no shingles; prune before the explode
       .select(col("doc_id"), explode(shingles(s)).as("sh"))
@@ -144,6 +154,56 @@ object DedupQueries {
       )
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Un-thresholded similarity components for every LSH candidate pair of
+    * an arbitrary (doc_id, text) frame: (doc_a, doc_b, n_inter, n_a, n_b).
+    * Witness-spec surface — the registered queries derive jaccard /
+    * containment from exactly these integers, so invariants proven here
+    * (containment ≥ jaccard, subset ⇒ containment = 1) transfer to them.
+    */
+  private[graft] def scorePairs(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame =
+    scoreWith(s, docs, minhashPairsOf(s, docs))
+
+  /** Like [[scorePairs]] but over ALL doc pairs, not just LSH candidates
+    * — for witnesses about the scoring math itself (e.g. a subset pair
+    * that banding is free to miss must still score containment = 1).
+    * Quadratic; synthetic-corpus use only.
+    */
+  private[graft] def scoreAllPairs(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame = {
+    val ids = docs.select("doc_id")
+    val pairs = ids.as("x")
+      .join(ids.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    scoreWith(s, docs, pairs)
+  }
+
+  private def scoreWith(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame = {
+    val shRows = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(shingles(s)).as("sh"))
+    val sets = shRows.groupBy("doc_id").agg(collect_set("sh").as("ss"))
+    pairs
+      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        size(array_intersect(col("a.ss"), col("b.ss"))).as("n_inter"),
+        size(col("a.ss")).as("n_a"),
+        size(col("b.ss")).as("n_b"),
+      )
   }
 
   val qs: Seq[Q] = Seq(

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Semantic witnesses for the round-11 query additions. All three are
+  * DuckDB-oracled (the oracle pins cross-engine value equality); these
+  * specs pin the MATHEMATICAL invariants the oracle can't express —
+  * properties that must hold for any input, not just the fixture values.
+  */
+class QueryWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("containment dominates jaccard on every LSH candidate pair, equal only when |A|=|B|") {
+    val s = spark
+    import s.implicits._
+    // Rebuild both scores un-thresholded over the SAME candidate set the
+    // registered queries use, so the dominance law is checked on every
+    // pair the pipeline would ever score, not just the ones that survive
+    // the registered cuts.
+    graft.queries.DedupQueries
+      .scorePairs(s, Tables.documents(s, sf))
+      .as[(Long, Long, Int, Int, Int)]
+      .collect()
+      .tap(_ should not be empty)
+      .foreach { case (a, b, nInter, nA, nB) =>
+        val jac = nInter.toDouble / (nA + nB - nInter)
+        val con = nInter.toDouble / math.min(nA, nB)
+        withClue(s"pair ($a,$b): ") {
+          con should be >= jac
+          if (nA == nB) con shouldBe jac +- 1e-12
+          else if (nInter > 0) con should be > jac
+        }
+      }
+  }
+
+  test("containment scores a strict shingle subset as exactly 1.0 while jaccard stays below it") {
+    val s = spark
+    import s.implicits._
+    // A is a strict prefix of B -> A's 3-shingle set is a strict subset
+    // of B's: the quote/subset case the containment query exists for.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ).toDF("doc_id", "text")
+    val scored = graft.queries.DedupQueries.scoreAllPairs(s, docs).as[(Long, Long, Int, Int, Int)].collect()
+    scored should have size 1
+    val (_, _, nInter, nA, nB) = scored.head
+    nInter shouldBe nA // subset: every A-shingle is in B
+    nInter.toDouble / math.min(nA, nB) shouldBe 1.0
+    nInter.toDouble / (nA + nB - nInter) should be < 1.0
+  }
+
+  test("text_ppl_buckets: per-language terciles are balanced and mean NLL is monotone in bucket") {
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("text_ppl_buckets")(s, sf)
+      .as[(String, Int, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+    rows.keySet should not be empty
+    rows.foreach { case (lang, byLang) =>
+      withClue(s"lang=$lang: ") {
+        byLang.map(_._2).sorted shouldBe Array(1, 2, 3)
+        // ntile balance: bucket sizes differ by at most 1
+        val sizes = byLang.sortBy(_._2).map(_._3)
+        (sizes.max - sizes.min) should be <= 1L
+        // ordered by ascending avg_nll -> bucket means must not decrease
+        val means = byLang.sortBy(_._2).map(_._4)
+        means.zip(means.tail).foreach { case (lo, hi) => lo should be <= hi }
+      }
+    }
+  }
+
+  test("text_blocklist_mask: n_masked totals the corpus blocklist hits; hash changes iff a mask fired") {
+    val s = spark
+    import s.implicits._
+    val masked = SparkEntry.queries("text_blocklist_mask")(s, sf)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val docs = Tables.documents(s, sf).select("doc_id", "text").as[(Long, String)].collect()
+    docs.length shouldBe masked.size
+    val block = Set("slow", "big")
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val (nMasked, hash) = masked(id)
+      nMasked shouldBe toks.count(block)
+      // independent recomputation of the masked text -> same md5
+      val expected = toks.map(w => if (block(w)) "<masked>" else w).mkString(" ")
+      hash shouldBe java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (nMasked == 0) hash shouldBe java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    docs.map(_._2.split(" ", -1).count(block)).sum shouldBe masked.values.map(_._1).sum
+  }
+
+  private implicit class Tap[A](private val a: A) {
+    def tap(f: A => Unit): A = { f(a); a }
+  }
+}
