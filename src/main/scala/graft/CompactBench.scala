@@ -22,6 +22,11 @@ object CompactBench {
     // exercises BatchMerger's job-count collapse (the reference's daily
     // shape). Jobs are counted and reported either way.
     val nLeaves = sys.env.getOrElse("SPARK_GRAFT_COMPACT_LEAVES", "4").toInt
+    // Optional Z-order layout during the merge (comma keys, e.g.
+    // "l_partkey,l_suppkey") — prices the OPTIMIZE … ZORDER BY range
+    // shuffle against the plain coalesce merge on identical inputs.
+    val layoutKeys = sys.env.getOrElse("SPARK_GRAFT_COMPACT_LAYOUT", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,7 +87,10 @@ object CompactBench {
       val t0 = System.nanoTime()
       val results = Compactor.run(
         spark, root.getAbsolutePath,
-        CompactorConfig(targetFileBytes = 128L * 1024 * 1024, maxConcurrentLeaves = 4),
+        CompactorConfig(
+          targetFileBytes = 128L * 1024 * 1024, maxConcurrentLeaves = 4,
+          layoutKeys = layoutKeys,
+        ),
       )
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000) // drain the async listener bus
@@ -93,6 +101,7 @@ object CompactBench {
         s"""{"metric":"compact_sec","value":$sec,"unit":"sec","success":$ok,""" +
           s""""leaves":${results.size},"jobs":${jobs.get()},""" +
           s""""files_in":$filesIn,"files_out":$outFiles,"rows":$rows,""" +
+          s""""layout":"${layoutKeys.mkString(" ")}",""" +
           s""""mb_in":${inBytes / 1048576.0},"mb_per_sec":${inBytes / 1048576.0 / sec}}""",
       )
     } finally {

@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   *   SKIP_SOURCE_TYPE_CURRENT_MONTH  comma list (AWS,Azure)
   *   MAX_CONCURRENT_LEAVES           merge-job pool size (4)
   *   DRY_RUN=1                       print the plan, touch nothing
+  *
+  * Beyond-reference knobs (GRAFT_-prefixed — no reference equivalent):
+  *   GRAFT_LAYOUT_KEYS    comma list of columns to Z-order merged output
+  *                        on (OPTIMIZE … ZORDER BY; default off)
+  *   GRAFT_LAYOUT_BITS    Morton bits per layout key (16)
+  *   GRAFT_COMMIT_MODE    rename (default) | manifest — see CommitMode
   */
 object Main {
 
@@ -32,6 +38,15 @@ object Main {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(base.skipProvidersCurrentMonth),
       maxConcurrentLeaves = env.get("MAX_CONCURRENT_LEAVES").map(_.toInt).getOrElse(base.maxConcurrentLeaves),
+      layoutKeys = env.get("GRAFT_LAYOUT_KEYS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(base.layoutKeys),
+      layoutBits = env.get("GRAFT_LAYOUT_BITS").map(_.toInt).getOrElse(base.layoutBits),
+      commitMode = env.get("GRAFT_COMMIT_MODE").map {
+        case m if m.equalsIgnoreCase("manifest") => CommitMode.Manifest
+        case m if m.equalsIgnoreCase("rename")   => CommitMode.Rename
+        case m => sys.error(s"GRAFT_COMMIT_MODE must be rename|manifest, got '$m'")
+      }.getOrElse(base.commitMode),
     )
   }
 
