@@ -275,10 +275,14 @@ object BatchMerger {
       }.toSeq
       val inputsRel = p.plan.files.map(ManifestCommit.relativeTo(p.plan.leaf, _))
       ManifestCommit.publish(fs, p.plan.leaf, p.plan.stem, runId, inputsRel, outputsRel, rowsStaged)
-      val undeleted = p.plan.files.filterNot { f =>
-        try fs.delete(new Path(f), false)
-        catch { case _: Throwable => false }
-      }
+      // same retention semantics as the solo manifest path: superseded
+      // inputs stay on disk under retainSuperseded for as-of reads
+      val undeleted =
+        if (cfg.retainSuperseded) Seq.empty
+        else p.plan.files.filterNot { f =>
+          try fs.delete(new Path(f), false)
+          catch { case _: Throwable => false }
+        }
       LeafResult(
         p.plan.leaf, p.plan.stem, success = true, rowsStaged, outputsRel.size,
         if (undeleted.isEmpty) None

@@ -88,11 +88,16 @@ object ManifestCommit {
 
       // GC the superseded originals. Best-effort BY DESIGN: the manifest
       // already subtracts them from the live set, so a failed delete is
-      // surfaced as debris, never as duplicate rows.
-      val undeleted = plan.files.filterNot { p =>
-        try fs.delete(new Path(p), false)
-        catch { case _: Throwable => false }
-      }
+      // surfaced as debris, never as duplicate rows. With
+      // cfg.retainSuperseded they are kept deliberately — the time-travel
+      // retention mode ([[readLeafAt]] needs them to reconstruct earlier
+      // snapshots).
+      val undeleted =
+        if (cfg.retainSuperseded) Seq.empty
+        else plan.files.filterNot { p =>
+          try fs.delete(new Path(p), false)
+          catch { case _: Throwable => false }
+        }
       LeafResult(
         plan.leaf, plan.stem, success = true, rowsStaged, outFiles.size,
         if (undeleted.isEmpty) None
@@ -124,7 +129,10 @@ object ManifestCommit {
 
   /** The atomic publish: one create of the sealed manifest object.
     * Shared by the solo path above and [[BatchMerger]]'s manifest-mode
-    * commit.
+    * commit. Stamps a monotonic `seq` (1 + max over the leaf's sealed
+    * manifests — one extra listing, metadata-only) so the commit history
+    * is totally ordered for [[manifestLog]]/[[readLeafAt]]; well-defined
+    * under the documented single-writer-per-leaf assumption.
     */
   private[compact] def publish(
       fs: FileSystem,
@@ -135,9 +143,10 @@ object ManifestCommit {
       outputsRel: Seq[String],
       rows: Long,
   ): Unit = {
+    val seq = 1L + sealedManifests(fs, leaf).map(_.seq).foldLeft(0L)(math.max)
     val manifestPath = new Path(s"$leaf/_manifest-$stem-$runId.json")
     val json =
-      s"""{"runId":"$runId","stem":"$stem","rows":$rows,""" +
+      s"""{"runId":"$runId","stem":"$stem","rows":$rows,"seq":$seq,""" +
         s""""inputs":${jsonArray(inputsRel)},"outputs":${jsonArray(outputsRel)},""" +
         sealMark
     val out = fs.create(manifestPath, false)
@@ -145,8 +154,18 @@ object ManifestCommit {
     finally out.close()
   }
 
-  /** Parsed manifest: (inputs, outputs), both leaf-relative. */
-  private[compact] final case class Manifest(inputs: Seq[String], outputs: Seq[String])
+  /** Parsed manifest. `seq` orders the commit history (0 for manifests
+    * sealed before the field existed — legacy reads keep working, they
+    * just sort before every stamped commit).
+    */
+  private[compact] final case class Manifest(
+      inputs: Seq[String],
+      outputs: Seq[String],
+      seq: Long = 0L,
+      runId: String = "",
+      stem: String = "",
+      rows: Long = 0L,
+  )
 
   /** Read + parse one manifest; None if torn/garbled (a partial upload
     * never carries the trailing seal mark, and any parse failure is
@@ -167,40 +186,110 @@ object ManifestCommit {
         else body.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
       }
     }
-    for (ins <- arr("inputs"); outs <- arr("outputs")) yield Manifest(ins, outs)
+    def num(field: String): Long =
+      s""""$field":(\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+    def str(field: String): String =
+      s""""$field":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    for (ins <- arr("inputs"); outs <- arr("outputs"))
+      yield Manifest(ins, outs, num("seq"), str("runId"), str("stem"), num("rows"))
   }
+
+  /** All sealed manifests of a leaf (unordered). */
+  private[compact] def sealedManifests(fs: FileSystem, leaf: String): Seq[Manifest] = {
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return Seq.empty
+    fs.listStatus(leafPath)
+      .filter(e => e.isFile && e.getPath.getName.startsWith("_manifest-") && e.getPath.getName.endsWith(".json"))
+      .flatMap(e => readManifest(fs, e.getPath))
+      .toSeq
+  }
+
+  /** The leaf's commit history, oldest first — the snapshot log a
+    * table-format reader would expose (seq, runId, stem, rows per
+    * commit). Metadata-only: one listing + one small read per manifest.
+    */
+  def manifestLog(spark: SparkSession, leaf: String): Seq[Manifest] =
+    sealedManifests(FileIndexer.fsFor(spark, leaf), leaf).sortBy(m => (m.seq, m.runId))
 
   /** The live parquet set of a leaf under manifest semantics: visible
     * files minus superseded inputs plus manifest outputs. One listing of
     * the leaf + one small read per manifest — O(manifests) metadata ops,
     * no data I/O.
     */
-  def liveFiles(spark: SparkSession, leaf: String): Seq[String] = {
+  def liveFiles(spark: SparkSession, leaf: String): Seq[String] =
+    liveFilesAt(spark, leaf, Long.MaxValue)
+
+  /** [[liveFiles]] as of commit `asOfSeq` (inclusive): only manifests
+    * with `seq <= asOfSeq` participate, so the result is the live set
+    * right after that commit — snapshot time travel over the manifest
+    * log. Exact while the later commits' superseded inputs still exist:
+    * run with `CompactorConfig.retainSuperseded` (and a deferred GC) to
+    * keep history readable; after GC, as-of reads older than the
+    * reclaimed inputs fail on missing files rather than silently
+    * returning partial data. Raw files that ARRIVED after the as-of
+    * commit are not versioned (a lake leaf has no arrival log) — as-of
+    * governs compaction commits, not ingestion.
+    */
+  def liveFilesAt(spark: SparkSession, leaf: String, asOfSeq: Long): Seq[String] = {
     val fs = FileIndexer.fsFor(spark, leaf)
     val leafPath = new Path(leaf)
     if (!fs.exists(leafPath)) return Seq.empty
     val entries = fs.listStatus(leafPath)
-    val manifests = entries
+    val (upTo, later) = entries
       .filter(e => e.isFile && e.getPath.getName.startsWith("_manifest-") && e.getPath.getName.endsWith(".json"))
       .flatMap(e => readManifest(fs, e.getPath))
-    val superseded = manifests.flatMap(_.inputs).toSet
-    val visible = entries
+      .partition(_.seq <= asOfSeq)
+    val superseded = upTo.flatMap(_.inputs).toSet
+    val visibleNow = entries
       .filter { e =>
         val n = e.getPath.getName
         e.isFile && n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
       }
       .map(_.getPath.getName)
       .toSeq
-    val live = visible.filterNot(superseded) ++
-      manifests.flatMap(_.outputs).filterNot(superseded).distinct
+    // Raw files compacted by LATER commits were visible at asOf; take
+    // them from those manifests' inputs, not the current listing, so an
+    // expired (deleted) one still lands in the resolved list and the
+    // read fails loudly (PATH_NOT_FOUND) instead of silently shrinking
+    // the snapshot. `.data-*` inputs of later commits are outputs of
+    // commits ≤ asOf and arrive via the outputs union below — or belong
+    // to commits > asOf and must not appear — so only raw names
+    // reconstruct here.
+    val visibleAtAsOf = (visibleNow ++ later.flatMap(_.inputs).filterNot(_.startsWith(".data-"))).distinct
+    val live = (visibleAtAsOf.filterNot(superseded) ++
+      upTo.flatMap(_.outputs).filterNot(superseded)).distinct
     live.sorted.map(rel => s"$leaf/$rel")
   }
 
   /** The leaf as a DataFrame, resolved through its manifests. */
-  def readLeaf(spark: SparkSession, leaf: String): DataFrame = {
-    val files = liveFiles(spark, leaf)
+  def readLeaf(spark: SparkSession, leaf: String): DataFrame =
+    readLeafAt(spark, leaf, Long.MaxValue)
+
+  /** The leaf as of commit `asOfSeq` — see [[liveFilesAt]]. */
+  def readLeafAt(spark: SparkSession, leaf: String, asOfSeq: Long): DataFrame = {
+    val files = liveFilesAt(spark, leaf, asOfSeq)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Retire history: delete the still-present superseded inputs of every
+    * manifest with `seq <= beforeSeq` (the files only as-of reads OLDER
+    * than those commits need). Snapshots at or after `beforeSeq` stay
+    * exact; earlier ones become unreadable — the expire-snapshots
+    * lifecycle step that bounds `retainSuperseded`'s storage. Returns
+    * files removed. Metadata ops + deletes only, no data I/O.
+    */
+  def expireSnapshots(spark: SparkSession, leaf: String, beforeSeq: Long): Int = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val manifests = sealedManifests(fs, leaf)
+    val stillLive = liveFiles(spark, leaf).map(relativeTo(leaf, _)).toSet
+    val expirable = manifests.filter(_.seq <= beforeSeq).flatMap(_.inputs).distinct
+      .filterNot(stillLive) // a live file is never history, whatever names it
+    expirable.count { rel =>
+      val p = new Path(s"$leaf/$rel")
+      try fs.exists(p) && fs.delete(p, false)
+      catch { case _: Throwable => false }
+    }
   }
 
   /** Reclaim `.data-*` dirs no sealed manifest references — debris from

@@ -86,6 +86,12 @@ final case class CompactorConfig(
     // Applies under both commit modes.
     layoutKeys: Seq[String] = Nil,
     layoutBits: Int = 16,
+    // Manifest mode only: keep superseded input files on disk instead of
+    // GC-ing them after publish. They stay excluded from the CURRENT
+    // live set (the manifest subtracts them), but remain readable by
+    // as-of reads (ManifestCommit.readLeafAt) — the time-travel
+    // retention knob. Reclaim later with a deferred gc pass.
+    retainSuperseded: Boolean = false,
 ) {
   def asOfDate: java.time.LocalDate =
     asOf.getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC))

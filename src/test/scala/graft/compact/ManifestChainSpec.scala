@@ -118,4 +118,63 @@ class ManifestChainSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     // concern, out of scope here)
     leaf.listFiles().count(_.getName.startsWith(".data-")) shouldBe 3
   }
+
+  test("time travel: every retained snapshot reads the exact bag; expire makes older reads fail loudly") {
+    val leaf = new File(root, "acct/source=tt/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val rcfg = cfg.copy(retainSuperseded = true)
+    Seq("a", "b").foreach(n => writeFile(leaf, s"$n.parquet", s"tt-$n", 10))
+    val rawBag = bag(leafPath)
+    rawBag.size shouldBe 20
+
+    def compactLive(): Unit = {
+      val live = ManifestCommit.liveFiles(spark, leafPath)
+      val bytes = live.map(p => new File(p).length()).sum
+      val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "tt", live, bytes), rcfg)
+      withClue(r)(r.success shouldBe true)
+    }
+
+    compactLive() // commit seq 1
+    writeFile(leaf, "c.parquet", "tt-c", 5)
+    val fullBag = bag(leafPath)
+    fullBag.size shouldBe 25
+    compactLive() // commit seq 2
+
+    // the commit history is totally ordered and carries its row counts
+    val log = ManifestCommit.manifestLog(spark, leafPath)
+    log.map(_.seq) shouldBe Seq(1L, 2L)
+    log.map(_.rows) shouldBe Seq(20L, 25L)
+    log.map(_.stem).distinct shouldBe Seq("tt")
+
+    // snapshot isolation: every as-of read returns the exact bag of its
+    // time (compaction is bag-preserving, so values agree; the FILE sets
+    // are the rewrite history and must differ per snapshot)
+    def bagAt(seq: Long) =
+      ManifestCommit.readLeafAt(spark, leafPath, seq).collect().map(_.toString).sorted.toSeq
+    bagAt(0) shouldBe fullBag // pre-compaction raw view (a, b retained + c)
+    bagAt(1) shouldBe fullBag
+    bagAt(2) shouldBe fullBag
+    ManifestCommit.liveFilesAt(spark, leafPath, 0).map(new File(_).getName).sorted shouldBe
+      Seq("a.parquet", "b.parquet", "c.parquet")
+    ManifestCommit.liveFilesAt(spark, leafPath, 1).exists(_.contains("/.data-")) shouldBe true
+    ManifestCommit.liveFilesAt(spark, leafPath, 1).exists(_.endsWith("c.parquet")) shouldBe true
+    ManifestCommit.liveFilesAt(spark, leafPath, 2) shouldBe ManifestCommit.liveFiles(spark, leafPath)
+    ManifestCommit.liveFilesAt(spark, leafPath, 2).foreach(_ should include("/.data-"))
+
+    // retention kept every superseded input on disk
+    leaf.listFiles().map(_.getName) should contain allOf ("a.parquet", "b.parquet", "c.parquet")
+
+    // expire commit 1's history: exactly its superseded inputs go; the
+    // current set and every snapshot >= the horizon stay exact
+    ManifestCommit.expireSnapshots(spark, leafPath, 1L) shouldBe 2
+    leaf.listFiles().map(_.getName) should (not contain "a.parquet" and not contain "b.parquet")
+    bag(leafPath) shouldBe fullBag
+    bagAt(1) shouldBe fullBag // needs only .data-1 outputs + retained c
+    // a snapshot OLDER than the horizon resolves the deleted raws from
+    // the manifest log and fails loudly — never a silently partial bag
+    an[Exception] should be thrownBy bagAt(0)
+    // expire is idempotent once the files are gone
+    ManifestCommit.expireSnapshots(spark, leafPath, 1L) shouldBe 0
+  }
 }
