@@ -125,6 +125,27 @@ object DedupQueries {
       docs: org.apache.spark.sql.DataFrame,
       rowsPerBand: Int = 4,
   ): org.apache.spark.sql.DataFrame = {
+    val bands = minhashBands(s, docs, rowsPerBand)
+    bands.as("x")
+      .join(
+        bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** LSH banding table (doc_id, band, sig) for an arbitrary (doc_id,
+    * text) frame — the shared front half of every MinHash pipeline: one
+    * md5 per distinct shingle, 16 affine permutations as aggregate
+    * columns of a single groupBy, bands unpivoted via stack.
+    */
+  private[graft] def minhashBands(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      rowsPerBand: Int = 4,
+  ): org.apache.spark.sql.DataFrame = {
     val nBands = 16 / rowsPerBand
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -142,18 +163,10 @@ object DedupQueries {
           .as(s"band$b"),
       ): _*,
     )
-    val bands = withBands.select(
+    withBands.select(
       col("doc_id"),
       expr(s"stack($nBands, ${(0 until nBands).map(b => s"$b, band$b").mkString(", ")}) AS (band, sig)"),
     )
-    bands.as("x")
-      .join(
-        bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"),
-      )
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
   }
 
   /** Un-thresholded similarity components for every LSH candidate pair of
@@ -453,6 +466,63 @@ object DedupQueries {
         .where(lit(10) * col("n_inter") >= lit(6) * col("n_min"))
         .select(col("doc_a"), col("doc_b"), (col("n_inter").cast("double") / col("n_min")).as("containment"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- cross-corpus fuzzy dedup: a NEW batch (odd sources) screened
+    // against an existing corpus (even sources) — the new-crawl-versus-
+    // training-set shape, where a self-join would waste candidates on
+    // batch×batch and history×history pairs. One shingle/minhash pass
+    // over BOTH corpora (cheaper than two pipelines), then the band join
+    // pairs only across sides; exact-Jaccard verification touches only
+    // the cross candidates. Threshold in integer arithmetic
+    // (jaccard ≥ 0.5 ⇔ 3·n_inter ≥ n_sum); at 100 TB the history side's
+    // bands are precomputed once and the per-batch cost is the batch's
+    // own pipeline plus the band join.
+    Q(
+      "dedup_minhash_cross",
+      s"""WITH $shinglesSqlCte,
+         |${minhashBandsSqlCte(4)},
+         |side AS (SELECT doc_id, CAST(substr(source, 4) AS INTEGER) % 2 AS parity FROM documents),
+         |pairs AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS old_doc
+         |          FROM bands x JOIN side sx ON sx.doc_id = x.doc_id AND sx.parity = 1
+         |          JOIN bands y ON x.band = y.band AND x.sig = y.sig
+         |          JOIN side sy ON sy.doc_id = y.doc_id AND sy.parity = 0),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS ss FROM sh GROUP BY doc_id),
+         |scored AS (
+         |  SELECT p.new_doc, p.old_doc,
+         |         len(list_filter(a.ss, t -> list_contains(b.ss, t))) AS ni,
+         |         len(a.ss) + len(b.ss) AS ns
+         |  FROM pairs p
+         |  JOIN sets a ON a.doc_id = p.new_doc
+         |  JOIN sets b ON b.doc_id = p.old_doc)
+         |SELECT new_doc, old_doc, CAST(ni AS DOUBLE) / (ns - ni) AS jaccard
+         |FROM scored WHERE 3 * ni >= ns
+         |ORDER BY new_doc, old_doc""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.fanout(Tables.documents(s, d))
+      val bands = minhashBands(s, docs)
+      val side = Tables.documents(s, d)
+        .select(col("doc_id"), (expr("CAST(substring(source, 4, 4) AS INT)") % 2).as("parity"))
+      val newB = bands.join(side.where(col("parity") === 1).drop("parity"), "doc_id")
+      val oldB = bands.join(side.where(col("parity") === 0).drop("parity"), "doc_id")
+      val pairs = newB.as("x")
+        .join(oldB.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+        .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("old_doc"))
+        .distinct()
+      val sh = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(shingles(s)).as("sh"))
+      val sets = sh.groupBy("doc_id").agg(collect_set("sh").as("ss"))
+      val ni = size(array_intersect(col("a.ss"), col("b.ss")))
+      val ns = size(col("a.ss")) + size(col("b.ss"))
+      pairs
+        .join(sets.as("a"), col("new_doc") === col("a.doc_id"))
+        .join(sets.as("b"), col("old_doc") === col("b.doc_id"))
+        .select(col("new_doc"), col("old_doc"), ni.as("ni"), ns.as("ns"))
+        .where(lit(3) * col("ni") >= col("ns"))
+        .select(col("new_doc"), col("old_doc"), (col("ni").cast("double") / (col("ns") - col("ni"))).as("jaccard"))
+        .orderBy("new_doc", "old_doc")
     },
 
     // ----- near-duplicate clusters: connected components over the LSH
