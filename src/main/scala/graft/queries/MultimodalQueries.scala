@@ -8,8 +8,12 @@ import graft.Tables
   * REAL decode path (`multimodal_decode`): deterministic PNG/WAV bytes in
   * the binary column, decoded batched via JDK ImageIO / AudioSystem in
   * `graft.multimodal.Multimodal.JdkCodec`. DuckDB has no image codec, so
-  * the decode query is no_oracle; MultimodalSpec pins bit-exact decoded
-  * pixels/samples against the generator's ground truth.
+  * the image decode queries are no_oracle; MultimodalSpec pins bit-exact
+  * decoded pixels/samples against the generator's ground truth. The
+  * AUDIO path goes further: `multimodal_audio_features` IS oracled —
+  * the WAV samples are a pure LCG of doc_id, so DuckDB replays the
+  * formula while Spark decodes the real bytes, differential-testing the
+  * encode→decode round trip itself.
   */
 object MultimodalQueries {
 
@@ -59,6 +63,77 @@ object MultimodalQueries {
         )
         .orderBy("doc_id")
     },
+    // ----- ORACLED audio decode: Spark decodes the REAL WAV bytes
+    // (AudioSystem inside the batched codec boundary) and reduces the
+    // PCM to integer-exact features; DuckDB replays the generator's LCG
+    // formula in HUGEINT arithmetic (mod-2^64 wraparound that BIGINT's
+    // overflow checks would reject) and computes the same features —
+    // the one place the codec ROUND TRIP itself is differential-tested,
+    // not just spec-pinned. Features stay in integer arithmetic
+    // (energy = Σv², peak = max|v|, sign-change count) so no float ever
+    // enters the comparison. The [0,1] float shift the codec applies is
+    // inverted exactly: v/32768 and the ±1/÷2 shifts are all
+    // power-of-two float ops, lossless for 16-bit samples.
+    Q(
+      "multimodal_audio_features",
+      """WITH RECURSIVE audio AS (
+        |  SELECT doc_id, CAST(32 + (doc_id % 5) * 8 AS INTEGER) AS n,
+        |         xor(doc_id, 6768460358734429935) AS x  -- doc_id ^ 0x5dee66d5deadbeef, both >= 0
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |seq AS (
+        |  SELECT doc_id, n, 1 AS i,
+        |         (CAST(x AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+        |           % 18446744073709551616 AS u
+        |  FROM audio
+        |  UNION ALL
+        |  SELECT doc_id, n, i + 1,
+        |         (u * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM seq WHERE i < n),
+        |pcm AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN CAST((u // 4294967296) % 65536 AS BIGINT) >= 32768
+        |              THEN CAST((u // 4294967296) % 65536 AS BIGINT) - 65536
+        |              ELSE CAST((u // 4294967296) % 65536 AS BIGINT) END AS v
+        |  FROM seq),
+        |lagged AS (
+        |  SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM pcm)
+        |SELECT doc_id,
+        |       CAST(count(*) AS INTEGER) AS n_samples,
+        |       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings,
+        |       CAST(sum(v * v) AS BIGINT) AS energy,
+        |       CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      Multimodal.asMedia(s, Tables.documents(s, d))
+        .filter(_.media_type == "audio")
+        .mapPartitions { rows =>
+          rows.grouped(64).flatMap { batch =>
+            val dec = Multimodal.JdkCodec.decodeBatch(batch.map(_.payload))
+            batch.lazyZip(dec).map { (r, dd) =>
+              // invert the codec's [0,1] shift back to exact 16-bit ints
+              val v = dd.pixels.map(p => math.round(p * 65536f - 32768f))
+              var zc = 0
+              var energy = 0L
+              var peak = 0L
+              var i = 0
+              while (i < v.length) {
+                energy += v(i).toLong * v(i)
+                val a = math.abs(v(i).toLong)
+                if (a > peak) peak = a
+                if (i > 0 && ((v(i) >= 0) != (v(i - 1) >= 0))) zc += 1
+                i += 1
+              }
+              (r.doc_id, v.length, zc, energy, peak)
+            }
+          }
+        }
+        .toDF("doc_id", "n_samples", "zero_crossings", "energy", "peak")
+        .orderBy("doc_id")
+    },
+
     Q(
       "multimodal_meta",
       """SELECT doc_id,
