@@ -134,6 +134,54 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // ----- ORACLED image decode, same discipline as the audio query:
+    // Spark decodes the real PNG via ImageIO and recovers the 8-bit
+    // grayscale values from the BT.601 luma EXACTLY (r=g=b, so
+    // luma·255 ≈ v within ~1e-4 — round() restores the integer for
+    // every v in 0..255, verified exhaustively); DuckDB replays the
+    // pixel LCG (seed = doc_id, top-of-2^40 byte). Integer features
+    // only — the full encode→decode→recover chain is hash-compared.
+    Q(
+      "multimodal_image_features",
+      """WITH RECURSIVE img AS (
+        |  SELECT doc_id,
+        |         CAST((6 + doc_id % 4) * (5 + (doc_id // 4) % 4) AS INTEGER) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |seq AS (
+        |  SELECT doc_id, n, 1 AS i,
+        |         (CAST(doc_id AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+        |           % 18446744073709551616 AS u
+        |  FROM img
+        |  UNION ALL
+        |  SELECT doc_id, n, i + 1,
+        |         (u * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM seq WHERE i < n),
+        |px AS (SELECT doc_id, CAST((u // 1099511627776) % 256 AS INTEGER) AS v FROM seq)
+        |SELECT doc_id,
+        |       CAST(count(*) AS INTEGER) AS n_pixels,
+        |       CAST(sum(v) AS BIGINT) AS sum_v,
+        |       CAST(min(v) AS INTEGER) AS min_v,
+        |       CAST(max(v) AS INTEGER) AS max_v,
+        |       CAST(sum(CASE WHEN v < 128 THEN 1 ELSE 0 END) AS INTEGER) AS dark
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      Multimodal.asMedia(s, Tables.documents(s, d))
+        .filter(_.media_type == "image")
+        .mapPartitions { rows =>
+          rows.grouped(64).flatMap { batch =>
+            val dec = Multimodal.JdkCodec.decodeBatch(batch.map(_.payload))
+            batch.lazyZip(dec).map { (r, dd) =>
+              val v = dd.pixels.map(p => math.round(p.toDouble * 255.0).toInt)
+              (r.doc_id, v.length, v.map(_.toLong).sum, v.min, v.max, v.count(_ < 128))
+            }
+          }
+        }
+        .toDF("doc_id", "n_pixels", "sum_v", "min_v", "max_v", "dark")
+        .orderBy("doc_id")
+    },
+
     Q(
       "multimodal_meta",
       """SELECT doc_id,
