@@ -177,4 +177,40 @@ class ManifestChainSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     // expire is idempotent once the files are gone
     ManifestCommit.expireSnapshots(spark, leafPath, 1L) shouldBe 0
   }
+
+  test("interleaved commits of two stems in one leaf get one strictly increasing seq line") {
+    // One writer, two output groups (the GCP invoice/date shape): the
+    // seq counter is per LEAF, not per stem, so the log stays a total
+    // order and readLeafAt cuts both chains consistently.
+    val leaf = new File(root, "acct/source=multi/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val rcfg = cfg.copy(retainSuperseded = true)
+    def commitStem(stem: String, names: Seq[String], rows: Long): Unit = {
+      val files = names.map(n => new File(leaf, n))
+      val bytes = files.map(_.length()).sum
+      val r = Merger.mergeAndCommit(
+        spark, LeafPlan(leafPath, stem, files.map(_.getAbsolutePath), bytes), rcfg)
+      withClue(r) { r.success shouldBe true; r.rowsWritten shouldBe rows }
+    }
+    Seq("p1", "p2", "q1", "q2").foreach(n => writeFile(leaf, s"$n.parquet", s"m-$n", 10))
+    commitStem("px", Seq("p1.parquet", "p2.parquet"), 20L)
+    commitStem("qx", Seq("q1.parquet", "q2.parquet"), 20L)
+    Seq("p3", "p4").foreach(n => writeFile(leaf, s"$n.parquet", s"m-$n", 10))
+    commitStem("px", Seq("p3.parquet", "p4.parquet"), 20L)
+
+    val log = ManifestCommit.manifestLog(spark, leafPath)
+    log.map(_.seq) shouldBe Seq(1L, 2L, 3L)
+    log.map(_.stem) shouldBe Seq("px", "qx", "px")
+    // cutting at seq 1: qx's originals read raw (commit 2 is after the
+    // cut), px's first outputs through the manifest, and the later
+    // arrivals p3/p4 appear raw (arrivals are not versioned) — 60 rows
+    // total, same bag as current (compaction is bag-preserving)
+    val at1 = ManifestCommit.liveFilesAt(spark, leafPath, 1L).map(new File(_).getName)
+    at1.count(_.matches("q[0-9]+\\.parquet")) shouldBe 2
+    at1.count(_.matches("p[0-9]+\\.parquet")) shouldBe 2 // p3, p4 raw; p1, p2 superseded
+    ManifestCommit.readLeafAt(spark, leafPath, 1L).count() shouldBe 60L
+    ManifestCommit.readLeaf(spark, leafPath).count() shouldBe 60L
+    ManifestCommit.liveFiles(spark, leafPath).foreach(_ should include("/.data-"))
+  }
 }
