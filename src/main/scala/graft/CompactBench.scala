@@ -27,6 +27,12 @@ object CompactBench {
     // shuffle against the plain coalesce merge on identical inputs.
     val layoutKeys = sys.env.getOrElse("SPARK_GRAFT_COMPACT_LAYOUT", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    // rename (default) | manifest — prices the no-rename commit path
+    // against the staged-rename one on identical inputs.
+    val commitMode = sys.env.getOrElse("SPARK_GRAFT_COMPACT_COMMIT", "rename") match {
+      case m if m.equalsIgnoreCase("manifest") => graft.compact.CommitMode.Manifest
+      case _                                   => graft.compact.CommitMode.Rename
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -89,7 +95,7 @@ object CompactBench {
         spark, root.getAbsolutePath,
         CompactorConfig(
           targetFileBytes = 128L * 1024 * 1024, maxConcurrentLeaves = 4,
-          layoutKeys = layoutKeys,
+          layoutKeys = layoutKeys, commitMode = commitMode,
         ),
       )
       val sec = (System.nanoTime() - t0) / 1e9
@@ -101,7 +107,7 @@ object CompactBench {
         s"""{"metric":"compact_sec","value":$sec,"unit":"sec","success":$ok,""" +
           s""""leaves":${results.size},"jobs":${jobs.get()},""" +
           s""""files_in":$filesIn,"files_out":$outFiles,"rows":$rows,""" +
-          s""""layout":"${layoutKeys.mkString(" ")}",""" +
+          s""""layout":"${layoutKeys.mkString(" ")}","commit":"${commitMode.toString.toLowerCase}",""" +
           s""""mb_in":${inBytes / 1048576.0},"mb_per_sec":${inBytes / 1048576.0 / sec}}""",
       )
     } finally {

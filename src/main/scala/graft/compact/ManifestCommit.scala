@@ -130,9 +130,12 @@ object ManifestCommit {
   /** The atomic publish: one create of the sealed manifest object.
     * Shared by the solo path above and [[BatchMerger]]'s manifest-mode
     * commit. Stamps a monotonic `seq` (1 + max over the leaf's sealed
-    * manifests — one extra listing, metadata-only) so the commit history
-    * is totally ordered for [[manifestLog]]/[[readLeafAt]]; well-defined
-    * under the documented single-writer-per-leaf assumption.
+    * manifests — one listing plus one small read per existing manifest,
+    * metadata-only; O(commit-history length), the classic manifest-chain
+    * growth cost that a snapshot-pointer object would amortize if leaf
+    * histories ever got long) so the commit history is totally ordered
+    * for [[manifestLog]]/[[readLeafAt]]; well-defined under the
+    * documented single-writer-per-leaf assumption.
     */
   private[compact] def publish(
       fs: FileSystem,
