@@ -194,6 +194,45 @@ object TextQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ----- token-level Shannon entropy: H = -Σ (c/n)·ln(c/n) over each
+    // doc's own word distribution — the info-theoretic quality dial
+    // (repetitive/templated docs score low even when TTR looks fine;
+    // complements text_quality's ratio features and text_perplexity's
+    // corpus-LM view with a corpus-independent per-doc signal). Same
+    // float discipline as the perplexity family: per-doc terms fold in
+    // word order on both engines, ln differences die in the 4-decimal
+    // round. Two hash aggs on (doc_id[, w]) — no corpus-wide state at
+    // any scale.
+    Q(
+      "text_entropy",
+      """WITH t AS (SELECT doc_id, w, count(*) AS c
+        |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |           GROUP BY doc_id, w),
+        |n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM t GROUP BY doc_id),
+        |terms AS (SELECT t.doc_id, t.w, -(t.c / n.n) * ln(t.c / n.n) AS term
+        |          FROM t JOIN n ON n.doc_id = t.doc_id),
+        |d AS (SELECT doc_id, count(*) AS n_distinct,
+        |             list_reduce(list(term ORDER BY w), (a, b) -> a + b) AS h
+        |      FROM terms GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_distinct AS INTEGER) AS n_distinct, round(h, 4) AS entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val t = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("c"))
+      val n = t.groupBy("doc_id").agg(sum("c").cast("double").as("n"))
+      t.join(n, "doc_id")
+        .withColumn("term", -(col("c") / col("n")) * log(col("c") / col("n")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_distinct"),
+          expr("aggregate(transform(sort_array(collect_list(struct(w, term))), p -> p.term), 0D, (a, v) -> a + v)").as("h"),
+        )
+        .select(col("doc_id"), col("n_distinct").cast("int").as("n_distinct"), round(col("h"), 4).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // ----- token counting: whitespace, regex word-class, and BPE-ish runs
     Q(
       "text_tokens",
