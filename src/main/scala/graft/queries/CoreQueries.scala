@@ -1166,6 +1166,34 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     },
 
+    // ----- mode (most frequent value) per group, with a DETERMINISTIC
+    // tiebreak. Both engines' built-in mode() picks an arbitrary value
+    // among tied counts — unusable under hash comparison — so the mode
+    // is derived explicitly: count per (group, value), rank by
+    // (count DESC, value ASC), keep rank 1. Two hash aggs + one small
+    // window over the distinct-value table (rows = distinct values, not
+    // input rows) — the scalable shape at any corpus size.
+    Q(
+      "agg_mode",
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |           FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (SELECT l_returnflag, l_quantity, cnt,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |                                ORDER BY cnt DESC, l_quantity ASC) AS rk
+        |      FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+    ) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag").orderBy(col("cnt").desc, col("l_quantity").asc)
+      c.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt").as("mode_count"))
+        .orderBy("l_returnflag")
+    },
+
     // ----- JSON extraction from string payloads
     Q(
       "json_funcs",
