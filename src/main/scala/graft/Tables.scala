@@ -63,9 +63,25 @@ object Tables {
     * TimestampType; TIMESTAMP(NANOS) makes inference throw
     * [PARQUET_TYPE_ILLEGAL] → None. One footer read per path per JVM —
     * memoized so repeated query builds against the same fixture dir stay
-    * footer-free.
+    * footer-free. Only successful sniffs are cached: a transient IO
+    * failure must not permanently route a MICROS fixture through the
+    * nanos branch (which would silently divide its values by 1000), so
+    * anything other than the specific NANOS refusal propagates and the
+    * next call re-sniffs.
     */
   private val tsType = scala.collection.concurrent.TrieMap.empty[String, Option[org.apache.spark.sql.types.DataType]]
+
+  private def sniffTsType(spark: SparkSession, path: String): Option[org.apache.spark.sql.types.DataType] =
+    try Some(spark.read.parquet(path).schema("ts").dataType)
+    catch {
+      // The one failure that MEANS nanos: Spark 4 refuses TIMESTAMP(NANOS)
+      // inference with [PARQUET_TYPE_ILLEGAL]. Every other exception
+      // (missing file, transient IO) is a real error, not a unit signal.
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.contains("PARQUET_TYPE_ILLEGAL")) ||
+            e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+        None
+    }
 
   /** `events` with `ts` normalized to a microsecond TIMESTAMP (session-tz
     * semantics; every session here pins UTC, making the NTZ→LTZ cast a
@@ -75,10 +91,7 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val path = s"$sfDir/events.parquet"
-    val inferred = tsType.getOrElseUpdate(path,
-      try Some(spark.read.parquet(path).schema("ts").dataType)
-      catch { case scala.util.control.NonFatal(_) => None }, // NANOS: inference refuses
-    )
+    val inferred = tsType.getOrElseUpdate(path, sniffTsType(spark, path))
     inferred match {
       case Some(TimestampType) =>
         spark.read.schema(eventsTsSchema("TIMESTAMP")).parquet(path)

@@ -58,16 +58,28 @@ object Compactor {
     else BatchMerger.mergeAndCommitBatch(spark, tiny, cfg) ++ runPlans(spark, big, cfg)
   }
 
+  /** One pool slot per LEAF, that leaf's stems run sequentially on it.
+    * Two stems of one leaf (the GCP invoice/date shape) committing
+    * concurrently would race the manifest seq stamp — a read-modify-write
+    * over the same leaf's commit history — and stamp duplicate seqs: the
+    * single-writer-per-leaf contract must hold even when the tool itself
+    * is the second writer. Cross-leaf parallelism is untouched (leaves
+    * are independent filesystems-wise), so the pool still interleaves
+    * merge jobs across the cluster exactly as before.
+    */
   def runPlans(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {
     if (plans.isEmpty) return Seq.empty
+    val leaves = plans.map(_.leaf).distinct
+    val byLeaf = plans.groupBy(_.leaf)
     val pool = Executors.newFixedThreadPool(math.max(1, cfg.maxConcurrentLeaves))
     try {
-      val futures = plans.map { p =>
-        pool.submit(new Callable[LeafResult] {
-          override def call(): LeafResult = Merger.mergeAndCommit(spark, p, cfg)
+      val futures = leaves.map { leaf =>
+        pool.submit(new Callable[Seq[LeafResult]] {
+          override def call(): Seq[LeafResult] =
+            byLeaf(leaf).map(p => Merger.mergeAndCommit(spark, p, cfg))
         })
       }
-      futures.map(_.get())
+      futures.flatMap(_.get())
     } finally {
       pool.shutdown()
       pool.awaitTermination(1, TimeUnit.MINUTES)

@@ -502,7 +502,10 @@ object DedupQueries {
       val docs = Tables.fanout(Tables.documents(s, d))
       val bands = minhashBands(s, docs)
       val side = Tables.documents(s, d)
-        .select(col("doc_id"), (expr("CAST(substring(source, 4, 4) AS INT)") % 2).as("parity"))
+        // substring with no length (suffix to end-of-string) mirrors the
+        // oracle's substr(source, 4) exactly — a fixed length would
+        // truncate 5+ digit suffixes and could flip the parity.
+        .select(col("doc_id"), (expr("CAST(substring(source, 4) AS INT)") % 2).as("parity"))
       val newB = bands.join(side.where(col("parity") === 1).drop("parity"), "doc_id")
       val oldB = bands.join(side.where(col("parity") === 0).drop("parity"), "doc_id")
       val pairs = newB.as("x")
