@@ -54,9 +54,31 @@ object Compactor {
   def runBatch(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {
     val (tiny, big) = plans.partition(p =>
       cfg.batchTinyLeaves && cfg.layoutKeys.isEmpty && p.totalBytes <= cfg.targetFileBytes)
-    if (tiny.size < 2) runPlans(spark, plans, cfg)
-    else BatchMerger.mergeAndCommitBatch(spark, tiny, cfg) ++ runPlans(spark, big, cfg)
+    val results =
+      if (tiny.size < 2) runPlans(spark, plans, cfg)
+      else BatchMerger.mergeAndCommitBatch(spark, tiny, cfg) ++ runPlans(spark, big, cfg)
+    // Lifecycle maintenance per successfully-committed leaf, after every
+    // merge job of the slice is done (the batch and solo paths above run
+    // sequentially, so nothing of this run is still writing here).
+    if (cfg.commitMode == CommitMode.Manifest && (cfg.autoGcOrphans || cfg.expireKeepSnapshots.nonEmpty))
+      results.filter(_.success).map(_.leaf).distinct.foreach(maintainLeaf(spark, _, cfg))
+    results
   }
+
+  /** Debris + history reclaim for one leaf — failures here never fail the
+    * run (the commits already stand; maintenance retries next run).
+    */
+  private def maintainLeaf(spark: SparkSession, leaf: String, cfg: CompactorConfig): Unit =
+    try {
+      if (cfg.autoGcOrphans) { ManifestCommit.gcOrphans(spark, leaf); () }
+      cfg.expireKeepSnapshots.foreach { keep =>
+        val cur = ManifestCommit.currentSeq(spark, leaf)
+        if (cur > keep) { ManifestCommit.expireSnapshots(spark, leaf, cur - keep); () }
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[compact] maintenance on $leaf failed (commits unaffected): ${e.toString}")
+    }
 
   /** One pool slot per LEAF, that leaf's stems run sequentially on it.
     * Two stems of one leaf (the GCP invoice/date shape) committing

@@ -23,6 +23,10 @@ import org.apache.spark.sql.SparkSession
   *                        on (OPTIMIZE … ZORDER BY; default off)
   *   GRAFT_LAYOUT_BITS    Morton bits per layout key (16)
   *   GRAFT_COMMIT_MODE    rename (default) | manifest — see CommitMode
+  *   GRAFT_GC_ORPHANS=1   manifest mode: reclaim crashed-run .data-*
+  *                        debris after each compacted leaf
+  *   GRAFT_EXPIRE_KEEP=n  manifest mode: retire history older than the
+  *                        newest n commits per leaf (bounded time travel)
   */
 object Main {
 
@@ -47,6 +51,9 @@ object Main {
         case m if m.equalsIgnoreCase("rename")   => CommitMode.Rename
         case m => sys.error(s"GRAFT_COMMIT_MODE must be rename|manifest, got '$m'")
       }.getOrElse(base.commitMode),
+      autoGcOrphans = env.get("GRAFT_GC_ORPHANS")
+        .exists(v => v == "1" || v.equalsIgnoreCase("true")),
+      expireKeepSnapshots = env.get("GRAFT_EXPIRE_KEEP").map(_.toInt),
     )
   }
 

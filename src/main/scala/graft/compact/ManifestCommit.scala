@@ -41,6 +41,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * leaf list their inputs through [[liveFiles]] and may supersede
   * `.data-*` members in turn (the subtraction is by relative path).
   */
+/** A second writer stamped the same commit seq on this leaf. The commit
+  * that detects the collision rolls itself back — matching the
+  * reference's `concurrencyPolicy: Forbid` stance (two compactors on one
+  * leaf is an operations error, and silently forking the seq chain would
+  * corrupt the snapshot log for both).
+  */
+final class ConcurrentCommitException(leaf: String, seq: Long, otherRunId: String)
+    extends java.io.IOException(
+      s"concurrent writer detected on $leaf: commit seq $seq already stamped by run " +
+        s"'$otherRunId' — rolling this commit back (single-writer-per-leaf violated)",
+    )
+
 object ManifestCommit {
 
   private val sealMark = "\"sealed\":true}"
@@ -127,15 +139,25 @@ object ManifestCommit {
     }
   }
 
-  /** The atomic publish: one create of the sealed manifest object.
-    * Shared by the solo path above and [[BatchMerger]]'s manifest-mode
-    * commit. Stamps a monotonic `seq` (1 + max over the leaf's sealed
-    * manifests — one listing plus one small read per existing manifest,
-    * metadata-only; O(commit-history length), the classic manifest-chain
-    * growth cost that a snapshot-pointer object would amortize if leaf
-    * histories ever got long) so the commit history is totally ordered
-    * for [[manifestLog]]/[[readLeafAt]]; well-defined under the
-    * documented single-writer-per-leaf assumption.
+  /** The atomic publish: one create of the sealed manifest object (the
+    * commit point), then one create of the seq-named head pointer (the
+    * O(1) resolution cache + the concurrent-writer tripwire). Shared by
+    * the solo path above and [[BatchMerger]]'s manifest-mode commit.
+    *
+    * Seq stamping reads the HEAD (one listing + one small read), not the
+    * whole manifest chain: with a current head, publish and [[liveFiles]]
+    * are O(1) metadata ops regardless of commit-history length; manifests
+    * the head doesn't cover yet (a crashed head write, a legacy leaf) are
+    * read individually — O(lag), normally zero — and folded on top.
+    *
+    * The head create uses overwrite=false, which object stores implement
+    * as a conditional PUT: two writers that both resolved seq S and try
+    * to stamp S+1 collide on the SAME object name, the loser's create
+    * fails, and the loser rolls back with [[ConcurrentCommitException]] —
+    * the documented single-writer-per-leaf assumption becomes an enforced
+    * check instead of a hope. (Best-effort: a writer that dies between
+    * manifest and head leaves no tripwire for its seq; the next publish
+    * folds its manifest in and moves past it.)
     */
   private[compact] def publish(
       fs: FileSystem,
@@ -146,15 +168,176 @@ object ManifestCommit {
       outputsRel: Seq[String],
       rows: Long,
   ): Unit = {
-    val seq = 1L + sealedManifests(fs, leaf).map(_.seq).foldLeft(0L)(math.max)
-    val manifestPath = new Path(s"$leaf/_manifest-$stem-$runId.json")
+    val leafPath = new Path(leaf)
+    val entries = if (fs.exists(leafPath)) fs.listStatus(leafPath) else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val st = resolveState(fs, leaf, entries)
+    val seq = st.seq + 1L
+    val manifestName = s"_manifest-$stem-$runId.json"
     val json =
       s"""{"runId":"$runId","stem":"$stem","rows":$rows,"seq":$seq,""" +
         s""""inputs":${jsonArray(inputsRel)},"outputs":${jsonArray(outputsRel)},""" +
         sealMark
-    val out = fs.create(manifestPath, false)
+    val out = fs.create(new Path(s"$leaf/$manifestName"), false)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+
+    // Cumulative state for the new head. Superseded entries whose files
+    // are no longer on disk do nothing (the subtraction from a listing is
+    // a no-op — and a NEW arrival reusing an old name must count as live),
+    // so prune them by top-level presence; same for covered manifests
+    // that were themselves pruned. This keeps the head O(current files),
+    // not O(all files ever superseded).
+    val names = entries.map(_.getPath.getName).toSet
+    val topPresent = (rel: String) => names.contains(rel.takeWhile(_ != '/'))
+    val inputSet = inputsRel.toSet
+    val manifestNames = entries
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_manifest-") && n.endsWith(".json"))
+      .toSet
+    createHead(
+      fs, leaf, seq, runId,
+      covered = ((st.covered & manifestNames) + manifestName).toSeq.sorted,
+      superseded = ((st.superseded ++ inputsRel).filter(topPresent)).toSeq.sorted,
+      outputs = (st.outputs.filterNot(inputSet) ++ outputsRel).distinct.sorted,
+      priorHeads = entries.map(_.getPath).filter(p => headSeqOf(p.getName).isDefined),
+    )
+  }
+
+  // ---- snapshot-pointer head: _head-<seq>.json --------------------------
+
+  private val headNameRe = "_head-(\\d+)\\.json".r
+  private[compact] def headName(seq: Long): String = f"_head-$seq%09d.json"
+  private[compact] def headSeqOf(name: String): Option[Long] = name match {
+    case headNameRe(d) => Some(d.toLong)
+    case _             => None
+  }
+
+  /** Parsed head pointer: the cumulative resolution state as of `seq`.
+    * `covered` names the manifest FILES whose effects are already folded
+    * into (superseded, outputs) — a reader only reads manifests outside
+    * this set.
+    */
+  private[compact] final case class HeadState(
+      seq: Long,
+      superseded: Set[String],
+      outputs: Seq[String],
+      covered: Set[String],
+      runId: String = "",
+  )
+
+  private[compact] def readHead(fs: FileSystem, p: Path): Option[HeadState] = {
+    val text =
+      try {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: Throwable => return None }
+    if (!text.endsWith(sealMark)) return None // torn upload — never a committed stamp
+    for {
+      cov <- parseArr(text, "covered")
+      sup <- parseArr(text, "superseded")
+      outs <- parseArr(text, "outputs")
+    } yield HeadState(parseNum(text, "seq"), sup.toSet, outs, cov.toSet, parseStr(text, "runId"))
+  }
+
+  /** Create the head for `seq` with overwrite=false — the collision
+    * tripwire. A sealed head already holding this seq from ANOTHER runId
+    * is a concurrent committed writer → [[ConcurrentCommitException]]
+    * (caller rolls back). A torn head there is debris from a dead writer
+    * (no seal mark ⇒ it never counted): clear it and retry once. Any
+    * other head-write failure is WARN-and-continue — the manifest is
+    * already sealed, so the commit stands; the head is a cache the next
+    * publish rebuilds. On success, older head objects are pruned
+    * best-effort (resolution only ever reads the newest sealed one).
+    */
+  private[compact] def createHead(
+      fs: FileSystem,
+      leaf: String,
+      seq: Long,
+      runId: String,
+      covered: Seq[String],
+      superseded: Seq[String],
+      outputs: Seq[String],
+      priorHeads: Seq[Path],
+      retried: Boolean = false,
+  ): Unit = {
+    val p = new Path(s"$leaf/${headName(seq)}")
+    val json =
+      s"""{"seq":$seq,"runId":"$runId","covered":${jsonArray(covered)},""" +
+        s""""superseded":${jsonArray(superseded)},"outputs":${jsonArray(outputs)},""" +
+        sealMark
+    try {
+      val out = fs.create(p, false)
+      try out.write(json.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      priorHeads.foreach { h =>
+        if (headSeqOf(h.getName).exists(_ < seq)) {
+          try fs.delete(h, false)
+          catch { case _: Throwable => () }
+        }
+      }
+    } catch {
+      case e: Throwable if fs.exists(p) =>
+        readHead(fs, p) match {
+          case Some(h) if h.runId == runId => () // our stamp landed (close raced); committed
+          case Some(h) =>
+            throw new ConcurrentCommitException(leaf, seq, h.runId)
+          case None if !retried && (try fs.delete(p, false) catch { case _: Throwable => false }) =>
+            createHead(fs, leaf, seq, runId, covered, superseded, outputs, priorHeads, retried = true)
+          case None =>
+            System.err.println(s"[compact] head stamp for $leaf seq $seq failed (${e.toString}); " +
+              "commit stands (manifest sealed), head repaired on next publish")
+        }
+      case e: Throwable =>
+        System.err.println(s"[compact] head stamp for $leaf seq $seq failed (${e.toString}); " +
+          "commit stands (manifest sealed), head repaired on next publish")
+    }
+  }
+
+  /** Resolution state from one listing: newest sealed head (stepping
+    * past torn ones — pointer recovery) plus a fold over the manifests it
+    * doesn't cover, in seq order. No head and no manifests → empty state;
+    * no head but manifests → the full legacy scan.
+    */
+  private[compact] def resolveState(
+      fs: FileSystem,
+      leaf: String,
+      entries: Array[org.apache.hadoop.fs.FileStatus],
+  ): HeadState = {
+    val heads = entries
+      .filter(e => e.isFile && headSeqOf(e.getPath.getName).isDefined)
+      .sortBy(e => headSeqOf(e.getPath.getName).get)(Ordering[Long].reverse)
+    val base = heads.iterator
+      .flatMap(h => readHead(fs, h.getPath))
+      .nextOption()
+      .getOrElse(HeadState(0L, Set.empty, Seq.empty, Set.empty))
+    val uncovered = entries
+      .filter { e =>
+        val n = e.getPath.getName
+        e.isFile && n.startsWith("_manifest-") && n.endsWith(".json") && !base.covered.contains(n)
+      }
+      .flatMap(e => readManifest(fs, e.getPath).map(e.getPath.getName -> _))
+      .sortBy { case (_, m) => (m.seq, m.runId) }
+    uncovered.foldLeft(base) { case (st, (name, m)) =>
+      val ins = m.inputs.toSet
+      HeadState(
+        math.max(st.seq, m.seq),
+        st.superseded ++ m.inputs,
+        (st.outputs.filterNot(ins) ++ m.outputs).distinct,
+        st.covered + name,
+        st.runId,
+      )
+    }
+  }
+
+  /** The leaf's current commit seq (0 if never manifest-committed) — one
+    * listing + one head read when the head is current.
+    */
+  def currentSeq(spark: SparkSession, leaf: String): Long = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return 0L
+    resolveState(fs, leaf, fs.listStatus(leafPath)).seq
   }
 
   /** Parsed manifest. `seq` orders the commit history (0 for manifests
@@ -182,28 +365,33 @@ object ManifestCommit {
         finally in.close()
       } catch { case _: Throwable => return None }
     if (!text.endsWith(sealMark)) return None
-    def arr(field: String): Option[Seq[String]] = {
-      val m = s""""$field":\\[([^\\]]*)\\]""".r.findFirstMatchIn(text).map(_.group(1))
-      m.map { body =>
-        if (body.trim.isEmpty) Seq.empty
-        else body.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      }
-    }
-    def num(field: String): Long =
-      s""""$field":(\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
-    def str(field: String): String =
-      s""""$field":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-    for (ins <- arr("inputs"); outs <- arr("outputs"))
-      yield Manifest(ins, outs, num("seq"), str("runId"), str("stem"), num("rows"))
+    for (ins <- parseArr(text, "inputs"); outs <- parseArr(text, "outputs"))
+      yield Manifest(ins, outs, parseNum(text, "seq"), parseStr(text, "runId"), parseStr(text, "stem"), parseNum(text, "rows"))
   }
 
+  // Regex field extraction over the restricted JSON this module writes
+  // (jsonArray rejects every character that would break these parses).
+  private def parseArr(text: String, field: String): Option[Seq[String]] =
+    s""""$field":\\[([^\\]]*)\\]""".r.findFirstMatchIn(text).map(_.group(1)).map { body =>
+      if (body.trim.isEmpty) Seq.empty
+      else body.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+  private def parseNum(text: String, field: String): Long =
+    s""""$field":(\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+  private def parseStr(text: String, field: String): String =
+    s""""$field":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+
   /** All sealed manifests of a leaf (unordered). */
-  private[compact] def sealedManifests(fs: FileSystem, leaf: String): Seq[Manifest] = {
+  private[compact] def sealedManifests(fs: FileSystem, leaf: String): Seq[Manifest] =
+    sealedManifestsNamed(fs, leaf).map(_._2)
+
+  /** Sealed manifests with their file names (unordered). */
+  private[compact] def sealedManifestsNamed(fs: FileSystem, leaf: String): Seq[(String, Manifest)] = {
     val leafPath = new Path(leaf)
     if (!fs.exists(leafPath)) return Seq.empty
     fs.listStatus(leafPath)
       .filter(e => e.isFile && e.getPath.getName.startsWith("_manifest-") && e.getPath.getName.endsWith(".json"))
-      .flatMap(e => readManifest(fs, e.getPath))
+      .flatMap(e => readManifest(fs, e.getPath).map(e.getPath.getName -> _))
       .toSeq
   }
 
@@ -216,11 +404,28 @@ object ManifestCommit {
 
   /** The live parquet set of a leaf under manifest semantics: visible
     * files minus superseded inputs plus manifest outputs. One listing of
-    * the leaf + one small read per manifest — O(manifests) metadata ops,
-    * no data I/O.
+    * the leaf + one head read when the head is current — O(1) metadata
+    * ops regardless of commit-history length; O(lag) extra manifest
+    * reads when it isn't (crashed head write, legacy leaf), and a torn
+    * head steps down to the previous sealed one or the full manifest
+    * scan. No data I/O either way.
     */
-  def liveFiles(spark: SparkSession, leaf: String): Seq[String] =
-    liveFilesAt(spark, leaf, Long.MaxValue)
+  def liveFiles(spark: SparkSession, leaf: String): Seq[String] = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return Seq.empty
+    val entries = fs.listStatus(leafPath)
+    val st = resolveState(fs, leaf, entries)
+    val visible = entries
+      .filter { e =>
+        val n = e.getPath.getName
+        e.isFile && n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }
+      .map(_.getPath.getName)
+      .toSeq
+    (visible.filterNot(st.superseded) ++ st.outputs.filterNot(st.superseded))
+      .distinct.sorted.map(rel => s"$leaf/$rel")
+  }
 
   /** [[liveFiles]] as of commit `asOfSeq` (inclusive): only manifests
     * with `seq <= asOfSeq` participate, so the result is the live set
@@ -284,15 +489,53 @@ object ManifestCommit {
     */
   def expireSnapshots(spark: SparkSession, leaf: String, beforeSeq: Long): Int = {
     val fs = FileIndexer.fsFor(spark, leaf)
-    val manifests = sealedManifests(fs, leaf)
+    val manifests = sealedManifestsNamed(fs, leaf)
     val stillLive = liveFiles(spark, leaf).map(relativeTo(leaf, _)).toSet
-    val expirable = manifests.filter(_.seq <= beforeSeq).flatMap(_.inputs).distinct
+    val expirable = manifests.map(_._2).filter(_.seq <= beforeSeq).flatMap(_.inputs).distinct
       .filterNot(stillLive) // a live file is never history, whatever names it
-    expirable.count { rel =>
+    val removed = expirable.count { rel =>
       val p = new Path(s"$leaf/$rel")
       try fs.exists(p) && fs.delete(p, false)
       catch { case _: Throwable => false }
     }
+    // Lifecycle debris this pass can now reclaim (repeated compact/expire
+    // cycles would otherwise grow both forever):
+    //  - hidden .data-* dirs whose every file has been expired, and
+    //  - manifests none of whose inputs OR outputs still exist on disk —
+    //    they subtract nothing from any listing, contribute nothing live,
+    //    and the snapshots that needed them already fail on missing
+    //    files. The newest manifest always keeps its outputs (they ARE
+    //    the live set), so the seq chain's maximum survives pruning even
+    //    if the head pointer is lost.
+    manifests.foreach { case (name, m) =>
+      if (m.seq <= beforeSeq) {
+        val anyFile = (m.inputs ++ m.outputs).exists { rel =>
+          try fs.exists(new Path(s"$leaf/$rel"))
+          catch { case _: Throwable => true } // unsure => keep
+        }
+        if (!anyFile) {
+          try fs.delete(new Path(s"$leaf/$name"), false)
+          catch { case _: Throwable => () }
+        }
+      }
+    }
+    val leafPath = new Path(leaf)
+    if (fs.exists(leafPath)) {
+      fs.listStatus(leafPath)
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith(".data-"))
+        .foreach { d =>
+          // "empty" = no parquet left; write markers (_SUCCESS, checksum
+          // files) are debris once every data file has been expired
+          val empty =
+            try fs.listStatus(d.getPath).forall(e => !e.getPath.getName.endsWith(".parquet"))
+            catch { case _: Throwable => false }
+          if (empty) {
+            try fs.delete(d.getPath, true)
+            catch { case _: Throwable => () }
+          }
+        }
+    }
+    removed
   }
 
   /** Reclaim `.data-*` dirs no sealed manifest references — debris from

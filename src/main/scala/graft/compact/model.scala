@@ -92,6 +92,18 @@ final case class CompactorConfig(
     // as-of reads (ManifestCommit.readLeafAt) — the time-travel
     // retention knob. Reclaim later with a deferred gc pass.
     retainSuperseded: Boolean = false,
+    // Manifest-mode lifecycle maintenance, run per leaf at the end of the
+    // plan slice that compacted it — strictly AFTER every merge job of
+    // the slice has completed, so it never races an in-flight commit of
+    // this run (a concurrently-writing EXTERNAL compactor is already an
+    // operations error — see ConcurrentCommitException).
+    //   autoGcOrphans: reclaim .data-* debris left by crashed runs.
+    //   expireKeepSnapshots: Some(n) retires history older than the
+    //   newest n commits (expireSnapshots at currentSeq - n); pairs with
+    //   retainSuperseded to give bounded time travel instead of
+    //   unbounded storage growth.
+    autoGcOrphans: Boolean = false,
+    expireKeepSnapshots: Option[Int] = None,
 ) {
   def asOfDate: java.time.LocalDate =
     asOf.getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC))

@@ -35,6 +35,13 @@ class FaultFs extends GraftTestFs {
     else super.delete(p, recursive)
   }
 
+  // Hide matching entries from listings — simulates list-after-write lag
+  // (a racer's object PUT that this writer's listing didn't see yet).
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    val all = super.listStatus(f)
+    FaultFs.hideListRe.fold(all)(re => all.filterNot(_.getPath.toString.matches(re)))
+  }
+
   // RawLocalFileSystem routes FileSystem.create(Path, boolean) through
   // the 6-arg overload and permission-carrying callers through the
   // 7-arg one — intercept both so the injection can't be bypassed.
@@ -74,8 +81,12 @@ object FaultFs {
   @volatile var failNthCommitRename: Int = 0 // 1-based commit-rename ordinal; 0 = off
   @volatile var failDeleteRe: Option[String] = None
   @volatile var failCreateRe: Option[String] = None // kill-between-write-and-publish injection
+  @volatile var hideListRe: Option[String] = None // list-after-write visibility lag
   val renameCount = new AtomicInteger(0)
-  def reset(): Unit = { failNthCommitRename = 0; failDeleteRe = None; failCreateRe = None; renameCount.set(0) }
+  def reset(): Unit = {
+    failNthCommitRename = 0; failDeleteRe = None; failCreateRe = None; hideListRe = None
+    renameCount.set(0)
+  }
 }
 
 /** Commit-path failure semantics (ADVICE r3): a partial batch commit must
@@ -277,6 +288,35 @@ class CommitFaultSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
       leafDirOf(p).listFiles().map(_.getName).exists(_.startsWith("_manifest-")) shouldBe false
       ManifestCommit.readLeaf(spark, p.leaf).collect().map(_.toString).sorted.toSeq shouldBe b
     }
+  }
+
+  test("manifest commit: a concurrent writer stamping the same seq is detected and rolled back") {
+    FaultFs.reset()
+    val plan = mkLeaf("mi")
+    val before = bag(Seq(plan))
+    // The racer: a second writer that resolved the same pre-commit state
+    // and already stamped seq 1. Its head object is planted directly, and
+    // hideListRe keeps it out of THIS writer's resolution listing — the
+    // exact list-after-write window in which the real race happens. The
+    // create-if-absent on the seq-named head is what must trip.
+    val racerHead = new File(leafDirOf(plan), "_head-000000001.json")
+    Files.write(
+      racerHead.toPath,
+      """{"seq":1,"runId":"feedface","covered":[],"superseded":[],"outputs":[],"sealed":true}""".getBytes,
+    )
+    FaultFs.hideListRe = Some(".*/_head-.*")
+    val result = Merger.mergeAndCommit(spark, plan, mcfg)
+    FaultFs.reset()
+    withClue(result) {
+      result.success shouldBe false
+      result.error.get should include("concurrent writer detected")
+    }
+    // full rollback: no manifest, no hidden data dir, originals still the
+    // live set — the seq chain was never forked
+    val names = leafDirOf(plan).listFiles().map(_.getName).toSet
+    names.exists(_.startsWith("_manifest-")) shouldBe false
+    names.exists(_.startsWith(".data-")) shouldBe false
+    ManifestCommit.readLeaf(spark, plan.leaf).collect().map(_.toString).sorted.toSeq shouldBe before
   }
 
   test("solo merge surfaces originals whose delete returned false") {

@@ -19,6 +19,8 @@ class MainConfigSpec extends AnyFunSuite with Matchers {
       "GRAFT_LAYOUT_KEYS" -> "l_partkey, l_suppkey",
       "GRAFT_LAYOUT_BITS" -> "8",
       "GRAFT_COMMIT_MODE" -> "Manifest",
+      "GRAFT_GC_ORPHANS" -> "1",
+      "GRAFT_EXPIRE_KEEP" -> "3",
     ))
     cfg.targetFileBytes shouldBe (0.5 * (1L << 30)).toLong
     cfg.maxRowsPerFile shouldBe 500L
@@ -28,6 +30,8 @@ class MainConfigSpec extends AnyFunSuite with Matchers {
     cfg.layoutKeys shouldBe Seq("l_partkey", "l_suppkey")
     cfg.layoutBits shouldBe 8
     cfg.commitMode shouldBe CommitMode.Manifest
+    cfg.autoGcOrphans shouldBe true
+    cfg.expireKeepSnapshots shouldBe Some(3)
   }
 
   test("an empty environment yields exactly the defaults") {

@@ -178,6 +178,165 @@ class ManifestChainSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     ManifestCommit.expireSnapshots(spark, leafPath, 1L) shouldBe 0
   }
 
+  test("head pointer: one current head per leaf, O(1) resolution, torn pointer falls back to manifest scan") {
+    val leaf = new File(root, "acct/source=head/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    Seq("a", "b").foreach(n => writeFile(leaf, s"$n.parquet", s"hd-$n", 10))
+    val before = bag(leafPath)
+
+    def compactLive(): Unit = {
+      val live = ManifestCommit.liveFiles(spark, leafPath)
+      val bytes = live.map(p => new File(p).length()).sum
+      val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "hd", live, bytes), cfg)
+      withClue(r)(r.success shouldBe true)
+    }
+    def headNames() = leaf.listFiles().map(_.getName).filter(_.startsWith("_head-")).sorted.toSeq
+
+    compactLive()
+    headNames() shouldBe Seq("_head-000000001.json")
+    // the head alone resolves the leaf: it covers every sealed manifest,
+    // so the fast path reads ZERO manifests however long the chain gets
+    val h1 = ManifestCommit.readHead(fs, new org.apache.hadoop.fs.Path(s"$leafPath/_head-000000001.json")).get
+    h1.seq shouldBe 1L
+    h1.covered shouldBe leaf.listFiles().map(_.getName).filter(_.startsWith("_manifest-")).toSet
+    bag(leafPath) shouldBe before
+
+    writeFile(leaf, "c.parquet", "hd-c", 10)
+    val withC = bag(leafPath)
+    compactLive()
+    // older head pruned — exactly one pointer object per leaf
+    headNames() shouldBe Seq("_head-000000002.json")
+    bag(leafPath) shouldBe withC
+    ManifestCommit.currentSeq(spark, leafPath) shouldBe 2L
+
+    // torn pointer (partial upload): readers step past it to the full
+    // manifest scan and still resolve the exact live set
+    val head2 = new File(leaf, "_head-000000002.json")
+    Files.write(head2.toPath, """{"seq":2,"runId":"dead","covered":["x""".getBytes)
+    bag(leafPath) shouldBe withC
+    ManifestCommit.currentSeq(spark, leafPath) shouldBe 2L // from the manifest fold
+
+    // the next commit repairs the pointer and the seq chain continues —
+    // never reuses a stamped seq
+    writeFile(leaf, "d.parquet", "hd-d", 10)
+    val withD = bag(leafPath)
+    compactLive()
+    headNames() shouldBe Seq("_head-000000003.json") // torn debris pruned too
+    bag(leafPath) shouldBe withD
+    ManifestCommit.manifestLog(spark, leafPath).map(_.seq) shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("createHead: second stamp of the same seq fails loudly; a torn stamp there is cleared and retried") {
+    val leaf = new File(root, "acct/source=stamp/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    ManifestCommit.createHead(fs, leafPath, 5L, "aaaa", Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+    // the decisive step of the race: same seq, different writer
+    val e = intercept[ConcurrentCommitException] {
+      ManifestCommit.createHead(fs, leafPath, 5L, "bbbb", Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+    }
+    e.getMessage should include("seq 5")
+    e.getMessage should include("aaaa")
+    // idempotent re-stamp by the SAME writer is not a collision
+    noException should be thrownBy
+      ManifestCommit.createHead(fs, leafPath, 5L, "aaaa", Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+    // a torn head (dead writer's partial upload) never counts as a stamp:
+    // it is cleared and the create retried
+    val torn = new File(leaf, ManifestCommit.headName(6L))
+    Files.write(torn.toPath, """{"seq":6,"runId":"cccc","cov""".getBytes)
+    noException should be thrownBy
+      ManifestCommit.createHead(fs, leafPath, 6L, "dddd", Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+    ManifestCommit.readHead(fs, new org.apache.hadoop.fs.Path(torn.getAbsolutePath)).get.runId shouldBe "dddd"
+  }
+
+  test("expire reclaims emptied data dirs and prunes fully-dead manifests; the newest commit survives") {
+    val leaf = new File(root, "acct/source=gc/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val rcfg = cfg.copy(retainSuperseded = true)
+    Seq("a", "b").foreach(n => writeFile(leaf, s"$n.parquet", s"gc-$n", 10))
+    def compactLive(): Unit = {
+      val live = ManifestCommit.liveFiles(spark, leafPath)
+      val bytes = live.map(p => new File(p).length()).sum
+      val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "gc", live, bytes), rcfg)
+      withClue(r)(r.success shouldBe true)
+    }
+    compactLive() // seq 1: a,b -> .data-1
+    compactLive() // seq 2: .data-1 -> .data-2
+    compactLive() // seq 3: .data-2 -> .data-3
+    val fullBag = bag(leafPath)
+    leaf.listFiles().count(_.getName.startsWith(".data-")) shouldBe 3
+    leaf.listFiles().count(f => f.getName.startsWith("_manifest-")) shouldBe 3
+
+    // expire everything below the newest commit: seq 1+2's inputs go,
+    // their emptied .data dirs go, and manifest 1 (inputs a,b expired,
+    // outputs .data-1 expired) is pruned as fully dead. Manifest 3 and
+    // its outputs — the live set — are untouchable.
+    ManifestCommit.expireSnapshots(spark, leafPath, 2L) should be > 0
+    bag(leafPath) shouldBe fullBag
+    // .data-1 emptied (its one file was manifest 2's expired input) and
+    // reclaimed; .data-2 still holds manifest 3's input (seq 3 > horizon);
+    // .data-3 is the live set
+    leaf.listFiles().count(_.getName.startsWith(".data-")) shouldBe 2
+    // manifest 1 is fully dead (inputs a,b expired; its outputs expired as
+    // manifest 2's inputs) -> pruned; manifests 2 and 3 still name files
+    // on disk and survive, so the seq chain's maximum is intact
+    ManifestCommit.manifestLog(spark, leafPath).map(_.seq) shouldBe Seq(2L, 3L)
+    // repeated cycles stay bounded: another expire is a no-op
+    ManifestCommit.expireSnapshots(spark, leafPath, 2L) shouldBe 0
+    bag(leafPath) shouldBe fullBag
+  }
+
+  test("run-loop maintenance: autoGcOrphans + expireKeepSnapshots reclaim debris operationally") {
+    val leaf = new File(root, "acct/source=auto/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val mcfg = cfg.copy(
+      retainSuperseded = true,
+      autoGcOrphans = true,
+      expireKeepSnapshots = Some(1),
+    )
+    Seq("a", "b").foreach(n => writeFile(leaf, s"$n.parquet", s"auto-$n", 10))
+    // crashed-run debris from "yesterday": an orphan hidden data dir
+    val orphan = new File(leaf, ".data-00deadrun")
+    orphan.mkdirs()
+    Files.write(new File(orphan, "junk.parquet").toPath, Array[Byte](9, 9))
+
+    def runOnce(expectRows: Long): Unit = {
+      val live = ManifestCommit.liveFiles(spark, leafPath)
+      val bytes = live.map(p => new File(p).length()).sum
+      val rs = Compactor.runBatch(spark, Seq(LeafPlan(leafPath, "auto", live, bytes)), mcfg)
+      withClue(rs) { rs.map(_.success) shouldBe Seq(true); rs.head.rowsWritten shouldBe expectRows }
+    }
+    runOnce(20L)
+    // the orphan went with the run — no separate operational step needed
+    leaf.listFiles().map(_.getName) should not contain ".data-00deadrun"
+    val bag1 = bag(leafPath)
+
+    writeFile(leaf, "c.parquet", "auto-c", 5)
+    runOnce(25L)
+    // keep-1: the run expired commit 1's history right after commit 2 —
+    // the superseded raws are gone; commit 1's data dir survives because
+    // its file is commit 2's input (seq 2 is inside the keep window).
+    // Current bag intact.
+    bag(leafPath).size shouldBe 25
+    leaf.listFiles().map(_.getName).count(_.startsWith(".data-")) shouldBe 2
+    leaf.listFiles().map(_.getName) should not contain "a.parquet"
+    ManifestCommit.currentSeq(spark, leafPath) shouldBe 2L
+    bag1.size shouldBe 20
+
+    // a third commit pushes commit 1's outputs past the horizon: its
+    // emptied data dir is reclaimed by the same run
+    writeFile(leaf, "d.parquet", "auto-d", 5)
+    runOnce(30L)
+    leaf.listFiles().map(_.getName).count(_.startsWith(".data-")) shouldBe 2 // commits 2 and 3
+    bag(leafPath).size shouldBe 30
+    ManifestCommit.currentSeq(spark, leafPath) shouldBe 3L
+  }
+
   test("interleaved commits of two stems in one leaf get one strictly increasing seq line") {
     // One writer, two output groups (the GCP invoice/date shape): the
     // seq counter is per LEAF, not per stem, so the log stays a total
