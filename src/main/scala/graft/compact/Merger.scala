@@ -84,11 +84,14 @@ object Merger {
       math.max(1L, (totalBytes + cfg.targetFileBytes - 1) / cfg.targetFileBytes),
       (rowsIn + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile,
     ).toInt
+    // Rank-bucketed Z-order, not raw interleave: a raw key wider than
+    // layoutBits (timestamp, 64-bit id) wraps mod 2^bits into noise and
+    // silently destroys clustering. The quantile sketch is one extra
+    // aggregate pass over data this merge reads anyway — the price of
+    // layout being correct for ANY numeric key, not just dense small
+    // ints.
     if (cfg.layoutKeys.nonEmpty && cfg.layoutKeys.forall(df.columns.contains))
-      graft.operators.ZOrder.layout(
-        df, nOut, cfg.layoutBits,
-        cfg.layoutKeys.map(org.apache.spark.sql.functions.col): _*,
-      )
+      graft.operators.ZOrder.layoutByRank(df, nOut, cfg.layoutBits, cfg.layoutKeys)
     else if (nOut > df.rdd.getNumPartitions) df.repartition(nOut)
     else df.coalesce(nOut)
   }

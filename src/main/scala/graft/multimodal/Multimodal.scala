@@ -282,11 +282,14 @@ object Multimodal {
           val decoded = codec.decodeBatch(batch.map(_.payload))
           batch.lazyZip(decoded).flatMap { (r, base) =>
             (0 until nFrames).map { f =>
-              (r.doc_id, f, base.pixels.map(p => math.min(1.0f, p + f * 0.01f)))
+              // dimensions ride WITH each frame row (two ints next to a
+              // pixel array): downstream resize/normalize stages must
+              // never have to reverse-engineer them from doc_id
+              (r.doc_id, f, base.width, base.height, base.pixels.map(p => math.min(1.0f, p + f * 0.01f)))
             }
           }
         }
       }
-      .toDF("doc_id", "frame_idx", "frame")
+      .toDF("doc_id", "frame_idx", "width", "height", "frame")
   }
 }

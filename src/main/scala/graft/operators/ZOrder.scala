@@ -57,4 +57,60 @@ object ZOrder {
     val z = mortonCode(bits, cols: _*)
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
+
+  /** Per-column quantile-rank bucket columns for arbitrary-range keys:
+    * each column maps to `#{quantile boundaries ≤ value}` — at most
+    * 2^bits − 1 boundaries, so ranks stay inside [0, 2^bits) and never
+    * trip [[mortonCode]]'s wrap —
+    * so [[mortonCode]]'s wrap-mod-2^bits contract holds for ANY numeric
+    * key range — a raw timestamp or 64-bit id interleaved directly would
+    * wrap into noise and silently destroy clustering. Boundaries come
+    * from ONE `approxQuantile` pass over all columns together (the same
+    * sample-sketch cost class as `repartitionByRange`'s partitioner,
+    * which is already in the layout path); lookup is O(log 2^bits)
+    * binary search inside whole-stage codegen
+    * ([[graft.functions.SortedBucket]]).
+    *
+    * A column the sketch finds constant (no distinct boundaries) ranks
+    * as 0 everywhere — it contributes nothing to the curve, which is the
+    * right degeneration. Heavy value repetition simply yields fewer
+    * distinct boundaries: ranks stay dense, ties share a bucket.
+    */
+  def rankBucketColumns(
+      df: DataFrame,
+      bits: Int,
+      colNames: Seq[String],
+      relativeError: Double = 0.001,
+  ): Seq[Column] = {
+    require(colNames.nonEmpty, "rankBucketColumns needs at least one column")
+    require(bits >= 1 && bits <= 16, s"rank bucketing wants 1..16 bits (2^bits quantiles), got $bits")
+    val b = 1 << bits
+    // prob 0 rides along to learn the global min: a boundary at (or
+    // below) the minimum splits nothing — it offsets every rank by one —
+    // so it is dropped, which also makes a CONSTANT column rank 0
+    // everywhere (contributing nothing to the curve) instead of a
+    // uniform 1.
+    val probs = (0.0 +: (1 until b).map(_.toDouble / b)).toArray
+    val doubled = df.select(colNames.map(n => col(n).cast("double").as(n)): _*)
+    val quantiles = doubled.stat.approxQuantile(colNames.toArray, probs, relativeError)
+    colNames.lazyZip(quantiles).map { (name, qs) =>
+      val bounds =
+        if (qs.isEmpty) Array.empty[Double] // all-null column: no sketch at all
+        else qs.tail.filterNot(_.isNaN).distinct.sorted.dropWhile(_ <= qs.head)
+      if (bounds.isEmpty) lit(0L)
+      else org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.SortedBucket(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(name).cast("double")),
+          bounds,
+        ),
+      )
+    }
+  }
+
+  /** [[layout]] over quantile ranks instead of raw values — the robust
+    * form for keys of arbitrary range/skew. One extra pass (the
+    * quantile sketch) + the same single range shuffle.
+    */
+  def layoutByRank(df: DataFrame, numFiles: Int, bits: Int, colNames: Seq[String]): DataFrame =
+    layout(df, numFiles, bits, rankBucketColumns(df, bits, colNames): _*)
 }

@@ -708,6 +708,81 @@ object DedupQueries {
         )
         .orderBy("doc_id")
     },
+
+    // ----- the 100-TB shape of the span dedup above: hash each 5-gram to
+    // a 60-bit fingerprint (15 hex chars of md5 — the largest md5 slice
+    // both engines cast to BIGINT without sign trouble) BEFORE the
+    // duplicate-detection shuffle and the join back. The two corpus-wide
+    // shuffles then carry (doc_id, pos, int64) rows instead of full
+    // gram strings — fixed ~20 bytes/row versus ~5 words of text — and
+    // every downstream step (gaps-and-islands span merge) is untouched.
+    // A fingerprint collision can only ADD a false duplicate gram
+    // (birthday bound N²/2⁶¹ — at fixture scale zero, pinned equal to
+    // the string-keyed query by SubstringSpanSpec; at 10¹² grams a
+    // handful of spurious spans, the standard Lee et al. trade).
+    Q(
+      "dedup_substring_spans_fp",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |g0 AS (SELECT doc_id,
+        |              list_transform(range(len(words) - 4),
+        |                             i -> array_to_string(words[(i+1):(i+5)], ' ')) AS gl
+        |       FROM w),
+        |grams0 AS (SELECT doc_id, generate_subscripts(gl, 1) - 1 AS pos, unnest(gl) AS gram FROM g0),
+        |grams AS (SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS fp FROM grams0),
+        |dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) > 1),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (fp)),
+        |isl AS (SELECT doc_id, pos,
+        |               CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -99) + 5
+        |                    THEN 1 ELSE 0 END AS brk
+        |        FROM hits),
+        |isl2 AS (SELECT doc_id, pos,
+        |                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |         FROM isl),
+        |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+        |          FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
+        |       CAST(sum(e - s) AS INTEGER) AS dup_tokens
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val k = 5
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .where(size(col("words")) >= k)
+        .select(
+          col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, size(words) - $k), i -> array_join(slice(words, i + 1, $k), ' '))"))
+            .as(Seq("pos", "gram")),
+        )
+        .select(
+          col("doc_id"), col("pos"),
+          expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("fp"),
+        )
+      val dup = grams.groupBy("fp").agg(count(lit(1)).as("n")).where(col("n") > 1).select("fp")
+      val hits = grams.join(dup, "fp").select("doc_id", "pos")
+      val isl = hits
+        .withColumn(
+          "brk",
+          when(
+            col("pos") > coalesce(
+              max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(-99),
+            ) + k,
+            1,
+          ).otherwise(0),
+        )
+        .withColumn("island", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      isl
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), (max("pos") + k).as("e"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("int").as("n_dup_spans"),
+          sum(col("e") - col("s")).cast("int").as("dup_tokens"),
+        )
+        .orderBy("doc_id")
+    },
   )
 
   /** Shared SimHash fingerprint pipeline (doc_id, simhash BIGINT):

@@ -29,14 +29,13 @@ object MultimodalQueries {
       import s.implicits._
       val media = Multimodal.asMedia(s, Tables.documents(s, d))
       val frames = Multimodal.sampleFrames(media, Multimodal.JdkCodec, nFrames = 3)
-      // each long-form frame re-enters the typed resize path
+      // each long-form frame re-enters the typed resize path; its
+      // dimensions arrive ON the row (sampleFrames carries them from the
+      // decoded keyframe — no generator-formula coupling here)
       val decoded = frames
-        .select(col("doc_id"), col("frame_idx"), col("frame"))
-        .as[(Long, Int, Array[Float])]
-        .map { case (id, idx, px) =>
-          // frames of a doc share dims with its keyframe: recover them
-          val w = 6 + (id % 4).toInt
-          val h = 5 + ((id / 4) % 4).toInt
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"), col("frame"))
+        .as[(Long, Int, Int, Int, Array[Float])]
+        .map { case (id, idx, w, h, px) =>
           (id * 10 + idx, Multimodal.Decoded(w, h, px))
         }
       Multimodal.resize(decoded, 4, 4)

@@ -647,5 +647,23 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("thr").cast("int").as("thr"), col("bucket"))
         .orderBy("doc_id")
     },
+
+    // ----- weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // A-Res): 100 docs drawn with probability proportional to token
+    // count, via hash-derived uniforms so the draw is a pure function of
+    // (corpus, seed). no_oracle: the ln(u)/w key is transcendental and
+    // cross-engine float ordering near ties is not contractual —
+    // WeightedSampleSpec pins determinism, WOR-ness, the w≤0 domain
+    // rule, and k=1 inclusion frequencies against binomial bounds
+    // (the roadmap's distribution-witness pattern). Plan shape:
+    // TakeOrderedAndProject — per-task top-k, only k·tasks rows move.
+    Q.noOracle("sample_weighted") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("weight", size(split(col("text"), " ")).cast("double"))
+      graft.operators.WeightedSample
+        .sample(docs, 100, col("doc_id"), col("weight"), seed = 42L)
+        .select(col("doc_id"), col("lang"), col("weight"))
+        .orderBy("doc_id")
+    },
   )
 }

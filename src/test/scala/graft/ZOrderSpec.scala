@@ -163,4 +163,43 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
     rowsRead should be <= n / 2
     rowsRead should be > 0L
   }
+
+  test("rankBucketColumns: monotone in the key, in-contract range, invariant under monotone transforms") {
+    val s = spark
+    import s.implicits._
+    val bits = 5
+    // skewed, wide-range keys: exactly the shape raw interleave wraps
+    // into noise (values up to ~10^12 >> 2^5)
+    val keys = (0 until 2000).map(i => (i.toLong, (i.toLong * i * 271828) % 1000000007L))
+    val df = keys.toDF("id", "k")
+    val rank = ZOrder.rankBucketColumns(df, bits, Seq("k")).head
+    val got = df.select(col("k"), rank.as("r")).as[(Long, Long)].collect().sortBy(_._1)
+    // in contract: ranks inside [0, 2^bits)
+    got.foreach { case (_, r) => r should (be >= 0L and be < (1L << bits)) }
+    // monotone: sorted by key, ranks never decrease, and the buckets are
+    // genuinely used (a wrap-style collapse would leave ~1 distinct)
+    got.map(_._2).sliding(2).foreach { w => if (w.length == 2) w(0) should be <= w(1) }
+    got.map(_._2).distinct.length should be >= (1 << bits) / 2
+    // invariance: any strictly monotone transform of the key yields the
+    // SAME ranks row for row (the quantile sketch is order-isomorphic) —
+    // this is the property that makes layout robust for arbitrary ranges
+    val dfT = keys.toDF("id", "k").select(col("id"), (col("k") * 37L + 11L).as("k"))
+    val rankT = ZOrder.rankBucketColumns(dfT, bits, Seq("k")).head
+    val gotT = dfT.select(col("id"), rankT.as("r")).as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    val byId = df.select(col("id"), rank.as("r")).as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    gotT.toSeq shouldBe byId.toSeq
+  }
+
+  test("rankBucketColumns: constant and null-heavy columns degrade to rank 0, never fail") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => (i.toLong, 42L)).toDF("id", "k")
+    val rank = ZOrder.rankBucketColumns(df, 4, Seq("k")).head
+    df.select(rank.as("r")).as[Long].collect().foreach(_ shouldBe 0L)
+    val dfN = (0 until 100).map(i => (i.toLong, Option.empty[java.lang.Long])).toDF("id", "k")
+    val rankN = ZOrder.rankBucketColumns(dfN, 4, Seq("k")).head
+    // NULL ranks stay NULL here; mortonCode's greatest(·, 0) places them
+    // at coordinate 0 downstream — same documented total-order policy
+    dfN.select(ZOrder.mortonCode(4, rankN).as("z")).as[Long].collect().foreach(_ shouldBe 0L)
+  }
 }

@@ -27,7 +27,17 @@ import graft.operators.ZOrder
 class ZOrderCompactionSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
 
   private val bits = 5
-  private def z = ZOrder.mortonCode(bits, col("a"), col("b"))
+
+  /** Bounding-box area of (a, b) over a slice of rows — the clustering
+    * metric footer pruning actually cares about. Layout now interleaves
+    * QUANTILE RANKS (boundaries sampled per merge), so assertions pin
+    * box tightness rather than raw Morton codes the spec can't
+    * reconstruct boundary-exactly.
+    */
+  private def boxArea(rows: Seq[(Long, Long)]): Long = {
+    val as = rows.map(_._1); val bs = rows.map(_._2)
+    (as.max - as.min + 1L) * (bs.max - bs.min + 1L)
+  }
 
   private var root: File = _
 
@@ -77,9 +87,10 @@ class ZOrderCompactionSpec extends AnyFunSuite with Matchers with SparkSpec with
   private def planFor(leaf: File, files: Seq[File]) =
     LeafPlan(leaf.getAbsolutePath, "zsrc", files.map(_.getAbsolutePath), files.map(_.length()).sum)
 
-  private def zRange(path: String): (Long, Long) = {
-    val r = spark.read.parquet(path).select(min(z), max(z)).head()
-    (r.getLong(0), r.getLong(1))
+  private def fileBox(path: String): Long = {
+    val rows = spark.read.parquet(path).select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    boxArea(rows)
   }
 
   private def layoutCfg = CompactorConfig(
@@ -105,9 +116,14 @@ class ZOrderCompactionSpec extends AnyFunSuite with Matchers with SparkSpec with
       .select("id", "a", "b", "tag").collect().map(_.toSeq).sortBy(_.toString)
     outBag shouldBe inputBag
 
-    // 1) disjoint Z-ranges across files (range partitioning on the code)
-    val ranges = outs.map(f => zRange(f.getAbsolutePath)).sortBy(_._1)
-    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) => hi should be <= lo2 }
+    // 1) every output file covers a TIGHT 2-D box (range partitioning on
+    // the rank-Z code): arrival order (each input spans the whole grid)
+    // would give every file the full 1024-cell area. A file straddling a
+    // Z-range boundary can elongate, so pin each file below 3/4 of the
+    // grid and the average below half.
+    val areas = outs.map(f => fileBox(f.getAbsolutePath))
+    areas.foreach(_ should be <= 768L)
+    (areas.sum / areas.length) should be <= 512L
 
     // 2) per-file min/max on the ORIGINAL columns prune a quadrant box:
     // files that cannot contain a<8 AND b<8 are skippable by footer
@@ -132,8 +148,9 @@ class ZOrderCompactionSpec extends AnyFunSuite with Matchers with SparkSpec with
     val live = ManifestCommit.liveFiles(spark, leaf.getAbsolutePath)
     live.size shouldBe res.filesWritten
     ManifestCommit.readLeaf(spark, leaf.getAbsolutePath).count() shouldBe inputRows
-    val ranges = live.map(zRange).sortBy(_._1)
-    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) => hi should be <= lo2 }
+    val areas = live.map(fileBox)
+    areas.foreach(_ should be <= 768L)
+    (areas.sum / areas.length) should be <= 512L
   }
 
   test("a leaf missing a layout key merges in arrival order instead of failing") {
@@ -166,8 +183,68 @@ class ZOrderCompactionSpec extends AnyFunSuite with Matchers with SparkSpec with
     Seq(leaf, leaf2).foreach { l =>
       val out = l.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
       out should have length 1
-      val zs = spark.read.parquet(out.head.getAbsolutePath).select(z.as("z")).collect().map(_.getLong(0))
-      zs.zip(zs.tail).foreach { case (x, y) => x should be <= y }
+      // in-file Z-sortedness, observed through clustering: consecutive
+      // quarters of the file each cover a small (a, b) box (a Z-sorted
+      // walk stays inside one region at a time); arrival order would put
+      // the full 1024-cell grid in every quarter
+      val rows = spark.read.parquet(out.head.getAbsolutePath)
+        .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val qAreas = rows.grouped(math.max(1, rows.size / 4)).map(boxArea).toSeq
+      qAreas.foreach(_ should be <= 768L)
+      (qAreas.sum / qAreas.length) should be <= 512L
     }
+  }
+
+  test("keys spanning far beyond 2^bits prune exactly like narrow keys (quantile-rank bucketing)") {
+    // The same scattered grid pushed through a strictly monotone affine
+    // blow-up: values span ~3*10^8 >> 2^5. Raw interleave would wrap
+    // these mod 32 into noise; quantile ranks are invariant under any
+    // monotone transform, so layout must cluster and prune exactly as
+    // the narrow-key tests do.
+    val leaf = new File(root, "acct1/source=zw/year=2026/month=05")
+    leaf.mkdirs()
+    val s = spark
+    import s.implicits._
+    val files = (0 until 4).map { k =>
+      val tmp = new File(leaf, s".tmp-$k")
+      grid(s"f$k", 1000)
+        .select(
+          col("id"),
+          (col("a") * 9999991L + 12345L).as("a"),
+          (col("b") * 8888881L + 7L).as("b"),
+          col("tag"),
+        )
+        .coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new File(leaf, s"new_$k.parquet")
+      Files.move(part.toPath, dest.toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      dest
+    }
+    val res = Merger.mergeAndCommit(spark, planFor(leaf, files), layoutCfg)
+    res.error shouldBe None
+    res.success shouldBe true
+    res.filesWritten should be >= 4
+
+    val outs = leaf.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // same box-tightness as the narrow grid, measured in grid CELLS
+    // (divide the affine scale back out)
+    outs.foreach { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select(
+          ((col("a") - 12345L) / 9999991L).cast("long").as("a"),
+          ((col("b") - 7L) / 8888881L).cast("long").as("b"),
+        )
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      boxArea(rows) should be <= 768L
+    }
+    // footer stats on the WIDE columns prune the scaled quadrant box
+    val aCut = 8L * 9999991L + 12345L
+    val bCut = 8L * 8888881L + 7L
+    val skippable = outs.count { f =>
+      val r = spark.read.parquet(f.getAbsolutePath).select(min(col("a")), min(col("b"))).head()
+      r.getLong(0) >= aCut || r.getLong(1) >= bCut
+    }
+    skippable should be >= (outs.length / 2)
   }
 }

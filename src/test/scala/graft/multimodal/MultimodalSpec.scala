@@ -159,6 +159,15 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     nVideos should be > 0L
     val frames = Multimodal.sampleFrames(media, Multimodal.JdkCodec, nFrames = 3)
     frames.count() shouldBe nVideos * 3
-    frames.columns.toSeq shouldBe Seq("doc_id", "frame_idx", "frame")
+    frames.columns.toSeq shouldBe Seq("doc_id", "frame_idx", "width", "height", "frame")
+    // the carried dims are the decoded keyframe's, row by row
+    import spark.implicits._
+    val dims = frames.select("doc_id", "width", "height").distinct()
+      .as[(Long, Int, Int)].collect().map { case (id, w, h) => id -> (w, h) }.toMap
+    val truth = media.filter(_.media_type == "video").collect().map { r =>
+      val d = Multimodal.JdkCodec.decodeBatch(Seq(r.payload)).head
+      r.doc_id -> (d.width, d.height)
+    }.toMap
+    dims shouldBe truth
   }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+
+/** The incremental (persisted-bands) cross-corpus dedup must find
+  * EXACTLY the pairs the from-scratch `dedup_minhash_cross` shape finds
+  * on the same corpus split — the equivalence that lets a production
+  * pipeline screen each ingest batch against a bands table instead of
+  * re-deriving the whole corpus's signatures per run.
+  */
+class BandsStoreSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var root: File = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-bands").toFile
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    super.afterAll()
+  }
+
+  // the same corpus split dedup_minhash_cross uses: source-id parity
+  private def withParity: DataFrame =
+    Tables.documents(spark, sf)
+      .withColumn("parity", expr("CAST(substring(source, 4) AS INT)") % 2)
+  private def history: DataFrame = withParity.where(col("parity") === 0).drop("parity")
+  private def batch: DataFrame = withParity.where(col("parity") === 1).drop("parity")
+
+  /** From-scratch expectation: both sides' bands derived in one run,
+    * joined across sides only — the registered query's candidate stage.
+    */
+  private def fromScratchPairs: Set[(Long, Long)] = {
+    val bands = graft.queries.DedupQueries.minhashBands(spark, Tables.fanout(Tables.documents(spark, sf)))
+    val side = withParity.select("doc_id", "parity")
+    val newB = bands.join(side.where(col("parity") === 1).drop("parity"), "doc_id")
+    val oldB = bands.join(side.where(col("parity") === 0).drop("parity"), "doc_id")
+    newB.as("x")
+      .join(oldB.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("old_doc"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("screen(batch) against the persisted store equals the from-scratch cross-corpus pairs") {
+    val store = new File(root, "bands1").getAbsolutePath
+    BandsStore.build(spark, history, store)
+    val got = BandsStore.screen(spark, batch, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = fromScratchPairs
+    expected.nonEmpty shouldBe true // the fixture genuinely has cross-side near-dups
+    got shouldBe expected
+    // the store really is partitioned by band (scan prunes per band)
+    new File(store).listFiles().map(_.getName).count(_.startsWith("band=")) shouldBe 4
+  }
+
+  test("a history built by build + append screens identically to one built in a single shot") {
+    // history arrives in two ingest slices; the store accretes via
+    // append — no rewrite — and the screen result is indistinguishable
+    val h1 = history.where(col("doc_id") % 2 === 0)
+    val h2 = history.where(col("doc_id") % 2 === 1)
+    val accreted = new File(root, "bands2").getAbsolutePath
+    BandsStore.build(spark, h1, accreted)
+    BandsStore.append(spark, h2, accreted)
+    val oneShot = new File(root, "bands3").getAbsolutePath
+    BandsStore.build(spark, history, oneShot)
+    val a = BandsStore.screen(spark, batch, accreted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = BandsStore.screen(spark, batch, oneShot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    a shouldBe b
+    a.nonEmpty shouldBe true
+  }
+
+  test("the batch pipeline never pairs batch docs with each other through the store") {
+    val store = new File(root, "bands4").getAbsolutePath
+    BandsStore.build(spark, history, store)
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = BandsStore.screen(spark, batch, store).collect()
+    got.foreach { r =>
+      batchIds should contain(r.getLong(0))
+      batchIds should not contain r.getLong(1)
+    }
+  }
+}
