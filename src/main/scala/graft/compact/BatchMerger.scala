@@ -274,7 +274,7 @@ object BatchMerger {
         s".data-$runId/${f.getPath.getName}"
       }.toSeq
       val inputsRel = p.plan.files.map(ManifestCommit.relativeTo(p.plan.leaf, _))
-      ManifestCommit.publish(fs, p.plan.leaf, p.plan.stem, runId, inputsRel, outputsRel, rowsStaged)
+      ManifestCommit.publish(fs, p.plan.leaf, p.plan.stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries)
       // same retention semantics as the solo manifest path: superseded
       // inputs stay on disk under retainSuperseded for as-of reads
       val undeleted =

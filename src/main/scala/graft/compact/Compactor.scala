@@ -73,7 +73,10 @@ object Compactor {
       if (cfg.autoGcOrphans) { ManifestCommit.gcOrphans(spark, leaf); () }
       cfg.expireKeepSnapshots.foreach { keep =>
         val cur = ManifestCommit.currentSeq(spark, leaf)
-        if (cur > keep) { ManifestCommit.expireSnapshots(spark, leaf, cur - keep); () }
+        if (cur > keep) {
+          ManifestCommit.expireSnapshots(spark, leaf, cur - keep)
+          if (cfg.checkpointManifests) { ManifestCommit.checkpoint(spark, leaf, cur - keep); () }
+        }
       }
     } catch {
       case e: Throwable =>

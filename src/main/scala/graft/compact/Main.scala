@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   *                        debris after each compacted leaf
   *   GRAFT_EXPIRE_KEEP=n  manifest mode: retire history older than the
   *                        newest n commits per leaf (bounded time travel)
+  *   GRAFT_CHECKPOINT=1   manifest mode, with GRAFT_EXPIRE_KEEP: fold
+  *                        manifests past the expire horizon into one
+  *                        checkpoint manifest (bounded manifest count)
+  *   GRAFT_COMMIT_RETRIES=n  manifest mode: optimistic re-stamp after a
+  *                        detected concurrent commit (default 0 =
+  *                        Forbid; input conflicts always fail)
   */
 object Main {
 
@@ -54,6 +60,9 @@ object Main {
       autoGcOrphans = env.get("GRAFT_GC_ORPHANS")
         .exists(v => v == "1" || v.equalsIgnoreCase("true")),
       expireKeepSnapshots = env.get("GRAFT_EXPIRE_KEEP").map(_.toInt),
+      checkpointManifests = env.get("GRAFT_CHECKPOINT")
+        .exists(v => v == "1" || v.equalsIgnoreCase("true")),
+      commitRetries = env.get("GRAFT_COMMIT_RETRIES").map(_.toInt).getOrElse(0),
     )
   }
 

@@ -96,7 +96,7 @@ object ManifestCommit {
       // this line is invisible; everything after is garbage collection.
       val inputsRel = plan.files.map(relativeTo(plan.leaf, _))
       val outputsRel = outFiles.map(p => s".data-$runId/${p.getName}")
-      publish(fs, plan.leaf, plan.stem, runId, inputsRel, outputsRel, rowsStaged)
+      publish(fs, plan.leaf, plan.stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries)
 
       // GC the superseded originals. Best-effort BY DESIGN: the manifest
       // already subtracts them from the live set, so a failed delete is
@@ -167,40 +167,67 @@ object ManifestCommit {
       inputsRel: Seq[String],
       outputsRel: Seq[String],
       rows: Long,
+      retries: Int = 0,
   ): Unit = {
     val leafPath = new Path(leaf)
-    val entries = if (fs.exists(leafPath)) fs.listStatus(leafPath) else Array.empty[org.apache.hadoop.fs.FileStatus]
-    val st = resolveState(fs, leaf, entries)
-    val seq = st.seq + 1L
     val manifestName = s"_manifest-$stem-$runId.json"
-    val json =
-      s"""{"runId":"$runId","stem":"$stem","rows":$rows,"seq":$seq,""" +
-        s""""inputs":${jsonArray(inputsRel)},"outputs":${jsonArray(outputsRel)},""" +
-        sealMark
-    val out = fs.create(new Path(s"$leaf/$manifestName"), false)
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val manifestPath = new Path(s"$leaf/$manifestName")
+    var attempt = 0
+    while (true) {
+      val entries = if (fs.exists(leafPath)) fs.listStatus(leafPath) else Array.empty[org.apache.hadoop.fs.FileStatus]
+      val st = resolveState(fs, leaf, entries)
+      // OCC input validation (only meaningful past attempt 0, but free):
+      // if a concurrent commit superseded any of OUR inputs, re-stamping
+      // would double-supersede them and this commit's outputs would
+      // DUPLICATE the racer's — the merge must be re-planned, not
+      // re-stamped. Fail loudly instead.
+      if (attempt > 0 && inputsRel.exists(st.superseded))
+        throw new java.io.IOException(
+          s"commit conflict on $leaf: input(s) ${inputsRel.filter(st.superseded).mkString(", ")} " +
+            "were superseded by a concurrent commit — re-plan required, not retrying",
+        )
+      val seq = st.seq + 1L
+      val json =
+        s"""{"runId":"$runId","stem":"$stem","rows":$rows,"seq":$seq,""" +
+          s""""inputs":${jsonArray(inputsRel)},"outputs":${jsonArray(outputsRel)},""" +
+          sealMark
+      val out = fs.create(manifestPath, false)
+      try out.write(json.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
 
-    // Cumulative state for the new head. Superseded entries whose files
-    // are no longer on disk do nothing (the subtraction from a listing is
-    // a no-op — and a NEW arrival reusing an old name must count as live),
-    // so prune them by top-level presence; same for covered manifests
-    // that were themselves pruned. This keeps the head O(current files),
-    // not O(all files ever superseded).
-    val names = entries.map(_.getPath.getName).toSet
-    val topPresent = (rel: String) => names.contains(rel.takeWhile(_ != '/'))
-    val inputSet = inputsRel.toSet
-    val manifestNames = entries
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("_manifest-") && n.endsWith(".json"))
-      .toSet
-    createHead(
-      fs, leaf, seq, runId,
-      covered = ((st.covered & manifestNames) + manifestName).toSeq.sorted,
-      superseded = ((st.superseded ++ inputsRel).filter(topPresent)).toSeq.sorted,
-      outputs = (st.outputs.filterNot(inputSet) ++ outputsRel).distinct.sorted,
-      priorHeads = entries.map(_.getPath).filter(p => headSeqOf(p.getName).isDefined),
-    )
+      // Cumulative state for the new head. Superseded entries whose files
+      // are no longer on disk do nothing (the subtraction from a listing is
+      // a no-op — and a NEW arrival reusing an old name must count as live),
+      // so prune them by top-level presence; same for covered manifests
+      // that were themselves pruned. This keeps the head O(current files),
+      // not O(all files ever superseded).
+      val names = entries.map(_.getPath.getName).toSet
+      val topPresent = (rel: String) => names.contains(rel.takeWhile(_ != '/'))
+      val inputSet = inputsRel.toSet
+      val manifestNames = entries
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("_manifest-") && n.endsWith(".json"))
+        .toSet
+      try {
+        createHead(
+          fs, leaf, seq, runId,
+          covered = ((st.covered & manifestNames) + manifestName).toSeq.sorted,
+          superseded = ((st.superseded ++ inputsRel).filter(topPresent)).toSeq.sorted,
+          outputs = (st.outputs.filterNot(inputSet) ++ outputsRel).distinct.sorted,
+          priorHeads = entries.map(_.getPath).filter(p => headSeqOf(p.getName).isDefined),
+        )
+        return
+      } catch {
+        case e: ConcurrentCommitException if attempt < retries =>
+          // Optimistic retry (opt-in via CompactorConfig.commitRetries;
+          // default 0 keeps the reference's Forbid semantics): retract
+          // the stale-seq manifest, re-resolve — the next loop sees the
+          // racer's commit, validates inputs against it, and re-stamps.
+          attempt += 1
+          if (!(try fs.delete(manifestPath, false) catch { case _: Throwable => false }) && fs.exists(manifestPath))
+            throw e // can't retract the stale manifest: surface the collision
+      }
+    }
   }
 
   // ---- snapshot-pointer head: _head-<seq>.json --------------------------
@@ -307,10 +334,11 @@ object ManifestCommit {
     val heads = entries
       .filter(e => e.isFile && headSeqOf(e.getPath.getName).isDefined)
       .sortBy(e => headSeqOf(e.getPath.getName).get)(Ordering[Long].reverse)
-    val base = heads.iterator
-      .flatMap(h => readHead(fs, h.getPath))
-      .nextOption()
-      .getOrElse(HeadState(0L, Set.empty, Seq.empty, Set.empty))
+    val baseOpt = heads.iterator.flatMap(h => readHead(fs, h.getPath)).nextOption()
+    val base = baseOpt.getOrElse(HeadState(0L, Set.empty, Seq.empty, Set.empty))
+    // only meaningful when a head exists: a headless fold must process
+    // EVERY manifest, including pre-seq-era legacy ones stamped 0
+    val headSeq = baseOpt.map(_.seq).getOrElse(Long.MinValue)
     val uncovered = entries
       .filter { e =>
         val n = e.getPath.getName
@@ -319,14 +347,23 @@ object ManifestCommit {
       .flatMap(e => readManifest(fs, e.getPath).map(e.getPath.getName -> _))
       .sortBy { case (_, m) => (m.seq, m.runId) }
     uncovered.foldLeft(base) { case (st, (name, m)) =>
-      val ins = m.inputs.toSet
-      HeadState(
-        math.max(st.seq, m.seq),
-        st.superseded ++ m.inputs,
-        (st.outputs.filterNot(ins) ++ m.outputs).distinct,
-        st.covered + name,
-        st.runId,
-      )
+      // An uncovered manifest at or below the head's seq carries nothing
+      // the head state doesn't already incorporate — it is a checkpoint
+      // manifest mid-install ([[checkpoint]]'s first crash window) or
+      // stale debris. Folding its OUTPUTS on top of a state that has
+      // already seen later commits would resurrect superseded files, so
+      // it is acknowledged (covered) and otherwise skipped.
+      if (m.seq <= headSeq) st.copy(covered = st.covered + name)
+      else {
+        val ins = m.inputs.toSet
+        HeadState(
+          math.max(st.seq, m.seq),
+          st.superseded ++ m.inputs,
+          (st.outputs.filterNot(ins) ++ m.outputs).distinct,
+          st.covered + name,
+          st.runId,
+        )
+      }
     }
   }
 
@@ -536,6 +573,82 @@ object ManifestCommit {
         }
     }
     removed
+  }
+
+  /** Manifest-log compaction: fold every sealed manifest with
+    * `seq <= beforeSeq` into ONE checkpoint manifest carrying the
+    * prefix chain's net effect (union of inputs, net outputs, max seq),
+    * then delete the folded originals — bounding the per-leaf manifest
+    * FILE count for long-lived leaves the way [[expireSnapshots]]
+    * bounds their data files. Returns the number of manifests folded
+    * away (0 if fewer than two qualify — a checkpoint of one manifest
+    * is a rename, not a saving).
+    *
+    * Install order makes every crash window safe:
+    *   1. seal the checkpoint manifest — its seq ≤ the head's, so
+    *      readers SKIP it while the originals still exist (resolveState's
+    *      at-or-below-head rule) and fold it correctly if the head is
+    *      ever lost;
+    *   2. bump the head (seq+1, create-if-absent — the same concurrent-
+    *      writer tripwire as a commit) covering the checkpoint;
+    *   3. delete the folded manifests — each now redundant with both
+    *      the head and the checkpoint.
+    *
+    * Per-commit granularity below `beforeSeq` is gone afterwards
+    * (manifestLog shows the single checkpoint entry): pair with the
+    * [[expireSnapshots]] horizon, where those snapshots are already
+    * unreadable.
+    */
+  def checkpoint(spark: SparkSession, leaf: String, beforeSeq: Long): Int = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return 0
+    val entries = fs.listStatus(leafPath)
+    val named = sealedManifestsNamed(fs, leaf)
+    val folded = named.filter(_._2.seq <= beforeSeq).sortBy { case (_, m) => (m.seq, m.runId) }
+    if (folded.size < 2) return 0
+    val st = resolveState(fs, leaf, entries) // current head state (for the bump)
+    if (folded.exists(_._2.seq > st.seq)) return 0 // never fold ahead of the head
+
+    val netOutputs = folded.foldLeft(Seq.empty[String]) { case (outs, (_, m)) =>
+      (outs.filterNot(m.inputs.toSet) ++ m.outputs).distinct
+    }
+    val names = entries.map(_.getPath.getName).toSet
+    val topPresent = (rel: String) => names.contains(rel.takeWhile(_ != '/'))
+    val allInputs = folded.flatMap(_._2.inputs).distinct.filter(topPresent)
+    val last = folded.last._2
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val ckptName = s"_manifest-checkpoint-$runId.json"
+    val json =
+      s"""{"runId":"$runId","stem":"checkpoint","rows":${last.rows},"seq":${last.seq},""" +
+        s""""inputs":${jsonArray(allInputs)},"outputs":${jsonArray(netOutputs)},""" +
+        sealMark
+    val out = fs.create(new Path(s"$leaf/$ckptName"), false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+
+    val foldedNames = folded.map(_._1).toSet
+    try {
+      createHead(
+        fs, leaf, st.seq + 1L, runId,
+        covered = (((st.covered & names) -- foldedNames) + ckptName).toSeq.sorted,
+        superseded = st.superseded.filter(topPresent).toSeq.sorted,
+        outputs = st.outputs.sorted,
+        priorHeads = entries.map(_.getPath).filter(p => headSeqOf(p.getName).isDefined),
+      )
+    } catch {
+      case e: ConcurrentCommitException =>
+        // a writer commits mid-checkpoint: abort (remove the checkpoint,
+        // keep the originals) and let the next maintenance pass retry
+        try fs.delete(new Path(s"$leaf/$ckptName"), false)
+        catch { case _: Throwable => () }
+        System.err.println(s"[compact] checkpoint on $leaf aborted: ${e.getMessage}")
+        return 0
+    }
+    folded.count { case (name, _) =>
+      try fs.delete(new Path(s"$leaf/$name"), false)
+      catch { case _: Throwable => false }
+    }
   }
 
   /** Reclaim `.data-*` dirs no sealed manifest references — debris from

@@ -104,6 +104,20 @@ final case class CompactorConfig(
     //   unbounded storage growth.
     autoGcOrphans: Boolean = false,
     expireKeepSnapshots: Option[Int] = None,
+    //   checkpointManifests: fold manifests older than the expire
+    //   horizon into one checkpoint manifest (bounds the per-leaf
+    //   manifest FILE count the way expire bounds data files). Only
+    //   meaningful together with expireKeepSnapshots — the horizon is
+    //   shared, so only already-unreadable history loses granularity.
+    checkpointManifests: Boolean = false,
+    // Manifest mode: optimistic retries when the head-stamp tripwire
+    // detects a concurrent same-seq writer. 0 (default) = the
+    // reference's Forbid semantics — collide, roll back, fail loudly.
+    // N > 0 = retract the stale-seq manifest, re-resolve (now seeing
+    // the racer's commit), validate that none of OUR inputs were
+    // superseded by it (a real conflict still fails — re-stamping
+    // would duplicate rows), and re-stamp; up to N times.
+    commitRetries: Int = 0,
 ) {
   def asOfDate: java.time.LocalDate =
     asOf.getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC))

@@ -37,9 +37,18 @@ class FaultFs extends GraftTestFs {
 
   // Hide matching entries from listings — simulates list-after-write lag
   // (a racer's object PUT that this writer's listing didn't see yet).
+  // hideListCount < 0 hides forever; N > 0 hides for the first N
+  // listings that would actually filter something, then lets the
+  // entries show (the racer's PUT "becomes visible").
   override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
     val all = super.listStatus(f)
-    FaultFs.hideListRe.fold(all)(re => all.filterNot(_.getPath.toString.matches(re)))
+    FaultFs.hideListRe match {
+      case Some(re) if FaultFs.hideListCount != 0 =>
+        val (hidden, kept) = all.partition(_.getPath.toString.matches(re))
+        if (hidden.nonEmpty && FaultFs.hideListCount > 0) FaultFs.hideListCount -= 1
+        kept
+      case _ => all
+    }
   }
 
   // RawLocalFileSystem routes FileSystem.create(Path, boolean) through
@@ -82,9 +91,11 @@ object FaultFs {
   @volatile var failDeleteRe: Option[String] = None
   @volatile var failCreateRe: Option[String] = None // kill-between-write-and-publish injection
   @volatile var hideListRe: Option[String] = None // list-after-write visibility lag
+  @volatile var hideListCount: Int = -1 // -1 = hide forever; N > 0 = first N filtering listings
   val renameCount = new AtomicInteger(0)
   def reset(): Unit = {
     failNthCommitRename = 0; failDeleteRe = None; failCreateRe = None; hideListRe = None
+    hideListCount = -1
     renameCount.set(0)
   }
 }
@@ -317,6 +328,57 @@ class CommitFaultSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     names.exists(_.startsWith("_manifest-")) shouldBe false
     names.exists(_.startsWith(".data-")) shouldBe false
     ManifestCommit.readLeaf(spark, plan.leaf).collect().map(_.toString).sorted.toSeq shouldBe before
+  }
+
+  test("manifest commit: opt-in optimistic retry re-stamps past a non-conflicting concurrent commit") {
+    FaultFs.reset()
+    val plan = mkLeaf("mj")
+    val before = bag(Seq(plan))
+    // racer already holds seq 1 (its head PUT lags this writer's first
+    // listing by exactly one window — then becomes visible)
+    Files.write(
+      new File(leafDirOf(plan), "_head-000000001.json").toPath,
+      """{"seq":1,"runId":"feedface","covered":[],"superseded":[],"outputs":[],"sealed":true}""".getBytes,
+    )
+    FaultFs.hideListRe = Some(".*/_head-.*")
+    FaultFs.hideListCount = 1
+    val result = Merger.mergeAndCommit(spark, plan, mcfg.copy(commitRetries = 2))
+    FaultFs.reset()
+    withClue(result) {
+      result.success shouldBe true
+      result.rowsWritten shouldBe 20L
+    }
+    // the retry re-stamped at seq 2 — no fork, no duplicate seq
+    ManifestCommit.manifestLog(spark, plan.leaf).map(_.seq) shouldBe Seq(2L)
+    ManifestCommit.currentSeq(spark, plan.leaf) shouldBe 2L
+    ManifestCommit.readLeaf(spark, plan.leaf).collect().map(_.toString).sorted.toSeq shouldBe before
+    ManifestCommit.liveFiles(spark, plan.leaf).foreach(_ should include("/.data-"))
+  }
+
+  test("manifest commit: optimistic retry still fails when the racer superseded this commit's inputs") {
+    FaultFs.reset()
+    val plan = mkLeaf("mk")
+    val before = bag(Seq(plan))
+    // the racer compacted x.parquet out from under us: re-stamping would
+    // double-supersede it and duplicate rows — must fail, not retry
+    Files.write(
+      new File(leafDirOf(plan), "_head-000000001.json").toPath,
+      """{"seq":1,"runId":"feedface","covered":[],"superseded":["x.parquet"],"outputs":[],"sealed":true}""".getBytes,
+    )
+    FaultFs.hideListRe = Some(".*/_head-.*")
+    FaultFs.hideListCount = 1
+    val result = Merger.mergeAndCommit(spark, plan, mcfg.copy(commitRetries = 2))
+    FaultFs.reset()
+    withClue(result) {
+      result.success shouldBe false
+      result.error.get should include("re-plan required")
+    }
+    // rollback: no manifest, no data dir, originals untouched
+    val names = leafDirOf(plan).listFiles().map(_.getName).toSet
+    names.exists(_.startsWith("_manifest-")) shouldBe false
+    names.exists(_.startsWith(".data-")) shouldBe false
+    names should contain allOf ("x.parquet", "y.parquet")
+    bag(Seq(plan)) shouldBe before
   }
 
   test("solo merge surfaces originals whose delete returned false") {

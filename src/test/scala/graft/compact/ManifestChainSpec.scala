@@ -337,6 +337,68 @@ class ManifestChainSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     ManifestCommit.currentSeq(spark, leafPath) shouldBe 3L
   }
 
+  test("checkpoint folds the manifest prefix into one entry; every crash window reads exactly") {
+    val leaf = new File(root, "acct/source=ckpt/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val rcfg = cfg.copy(retainSuperseded = true)
+    Seq("a", "b").foreach(n => writeFile(leaf, s"$n.parquet", s"ck-$n", 10))
+    def compactLive(): Unit = {
+      val live = ManifestCommit.liveFiles(spark, leafPath)
+      val bytes = live.map(p => new File(p).length()).sum
+      val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "ck", live, bytes), rcfg)
+      withClue(r)(r.success shouldBe true)
+    }
+    (1 to 5).foreach { i => writeFile(leaf, s"x$i.parquet", s"ck-x$i", 5); compactLive() }
+    val fullBag = bag(leafPath)
+    fullBag.size shouldBe 45
+    def manifestNames() = leaf.listFiles().map(_.getName).filter(_.startsWith("_manifest-")).sorted.toSeq
+    manifestNames().size shouldBe 5
+
+    // fewer than two below the horizon -> no-op
+    ManifestCommit.checkpoint(spark, leafPath, 1L) shouldBe 0
+
+    // remember one FOLDED-prefix manifest (seq <= 3) so the delete-crash
+    // window can be replayed after the real checkpoint
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    val savedName = ManifestCommit.sealedManifestsNamed(fs, leafPath)
+      .filter(_._2.seq <= 3L).minBy(_._2.seq)._1
+    val savedBytes = Files.readAllBytes(new File(leaf, savedName).toPath)
+
+    val realCkpt = ManifestCommit.checkpoint(spark, leafPath, 3L)
+    realCkpt shouldBe 3
+    manifestNames().count(_.contains("-checkpoint-")) shouldBe 1
+    manifestNames().size shouldBe 3 // checkpoint + commits 4, 5
+    bag(leafPath) shouldBe fullBag
+    // the log now opens with the checkpoint at the folded prefix's seq
+    val log = ManifestCommit.manifestLog(spark, leafPath)
+    log.map(_.seq) shouldBe Seq(3L, 4L, 5L)
+    log.head.stem shouldBe "checkpoint"
+
+    // crash window: the folded-manifest deletes died partway — a prefix
+    // manifest reappears next to the checkpoint. Its seq is at-or-below
+    // the head's, so resolution skips it and readers stay exact.
+    Files.write(new File(leaf, savedName).toPath, savedBytes)
+    bag(leafPath) shouldBe fullBag
+    new File(leaf, savedName).delete() shouldBe true
+    bag(leafPath) shouldBe fullBag
+
+    // the head was bumped past the last commit; the next commit continues
+    // the chain without reusing a seq
+    ManifestCommit.currentSeq(spark, leafPath) shouldBe 6L
+    writeFile(leaf, "x6.parquet", "ck-x6", 5)
+    compactLive()
+    ManifestCommit.manifestLog(spark, leafPath).map(_.seq) shouldBe Seq(3L, 4L, 5L, 7L)
+    val grownBag = bag(leafPath)
+    grownBag.size shouldBe 50
+
+    // pointer loss after a checkpoint: the full-scan fallback folds the
+    // checkpoint like any prefix and still resolves the exact bag
+    leaf.listFiles().filter(_.getName.startsWith("_head-")).foreach(_.delete())
+    bag(leafPath) shouldBe grownBag
+    ManifestCommit.currentSeq(spark, leafPath) shouldBe 7L
+  }
+
   test("interleaved commits of two stems in one leaf get one strictly increasing seq line") {
     // One writer, two output groups (the GCP invoice/date shape): the
     // seq counter is per LEAF, not per stem, so the log stays a total
