@@ -1,0 +1,180 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-index ANN: a navigable-small-world graph PER PARTITION, built
+  * and searched inside `mapPartitions` — the single-layer core of HNSW
+  * (Malkov & Yashunin 2016) without the hierarchy (layer 0 is where all
+  * the recall lives; the hierarchy only trims the entry path, which a
+  * few random entry points approximate at partition sizes).
+  *
+  * Why a third ANN family next to sign-LSH and IVF: bucket methods bound
+  * candidates by a PARTITION OF SPACE, so recall collapses for queries
+  * near bucket boundaries; a greedy graph walk bounds candidates by
+  * CONNECTIVITY and degrades smoothly — the standard quality/latency
+  * point production vector search runs at.
+  *
+  * Scale shape: the corpus never shuffles — each task builds its
+  * partition's graph (O(n·efBuild·M) local work, memory O(n·M) ids) and
+  * answers the whole broadcast query batch against it (O(B·efSearch·M)
+  * per task, amortizing the build over B queries); only the per-task
+  * top-k rows move (≤ B·k·tasks, the same WindowGroupLimit merge as
+  * every kNN join here). A persisted-index production variant would
+  * write the adjacency lists as a parquet sidecar keyed by partition —
+  * the build step here IS that builder, minus the write.
+  *
+  * Determinism: insertion order is partition row order, ties in the
+  * search frontier break on (sim desc, id asc), so the result is a pure
+  * function of (data, partitioning, parameters) — witnessed by
+  * AnnSearchSpec alongside the recall floors and the efSearch
+  * monotonicity law.
+  */
+object NswSearch {
+
+  /** Drain a result heap to a best-first list (sim desc, id asc). */
+  private def drain(pq: mutable.PriorityQueue[(Double, Int)]): List[(Double, Int)] = {
+    var out = List.empty[(Double, Int)]
+    while (pq.nonEmpty) out = pq.dequeue() :: out
+    out.sortBy(t => (-t._1, t._2))
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** Greedy best-first walk over the adjacency lists: expand the most
+    * similar frontier node, keep the best `ef` seen; stop when the
+    * frontier's best cannot improve the worst of the kept set.
+    */
+  private def searchGraph(
+      vs: Array[Array[Double]],
+      adj: Array[mutable.ArrayBuffer[Int]],
+      entries: Seq[Int],
+      q: Array[Double],
+      ef: Int,
+  ): mutable.PriorityQueue[(Double, Int)] = {
+    // kept: min-heap by sim (worst on top) — bounded to ef
+    val kept = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), (Double, Int)] { case (s, i) => (-s, i) },
+    )
+    // frontier: max-heap by sim (best first; id asc tiebreak)
+    val frontier = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), (Double, Int)] { case (s, i) => (s, -i) },
+    )
+    val visited = mutable.BitSet.empty
+    entries.foreach { e =>
+      if (!visited.contains(e)) {
+        visited += e
+        val s = cosine(vs(e), q)
+        frontier.enqueue((s, e))
+        kept.enqueue((s, e))
+        if (kept.size > ef) { kept.dequeue(); () }
+      }
+    }
+    while (frontier.nonEmpty) {
+      val (bestSim, node) = frontier.dequeue()
+      if (kept.size >= ef && bestSim < kept.head._1) return kept // can't improve
+      adj(node).foreach { nb =>
+        if (!visited.contains(nb)) {
+          visited += nb
+          val s = cosine(vs(nb), q)
+          if (kept.size < ef || s > kept.head._1) {
+            frontier.enqueue((s, nb))
+            kept.enqueue((s, nb))
+            if (kept.size > ef) { kept.dequeue(); () }
+          }
+        }
+      }
+    }
+    kept
+  }
+
+  /** Incremental build: each node greedy-searches the graph-so-far for
+    * its `m` nearest and links bidirectionally; degree capped at `2m`
+    * keeping the most similar (the HNSW neighbor-selection simplified to
+    * distance order).
+    */
+  private def buildGraph(
+      vs: Array[Array[Double]],
+      m: Int,
+      efBuild: Int,
+  ): Array[mutable.ArrayBuffer[Int]] = {
+    val n = vs.length
+    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    val maxDeg = 2 * m
+    def cap(node: Int): Unit =
+      if (adj(node).size > maxDeg) {
+        val kept = adj(node).sortBy(nb => (-cosine(vs(node), vs(nb)), nb)).take(maxDeg)
+        adj(node).clear()
+        adj(node) ++= kept
+        ()
+      }
+    var i = 1
+    while (i < n) {
+      val found = drain(searchGraph(vs, adj, Seq(0), vs(i), math.max(m, efBuild))).take(m)
+      found.foreach { case (_, nb) =>
+        adj(i) += nb
+        adj(nb) += i
+        cap(nb)
+      }
+      cap(i)
+      i += 1
+    }
+    adj
+  }
+
+  /** NSW kNN join: per-partition graphs, broadcast query batch, global
+    * WindowGroupLimit top-k merge. Entry points: node 0 plus every
+    * (n/m)-th node — cheap stand-ins for HNSW's upper layers.
+    */
+  def nsw(
+      e: DataFrame,
+      qids: Seq[Long],
+      k: Int,
+      m: Int = 8,
+      efSearch: Int = 48,
+      efBuild: Int = 24,
+  ): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val queries: Array[(Long, Array[Double])] = e
+      .where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .collect()
+    val qB = spark.sparkContext.broadcast(queries)
+    val local = e
+      .select(col("vec_id"), col("label"), col("v"))
+      .as[(Long, String, Array[Double])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vs = rows.map(_._3)
+          val adj = buildGraph(vs, m, efBuild)
+          val entries = 0 until rows.length by math.max(1, rows.length / math.max(1, m))
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            drain(searchGraph(vs, adj, entries, qv, efSearch))
+              .iterator
+              .filter { case (_, i) => rows(i)._1 != qid }
+              .take(k)
+              .map { case (s, i) => (qid, rows(i)._1, rows(i)._2, s) }
+          }
+        }
+      }
+      .toDF("qid", "vec_id", "label", "sim")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    local
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("label"), col("sim"))
+  }
+}

@@ -314,6 +314,20 @@ object SimilarityQueries {
         .orderBy("qid", "vec_id")
     },
 
+    // ----- graph-index ANN (NSW, the single-layer HNSW core): per-
+    // partition navigable-small-world graphs built and searched inside
+    // mapPartitions, broadcast query batch, WindowGroupLimit top-k
+    // merge — the third ANN family (connectivity-bounded) next to
+    // sign-LSH and IVF (space-partition-bounded). no_oracle: a greedy
+    // graph walk has no sane SQL replay; AnnSearchSpec pins recall@k
+    // floors against exact brute force, the efSearch monotonicity law,
+    // and determinism.
+    Q.noOracle("ann_nsw_topk") { (s, d) =>
+      graft.operators.NswSearch.nsw(vecs(s, d), 0L until 10L, k = 3)
+        .select(col("qid"), col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "vec_id")
+    },
+
     // ----- grouped top-k: top-3 nearest per label via the typed O(k)-state
     // [[graft.operators.TopKAggregator]] (map-side partial top-k, one
     // shuffle of k-row states per label) — where a window + filter would

@@ -98,6 +98,28 @@ class AnnSearchSpec extends AnyFunSuite with Matchers with SparkSpec with Before
     multi3 should be >= 0.45
   }
 
+  test("recall@5: NSW graph search clears the bucket methods' floors and is monotone in efSearch") {
+    // one graph over the whole fixture (repartition(1)): the pure
+    // graph-quality number, no partition-union effects
+    val one = e.repartition(1)
+    val rNarrow = recall(NswSearch.nsw(one, qids, k, m = 8, efSearch = 8))
+    val rWide = recall(NswSearch.nsw(one, qids, k, m = 8, efSearch = 64))
+    // a wider beam keeps and expands a superset of candidates
+    rWide should be >= rNarrow
+    rWide should be >= 0.85 // measured headroom above; see floor note below
+    // the partitioned form (per-task graphs, top-k merge) holds a floor
+    // too — the 100-TB shape, each task searching its own shard
+    val rPart = recall(NswSearch.nsw(e.repartition(4), qids, k, m = 8, efSearch = 64))
+    rPart should be >= 0.85
+  }
+
+  test("NSW search is deterministic in (data, partitioning, parameters)") {
+    val one = e.repartition(2)
+    def run() = NswSearch.nsw(one, qids, k, m = 8, efSearch = 32)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    run() shouldBe run()
+  }
+
   test("bucketed pair-finding obeys the sign-LSH collision law (dedup_embedding_cosine's guarantee)") {
     // dedup_embedding_cosine only pairs vectors sharing a bucket, so its
     // recall on near-dup pairs is EXACTLY the sign-LSH collision
