@@ -131,6 +131,80 @@ object NswSearch {
     adj
   }
 
+  /** Persisted form of the per-partition graph: one row per node with
+    * its partition, insertion ordinal, payload, and neighbor ORDINALS
+    * (partition-local, so the row is self-contained and compact). The
+    * index table replaces the O(n·efBuild·M) build on every query
+    * batch with a scan — BandsStore's persisted-candidates pattern
+    * applied to the graph family.
+    */
+  final case class IndexRow(
+      part: Int,
+      ord: Int,
+      vec_id: Long,
+      label: String,
+      v: Array[Double],
+      nbrs: Array[Int],
+  )
+
+  /** Build the per-partition graphs ONCE and write them as a parquet
+    * index at `path` (overwrite). Graphs are identical to what [[nsw]]
+    * builds on the same partitioning of `e`.
+    */
+  def buildIndex(e: DataFrame, path: String, m: Int = 8, efBuild: Int = 24): Unit = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("vec_id"), col("label"), col("v"))
+      .as[(Long, String, Array[Double])]
+      .mapPartitions { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val adj = buildGraph(rows.map(_._3), m, efBuild)
+          rows.iterator.zipWithIndex.map { case ((id, label, v), ord) =>
+            IndexRow(part, ord, id, label, v, adj(ord).toArray)
+          }
+        }
+      }
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+  }
+
+  /** Search a persisted index: one shuffle groups each partition's rows
+    * back together (cheap relative to the build it replaces — pure data
+    * movement, no cosine passes), the adjacency arrays are reassembled
+    * in insertion order, and the query batch runs the same greedy walk
+    * as [[nsw]]. Same results as building fresh on the same
+    * partitioning (NswIndexSpec pins the equality).
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String, queries: Seq[(Long, Array[Double])], k: Int, efSearch: Int = 48, m: Int = 8): DataFrame = {
+    import spark.implicits._
+    val qB = spark.sparkContext.broadcast(queries.toArray)
+    val local = spark.read.parquet(path)
+      .select(col("part").cast("int").as("part"), col("ord"), col("vec_id"), col("label"), col("v"), col("nbrs"))
+      .as[IndexRow]
+      .groupByKey(_.part)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.ord)
+        val vs = rows.map(_.v)
+        val adj = rows.map(r => mutable.ArrayBuffer.from(r.nbrs))
+        val entries = 0 until rows.length by math.max(1, rows.length / math.max(1, m))
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          drain(searchGraph(vs, adj, entries, qv, efSearch))
+            .iterator
+            .filter { case (_, i) => rows(i).vec_id != qid }
+            .take(k)
+            .map { case (s, i) => (qid, rows(i).vec_id, rows(i).label, s) }
+        }
+      }
+      .toDF("qid", "vec_id", "label", "sim")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    local
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("label"), col("sim"))
+  }
+
   /** NSW kNN join: per-partition graphs, broadcast query batch, global
     * WindowGroupLimit top-k merge. Entry points: node 0 plus every
     * (n/m)-th node — cheap stand-ins for HNSW's upper layers.

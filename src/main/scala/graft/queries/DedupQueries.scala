@@ -26,7 +26,7 @@ object DedupQueries {
     * Knuth's multiplicative-hash constant so Spark columns and oracle SQL
     * literals can never drift apart. aᵢ is forced odd (bijectivity mod 2³²).
     */
-  private val perms: Seq[(Long, Long)] = (1 to 16).map { i =>
+  private[graft] val perms: Seq[(Long, Long)] = (1 to 16).map { i =>
     val a = ((2654435761L * i) % 2147483648L) | 1L
     val b = (2971215073L * i + 40503L * i * i) % 4294967296L
     (a, b)

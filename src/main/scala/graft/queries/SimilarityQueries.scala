@@ -643,5 +643,81 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"), round(col("adc_raw"), 6).as("adc"))
         .limit(5)
     },
+
+    // ----- IVF-PQ composition: the standard production vector-search
+    // pipeline. The coarse quantizer (ann_ivf's 16 seeded lists) prunes
+    // the corpus to the query's nprobe=4 inverted lists; the PQ ADC scan
+    // (vector_pq_topk's broadcast lookup table) then scores ONLY those
+    // lists' members from their 8-bit codes — the two prunings multiply:
+    // scan cost is |probed lists| × M table lookups, with neither raw
+    // vectors nor unprobed codes touched. (Codes are trained on raw
+    // subvectors, not residuals — IVFADC-without-residuals; the residual
+    // refinement changes the codebook, not the plan shape.) At 100 TB
+    // the codes+list_id table is the persisted index; everything
+    // broadcast here (codebook, LUT, probe set) is O(K) rows.
+    Q(
+      "vector_ivfpq_topk",
+      s"""WITH $vecsSqlCte,
+         |c AS (SELECT vec_id AS ccid, v AS ccv FROM v WHERE vec_id BETWEEN 1 AND 16),
+         |cscored AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                         ORDER BY acos DESC, ccid) AS crn FROM
+         |             (SELECT v.vec_id, c.ccid, ${cosineSql("v.v", "c.ccv")} AS acos
+         |              FROM v CROSS JOIN c)),
+         |coarse AS (SELECT vec_id, ccid AS list_id FROM cscored WHERE crn = 1),
+         |plist AS (SELECT ccid AS probed FROM cscored WHERE vec_id = 0 AND crn <= 4),
+         |$pqSqlCte,
+         |lut AS (SELECT c.m, c.cid, ${l2sqSql("b.sv", "c.cv")} AS qd2
+         |        FROM blk b JOIN cb2 c ON b.m = c.m WHERE b.vec_id = 0),
+         |pp AS (SELECT a.vec_id,
+         |              max(CASE WHEN a.m = 0 THEN l.qd2 END) AS a0,
+         |              max(CASE WHEN a.m = 1 THEN l.qd2 END) AS a1,
+         |              max(CASE WHEN a.m = 2 THEN l.qd2 END) AS a2,
+         |              max(CASE WHEN a.m = 3 THEN l.qd2 END) AS a3
+         |       FROM af a
+         |       JOIN coarse co ON co.vec_id = a.vec_id
+         |       JOIN plist p ON co.list_id = p.probed
+         |       JOIN lut l ON a.m = l.m AND a.cid = l.cid
+         |       GROUP BY a.vec_id)
+         |SELECT p.vec_id, v.label, round(p.a0 + p.a1 + p.a2 + p.a3, 6) AS adc
+         |FROM pp p JOIN v ON p.vec_id = v.vec_id
+         |WHERE p.vec_id <> 0
+         |ORDER BY (p.a0 + p.a1 + p.a2 + p.a3), p.vec_id LIMIT 5""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      val cents = broadcast(
+        e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("ccid"), col("v").as("ccv")),
+      )
+      val wA = Window.partitionBy("vec_id").orderBy(desc("acos"), col("ccid"))
+      val cscored = e.crossJoin(cents)
+        .withColumn("acos", cosine("v", "ccv"))
+        .withColumn("crn", row_number().over(wA))
+      val coarse = cscored.where(col("crn") === 1).select(col("vec_id"), col("ccid").as("list_id"))
+      val plist = broadcast(
+        cscored.where(col("vec_id") === 0 && col("crn") <= 4).select(col("ccid").as("probed")),
+      )
+      val blocks = pqBlocks(e)
+      val trained = pqTrain(blocks)
+      val af = pqAssign(blocks, trained).select("vec_id", "m", "cid")
+      val lut = blocks.where(col("vec_id") === 0)
+        .join(broadcast(trained), "m")
+        .select(col("m"), col("cid"), l2sq("sv", "cv").as("qd2"))
+      af
+        .join(coarse, "vec_id")
+        .join(plist, col("list_id") === col("probed"))
+        .join(broadcast(lut), Seq("m", "cid"))
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("m") === 0, col("qd2"))).as("a0"),
+          max(when(col("m") === 1, col("qd2"))).as("a1"),
+          max(when(col("m") === 2, col("qd2"))).as("a2"),
+          max(when(col("m") === 3, col("qd2"))).as("a3"),
+        )
+        .where(col("vec_id") =!= 0)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .withColumn("adc_raw", col("a0") + col("a1") + col("a2") + col("a3"))
+        .orderBy(col("adc_raw"), col("vec_id"))
+        .select(col("vec_id"), col("label"), round(col("adc_raw"), 6).as("adc"))
+        .limit(5)
+    },
   )
 }

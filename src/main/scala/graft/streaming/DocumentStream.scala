@@ -83,4 +83,102 @@ object DocumentStream {
       .dropDuplicatesWithinWatermark("content_hash")
       .select("doc_id", "text", "lang", "arrival")
   }
+
+  /** One row of LSH band state input: a document's signature in one
+    * band.
+    */
+  final case class BandRow(band: Int, sig: String, doc_id: Long, arrival: java.sql.Timestamp)
+
+  /** A flagged near-duplicate candidate: `doc_id` collided with the
+    * band owner `dup_of` in `band`.
+    */
+  final case class NearDup(doc_id: Long, band: Int, dup_of: Long)
+
+  /** Per-row MinHash band signatures — the SAME kernel as the batch
+    * `dedup_minhash_lsh` family (identical md5 slice and affine
+    * permutation constants, [[graft.queries.DedupQueries.perms]]), but
+    * computed entirely inside row-local higher-order expressions: no
+    * explode, no groupBy, STATELESS — exactly what a streaming stage
+    * needs before the keyed state step.
+    */
+  def bandSignatures(docs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val nBands = 16 / rowsPerBand
+    val hs = "transform(word_shingles(w, 3), sh -> CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT))"
+    val mins = graft.queries.DedupQueries.perms.map { case (a, b) =>
+      s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % 4294967296L))"
+    }
+    val bandStructs = (0 until nBands)
+      .map { bnd =>
+        val sig = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => s"CAST(${mins(i)} AS STRING)").mkString("concat_ws('|', ", ", ", ")")
+        s"struct($bnd AS band, $sig AS sig)"
+      }
+      .mkString("array(", ", ", ")")
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .where(size(col("w")) >= 3)
+      .withColumn("hs", expr(hs))
+      .select(col("doc_id"), col("arrival"), explode(expr(bandStructs)).as("b"))
+      .select(col("b.band").as("band"), col("b.sig").as("sig"), col("doc_id"), col("arrival"))
+  }
+
+  /** Streaming near-duplicate suppression — the stateful form of the
+    * batch `dedup_minhash_cross`: every arriving document's band
+    * signatures probe a keyed state store of (band, sig) → first-owner
+    * doc_id, flagging collisions with documents from THIS batch and any
+    * earlier one. State is per signature (8 bytes + the sig string),
+    * partitioned by (band, sig) — the same key the batch band join
+    * shuffles on — and reclaimed by an event-time timeout `stateTtl`
+    * past the watermark: a duplicate arriving later than that is the
+    * periodic batch pass's job, identical to the exact-dedup contract
+    * above. Emits `NearDup(doc_id, band, dup_of)` candidates (append
+    * mode); exact verification downstream stays the caller's step, as
+    * in every LSH path here.
+    */
+  def nearDupStream(
+      docs: DataFrame,
+      lateness: String = "10 minutes",
+      stateTtlMs: Long = 60L * 60 * 1000,
+  ): org.apache.spark.sql.Dataset[NearDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def update(
+        key: (Int, String),
+        it: Iterator[BandRow],
+        state: GroupState[Long],
+    ): Iterator[NearDup] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        // deterministic owner: earliest arrival, then lowest id
+        val rows = it.toSeq.sortBy(r => (r.arrival.getTime, r.doc_id))
+        val out = Seq.newBuilder[NearDup]
+        var owner = if (state.exists) Some(state.get) else None
+        rows.foreach { r =>
+          owner match {
+            case Some(o) if o != r.doc_id => out += NearDup(r.doc_id, key._1, o)
+            case Some(_) => ()
+            case None =>
+              owner = Some(r.doc_id)
+              state.update(r.doc_id)
+          }
+        }
+        if (rows.nonEmpty && owner.nonEmpty) {
+          val maxArrival = rows.map(_.arrival.getTime).max
+          state.setTimeoutTimestamp(maxArrival + stateTtlMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    bandSignatures(docs)
+      .withWatermark("arrival", lateness)
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
 }
