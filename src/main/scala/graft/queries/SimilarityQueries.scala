@@ -112,7 +112,7 @@ object SimilarityQueries {
     * for the ADC lookup table). Interpolated into each query template;
     * OracleSqlLintSpec guards the double-stripMargin hazard.
     */
-  private def pqSqlCteFor(trainRel: String, seedPred: String): String =
+  private def pqSqlCteFor(trainRel: String, seedPred: String, assignRel: String = "blk"): String =
     s"""blk AS (SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS sv
        |        FROM v CROSS JOIN (SELECT unnest(range(4)) AS m)),
        |cb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM $trainRel WHERE $seedPred),
@@ -130,7 +130,7 @@ object SimilarityQueries {
        |            GROUP BY m, cid, pos)
        |         GROUP BY m, cid)""".stripMargin).mkString("", ",\n", ",")}
        |sf AS (SELECT b.vec_id, b.m, c.cid, ${l2sqSql("b.sv", "c.cv")} AS d2
-       |       FROM blk b JOIN cb2 c ON b.m = c.m),
+       |       FROM $assignRel b JOIN cb2 c ON b.m = c.m),
        |af AS (SELECT vec_id, m, cid, d2 FROM
        |         (SELECT *, row_number() OVER (PARTITION BY vec_id, m
        |                                       ORDER BY d2, cid) AS rn FROM sf)
@@ -705,6 +705,115 @@ object SimilarityQueries {
         .join(coarse, "vec_id")
         .join(plist, col("list_id") === col("probed"))
         .join(broadcast(lut), Seq("m", "cid"))
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("m") === 0, col("qd2"))).as("a0"),
+          max(when(col("m") === 1, col("qd2"))).as("a1"),
+          max(when(col("m") === 2, col("qd2"))).as("a2"),
+          max(when(col("m") === 3, col("qd2"))).as("a3"),
+        )
+        .where(col("vec_id") =!= 0)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .withColumn("adc_raw", col("a0") + col("a1") + col("a2") + col("a3"))
+        .orderBy(col("adc_raw"), col("vec_id"))
+        .select(col("vec_id"), col("label"), round(col("adc_raw"), 6).as("adc"))
+        .limit(5)
+    },
+
+    // ----- FULL IVFADC (Jégou et al. 2011): like vector_ivfpq_topk but
+    // the PQ codebooks quantize RESIDUALS v − centroid(list(v)) — the
+    // part of the vector the coarse quantizer didn't explain, which is
+    // what makes the 8-bit codes spend their entropy where it matters.
+    // The query side pays one LUT per PROBED list (its residual differs
+    // per list): nprobe × M × K entries, still a broadcast-sized table.
+    // Every stage is deterministic integer/fold arithmetic, so the
+    // oracle replays the whole pipeline: coarse assign → residuals →
+    // Lloyd on residual blocks → code assign → per-list LUT → ADC.
+    Q(
+      "vector_ivfpq_residual_topk",
+      s"""WITH $vecsSqlCte,
+         |c AS (SELECT vec_id AS ccid, v AS ccv FROM v WHERE vec_id BETWEEN 1 AND 16),
+         |cscored AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                         ORDER BY acos DESC, ccid) AS crn FROM
+         |             (SELECT v.vec_id, c.ccid, ${cosineSql("v.v", "c.ccv")} AS acos
+         |              FROM v CROSS JOIN c)),
+         |coarse AS (SELECT vec_id, ccid AS list_id FROM cscored WHERE crn = 1),
+         |plist AS (SELECT ccid AS probed FROM cscored WHERE vec_id = 0 AND crn <= 4),
+         |rv AS (SELECT v.vec_id, co.list_id,
+         |              list_transform(list_zip(v.v, c.ccv), p -> p[1] - p[2]) AS rvv
+         |       FROM v JOIN coarse co ON v.vec_id = co.vec_id
+         |              JOIN c ON co.list_id = c.ccid),
+         |rblk AS (SELECT vec_id, m, rvv[(m * 16 + 1):(m * 16 + 16)] AS sv
+         |         FROM rv CROSS JOIN (SELECT unnest(range(4)) AS m)),
+         |${pqSqlCteFor("rblk", "vec_id BETWEEN 17 AND 24", assignRel = "rblk")},
+         |qr AS (SELECT p.probed AS list_id,
+         |              list_transform(list_zip(q.qv, c.ccv), x -> x[1] - x[2]) AS rvv
+         |       FROM plist p JOIN c ON p.probed = c.ccid
+         |       CROSS JOIN (SELECT v AS qv FROM v WHERE vec_id = 0) q),
+         |qrblk AS (SELECT list_id, m, rvv[(m * 16 + 1):(m * 16 + 16)] AS sv
+         |          FROM qr CROSS JOIN (SELECT unnest(range(4)) AS m)),
+         |lut AS (SELECT b.list_id, c.m, c.cid, ${l2sqSql("b.sv", "c.cv")} AS qd2
+         |        FROM qrblk b JOIN cb2 c ON b.m = c.m),
+         |pp AS (SELECT a.vec_id,
+         |              max(CASE WHEN a.m = 0 THEN l.qd2 END) AS a0,
+         |              max(CASE WHEN a.m = 1 THEN l.qd2 END) AS a1,
+         |              max(CASE WHEN a.m = 2 THEN l.qd2 END) AS a2,
+         |              max(CASE WHEN a.m = 3 THEN l.qd2 END) AS a3
+         |       FROM af a
+         |       JOIN coarse co ON co.vec_id = a.vec_id
+         |       JOIN plist p ON co.list_id = p.probed
+         |       JOIN lut l ON l.list_id = co.list_id AND a.m = l.m AND a.cid = l.cid
+         |       GROUP BY a.vec_id)
+         |SELECT p.vec_id, v.label, round(p.a0 + p.a1 + p.a2 + p.a3, 6) AS adc
+         |FROM pp p JOIN v ON p.vec_id = v.vec_id
+         |WHERE p.vec_id <> 0
+         |ORDER BY (p.a0 + p.a1 + p.a2 + p.a3), p.vec_id LIMIT 5""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      val cents = broadcast(
+        e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("ccid"), col("v").as("ccv")),
+      )
+      val wA = Window.partitionBy("vec_id").orderBy(desc("acos"), col("ccid"))
+      val cscored = e.crossJoin(cents)
+        .withColumn("acos", cosine("v", "ccv"))
+        .withColumn("crn", row_number().over(wA))
+      val coarse = cscored.where(col("crn") === 1).select(col("vec_id"), col("ccid").as("list_id"))
+      val plist = broadcast(
+        cscored.where(col("vec_id") === 0 && col("crn") <= 4).select(col("ccid").as("probed")),
+      )
+      // residual vectors, then residual subvector blocks
+      val rv = e.join(coarse, "vec_id")
+        .join(cents, col("list_id") === col("ccid"))
+        .select(col("vec_id"), col("list_id"), expr("zip_with(v, ccv, (x, y) -> x - y)").as("rvv"))
+      val rblk = rv
+        .select(
+          col("vec_id"),
+          explode(expr("transform(sequence(0, 3), m -> struct(m AS m, slice(rvv, m * 16 + 1, 16) AS sv))"))
+            .as("b"),
+        )
+        .select(col("vec_id"), col("b.m").as("m"), col("b.sv").as("sv"))
+      // seeds 17..24: vectors 1..16 ARE the coarse centroids, so their
+      // residuals are ~zero and would collapse the seed codebook
+      val trained = pqTrainOn(rblk, 17L to 24L)
+      val af = pqAssign(rblk, trained).select("vec_id", "m", "cid")
+      // query residual per PROBED list -> one LUT per list
+      val q = broadcast(e.where(col("vec_id") === 0).select(col("v").as("qv")))
+      val qrblk = plist
+        .join(cents, col("probed") === col("ccid"))
+        .crossJoin(q)
+        .select(col("probed").as("list_id"), expr("zip_with(qv, ccv, (x, y) -> x - y)").as("rvv"))
+        .select(
+          col("list_id"),
+          explode(expr("transform(sequence(0, 3), m -> struct(m AS m, slice(rvv, m * 16 + 1, 16) AS sv))"))
+            .as("b"),
+        )
+        .select(col("list_id"), col("b.m").as("m"), col("b.sv").as("sv"))
+      val lut = qrblk.join(broadcast(trained), "m")
+        .select(col("list_id"), col("m"), col("cid"), l2sq("sv", "cv").as("qd2"))
+      af
+        .join(coarse, "vec_id")
+        .join(plist, col("list_id") === col("probed"))
+        .join(broadcast(lut), Seq("list_id", "m", "cid"))
         .groupBy("vec_id")
         .agg(
           max(when(col("m") === 0, col("qd2"))).as("a0"),
