@@ -170,6 +170,70 @@ object NswSearch {
       .write.mode("overwrite").partitionBy("part").parquet(path)
   }
 
+  /** Incremental insert into a persisted index: each new vector is
+    * routed to a shard by hash, greedy-linked into that shard's stored
+    * graph exactly as a fresh build would link it (same search, same m
+    * nearest, same bidirectional edges and degree cap), and ONLY the
+    * touched shards are rewritten — untouched shard partitions keep
+    * their files, the `BandsStore.append` discipline applied to graphs.
+    * Insertion order within a shard is the stored ordinal order
+    * followed by new-vector id order, so repeated inserts are
+    * deterministic.
+    */
+  def insertIndex(spark: org.apache.spark.sql.SparkSession, path: String, newDocs: DataFrame, m: Int = 8, efBuild: Int = 24): Unit = {
+    import spark.implicits._
+    val parts = spark.read.parquet(path).select(col("part")).distinct().as[Int].collect().sorted
+    require(parts.nonEmpty, s"no index shards at $path")
+    val nParts = parts.length
+    val routed = newDocs
+      .select(col("vec_id"), col("label"), col("v"))
+      .withColumn("part", pmod(col("vec_id"), lit(nParts.toLong)).cast("int"))
+    val touched = routed.select("part").distinct().as[Int].collect().toSet
+    val existing = spark.read.parquet(path)
+      .select(col("part").cast("int").as("part"), col("ord"), col("vec_id"), col("label"), col("v"), col("nbrs"))
+      .as[IndexRow]
+      .filter(r => touched.contains(r.part))
+    val newRows = routed.as[(Long, String, Array[Double], Int)]
+    val rewritten = existing
+      .groupByKey(_.part)
+      .cogroup(newRows.groupByKey(_._4)) { (part, oldIt, newIt) =>
+        val olds = oldIt.toArray.sortBy(_.ord)
+        val news = newIt.toArray.sortBy(_._1)
+        val vs = mutable.ArrayBuffer.from(olds.map(_.v))
+        val adj = mutable.ArrayBuffer.from(olds.map(r => mutable.ArrayBuffer.from(r.nbrs)))
+        val ids = mutable.ArrayBuffer.from(olds.map(r => (r.vec_id, r.label)))
+        val maxDeg = 2 * m
+        def cap(node: Int): Unit =
+          if (adj(node).size > maxDeg) {
+            val kept = adj(node).sortBy(nb => (-cosine(vs(node), vs(nb)), nb)).take(maxDeg)
+            adj(node).clear(); adj(node) ++= kept
+            ()
+          }
+        news.foreach { case (id, label, v, _) =>
+          val i = vs.length
+          vs += v; ids += ((id, label)); adj += mutable.ArrayBuffer.empty[Int]
+          if (i > 0) {
+            val found = drain(searchGraph(vs.toArray, adj.toArray, Seq(0), v, math.max(m, efBuild))).take(m)
+            found.foreach { case (_, nb) => adj(i) += nb; adj(nb) += i; cap(nb) }
+            cap(i)
+          }
+        }
+        ids.indices.iterator.map { i =>
+          IndexRow(part, i, ids(i)._1, ids(i)._2, vs(i), adj(i).toArray)
+        }
+      }
+    // rewrite ONLY the touched shard partitions (dynamic overwrite)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten.toDF().write.mode("overwrite").partitionBy("part").parquet(path)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Search a persisted index: one shuffle groups each partition's rows
     * back together (cheap relative to the build it replaces — pure data
     * movement, no cosine passes), the adjacency arrays are reassembled

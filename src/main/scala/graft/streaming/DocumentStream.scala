@@ -181,4 +181,51 @@ object DocumentStream {
       .groupByKey(r => (r.band, r.sig))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** The store-backed alternative to [[nearDupStream]]'s query state:
+    * one `foreachBatch` body that screens a micro-batch against the
+    * PERSISTED corpus bands ([[graft.operators.BandsStore]]), flags
+    * within-batch collisions, then absorbs the batch into the store —
+    * so the streaming and batch dedup pipelines share ONE corpus
+    * memory: documents deduplicated in flight are exactly the ones a
+    * later batch `dedup_minhash_cross` run would have caught, and
+    * vice versa. Returns the flagged pairs `(doc_id, dup_of)` for the
+    * caller's sink. Unlike the TTL-bounded query state, the store
+    * remembers the corpus indefinitely at parquet cost — pick by
+    * whether "duplicate of last hour" or "duplicate of the corpus" is
+    * the contract.
+    *
+    * Ordering: screen BEFORE absorb (a batch must not collide with
+    * itself through the store); within-batch collisions come from a
+    * band self-join on the batch's own (small) signature set.
+    */
+  def screenAndAbsorbBatch(batchDocs: DataFrame, storePath: String): DataFrame = {
+    val spark = batchDocs.sparkSession
+    val sigs = bandSignatures(batchDocs).select("band", "sig", "doc_id").cache()
+    try {
+      val storeExists =
+        try spark.read.parquet(storePath).columns.contains("band")
+        catch { case _: Throwable => false }
+      val vsStore =
+        if (!storeExists) spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("dup_of")).limit(0)
+        else {
+          val hist = spark.read.parquet(storePath)
+          sigs.as("x")
+            .join(hist.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+            .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
+        }
+      val within = sigs.as("x")
+        .join(sigs.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") > col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
+      val flags = vsStore.union(within).distinct().collect() // materialize BEFORE absorb
+      sigs.select("doc_id", "band", "sig")
+        .write.mode("append").partitionBy("band").parquet(storePath)
+      import spark.implicits._
+      flags.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("doc_id", "dup_of")
+    } finally {
+      sigs.unpersist()
+      ()
+    }
+  }
 }

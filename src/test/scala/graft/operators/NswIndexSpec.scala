@@ -62,4 +62,44 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       ()
     }
   }
+
+  test("insertIndex grows the index incrementally, rewriting only touched shards") {
+    val e = graft.queries.SimilarityQueries.vecs(spark, sf).cache()
+    try {
+      val path = new File(root, "nsw-incr").getAbsolutePath
+      val base = e.where(col("vec_id") < 400).repartition(4)
+      val late = e.where(col("vec_id") >= 400)
+      NswSearch.buildIndex(base, path, m = 8, efBuild = 24)
+      val nBase = spark.read.parquet(path).count()
+
+      // single-doc insert touches exactly ONE shard: the other shard
+      // partitions keep their files byte-for-byte
+      val one = late.where(col("vec_id") === 400)
+      val filesBefore = new File(path).listFiles().filter(_.getName.startsWith("part="))
+        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
+      NswSearch.insertIndex(spark, path, one)
+      val filesAfter = new File(path).listFiles().filter(_.getName.startsWith("part="))
+        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
+      val changed = filesBefore.keys.filter(k => filesBefore(k) != filesAfter(k))
+      changed.size shouldBe 1
+      spark.read.parquet(path).count() shouldBe nBase + 1
+
+      // bulk insert the rest; every vector is present and searchable at
+      // the same recall floor as a fresh build
+      NswSearch.insertIndex(spark, path, late.where(col("vec_id") > 400))
+      spark.read.parquet(path).count() shouldBe e.count()
+      spark.read.parquet(path).select("vec_id").distinct().count() shouldBe e.count()
+
+      val qids = 0L until 20L
+      val queries = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val exact = AnnSearch.exact(e, qids, 5)
+      val ann = NswSearch.searchIndex(spark, path, queries, k = 5, efSearch = 64)
+      AnnSearch.recallAt(exact, ann, qids, 5) should be >= 0.8
+    } finally {
+      e.unpersist()
+      ()
+    }
+  }
 }

@@ -88,4 +88,48 @@ class NearDupStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     // unrelated docs are never flagged, and owners are never self-flagged
     out.map(_._1).toSet shouldBe Set(2L, 3L)
   }
+
+  test("store-backed screen: stream and batch dedup share one corpus memory") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("neardup-store").toFile.getAbsolutePath + "/bands"
+    val in = Files.createTempDirectory("neardup-in2").toFile.getAbsolutePath
+    val chk = Files.createTempDirectory("neardup-chk2").toFile.getAbsolutePath
+
+    // corpus history absorbed through the BATCH front end
+    val history = Seq(Doc(100, tA, "en", ts("2024-01-01 09:00:00"))).toDF()
+    graft.operators.BandsStore.build(spark, history, store)
+
+    val flags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    writeBatch(in, Seq(
+      Doc(1, tA, "en", ts("2024-01-01 10:00:00")), // dup of history doc 100
+      Doc(2, tB, "en", ts("2024-01-01 10:00:01")), // fresh
+    ))
+    val q = DocumentStream.readDocs(spark, in)
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        flags ++= DocumentStream.screenAndAbsorbBatch(batch, store)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    // doc 1 collided with the BATCH-built history in all bands -> one
+    // distinct flag; doc 2 is clean and was absorbed
+    flags.toSet shouldBe Set((1L, 100L))
+
+    // next micro-batch: dup of the ABSORBED doc 2 -> the stream's own
+    // past is remembered through the store, not query state
+    writeBatch(in, Seq(Doc(3, tB, "en", ts("2024-01-01 10:05:00"))))
+    q.processAllAvailable()
+    q.stop()
+    flags.toSet shouldBe Set((1L, 100L), (3L, 2L))
+
+    // and the BATCH front end sees everything the stream absorbed
+    val probe = Seq(Doc(9, tB, "en", ts("2024-01-01 11:00:00"))).toDF()
+    val batchView = graft.operators.BandsStore.screen(spark, probe, store)
+      .select("old_doc").collect().map(_.getLong(0)).toSet
+    batchView shouldBe Set(2L, 3L)
+  }
 }
