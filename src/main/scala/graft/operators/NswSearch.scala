@@ -234,6 +234,72 @@ object NswSearch {
     }
   }
 
+  /** Bound per-task search cost for a long-lived index:
+    * [[insertIndex]]'s hash routing can skew shard sizes over many
+    * appends, and an oversized shard makes every query batch pay its
+    * O(n·M) walk. Split every shard holding more than `maxNodes`
+    * vectors into ceil(n/maxNodes) chunks of stored-ordinal order —
+    * the first chunk keeps the shard id, the rest take fresh ids past
+    * the current maximum (so [[insertIndex]]'s pmod routing domain
+    * stays contiguous 0..nParts-1) — rebuild each chunk's graph with
+    * the same deterministic build as [[buildIndex]], and rewrite ONLY
+    * the touched shard partitions (untouched shards keep their files,
+    * the insertIndex discipline). A pure function of the stored index:
+    * repeated rebalances are deterministic, and a rebalance with every
+    * shard within bound is a no-op. Returns the number of shards split.
+    *
+    * Recall is preserved, not traded: every shard still answers every
+    * query and the per-shard top-k merge is unchanged — more shards
+    * mean more entry points, smaller graphs, and the same ≤ B·k·tasks
+    * merge rows. Scale shape: only oversized shards' rows move (one
+    * grouping shuffle), each chunk rebuild is task-local.
+    */
+  def rebalanceIndex(spark: org.apache.spark.sql.SparkSession, path: String, maxNodes: Int, m: Int = 8, efBuild: Int = 24): Int = {
+    require(maxNodes > 0, s"maxNodes must be positive: $maxNodes")
+    import spark.implicits._
+    val sizes = spark.read.parquet(path)
+      .groupBy(col("part").cast("int").as("part")).count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    require(sizes.nonEmpty, s"no index shards at $path")
+    val oversized = sizes.filter(_._2 > maxNodes)
+    if (oversized.isEmpty) return 0
+    // fresh ids for every chunk after the first, assigned in shard order
+    var nextId = sizes.map(_._1).max + 1
+    val chunkIds: Map[Int, Seq[Int]] = oversized.map { case (part, n) =>
+      val chunks = ((n + maxNodes - 1) / maxNodes).toInt
+      val ids = part +: (0 until chunks - 1).map(i => nextId + i)
+      nextId += chunks - 1
+      part -> ids
+    }.toMap
+    val touched = chunkIds.keySet
+    val rewritten = spark.read.parquet(path)
+      .select(col("part").cast("int").as("part"), col("ord"), col("vec_id"), col("label"), col("v"), col("nbrs"))
+      .as[IndexRow]
+      .filter(r => touched.contains(r.part))
+      .groupByKey(_.part)
+      .flatMapGroups { (part, it) =>
+        val rows = it.toArray.sortBy(_.ord)
+        val ids = chunkIds(part)
+        val chunkSize = (rows.length + ids.length - 1) / ids.length
+        rows.grouped(chunkSize).zip(ids.iterator).flatMap { case (chunk, id) =>
+          val adj = buildGraph(chunk.map(_.v), m, efBuild)
+          chunk.iterator.zipWithIndex.map { case (r, ord) =>
+            IndexRow(id, ord, r.vec_id, r.label, r.v, adj(ord).toArray)
+          }
+        }
+      }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten.toDF().write.mode("overwrite").partitionBy("part").parquet(path)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    oversized.length
+  }
+
   /** Search a persisted index: one shuffle groups each partition's rows
     * back together (cheap relative to the build it replaces — pure data
     * movement, no cosine passes), the adjacency arrays are reassembled

@@ -102,4 +102,60 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       ()
     }
   }
+
+  test("rebalanceIndex splits oversized shards, leaves others untouched, and preserves recall") {
+    val e = graft.queries.SimilarityQueries.vecs(spark, sf).cache()
+    try {
+      val path = new File(root, "nsw-rebal").getAbsolutePath
+      // a deliberately skewed layout: shard sizes ~420 / ~40 / ~40
+      val skewed = e.repartitionByRange(3, col("vec_id") >= 420, col("vec_id") >= 460)
+      NswSearch.buildIndex(skewed, path, m = 8, efBuild = 24)
+      val sizes0 = spark.read.parquet(path).groupBy("part").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      sizes0.values.max should be > 100L
+
+      def shardFiles() = new File(path).listFiles().filter(_.getName.startsWith("part="))
+        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
+
+      // within-bound rebalance is a no-op: nothing returned, nothing rewritten
+      val before = shardFiles()
+      NswSearch.rebalanceIndex(spark, path, maxNodes = 1000) shouldBe 0
+      shardFiles() shouldBe before
+
+      // split the big shard into <=100-node chunks; small shards keep their files
+      val split = NswSearch.rebalanceIndex(spark, path, maxNodes = 100)
+      split shouldBe sizes0.count(_._2 > 100)
+      val after = shardFiles()
+      val untouched = sizes0.filter(_._2 <= 100).keys.map(p => s"part=$p").toSet
+      untouched.foreach(p => after(p) shouldBe before(p))
+      val sizes1 = spark.read.parquet(path).groupBy("part").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      sizes1.values.max should be <= 100L
+      // routing domain stays contiguous 0..nParts-1 for insertIndex
+      sizes1.keySet shouldBe (0 until sizes1.size).toSet
+      // node bag preserved exactly
+      spark.read.parquet(path).select("vec_id").collect().map(_.getLong(0)).sorted shouldBe
+        e.select(col("vec_id")).collect().map(_.getLong(0)).sorted
+
+      // the rebalanced index still answers at the recall floor, deterministically
+      val qids = 0L until 20L
+      val queries = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val exact = AnnSearch.exact(e, qids, 5)
+      val a1 = NswSearch.searchIndex(spark, path, queries, k = 5, efSearch = 64)
+      AnnSearch.recallAt(exact, a1, qids, 5) should be >= 0.8
+      val a2 = NswSearch.searchIndex(spark, path, queries, k = 5, efSearch = 64)
+      a1.collect().toSet shouldBe a2.collect().toSet
+
+      // inserts keep working against the widened shard domain
+      val n0 = spark.read.parquet(path).count()
+      NswSearch.insertIndex(spark, path,
+        spark.createDataFrame(Seq((9001L, "z", Array.fill(64)(0.5)))).toDF("vec_id", "label", "v"))
+      spark.read.parquet(path).count() shouldBe n0 + 1
+    } finally {
+      e.unpersist()
+      ()
+    }
+  }
 }
