@@ -76,7 +76,27 @@ object StreamBench {
     q.stop()
 
     // ---- form 2: store-backed (screen batch against persisted bands, absorb)
+    // Optional scale probe (ROADMAP 27): pre-seed the store with SEED_X
+    // disjoint copies of the corpus' bands (doc_ids offset into a range
+    // the stream never uses, sigs salted per copy so they collide with
+    // nothing) — pure history MASS, isolating the store form's
+    // history-proportional screen term from job overhead. The state form
+    // needs no counterpart: its per-batch cost touches only arriving
+    // keys by construction, which is exactly the asymmetry this measures.
+    val seedX = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEED_X", "0").toInt
     val storePath = Files.createTempDirectory("graft-sb-store").toFile.getAbsolutePath + "/bands"
+    if (seedX > 0) {
+      val bands = DocumentStream.bandSignatures(docs).select("doc_id", "band", "sig")
+      (1 to seedX).foreach { i =>
+        bands
+          .select(
+            (col("doc_id") + lit(1000000L * i)).as("doc_id"),
+            col("band"),
+            concat(col("sig"), lit(s"#seed$i")).as("sig"),
+          )
+          .write.mode("append").partitionBy("band").parquet(storePath)
+      }
+    }
     var storeFlags = 0L
     val storeMs = batches.map { b =>
       timeMs { storeFlags += DocumentStream.screenAndAbsorbBatch(b, storePath).count() }
@@ -84,7 +104,7 @@ object StreamBench {
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"stream_dedup_ms","batches":$nBatches,"rowsPerBatch":${total / nBatches},""" +
+      s"""{"metric":"stream_dedup_ms","batches":$nBatches,"rowsPerBatch":${total / nBatches},"seedX":$seedX,""" +
         s""""state":${arr(stateMs)},"store":${arr(storeMs)},""" +
         f""""stateTotal":${stateMs.sum}%.1f,"storeTotal":${storeMs.sum}%.1f,""" +
         s""""stateFlags":$stateFlags,"storeFlags":$storeFlags}""",
