@@ -783,6 +783,60 @@ object DedupQueries {
         )
         .orderBy("doc_id")
     },
+
+    // ----- corpus-wide repeated-PARAGRAPH removal with reassembly (the
+    // MassiveText/Gopher dedup unit between exact-doc and substring
+    // spans): keep only the FIRST occurrence of every distinct
+    // paragraph across the whole corpus — ordered by (doc_id, position)
+    // — drop every later repeat (including repeats within one doc), and
+    // rebuild each document from its surviving paragraphs in order. The
+    // fixture corpus has no newline delimiters, so a "paragraph" is a
+    // fixed 10-word unit; the pipeline is delimiter-agnostic. Scale
+    // shape: one corpus-wide window over the paragraph hash (rank of
+    // first occurrence — the same shuffle an exact-dedup groupBy pays)
+    // and one per-doc reassembly agg; at 100 TB the window would key on
+    // a 128-bit hash of the paragraph, not its text, exactly like the
+    // _fp span variant above.
+    Q(
+      "dedup_paragraphs",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ix AS (SELECT doc_id, ws,
+        |              unnest(generate_series(1, CAST(ceil(len(ws) / 10.0) AS INTEGER))) AS i
+        |       FROM w),
+        |para AS (SELECT doc_id, i AS pidx,
+        |                array_to_string(ws[(i - 1) * 10 + 1 : i * 10], ' ') AS p
+        |         FROM ix),
+        |ranked AS (SELECT doc_id, pidx, p,
+        |                  row_number() OVER (PARTITION BY p ORDER BY doc_id, pidx) AS rn
+        |           FROM para)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INTEGER) AS n_removed,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN p END, ' ' ORDER BY pidx), '') AS clean_text
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("p").orderBy("doc_id", "pidx")
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(
+          col("doc_id"),
+          explode(expr("sequence(1, CAST(ceil(size(ws) / 10.0) AS INT))")).as("pidx"),
+          col("ws"),
+        )
+        .select(
+          col("doc_id"), col("pidx"),
+          expr("array_join(slice(ws, (pidx - 1) * 10 + 1, 10), ' ')").as("p"),
+        )
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("rn") === 1, 0).otherwise(1)).cast("int").as("n_removed"),
+          concat_ws(
+            " ",
+            expr("transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(pidx, p) END)), x -> x.p)"),
+          ).as("clean_text"),
+        )
+        .orderBy("doc_id")
+    },
   )
 
   /** Shared SimHash fingerprint pipeline (doc_id, simhash BIGINT):

@@ -352,5 +352,67 @@ object EventQueries {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_distinct_users"))
         .crossJoin(events.agg(countDistinct("user_id").as("exact_distinct_users")))
     },
+
+    // ----- interval OVERLAP join with NO equality key — per error
+    // event, the purchases whose 30-minute activity window overlaps its
+    // own. The declarative form is a pure inequality join, which Spark
+    // can only plan as BroadcastNestedLoopJoin: O(|A|·|B|) compares at
+    // ANY scale. The scalable form quantizes time onto a grid no finer
+    // than the interval length, EXPLODES each interval to the grid cells
+    // it covers (≤ 2 here — cell size = interval length), equi-joins on
+    // the cell (a real hash shuffle, prunable, AQE-skew-splittable),
+    // dedups the pair (a pair can meet in 2 cells), and applies the
+    // exact half-open overlap predicate. Candidates are a guaranteed
+    // superset (overlapping intervals share the cell containing their
+    // intersection), so the rewrite is lossless; shuffle volume is
+    // Σ cells-per-interval ≈ 2·(|A|+|B|) rows, never |A|·|B|. Cells
+    // come from integer microsecond arithmetic (exclusive end ⇒ last
+    // covered instant is e−1 µs), exact for any timestamp. The oracle
+    // runs DuckDB's native inequality (IE) join over the same
+    // intervals. Aggregates are order-independent only (count/max) —
+    // no float sum enters the hash compare.
+    Q(
+      "join_interval_overlap",
+      """WITH a AS (SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+        |           FROM events WHERE event_type = 'error'),
+        |b AS (SELECT event_id, value, ts AS s, ts + INTERVAL 30 MINUTE AS e
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT a.event_id,
+        |       CAST(count(b.event_id) AS INTEGER) AS n_overlap,
+        |       CAST(max(b.value) AS DOUBLE) AS max_value
+        |FROM a LEFT JOIN b ON a.s < b.e AND b.s < a.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def side(t: String) = ev
+        .where(col("event_type") === t)
+        .select(
+          col("event_id"), col("value"),
+          col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"),
+        )
+      // 30-min grid cells covered by [s, e): exact integer-µs arithmetic
+      def cells(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "cell",
+        explode(expr("sequence(unix_micros(s) div 1800000000, (unix_micros(e) - 1) div 1800000000)")),
+      )
+      val a = side("error")
+      val pairs = cells(a).as("a")
+        .join(
+          cells(side("purchase")).as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.s") < col("b.e") && col("b.s") < col("a.e"),
+        )
+        .select(col("a.event_id").as("event_id"), col("b.event_id").as("b_id"), col("b.value").as("value"))
+        .distinct()
+      a.select("event_id")
+        .join(pairs, Seq("event_id"), "left")
+        .groupBy("event_id")
+        .agg(
+          count(col("b_id")).cast("int").as("n_overlap"),
+          max(col("value")).cast("double").as("max_value"),
+        )
+        .orderBy("event_id")
+    },
   )
 }

@@ -194,6 +194,67 @@ object TextQueries {
         .orderBy("lang", "bucket")
     },
 
+    // ----- interpolated BIGRAM-LM perplexity — one model order up from
+    // text_perplexity, the usual next rung of the CCNet-style quality
+    // ladder: P(w|pw) = 0.7·c(pw,w)/c(pw) + 0.3·c(w)/T (fixed-weight
+    // Jelinek–Mercer interpolation; trained on the corpus itself, so
+    // every scored bigram has c ≥ 1 and the inner joins are total).
+    // Scale shape: the bigram count agg is the one new corpus-wide
+    // shuffle; the count tables broadcast while bigram vocab ≪ corpus
+    // (they do here — swap to a shuffle join on (pw, w) when they
+    // don't); bigram derivation is a per-doc lag window, the same
+    // per-partition sort every window query pays. Float discipline as
+    // text_perplexity: identical left-assoc arithmetic in both engines,
+    // position-ordered per-doc fold, round(4) for the ln() ulp.
+    Q(
+      "text_perplexity_bigram",
+      """WITH toks AS (SELECT doc_id,
+        |                     generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |                     unnest(string_split(text, ' ')) AS w
+        |              FROM documents),
+        |cnt1 AS (SELECT w, CAST(count(*) AS DOUBLE) AS c1 FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+        |bi AS (SELECT doc_id, pos, w,
+        |              lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw
+        |       FROM toks),
+        |bi2 AS (SELECT * FROM bi WHERE pw IS NOT NULL),
+        |cnt2 AS (SELECT pw, w, CAST(count(*) AS DOUBLE) AS c2 FROM bi2 GROUP BY pw, w),
+        |j AS (SELECT b.doc_id, b.pos,
+        |             -ln(0.7 * c2 / p1.c1 + 0.3 * u1.c1 / t) AS nll
+        |      FROM bi2 b
+        |      JOIN cnt2 USING (pw, w)
+        |      JOIN cnt1 p1 ON p1.w = b.pw
+        |      JOIN cnt1 u1 ON u1.w = b.w
+        |      CROSS JOIN tot),
+        |d AS (SELECT doc_id, count(*) AS n_bigrams,
+        |             list_reduce(list(nll ORDER BY pos), (a, b) -> a + b) AS s
+        |      FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(s / n_bigrams, 4) AS avg_nll
+        |FROM d ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val toks = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val bi = toks
+        .withColumn("pw", lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .where(col("pw").isNotNull)
+      val cnt1 = toks.groupBy("w").agg(count(lit(1)).cast("double").as("c1"))
+      val cnt2 = bi.groupBy("pw", "w").agg(count(lit(1)).cast("double").as("c2"))
+      val tot = toks.agg(count(lit(1)).cast("double").as("t"))
+      bi
+        .join(broadcast(cnt2), Seq("pw", "w"))
+        .join(broadcast(cnt1.select(col("w").as("pw"), col("c1").as("c1p"))), Seq("pw"))
+        .join(broadcast(cnt1.select(col("w"), col("c1").as("c1w"))), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", -log(lit(0.7) * col("c2") / col("c1p") + lit(0.3) * col("c1w") / col("t")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          expr("aggregate(transform(sort_array(collect_list(struct(pos, nll))), p -> p.nll), 0D, (a, v) -> a + v)").as("s"),
+        )
+        .select(col("doc_id"), col("n_bigrams"), round(col("s") / col("n_bigrams"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
     // ----- token-level Shannon entropy: H = -Σ (c/n)·ln(c/n) over each
     // doc's own word distribution — the info-theoretic quality dial
     // (repetitive/templated docs score low even when TTR looks fine;
