@@ -301,6 +301,43 @@ object EventQueries {
       }
     },
 
+    // ----- count-min sketch: the mergeable POINT-FREQUENCY sketch that
+    // completes the sketch family (HLL = distinct, theta = set ops,
+    // approx_top_k = heavy hitters, bloom = membership, CMS = per-key
+    // counts): "how often did user X appear" from fixed-size shard
+    // sketches, never from raw events. Per event_type one
+    // count_min_sketch aggregate (the per-shard sketch-table shape);
+    // the merge is driver-side CountMinSketch.mergeInPlace over the
+    // 5-row sketch table — the 100-TB pattern merges 365 daily sketch
+    // rows, not 10^12 events (Spark has no SQL-level CMS union, so the
+    // tiny-table driver fold IS the honest shape; contrast
+    // agg_hll_sketch_merge where hll_union_agg keeps it in-plan).
+    // Estimates are seed-deterministic but implementation-specific →
+    // rows-only check; the exact count rides along in-row and
+    // SketchWitnessSpec pins the one-sided CMS error bound
+    // (exact ≤ est ≤ exact + eps·N) over EVERY user.
+    Q.noOracle("agg_count_min") { (s, d) =>
+      import s.implicits._
+      val events = Tables.events(s, d)
+      val shardSketches = events.groupBy("event_type")
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+        .select("sk").as[Array[Byte]].collect()
+      val merged = shardSketches
+        .map(b => org.apache.spark.util.sketch.CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+        .reduce { (x, y) => x.mergeInPlace(y); x }
+      val mergedB = s.sparkContext.broadcast(merged.toByteArray)
+      events.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), col("user_id")).limit(5)
+        .as[(Long, Long)]
+        .map { case (u, exact) =>
+          val sk = org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(mergedB.value))
+          (u, exact, sk.estimateCount(u))
+        }
+        .toDF("user_id", "exact_n", "cms_est")
+        .orderBy(desc("exact_n"), col("user_id"))
+    },
+
     // ----- theta sketches: the distinct-count sketch that supports SET
     // OPERATIONS (HLL unions only; theta intersects and differences).
     // "High-value purchasers who also reported errors" without ever
@@ -391,28 +428,45 @@ object EventQueries {
           col("ts").as("s"),
           (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"),
         )
-      // 30-min grid cells covered by [s, e): exact integer-µs arithmetic
-      def cells(df: org.apache.spark.sql.DataFrame) = df.withColumn(
-        "cell",
-        explode(expr("sequence(unix_micros(s) div 1800000000, (unix_micros(e) - 1) div 1800000000)")),
-      )
-      val a = side("error")
-      val pairs = cells(a).as("a")
-        .join(
-          cells(side("purchase")).as("b"),
-          col("a.cell") === col("b.cell") &&
-            col("a.s") < col("b.e") && col("b.s") < col("a.e"),
-        )
-        .select(col("a.event_id").as("event_id"), col("b.event_id").as("b_id"), col("b.value").as("value"))
-        .distinct()
-      a.select("event_id")
-        .join(pairs, Seq("event_id"), "left")
-        .groupBy("event_id")
-        .agg(
-          count(col("b_id")).cast("int").as("n_overlap"),
-          max(col("value")).cast("double").as("max_value"),
-        )
-        .orderBy("event_id")
+      overlapJoinAgg(side("error"), side("purchase"), cellSeconds = 1800L)
     },
   )
+
+  /** The bucketed interval-overlap kernel behind `join_interval_overlap`,
+    * factored out so QueryWitnessSpec can pin losslessness against the
+    * naive cross join on adversarial (cell-boundary-aligned) and
+    * seeded-random intervals. `a`/`b` carry (event_id, value, s, e) with
+    * half-open [s, e). The grid may be ANY size — a finer grid only
+    * raises cells-per-interval, never loses candidates — but cell size ≈
+    * interval length keeps the explode factor ≤ 2.
+    */
+  private[graft] def overlapJoinAgg(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      cellSeconds: Long,
+  ): org.apache.spark.sql.DataFrame = {
+    val cellUs = cellSeconds * 1000000L
+    // grid cells covered by [s, e): exact integer-µs arithmetic; the
+    // exclusive end means the last covered instant is e − 1 µs
+    def cells(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+      "cell",
+      explode(expr(s"sequence(unix_micros(s) div $cellUs, (unix_micros(e) - 1) div $cellUs)")),
+    )
+    val pairs = cells(a).as("a")
+      .join(
+        cells(b).as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e"),
+      )
+      .select(col("a.event_id").as("event_id"), col("b.event_id").as("b_id"), col("b.value").as("value"))
+      .distinct()
+    a.select("event_id")
+      .join(pairs, Seq("event_id"), "left")
+      .groupBy("event_id")
+      .agg(
+        count(col("b_id")).cast("int").as("n_overlap"),
+        max(col("value")).cast("double").as("max_value"),
+      )
+      .orderBy("event_id")
+  }
 }

@@ -96,6 +96,83 @@ class QueryWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
     docs.map(_._2.split(" ", -1).count(block)).sum shouldBe masked.values.map(_._1).sum
   }
 
+  test("overlapJoinAgg is lossless vs the naive cross join on boundary-aligned and random intervals") {
+    val s = spark
+    import s.implicits._
+    val cell = 1800L // seconds
+    val base = 1700000000000000L // µs epoch, cell-aligned after div
+    // Adversarial cases around the grid: starts/ends exactly ON cell
+    // boundaries, 1 µs either side, zero-length-adjacent (1 µs), and
+    // intervals spanning 1, 2, and 3 cells — plus a seeded random swarm.
+    val rnd = new scala.util.Random(42)
+    val cellUs = cell * 1000000L
+    val edgy = Seq(
+      (0L, base, base + cellUs), // exactly one cell
+      (1L, base + cellUs - 1L, base + cellUs), // last µs of a cell
+      (2L, base + cellUs, base + cellUs + 1L), // first µs of next cell
+      (3L, base - 1L, base + 1L), // straddles a boundary by 1 µs each side
+      (4L, base, base + 3L * cellUs), // three full cells
+      (5L, base + cellUs / 2, base + cellUs / 2 + 1L), // 1-µs interval mid-cell
+    )
+    val rand = (10L until 90L).map { i =>
+      val st = base + (rnd.nextLong(6L * cellUs) - 3L * cellUs)
+      (i, st, st + 1L + rnd.nextLong(2L * cellUs))
+    }
+    def mk(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("event_id", "su", "eu")
+      .select(
+        col("event_id"), (col("event_id") % 7).cast("double").as("value"),
+        expr("timestamp_micros(su)").as("s"), expr("timestamp_micros(eu)").as("e"),
+      )
+    val all = edgy ++ rand
+    val a = mk(all.filter(_._1 % 2 == 0))
+    val b = mk(all.filter(_._1 % 2 == 1))
+    val naive = a.as("a")
+      .join(b.as("b"), col("a.s") < col("b.e") && col("b.s") < col("a.e"), "left")
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(col("b.event_id")).cast("int").as("n_overlap"), max(col("b.value")).cast("double").as("max_value"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet
+    val bucketed = graft.queries.EventQueries.overlapJoinAgg(a, b, cell)
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet
+    bucketed shouldBe naive
+    bucketed.map(_._1).size shouldBe all.count(_._1 % 2 == 0) // every left row present
+    bucketed.exists(_._2 > 0) shouldBe true // and the fixture isn't vacuous
+    // a FINER grid (more cells per interval) must produce identical results
+    graft.queries.EventQueries.overlapJoinAgg(a, b, cell / 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet shouldBe naive
+  }
+
+  test("dedup_paragraphs: untouched docs reassemble to their exact text; kept paragraphs are corpus-unique") {
+    val s = spark
+    import s.implicits._
+    val out = SparkEntry.queries("dedup_paragraphs")(s, sf)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val docs = Tables.documents(s, sf).select("doc_id", "text").as[(Long, String)].collect()
+    docs.length shouldBe out.size
+    out.values.map(_._1).sum should be > 0 // the fixture exercises removal
+    // full independent replay: first occurrence of every paragraph in
+    // (doc_id, position) order, then per-doc reassembly — byte-for-byte
+    val paraOf = docs.map { case (id, text) =>
+      id -> text.split(" ", -1).grouped(10).map(_.mkString(" ")).toVector
+    }.toMap
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    docs.sortBy(_._1).foreach { case (id, _) =>
+      paraOf(id).zipWithIndex.foreach { case (p, i) =>
+        if (!first.contains(p)) first(p) = (id, i)
+      }
+    }
+    docs.foreach { case (id, text) =>
+      val paras = paraOf(id)
+      val keptP = paras.zipWithIndex.collect { case (p, i) if first(p) == ((id, i)) => p }
+      val (nRemoved, clean) = out(id)
+      withClue(s"doc $id: ") {
+        nRemoved shouldBe paras.size - keptP.size
+        clean shouldBe keptP.mkString(" ")
+        if (nRemoved == 0) clean shouldBe text // identity when nothing removed
+      }
+    }
+  }
+
   private implicit class Tap[A](private val a: A) {
     def tap(f: A => Unit): A = { f(a); a }
   }

@@ -102,4 +102,34 @@ class SketchWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
     exact should be > 0.0
     math.abs(est - exact) should be <= math.max(0.05 * exact, 2.0)
   }
+
+  test("agg_count_min: one-sided CMS bound holds for every user, not just the reported top-5") {
+    val s = spark
+    import s.implicits._
+    // replay the query's shard-sketch + merge pipeline so the bound can
+    // be probed at EVERY key (the registered query reports top-5 rows)
+    val events = Tables.events(s, sf)
+    val merged = events.groupBy("event_type")
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .select("sk").as[Array[Byte]].collect()
+      .map(b => org.apache.spark.util.sketch.CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (x, y) => x.mergeInPlace(y); x }
+    val exact = events.groupBy("user_id").count().as[(Long, Long)].collect()
+    val n = exact.map(_._2).sum
+    exact.length should be > 10
+    exact.foreach { case (u, c) =>
+      val est = merged.estimateCount(u)
+      withClue(s"user $u: ") {
+        est should be >= c // CMS never undercounts
+        est should be <= c + math.max(1L, math.ceil(0.001 * n).toLong) // eps·N overcount cap
+      }
+    }
+    // and the registered query's in-row witness agrees with this replay
+    val rows = SparkEntry.queries("agg_count_min")(s, sf).as[(Long, Long, Long)].collect()
+    rows should have size 5
+    rows.foreach { case (u, ex, est) =>
+      ex shouldBe exact.toMap.apply(u)
+      est shouldBe merged.estimateCount(u)
+    }
+  }
 }
