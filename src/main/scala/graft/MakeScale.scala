@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
   *     text so token/length queries stay self-consistent.
   *   - `embeddings`: vec_id offset per copy, vectors unchanged (N×
   *     corpus for kNN/IVF/PQ search; geometry per shard identical).
+  *   - `events`: event_id/user_id offset per copy and ts shifted by
+  *     k·370 days — shards are disjoint in time (370 d is a multiple of
+  *     every window/cell size used, so per-shard windowing is identical
+  *     and cross-shard interval overlaps are impossible: candidate
+  *     pairs scale linearly, the same discipline as the shingle-space
+  *     split) and disjoint in users (sessions/funnels/cohorts stay
+  *     shard-local).
   *   - every other table: byte-copied once — the ladder queries scale on
-  *     documents/embeddings; the rest only need to be readable.
+  *     documents/embeddings/events; the rest only need to be readable.
   *
   * {{{ sbt "runMain graft.MakeScale /root/testdata/sf0.1 /tmp/sf1equiv 10" }}}
   */
@@ -57,14 +64,29 @@ object MakeScale {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events").foreach { t =>
+    val ev = Tables.events(spark, src) // unit-sniffed read: ts lands as µs
+    val evSpan = ev.agg(max("event_id")).head().getLong(0) + 1
+    val userSpan = ev.agg(max("user_id")).head().getLong(0) + 1
+    (0 until copies)
+      .map { k =>
+        ev.select(
+          (col("event_id") + lit(k * evSpan)).as("event_id"),
+          expr(s"ts + make_interval(0, 0, 0, ${k * 370L}, 0, 0, 0)").as("ts"),
+          (col("user_id") + lit(k * userSpan)).as("user_id"),
+          col("event_type"), col("value"), col("props"),
+        )
+      }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem").foreach { t =>
       Files.copy(
         Paths.get(s"$src/$t.parquet"), Paths.get(s"$dest/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING,
       )
       ()
     }
-    println(s"[make-scale] wrote ${copies}x documents/embeddings shards + passthrough tables to $dest")
+    println(s"[make-scale] wrote ${copies}x documents/embeddings/events shards + passthrough tables to $dest")
     spark.stop()
   }
 }
