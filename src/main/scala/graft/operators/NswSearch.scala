@@ -179,8 +179,13 @@ object NswSearch {
     * Insertion order within a shard is the stored ordinal order
     * followed by new-vector id order, so repeated inserts are
     * deterministic.
+    *
+    * `rebalanceMax` > 0 additionally runs [[rebalanceIndex]] after the
+    * insert, so a long-lived index keeps its per-shard search cost
+    * bounded without a separate maintenance pass; 0 (default) leaves
+    * maintenance to the caller.
     */
-  def insertIndex(spark: org.apache.spark.sql.SparkSession, path: String, newDocs: DataFrame, m: Int = 8, efBuild: Int = 24): Unit = {
+  def insertIndex(spark: org.apache.spark.sql.SparkSession, path: String, newDocs: DataFrame, m: Int = 8, efBuild: Int = 24, rebalanceMax: Int = 0): Unit = {
     import spark.implicits._
     val parts = spark.read.parquet(path).select(col("part")).distinct().as[Int].collect().sorted
     require(parts.nonEmpty, s"no index shards at $path")
@@ -232,6 +237,7 @@ object NswSearch {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    if (rebalanceMax > 0) { rebalanceIndex(spark, path, rebalanceMax, m, efBuild); () }
   }
 
   /** Bound per-task search cost for a long-lived index:

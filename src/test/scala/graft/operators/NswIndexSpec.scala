@@ -153,6 +153,17 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       NswSearch.insertIndex(spark, path,
         spark.createDataFrame(Seq((9001L, "z", Array.fill(64)(0.5)))).toDF("vec_id", "label", "v"))
       spark.read.parquet(path).count() shouldBe n0 + 1
+
+      // auto-rebalance: a bulk insert with rebalanceMax keeps every
+      // shard within bound in the same call, with nothing lost
+      NswSearch.insertIndex(spark, path,
+        spark.createDataFrame((9100L until 9200L).map(i => (i, "w", Array.fill(64)(i / 9200.0))))
+          .toDF("vec_id", "label", "v"),
+        rebalanceMax = 60)
+      val sizes2 = spark.read.parquet(path).groupBy("part").count()
+        .collect().map(r => r.getLong(1))
+      sizes2.max should be <= 60L
+      sizes2.sum shouldBe n0 + 1 + 100
     } finally {
       e.unpersist()
       ()
