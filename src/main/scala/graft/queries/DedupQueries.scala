@@ -837,6 +837,68 @@ object DedupQueries {
         )
         .orderBy("doc_id")
     },
+
+    // ----- the 100-TB form of the paragraph dedup above, the same move
+    // as dedup_substring_spans_fp: the duplicate-DETECTION shuffle (the
+    // corpus-wide first-occurrence window) carries 60-bit md5
+    // fingerprints + (doc_id, pidx) — ~24-byte rows — instead of full
+    // paragraph text; text then moves only on doc_id-keyed paths (the
+    // keep-flag join back and the reassembly agg), which any
+    // reassembling dedup pays regardless. Collisions can only remove a
+    // FALSE extra paragraph (birthday bound N²/2⁶¹); at fixture scale
+    // zero — output pinned identical to the string-keyed query by
+    // QueryWitnessSpec.
+    Q(
+      "dedup_paragraphs_fp",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ix AS (SELECT doc_id, ws,
+        |              unnest(generate_series(1, CAST(ceil(len(ws) / 10.0) AS INTEGER))) AS i
+        |       FROM w),
+        |para AS (SELECT doc_id, i AS pidx,
+        |                array_to_string(ws[(i - 1) * 10 + 1 : i * 10], ' ') AS p
+        |         FROM ix),
+        |ranked AS (SELECT doc_id, pidx,
+        |                  row_number() OVER (PARTITION BY ('0x' || substr(md5(p), 1, 15))::BIGINT
+        |                                     ORDER BY doc_id, pidx) AS rn
+        |           FROM para)
+        |SELECT para.doc_id,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INTEGER) AS n_removed,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN p END, ' ' ORDER BY para.pidx), '') AS clean_text
+        |FROM para JOIN ranked ON para.doc_id = ranked.doc_id AND para.pidx = ranked.pidx
+        |GROUP BY para.doc_id ORDER BY para.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val chunks = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(
+          col("doc_id"),
+          explode(expr("sequence(1, CAST(ceil(size(ws) / 10.0) AS INT))")).as("pidx"),
+          col("ws"),
+        )
+        .select(
+          col("doc_id"), col("pidx"),
+          expr("array_join(slice(ws, (pidx - 1) * 10 + 1, 10), ' ')").as("p"),
+        )
+      // narrow detection: only (fp, doc_id, pidx) enters the window shuffle
+      val w = Window.partitionBy("fp").orderBy("doc_id", "pidx")
+      val flags = chunks
+        .select(
+          col("doc_id"), col("pidx"),
+          expr("CAST(conv(substring(md5(p), 1, 15), 16, 10) AS BIGINT)").as("fp"),
+        )
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("pidx"), col("rn"))
+      chunks
+        .join(flags, Seq("doc_id", "pidx"))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("rn") === 1, 0).otherwise(1)).cast("int").as("n_removed"),
+          concat_ws(
+            " ",
+            expr("transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(pidx, p) END)), x -> x.p)"),
+          ).as("clean_text"),
+        )
+        .orderBy("doc_id")
+    },
   )
 
   /** Shared SimHash fingerprint pipeline (doc_id, simhash BIGINT):

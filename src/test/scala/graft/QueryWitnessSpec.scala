@@ -173,6 +173,15 @@ class QueryWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("dedup_paragraphs_fp equals the string-keyed query exactly (collision-free at fixture scale)") {
+    val s = spark
+    def rows(name: String) = SparkEntry.queries(name)(s, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val fp = rows("dedup_paragraphs_fp")
+    fp shouldBe rows("dedup_paragraphs")
+    fp.exists(_._2 > 0) shouldBe true
+  }
+
   private implicit class Tap[A](private val a: A) {
     def tap(f: A => Unit): A = { f(a); a }
   }
