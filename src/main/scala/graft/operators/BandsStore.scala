@@ -23,30 +23,74 @@ import org.apache.spark.sql.functions._
   */
 object BandsStore {
 
-  /** Build (overwrite) the bands store from a (doc_id, text) corpus. */
-  def build(spark: SparkSession, docs: DataFrame, path: String, rowsPerBand: Int = 4): Unit =
-    graft.queries.DedupQueries.minhashBands(spark, docs, rowsPerBand)
-      .write.mode("overwrite").partitionBy("band").parquet(path)
+  /** Second-level partition: a stable hash bucket of the signature —
+    * the scan-pruning dial for stores that outgrow one machine's scan
+    * bandwidth (the term the StreamBench seeded probe isolates). Must
+    * be identical at build/append/screen time; crc32 is stable across
+    * JVMs and Spark versions (unlike hash(), whose seed is an
+    * implementation detail).
+    */
+  private def sigBucket(nBuckets: Int) =
+    pmod(crc32(col("sig").cast("binary")), lit(nBuckets.toLong)).cast("int").as("sigb")
+
+  /** Build (overwrite) the bands store from a (doc_id, text) corpus.
+    * `sigBuckets` > 1 adds the sig-hash partition level under `band`.
+    */
+  def build(spark: SparkSession, docs: DataFrame, path: String, rowsPerBand: Int = 4, sigBuckets: Int = 1): Unit = {
+    val bands = graft.queries.DedupQueries.minhashBands(spark, docs, rowsPerBand)
+    if (sigBuckets <= 1) bands.write.mode("overwrite").partitionBy("band").parquet(path)
+    else bands.withColumn("sigb", sigBucket(sigBuckets))
+      .write.mode("overwrite").partitionBy("band", "sigb").parquet(path)
+  }
 
   /** Append a new batch's bands — call AFTER screening the batch, so the
     * batch never pairs with itself through the store.
     */
-  def append(spark: SparkSession, newDocs: DataFrame, path: String, rowsPerBand: Int = 4): Unit =
-    graft.queries.DedupQueries.minhashBands(spark, newDocs, rowsPerBand)
-      .write.mode("append").partitionBy("band").parquet(path)
+  def append(spark: SparkSession, newDocs: DataFrame, path: String, rowsPerBand: Int = 4, sigBuckets: Int = 1): Unit = {
+    val bands = graft.queries.DedupQueries.minhashBands(spark, newDocs, rowsPerBand)
+    if (sigBuckets <= 1) bands.write.mode("append").partitionBy("band").parquet(path)
+    else bands.withColumn("sigb", sigBucket(sigBuckets))
+      .write.mode("append").partitionBy("band", "sigb").parquet(path)
+  }
 
   /** Candidate near-duplicate pairs of a NEW batch against the persisted
     * history: (new_doc, old_doc), distinct. Only the batch side runs the
     * shingle→minhash pipeline; the history side is a parquet scan of the
     * store. Exact verification (Jaccard/containment on the candidate
     * pairs) stays the caller's next step, same as every LSH path here.
+    *
+    * With `sigBuckets` matching the store's, the batch's observed
+    * (band, sigb) combinations become a STATIC partition filter on the
+    * history scan — a small batch touches a few buckets and the screen
+    * reads only those directories, the pruning that matters once the
+    * store's band partitions outgrow scan bandwidth. (The combo list is
+    * collected driver-side; it is bounded by nBands·sigBuckets, not by
+    * batch size.) Joining on sigb as well keeps the shuffle narrower;
+    * candidates are unchanged because sigb is a function of sig.
     */
-  def screen(spark: SparkSession, newDocs: DataFrame, path: String, rowsPerBand: Int = 4): DataFrame = {
+  def screen(spark: SparkSession, newDocs: DataFrame, path: String, rowsPerBand: Int = 4, sigBuckets: Int = 1): DataFrame = {
     val newBands = graft.queries.DedupQueries.minhashBands(spark, newDocs, rowsPerBand)
-    val hist = spark.read.parquet(path)
-    newBands.as("x")
-      .join(hist.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
-      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("old_doc"))
-      .distinct()
+    if (sigBuckets <= 1) {
+      val hist = spark.read.parquet(path)
+      newBands.as("x")
+        .join(hist.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+        .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("old_doc"))
+        .distinct()
+    } else {
+      val withB = newBands.withColumn("sigb", sigBucket(sigBuckets))
+      val combos = withB.select("band", "sigb").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      val hist = spark.read.parquet(path)
+        .where(concat_ws(":", col("band"), col("sigb"))
+          .isin(combos.map { case (b, s) => s"$b:$s" }.toSeq: _*))
+      withB.as("x")
+        .join(
+          hist.as("y"),
+          col("x.band") === col("y.band") && col("x.sigb") === col("y.sigb") &&
+            col("x.sig") === col("y.sig"),
+        )
+        .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("old_doc"))
+        .distinct()
+    }
   }
 }

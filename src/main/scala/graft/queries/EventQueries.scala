@@ -460,6 +460,61 @@ object EventQueries {
       )
       .select(col("a.event_id").as("event_id"), col("b.event_id").as("b_id"), col("b.value").as("value"))
       .distinct()
+    aggPairs(a, pairs)
+  }
+
+  /** Multi-level variant of [[overlapJoinAgg]] for HETEROGENEOUS
+    * interval lengths (ROADMAP 31): with one grid, Σcells is
+    * Σ len/cell — a few long intervals explode to arbitrarily many
+    * cells. Here level ℓ has cell size base·2^ℓ (ℓ < `levels`); each
+    * interval REGISTERS on the smallest level whose cell covers its
+    * length (≤ 2 cells, except at the top level, which caps the
+    * hierarchy) and PROBES every level at or above its own (≤ 3 cells
+    * per coarser level — a short interval can straddle one boundary of
+    * a coarse cell; +1 for the exclusive-end µs). A pair (x, y) with
+    * lvl(x) ≤ lvl(y) meets where x probes y's registration level, so
+    * candidates = probeA⋈regB ∪ regA⋈probeB is a lossless superset and
+    * per-interval work is O(levels), independent of interval length —
+    * Σcells is O(L·(|A|+|B|)) for ANY length mix.
+    */
+  private[graft] def overlapJoinAggLevels(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      baseCellSeconds: Long,
+      levels: Int,
+  ): org.apache.spark.sql.DataFrame = {
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    val baseUs = baseCellSeconds * 1000000L
+    // smallest level whose cell >= interval length, capped at levels-1
+    def lvl(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+      "lvl",
+      least(
+        greatest(ceil(log(2.0, (unix_micros(col("e")) - unix_micros(col("s"))).cast("double") / baseUs)).cast("int"), lit(0)),
+        lit(levels - 1),
+      ),
+    )
+    def cellsAt(levelCol: String) =
+      s"sequence(unix_micros(s) div ($baseUs * shiftleft(1L, $levelCol)), (unix_micros(e) - 1) div ($baseUs * shiftleft(1L, $levelCol)))"
+    def reg(df: org.apache.spark.sql.DataFrame) = lvl(df)
+      .withColumn("cell", explode(expr(cellsAt("lvl"))))
+    def probe(df: org.apache.spark.sql.DataFrame) = lvl(df)
+      .withColumn("plvl", explode(expr(s"sequence(lvl, ${levels - 1})")))
+      .withColumn("cell", explode(expr(cellsAt("plvl"))))
+      .withColumn("lvl", col("plvl"))
+    def meet(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.as("a").join(
+        y.as("b"),
+        col("a.lvl") === col("b.lvl") && col("a.cell") === col("b.cell") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e"),
+      ).select(col("a.event_id").as("event_id"), col("b.event_id").as("b_id"), col("b.value").as("value"))
+    val pairs = meet(probe(a), reg(b)).union(meet(reg(a), probe(b))).distinct()
+    aggPairs(a, pairs)
+  }
+
+  private def aggPairs(
+      a: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame =
     a.select("event_id")
       .join(pairs, Seq("event_id"), "left")
       .groupBy("event_id")
@@ -468,5 +523,4 @@ object EventQueries {
         max(col("value")).cast("double").as("max_value"),
       )
       .orderBy("event_id")
-  }
 }

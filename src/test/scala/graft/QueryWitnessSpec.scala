@@ -173,6 +173,50 @@ class QueryWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("overlapJoinAggLevels matches naive on wildly mixed interval lengths, with fewer cells than one grid") {
+    val s = spark
+    import s.implicits._
+    val baseCell = 1800L
+    val baseUs = baseCell * 1000000L
+    val levels = 6
+    val base = 1700000000000000L
+    val rnd = new scala.util.Random(7)
+    // length mix spanning 4 decades: 1 s .. 40 base cells (20 h)
+    val lens = Seq(1000000L, 30L * 1000000L, baseUs / 2, baseUs, 3L * baseUs, 10L * baseUs, 40L * baseUs)
+    val all = (0L until 120L).map { i =>
+      val st = base + rnd.nextLong(50L * baseUs)
+      (i, st, st + lens(rnd.nextInt(lens.length)) + rnd.nextLong(1000L))
+    }
+    def mk(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("event_id", "su", "eu")
+      .select(
+        col("event_id"), (col("event_id") % 5).cast("double").as("value"),
+        expr("timestamp_micros(su)").as("s"), expr("timestamp_micros(eu)").as("e"),
+      )
+    val a = mk(all.filter(_._1 % 2 == 0))
+    val b = mk(all.filter(_._1 % 2 == 1))
+    val naive = a.as("a")
+      .join(b.as("b"), col("a.s") < col("b.e") && col("b.s") < col("a.e"), "left")
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(col("b.event_id")).cast("int").as("n_overlap"), max(col("b.value")).cast("double").as("max_value"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet
+    graft.queries.EventQueries.overlapJoinAggLevels(a, b, baseCell, levels)
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet shouldBe naive
+    // the single-grid kernel stays lossless on this mix too — it just
+    // pays more cells; replay both cost formulas and pin the saving
+    graft.queries.EventQueries.overlapJoinAgg(a, b, baseCell)
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet shouldBe naive
+    def cellsAt(su: Long, eu: Long, cu: Long) = ((eu - 1) / cu - su / cu + 1).toInt
+    val single = all.map { case (_, su, eu) => cellsAt(su, eu, baseUs) }.sum
+    val multi = all.map { case (_, su, eu) =>
+      val l = math.min(levels - 1, math.max(0, math.ceil(math.log((eu - su).toDouble / baseUs) / math.log(2)).toInt))
+      val regC = cellsAt(su, eu, baseUs << l)
+      val probeC = (l until levels).map(p => cellsAt(su, eu, baseUs << p)).sum
+      regC + probeC
+    }.sum
+    multi.toDouble should be < single.toDouble * 0.8
+  }
+
   test("dedup_paragraphs_fp equals the string-keyed query exactly (collision-free at fixture scale)") {
     val s = spark
     def rows(name: String) = SparkEntry.queries(name)(s, sf)

@@ -85,6 +85,35 @@ class BandsStoreSpec extends AnyFunSuite with Matchers with SparkSpec with Befor
     a.nonEmpty shouldBe true
   }
 
+  test("sig-bucketed store screens identically and prunes the history scan to touched buckets") {
+    val store = new File(root, "bands5").getAbsolutePath
+    BandsStore.build(spark, history, store, sigBuckets = 8)
+    // two partition levels on disk
+    val bandDirs = new File(store).listFiles().filter(_.getName.startsWith("band="))
+    bandDirs.length shouldBe 4
+    all(bandDirs.map(_.listFiles().count(_.getName.startsWith("sigb=")))) should be >= 1
+
+    // identical candidates to the flat store (sigb is a function of sig)
+    val flat = new File(root, "bands6").getAbsolutePath
+    BandsStore.build(spark, history, flat)
+    def pairs(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = BandsStore.screen(spark, batch, store, sigBuckets = 8)
+    pairs(bucketed) shouldBe pairs(BandsStore.screen(spark, batch, flat))
+    pairs(bucketed).nonEmpty shouldBe true
+
+    // a one-doc batch touches few (band, sigb) combos -> the history
+    // scan's partition filter prunes to those directories only
+    val one = batch.limit(1)
+    val oneScreen = BandsStore.screen(spark, one, store, sigBuckets = 8)
+    oneScreen.count() // force planning + execution
+    val plan = oneScreen.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("sigb")
+    // bucketed append then screen still equals from-scratch on the union
+    BandsStore.append(spark, batch.limit(0), store, sigBuckets = 8) // empty append is a no-op
+    pairs(BandsStore.screen(spark, batch, store, sigBuckets = 8)) shouldBe pairs(BandsStore.screen(spark, batch, flat))
+  }
+
   test("the batch pipeline never pairs batch docs with each other through the store") {
     val store = new File(root, "bands4").getAbsolutePath
     BandsStore.build(spark, history, store)
