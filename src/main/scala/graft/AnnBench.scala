@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnSearch, NswSearch}
+
+/** The ANN operating curve: recall@k vs wall time for every quality
+  * dial the engine exposes, measured against exact brute force on the
+  * same corpus and query batch — the table an operator consults when
+  * choosing a method/parameter point for a workload (AnnSearchSpec pins
+  * the FLOORS and monotonicity laws; this prices the dials).
+  *
+  * Emits one JSON line:
+  * `{"metric":"ann_curve","k":..,"nq":..,"n":..,"exact_sec":..,
+  *   "points":[{"method":"ivf","param":"nprobe=4","sec":..,"recall":..},…]}`
+  */
+object AnnBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val k = 10
+    val e = graft.queries.SimilarityQueries.vecs(spark, sfDir)
+      .repartition(cpus.toInt).cache()
+    val n = e.count()
+    val qids = 0L until 50L
+
+    def timed(f: => org.apache.spark.sql.DataFrame): (Double, org.apache.spark.sql.DataFrame) = {
+      f.write.mode("overwrite").format("noop").save() // warm pass
+      val t0 = System.nanoTime()
+      val df = f
+      df.write.mode("overwrite").format("noop").save()
+      ((System.nanoTime() - t0) / 1e9, df)
+    }
+
+    val (exactSec, exact) = timed(AnnSearch.exact(e, qids, k))
+    val exactC = exact.cache(); exactC.count()
+
+    val points = Seq(
+      ("lsh", "bits=8", () => AnnSearch.lsh(e, qids, k, bits = 8)),
+      ("lsh", "bits=8,multiprobe", () => AnnSearch.lsh(e, qids, k, bits = 8, multiProbe = true)),
+      ("ivf", "nprobe=1", () => AnnSearch.ivf(e, qids, k, nprobe = 1, lloydIters = 2)),
+      ("ivf", "nprobe=2", () => AnnSearch.ivf(e, qids, k, nprobe = 2, lloydIters = 2)),
+      ("ivf", "nprobe=4", () => AnnSearch.ivf(e, qids, k, nprobe = 4, lloydIters = 2)),
+      ("ivf", "nprobe=8", () => AnnSearch.ivf(e, qids, k, nprobe = 8, lloydIters = 2)),
+      ("nsw", "ef=16", () => NswSearch.nsw(e, qids, k, efSearch = 16)),
+      ("nsw", "ef=48", () => NswSearch.nsw(e, qids, k, efSearch = 48)),
+      ("nsw", "ef=128", () => NswSearch.nsw(e, qids, k, efSearch = 128)),
+    ).map { case (method, param, mk) =>
+      val (sec, df) = timed(mk())
+      val recall = AnnSearch.recallAt(exactC, df, qids, k)
+      f"""{"method":"$method","param":"$param","sec":$sec%.2f,"recall":$recall%.3f}"""
+    }
+
+    println(
+      f"""{"metric":"ann_curve","k":$k,"nq":${qids.size},"n":$n,"exact_sec":$exactSec%.2f,""" +
+        s""""points":[${points.mkString(",")}]}""",
+    )
+    spark.stop()
+  }
+}

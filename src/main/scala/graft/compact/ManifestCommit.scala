@@ -517,6 +517,20 @@ object ManifestCommit {
     else spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
+  /** Incremental-consumer surface over the snapshot log: the live-set
+    * CHANGE between two commits — files a reader at `fromSeq` must drop
+    * and files it must add to reach `toSeq` — without reading either
+    * full snapshot's data. A CDC-style downstream (cache invalidation,
+    * incremental re-index, replication) processes only the delta;
+    * metadata ops only, same resolution rules as [[liveFilesAt]].
+    */
+  def diffSnapshots(spark: SparkSession, leaf: String, fromSeq: Long, toSeq: Long): (Seq[String], Seq[String]) = {
+    require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
+    val before = liveFilesAt(spark, leaf, fromSeq).toSet
+    val after = liveFilesAt(spark, leaf, toSeq).toSet
+    ((before -- after).toSeq.sorted, (after -- before).toSeq.sorted)
+  }
+
   /** Retire history: delete the still-present superseded inputs of every
     * manifest with `seq <= beforeSeq` (the files only as-of reads OLDER
     * than those commits need). Snapshots at or after `beforeSeq` stay

@@ -178,6 +178,39 @@ class ManifestChainSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     ManifestCommit.expireSnapshots(spark, leafPath, 1L) shouldBe 0
   }
 
+  test("diffSnapshots reports exactly the live-set delta between commits, and deltas compose") {
+    val leaf = new File(root, "acct/source=diff/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val rcfg = cfg.copy(retainSuperseded = true)
+    Seq("a", "b").foreach(n => writeFile(leaf, s"$n.parquet", s"d-$n", 10))
+    def compactLive(): Unit = {
+      val live = ManifestCommit.liveFiles(spark, leafPath)
+      val bytes = live.map(p => new File(p).length()).sum
+      val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "diff", live, bytes), rcfg)
+      withClue(r)(r.success shouldBe true)
+    }
+    compactLive() // seq 1
+    writeFile(leaf, "c.parquet", "d-c", 5)
+    compactLive() // seq 2
+
+    ManifestCommit.diffSnapshots(spark, leafPath, 1, 1) shouldBe ((Seq.empty, Seq.empty))
+    // 0 -> 1: raws a/b drop, commit-1 outputs appear; c is an arrival,
+    // not a versioned change — absent from the delta by design
+    val (rm1, add1) = ManifestCommit.diffSnapshots(spark, leafPath, 0, 1)
+    rm1.map(new File(_).getName).sorted shouldBe Seq("a.parquet", "b.parquet")
+    add1 should not be empty
+    add1.foreach(_ should include("/.data-"))
+    // 1 -> 2: c and commit-1's outputs drop, commit-2's outputs appear
+    val (rm2, add2) = ManifestCommit.diffSnapshots(spark, leafPath, 1, 2)
+    rm2.map(new File(_).getName) should contain("c.parquet")
+    add2 should not be empty
+    // an incremental consumer applying both deltas lands on snapshot 2
+    val s0 = ManifestCommit.liveFilesAt(spark, leafPath, 0).toSet
+    val s2 = ManifestCommit.liveFilesAt(spark, leafPath, 2).toSet
+    (s0 -- rm1 ++ add1 -- rm2 ++ add2) shouldBe s2
+  }
+
   test("head pointer: one current head per leaf, O(1) resolution, torn pointer falls back to manifest scan") {
     val leaf = new File(root, "acct/source=head/year=2026/month=01")
     leaf.mkdirs()
