@@ -1,9 +1,11 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnSearch, NswSearch}
+import graft.operators.{AnnSearch, IvfStore, NswSearch}
 
 /** The ANN operating curve: recall@k vs wall time for every quality
   * dial the engine exposes, measured against exact brute force on the
@@ -43,7 +45,20 @@ object AnnBench {
     val (exactSec, exact) = timed(AnnSearch.exact(e, qids, k))
     val exactC = exact.cache(); exactC.count()
 
+    // persisted IVF store: the build (train+assign) is priced once,
+    // then the probe pays only the pruned scan — the amortization the
+    // per-batch ivf points cannot show
+    val ivfPath = Files.createTempDirectory("annbench-ivf").toFile.getAbsolutePath
+    val tBuild = System.nanoTime()
+    IvfStore.build(e, ivfPath, nCentroids = 16, lloydIters = 2, seedIds = Some(1L to 16L))
+    val ivfBuildSec = (System.nanoTime() - tBuild) / 1e9
+    val storeQueries = e.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
     val points = Seq(
+      ("ivf_store", "nprobe=2", () => IvfStore.search(spark, ivfPath, storeQueries, k, nprobe = 2)),
+      ("ivf_store", "nprobe=8", () => IvfStore.search(spark, ivfPath, storeQueries, k, nprobe = 8)),
       ("lsh", "bits=8", () => AnnSearch.lsh(e, qids, k, bits = 8)),
       ("lsh", "bits=8,multiprobe", () => AnnSearch.lsh(e, qids, k, bits = 8, multiProbe = true)),
       ("ivf", "nprobe=1", () => AnnSearch.ivf(e, qids, k, nprobe = 1, lloydIters = 2)),
@@ -61,6 +76,7 @@ object AnnBench {
 
     println(
       f"""{"metric":"ann_curve","k":$k,"nq":${qids.size},"n":$n,"exact_sec":$exactSec%.2f,""" +
+        f""""ivf_store_build_sec":$ivfBuildSec%.2f,""" +
         s""""points":[${points.mkString(",")}]}""",
     )
     spark.stop()

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index (ROADMAP 32): the inverted-file ANN family's
+  * counterpart to [[NswSearch.buildIndex]] and [[BandsStore]].
+  *
+  * [[AnnSearch.ivf]] (and the oracled `ann_ivf_trained` /
+  * `vector_ivfpq_topk` queries) re-train the coarse quantizer and
+  * re-assign the whole corpus on every query batch — fine for a demo,
+  * wrong at 100 TB where training and assignment are the expensive
+  * passes and query batches arrive continuously. This store runs those
+  * passes ONCE:
+  *
+  *   - `path/codebook`: the trained centroids `(cid, cv)` — K rows,
+  *     always driver/broadcast-sized.
+  *   - `path/lists`: the corpus hive-partitioned by `cid` — each
+  *     inverted list is a partition directory, so a probe of `nprobe`
+  *     lists is a STATIC partition filter (the [[BandsStore.screen]]
+  *     pruning discipline applied to vectors): a batch scans only the
+  *     lists it probes, never the corpus.
+  *
+  * A query batch is then: collect the K-row codebook, rank each query's
+  * centroids driver-side (same cosine fold as the
+  * `cosine_similarity` expression — bit-exact, ties on cid asc, the
+  * [[AnnSearch.ivf]] probe order), scan the probed partitions, join the
+  * broadcast `(qid, pcid)` probe map, score candidates, and merge with
+  * the map-side WindowGroupLimit top-k every kNN join here uses. The
+  * shuffle carries ≤ B·k·tasks rows.
+  *
+  * Maintenance mirrors the reference points of the NSW family:
+  * [[append]] assigns new vectors against the FROZEN codebook (one
+  * broadcast argmax pass over the batch — history is never re-read) and
+  * appends files to existing list partitions; hash routing against a
+  * frozen codebook skews as the data distribution drifts, so
+  * [[needsRetrain]] watches the max/mean list-size ratio and
+  * [[retrain]] rebuilds codebook + lists from the stored rows with the
+  * same deterministic recipe as [[build]] (seeds = lowest `nCentroids`
+  * vec_ids, `lloydIters` assign/recenter rounds) — after a retrain the
+  * store is indistinguishable from a fresh [[build]] on the union
+  * corpus (IvfStoreSpec pins this, along with search parity against
+  * [[AnnSearch.ivf]] and the probe-side partition pruning).
+  */
+object IvfStore {
+
+  /** Same sequential fold as [[graft.functions.CosineSimilarity]] (and
+    * [[NswSearch]]'s local cosine): bit-exact with the in-plan scoring,
+    * so driver-side probe ranking matches [[AnnSearch.ivf]]'s.
+    */
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def codebookPath(path: String) = s"$path/codebook"
+  private def listsPath(path: String) = s"$path/lists"
+
+  /** One broadcast argmax pass: every row of `e` gets the `cid` of its
+    * nearest centroid (desc cosine, cid asc — the [[AnnSearch.ivf]]
+    * assignment order).
+    */
+  private def assign(e: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
+    e.crossJoin(broadcast(cb))
+      .withColumn("acos", expr("cosine_similarity(v, cv)"))
+      .withColumn("arn", row_number().over(w))
+      .where(col("arn") === 1)
+      .select(col("cid"), col("vec_id"), col("label"), col("v"))
+  }
+
+  /** Deterministic Lloyd training, identical to [[AnnSearch.ivf]]:
+    * seeds are the `nCentroids` lowest vec_ids, each iteration
+    * reassigns and recenters element-wise.
+    */
+  private def train(e: DataFrame, nCentroids: Int, lloydIters: Int, seedIds: Option[Seq[Long]]): DataFrame = {
+    val seedSide = seedIds match {
+      case Some(ids) => e.where(col("vec_id").isin(ids: _*))
+      case None => e.orderBy(col("vec_id")).limit(nCentroids)
+    }
+    val seeds = seedSide.select(col("vec_id").as("cid"), col("v").as("cv"))
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(avg("x").as("cav"))
+        .groupBy("cid")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, cav))), p -> p.cav)").as("cv"))
+    (1 to lloydIters).foldLeft(seeds)((c, _) => recenter(assign(e, c).drop("label")))
+  }
+
+  /** Train the codebook on `e` (`(vec_id, label, v)` with
+    * `cosine_similarity` registered), assign every vector, and write
+    * codebook + cid-partitioned lists at `path` (overwrite). The two
+    * expensive passes (train, assign) run exactly once per store
+    * lifetime — queries and appends never repeat them.
+    */
+  def build(
+      e: DataFrame,
+      path: String,
+      nCentroids: Int = 16,
+      lloydIters: Int = 2,
+      seedIds: Option[Seq[Long]] = None, // None → the nCentroids lowest vec_ids
+  ): Unit = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val cb = train(e, nCentroids, lloydIters, seedIds)
+    cb.write.mode("overwrite").parquet(codebookPath(path))
+    val stored = e.sparkSession.read.parquet(codebookPath(path))
+    assign(e, stored)
+      .write.mode("overwrite").partitionBy("cid").parquet(listsPath(path))
+  }
+
+  /** Assign a new batch against the FROZEN codebook and append to the
+    * list partitions — per-batch work is one broadcast argmax over the
+    * batch; no history row is read or rewritten.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, path: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cb = spark.read.parquet(codebookPath(path))
+    assign(newDocs, cb)
+      .write.mode("append").partitionBy("cid").parquet(listsPath(path))
+  }
+
+  /** Batch kNN search against the stored lists. Probe selection is
+    * driver-side over the collected K-row codebook (bit-exact with the
+    * in-plan ranking); the union of probed cids becomes a static
+    * partition filter, so the scan reads only probed list directories.
+    * Vectors whose `vec_id` equals the query's qid are excluded (the
+    * corpus-member query convention of every ANN path here).
+    */
+  def search(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Array[Double])],
+      k: Int,
+      nprobe: Int = 2,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val cb: Array[(Long, Array[Double])] = spark.read.parquet(codebookPath(path))
+      .select(col("cid"), col("cv"))
+      .as[(Long, Array[Double])]
+      .collect()
+    val probes: Seq[(Long, Long)] = queries.flatMap { case (qid, qv) =>
+      cb.map { case (cid, cv) => (cid, cosine(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }
+    val probedCids = probes.map(_._2).distinct.sorted
+    val lists = spark.read.parquet(listsPath(path))
+      .where(col("cid").isin(probedCids: _*)) // static partition filter
+    val probeDf = broadcast(probes.toDF("qid", "pcid"))
+    val qDf = broadcast(queries.toDF("qid2", "qv"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    lists
+      .join(probeDf, col("cid") === col("pcid"))
+      .join(qDf, col("qid") === col("qid2"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("cosine_similarity(v, qv)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** Per-list sizes `(cid, n)` — one metadata-cheap aggregate. */
+  def listSizes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(listsPath(path)).groupBy("cid").count().orderBy("cid")
+
+  /** Retrain trigger: true when the largest list exceeds `skewFactor` ×
+    * the mean list size — the frozen codebook no longer matches the
+    * data distribution, and the hottest probe is paying for it.
+    */
+  def needsRetrain(spark: SparkSession, path: String, skewFactor: Double = 4.0): Boolean = {
+    val row = listSizes(spark, path).agg(max("count").as("mx"), avg("count").as("mean")).head()
+    row.getLong(0).toDouble > skewFactor * row.getDouble(1)
+  }
+
+  /** Rebuild codebook + lists from the stored rows with [[build]]'s
+    * deterministic recipe. The store afterwards equals a fresh build on
+    * the union corpus — stale assignment from drifted appends is gone.
+    */
+  def retrain(spark: SparkSession, path: String, nCentroids: Int = 16, lloydIters: Int = 2): Unit = {
+    // stage the corpus beside the store first: build() overwrites the
+    // files a lazy read of `lists` would still be scanning
+    val tmp = s"$path/.retrain-corpus"
+    spark.read.parquet(listsPath(path))
+      .select(col("vec_id"), col("label"), col("v"))
+      .write.mode("overwrite").parquet(tmp)
+    build(spark.read.parquet(tmp), path, nCentroids, lloydIters)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+}

@@ -50,4 +50,63 @@ object Skew {
       .join(replicatedBuild, Seq(key, "_salt"))
       .drop("_salt")
   }
+
+  /** Hot-key detection for [[autoSkewJoin]] (ROADMAP 34): one
+    * `approx_top_k` sketch pass over the probe side returns the keys
+    * estimated to hold more than `hotShare` of its rows. The sketch is
+    * mergeable (partial aggregation — the pass is one map-side-combined
+    * job, never a key shuffle), tracks at most `maxTracked` candidates,
+    * and its result is driver-sized by construction: at most
+    * 1/hotShare keys CAN exceed the share, so the collected list is
+    * bounded regardless of key cardinality. Estimates near the
+    * threshold may flip with partitioning — harmless, because
+    * [[autoSkewJoin]]'s result is identical whichever side of the
+    * split a key lands on (detection only ROUTES).
+    */
+  def hotKeys(probe: DataFrame, key: String, hotShare: Double = 0.05, maxTracked: Int = 64): Seq[Any] = {
+    require(hotShare > 0.0 && hotShare < 1.0, s"hotShare must be in (0,1): $hotShare")
+    val row = probe.agg(
+      expr(s"approx_top_k_estimate(approx_top_k_accumulate($key, $maxTracked), $maxTracked)").as("tk"),
+      count(lit(1)).as("total"),
+    ).head()
+    val total = row.getLong(1)
+    if (total == 0L) return Seq.empty
+    val cut = hotShare * total
+    row.getSeq[org.apache.spark.sql.Row](0)
+      .collect { case r if r.get(1).asInstanceOf[Number].longValue() > cut => r.get(0) }
+  }
+
+  /** Differentiated skew join: [[saltedJoin]] and AQE both treat every
+    * key alike; this one detects the hot keys from a one-pass sketch
+    * ([[hotKeys]]) and routes them differently — hot probe rows join
+    * against a BROADCAST of the build rows for those few keys (no hot
+    * row ever shuffles), cold rows take the normal shuffle join. The
+    * union is row-identical to the plain join (detection only routes),
+    * which the `join_skew_auto` oracle pins.
+    *
+    * Scale shape: the broadcast side is `|hot keys| × build rows per
+    * key` — bounded by 1/hotShare keys, so it stays driver-sized even
+    * when `build` itself is far too big to broadcast; the cold shuffle
+    * has its heaviest keys removed, so no reducer owns more than
+    * hotShare of the probe. This is the production form of what
+    * `join_skew_salted` hand-configures: nothing to tune per dataset —
+    * the sketch finds the keys.
+    */
+  def autoSkewJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      hotShare: Double = 0.05,
+      maxTracked: Int = 64,
+  ): DataFrame = {
+    val hot = hotKeys(probe, key, hotShare, maxTracked)
+    if (hot.isEmpty) probe.join(build, Seq(key))
+    else {
+      val hotJoin = probe.where(col(key).isin(hot: _*))
+        .join(broadcast(build.where(col(key).isin(hot: _*))), Seq(key))
+      val coldJoin = probe.where(!col(key).isin(hot: _*) || col(key).isNull)
+        .join(build, Seq(key))
+      hotJoin.unionByName(coldJoin)
+    }
+  }
 }

@@ -394,6 +394,42 @@ object CoreQueries {
         .orderBy("k")
     },
 
+    // ----- sketch-driven differentiated skew join (ROADMAP 34): same
+    // pathological distribution as join_skew_salted, but NOTHING is
+    // hand-configured — one approx_top_k pass detects the hot keys
+    // (key 0 holds ~90% of probe rows), routes them through a broadcast
+    // of just their build rows, and sends the cold tail through the
+    // normal shuffle join. Result is row-identical to the plain join
+    // the oracle runs: the sketch only decides routing, so an estimate
+    // flipping a borderline key between hot and cold cannot change the
+    // output — which is also why an approximate detector is safe to
+    // put in a hash-compared query at all.
+    Q(
+      "join_skew_auto",
+      """WITH probe AS (SELECT CAST(CASE WHEN l_orderkey % 10 <> 0 THEN 0
+        |                              ELSE l_orderkey % 97 END AS BIGINT) AS k,
+        |                      l_quantity
+        |               FROM lineitem),
+        |build AS (SELECT CAST(s_suppkey % 97 AS BIGINT) AS k, count(*) AS n_sup
+        |          FROM supplier GROUP BY 1)
+        |SELECT p.k, b.n_sup, count(*) AS n_li, sum(l_quantity) AS sum_qty
+        |FROM probe p JOIN build b ON p.k = b.k
+        |GROUP BY p.k, b.n_sup ORDER BY p.k""".stripMargin,
+    ) { (s, d) =>
+      val probe = Tables.lineitem(s, d).select(
+        expr("CAST(CASE WHEN l_orderkey % 10 != 0 THEN 0 ELSE l_orderkey % 97 END AS BIGINT)").as("k"),
+        col("l_quantity"),
+      )
+      val build = Tables.supplier(s, d)
+        .groupBy(expr("CAST(s_suppkey % 97 AS BIGINT)").as("k"))
+        .agg(count(lit(1)).as("n_sup"))
+      graft.operators.Skew
+        .autoSkewJoin(probe, build, "k", hotShare = 0.2)
+        .groupBy("k", "n_sup")
+        .agg(count(lit(1)).as("n_li"), sum("l_quantity").as("sum_qty"))
+        .orderBy("k")
+    },
+
     // ----- pivot (conditional cross-tab; Spark pivot API <-> portable
     // conditional aggregation in the oracle)
     Q(

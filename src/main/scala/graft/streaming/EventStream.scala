@@ -128,4 +128,66 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** Streaming interval-OVERLAP join with NO equality key (ROADMAP 35):
+    * the stream-stream form of
+    * [[graft.queries.EventQueries.overlapJoinAgg]]'s grid-cell rewrite.
+    *
+    * A declarative stream-stream overlap join (`a.s < b.e AND b.s <
+    * a.e`) has no equi-key, so every stored row of one side must be
+    * compared against every arriving row of the other — per-batch work
+    * proportional to the whole retained state. Quantizing both sides
+    * onto a grid no finer than the (bounded) interval length and
+    * equi-joining on the cell makes the state lookup a hash probe: an
+    * arriving interval touches ≤ 2 cells and meets only the rows
+    * sharing them, the batch kernel's candidate bound carried over
+    * unchanged (candidates are a lossless superset — overlapping
+    * intervals share the cell containing their intersection — and the
+    * exact predicate prunes them).
+    *
+    * State stays bounded by the WATERMARK, which needs a time-range
+    * linking the two sides' event times: overlap of intervals no
+    * longer than `maxIntervalSeconds` implies `|a.s − b.s| <
+    * maxIntervalSeconds`, so that symmetric bound is part of the join
+    * condition — Spark evicts either side's state once the other
+    * side's watermark passes it. A pair can meet in 2 cells (one
+    * straddle each), so the join feeds a watermark-scoped pair dedup
+    * (`dropDuplicatesWithinWatermark`) — legal in append mode because
+    * a duplicate can only arrive within the watermark of the first
+    * emission (both copies come from the same bounded join window).
+    *
+    * Inputs: frames `(a_id, a_s, a_e)` / `(b_id, b_s, b_e)` with
+    * half-open [s, e), e − s ≤ maxIntervalSeconds, NOT yet
+    * watermarked. `cellSeconds` ≥ maxIntervalSeconds keeps the explode
+    * factor ≤ 2. Output: distinct overlapping `(a_id, b_id)` pairs.
+    */
+  def overlapJoinStream(
+      a: DataFrame,
+      b: DataFrame,
+      cellSeconds: Long,
+      maxIntervalSeconds: Long,
+      lateness: String = "1 hour",
+  ): DataFrame = {
+    require(cellSeconds >= maxIntervalSeconds, s"cellSeconds ($cellSeconds) must cover maxIntervalSeconds ($maxIntervalSeconds)")
+    val cellUs = cellSeconds * 1000000L
+    def cells(df: DataFrame, s: String, e: String) = df.withColumn(
+      "cell",
+      explode(expr(s"sequence(unix_micros($s) div $cellUs, (unix_micros($e) - 1) div $cellUs)")),
+    )
+    val aw = cells(a.withWatermark("a_s", lateness), "a_s", "a_e")
+    val bw = cells(b.withWatermark("b_s", lateness), "b_s", "b_e")
+    aw.join(
+      bw,
+      aw("cell") === bw("cell") &&
+        // exact half-open overlap
+        col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+        // symmetric start-time bound: the range condition the state
+        // eviction needs (implied by overlap + bounded length)
+        col("a_s") >= col("b_s") - expr(s"INTERVAL $maxIntervalSeconds SECONDS") &&
+        col("a_s") <= col("b_s") + expr(s"INTERVAL $maxIntervalSeconds SECONDS"),
+    )
+      .select(col("a_id"), col("b_id"), col("a_s"))
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+      .select(col("a_id"), col("b_id"))
+  }
 }

@@ -158,4 +158,40 @@ class JoinStrategiesSpec extends AnyFunSuite with Matchers with SparkSpec {
       j.count() shouldBe 385L
     }
   }
+
+  // ---- sketch-driven differentiated skew join (operators.Skew.autoSkewJoin)
+
+  private def skewProbe = Tables.lineitem(spark, sf).select(
+    expr("CAST(CASE WHEN l_orderkey % 10 != 0 THEN 0 ELSE l_orderkey % 97 END AS BIGINT)").as("k"),
+    col("l_quantity"),
+  )
+  private def skewBuild = Tables.supplier(spark, sf)
+    .groupBy(expr("CAST(s_suppkey % 97 AS BIGINT)").as("k"))
+    .agg(count(lit(1)).as("n_sup"))
+
+  test("hotKeys finds the planted 90% key from one sketch pass") {
+    val hot = operators.Skew.hotKeys(skewProbe, "k", hotShare = 0.2)
+    hot.map(_.asInstanceOf[Long]) shouldBe Seq(0L)
+    // nothing is hot at a threshold above the hottest key's share
+    operators.Skew.hotKeys(skewProbe, "k", hotShare = 0.95) shouldBe Seq.empty
+  }
+
+  test("autoSkewJoin equals the plain join and broadcasts only the hot keys' build rows") {
+    val auto = operators.Skew.autoSkewJoin(skewProbe, skewBuild, "k", hotShare = 0.2)
+    val plain = skewProbe.join(skewBuild, Seq("k"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    agg(auto) shouldBe agg(plain)
+    // the hot path is a broadcast join; the cold path still shuffle-joins
+    val plan = auto.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("autoSkewJoin with no hot key degenerates to the plain join") {
+    // uniform keys: nothing clears a 50% share
+    val uni = skewProbe.where(col("k") =!= 0L)
+    val auto = operators.Skew.autoSkewJoin(uni, skewBuild, "k", hotShare = 0.5)
+    auto.count() shouldBe uni.join(skewBuild, Seq("k")).count()
+  }
 }

@@ -180,6 +180,60 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     pairs shouldBe Set((1L, 2L))
   }
 
+  test("overlapJoinStream: grid-cell stream-stream overlap join with no equality key") {
+    val s = spark
+    import s.implicits._
+    val inA = Files.createTempDirectory("ovl-a").toFile.getAbsolutePath
+    val inB = Files.createTempDirectory("ovl-b").toFile.getAbsolutePath
+    val chk = Files.createTempDirectory("ovl-chk").toFile.getAbsolutePath
+
+    def writeIntervals(dir: String, rows: Seq[(Long, String, String)], p: String): Unit =
+      rows.map { case (id, st, en) => (id, ts(st), ts(en)) }
+        .toDF(s"${p}_id", s"${p}_s", s"${p}_e")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    val schemaA = "a_id LONG, a_s TIMESTAMP, a_e TIMESTAMP"
+    val schemaB = "b_id LONG, b_s TIMESTAMP, b_e TIMESTAMP"
+
+    // batch 1: intervals engineered around a 30-min cell grid —
+    //   a1 [10:00,10:30) overlaps b1 [10:15,10:45) ACROSS a cell edge
+    //   a2 [11:00,11:20) overlaps b2 [11:10,11:25) inside one cell
+    //   a3 [12:00,12:10) overlaps nothing
+    writeIntervals(inA, Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+      (2L, "2024-01-01 11:00:00", "2024-01-01 11:20:00"),
+      (3L, "2024-01-01 12:00:00", "2024-01-01 12:10:00"),
+    ), "a")
+    writeIntervals(inB, Seq(
+      (1L, "2024-01-01 10:15:00", "2024-01-01 10:45:00"),
+      (2L, "2024-01-01 11:10:00", "2024-01-01 11:25:00"),
+      // back-to-back with a1: [10:30,11:00) does NOT overlap half-open [10:00,10:30)
+      (3L, "2024-01-01 10:30:00", "2024-01-01 11:00:00"),
+    ), "b")
+
+    val a = spark.readStream.schema(schemaA).option("maxFilesPerTrigger", 1).parquet(inA)
+    val b = spark.readStream.schema(schemaB).option("maxFilesPerTrigger", 1).parquet(inB)
+    val q = EventStream
+      .overlapJoinStream(a, b, cellSeconds = 1800L, maxIntervalSeconds = 1800L)
+      .writeStream
+      .format("memory")
+      .queryName("overlaps")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    q.processAllAvailable()
+    // batch 2: a LATE a-side interval still inside the watermark must
+    // join b-state retained from batch 1 (cross-batch, no equality key)
+    writeIntervals(inA, Seq((4L, "2024-01-01 10:40:00", "2024-01-01 10:55:00")), "a")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT a_id, b_id FROM overlaps").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-overlap truth, straddle pair deduped, half-open edge excluded
+    got shouldBe Set((1L, 1L), (2L, 2L), (4L, 1L), (4L, 3L))
+  }
+
   test("sessionize emits a session once the gap passes the watermark") {
     val (glob, in, chk) = mkDirs()
     writeBatch(in, "b1", Seq(
