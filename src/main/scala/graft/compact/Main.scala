@@ -23,6 +23,9 @@ import org.apache.spark.sql.SparkSession
   *                        on (OPTIMIZE … ZORDER BY; default off)
   *   GRAFT_LAYOUT_BITS    Morton bits per layout key (16)
   *   GRAFT_COMMIT_MODE    rename (default) | manifest — see CommitMode
+  *   GRAFT_STATS_COLUMNS  manifest mode: comma-separated numeric columns
+  *                        whose per-file min/max is recorded at commit
+  *                        for data-skipping reads (ManifestStats)
   *   GRAFT_GC_ORPHANS=1   manifest mode: reclaim crashed-run .data-*
   *                        debris after each compacted leaf
   *   GRAFT_EXPIRE_KEEP=n  manifest mode: retire history older than the
@@ -52,6 +55,9 @@ object Main {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(base.layoutKeys),
       layoutBits = env.get("GRAFT_LAYOUT_BITS").map(_.toInt).getOrElse(base.layoutBits),
+      statsColumns = env.get("GRAFT_STATS_COLUMNS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(base.statsColumns),
       commitMode = env.get("GRAFT_COMMIT_MODE").map {
         case m if m.equalsIgnoreCase("manifest") => CommitMode.Manifest
         case m if m.equalsIgnoreCase("rename")   => CommitMode.Rename

@@ -92,10 +92,20 @@ object ManifestCommit {
         )
       }
 
+      // Stats sidecar BEFORE the commit point: if the publish dies the
+      // sidecar is debris beside the data dir (same reclaim path), and a
+      // sidecar is only consulted for files a sealed manifest made live.
+      val outputsRel = outFiles.map(p => s".data-$runId/${p.getName}")
+      if (cfg.statsColumns.nonEmpty) {
+        val st = ManifestStats.collect(
+          spark, outputsRel.zip(outFiles.map(_.toString)), cfg.statsColumns,
+        )
+        if (st.nonEmpty) ManifestStats.write(fs, plan.leaf, runId, st)
+      }
+
       // COMMIT POINT: one PUT of the sealed manifest. Everything before
       // this line is invisible; everything after is garbage collection.
       val inputsRel = plan.files.map(relativeTo(plan.leaf, _))
-      val outputsRel = outFiles.map(p => s".data-$runId/${p.getName}")
       publish(fs, plan.leaf, plan.stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries)
 
       // GC the superseded originals. Best-effort BY DESIGN: the manifest
@@ -133,6 +143,8 @@ object ManifestCommit {
         }
         if (manifestGone) {
           try fsR.foreach(_.delete(new Path(dataDir), true))
+          catch { case _: Throwable => () }
+          try fsR.foreach(_.delete(new Path(s"${plan.leaf}/${ManifestStats.statsName(runId)}"), false))
           catch { case _: Throwable => () }
         }
         LeafResult(plan.leaf, plan.stem, success = false, 0L, 0, Some(e.toString))
@@ -567,6 +579,12 @@ object ManifestCommit {
         if (!anyFile) {
           try fs.delete(new Path(s"$leaf/$name"), false)
           catch { case _: Throwable => () }
+          // the pruned manifest's stats sidecar described only its
+          // now-gone outputs — same lifecycle
+          if (m.runId.nonEmpty) {
+            try fs.delete(new Path(s"$leaf/${ManifestStats.statsName(m.runId)}"), false)
+            catch { case _: Throwable => () }
+          }
         }
       }
     }
@@ -682,6 +700,17 @@ object ManifestCommit {
     val orphans = entries.filter { e =>
       e.isDirectory && e.getPath.getName.startsWith(".data-") && !referenced.contains(e.getPath.getName)
     }
+    // stats sidecars from runs that died pre-commit: same debris class
+    val manifestRunIds = entries
+      .map(_.getPath.getName)
+      .flatMap(n => "_manifest-.*-([0-9a-f]+)\\.json".r.findFirstMatchIn(n).map(_.group(1)))
+      .toSet
+    entries
+      .filter(e => e.isFile && ManifestStats.runIdOf(e.getPath.getName).exists(!manifestRunIds.contains(_)))
+      .foreach { e =>
+        try fs.delete(e.getPath, false)
+        catch { case _: Throwable => () }
+      }
     orphans.count(o => fs.delete(o.getPath, true))
   }
 

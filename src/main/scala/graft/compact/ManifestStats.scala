@@ -1,0 +1,200 @@
+package graft.compact
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-level column statistics for the manifest commit — the data-
+  * skipping layer a table format puts OVER parquet's own footer stats.
+  *
+  * Parquet footers already carry per-row-group min/max, but a reader
+  * still has to OPEN every live file's footer to use them: at 10⁶
+  * files that is 10⁶ small reads before the first byte of data. This
+  * module lifts the per-FILE (min, max) of configured numeric columns
+  * into a small `_stats-<runId>.json` sidecar written next to each
+  * manifest-mode commit, so a range read resolves the live set, loads
+  * a handful of stats objects (one per commit, metadata-sized), and
+  * hands Spark only the files whose range can match — the Iceberg/
+  * Delta `add file (stats)` discipline, dependency-free.
+  *
+  * Stats are ADVISORY, never load-bearing: [[readLeafWhere]] applies
+  * the exact predicate after the scan, a file with no recorded stats
+  * for the column is always kept, and a torn or missing sidecar just
+  * means no pruning for that commit's files. The crash matrix is
+  * therefore inherited, not extended: the sidecar is written BEFORE
+  * the commit point (debris if the commit dies — reclaimed with its
+  * data dir) and ignored unless sealed.
+  *
+  * Numeric columns only (int/long/float/double — the partition-key and
+  * measure shapes range reads actually prune on): min/max are stored
+  * as doubles. Longs outside double's 2⁵³ exact range could round;
+  * [[collect]] widens the stored interval outward by one ULP in that
+  * case, keeping the pruning contract (a kept file may be useless,
+  * a dropped file can never match).
+  */
+object ManifestStats {
+
+  private val sealMark = "\"sealed\":true}"
+
+  /** Per-file stats: relative name -> column -> (min, max). */
+  type Stats = Map[String, Map[String, (Double, Double)]]
+
+  private[compact] def statsName(runId: String) = s"_stats-$runId.json"
+  private val statsNameRe = "_stats-([0-9a-f]+)\\.json".r
+  private[compact] def runIdOf(name: String): Option[String] = name match {
+    case statsNameRe(id) => Some(id)
+    case _               => None
+  }
+
+  /** Read per-file column min/max from parquet FOOTERS (no data I/O):
+    * fold row-group statistics per column. A column missing from a
+    * file, non-numeric, or lacking valid stats in ANY row group yields
+    * no entry for that file — it will never be pruned on it.
+    */
+  def collect(
+      spark: SparkSession,
+      files: Seq[(String, String)], // (relative name, absolute path)
+      cols: Seq[String],
+  ): Stats = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wanted = cols.map(c => c.toLowerCase -> c).toMap
+    files.flatMap { case (rel, abs) =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
+      try {
+        val perCol = scala.collection.mutable.Map.empty[String, (Double, Double)]
+        val invalid = scala.collection.mutable.Set.empty[String]
+        r.getFooter.getBlocks.forEach { blk =>
+          blk.getColumns.forEach { cc =>
+            val path = cc.getPath.toDotString
+            wanted.get(path.toLowerCase).foreach { col =>
+              val st = cc.getStatistics
+              val ok = st != null && !st.isEmpty && st.hasNonNullValue
+              val bounds =
+                if (ok) numericBounds(st.genericGetMin.asInstanceOf[AnyRef], st.genericGetMax.asInstanceOf[AnyRef])
+                else None
+              bounds match {
+                case Some((lo, hi)) =>
+                  val cur = perCol.get(col)
+                  perCol(col) = cur.fold((lo, hi))(c => (math.min(c._1, lo), math.max(c._2, hi)))
+                case None => invalid += col; ()
+              }
+            }
+          }
+        }
+        invalid.foreach(perCol.remove)
+        if (perCol.isEmpty) None else Some(rel -> perCol.toMap)
+      } finally r.close()
+    }.toMap
+  }
+
+  /** Typed min/max -> a double interval that CONTAINS the true one
+    * (outward ULP widening for longs beyond 2⁵³).
+    */
+  private def numericBounds(mn: AnyRef, mx: AnyRef): Option[(Double, Double)] = (mn, mx) match {
+    case (a: java.lang.Integer, b: java.lang.Integer) => Some((a.toDouble, b.toDouble))
+    case (a: java.lang.Long, b: java.lang.Long) =>
+      val lo = a.toDouble; val hi = b.toDouble
+      Some((
+        if (lo.toLong > a) math.nextDown(lo) else lo,
+        if (hi.toLong < b) math.nextUp(hi) else hi,
+      ))
+    case (a: java.lang.Float, b: java.lang.Float) => Some((a.toDouble, b.toDouble))
+    case (a: java.lang.Double, b: java.lang.Double) => Some((a.doubleValue, b.doubleValue))
+    case _ => None
+  }
+
+  /** Seal the sidecar for one commit. Formats doubles via
+    * `Double.toString` (round-trip exact); same restricted-name rule as
+    * the manifest writer.
+    */
+  private[compact] def write(fs: FileSystem, leaf: String, runId: String, stats: Stats): Unit = {
+    stats.foreach { case (f, cols) =>
+      require(!f.exists(c => c == '"' || c == '\\'), s"unencodable file name: $f")
+      cols.keys.foreach(k =>
+        require(
+          !k.exists(c => c == '"' || c == '\\' || c == ';' || c == '[' || c == ']' || c == '|' || c == ':'),
+          s"unencodable column name: $k",
+        ),
+      )
+    }
+    // the "c" string is quote-free (col:[lo;hi]|col:[lo;hi]) so the
+    // sidecar parses with the same regex discipline as the manifests
+    val body = stats.toSeq.sortBy(_._1).map { case (f, cols) =>
+      val cs = cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:[$lo;$hi]" }.mkString("|")
+      s"""{"f":"$f","c":"$cs"}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"runId":"$runId","files":$body,""" + sealMark
+    val out = fs.create(new Path(s"$leaf/${statsName(runId)}"), false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private val fileEntryRe = """\{"f":"([^"]+)","c":"([^"]*)"\}""".r
+  private val colEntryRe = """([^:|\[]+):\[([^;]+);([^\]]+)\]""".r
+
+  /** Union of every sealed stats sidecar of a leaf. Files are
+    * write-once under manifest semantics, so a name can only appear in
+    * one commit's sidecar; torn/garbled sidecars are skipped whole.
+    */
+  def read(fs: FileSystem, leaf: String): Stats = {
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return Map.empty
+    fs.listStatus(leafPath)
+      .filter(e => e.isFile && runIdOf(e.getPath.getName).isDefined)
+      .flatMap { e =>
+        val text =
+          try {
+            val in = fs.open(e.getPath)
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+          } catch { case _: Throwable => "" } // unreadable sidecar: skip it
+        if (!text.endsWith(sealMark)) Seq.empty
+        else fileEntryRe.findAllMatchIn(text).flatMap { m =>
+          val cols = colEntryRe.findAllMatchIn(m.group(2)).flatMap { cm =>
+            try Some(cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble))
+            catch { case _: NumberFormatException => None }
+          }.toMap
+          if (cols.isEmpty) None else Some(m.group(1) -> cols)
+        }.toSeq
+      }
+      .toMap
+  }
+
+  /** The files of `live` (absolute paths under `leaf`) that can hold a
+    * `col` value in [lo, hi]: recorded interval intersects, or no
+    * recorded interval at all (raw arrivals, non-stats commits, torn
+    * sidecars — never wrongly pruned).
+    */
+  def pruneFiles(stats: Stats, leaf: String, live: Seq[String], col: String, lo: Double, hi: Double): Seq[String] =
+    live.filter { abs =>
+      stats.get(ManifestCommit.relativeTo(leaf, abs)).flatMap(_.get(col)) match {
+        case Some((mn, mx)) => mn <= hi && lo <= mx
+        case None           => true
+      }
+    }
+
+  /** Range read over a manifest-committed leaf: resolve live files,
+    * drop the ones whose recorded [min, max] cannot intersect
+    * [lo, hi], scan the rest, and apply the EXACT predicate — stats
+    * only cut I/O, never change results. The row-identity with the
+    * unpruned read is what ManifestStatsSpec pins.
+    */
+  def readLeafWhere(spark: SparkSession, leaf: String, col: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val kept = pruneFiles(read(fs, leaf), leaf, live, col, lo, hi)
+    if (kept.isEmpty) {
+      // schema still needs to come from somewhere; an all-pruned leaf
+      // with live files reads one file's schema and returns its empty
+      // filter, an empty leaf returns an empty frame
+      if (live.isEmpty) spark.emptyDataFrame
+      else spark.read.option("mergeSchema", "true").parquet(live.head).where(lit(false))
+    } else
+      spark.read.option("mergeSchema", "true").parquet(kept: _*)
+        .where(c(col) >= lo && c(col) <= hi)
+  }
+}

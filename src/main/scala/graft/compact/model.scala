@@ -110,6 +110,12 @@ final case class CompactorConfig(
     //   meaningful together with expireKeepSnapshots — the horizon is
     //   shared, so only already-unreadable history loses granularity.
     checkpointManifests: Boolean = false,
+    // Manifest mode: record per-output-file min/max of these NUMERIC
+    // columns in a _stats-<runId>.json sidecar at commit time (footer
+    // reads only — no data I/O), enabling file-level data skipping via
+    // ManifestStats.readLeafWhere without opening every live footer.
+    // Advisory: readers keep files with no recorded stats.
+    statsColumns: Seq[String] = Nil,
     // Manifest mode: optimistic retries when the head-stamp tripwire
     // detects a concurrent same-seq writer. 0 (default) = the
     // reference's Forbid semantics — collide, roll back, fail loudly.

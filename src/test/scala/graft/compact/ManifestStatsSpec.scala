@@ -1,0 +1,176 @@
+package graft.compact
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** File-level data skipping over the manifest log: stats sidecars must
+  * only ever CUT the scanned file set, never change a result — the
+  * range read is row-identical to filtering the full resolved leaf,
+  * files without recorded stats always survive pruning, and torn
+  * sidecars degrade to no pruning. Lifecycle: orphan sidecars go with
+  * gcOrphans, expired manifests take their sidecars along.
+  */
+class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private val cfg = CompactorConfig(
+    targetFileBytes = 10L * 1024 * 1024,
+    maxRowsPerFile = 1000L,
+    commitMode = CommitMode.Manifest,
+    statsColumns = Seq("id", "v"),
+  )
+
+  private var root: File = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-manifest-stats").toFile
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    super.afterAll()
+  }
+
+  /** One visible parquet file of ids [lo, hi) with v = id * 2.5. */
+  private def writeFile(leaf: File, name: String, lo: Long, hi: Long): Unit = {
+    val s = spark
+    import s.implicits._
+    val tmp = new File(leaf, s".tmp-$name")
+    (lo until hi).map(i => (i, i * 2.5, s"r$i")).toDF("id", "v", "tag")
+      .coalesce(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(leaf, name).toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    ()
+  }
+
+  private def compactLive(leafPath: String, stem: String): LeafResult =
+    compactFiles(leafPath, stem, ManifestCommit.liveFiles(spark, leafPath))
+
+  /** Commit exactly `files` — the incremental shape where each commit
+    * covers one arrival batch (so different commits' outputs keep
+    * disjoint value ranges instead of re-merging prior outputs).
+    */
+  private def compactFiles(leafPath: String, stem: String, files: Seq[String]): LeafResult = {
+    val bytes = files.map(p => new File(p).length()).sum
+    val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, stem, files, bytes), cfg)
+    withClue(r) { r.success shouldBe true }
+    r
+  }
+
+  test("range reads prune to the commits whose range can match, results identical to the full read") {
+    val leaf = new File(root, "acct/source=stats/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+
+    // three commits over three disjoint id decades → three stats
+    // sidecars with disjoint [min,max] per commit's outputs
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+    writeFile(leaf, "a.parquet", 0L, 100L)
+    writeFile(leaf, "b.parquet", 50L, 100L) // overlap inside decade 1
+    compactFiles(leafPath, "d1", abs("a.parquet", "b.parquet"))
+    writeFile(leaf, "c.parquet", 100L, 200L)
+    writeFile(leaf, "d.parquet", 150L, 200L)
+    compactFiles(leafPath, "d2", abs("c.parquet", "d.parquet"))
+    writeFile(leaf, "e.parquet", 200L, 300L)
+    writeFile(leaf, "f.parquet", 250L, 300L)
+    compactFiles(leafPath, "d3", abs("e.parquet", "f.parquet"))
+
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    val stats = ManifestStats.read(fs, leafPath)
+    stats should not be empty
+    // every live file has recorded stats for both columns
+    val live = ManifestCommit.liveFiles(spark, leafPath)
+    live.foreach { f =>
+      val rel = ManifestCommit.relativeTo(leafPath, f)
+      withClue(rel)(stats(rel).keySet shouldBe Set("id", "v"))
+    }
+
+    // a mid-decade range must prune decade 1 and 3 files entirely
+    val kept = ManifestStats.pruneFiles(stats, leafPath, live, "id", 120d, 180d)
+    kept.size should be < live.size
+    kept should not be empty
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "tag").collect().map(_.toString).sorted.toSeq
+
+    val pruned = ManifestStats.readLeafWhere(spark, leafPath, "id", 120d, 180d)
+    val full = ManifestCommit.readLeaf(spark, leafPath)
+      .where(org.apache.spark.sql.functions.col("id").between(120, 180))
+    rows(pruned) shouldBe rows(full)
+    // c.parquet holds 120..180 (61 rows); d.parquet duplicates 150..180 (31)
+    pruned.count() shouldBe 92L
+
+    // the double column prunes too (v = id * 2.5)
+    rows(ManifestStats.readLeafWhere(spark, leafPath, "v", 300d, 400d)) shouldBe
+      rows(ManifestCommit.readLeaf(spark, leafPath)
+        .where(org.apache.spark.sql.functions.col("v").between(300d, 400d)))
+
+    // an out-of-range read prunes EVERYTHING yet keeps the schema
+    val none = ManifestStats.readLeafWhere(spark, leafPath, "id", 5000d, 6000d)
+    none.count() shouldBe 0L
+    none.columns should contain("tag")
+  }
+
+  test("files without stats survive pruning; a torn sidecar means no pruning, same results") {
+    val leaf = new File(root, "acct/source=nostats/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 0L, 100L)
+    writeFile(leaf, "b.parquet", 100L, 200L)
+    compactLive(leafPath, "s1")
+    // a raw arrival AFTER the commit has no sidecar entry
+    writeFile(leaf, "late.parquet", 900L, 950L)
+
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    val live = ManifestCommit.liveFiles(spark, leafPath)
+    val stats = ManifestStats.read(fs, leafPath)
+    // the raw arrival is never pruned, even by a range it can't match
+    ManifestStats.pruneFiles(stats, leafPath, live, "id", 0d, 10d)
+      .map(ManifestCommit.relativeTo(leafPath, _)) should contain("late.parquet")
+    ManifestStats.readLeafWhere(spark, leafPath, "id", 900d, 910d).count() shouldBe 11L
+
+    // tear the sidecar: pruning degrades to a full scan, results intact
+    val sidecar = leaf.listFiles().find(f => ManifestStats.runIdOf(f.getName).isDefined).get
+    Files.write(sidecar.toPath, "{\"runId\":\"torn".getBytes)
+    ManifestStats.read(fs, leafPath) shouldBe empty
+    ManifestStats.readLeafWhere(spark, leafPath, "id", 0d, 10d).count() shouldBe 11L
+  }
+
+  test("lifecycle: gcOrphans removes orphan sidecars; expireSnapshots takes pruned manifests' sidecars") {
+    val leaf = new File(root, "acct/source=lc/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 0L, 50L)
+    writeFile(leaf, "b.parquet", 50L, 100L)
+    compactLive(leafPath, "lc")
+
+    // an orphan sidecar from a run that died before its commit point
+    Files.write(
+      new File(leaf, "_stats-deadbeef00.json").toPath,
+      ("""{"runId":"deadbeef00","files":[{"f":".data-deadbeef00/x.parquet","c":"id:[0.0;9.0]"}],""" +
+        "\"sealed\":true}").getBytes,
+    )
+    ManifestCommit.gcOrphans(spark, leafPath)
+    new File(leaf, "_stats-deadbeef00.json").exists() shouldBe false
+
+    // chain a second commit, then expire history below it: the folded
+    // manifest is pruned once its files are gone, and its sidecar with it
+    writeFile(leaf, "c.parquet", 100L, 150L)
+    compactLive(leafPath, "lc")
+    val seq = ManifestCommit.currentSeq(spark, leafPath)
+    ManifestCommit.expireSnapshots(spark, leafPath, seq - 1)
+    val sidecars = leaf.listFiles().count(f => ManifestStats.runIdOf(f.getName).isDefined)
+    val manifests = leaf.listFiles().count(_.getName.startsWith("_manifest-"))
+    sidecars shouldBe manifests // one surviving commit, one surviving sidecar
+    // the surviving range read still works
+    ManifestStats.readLeafWhere(spark, leafPath, "id", 0d, 10d).count() shouldBe 11L
+  }
+}
