@@ -26,6 +26,8 @@ import org.apache.spark.sql.SparkSession
   *   GRAFT_STATS_COLUMNS  manifest mode: comma-separated numeric columns
   *                        whose per-file min/max is recorded at commit
   *                        for data-skipping reads (ManifestStats)
+  *   GRAFT_BLOOM_COLUMNS  manifest mode: per-file bloom filters for
+  *                        point-lookup skipping (readLeafEquals)
   *   GRAFT_GC_ORPHANS=1   manifest mode: reclaim crashed-run .data-*
   *                        debris after each compacted leaf
   *   GRAFT_EXPIRE_KEEP=n  manifest mode: retire history older than the
@@ -58,6 +60,9 @@ object Main {
       statsColumns = env.get("GRAFT_STATS_COLUMNS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(base.statsColumns),
+      bloomColumns = env.get("GRAFT_BLOOM_COLUMNS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(base.bloomColumns),
       commitMode = env.get("GRAFT_COMMIT_MODE").map {
         case m if m.equalsIgnoreCase("manifest") => CommitMode.Manifest
         case m if m.equalsIgnoreCase("rename")   => CommitMode.Rename

@@ -102,6 +102,12 @@ object ManifestCommit {
         )
         if (st.nonEmpty) ManifestStats.write(fs, plan.leaf, runId, st)
       }
+      if (cfg.bloomColumns.nonEmpty) {
+        val bl = ManifestStats.collectBlooms(
+          spark, outputsRel.zip(outFiles.map(_.toString)), cfg.bloomColumns,
+        )
+        if (bl.nonEmpty) ManifestStats.writeBlooms(fs, plan.leaf, runId, bl)
+      }
 
       // COMMIT POINT: one PUT of the sealed manifest. Everything before
       // this line is invisible; everything after is garbage collection.
@@ -145,6 +151,8 @@ object ManifestCommit {
           try fsR.foreach(_.delete(new Path(dataDir), true))
           catch { case _: Throwable => () }
           try fsR.foreach(_.delete(new Path(s"${plan.leaf}/${ManifestStats.statsName(runId)}"), false))
+          catch { case _: Throwable => () }
+          try fsR.foreach(_.delete(new Path(s"${plan.leaf}/${ManifestStats.bloomName(runId)}"), false))
           catch { case _: Throwable => () }
         }
         LeafResult(plan.leaf, plan.stem, success = false, 0L, 0, Some(e.toString))
@@ -579,10 +587,12 @@ object ManifestCommit {
         if (!anyFile) {
           try fs.delete(new Path(s"$leaf/$name"), false)
           catch { case _: Throwable => () }
-          // the pruned manifest's stats sidecar described only its
-          // now-gone outputs — same lifecycle
+          // the pruned manifest's stats/bloom sidecars described only
+          // its now-gone outputs — same lifecycle
           if (m.runId.nonEmpty) {
             try fs.delete(new Path(s"$leaf/${ManifestStats.statsName(m.runId)}"), false)
+            catch { case _: Throwable => () }
+            try fs.delete(new Path(s"$leaf/${ManifestStats.bloomName(m.runId)}"), false)
             catch { case _: Throwable => () }
           }
         }
@@ -700,13 +710,18 @@ object ManifestCommit {
     val orphans = entries.filter { e =>
       e.isDirectory && e.getPath.getName.startsWith(".data-") && !referenced.contains(e.getPath.getName)
     }
-    // stats sidecars from runs that died pre-commit: same debris class
+    // stats/bloom sidecars from runs that died pre-commit: same debris class
     val manifestRunIds = entries
       .map(_.getPath.getName)
       .flatMap(n => "_manifest-.*-([0-9a-f]+)\\.json".r.findFirstMatchIn(n).map(_.group(1)))
       .toSet
     entries
-      .filter(e => e.isFile && ManifestStats.runIdOf(e.getPath.getName).exists(!manifestRunIds.contains(_)))
+      .filter { e =>
+        val n = e.getPath.getName
+        e.isFile &&
+          (ManifestStats.runIdOf(n).orElse(ManifestStats.bloomRunIdOf(n)))
+            .exists(!manifestRunIds.contains(_))
+      }
       .foreach { e =>
         try fs.delete(e.getPath, false)
         catch { case _: Throwable => () }

@@ -176,6 +176,30 @@ object ManifestStats {
       }
     }
 
+  /** Incremental range consumer (ROADMAP 37): the files ADDED to the
+    * live set between two snapshots that can hold a `col` value in
+    * [lo, hi] — [[ManifestCommit.diffSnapshots]] composed with the
+    * stats prune. A downstream incremental job (re-index, cache
+    * refresh, replication of one key range) processes only the
+    * intersection of "changed since my last run" and "can match my
+    * range": O(delta) files inspected, O(commits) metadata read,
+    * regardless of leaf size. Streaming compaction commits qualify
+    * automatically — CompactionStream shares CompactorConfig, so its
+    * micro-batch merges seal the same sidecars.
+    */
+  def changedFilesWhere(
+      spark: SparkSession,
+      leaf: String,
+      fromSeq: Long,
+      toSeq: Long,
+      col: String,
+      lo: Double,
+      hi: Double,
+  ): Seq[String] = {
+    val (_, added) = ManifestCommit.diffSnapshots(spark, leaf, fromSeq, toSeq)
+    pruneFiles(read(FileIndexer.fsFor(spark, leaf), leaf), leaf, added, col, lo, hi)
+  }
+
   /** Range read over a manifest-committed leaf: resolve live files,
     * drop the ones whose recorded [min, max] cannot intersect
     * [lo, hi], scan the rest, and apply the EXACT predicate — stats
@@ -183,18 +207,162 @@ object ManifestStats {
     * unpruned read is what ManifestStatsSpec pins.
     */
   def readLeafWhere(spark: SparkSession, leaf: String, col: String, lo: Double, hi: Double): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, lit}
+    import org.apache.spark.sql.functions.{col => c}
     val fs = FileIndexer.fsFor(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
     val kept = pruneFiles(read(fs, leaf), leaf, live, col, lo, hi)
-    if (kept.isEmpty) {
-      // schema still needs to come from somewhere; an all-pruned leaf
-      // with live files reads one file's schema and returns its empty
-      // filter, an empty leaf returns an empty frame
-      if (live.isEmpty) spark.emptyDataFrame
-      else spark.read.option("mergeSchema", "true").parquet(live.head).where(lit(false))
-    } else
-      spark.read.option("mergeSchema", "true").parquet(kept: _*)
-        .where(c(col) >= lo && c(col) <= hi)
+    readKept(spark, live, kept).where(c(col) >= lo && c(col) <= hi)
+  }
+
+  private def readKept(spark: SparkSession, live: Seq[String], kept: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    if (kept.nonEmpty) spark.read.option("mergeSchema", "true").parquet(kept: _*)
+    // schema still needs to come from somewhere: an all-pruned leaf
+    // with live files reads one file's schema under an always-false
+    // filter; an empty leaf returns an empty frame
+    else if (live.nonEmpty) spark.read.option("mergeSchema", "true").parquet(live.head).where(lit(false))
+    else spark.emptyDataFrame
+  }
+
+  // ---- bloom sidecars: point-lookup skipping ---------------------------
+
+  /** Min/max intervals answer RANGE predicates; a point lookup on a
+    * high-cardinality column (`WHERE doc_id = X`) prunes almost
+    * nothing through them — every file's interval spans most of the
+    * domain. The bloom sidecar is the point-lookup complement (Delta's
+    * bloom index shape): at commit time one extra scan OF THE JUST-
+    * WRITTEN OUTPUTS builds a per-file bloom over `xxhash64(col)` per
+    * configured column (`CompactorConfig.bloomColumns`), sealed as
+    * `_bloom-<runId>.json` with base64 payloads. A reader drops files
+    * whose bloom says "definitely absent" — no false negatives by
+    * construction, false positives only cost a useless scan. Same
+    * advisory/crash discipline as the stats sidecar.
+    */
+  private[compact] def bloomName(runId: String) = s"_bloom-$runId.json"
+  private val bloomNameRe = "_bloom-([0-9a-f]+)\\.json".r
+  private[compact] def bloomRunIdOf(name: String): Option[String] = name match {
+    case bloomNameRe(id) => Some(id)
+    case _               => None
+  }
+
+  /** One scan of the commit's outputs → per-(file, column) bloom bytes.
+    * `files` maps absolute path -> relative name; grouping is by
+    * `input_file_name()`, matched on the unique basename.
+    */
+  def collectBlooms(
+      spark: SparkSession,
+      files: Seq[(String, String)], // (relative name, absolute path)
+      cols: Seq[String],
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8000000L,
+  ): Map[String, Map[String, Array[Byte]]] = {
+    import org.apache.spark.sql.functions.{col => c, expr, input_file_name}
+    graft.functions.GraftFunctions.register(spark)
+    val byBase = files.map { case (rel, abs) => new Path(abs).getName -> rel }.toMap
+    val df = spark.read.option("mergeSchema", "true").parquet(files.map(_._2): _*)
+    val present = df.columns.map(_.toLowerCase).toSet
+    val usable = cols.filter(col => present.contains(col.toLowerCase))
+    if (usable.isEmpty) return Map.empty
+    val aggs = usable.map(col => expr(s"bloom_filter_agg(xxhash64(`$col`), ${expectedItems}L, ${numBits}L)").as(s"b_$col"))
+    df.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { row =>
+        val base = new Path(row.getString(0)).getName
+        byBase.get(base).map { rel =>
+          rel -> usable.zipWithIndex.flatMap { case (col, i) =>
+            Option(row.get(i + 1)).map(b => col -> b.asInstanceOf[Array[Byte]])
+          }.toMap
+        }
+      }
+      .toMap
+  }
+
+  /** Seal the bloom sidecar (base64 payloads are regex-safe). */
+  private[compact] def writeBlooms(
+      fs: FileSystem,
+      leaf: String,
+      runId: String,
+      blooms: Map[String, Map[String, Array[Byte]]],
+  ): Unit = {
+    blooms.foreach { case (f, cols) =>
+      require(!f.exists(ch => ch == '"' || ch == '\\'), s"unencodable file name: $f")
+      cols.keys.foreach(k => require(!k.exists(ch => ch == '"' || ch == '\\'), s"unencodable column name: $k"))
+    }
+    val enc = java.util.Base64.getEncoder
+    val body = blooms.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (col, bytes) =>
+        s"""{"f":"$f","col":"$col","b":"${enc.encodeToString(bytes)}"}"""
+      }
+    }.mkString("[", ",", "]")
+    val json = s"""{"runId":"$runId","blooms":$body,""" + sealMark
+    val out = fs.create(new Path(s"$leaf/${bloomName(runId)}"), false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private val bloomEntryRe = """\{"f":"([^"]+)","col":"([^"]+)","b":"([A-Za-z0-9+/=]*)"\}""".r
+
+  /** Union of every sealed bloom sidecar of a leaf. */
+  def readBlooms(fs: FileSystem, leaf: String): Map[String, Map[String, Array[Byte]]] = {
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return Map.empty
+    val dec = java.util.Base64.getDecoder
+    fs.listStatus(leafPath)
+      .filter(e => e.isFile && bloomRunIdOf(e.getPath.getName).isDefined)
+      .flatMap { e =>
+        val text =
+          try {
+            val in = fs.open(e.getPath)
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+          } catch { case _: Throwable => "" }
+        if (!text.endsWith(sealMark)) Seq.empty
+        else bloomEntryRe.findAllMatchIn(text).flatMap { m =>
+          try Some((m.group(1), m.group(2), dec.decode(m.group(3))))
+          catch { case _: IllegalArgumentException => None }
+        }.toSeq
+      }
+      .groupBy(_._1)
+      .map { case (f, es) => f -> es.map(e => e._2 -> e._3).toMap }
+  }
+
+  /** Point read over a manifest-committed leaf: drop live files whose
+    * bloom for `col` definitely excludes `value` (no recorded bloom →
+    * kept), scan the rest, apply the exact equality. The membership
+    * test runs through the same `bloom_might_contain` expression the
+    * blooms were built for, over a driver-local frame of the candidate
+    * (file, bloom) rows — one tiny local job, no correctness surface
+    * beyond the paired agg/probe functions.
+    */
+  def readLeafEquals(spark: SparkSession, leaf: String, col: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, expr, lit, typedLit}
+    graft.functions.GraftFunctions.register(spark)
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val blooms = readBlooms(fs, leaf)
+    val (withBloom, without) = live.partition { abs =>
+      blooms.get(ManifestCommit.relativeTo(leaf, abs)).exists(_.contains(col))
+    }
+    val kept =
+      if (withBloom.isEmpty) live
+      else {
+        import org.apache.spark.sql.functions.{call_function, xxhash64}
+        // might_contain requires a CONSTANT bloom, so each candidate
+        // file contributes one constant-bloom membership expression;
+        // all of them evaluate in a single one-row local job.
+        // lit(value) keeps the probe's Scala type = the column type the
+        // bloom hashed; a mistyped probe hashes differently and would
+        // wrongly prune, so the caller must pass the column's type.
+        val rows = withBloom.map { abs =>
+          (abs, blooms(ManifestCommit.relativeTo(leaf, abs))(col))
+        }
+        val checks = rows.zipWithIndex.map { case ((_, bytes), i) =>
+          call_function("bloom_might_contain", lit(bytes), xxhash64(lit(value))).as(s"m$i")
+        }
+        val flags = spark.range(1).select(checks: _*).head()
+        rows.zipWithIndex.collect { case ((abs, _), i) if flags.getBoolean(i) => abs } ++ without
+      }
+    readKept(spark, live, kept).where(c(col) === lit(value))
   }
 }

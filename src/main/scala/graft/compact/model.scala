@@ -116,6 +116,12 @@ final case class CompactorConfig(
     // ManifestStats.readLeafWhere without opening every live footer.
     // Advisory: readers keep files with no recorded stats.
     statsColumns: Seq[String] = Nil,
+    // Manifest mode: additionally build a per-output-file BLOOM over
+    // xxhash64(col) for these columns (one extra scan of the freshly
+    // written outputs) into a _bloom-<runId>.json sidecar — the
+    // point-lookup complement to statsColumns' range intervals
+    // (ManifestStats.readLeafEquals). Advisory, like the stats.
+    bloomColumns: Seq[String] = Nil,
     // Manifest mode: optimistic retries when the head-stamp tripwire
     // detects a concurrent same-seq writer. 0 (default) = the
     // reference's Forbid semantics — collide, roll back, fail loudly.

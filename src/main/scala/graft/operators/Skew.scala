@@ -51,6 +51,40 @@ object Skew {
       .drop("_salt")
   }
 
+  /** Skew-proof EXACT distinct count per key (ROADMAP 38). Partial
+    * (map-side) aggregation fixes skew for algebraic functions, but a
+    * per-key DISTINCT still funnels every distinct value of a hot key
+    * through one reducer in the final phase. Salting by a HASH OF THE
+    * VALUE fixes it exactly: distinct values of a key partition
+    * disjointly over `numSalts` sub-groups, so the per-sub-group
+    * distinct counts SUM to the true count — no double counting by
+    * construction (same value ⇒ same salt), no randomness. Both
+    * phases are ordinary hash aggregates; the hot key's state is
+    * 1/numSalts per reducer at any scale.
+    */
+  def saltedDistinct(df: DataFrame, key: String, value: String, numSalts: Int): DataFrame =
+    df.withColumn("_vsalt", pmod(xxhash64(col(value)), lit(numSalts.toLong)))
+      .groupBy(col(key), col("_vsalt"))
+      .agg(count_distinct(col(value)).as("_pc"))
+      .groupBy(col(key))
+      .agg(sum("_pc").as("n_distinct"))
+
+  /** Skew-proof collect_set per key, deterministically ordered. The
+    * same value-hash salting as [[saltedDistinct]]: per-(key, salt)
+    * partial sets are disjoint across salts, so concatenation is the
+    * exact union; `sort_array` makes the output a pure function of the
+    * data (a plain collect_set's order is partitioning-dependent —
+    * unusable in a hash-compared result anyway). The hot key's largest
+    * single-reducer state drops from the whole set to 1/numSalts of
+    * it.
+    */
+  def saltedCollectSet(df: DataFrame, key: String, value: String, numSalts: Int): DataFrame =
+    df.withColumn("_vsalt", pmod(xxhash64(col(value)), lit(numSalts.toLong)))
+      .groupBy(col(key), col("_vsalt"))
+      .agg(collect_set(col(value)).as("_ps"))
+      .groupBy(col(key))
+      .agg(sort_array(flatten(collect_list(col("_ps")))).as("values"))
+
   /** Hot-key detection for [[autoSkewJoin]] (ROADMAP 34): one
     * `approx_top_k` sketch pass over the probe side returns the keys
     * estimated to hold more than `hotShare` of its rows. The sketch is

@@ -430,6 +430,40 @@ object CoreQueries {
         .orderBy("k")
     },
 
+    // ----- skew-proof NON-ALGEBRAIC aggregation (ROADMAP 38): partial
+    // aggregation fixes hot-key skew for sums and counts, but per-key
+    // DISTINCT and collect_set still funnel a hot key's whole distinct
+    // value set through one reducer. Salting by a HASH OF THE VALUE
+    // (operators.Skew.saltedDistinct / saltedCollectSet) splits each
+    // key's distinct values disjointly across numSalts sub-groups —
+    // counts SUM exactly and sets CONCATENATE exactly (same value ⇒
+    // same salt), with zero randomness — so the result hash-matches
+    // the plain DISTINCT the oracle runs while the hot key's reducer
+    // state shrinks numSalts-fold. Key 0 holds ~90% of rows here.
+    Q(
+      "agg_skew_distinct",
+      """WITH probe AS (SELECT CAST(CASE WHEN l_orderkey % 10 <> 0 THEN 0
+        |                              ELSE l_orderkey % 97 END AS BIGINT) AS k,
+        |                      l_linenumber
+        |               FROM lineitem)
+        |SELECT k, count(DISTINCT l_linenumber) AS n_distinct,
+        |       array_to_string(list_sort(list(DISTINCT l_linenumber)), ',') AS vals
+        |FROM probe GROUP BY k ORDER BY k""".stripMargin,
+    ) { (s, d) =>
+      val probe = Tables.lineitem(s, d).select(
+        expr("CAST(CASE WHEN l_orderkey % 10 != 0 THEN 0 ELSE l_orderkey % 97 END AS BIGINT)").as("k"),
+        col("l_linenumber"),
+      )
+      graft.operators.Skew.saltedDistinct(probe, "k", "l_linenumber", 8)
+        .join(
+          graft.operators.Skew.saltedCollectSet(probe, "k", "l_linenumber", 8)
+            .select(col("k"), array_join(col("values"), ",").as("vals")),
+          Seq("k"),
+        )
+        .select("k", "n_distinct", "vals")
+        .orderBy("k")
+    },
+
     // ----- pivot (conditional cross-tab; Spark pivot API <-> portable
     // conditional aggregation in the oracle)
     Q(

@@ -23,6 +23,7 @@ class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     maxRowsPerFile = 1000L,
     commitMode = CommitMode.Manifest,
     statsColumns = Seq("id", "v"),
+    bloomColumns = Seq("tag"),
   )
 
   private var root: File = _
@@ -117,6 +118,88 @@ class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     val none = ManifestStats.readLeafWhere(spark, leafPath, "id", 5000d, 6000d)
     none.count() shouldBe 0L
     none.columns should contain("tag")
+  }
+
+  test("bloom sidecars prune point lookups; no false negatives; probes on bloom-less files keep them") {
+    val leaf = new File(root, "acct/source=bloom/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 100L)
+    compactFiles(leafPath, "b1", abs("a.parquet"))
+    writeFile(leaf, "b.parquet", 100L, 200L)
+    compactFiles(leafPath, "b2", abs("b.parquet"))
+    writeFile(leaf, "c.parquet", 200L, 300L)
+    compactFiles(leafPath, "b3", abs("c.parquet"))
+
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    val blooms = ManifestStats.readBlooms(fs, leafPath)
+    blooms should not be empty
+    val live = ManifestCommit.liveFiles(spark, leafPath)
+    live.foreach { f =>
+      withClue(f)(blooms(ManifestCommit.relativeTo(leafPath, f)).keySet shouldBe Set("tag"))
+    }
+
+    // point lookup on a tag only commit 2 holds: exact hit, and the
+    // plan's input set shrinks to the files whose bloom could match
+    // (at these bloom sizes the false-positive odds are negligible)
+    val hit = ManifestStats.readLeafEquals(spark, leafPath, "tag", "r150")
+    hit.count() shouldBe 1L
+    hit.select("id").head().getLong(0) shouldBe 150L
+    hit.inputFiles.length should be < live.size
+    hit.inputFiles.length shouldBe 1
+    // a tag nothing holds: empty result (files may survive as false
+    // positives, rows cannot)
+    ManifestStats.readLeafEquals(spark, leafPath, "tag", "r99999").count() shouldBe 0L
+
+    // a raw arrival without a bloom is always scanned
+    writeFile(leaf, "late.parquet", 5000L, 5010L)
+    ManifestStats.readLeafEquals(spark, leafPath, "tag", "r5005").count() shouldBe 1L
+
+    // equality with the unpruned filtered read over every probe value
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "tag").collect().map(_.toString).sorted.toSeq
+    Seq("r0", "r150", "r299", "r5005", "nope").foreach { t =>
+      withClue(t) {
+        rows(ManifestStats.readLeafEquals(spark, leafPath, "tag", t)) shouldBe
+          rows(ManifestCommit.readLeaf(spark, leafPath)
+            .where(org.apache.spark.sql.functions.col("tag") === t))
+      }
+    }
+  }
+
+  test("changedFilesWhere: incremental consumers see only changed-AND-range-matching files") {
+    val leaf = new File(root, "acct/source=inc/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 100L)
+    writeFile(leaf, "b.parquet", 10L, 90L)
+    compactFiles(leafPath, "i1", abs("a.parquet", "b.parquet"))
+    val seq1 = ManifestCommit.currentSeq(spark, leafPath)
+    writeFile(leaf, "c.parquet", 100L, 200L)
+    writeFile(leaf, "d.parquet", 110L, 190L)
+    compactFiles(leafPath, "i2", abs("c.parquet", "d.parquet"))
+    writeFile(leaf, "e.parquet", 200L, 300L)
+    writeFile(leaf, "f.parquet", 210L, 290L)
+    compactFiles(leafPath, "i3", abs("e.parquet", "f.parquet"))
+    val seq3 = ManifestCommit.currentSeq(spark, leafPath)
+
+    // between seq1 and seq3 the adds are commit-2 and commit-3 outputs;
+    // a decade-2 range keeps only commit 2's
+    val changed = ManifestStats.changedFilesWhere(spark, leafPath, seq1, seq3, "id", 120d, 180d)
+    changed should not be empty
+    val (added2, added3) = {
+      val (_, a12) = ManifestCommit.diffSnapshots(spark, leafPath, seq1, seq1 + 1)
+      val (_, a23) = ManifestCommit.diffSnapshots(spark, leafPath, seq1 + 1, seq3)
+      (a12.toSet, a23.toSet)
+    }
+    changed.toSet shouldBe (changed.toSet & added2)
+    (changed.toSet & added3) shouldBe empty
+    // and a range nothing new can match is an empty delta
+    ManifestStats.changedFilesWhere(spark, leafPath, seq1, seq3, "id", 0d, 5d) shouldBe empty
   }
 
   test("files without stats survive pruning; a torn sidecar means no pruning, same results") {

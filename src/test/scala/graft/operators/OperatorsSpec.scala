@@ -25,6 +25,33 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     salted shouldBe plain
   }
 
+  test("saltedDistinct and saltedCollectSet equal the plain DISTINCT forms and split the hot key's state") {
+    val s = spark
+    import s.implicits._
+    // 90% of rows on one hot key, values cycling 0..96
+    val skewed = spark.range(20000)
+      .select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 13).as("k"),
+        (col("id") % 97).as("v"),
+      )
+    val plainD = skewed.groupBy("k").agg(count_distinct(col("v")).as("n_distinct"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    Skew.saltedDistinct(skewed, "k", "v", 8)
+      .as[(Long, Long)].collect().sortBy(_._1) shouldBe plainD
+
+    val plainS = skewed.groupBy("k").agg(sort_array(collect_set(col("v"))).as("values"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val saltedS = Skew.saltedCollectSet(skewed, "k", "v", 8)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    saltedS shouldBe plainS
+
+    // the partial phase really does group on (key, value-salt): the hot
+    // key's 97 distinct values spread across all 8 sub-groups
+    val subGroups = skewed.where(col("k") === 7L)
+      .select(pmod(xxhash64(col("v")), lit(8L)).as("s")).distinct().count()
+    subGroups shouldBe 8L
+  }
+
   test("saltedJoin equals plain join on a skewed probe side") {
     val s = spark
     import s.implicits._
