@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.compact.{CommitMode, CompactorConfig, LeafPlan, ManifestCommit, ManifestStats, Merger}
+
+/** Prices the manifest data-skipping layer: a leaf accumulated over K
+  * manifest commits (each one arrival batch with a disjoint id range
+  * and distinct tag values, the incremental-ingest shape), then the
+  * same narrow reads with and without the sidecar prunes:
+  *
+  *   - range: `readLeaf().where(lo<=id<=hi)` (parquet row-group stats
+  *     only — every live FILE still opens) vs
+  *     `ManifestStats.readLeafWhere` (files outside the range never
+  *     open);
+  *   - point: full filter vs `readLeafEquals` through the blooms;
+  *   - combined: `readLeafPruned(range ∩ point)`.
+  *
+  * Emits one JSON line with commit counts, file counts scanned, and
+  * min-of-2 timings. Env: SPARK_GRAFT_STATS_COMMITS (default 40),
+  * SPARK_GRAFT_STATS_ROWS per commit (default 25000).
+  */
+object StatsBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val nCommits = sys.env.getOrElse("SPARK_GRAFT_STATS_COMMITS", "40").toInt
+    val rowsPer = sys.env.getOrElse("SPARK_GRAFT_STATS_ROWS", "25000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = Files.createTempDirectory("graft-statsbench").toFile
+    val leaf = new java.io.File(root, "acct/source=sb/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val cfg = CompactorConfig(
+      maxRowsPerFile = rowsPer,
+      commitMode = CommitMode.Manifest,
+      statsColumns = Seq("id"),
+      bloomColumns = Seq("tag"),
+    )
+
+    // K commits, each one arrival file over its own id decade
+    val tBuild = System.nanoTime()
+    (0 until nCommits).foreach { k =>
+      val lo = k * rowsPer
+      val name = f"arrival-$k%04d.parquet"
+      val tmp = new java.io.File(leaf, s".tmp-$k")
+      spark.range(lo, lo + rowsPer)
+        .select(col("id"), (col("id") % 1000).cast("double").as("v"), concat(lit("t"), col("id")).as("tag"))
+        .coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new java.io.File(leaf, name).toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      val f = s"$leafPath/$name"
+      val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "sb", Seq(f), new java.io.File(f).length()), cfg)
+      require(r.success, s"commit $k failed: ${r.error}")
+    }
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+
+    def timed(mk: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      var rows = 0L; var files = 0L
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val df = mk
+        rows = df.count()
+        files = df.inputFiles.length.toLong
+        (System.nanoTime() - t0) / 1e9
+      }
+      (secs.min, rows, files)
+    }
+
+    // a range inside one middle commit, and a point in another
+    val midLo = (nCommits / 2) * rowsPer + 10
+    val midHi = midLo + rowsPer / 2
+    val pointTag = s"t${(nCommits / 4) * rowsPer + 7}"
+
+    val (fullRangeSec, r1, f1) = timed(
+      ManifestCommit.readLeaf(spark, leafPath).where(col("id") >= midLo && col("id") <= midHi),
+    )
+    val (prunedRangeSec, r2, f2) = timed(
+      ManifestStats.readLeafWhere(spark, leafPath, "id", midLo.toDouble, midHi.toDouble),
+    )
+    require(r1 == r2, s"range rows diverged: $r1 != $r2")
+    val (fullPointSec, p1, _) = timed(
+      ManifestCommit.readLeaf(spark, leafPath).where(col("tag") === pointTag),
+    )
+    val (prunedPointSec, p2, pf2) = timed(
+      ManifestStats.readLeafEquals(spark, leafPath, "tag", pointTag),
+    )
+    require(p1 == p2, s"point rows diverged: $p1 != $p2")
+    val (combSec, c1, cf) = timed(
+      ManifestStats.readLeafPruned(
+        spark, leafPath,
+        ranges = Map("id" -> ((nCommits / 4) * rowsPer.toDouble, (nCommits / 4) * rowsPer.toDouble + 100)),
+        points = Map("tag" -> pointTag),
+      ),
+    )
+
+    println(
+      f"""{"metric":"stats_skipping","commits":$nCommits,"rows_per_commit":$rowsPer,""" +
+        f""""build_sec":$buildSec%.1f,""" +
+        f""""range":{"full_sec":$fullRangeSec%.3f,"pruned_sec":$prunedRangeSec%.3f,"files_full":$f1,"files_pruned":$f2,"rows":$r1},""" +
+        f""""point":{"full_sec":$fullPointSec%.3f,"pruned_sec":$prunedPointSec%.3f,"files_pruned":$pf2,"rows":$p1},""" +
+        f""""combined":{"sec":$combSec%.3f,"files":$cf,"rows":$c1}}""",
+    )
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    spark.stop()
+  }
+}

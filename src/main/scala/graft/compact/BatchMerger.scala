@@ -273,6 +273,21 @@ object BatchMerger {
           throw new java.io.IOException(s"move into hidden data dir failed for ${f.getPath}")
         s".data-$runId/${f.getPath.getName}"
       }.toSeq
+      // same pre-publish sidecar discipline as the solo manifest path:
+      // sidecars are debris until the manifest seals, reclaimed with
+      // the data dir on rollback
+      val outsAbs = outputsRel.map(rel => rel -> s"${p.plan.leaf}/$rel")
+      if (cfg.statsColumns.nonEmpty) {
+        val st = ManifestStats.collect(spark, outsAbs, cfg.statsColumns)
+        if (st.nonEmpty) ManifestStats.write(fs, p.plan.leaf, runId, st)
+      }
+      if (cfg.bloomColumns.nonEmpty) {
+        val bl = ManifestStats.collectBlooms(
+          spark, outsAbs, cfg.bloomColumns,
+          expectedItems = cfg.maxRowsPerFile, numBits = 10L * cfg.maxRowsPerFile,
+        )
+        if (bl.nonEmpty) ManifestStats.writeBlooms(fs, p.plan.leaf, runId, bl)
+      }
       val inputsRel = p.plan.files.map(ManifestCommit.relativeTo(p.plan.leaf, _))
       ManifestCommit.publish(fs, p.plan.leaf, p.plan.stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries)
       // same retention semantics as the solo manifest path: superseded
@@ -308,6 +323,10 @@ object BatchMerger {
           )
         }
         try fs.delete(dataDir, true)
+        catch { case _: Throwable => () }
+        try fs.delete(new Path(s"${p.plan.leaf}/${ManifestStats.statsName(runId)}"), false)
+        catch { case _: Throwable => () }
+        try fs.delete(new Path(s"${p.plan.leaf}/${ManifestStats.bloomName(runId)}"), false)
         catch { case _: Throwable => () }
         System.err.println(
           s"[compact] batch manifest commit failed for ${p.plan.leaf}/${p.plan.stem} (${e.toString}); retrying solo",

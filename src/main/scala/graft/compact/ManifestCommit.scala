@@ -103,8 +103,11 @@ object ManifestCommit {
         if (st.nonEmpty) ManifestStats.write(fs, plan.leaf, runId, st)
       }
       if (cfg.bloomColumns.nonEmpty) {
+        // sized to the per-file row cap: ~10 bits/item ≈ 1% fpp; an
+        // oversized bloom costs every future reader its sidecar bytes
         val bl = ManifestStats.collectBlooms(
           spark, outputsRel.zip(outFiles.map(_.toString)), cfg.bloomColumns,
+          expectedItems = cfg.maxRowsPerFile, numBits = 10L * cfg.maxRowsPerFile,
         )
         if (bl.nonEmpty) ManifestStats.writeBlooms(fs, plan.leaf, runId, bl)
       }

@@ -336,33 +336,105 @@ object ManifestStats {
     * beyond the paired agg/probe functions.
     */
   def readLeafEquals(spark: SparkSession, leaf: String, col: String, value: Any): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, expr, lit, typedLit}
-    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col => c, lit}
     val fs = FileIndexer.fsFor(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
-    val blooms = readBlooms(fs, leaf)
-    val (withBloom, without) = live.partition { abs =>
+    val kept = bloomKeep(spark, readBlooms(fs, leaf), leaf, live, col, value)
+    readKept(spark, live, kept).where(c(col) === lit(value))
+  }
+
+  /** The files of `files` whose bloom for `col` might contain `value`
+    * (or that record no bloom for it). might_contain requires a
+    * CONSTANT bloom, so each candidate contributes one constant-bloom
+    * membership expression; all evaluate in a single one-row local
+    * job. lit(value) keeps the probe's Scala type = the column type
+    * the bloom hashed — a mistyped probe hashes differently and would
+    * wrongly prune, so the caller must pass the column's type.
+    */
+  private def bloomKeep(
+      spark: SparkSession,
+      blooms: Map[String, Map[String, Array[Byte]]],
+      leaf: String,
+      files: Seq[String],
+      col: String,
+      value: Any,
+  ): Seq[String] = {
+    import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
+    graft.functions.GraftFunctions.register(spark)
+    val (withBloom, without) = files.partition { abs =>
       blooms.get(ManifestCommit.relativeTo(leaf, abs)).exists(_.contains(col))
     }
-    val kept =
-      if (withBloom.isEmpty) live
-      else {
-        import org.apache.spark.sql.functions.{call_function, xxhash64}
-        // might_contain requires a CONSTANT bloom, so each candidate
-        // file contributes one constant-bloom membership expression;
-        // all of them evaluate in a single one-row local job.
-        // lit(value) keeps the probe's Scala type = the column type the
-        // bloom hashed; a mistyped probe hashes differently and would
-        // wrongly prune, so the caller must pass the column's type.
-        val rows = withBloom.map { abs =>
-          (abs, blooms(ManifestCommit.relativeTo(leaf, abs))(col))
-        }
-        val checks = rows.zipWithIndex.map { case ((_, bytes), i) =>
-          call_function("bloom_might_contain", lit(bytes), xxhash64(lit(value))).as(s"m$i")
-        }
-        val flags = spark.range(1).select(checks: _*).head()
-        rows.zipWithIndex.collect { case ((abs, _), i) if flags.getBoolean(i) => abs } ++ without
+    if (withBloom.isEmpty) files
+    else {
+      val rows = withBloom.map { abs =>
+        (abs, blooms(ManifestCommit.relativeTo(leaf, abs))(col))
       }
-    readKept(spark, live, kept).where(c(col) === lit(value))
+      val checks = rows.zipWithIndex.map { case ((_, bytes), i) =>
+        call_function("bloom_might_contain", lit(bytes), xxhash64(lit(value))).as(s"m$i")
+      }
+      val flags = spark.range(1).select(checks: _*).head()
+      rows.zipWithIndex.collect { case ((abs, _), i) if flags.getBoolean(i) => abs } ++ without
+    }
+  }
+
+  /** Combined resolution (ROADMAP 41): one live-set listing, stats ∩
+    * bloom pruning across ANY number of range and point predicates,
+    * exact predicates applied on top. The prunes compose because each
+    * is independently a superset-keeper: a file survives iff every
+    * range can intersect AND every point might be present — the
+    * multi-dimensional file-skipping shape (`year range × tenant id
+    * point`) a lake query actually runs.
+    */
+  def readLeafPruned(
+      spark: SparkSession,
+      leaf: String,
+      ranges: Map[String, (Double, Double)] = Map.empty,
+      points: Map[String, Any] = Map.empty,
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val kept = keptFor(spark, leaf, live, ranges, points)
+    val exact = (
+      ranges.toSeq.map { case (col, (lo, hi)) => c(col) >= lo && c(col) <= hi } ++
+        points.toSeq.map { case (col, value) => c(col) === lit(value) }
+    ).reduceOption(_ && _).getOrElse(lit(true))
+    readKept(spark, live, kept).where(exact)
+  }
+
+  private def keptFor(
+      spark: SparkSession,
+      leaf: String,
+      live: Seq[String],
+      ranges: Map[String, (Double, Double)],
+      points: Map[String, Any],
+  ): Seq[String] = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val stats = if (ranges.nonEmpty) read(fs, leaf) else Map.empty: Stats
+    val afterRanges = ranges.foldLeft(live) { case (files, (col, (lo, hi))) =>
+      pruneFiles(stats, leaf, files, col, lo, hi)
+    }
+    val blooms = if (points.nonEmpty) readBlooms(fs, leaf) else Map.empty[String, Map[String, Array[Byte]]]
+    points.foldLeft(afterRanges) { case (files, (col, value)) =>
+      bloomKeep(spark, blooms, leaf, files, col, value)
+    }
+  }
+
+  /** The predicate bridge (ROADMAP 43): a lake reader passes an
+    * ordinary Column predicate; the top-level CONJUNCTS it is safe to
+    * prune on are extracted — numeric comparisons and equalities feed
+    * the stats intervals, string equalities feed the blooms — and the
+    * FULL predicate applies exactly on the pruned scan, so anything
+    * the extractor doesn't understand (ORs, functions, IN-lists)
+    * simply prunes nothing. Numeric equality deliberately goes
+    * through the stats as a [v, v] interval rather than the bloom:
+    * the bloom hashed the COLUMN's type, and a literal of a different
+    * numeric width (`=== 5` against a LONG column) would hash
+    * differently and wrongly prune — intervals have no such hazard.
+    */
+  def readLeafFiltered(spark: SparkSession, leaf: String, predicate: org.apache.spark.sql.Column): DataFrame = {
+    val (ranges, points) = org.apache.spark.sql.graft.ColumnBridge.prunableConjuncts(predicate)
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val kept = keptFor(spark, leaf, live, ranges, points)
+    readKept(spark, live, kept).where(predicate)
   }
 }

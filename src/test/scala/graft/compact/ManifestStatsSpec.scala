@@ -169,6 +169,97 @@ class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     }
   }
 
+  test("readLeafPruned composes range and point prunes; BatchMerger commits seal the same sidecars") {
+    val leaf = new File(root, "acct/source=comb/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 100L)
+    compactFiles(leafPath, "c1", abs("a.parquet"))
+    writeFile(leaf, "b.parquet", 100L, 200L)
+    compactFiles(leafPath, "c2", abs("b.parquet"))
+    // third commit goes through the BATCHED manifest path
+    writeFile(leaf, "c.parquet", 200L, 300L)
+    val f = s"$leafPath/c.parquet"
+    val rs = BatchMerger.mergeAndCommitBatch(
+      spark, Seq(LeafPlan(leafPath, "c3", Seq(f), new File(f).length())), cfg,
+    )
+    withClue(rs)(rs.forall(_.success) shouldBe true)
+
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    // every commit — batched included — sealed both sidecar kinds
+    val live = ManifestCommit.liveFiles(spark, leafPath)
+    val stats = ManifestStats.read(fs, leafPath)
+    val blooms = ManifestStats.readBlooms(fs, leafPath)
+    live.foreach { p =>
+      val rel = ManifestCommit.relativeTo(leafPath, p)
+      withClue(rel) {
+        stats.contains(rel) shouldBe true
+        blooms.contains(rel) shouldBe true
+      }
+    }
+
+    // combined range (commit 3's decade) + point (a tag in it)
+    val got = ManifestStats.readLeafPruned(
+      spark, leafPath,
+      ranges = Map("id" -> ((210d, 290d))),
+      points = Map("tag" -> "r250"),
+    )
+    got.count() shouldBe 1L
+    got.inputFiles.length shouldBe 1
+    // contradictory predicates (range in decade 1, point in decade 3):
+    // intersection prunes everything, still schema-correct
+    val none = ManifestStats.readLeafPruned(
+      spark, leafPath,
+      ranges = Map("id" -> ((0d, 50d))),
+      points = Map("tag" -> "r250"),
+    )
+    none.count() shouldBe 0L
+    // equality with the plain filtered read
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "tag").collect().map(_.toString).sorted.toSeq
+    rows(got) shouldBe rows(
+      ManifestCommit.readLeaf(spark, leafPath)
+        .where(org.apache.spark.sql.functions.col("id").between(210, 290) &&
+          org.apache.spark.sql.functions.col("tag") === "r250"),
+    )
+  }
+
+  test("readLeafFiltered extracts prunable conjuncts from a Column and applies the full predicate exactly") {
+    import org.apache.spark.sql.functions.{col => c}
+    val leaf = new File(root, "acct/source=bridge/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+    writeFile(leaf, "a.parquet", 0L, 100L)
+    compactFiles(leafPath, "f1", abs("a.parquet"))
+    writeFile(leaf, "b.parquet", 100L, 200L)
+    compactFiles(leafPath, "f2", abs("b.parquet"))
+    writeFile(leaf, "c.parquet", 200L, 300L)
+    compactFiles(leafPath, "f3", abs("c.parquet"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "tag").collect().map(_.toString).sorted.toSeq
+    def same(pred: org.apache.spark.sql.Column) = {
+      val bridged = ManifestStats.readLeafFiltered(spark, leafPath, pred)
+      rows(bridged) shouldBe rows(ManifestCommit.readLeaf(spark, leafPath).where(pred))
+      bridged
+    }
+
+    // range conjuncts prune to one commit's file
+    same(c("id") >= 120L && c("id") < 180L).inputFiles.length shouldBe 1
+    // string equality routes through the bloom
+    same(c("tag") === "r250").inputFiles.length shouldBe 1
+    // numeric equality routes through the stats interval — even with an
+    // INT literal against the LONG column (the width-hazard case)
+    same(c("id") === 150).inputFiles.length shouldBe 1
+    // an OR is not prunable: full scan, exact result
+    same(c("id") === 10L || c("tag") === "r250").inputFiles.length shouldBe 3
+    // mixed: unknown conjunct + prunable conjunct still prunes on the latter
+    same((c("v") * 2 > 100) && c("id") > 220L).inputFiles.length shouldBe 1
+  }
+
   test("changedFilesWhere: incremental consumers see only changed-AND-range-matching files") {
     val leaf = new File(root, "acct/source=inc/year=2026/month=01")
     leaf.mkdirs()
