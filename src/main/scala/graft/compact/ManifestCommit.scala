@@ -672,6 +672,32 @@ object ManifestCommit {
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
 
+    // Fold the folded commits' SIDECARS too (ROADMAP 42): merge their
+    // entries for files the checkpoint still carries into one
+    // checkpoint-runId sidecar per kind, sealed BEFORE the head bump.
+    // Until the originals are deleted both copies coexist — harmless,
+    // files are write-once so duplicate entries are identical — and a
+    // crash in between leaves the union readers see unchanged.
+    val foldedRunIds = folded.map(_._2.runId).filter(_.nonEmpty).toSet
+    val liveOut = netOutputs.toSet
+    val mergedStats = folded.flatMap { case (_, m) =>
+      if (m.runId.isEmpty) Seq.empty
+      else ManifestStats.parseStatsFile(fs, new Path(s"$leaf/${ManifestStats.statsName(m.runId)}"))
+    }.filter { case (f, _) => liveOut.contains(f) }.toMap
+    if (mergedStats.nonEmpty) {
+      try ManifestStats.write(fs, leaf, runId, mergedStats)
+      catch { case _: Throwable => () } // advisory: a failed fold only loses pruning
+    }
+    val mergedBlooms = folded.flatMap { case (_, m) =>
+      if (m.runId.isEmpty) Seq.empty
+      else ManifestStats.parseBloomFile(fs, new Path(s"$leaf/${ManifestStats.bloomName(m.runId)}"))
+    }.filter { case (f, _, _) => liveOut.contains(f) }
+      .groupBy(_._1).map { case (f, es) => f -> es.map(e => e._2 -> e._3).toMap }
+    if (mergedBlooms.nonEmpty) {
+      try ManifestStats.writeBlooms(fs, leaf, runId, mergedBlooms)
+      catch { case _: Throwable => () }
+    }
+
     val foldedNames = folded.map(_._1).toSet
     try {
       createHead(
@@ -683,12 +709,25 @@ object ManifestCommit {
       )
     } catch {
       case e: ConcurrentCommitException =>
-        // a writer commits mid-checkpoint: abort (remove the checkpoint,
-        // keep the originals) and let the next maintenance pass retry
+        // a writer commits mid-checkpoint: abort (remove the checkpoint
+        // and its merged sidecars, keep the originals) and let the next
+        // maintenance pass retry
         try fs.delete(new Path(s"$leaf/$ckptName"), false)
+        catch { case _: Throwable => () }
+        try fs.delete(new Path(s"$leaf/${ManifestStats.statsName(runId)}"), false)
+        catch { case _: Throwable => () }
+        try fs.delete(new Path(s"$leaf/${ManifestStats.bloomName(runId)}"), false)
         catch { case _: Throwable => () }
         System.err.println(s"[compact] checkpoint on $leaf aborted: ${e.getMessage}")
         return 0
+    }
+    // folded manifests' sidecars go with them (their surviving entries
+    // now live in the checkpoint sidecars)
+    foldedRunIds.foreach { rid =>
+      try fs.delete(new Path(s"$leaf/${ManifestStats.statsName(rid)}"), false)
+      catch { case _: Throwable => () }
+      try fs.delete(new Path(s"$leaf/${ManifestStats.bloomName(rid)}"), false)
+      catch { case _: Throwable => () }
     }
     folded.count { case (name, _) =>
       try fs.delete(new Path(s"$leaf/$name"), false)

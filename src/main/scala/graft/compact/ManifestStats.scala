@@ -39,8 +39,13 @@ object ManifestStats {
 
   private val sealMark = "\"sealed\":true}"
 
-  /** Per-file stats: relative name -> column -> (min, max). */
-  type Stats = Map[String, Map[String, (Double, Double)]]
+  /** One file's recorded metadata: its exact row count (from the
+    * footer) plus per-column (min, max) intervals.
+    */
+  final case class FileStat(rows: Long, cols: Map[String, (Double, Double)])
+
+  /** Per-file stats: relative name -> [[FileStat]]. */
+  type Stats = Map[String, FileStat]
 
   private[compact] def statsName(runId: String) = s"_stats-$runId.json"
   private val statsNameRe = "_stats-([0-9a-f]+)\\.json".r
@@ -85,7 +90,9 @@ object ManifestStats {
           }
         }
         invalid.foreach(perCol.remove)
-        if (perCol.isEmpty) None else Some(rel -> perCol.toMap)
+        // rows are known even when no column qualified: the entry still
+        // serves metadata-only counts ([[countLeaf]])
+        Some(rel -> FileStat(r.getRecordCount, perCol.toMap))
       } finally r.close()
     }.toMap
   }
@@ -111,9 +118,9 @@ object ManifestStats {
     * the manifest writer.
     */
   private[compact] def write(fs: FileSystem, leaf: String, runId: String, stats: Stats): Unit = {
-    stats.foreach { case (f, cols) =>
+    stats.foreach { case (f, fst) =>
       require(!f.exists(c => c == '"' || c == '\\'), s"unencodable file name: $f")
-      cols.keys.foreach(k =>
+      fst.cols.keys.foreach(k =>
         require(
           !k.exists(c => c == '"' || c == '\\' || c == ';' || c == '[' || c == ']' || c == '|' || c == ':'),
           s"unencodable column name: $k",
@@ -122,9 +129,9 @@ object ManifestStats {
     }
     // the "c" string is quote-free (col:[lo;hi]|col:[lo;hi]) so the
     // sidecar parses with the same regex discipline as the manifests
-    val body = stats.toSeq.sortBy(_._1).map { case (f, cols) =>
-      val cs = cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:[$lo;$hi]" }.mkString("|")
-      s"""{"f":"$f","c":"$cs"}"""
+    val body = stats.toSeq.sortBy(_._1).map { case (f, fst) =>
+      val cs = fst.cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:[$lo;$hi]" }.mkString("|")
+      s"""{"f":"$f","r":${fst.rows},"c":"$cs"}"""
     }.mkString("[", ",", "]")
     val json = s"""{"runId":"$runId","files":$body,""" + sealMark
     val out = fs.create(new Path(s"$leaf/${statsName(runId)}"), false)
@@ -132,7 +139,7 @@ object ManifestStats {
     finally out.close()
   }
 
-  private val fileEntryRe = """\{"f":"([^"]+)","c":"([^"]*)"\}""".r
+  private val fileEntryRe = """\{"f":"([^"]+)","r":(\d+),"c":"([^"]*)"\}""".r
   private val colEntryRe = """([^:|\[]+):\[([^;]+);([^\]]+)\]""".r
 
   /** Union of every sealed stats sidecar of a leaf. Files are
@@ -144,24 +151,30 @@ object ManifestStats {
     if (!fs.exists(leafPath)) return Map.empty
     fs.listStatus(leafPath)
       .filter(e => e.isFile && runIdOf(e.getPath.getName).isDefined)
-      .flatMap { e =>
-        val text =
-          try {
-            val in = fs.open(e.getPath)
-            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-            finally in.close()
-          } catch { case _: Throwable => "" } // unreadable sidecar: skip it
-        if (!text.endsWith(sealMark)) Seq.empty
-        else fileEntryRe.findAllMatchIn(text).flatMap { m =>
-          val cols = colEntryRe.findAllMatchIn(m.group(2)).flatMap { cm =>
-            try Some(cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble))
-            catch { case _: NumberFormatException => None }
-          }.toMap
-          if (cols.isEmpty) None else Some(m.group(1) -> cols)
-        }.toSeq
-      }
+      .flatMap(e => parseStatsFile(fs, e.getPath))
       .toMap
   }
+
+  /** Parse one sealed stats sidecar; empty on torn/unreadable. */
+  private[compact] def parseStatsFile(fs: FileSystem, p: Path): Seq[(String, FileStat)] = {
+    val text = readText(fs, p)
+    if (!text.endsWith(sealMark)) Seq.empty
+    else fileEntryRe.findAllMatchIn(text).flatMap { m =>
+      val cols = colEntryRe.findAllMatchIn(m.group(3)).flatMap { cm =>
+        try Some(cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble))
+        catch { case _: NumberFormatException => None }
+      }.toMap
+      try Some(m.group(1) -> FileStat(m.group(2).toLong, cols))
+      catch { case _: NumberFormatException => None }
+    }.toSeq
+  }
+
+  private def readText(fs: FileSystem, p: Path): String =
+    try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    } catch { case _: Throwable => "" } // unreadable sidecar: skip it
 
   /** The files of `live` (absolute paths under `leaf`) that can hold a
     * `col` value in [lo, hi]: recorded interval intersects, or no
@@ -170,7 +183,7 @@ object ManifestStats {
     */
   def pruneFiles(stats: Stats, leaf: String, live: Seq[String], col: String, lo: Double, hi: Double): Seq[String] =
     live.filter { abs =>
-      stats.get(ManifestCommit.relativeTo(leaf, abs)).flatMap(_.get(col)) match {
+      stats.get(ManifestCommit.relativeTo(leaf, abs)).flatMap(_.cols.get(col)) match {
         case Some((mn, mx)) => mn <= hi && lo <= mx
         case None           => true
       }
@@ -307,24 +320,22 @@ object ManifestStats {
   def readBlooms(fs: FileSystem, leaf: String): Map[String, Map[String, Array[Byte]]] = {
     val leafPath = new Path(leaf)
     if (!fs.exists(leafPath)) return Map.empty
-    val dec = java.util.Base64.getDecoder
     fs.listStatus(leafPath)
       .filter(e => e.isFile && bloomRunIdOf(e.getPath.getName).isDefined)
-      .flatMap { e =>
-        val text =
-          try {
-            val in = fs.open(e.getPath)
-            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-            finally in.close()
-          } catch { case _: Throwable => "" }
-        if (!text.endsWith(sealMark)) Seq.empty
-        else bloomEntryRe.findAllMatchIn(text).flatMap { m =>
-          try Some((m.group(1), m.group(2), dec.decode(m.group(3))))
-          catch { case _: IllegalArgumentException => None }
-        }.toSeq
-      }
+      .flatMap(e => parseBloomFile(fs, e.getPath))
       .groupBy(_._1)
       .map { case (f, es) => f -> es.map(e => e._2 -> e._3).toMap }
+  }
+
+  /** Parse one sealed bloom sidecar; empty on torn/unreadable. */
+  private[compact] def parseBloomFile(fs: FileSystem, p: Path): Seq[(String, String, Array[Byte])] = {
+    val dec = java.util.Base64.getDecoder
+    val text = readText(fs, p)
+    if (!text.endsWith(sealMark)) Seq.empty
+    else bloomEntryRe.findAllMatchIn(text).flatMap { m =>
+      try Some((m.group(1), m.group(2), dec.decode(m.group(3))))
+      catch { case _: IllegalArgumentException => None }
+    }.toSeq
   }
 
   /** Point read over a manifest-committed leaf: drop live files whose
@@ -417,6 +428,66 @@ object ManifestStats {
     points.foldLeft(afterRanges) { case (files, (col, value)) =>
       bloomKeep(spark, blooms, leaf, files, col, value)
     }
+  }
+
+  /** Metadata-only row count of a leaf (the Iceberg `count(*)` from
+    * manifests): live files with a recorded [[FileStat]] contribute
+    * their sidecar rows — zero file opens; only files outside any
+    * sidecar (raw arrivals, pre-stats commits) fall back to a footer
+    * read. Exact by construction: sidecar rows come from the same
+    * footers, sealed at commit time over write-once files.
+    */
+  def countLeaf(spark: SparkSession, leaf: String): Long = {
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val stats = read(FileIndexer.fsFor(spark, leaf), leaf)
+    val (known, unknown) = live.partition(f => stats.contains(ManifestCommit.relativeTo(leaf, f)))
+    known.map(f => stats(ManifestCommit.relativeTo(leaf, f)).rows).sum +
+      (if (unknown.isEmpty) 0L else Merger.footerRows(spark, unknown))
+  }
+
+  /** Conservative metadata-only bounds of `col` over the leaf: the
+    * union of recorded intervals, None when any live file lacks an
+    * entry for the column (a bound that ignored it would be wrong).
+    * "Conservative" because long values beyond 2⁵³ were widened
+    * OUTWARD at collect time — the returned interval always contains
+    * the true [min, max], making it sound for planning (partition
+    * elimination, join-range estimation), not an oracle answer.
+    */
+  def minMaxLeaf(spark: SparkSession, leaf: String, col: String): Option[(Double, Double)] = {
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val stats = read(FileIndexer.fsFor(spark, leaf), leaf)
+    val ivs = live.map(f => stats.get(ManifestCommit.relativeTo(leaf, f)).flatMap(_.cols.get(col)))
+    if (live.isEmpty || ivs.exists(_.isEmpty)) None
+    else Some((ivs.map(_.get._1).min, ivs.map(_.get._2).max))
+  }
+
+  /** Exact range count with metadata acceleration: files whose
+    * recorded interval lies fully INSIDE [lo, hi] contribute their
+    * sidecar row count, files fully OUTSIDE contribute zero, and only
+    * the STRADDLING files (plus files without stats) are scanned.
+    * Outward interval widening can only demote a fully-inside file to
+    * straddling — more scanning, never a wrong count.
+    */
+  def countLeafWhere(spark: SparkSession, leaf: String, col: String, lo: Double, hi: Double): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    if (live.isEmpty) return 0L
+    val stats = read(FileIndexer.fsFor(spark, leaf), leaf)
+    val classified = live.map { f =>
+      val fst = stats.get(ManifestCommit.relativeTo(leaf, f))
+      fst.flatMap(s => s.cols.get(col).map(iv => (s.rows, iv))) match {
+        case Some((rows, (mn, mx))) if lo <= mn && mx <= hi => ("inside", f, rows)
+        case Some((_, (mn, mx))) if mx < lo || hi < mn      => ("outside", f, 0L)
+        case _                                              => ("scan", f, 0L)
+      }
+    }
+    val metaRows = classified.collect { case ("inside", _, r) => r }.sum
+    val toScan = classified.collect { case ("scan", f, _) => f }
+    val scanned =
+      if (toScan.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true").parquet(toScan: _*)
+        .where(c(col) >= lo && c(col) <= hi).count()
+    metaRows + scanned
   }
 
   /** The predicate bridge (ROADMAP 43): a lake reader passes an

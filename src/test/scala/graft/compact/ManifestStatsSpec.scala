@@ -91,7 +91,7 @@ class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     val live = ManifestCommit.liveFiles(spark, leafPath)
     live.foreach { f =>
       val rel = ManifestCommit.relativeTo(leafPath, f)
-      withClue(rel)(stats(rel).keySet shouldBe Set("id", "v"))
+      withClue(rel)(stats(rel).cols.keySet shouldBe Set("id", "v"))
     }
 
     // a mid-decade range must prune decade 1 and 3 files entirely
@@ -291,6 +291,31 @@ class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     (changed.toSet & added3) shouldBe empty
     // and a range nothing new can match is an empty delta
     ManifestStats.changedFilesWhere(spark, leafPath, seq1, seq3, "id", 0d, 5d) shouldBe empty
+
+    // metadata-only count: sidecar rows for committed files, footer
+    // fallback for a raw arrival — always equal to the real count
+    ManifestStats.countLeaf(spark, leafPath) shouldBe
+      ManifestCommit.readLeaf(spark, leafPath).count()
+    writeFile(leaf, "raw.parquet", 900L, 935L)
+    ManifestStats.countLeaf(spark, leafPath) shouldBe
+      ManifestCommit.readLeaf(spark, leafPath).count()
+
+    // metadata min/max: None while the stats-less raw file is live
+    // (a bound ignoring it would be wrong), defined once it commits
+    ManifestStats.minMaxLeaf(spark, leafPath, "id") shouldBe None
+    compactFiles(leafPath, "raw", abs("raw.parquet"))
+    ManifestStats.minMaxLeaf(spark, leafPath, "id") shouldBe Some((0d, 934d))
+
+    // exact range counts: fully-inside commits answer from metadata,
+    // straddling ranges still come out exact
+    def trueCount(lo: Long, hi: Long) = ManifestCommit.readLeaf(spark, leafPath)
+      .where(org.apache.spark.sql.functions.col("id").between(lo, hi)).count()
+    Seq((0L, 99L), (50L, 250L), (500L, 800L), (120L, 180L)).foreach { case (lo, hi) =>
+      withClue(s"[$lo,$hi]") {
+        ManifestStats.countLeafWhere(spark, leafPath, "id", lo.toDouble, hi.toDouble) shouldBe
+          trueCount(lo, hi)
+      }
+    }
   }
 
   test("files without stats survive pruning; a torn sidecar means no pruning, same results") {
@@ -316,6 +341,38 @@ class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     Files.write(sidecar.toPath, "{\"runId\":\"torn".getBytes)
     ManifestStats.read(fs, leafPath) shouldBe empty
     ManifestStats.readLeafWhere(spark, leafPath, "id", 0d, 10d).count() shouldBe 11L
+  }
+
+  test("checkpoint folds sidecars: one stats+bloom pair survives, pruned reads unchanged") {
+    val leaf = new File(root, "acct/source=ckpt/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+    writeFile(leaf, "a.parquet", 0L, 100L)
+    compactFiles(leafPath, "k1", abs("a.parquet"))
+    writeFile(leaf, "b.parquet", 100L, 200L)
+    compactFiles(leafPath, "k2", abs("b.parquet"))
+    writeFile(leaf, "c.parquet", 200L, 300L)
+    compactFiles(leafPath, "k3", abs("c.parquet"))
+
+    val before = ManifestStats.readLeafWhere(spark, leafPath, "id", 120d, 180d)
+      .collect().map(_.toString).sorted.toSeq
+
+    // fold ALL three commits into one checkpoint manifest
+    val seq = ManifestCommit.currentSeq(spark, leafPath)
+    ManifestCommit.checkpoint(spark, leafPath, seq) shouldBe 3
+
+    // per-commit sidecars are gone; exactly one merged pair remains
+    val statsSidecars = leaf.listFiles().filter(f => ManifestStats.runIdOf(f.getName).isDefined)
+    val bloomSidecars = leaf.listFiles().filter(f => ManifestStats.bloomRunIdOf(f.getName).isDefined)
+    statsSidecars.length shouldBe 1
+    bloomSidecars.length shouldBe 1
+
+    // pruning still works identically through the merged sidecars
+    val after = ManifestStats.readLeafWhere(spark, leafPath, "id", 120d, 180d)
+    after.collect().map(_.toString).sorted.toSeq shouldBe before
+    after.inputFiles.length shouldBe 1
+    ManifestStats.readLeafEquals(spark, leafPath, "tag", "r250").inputFiles.length shouldBe 1
   }
 
   test("lifecycle: gcOrphans removes orphan sidecars; expireSnapshots takes pruned manifests' sidecars") {
