@@ -103,12 +103,40 @@ object StatsBench {
       ),
     )
 
+    // metadata-only aggregates (ROADMAP 46): count(*) and a range count
+    // answered from sidecar row counts vs the scanning forms
+    def timedVal(mk: => Long): (Double, Long) = {
+      var v = 0L
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        v = mk
+        (System.nanoTime() - t0) / 1e9
+      }
+      (secs.min, v)
+    }
+    val (fullCountSec, fc) = timedVal(ManifestCommit.readLeaf(spark, leafPath).count())
+    val (metaCountSec, mc) = timedVal(ManifestStats.countLeaf(spark, leafPath))
+    require(fc == mc, s"count diverged: $fc != $mc")
+    // commit-aligned range: every covered file is fully inside → zero scans
+    val alignedLo = (nCommits / 3) * rowsPer
+    val alignedHi = (2 * nCommits / 3) * rowsPer - 1
+    val (fullRcSec, frc) = timedVal(
+      ManifestCommit.readLeaf(spark, leafPath)
+        .where(col("id") >= alignedLo && col("id") <= alignedHi).count(),
+    )
+    val (metaRcSec, mrc) = timedVal(
+      ManifestStats.countLeafWhere(spark, leafPath, "id", alignedLo.toDouble, alignedHi.toDouble),
+    )
+    require(frc == mrc, s"range count diverged: $frc != $mrc")
+
     println(
       f"""{"metric":"stats_skipping","commits":$nCommits,"rows_per_commit":$rowsPer,""" +
         f""""build_sec":$buildSec%.1f,""" +
         f""""range":{"full_sec":$fullRangeSec%.3f,"pruned_sec":$prunedRangeSec%.3f,"files_full":$f1,"files_pruned":$f2,"rows":$r1},""" +
         f""""point":{"full_sec":$fullPointSec%.3f,"pruned_sec":$prunedPointSec%.3f,"files_pruned":$pf2,"rows":$p1},""" +
-        f""""combined":{"sec":$combSec%.3f,"files":$cf,"rows":$c1}}""",
+        f""""combined":{"sec":$combSec%.3f,"files":$cf,"rows":$c1},""" +
+        f""""count":{"full_sec":$fullCountSec%.3f,"meta_sec":$metaCountSec%.3f,"rows":$fc},""" +
+        f""""range_count":{"full_sec":$fullRcSec%.3f,"meta_sec":$metaRcSec%.3f,"rows":$frc}}""",
     )
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
     rm(root)
