@@ -375,6 +375,42 @@ class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     ManifestStats.readLeafEquals(spark, leafPath, "tag", "r250").inputFiles.length shouldBe 1
   }
 
+  test("Z-order layout composes with stats skipping: one commit's outputs prune within themselves") {
+    val s = spark
+    import s.implicits._
+    val leaf = new File(root, "acct/source=zstats/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+
+    // ONE arrival of 4000 SHUFFLED ids: without layout, every output
+    // file spans the whole id range (arrival order) and a range read
+    // can prune nothing; with layoutKeys the merge range-clusters, so
+    // each output covers a narrow id band and the stats prune bites
+    // INSIDE a single commit — the OPTIMIZE ZORDER + data-skipping
+    // loop of a lakehouse.
+    val shuffled = new scala.util.Random(7).shuffle((0L until 4000L).toVector)
+    val tmp = new File(leaf, ".tmp-z")
+    shuffled.map(i => (i, i * 2.5, s"r$i")).toDF("id", "v", "tag")
+      .coalesce(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(leaf, "z.parquet").toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+
+    val zcfg = cfg.copy(layoutKeys = Seq("id"), maxRowsPerFile = 1000L)
+    val f = s"$leafPath/z.parquet"
+    val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "z", Seq(f), new File(f).length()), zcfg)
+    withClue(r) { r.success shouldBe true }
+
+    val live = ManifestCommit.liveFiles(spark, leafPath)
+    live.size should be >= 4 // the row cap split the commit into files
+
+    val narrow = ManifestStats.readLeafWhere(spark, leafPath, "id", 1200d, 1400d)
+    narrow.count() shouldBe 201L
+    withClue(s"scanned ${narrow.inputFiles.length} of ${live.size}") {
+      narrow.inputFiles.length should be < live.size
+    }
+  }
+
   test("lifecycle: gcOrphans removes orphan sidecars; expireSnapshots takes pruned manifests' sidecars") {
     val leaf = new File(root, "acct/source=lc/year=2026/month=01")
     leaf.mkdirs()

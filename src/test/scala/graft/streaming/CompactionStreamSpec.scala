@@ -129,7 +129,12 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
       l.mkdirs()
       writeFile(l, "a.parquet", df("mst-a"))
       writeFile(l, "b.parquet", df("mst-b"))
-      val mcfg = cfg.copy(commitMode = graft.compact.CommitMode.Manifest)
+      // statsColumns rides the shared CompactorConfig: streamed commits
+      // must seal the same data-skipping sidecars as batch commits
+      val mcfg = cfg.copy(
+        commitMode = graft.compact.CommitMode.Manifest,
+        statsColumns = Seq("id"),
+      )
       val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
       def runOnce(): Unit = {
         val q = CompactionStream.start(
@@ -159,6 +164,12 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
       entries.exists(_.startsWith(".data-")) shouldBe true
       val live = graft.compact.ManifestCommit.readLeaf(spark, l.getAbsolutePath)
       live.count() shouldBe 40L
+      // the streamed commit sealed a stats sidecar, and the skipping
+      // reader works against a stream-compacted leaf
+      entries.exists(_.matches("_stats-[0-9a-f]{32}\\.json")) shouldBe true
+      graft.compact.ManifestStats.countLeaf(spark, l.getAbsolutePath) shouldBe 40L
+      graft.compact.ManifestStats
+        .readLeafWhere(spark, l.getAbsolutePath, "id", 1d, 5d).count() shouldBe 10L
       // and a follow-up streaming run sees nothing left to do (the leaf's
       // visible plane is empty; manifest artifacts are planner-invisible)
       val sizeBefore = batches.asScala.flatten.size
