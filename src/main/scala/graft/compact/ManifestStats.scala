@@ -39,10 +39,19 @@ object ManifestStats {
 
   private val sealMark = "\"sealed\":true}"
 
-  /** One file's recorded metadata: its exact row count (from the
-    * footer) plus per-column (min, max) intervals.
+  /** One column's recorded metadata: a (min, max) interval over the
+    * NON-NULL values plus the column's null count (−1 when any row
+    * group left it unset). Pruning only needs the interval — a NULL
+    * never matches a range or equality predicate — but exact
+    * metadata-only counts ([[countLeafWhere]]) must know whether any
+    * row of a "fully inside" file would fail the predicate as NULL.
     */
-  final case class FileStat(rows: Long, cols: Map[String, (Double, Double)])
+  final case class ColStat(lo: Double, hi: Double, nulls: Long)
+
+  /** One file's recorded metadata: its exact row count (from the
+    * footer) plus per-column [[ColStat]]s.
+    */
+  final case class FileStat(rows: Long, cols: Map[String, ColStat])
 
   /** Per-file stats: relative name -> [[FileStat]]. */
   type Stats = Map[String, FileStat]
@@ -69,7 +78,7 @@ object ManifestStats {
     files.flatMap { case (rel, abs) =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
       try {
-        val perCol = scala.collection.mutable.Map.empty[String, (Double, Double)]
+        val perCol = scala.collection.mutable.Map.empty[String, ColStat]
         val invalid = scala.collection.mutable.Set.empty[String]
         r.getFooter.getBlocks.forEach { blk =>
           blk.getColumns.forEach { cc =>
@@ -80,10 +89,17 @@ object ManifestStats {
               val bounds =
                 if (ok) numericBounds(st.genericGetMin.asInstanceOf[AnyRef], st.genericGetMax.asInstanceOf[AnyRef])
                 else None
+              // null count: -1 propagates as "unknown" (isNumNullsSet
+              // false on any row group taints the file's total)
+              val rgNulls = if (st != null && st.isNumNullsSet) st.getNumNulls else -1L
               bounds match {
                 case Some((lo, hi)) =>
-                  val cur = perCol.get(col)
-                  perCol(col) = cur.fold((lo, hi))(c => (math.min(c._1, lo), math.max(c._2, hi)))
+                  perCol(col) = perCol.get(col).fold(ColStat(lo, hi, rgNulls)) { c =>
+                    ColStat(
+                      math.min(c.lo, lo), math.max(c.hi, hi),
+                      if (c.nulls < 0 || rgNulls < 0) -1L else c.nulls + rgNulls,
+                    )
+                  }
                 case None => invalid += col; ()
               }
             }
@@ -130,7 +146,8 @@ object ManifestStats {
     // the "c" string is quote-free (col:[lo;hi]|col:[lo;hi]) so the
     // sidecar parses with the same regex discipline as the manifests
     val body = stats.toSeq.sortBy(_._1).map { case (f, fst) =>
-      val cs = fst.cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:[$lo;$hi]" }.mkString("|")
+      val cs = fst.cols.toSeq.sortBy(_._1)
+        .map { case (c, st) => s"$c:[${st.lo};${st.hi};${st.nulls}]" }.mkString("|")
       s"""{"f":"$f","r":${fst.rows},"c":"$cs"}"""
     }.mkString("[", ",", "]")
     val json = s"""{"runId":"$runId","files":$body,""" + sealMark
@@ -140,7 +157,7 @@ object ManifestStats {
   }
 
   private val fileEntryRe = """\{"f":"([^"]+)","r":(\d+),"c":"([^"]*)"\}""".r
-  private val colEntryRe = """([^:|\[]+):\[([^;]+);([^\]]+)\]""".r
+  private val colEntryRe = """([^:|\[]+):\[([^;]+);([^;]+);(-?\d+)\]""".r
 
   /** Union of every sealed stats sidecar of a leaf. Files are
     * write-once under manifest semantics, so a name can only appear in
@@ -161,7 +178,7 @@ object ManifestStats {
     if (!text.endsWith(sealMark)) Seq.empty
     else fileEntryRe.findAllMatchIn(text).flatMap { m =>
       val cols = colEntryRe.findAllMatchIn(m.group(3)).flatMap { cm =>
-        try Some(cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble))
+        try Some(cm.group(1) -> ColStat(cm.group(2).toDouble, cm.group(3).toDouble, cm.group(4).toLong))
         catch { case _: NumberFormatException => None }
       }.toMap
       try Some(m.group(1) -> FileStat(m.group(2).toLong, cols))
@@ -184,8 +201,8 @@ object ManifestStats {
   def pruneFiles(stats: Stats, leaf: String, live: Seq[String], col: String, lo: Double, hi: Double): Seq[String] =
     live.filter { abs =>
       stats.get(ManifestCommit.relativeTo(leaf, abs)).flatMap(_.cols.get(col)) match {
-        case Some((mn, mx)) => mn <= hi && lo <= mx
-        case None           => true
+        case Some(st) => st.lo <= hi && lo <= st.hi
+        case None     => true
       }
     }
 
@@ -223,6 +240,7 @@ object ManifestStats {
     import org.apache.spark.sql.functions.{col => c}
     val fs = FileIndexer.fsFor(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
+    if (live.isEmpty) return spark.emptyDataFrame // no schema to resolve predicates against
     val kept = pruneFiles(read(fs, leaf), leaf, live, col, lo, hi)
     readKept(spark, live, kept).where(c(col) >= lo && c(col) <= hi)
   }
@@ -231,9 +249,11 @@ object ManifestStats {
     import org.apache.spark.sql.functions.lit
     if (kept.nonEmpty) spark.read.option("mergeSchema", "true").parquet(kept: _*)
     // schema still needs to come from somewhere: an all-pruned leaf
-    // with live files reads one file's schema under an always-false
-    // filter; an empty leaf returns an empty frame
-    else if (live.nonEmpty) spark.read.option("mergeSchema", "true").parquet(live.head).where(lit(false))
+    // keeps the FULL merged schema (footer reads only — lit(false)
+    // folds to an empty scan) so the caller's exact predicate still
+    // resolves even against schema-evolved columns; an empty leaf
+    // short-circuits in every public reader before predicates apply
+    else if (live.nonEmpty) spark.read.option("mergeSchema", "true").parquet(live: _*).where(lit(false))
     else spark.emptyDataFrame
   }
 
@@ -350,41 +370,54 @@ object ManifestStats {
     import org.apache.spark.sql.functions.{col => c, lit}
     val fs = FileIndexer.fsFor(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
-    val kept = bloomKeep(spark, readBlooms(fs, leaf), leaf, live, col, value)
+    if (live.isEmpty) return spark.emptyDataFrame // no schema to resolve predicates against
+    val kept = bloomKeep(readBlooms(fs, leaf), leaf, live, col, value)
     readKept(spark, live, kept).where(c(col) === lit(value))
   }
 
   /** The files of `files` whose bloom for `col` might contain `value`
-    * (or that record no bloom for it). might_contain requires a
-    * CONSTANT bloom, so each candidate contributes one constant-bloom
-    * membership expression; all evaluate in a single one-row local
-    * job. lit(value) keeps the probe's Scala type = the column type
-    * the bloom hashed — a mistyped probe hashes differently and would
-    * wrongly prune, so the caller must pass the column's type.
+    * (or that record no bloom for it). Membership evaluates entirely
+    * on the DRIVER: the bloom bytes are already in driver memory, the
+    * aggregate serialized the public `util.sketch.BloomFilter` format,
+    * and the probe hash is the same XxHash64(seed 42) the in-plan
+    * `xxhash64` computes ([[sqlXxhash64]]) — no Spark plan carries
+    * file-count × bloom-bytes of literals (the earlier one-row-job
+    * form shipped ~1 MB per candidate file into a single projection).
+    * `value` must carry the COLUMN's Scala type — a mistyped probe
+    * hashes differently and would wrongly prune.
     */
   private def bloomKeep(
-      spark: SparkSession,
       blooms: Map[String, Map[String, Array[Byte]]],
       leaf: String,
       files: Seq[String],
       col: String,
       value: Any,
   ): Seq[String] = {
-    import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
-    graft.functions.GraftFunctions.register(spark)
-    val (withBloom, without) = files.partition { abs =>
-      blooms.get(ManifestCommit.relativeTo(leaf, abs)).exists(_.contains(col))
+    val h = sqlXxhash64(value)
+    files.filter { abs =>
+      blooms.get(ManifestCommit.relativeTo(leaf, abs)).flatMap(_.get(col)) match {
+        case Some(bytes) =>
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(bytes).mightContainLong(h)
+          catch { case _: java.io.IOException => true } // unreadable bloom: keep
+        case None => true
+      }
     }
-    if (withBloom.isEmpty) files
-    else {
-      val rows = withBloom.map { abs =>
-        (abs, blooms(ManifestCommit.relativeTo(leaf, abs))(col))
-      }
-      val checks = rows.zipWithIndex.map { case ((_, bytes), i) =>
-        call_function("bloom_might_contain", lit(bytes), xxhash64(lit(value))).as(s"m$i")
-      }
-      val flags = spark.range(1).select(checks: _*).head()
-      rows.zipWithIndex.collect { case ((abs, _), i) if flags.getBoolean(i) => abs } ++ without
+  }
+
+  /** Driver-side replica of the SQL `xxhash64(value)` for the probe
+    * types the blooms are built over — same XxHash64Function kernels,
+    * seed 42, same per-type representation as the codegen path.
+    */
+  private def sqlXxhash64(value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types._
+    value match {
+      case v: Long    => XxHash64Function.hash(v, LongType, 42L)
+      case v: Int     => XxHash64Function.hash(v, IntegerType, 42L)
+      case v: Double  => XxHash64Function.hash(v, DoubleType, 42L)
+      case v: Float   => XxHash64Function.hash(v, FloatType, 42L)
+      case v: String  => XxHash64Function.hash(org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType, 42L)
+      case v => throw new IllegalArgumentException(s"unsupported bloom probe type: ${v.getClass}")
     }
   }
 
@@ -404,6 +437,7 @@ object ManifestStats {
   ): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, lit}
     val live = ManifestCommit.liveFiles(spark, leaf)
+    if (live.isEmpty) return spark.emptyDataFrame // no schema to resolve predicates against
     val kept = keptFor(spark, leaf, live, ranges, points)
     val exact = (
       ranges.toSeq.map { case (col, (lo, hi)) => c(col) >= lo && c(col) <= hi } ++
@@ -426,7 +460,7 @@ object ManifestStats {
     }
     val blooms = if (points.nonEmpty) readBlooms(fs, leaf) else Map.empty[String, Map[String, Array[Byte]]]
     points.foldLeft(afterRanges) { case (files, (col, value)) =>
-      bloomKeep(spark, blooms, leaf, files, col, value)
+      bloomKeep(blooms, leaf, files, col, value)
     }
   }
 
@@ -458,7 +492,7 @@ object ManifestStats {
     val stats = read(FileIndexer.fsFor(spark, leaf), leaf)
     val ivs = live.map(f => stats.get(ManifestCommit.relativeTo(leaf, f)).flatMap(_.cols.get(col)))
     if (live.isEmpty || ivs.exists(_.isEmpty)) None
-    else Some((ivs.map(_.get._1).min, ivs.map(_.get._2).max))
+    else Some((ivs.map(_.get.lo).min, ivs.map(_.get.hi).max))
   }
 
   /** Exact range count with metadata acceleration: files whose
@@ -475,10 +509,14 @@ object ManifestStats {
     val stats = read(FileIndexer.fsFor(spark, leaf), leaf)
     val classified = live.map { f =>
       val fst = stats.get(ManifestCommit.relativeTo(leaf, f))
-      fst.flatMap(s => s.cols.get(col).map(iv => (s.rows, iv))) match {
-        case Some((rows, (mn, mx))) if lo <= mn && mx <= hi => ("inside", f, rows)
-        case Some((_, (mn, mx))) if mx < lo || hi < mn      => ("outside", f, 0L)
-        case _                                              => ("scan", f, 0L)
+      fst.flatMap(s => s.cols.get(col).map(cs => (s.rows, cs))) match {
+        // crediting the whole file requires the interval inside the
+        // range AND a known-zero null count: NULL rows fail the exact
+        // predicate, so a file with (possible) nulls must scan
+        case Some((rows, cs)) if lo <= cs.lo && cs.hi <= hi && cs.nulls == 0L => ("inside", f, rows)
+        // exclusion needs only the interval: nulls never match either
+        case Some((_, cs)) if cs.hi < lo || hi < cs.lo => ("outside", f, 0L)
+        case _ => ("scan", f, 0L)
       }
     }
     val metaRows = classified.collect { case ("inside", _, r) => r }.sum
@@ -501,11 +539,26 @@ object ManifestStats {
     * the bloom hashed the COLUMN's type, and a literal of a different
     * numeric width (`=== 5` against a LONG column) would hash
     * differently and wrongly prune — intervals have no such hazard.
+    * String points get the symmetric guard here: a bloom probe only
+    * fires when the column actually IS a string in the leaf's schema
+    * (one footer read) — `col("id") === "150"` against a LONG column
+    * would hash the STRING and wrongly prune, while Spark's exact
+    * predicate coerces and matches; such points just prune nothing.
     */
   def readLeafFiltered(spark: SparkSession, leaf: String, predicate: org.apache.spark.sql.Column): DataFrame = {
     val (ranges, points) = org.apache.spark.sql.graft.ColumnBridge.prunableConjuncts(predicate)
     val live = ManifestCommit.liveFiles(spark, leaf)
-    val kept = keptFor(spark, leaf, live, ranges, points)
+    if (live.isEmpty) return spark.emptyDataFrame // no schema to resolve predicates against
+    val safePoints =
+      if (points.isEmpty) points
+      else {
+        val schema = spark.read.parquet(live.head).schema
+        points.filter { case (col, _) =>
+          schema.find(_.name.equalsIgnoreCase(col))
+            .exists(_.dataType == org.apache.spark.sql.types.StringType)
+        }
+      }
+    val kept = keptFor(spark, leaf, live, ranges, safePoints)
     readKept(spark, live, kept).where(predicate)
   }
 }

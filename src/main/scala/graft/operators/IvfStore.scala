@@ -176,7 +176,7 @@ object IvfStore {
     */
   def needsRetrain(spark: SparkSession, path: String, skewFactor: Double = 4.0): Boolean = {
     val row = listSizes(spark, path).agg(max("count").as("mx"), avg("count").as("mean")).head()
-    row.getLong(0).toDouble > skewFactor * row.getDouble(1)
+    !row.isNullAt(0) && row.getLong(0).toDouble > skewFactor * row.getDouble(1)
   }
 
   /** Rebuild codebook + lists from the stored rows with [[build]]'s

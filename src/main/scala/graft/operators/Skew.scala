@@ -100,7 +100,7 @@ object Skew {
   def hotKeys(probe: DataFrame, key: String, hotShare: Double = 0.05, maxTracked: Int = 64): Seq[Any] = {
     require(hotShare > 0.0 && hotShare < 1.0, s"hotShare must be in (0,1): $hotShare")
     val row = probe.agg(
-      expr(s"approx_top_k_estimate(approx_top_k_accumulate($key, $maxTracked), $maxTracked)").as("tk"),
+      expr(s"approx_top_k_estimate(approx_top_k_accumulate(`$key`, $maxTracked), $maxTracked)").as("tk"),
       count(lit(1)).as("total"),
     ).head()
     val total = row.getLong(1)

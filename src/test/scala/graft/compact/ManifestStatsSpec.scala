@@ -411,6 +411,46 @@ class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     }
   }
 
+  test("review regressions: NULL-aware range counts, mistyped string probes, empty leaves") {
+    import org.apache.spark.sql.functions.{col => c}
+    val s = spark
+    import s.implicits._
+    val leaf = new File(root, "acct/source=nulls/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+
+    // a file whose v column carries NULLs: countLeafWhere must not
+    // credit the whole file's row count for a range the interval fits
+    val tmp = new File(leaf, ".tmp-n")
+    (0L until 100L).map(i => (i, if (i % 10 == 0) None else Some(i * 1.0), s"r$i"))
+      .toDF("id", "v", "tag").coalesce(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(leaf, "n.parquet").toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    val f = s"$leafPath/n.parquet"
+    val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "n", Seq(f), new File(f).length()), cfg)
+    withClue(r)(r.success shouldBe true)
+
+    ManifestStats.countLeafWhere(spark, leafPath, "v", 0d, 1000d) shouldBe
+      ManifestCommit.readLeaf(spark, leafPath).where(c("v").between(0d, 1000d)).count()
+    // the null-free id column still answers from metadata (no scan
+    // needed: interval inside, zero nulls)
+    ManifestStats.countLeafWhere(spark, leafPath, "id", 0d, 1000d) shouldBe 100L
+
+    // a STRING literal against the LONG id column through the bridge:
+    // blooms must not fire on the mistyped probe — Spark coerces and
+    // the row must come back
+    ManifestStats.readLeafFiltered(spark, leafPath, c("id") === "50").count() shouldBe 1L
+
+    // empty / nonexistent leaves return empty frames, no analysis error
+    val ghost = new File(root, "acct/source=ghost/year=2026/month=01").getAbsolutePath
+    ManifestStats.readLeafWhere(spark, ghost, "id", 0d, 1d).count() shouldBe 0L
+    ManifestStats.readLeafEquals(spark, ghost, "tag", "x").count() shouldBe 0L
+    ManifestStats.readLeafPruned(spark, ghost, ranges = Map("id" -> ((0d, 1d)))).count() shouldBe 0L
+    ManifestStats.readLeafFiltered(spark, ghost, c("id") === 1L).count() shouldBe 0L
+    ManifestStats.countLeaf(spark, ghost) shouldBe 0L
+  }
+
   test("lifecycle: gcOrphans removes orphan sidecars; expireSnapshots takes pruned manifests' sidecars") {
     val leaf = new File(root, "acct/source=lc/year=2026/month=01")
     leaf.mkdirs()
