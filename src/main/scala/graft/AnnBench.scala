@@ -79,8 +79,7 @@ object AnnBench {
         f""""ivf_store_build_sec":$ivfBuildSec%.2f,""" +
         s""""points":[${points.mkString(",")}]}""",
     )
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
-    rm(new java.io.File(ivfPath))
+    Fs.rmTree(new java.io.File(ivfPath))
     spark.stop()
   }
 }

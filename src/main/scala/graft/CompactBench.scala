@@ -43,7 +43,7 @@ object CompactBench {
 
     // Layout: 4 leaves x (nFiles/4) small files, stale mtimes.
     val root = Files.createTempDirectory("compact-bench").toFile
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    def rm(f: java.io.File): Unit = Fs.rmTree(f)
     try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val rows = li.count()

@@ -32,7 +32,7 @@ object ManifestBench {
     import spark.implicits._
 
     val root = Files.createTempDirectory("manifest-bench").toFile
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    def rm(f: java.io.File): Unit = Fs.rmTree(f)
     try {
       val leaf = new java.io.File(root, "acct/source=mb/year=2026/month=01")
       leaf.mkdirs()

@@ -115,8 +115,7 @@ object OverlapBench {
         f""""gridTotal":${gridMs.sum}%.0f,"flatTotal":${flatMs.sum}%.0f,""" +
         s""""gridPairs":$gridPairs,"flatPairs":$flatPairs}""",
     )
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
-    rm(root)
+    Fs.rmTree(root)
     spark.stop()
   }
 }

@@ -138,8 +138,7 @@ object StatsBench {
         f""""count":{"full_sec":$fullCountSec%.3f,"meta_sec":$metaCountSec%.3f,"rows":$fc},""" +
         f""""range_count":{"full_sec":$fullRcSec%.3f,"meta_sec":$metaRcSec%.3f,"rows":$frc}}""",
     )
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
-    rm(root)
+    Fs.rmTree(root)
     spark.stop()
   }
 }

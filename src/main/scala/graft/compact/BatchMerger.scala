@@ -324,10 +324,7 @@ object BatchMerger {
         }
         try fs.delete(dataDir, true)
         catch { case _: Throwable => () }
-        try fs.delete(new Path(s"${p.plan.leaf}/${ManifestStats.statsName(runId)}"), false)
-        catch { case _: Throwable => () }
-        try fs.delete(new Path(s"${p.plan.leaf}/${ManifestStats.bloomName(runId)}"), false)
-        catch { case _: Throwable => () }
+        ManifestStats.deleteSidecars(fs, p.plan.leaf, runId)
         System.err.println(
           s"[compact] batch manifest commit failed for ${p.plan.leaf}/${p.plan.stem} (${e.toString}); retrying solo",
         )

@@ -153,10 +153,7 @@ object ManifestCommit {
         if (manifestGone) {
           try fsR.foreach(_.delete(new Path(dataDir), true))
           catch { case _: Throwable => () }
-          try fsR.foreach(_.delete(new Path(s"${plan.leaf}/${ManifestStats.statsName(runId)}"), false))
-          catch { case _: Throwable => () }
-          try fsR.foreach(_.delete(new Path(s"${plan.leaf}/${ManifestStats.bloomName(runId)}"), false))
-          catch { case _: Throwable => () }
+          fsR.foreach(ManifestStats.deleteSidecars(_, plan.leaf, runId))
         }
         LeafResult(plan.leaf, plan.stem, success = false, 0L, 0, Some(e.toString))
     }
@@ -592,12 +589,7 @@ object ManifestCommit {
           catch { case _: Throwable => () }
           // the pruned manifest's stats/bloom sidecars described only
           // its now-gone outputs — same lifecycle
-          if (m.runId.nonEmpty) {
-            try fs.delete(new Path(s"$leaf/${ManifestStats.statsName(m.runId)}"), false)
-            catch { case _: Throwable => () }
-            try fs.delete(new Path(s"$leaf/${ManifestStats.bloomName(m.runId)}"), false)
-            catch { case _: Throwable => () }
-          }
+          if (m.runId.nonEmpty) ManifestStats.deleteSidecars(fs, leaf, m.runId)
         }
       }
     }
@@ -714,21 +706,13 @@ object ManifestCommit {
         // maintenance pass retry
         try fs.delete(new Path(s"$leaf/$ckptName"), false)
         catch { case _: Throwable => () }
-        try fs.delete(new Path(s"$leaf/${ManifestStats.statsName(runId)}"), false)
-        catch { case _: Throwable => () }
-        try fs.delete(new Path(s"$leaf/${ManifestStats.bloomName(runId)}"), false)
-        catch { case _: Throwable => () }
+        ManifestStats.deleteSidecars(fs, leaf, runId)
         System.err.println(s"[compact] checkpoint on $leaf aborted: ${e.getMessage}")
         return 0
     }
     // folded manifests' sidecars go with them (their surviving entries
     // now live in the checkpoint sidecars)
-    foldedRunIds.foreach { rid =>
-      try fs.delete(new Path(s"$leaf/${ManifestStats.statsName(rid)}"), false)
-      catch { case _: Throwable => () }
-      try fs.delete(new Path(s"$leaf/${ManifestStats.bloomName(rid)}"), false)
-      catch { case _: Throwable => () }
-    }
+    foldedRunIds.foreach(ManifestStats.deleteSidecars(fs, leaf, _))
     folded.count { case (name, _) =>
       try fs.delete(new Path(s"$leaf/$name"), false)
       catch { case _: Throwable => false }

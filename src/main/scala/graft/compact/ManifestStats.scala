@@ -186,6 +186,16 @@ object ManifestStats {
     }.toSeq
   }
 
+  /** Best-effort removal of a commit's stats AND bloom sidecars — the
+    * shared lifecycle step of every rollback/expire path (a failed
+    * delete leaves advisory debris, never a correctness hazard).
+    */
+  private[compact] def deleteSidecars(fs: FileSystem, leaf: String, runId: String): Unit =
+    Seq(statsName(runId), bloomName(runId)).foreach { n =>
+      try { fs.delete(new Path(s"$leaf/$n"), false); () }
+      catch { case _: Throwable => () }
+    }
+
   private def readText(fs: FileSystem, p: Path): String =
     try {
       val in = fs.open(p)

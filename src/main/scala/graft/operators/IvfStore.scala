@@ -45,17 +45,6 @@ import org.apache.spark.sql.functions._
   */
 object IvfStore {
 
-  /** Same sequential fold as [[graft.functions.CosineSimilarity]] (and
-    * [[NswSearch]]'s local cosine): bit-exact with the in-plan scoring,
-    * so driver-side probe ranking matches [[AnnSearch.ivf]]'s.
-    */
-  private def cosine(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
   private def codebookPath(path: String) = s"$path/codebook"
   private def listsPath(path: String) = s"$path/lists"
 
@@ -145,7 +134,7 @@ object IvfStore {
       .as[(Long, Array[Double])]
       .collect()
     val probes: Seq[(Long, Long)] = queries.flatMap { case (qid, qv) =>
-      cb.map { case (cid, cv) => (cid, cosine(qv, cv)) }
+      cb.map { case (cid, cv) => (cid, VecMath.cosine(qv, cv)) }
         .sortBy { case (cid, s) => (-s, cid) }
         .take(nprobe)
         .map { case (cid, _) => (qid, cid) }

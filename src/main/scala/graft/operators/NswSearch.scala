@@ -42,13 +42,8 @@ object NswSearch {
     out.sortBy(t => (-t._1, t._2))
   }
 
-  private def cosine(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    val d = math.sqrt(na) * math.sqrt(nb)
-    if (d == 0.0) 0.0 else dot / d
-  }
+  private def cosine(a: Array[Double], b: Array[Double]): Double =
+    VecMath.cosineOrZero(a, b)
 
   /** Greedy best-first walk over the adjacency lists: expand the most
     * similar frontier node, keep the best `ef` seen; stop when the
