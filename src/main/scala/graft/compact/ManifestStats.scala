@@ -124,8 +124,13 @@ object ManifestStats {
         if (lo.toLong > a) math.nextDown(lo) else lo,
         if (hi.toLong < b) math.nextUp(hi) else hi,
       ))
-    case (a: java.lang.Float, b: java.lang.Float) => Some((a.toDouble, b.toDouble))
-    case (a: java.lang.Double, b: java.lang.Double) => Some((a.doubleValue, b.doubleValue))
+    // NaN footer stats (legacy/foreign writers propagate NaN into
+    // min/max) would make every interval test false and wrongly prune a
+    // file with in-range values — treat as no-stats, file always kept
+    case (a: java.lang.Float, b: java.lang.Float) =>
+      if (a.isNaN || b.isNaN) None else Some((a.toDouble, b.toDouble))
+    case (a: java.lang.Double, b: java.lang.Double) =>
+      if (a.isNaN || b.isNaN) None else Some((a.doubleValue, b.doubleValue))
     case _ => None
   }
 

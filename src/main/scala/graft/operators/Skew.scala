@@ -106,8 +106,14 @@ object Skew {
     val total = row.getLong(1)
     if (total == 0L) return Seq.empty
     val cut = hotShare * total
+    // drop nulls explicitly: a NULL element in an isin() list makes
+    // NOT-IN three-valued (NULL for every non-matching row), which would
+    // silently empty the cold side of [[autoSkewJoin]] — today
+    // approx_top_k happens to ignore nulls, but that's a Spark internal
+    // we refuse to depend on
     row.getSeq[org.apache.spark.sql.Row](0)
       .collect { case r if r.get(1).asInstanceOf[Number].longValue() > cut => r.get(0) }
+      .filter(_ != null)
   }
 
   /** Differentiated skew join: [[saltedJoin]] and AQE both treat every
