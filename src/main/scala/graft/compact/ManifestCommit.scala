@@ -71,11 +71,7 @@ object ManifestCommit {
       val df = spark.read
         .option("mergeSchema", "true")
         .parquet(plan.files: _*)
-      Merger.sizeForOutput(df, plan.totalBytes, rowsIn, cfg)
-        .write
-        .option("compression", "snappy")
-        .option("maxRecordsPerFile", cfg.maxRowsPerFile)
-        .parquet(dataDir)
+      Merger.stageWrite(spark, df, dataDir, plan.totalBytes, rowsIn, cfg, runId)
 
       val outFiles = fs
         .listStatus(new Path(dataDir))
@@ -103,11 +99,12 @@ object ManifestCommit {
         if (st.nonEmpty) ManifestStats.write(fs, plan.leaf, runId, st)
       }
       if (cfg.bloomColumns.nonEmpty) {
-        // sized to the per-file row cap: ~10 bits/item ≈ 1% fpp; an
-        // oversized bloom costs every future reader its sidecar bytes
+        // sized to the per-file row cap: bloomBitsPerItem=10 ≈ 1% fpp
+        // (StatsBench bits-ladder); an oversized bloom costs every
+        // future reader its sidecar bytes
         val bl = ManifestStats.collectBlooms(
           spark, outputsRel.zip(outFiles.map(_.toString)), cfg.bloomColumns,
-          expectedItems = cfg.maxRowsPerFile, numBits = 10L * cfg.maxRowsPerFile,
+          expectedItems = cfg.maxRowsPerFile, numBits = cfg.bloomBitsPerItem.toLong * cfg.maxRowsPerFile,
         )
         if (bl.nonEmpty) ManifestStats.writeBlooms(fs, plan.leaf, runId, bl)
       }
@@ -157,6 +154,45 @@ object ManifestCommit {
         }
         LeafResult(plan.leaf, plan.stem, success = false, 0L, 0, Some(e.toString))
     }
+  }
+
+  /** Range-targeted re-compaction THROUGH the skipping layer — the
+    * partial-rewrite primitive (compact/re-cluster ONE key range of a
+    * huge leaf without touching the rest). File selection is the stats
+    * prune ([[ManifestStats.pruneFiles]]): only live files whose
+    * recorded `col` interval can intersect [lo, hi] are inputs; files
+    * with no recorded interval are conservatively included (they might
+    * hold range rows — the same never-wrongly-pruned contract as the
+    * range reads). Everything downstream is the standard
+    * [[mergeAndCommit]]: the merge rewrites EXACTLY the selected
+    * inputs, the manifest supersedes them atomically, bag identity on
+    * the whole leaf holds by the footer-count validation, and the crash
+    * matrix is unchanged. With `cfg.layoutKeys` set this is targeted
+    * re-clustering (OPTIMIZE ... WHERE ... ZORDER BY); with
+    * `cfg.statsColumns` the rewritten range gets fresh, tighter
+    * sidecars.
+    *
+    * Returns None when fewer than `minFiles` files intersect — the O6
+    * ≥2-file merge-economy gate applied to the range (pass `minFiles =
+    * 1` to force a pure re-layout of a single file).
+    */
+  def compactWhere(
+      spark: SparkSession,
+      leaf: String,
+      col: String,
+      lo: Double,
+      hi: Double,
+      cfg: CompactorConfig,
+      stem: String = "data",
+      minFiles: Int = 2,
+  ): Option[LeafResult] = {
+    require(cfg.commitMode == CommitMode.Manifest, "range-targeted re-compaction requires manifest mode (stats sidecars + atomic supersede)")
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val live = liveFiles(spark, leaf)
+    val kept = ManifestStats.pruneFiles(ManifestStats.read(fs, leaf), leaf, live, col, lo, hi)
+    if (kept.size < minFiles) return None
+    val totalBytes = kept.map(p => fs.getFileStatus(new Path(p)).getLen).sum
+    Some(mergeAndCommit(spark, LeafPlan(leaf, stem, kept, totalBytes), cfg))
   }
 
   /** The atomic publish: one create of the sealed manifest object (the
@@ -721,14 +757,29 @@ object ManifestCommit {
 
   /** Reclaim `.data-*` dirs no sealed manifest references — debris from
     * runs that died before their commit point. Returns dirs removed.
+    *
+    * OFFLINE-ONLY: must not run concurrently with active compaction on
+    * this leaf. Data dirs AND stats/bloom sidecars are deliberately
+    * written BEFORE the commit point, so an in-flight run's outputs are
+    * indistinguishable from crash debris until its manifest publishes —
+    * a concurrent pass would delete them and either fail the commit
+    * (data) or strip its skipping metadata (sidecars). The re-list
+    * below narrows the publish race to the listing→delete window but
+    * cannot close it; schedule GC from the single maintenance loop
+    * (Compactor already serializes it per leaf).
     */
   def gcOrphans(spark: SparkSession, leaf: String): Int = {
     val fs = FileIndexer.fsFor(spark, leaf)
     val leafPath = new Path(leaf)
     if (!fs.exists(leafPath)) return 0
+    def manifestFiles(es: Array[org.apache.hadoop.fs.FileStatus]) =
+      es.filter(e => e.isFile && e.getPath.getName.startsWith("_manifest-") && e.getPath.getName.endsWith(".json"))
+    def runIdsOf(es: Array[org.apache.hadoop.fs.FileStatus]) = es
+      .map(_.getPath.getName)
+      .flatMap(n => "_manifest-.*-([0-9a-f]+)\\.json".r.findFirstMatchIn(n).map(_.group(1)))
+      .toSet
     val entries = fs.listStatus(leafPath)
-    val referenced = entries
-      .filter(e => e.isFile && e.getPath.getName.startsWith("_manifest-") && e.getPath.getName.endsWith(".json"))
+    val referenced = manifestFiles(entries)
       .flatMap(e => readManifest(fs, e.getPath))
       .flatMap(_.outputs)
       .map(_.takeWhile(_ != '/'))
@@ -737,22 +788,30 @@ object ManifestCommit {
       e.isDirectory && e.getPath.getName.startsWith(".data-") && !referenced.contains(e.getPath.getName)
     }
     // stats/bloom sidecars from runs that died pre-commit: same debris class
-    val manifestRunIds = entries
-      .map(_.getPath.getName)
-      .flatMap(n => "_manifest-.*-([0-9a-f]+)\\.json".r.findFirstMatchIn(n).map(_.group(1)))
-      .toSet
-    entries
+    val manifestRunIds = runIdsOf(entries)
+    val sidecarOrphans = entries.filter { e =>
+      val n = e.getPath.getName
+      e.isFile &&
+        (ManifestStats.runIdOf(n).orElse(ManifestStats.bloomRunIdOf(n)))
+          .exists(!manifestRunIds.contains(_))
+    }
+    if (orphans.isEmpty && sidecarOrphans.isEmpty) return 0
+    // re-list just before deleting: a commit that published between the
+    // snapshot and now rescues its outputs/sidecars from this pass
+    val freshIds = runIdsOf(manifestFiles(fs.listStatus(leafPath)))
+    def stillOrphan(runId: String) = !freshIds.contains(runId)
+    sidecarOrphans
       .filter { e =>
         val n = e.getPath.getName
-        e.isFile &&
-          (ManifestStats.runIdOf(n).orElse(ManifestStats.bloomRunIdOf(n)))
-            .exists(!manifestRunIds.contains(_))
+        ManifestStats.runIdOf(n).orElse(ManifestStats.bloomRunIdOf(n)).exists(stillOrphan)
       }
       .foreach { e =>
         try fs.delete(e.getPath, false)
         catch { case _: Throwable => () }
       }
-    orphans.count(o => fs.delete(o.getPath, true))
+    orphans
+      .filter(o => stillOrphan(o.getPath.getName.stripPrefix(".data-")))
+      .count(o => fs.delete(o.getPath, true))
   }
 
   private[compact] def relativeTo(leaf: String, path: String): String = {
