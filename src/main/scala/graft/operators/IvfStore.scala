@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
   * passes and query batches arrive continuously. This store runs those
   * passes ONCE:
   *
-  *   - `path/codebook`: the trained centroids `(cid, cv)` — K rows,
-  *     always driver/broadcast-sized.
-  *   - `path/lists`: the corpus hive-partitioned by `cid` — each
+  *   - `path/v<seq>/codebook`: the trained centroids `(cid, cv)` — K
+  *     rows, always driver/broadcast-sized.
+  *   - `path/_current-<seq>`: empty pointer file, CREATED LAST
+  *     (create-if-absent, the manifest `_head` discipline from
+  *     [[graft.compact.ManifestCommit]]) — the commit point. Readers
+  *     resolve the highest-seq pointer, so a crash mid-build/retrain
+  *     leaves a partial `v<seq>` dir no reader ever sees (the previous
+  *     version stays live); without this, a crash between the codebook
+  *     and list writes would leave lists assigned under one codebook
+  *     while search ranks probes against another — silently degraded
+  *     neighbors with no detection.
+  *   - `path/v<seq>/lists`: the corpus hive-partitioned by `cid` — each
   *     inverted list is a partition directory, so a probe of `nprobe`
   *     lists is a STATIC partition filter (the [[BandsStore.screen]]
   *     pruning discipline applied to vectors): a batch scans only the
@@ -45,14 +54,40 @@ import org.apache.spark.sql.functions._
   */
 object IvfStore {
 
-  private def codebookPath(path: String) = s"$path/codebook"
-  private def listsPath(path: String) = s"$path/lists"
+  private def codebookPath(vdir: String) = s"$vdir/codebook"
+  private def listsPath(vdir: String) = s"$vdir/lists"
+
+  private val PtrRe = "_current-(\\d+)".r
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest sealed version seq, if any build ever committed here. */
+  private def currentSeq(fs: org.apache.hadoop.fs.FileSystem, path: String): Option[Long] = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) None
+    else
+      fs.listStatus(base)
+        .flatMap(e => PtrRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
+        .sorted.lastOption
+  }
+
+  /** The live version dir; loud failure when no build has sealed (a
+    * crashed first build leaves only an unsealed partial dir — re-run
+    * build before trusting the store).
+    */
+  private def resolve(spark: SparkSession, path: String): String = {
+    val seq = currentSeq(fsOf(spark, path), path).getOrElse(
+      throw new IllegalStateException(s"no sealed IVF store at $path (crashed or missing build — re-run build)"),
+    )
+    s"$path/v$seq"
+  }
 
   /** One broadcast argmax pass: every row of `e` gets the `cid` of its
     * nearest centroid (desc cosine, cid asc — the [[AnnSearch.ivf]]
     * assignment order).
     */
-  private def assign(e: DataFrame, cb: DataFrame): DataFrame = {
+  private[operators] def assign(e: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
     e.crossJoin(broadcast(cb))
       .withColumn("acos", expr("cosine_similarity(v, cv)"))
@@ -65,7 +100,7 @@ object IvfStore {
     * seeds are the `nCentroids` lowest vec_ids, each iteration
     * reassigns and recenters element-wise.
     */
-  private def train(e: DataFrame, nCentroids: Int, lloydIters: Int, seedIds: Option[Seq[Long]]): DataFrame = {
+  private[operators] def train(e: DataFrame, nCentroids: Int, lloydIters: Int, seedIds: Option[Seq[Long]]): DataFrame = {
     val seedSide = seedIds match {
       case Some(ids) => e.where(col("vec_id").isin(ids: _*))
       case None => e.orderBy(col("vec_id")).limit(nCentroids)
@@ -94,12 +129,33 @@ object IvfStore {
       lloydIters: Int = 2,
       seedIds: Option[Seq[Long]] = None, // None → the nCentroids lowest vec_ids
   ): Unit = {
-    graft.functions.GraftFunctions.register(e.sparkSession)
+    val spark = e.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val fs = fsOf(spark, path)
+    val prev = currentSeq(fs, path)
+    val seq = prev.getOrElse(0L) + 1L
+    val vdir = s"$path/v$seq"
     val cb = train(e, nCentroids, lloydIters, seedIds)
-    cb.write.mode("overwrite").parquet(codebookPath(path))
-    val stored = e.sparkSession.read.parquet(codebookPath(path))
+    // overwrite: a crashed unsealed attempt at this seq is safely redone
+    cb.write.mode("overwrite").parquet(codebookPath(vdir))
+    val stored = spark.read.parquet(codebookPath(vdir))
     assign(e, stored)
-      .write.mode("overwrite").partitionBy("cid").parquet(listsPath(path))
+      .write.mode("overwrite").partitionBy("cid").parquet(listsPath(vdir))
+    // commit point: create-if-absent pointer — a concurrent builder that
+    // raced to the same seq fails loudly here instead of interleaving
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_current-$seq"), false).close()
+    // reclaim superseded versions (single-writer maintenance contract);
+    // runs only after the new pointer sealed, so the max pointer always
+    // resolves to a complete version whatever this loop got through
+    prev.foreach { _ =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        val old =
+          (st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < seq) ||
+            (st.isFile && PtrRe.findFirstMatchIn(n).exists(_.group(1).toLong < seq))
+        if (old) { try fs.delete(st.getPath, true) catch { case _: Throwable => () }; () }
+      }
+    }
   }
 
   /** Assign a new batch against the FROZEN codebook and append to the
@@ -108,9 +164,10 @@ object IvfStore {
     */
   def append(spark: SparkSession, newDocs: DataFrame, path: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val cb = spark.read.parquet(codebookPath(path))
+    val vdir = resolve(spark, path)
+    val cb = spark.read.parquet(codebookPath(vdir))
     assign(newDocs, cb)
-      .write.mode("append").partitionBy("cid").parquet(listsPath(path))
+      .write.mode("append").partitionBy("cid").parquet(listsPath(vdir))
   }
 
   /** Batch kNN search against the stored lists. Probe selection is
@@ -129,7 +186,8 @@ object IvfStore {
   ): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val cb: Array[(Long, Array[Double])] = spark.read.parquet(codebookPath(path))
+    val vdir = resolve(spark, path)
+    val cb: Array[(Long, Array[Double])] = spark.read.parquet(codebookPath(vdir))
       .select(col("cid"), col("cv"))
       .as[(Long, Array[Double])]
       .collect()
@@ -140,7 +198,7 @@ object IvfStore {
         .map { case (cid, _) => (qid, cid) }
     }
     val probedCids = probes.map(_._2).distinct.sorted
-    val lists = spark.read.parquet(listsPath(path))
+    val lists = spark.read.parquet(listsPath(vdir))
       .where(col("cid").isin(probedCids: _*)) // static partition filter
     val probeDf = broadcast(probes.toDF("qid", "pcid"))
     val qDf = broadcast(queries.toDF("qid2", "qv"))
@@ -157,7 +215,7 @@ object IvfStore {
 
   /** Per-list sizes `(cid, n)` — one metadata-cheap aggregate. */
   def listSizes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(listsPath(path)).groupBy("cid").count().orderBy("cid")
+    spark.read.parquet(listsPath(resolve(spark, path))).groupBy("cid").count().orderBy("cid")
 
   /** Retrain trigger: true when the largest list exceeds `skewFactor` ×
     * the mean list size — the frozen codebook no longer matches the
@@ -173,15 +231,12 @@ object IvfStore {
     * the union corpus — stale assignment from drifted appends is gone.
     */
   def retrain(spark: SparkSession, path: String, nCentroids: Int = 16, lloydIters: Int = 2): Unit = {
-    // stage the corpus beside the store first: build() overwrites the
-    // files a lazy read of `lists` would still be scanning
-    val tmp = s"$path/.retrain-corpus"
-    spark.read.parquet(listsPath(path))
+    // build() writes into a FRESH version dir and only reclaims this one
+    // after its pointer seals, so the lazy read below scans stable files
+    // throughout — no staging copy needed, and a crash at any point
+    // leaves this version live and complete
+    val corpus = spark.read.parquet(listsPath(resolve(spark, path)))
       .select(col("vec_id"), col("label"), col("v"))
-      .write.mode("overwrite").parquet(tmp)
-    build(spark.read.parquet(tmp), path, nCentroids, lloydIters)
-    val p = new org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+    build(corpus, path, nCentroids, lloydIters)
   }
 }

@@ -52,8 +52,10 @@ class IvfStoreSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       // seedIds 1..16 = AnnSearch.ivf's seeding rule, for exact parity
       IvfStore.build(e, path, nCentroids = 16, lloydIters = 2, seedIds = Some(1L to 16L))
 
-      // store layout sanity: one hive partition per inverted list
-      new File(path, "lists").listFiles().map(_.getName).count(_.startsWith("cid=")) should be > 1
+      // store layout sanity: sealed version dir + pointer, one hive
+      // partition per inverted list
+      new File(path, "_current-1").exists() shouldBe true
+      new File(path, "v1/lists").listFiles().map(_.getName).count(_.startsWith("cid=")) should be > 1
 
       val fresh = rows(AnnSearch.ivf(e, qids, k = 5, nCentroids = 16, nprobe = 2, lloydIters = 2))
       val stored = rows(IvfStore.search(spark, path, queriesFor(e, qids), k = 5, nprobe = 2))
@@ -142,8 +144,42 @@ class IvfStoreSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       rows(IvfStore.search(spark, path, q, k = 5, nprobe = 3)) shouldBe
         rows(IvfStore.search(spark, fresh, q, k = 5, nprobe = 3))
 
-      // and the retrain staging dir is gone
-      new File(path, ".retrain-corpus").exists() shouldBe false
+      // and the superseded version was reclaimed: exactly one version
+      // dir and one pointer survive the retrain
+      val names = new File(path).listFiles().map(_.getName)
+      names.count(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)) shouldBe 1
+      names.count(_.startsWith("_current-")) shouldBe 1
     } finally { e.unpersist(); () }
+  }
+
+  test("an unsealed partial version is invisible: readers keep serving the sealed one") {
+    val e = vecs
+    val path = new File(root, "ivf-crash").getAbsolutePath
+    IvfStore.build(e, path, nCentroids = 8, lloydIters = 1)
+    val q = queriesFor(e, Seq(4L, 11L))
+    val before = rows(IvfStore.search(spark, path, q, k = 5, nprobe = 3))
+
+    // simulate a build/retrain that died between the codebook and list
+    // writes: a v2 dir with a codebook that would mis-rank every probe,
+    // and NO _current-2 pointer (the crash happened pre-commit)
+    val zeroCb = spark.range(8).select(
+      col("id").as("cid"),
+      expr("array_repeat(cast(0.0 as double), 8)").as("cv"),
+    )
+    zeroCb.write.parquet(new File(path, "v2/codebook").getAbsolutePath)
+
+    // search, append, and the retrain trigger must all still resolve v1
+    rows(IvfStore.search(spark, path, q, k = 5, nprobe = 3)) shouldBe before
+    noException should be thrownBy IvfStore.needsRetrain(spark, path)
+
+    // once a real retrain seals, it claims the NEXT seq past the debris
+    // is not required — it just must not read the unsealed dir; the
+    // current recipe redoes seq 2 with mode("overwrite"), which the
+    // parity assertion below pins as safe
+    IvfStore.retrain(spark, path, nCentroids = 8, lloydIters = 1)
+    val freshPath = new File(root, "ivf-crash-fresh").getAbsolutePath
+    IvfStore.build(e, freshPath, nCentroids = 8, lloydIters = 1)
+    rows(IvfStore.search(spark, path, q, k = 5, nprobe = 3)) shouldBe
+      rows(IvfStore.search(spark, freshPath, q, k = 5, nprobe = 3))
   }
 }
