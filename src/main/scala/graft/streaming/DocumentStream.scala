@@ -85,9 +85,27 @@ object DocumentStream {
   }
 
   /** One row of LSH band state input: a document's signature in one
-    * band.
+    * band. `hs` carries the doc's DISTINCT shingle hashes when exact
+    * verification is on (empty otherwise, keeping the shuffle narrow).
     */
-  final case class BandRow(band: Int, sig: String, doc_id: Long, arrival: java.sql.Timestamp)
+  final case class BandRow(band: Int, sig: String, doc_id: Long, arrival: java.sql.Timestamp, hs: Seq[Long])
+
+  /** Keyed state of [[nearDupStream]]: the band owner and (when
+    * verifying) its shingle-hash set.
+    */
+  final case class BandOwner(doc_id: Long, hs: Seq[Long])
+
+  /** Exact Jaccard over distinct shingle-hash sets — the SAME quantity
+    * the batch `dedup_minhash_verify` thresholds (one md5-slice hash per
+    * distinct shingle on both paths, so hash collisions bias both
+    * identically).
+    */
+  private def exactJaccard(x: Seq[Long], y: Seq[Long]): Double = {
+    if (x.isEmpty || y.isEmpty) return 0.0
+    val xs = x.toSet
+    val inter = y.count(xs.contains)
+    inter.toDouble / (xs.size + y.size - inter)
+  }
 
   /** A flagged near-duplicate candidate: `doc_id` collided with the
     * band owner `dup_of` in `band`.
@@ -101,7 +119,7 @@ object DocumentStream {
     * explode, no groupBy, STATELESS — exactly what a streaming stage
     * needs before the keyed state step.
     */
-  def bandSignatures(docs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  def bandSignatures(docs: DataFrame, rowsPerBand: Int = 4, withShingles: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val nBands = 16 / rowsPerBand
     val hs = "transform(word_shingles(w, 3), sh -> CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT))"
@@ -115,12 +133,19 @@ object DocumentStream {
         s"struct($bnd AS band, $sig AS sig)"
       }
       .mkString("array(", ", ", ")")
-    docs
+    val base = docs
       .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= 3)
       .withColumn("hs", expr(hs))
-      .select(col("doc_id"), col("arrival"), explode(expr(bandStructs)).as("b"))
-      .select(col("b.band").as("band"), col("b.sig").as("sig"), col("doc_id"), col("arrival"))
+    val core = Seq(col("b.band").as("band"), col("b.sig").as("sig"), col("doc_id"), col("arrival"))
+    if (withShingles)
+      base
+        .select(col("doc_id"), col("arrival"), array_distinct(col("hs")).as("hs"), explode(expr(bandStructs)).as("b"))
+        .select(core :+ col("hs"): _*)
+    else
+      base
+        .select(col("doc_id"), col("arrival"), explode(expr(bandStructs)).as("b"))
+        .select(core: _*)
   }
 
   /** Streaming near-duplicate suppression — the stateful form of the
@@ -132,14 +157,24 @@ object DocumentStream {
     * shuffles on — and reclaimed by an event-time timeout `stateTtl`
     * past the watermark: a duplicate arriving later than that is the
     * periodic batch pass's job, identical to the exact-dedup contract
-    * above. Emits `NearDup(doc_id, band, dup_of)` candidates (append
-    * mode); exact verification downstream stays the caller's step, as
-    * in every LSH path here.
+    * above.
+    *
+    * With `verifyMinJaccard` set, band collisions are VERIFIED in-state
+    * before emission: the owner keeps its distinct shingle-hash set and
+    * each collider's exact Jaccard against it must clear the threshold
+    * — a band-colliding-but-dissimilar pair (the LSH false positive) is
+    * NOT flagged, so the streamed flags mean exactly what the batch
+    * `dedup_minhash_verify` flags mean. The cost is honest and bounded:
+    * state grows from 8 bytes to O(doc shingles) per (band, sig) key,
+    * reclaimed by the same TTL. With `verifyMinJaccard = None` the
+    * stream emits raw candidates and verification stays the caller's
+    * downstream step, as before.
     */
   def nearDupStream(
       docs: DataFrame,
       lateness: String = "10 minutes",
       stateTtlMs: Long = 60L * 60 * 1000,
+      verifyMinJaccard: Option[Double] = None,
   ): org.apache.spark.sql.Dataset[NearDup] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -148,7 +183,7 @@ object DocumentStream {
     def update(
         key: (Int, String),
         it: Iterator[BandRow],
-        state: GroupState[Long],
+        state: GroupState[BandOwner],
     ): Iterator[NearDup] = {
       if (state.hasTimedOut) {
         state.remove()
@@ -157,14 +192,16 @@ object DocumentStream {
         // deterministic owner: earliest arrival, then lowest id
         val rows = it.toSeq.sortBy(r => (r.arrival.getTime, r.doc_id))
         val out = Seq.newBuilder[NearDup]
-        var owner = if (state.exists) Some(state.get) else None
+        var owner = state.getOption
         rows.foreach { r =>
           owner match {
-            case Some(o) if o != r.doc_id => out += NearDup(r.doc_id, key._1, o)
+            case Some(o) if o.doc_id != r.doc_id =>
+              if (verifyMinJaccard.forall(exactJaccard(r.hs, o.hs) >= _))
+                out += NearDup(r.doc_id, key._1, o.doc_id)
             case Some(_) => ()
             case None =>
-              owner = Some(r.doc_id)
-              state.update(r.doc_id)
+              owner = Some(BandOwner(r.doc_id, r.hs))
+              state.update(owner.get)
           }
         }
         if (rows.nonEmpty && owner.nonEmpty) {
@@ -175,7 +212,10 @@ object DocumentStream {
       }
     }
 
-    bandSignatures(docs)
+    val sigs =
+      if (verifyMinJaccard.isDefined) bandSignatures(docs, withShingles = true)
+      else bandSignatures(docs).withColumn("hs", expr("CAST(array() AS ARRAY<BIGINT>)"))
+    sigs
       .withWatermark("arrival", lateness)
       .as[BandRow]
       .groupByKey(r => (r.band, r.sig))
@@ -196,12 +236,33 @@ object DocumentStream {
     * the contract.
     *
     * Ordering: screen BEFORE absorb (a batch must not collide with
-    * itself through the store); within-batch collisions come from a
-    * band self-join on the batch's own (small) signature set.
+    * itself through the store). The materialize-before-absorb step goes
+    * through a hidden `.screen-flags` dir under the store (invisible to
+    * the band reads — leading-dot paths are filtered by the parquet
+    * source), NOT a driver collect: a pathological all-duplicates batch
+    * costs executor disk, never driver memory. The returned frame reads
+    * that dir and stays valid until the NEXT batch overwrites it —
+    * consume it inside the same `foreachBatch` body, which is the only
+    * calling convention this method exists for.
+    *
+    * With `verifyMinJaccard` set, candidates are verified on exact
+    * Jaccard before flagging (the batch `dedup_minhash_verify`
+    * contract): batch docs' distinct shingle-hash sets are persisted to
+    * a hidden `.hs` sidecar table on absorb, so cross-batch candidates
+    * verify against history WITHOUT re-reading or re-shingling history
+    * text — one join against the compact `.hs` table (ids + hash sets),
+    * whose probe side is batch-bounded and broadcastable. Within-batch
+    * pairs verify against the batch's own sets.
     */
-  def screenAndAbsorbBatch(batchDocs: DataFrame, storePath: String): DataFrame = {
+  def screenAndAbsorbBatch(
+      batchDocs: DataFrame,
+      storePath: String,
+      verifyMinJaccard: Option[Double] = None,
+  ): DataFrame = {
     val spark = batchDocs.sparkSession
-    val sigs = bandSignatures(batchDocs).select("band", "sig", "doc_id").cache()
+    val verifying = verifyMinJaccard.isDefined
+    val hsPath = s"$storePath/.hs"
+    val sigs = bandSignatures(batchDocs, withShingles = verifying).cache()
     try {
       val storeExists =
         try spark.read.parquet(storePath).columns.contains("band")
@@ -218,11 +279,36 @@ object DocumentStream {
         .join(sigs.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") > col("y.doc_id"))
         .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
-      val flags = vsStore.union(within).distinct().collect() // materialize BEFORE absorb
+      val candidates = vsStore.union(within).distinct()
+      val flagged =
+        if (!verifying) candidates
+        else {
+          val batchHs = sigs.select(col("doc_id"), col("hs")).dropDuplicates("doc_id")
+          val histHs =
+            try {
+              val h = spark.read.parquet(hsPath)
+              if (h.columns.contains("hs")) h else batchHs.limit(0)
+            } catch { case _: Throwable => batchHs.limit(0) }
+          // dup_of may be a batch doc (within) or a history doc (store);
+          // a re-ingested id appears in both with identical sets
+          val ownerHs = batchHs.unionByName(histHs).dropDuplicates("doc_id")
+          val jac = size(array_intersect(col("nhs"), col("ohs"))).cast("double") /
+            size(array_union(col("nhs"), col("ohs")))
+          candidates
+            .join(batchHs.select(col("doc_id").as("nd"), col("hs").as("nhs")), col("doc_id") === col("nd"))
+            .join(ownerHs.select(col("doc_id").as("od"), col("hs").as("ohs")), col("dup_of") === col("od"))
+            .where(jac >= verifyMinJaccard.get)
+            .select(col("doc_id"), col("dup_of"))
+        }
+      // materialize BEFORE absorb — bounded by executor disk, not driver
+      val flagsPath = s"$storePath/.screen-flags"
+      flagged.write.mode("overwrite").parquet(flagsPath)
       sigs.select("doc_id", "band", "sig")
         .write.mode("append").partitionBy("band").parquet(storePath)
-      import spark.implicits._
-      flags.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("doc_id", "dup_of")
+      if (verifying)
+        sigs.select(col("doc_id"), col("hs")).dropDuplicates("doc_id")
+          .write.mode("append").parquet(hsPath)
+      spark.read.schema("doc_id LONG, dup_of LONG").parquet(flagsPath)
     } finally {
       sigs.unpersist()
       ()

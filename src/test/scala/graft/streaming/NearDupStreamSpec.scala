@@ -132,4 +132,97 @@ class NearDupStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("old_doc").collect().map(_.getLong(0)).toSet
     batchView shouldBe Set(2L, 3L)
   }
+
+  // a long doc and a suffixed variant: high containment (the suffix adds
+  // a few shingles to an otherwise identical set) makes a band collision
+  // near-certain while the exact Jaccard stays clearly below 0.95 — the
+  // LSH false positive the verify stage exists to reject. Fixture is
+  // fixed, kernel is deterministic: the collision precondition below is
+  // asserted, not assumed.
+  private val tLong = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima " +
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray " +
+    "yankee zulu one two three four five six seven eight nine ten eleven twelve").trim
+  private val tSuffixed = tLong + " thirteen fourteen fifteen"
+
+  private def shingleSet(text: String): Set[Seq[String]] =
+    text.split(" ").toSeq.sliding(3).map(_.toSeq).toSet
+
+  private def pairJaccard(x: String, y: String): Double = {
+    val (a, b) = (shingleSet(x), shingleSet(y))
+    a.intersect(b).size.toDouble / a.union(b).size
+  }
+
+  test("verify stage: a band-colliding-but-low-Jaccard pair is NOT flagged; exact dups still are") {
+    val s = spark
+    import s.implicits._
+    // precondition: the pair really is an LSH candidate under the kernel
+    val fixture = Seq(
+      Doc(1, tLong, "en", ts("2024-01-01 10:00:00")),
+      Doc(2, tSuffixed, "en", ts("2024-01-01 10:00:01")),
+    ).toDF()
+    val sigs = DocumentStream.bandSignatures(fixture)
+      .select("doc_id", "band", "sig")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val shared = sigs.filter(_._1 == 1L).map(x => (x._2, x._3)).toSet
+      .intersect(sigs.filter(_._1 == 2L).map(x => (x._2, x._3)).toSet)
+    withClue("fixture must band-collide for the test to mean anything: ") { shared should not be empty }
+    val jac = pairJaccard(tLong, tSuffixed)
+    withClue(s"fixture Jaccard $jac must be below the 0.95 gate: ") { jac should be < 0.95 }
+
+    val in = Files.createTempDirectory("neardup-vin").toFile.getAbsolutePath
+    val chk = Files.createTempDirectory("neardup-vchk").toFile.getAbsolutePath
+    writeBatch(in, Seq(Doc(1, tLong, "en", ts("2024-01-01 10:00:00"))))
+    val q = DocumentStream
+      .nearDupStream(DocumentStream.readDocs(spark, in), verifyMinJaccard = Some(0.95))
+      .writeStream
+      .format("memory")
+      .queryName("neardup_verified")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    q.processAllAvailable()
+    // cross-batch: the suffixed variant band-collides with doc 1's state
+    // but fails exact verification; the exact duplicate passes it
+    writeBatch(in, Seq(
+      Doc(2, tSuffixed, "en", ts("2024-01-01 10:02:00")),
+      Doc(3, tLong, "en", ts("2024-01-01 10:02:01")),
+    ))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT doc_id, dup_of FROM neardup_verified")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.map(_._1).toSet shouldBe Set(3L)
+    out.foreach(_._2 shouldBe 1L)
+  }
+
+  test("store-backed verify: low-Jaccard band collisions rejected, history verified without re-shingling") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("neardup-vstore").toFile.getAbsolutePath + "/bands"
+
+    // batch 1 through the store front end (verifying): absorbs doc 1 +
+    // its hidden .hs sidecar
+    val b1 = Seq(Doc(1, tLong, "en", ts("2024-01-01 10:00:00"))).toDF()
+    DocumentStream.screenAndAbsorbBatch(b1, store, verifyMinJaccard = Some(0.95))
+      .count() shouldBe 0L
+
+    // batch 2: suffixed variant collides vs the STORE but fails the
+    // exact-Jaccard gate (verified against .hs, history text never
+    // re-read); the exact dup passes; within-batch exact pair (4 vs 3)
+    // also passes
+    val b2 = Seq(
+      Doc(2, tSuffixed, "en", ts("2024-01-01 10:05:00")),
+      Doc(3, tLong, "en", ts("2024-01-01 10:05:01")),
+      Doc(4, tLong, "en", ts("2024-01-01 10:05:02")),
+    ).toDF()
+    val flags = DocumentStream.screenAndAbsorbBatch(b2, store, verifyMinJaccard = Some(0.95))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    flags shouldBe Set((3L, 1L), (4L, 1L), (4L, 3L))
+
+    // unverified screening over the same store still reports the raw
+    // candidate (the band collision exists; only the verdict differs)
+    val raw = graft.operators.BandsStore.screen(spark, Seq(Doc(9, tSuffixed, "en", ts("2024-01-01 11:00:00"))).toDF(), store)
+      .select("old_doc").collect().map(_.getLong(0)).toSet
+    raw should contain(2L)
+  }
 }
