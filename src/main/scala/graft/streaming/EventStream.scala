@@ -190,4 +190,80 @@ object EventStream {
       .dropDuplicatesWithinWatermark("a_id", "b_id")
       .select(col("a_id"), col("b_id"))
   }
+
+  /** Multi-level variant of [[overlapJoinStream]] for HETEROGENEOUS
+    * interval lengths — the streaming port of
+    * [[graft.queries.EventQueries.overlapJoinAggLevels]]'s register/
+    * probe discipline. One grid makes Σcells = Σ len/cell: a single
+    * day-long interval on a minute grid explodes to 1440 state rows.
+    * Here level ℓ has cell size base·2^ℓ (ℓ < `levels`); each interval
+    * REGISTERS on the smallest level whose cell covers its length (≤ 2
+    * cells) and PROBES every level at or above its own (≤ 3 cells per
+    * coarser level), so per-interval state and join fan-out are
+    * O(levels) for ANY length mix. A pair (x, y) with lvl(x) ≤ lvl(y)
+    * meets where x probes y's registration level — candidates are
+    * probeA⋈regB ∪ regA⋈probeB, a lossless superset pruned by the exact
+    * half-open predicate, then deduped within the watermark exactly as
+    * in the single-grid form (a pair can meet in several (lvl, cell)
+    * keys and in both branches at equal levels).
+    *
+    * The watermark story is unchanged: overlap of intervals no longer
+    * than `maxIntervalSeconds` implies `|a_s − b_s| < maxIntervalSeconds`
+    * regardless of level, so the same symmetric start-time bound drives
+    * state eviction in both joins. The top-level cell must cover
+    * `maxIntervalSeconds` to keep the ≤ 2-cell registration bound.
+    *
+    * Inputs as in [[overlapJoinStream]]: `(a_id, a_s, a_e)` /
+    * `(b_id, b_s, b_e)`, half-open, NOT yet watermarked. Output:
+    * distinct overlapping `(a_id, b_id)` pairs.
+    */
+  def overlapJoinStreamLevels(
+      a: DataFrame,
+      b: DataFrame,
+      baseCellSeconds: Long,
+      levels: Int,
+      maxIntervalSeconds: Long,
+      lateness: String = "1 hour",
+  ): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    val baseUs = baseCellSeconds * 1000000L
+    require(
+      maxIntervalSeconds * 1000000L <= (baseUs << (levels - 1)),
+      s"top-level cell (base $baseCellSeconds s x 2^${levels - 1}) must cover maxIntervalSeconds ($maxIntervalSeconds)",
+    )
+    // the batch kernel's lvl/reg/probe, parameterized by column names
+    def lvl(df: DataFrame, s: String, e: String) = df.withColumn(
+      "lvl",
+      least(
+        greatest(
+          ceil(log(2.0, (unix_micros(col(e)) - unix_micros(col(s))).cast("double") / baseUs)).cast("int"),
+          lit(0),
+        ),
+        lit(levels - 1),
+      ),
+    )
+    def cellsAt(s: String, e: String, levelCol: String) =
+      s"sequence(unix_micros($s) div ($baseUs * shiftleft(1L, $levelCol)), (unix_micros($e) - 1) div ($baseUs * shiftleft(1L, $levelCol)))"
+    def reg(df: DataFrame, s: String, e: String) = lvl(df, s, e)
+      .withColumn("cell", explode(expr(cellsAt(s, e, "lvl"))))
+    def probe(df: DataFrame, s: String, e: String) = lvl(df, s, e)
+      .withColumn("plvl", explode(expr(s"sequence(lvl, ${levels - 1})")))
+      .withColumn("cell", explode(expr(cellsAt(s, e, "plvl"))))
+      .withColumn("lvl", col("plvl"))
+      .drop("plvl")
+    val aw = a.withWatermark("a_s", lateness)
+    val bw = b.withWatermark("b_s", lateness)
+    def meet(x: DataFrame, y: DataFrame) =
+      x.as("x").join(
+        y.as("y"),
+        col("x.lvl") === col("y.lvl") && col("x.cell") === col("y.cell") &&
+          col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+          col("a_s") >= col("b_s") - expr(s"INTERVAL $maxIntervalSeconds SECONDS") &&
+          col("a_s") <= col("b_s") + expr(s"INTERVAL $maxIntervalSeconds SECONDS"),
+      ).select(col("a_id"), col("b_id"), col("a_s"))
+    meet(probe(aw, "a_s", "a_e"), reg(bw, "b_s", "b_e"))
+      .unionByName(meet(reg(aw, "a_s", "a_e"), probe(bw, "b_s", "b_e")))
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+      .select(col("a_id"), col("b_id"))
+  }
 }
