@@ -56,9 +56,34 @@ object AnnBench {
       .select(col("vec_id"), col("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
 
+    // √N-centroid store: fixed K=16 conflates list-length growth with
+    // probe-count growth across decades; K ∝ √N is the balance point
+    // (probe cost ∝ nprobe·N/K = nprobe·√N when K=√N) — the second
+    // curve the decade ladder needs to separate the two effects
+    val kSqrtN = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    val ivfSqrtPath = Files.createTempDirectory("annbench-ivfsqrt").toFile.getAbsolutePath
+    val tBuildSqrt = System.nanoTime()
+    IvfStore.build(e, ivfSqrtPath, nCentroids = kSqrtN, lloydIters = 2, seedIds = Some(1L to kSqrtN.toLong))
+    val ivfSqrtBuildSec = (System.nanoTime() - tBuildSqrt) / 1e9
+
+    // persisted NSW indexes: hash-routed (must probe every shard) vs
+    // centroid-routed at two shard counts — the routed query cost is
+    // ∝ nprobe, flat in nShards; hash search is ∝ corpus regardless
+    val nswHashPath = Files.createTempDirectory("annbench-nswh").toFile.getAbsolutePath
+    NswSearch.buildIndex(e, nswHashPath, m = 8, efBuild = 24)
+    val nswR8Path = Files.createTempDirectory("annbench-nswr8").toFile.getAbsolutePath
+    NswSearch.buildIndexRouted(e, nswR8Path, nShards = 8, m = 8, efBuild = 24, lloydIters = 2, seedIds = Some(1L to 8L))
+    val nswR32Path = Files.createTempDirectory("annbench-nswr32").toFile.getAbsolutePath
+    NswSearch.buildIndexRouted(e, nswR32Path, nShards = 32, m = 8, efBuild = 24, lloydIters = 2, seedIds = Some(1L to 32L))
+
     val points = Seq(
       ("ivf_store", "nprobe=2", () => IvfStore.search(spark, ivfPath, storeQueries, k, nprobe = 2)),
       ("ivf_store", "nprobe=8", () => IvfStore.search(spark, ivfPath, storeQueries, k, nprobe = 8)),
+      ("ivf_store", s"K=$kSqrtN(sqrtN),nprobe=2", () => IvfStore.search(spark, ivfSqrtPath, storeQueries, k, nprobe = 2)),
+      ("ivf_store", s"K=$kSqrtN(sqrtN),nprobe=8", () => IvfStore.search(spark, ivfSqrtPath, storeQueries, k, nprobe = 8)),
+      ("nsw_store", "hash,all-shards", () => NswSearch.searchIndex(spark, nswHashPath, storeQueries, k, efSearch = 48)),
+      ("nsw_routed", "S=8,nprobe=2", () => NswSearch.searchIndexRouted(spark, nswR8Path, storeQueries, k, efSearch = 48, nprobe = 2)),
+      ("nsw_routed", "S=32,nprobe=2", () => NswSearch.searchIndexRouted(spark, nswR32Path, storeQueries, k, efSearch = 48, nprobe = 2)),
       ("lsh", "bits=8", () => AnnSearch.lsh(e, qids, k, bits = 8)),
       ("lsh", "bits=8,multiprobe", () => AnnSearch.lsh(e, qids, k, bits = 8, multiProbe = true)),
       ("ivf", "nprobe=1", () => AnnSearch.ivf(e, qids, k, nprobe = 1, lloydIters = 2)),
@@ -77,9 +102,11 @@ object AnnBench {
     println(
       f"""{"metric":"ann_curve","k":$k,"nq":${qids.size},"n":$n,"exact_sec":$exactSec%.2f,""" +
         f""""ivf_store_build_sec":$ivfBuildSec%.2f,""" +
+        f""""ivf_store_build_sqrtn_sec":$ivfSqrtBuildSec%.2f,"ivf_sqrtn_k":$kSqrtN,""" +
         s""""points":[${points.mkString(",")}]}""",
     )
-    Fs.rmTree(new java.io.File(ivfPath))
+    Seq(ivfPath, ivfSqrtPath, nswHashPath, nswR8Path, nswR32Path)
+      .foreach(p => Fs.rmTree(new java.io.File(p)))
     spark.stop()
   }
 }

@@ -188,12 +188,24 @@ object NswSearch {
     val routed = newDocs
       .select(col("vec_id"), col("label"), col("v"))
       .withColumn("part", pmod(col("vec_id"), lit(nParts.toLong)).cast("int"))
+    insertRoutedRows(spark, path, routed, m, efBuild)
+    if (rebalanceMax > 0) { rebalanceIndex(spark, path, rebalanceMax, m, efBuild); () }
+  }
+
+  /** Shared insert kernel: `routed` carries `(vec_id, label, v, part)`
+    * with the shard already chosen (hash for [[insertIndex]], coarse
+    * quantizer for [[insertIndexRouted]]); each new vector greedy-links
+    * into its shard's stored graph and ONLY touched shard partitions
+    * are rewritten.
+    */
+  private def insertRoutedRows(spark: org.apache.spark.sql.SparkSession, path: String, routed: DataFrame, m: Int, efBuild: Int): Unit = {
+    import spark.implicits._
     val touched = routed.select("part").distinct().as[Int].collect().toSet
     val existing = spark.read.parquet(path)
       .select(col("part").cast("int").as("part"), col("ord"), col("vec_id"), col("label"), col("v"), col("nbrs"))
       .as[IndexRow]
       .filter(r => touched.contains(r.part))
-    val newRows = routed.as[(Long, String, Array[Double], Int)]
+    val newRows = routed.select("vec_id", "label", "v", "part").as[(Long, String, Array[Double], Int)]
     val rewritten = existing
       .groupByKey(_.part)
       .cogroup(newRows.groupByKey(_._4)) { (part, oldIt, newIt) =>
@@ -232,7 +244,6 @@ object NswSearch {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    if (rebalanceMax > 0) { rebalanceIndex(spark, path, rebalanceMax, m, efBuild); () }
   }
 
   /** Bound per-task search cost for a long-lived index:
@@ -334,6 +345,136 @@ object NswSearch {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("label"), col("sim"))
+  }
+
+  private def centroidsPath(path: String) = s"$path/_centroids"
+
+  /** CENTROID-ROUTED shard layout: shard assignment by a coarse
+    * quantizer (the [[IvfStore]] codebook recipe — deterministic Lloyd,
+    * seeds = lowest vec_ids) instead of `pmod(vec_id)`. Hash routing
+    * spreads every neighborhood across every shard, so [[searchIndex]]
+    * must probe ALL shards per query batch; routing by nearest centroid
+    * co-locates neighborhoods, and [[searchIndexRouted]] probes only
+    * each query's `nprobe` nearest shards — the IvfStore partition-
+    * pruning property, with an NSW graph walk instead of a list scan
+    * inside each probed shard. Per-shard graphs are built with the
+    * exact [[buildIndex]] kernel (insertion order = vec_id asc for
+    * determinism); centroids persist under `path/_centroids`
+    * (underscore-hidden from the shard reads).
+    *
+    * Trade-offs vs hash routing, both kept on purpose:
+    * [[insertIndex]]'s pmod routing needs no centroid lookup and keeps
+    * working after [[rebalanceIndex]] widens the shard domain; routed
+    * shards answer small query batches at nprobe/nShards of the scan
+    * cost but pay one coarse-quantizer training at build time and skew
+    * with data drift (rebuild when [[IvfStore.needsRetrain]]-style
+    * skew appears — rebalance would orphan the centroid map).
+    */
+  def buildIndexRouted(
+      e: DataFrame,
+      path: String,
+      nShards: Int = 8,
+      m: Int = 8,
+      efBuild: Int = 24,
+      lloydIters: Int = 2,
+      seedIds: Option[Seq[Long]] = None,
+  ): Unit = {
+    val spark = e.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val cb = IvfStore.train(e, nShards, lloydIters, seedIds).cache()
+    try {
+      IvfStore.assign(e, cb)
+        .select(col("vec_id"), col("label"), col("v"), col("cid").cast("int").as("part"))
+        .as[(Long, String, Array[Double], Int)]
+        .groupByKey(_._4)
+        .flatMapGroups { (part, it) =>
+          val rows = it.toArray.sortBy(_._1) // vec_id asc: deterministic insertion order
+          val adj = buildGraph(rows.map(_._3), m, efBuild)
+          rows.iterator.zipWithIndex.map { case ((id, label, v, _), ord) =>
+            IndexRow(part, ord, id, label, v, adj(ord).toArray)
+          }
+        }
+        .write.mode("overwrite").partitionBy("part").parquet(path)
+      // centroids AFTER the index write (overwrite above would wipe them)
+      cb.write.mode("overwrite").parquet(centroidsPath(path))
+    } finally { cb.unpersist(); () }
+  }
+
+  /** Search a centroid-routed index: rank shards per query against the
+    * collected K-row centroid table (driver-side, the [[IvfStore.search]]
+    * discipline), scan ONLY the union of probed shard partitions (static
+    * partition filter), walk each probed shard's graph for just the
+    * queries that probed it, and merge with the usual top-k window.
+    * Query cost is ∝ nprobe shards regardless of nShards — the curve
+    * hash routing cannot produce.
+    */
+  def searchIndexRouted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: Seq[(Long, Array[Double])],
+      k: Int,
+      efSearch: Int = 48,
+      m: Int = 8,
+      nprobe: Int = 2,
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(centroidsPath(path))
+      .select(col("cid"), col("cv"))
+      .as[(Long, Array[Double])]
+      .collect()
+    require(cents.nonEmpty, s"no routed index at $path (missing _centroids — built with buildIndexRouted?)")
+    val probeOf: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, cv) => (cid, VecMath.cosine(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(nprobe)
+        .map(_._1.toInt)
+        .toSeq
+    }.toMap
+    val probedParts = probeOf.values.flatten.toSeq.distinct.sorted
+    val qB = spark.sparkContext.broadcast(queries.toArray)
+    val routeB = spark.sparkContext.broadcast(probeOf)
+    val local = spark.read.parquet(path)
+      .where(col("part").isin(probedParts: _*)) // static partition filter
+      .select(col("part").cast("int").as("part"), col("ord"), col("vec_id"), col("label"), col("v"), col("nbrs"))
+      .as[IndexRow]
+      .groupByKey(_.part)
+      .flatMapGroups { (p, it) =>
+        val rows = it.toArray.sortBy(_.ord)
+        val vs = rows.map(_.v)
+        val adj = rows.map(r => mutable.ArrayBuffer.from(r.nbrs))
+        val entries = 0 until rows.length by math.max(1, rows.length / math.max(1, m))
+        qB.value.iterator
+          .filter { case (qid, _) => routeB.value(qid).contains(p) }
+          .flatMap { case (qid, qv) =>
+            drain(searchGraph(vs, adj, entries, qv, efSearch))
+              .iterator
+              .filter { case (_, i) => rows(i).vec_id != qid }
+              .take(k)
+              .map { case (s, i) => (qid, rows(i).vec_id, rows(i).label, s) }
+          }
+      }
+      .toDF("qid", "vec_id", "label", "sim")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    local
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** Incremental insert into a ROUTED index: new vectors are assigned to
+    * their nearest stored centroid (frozen, one broadcast argmax — the
+    * [[IvfStore.append]] discipline) and greedy-linked into that shard's
+    * graph by the shared insert kernel; only touched shards rewrite.
+    * Deterministic: frozen centroids + the kernel's ordinal-then-id
+    * insertion order.
+    */
+  def insertIndexRouted(spark: org.apache.spark.sql.SparkSession, path: String, newDocs: DataFrame, m: Int = 8, efBuild: Int = 24): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cb = spark.read.parquet(centroidsPath(path))
+    val routed = IvfStore.assign(newDocs, cb)
+      .select(col("vec_id"), col("label"), col("v"), col("cid").cast("int").as("part"))
+    insertRoutedRows(spark, path, routed, m, efBuild)
   }
 
   /** NSW kNN join: per-partition graphs, broadcast query batch, global

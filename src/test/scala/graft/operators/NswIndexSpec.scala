@@ -103,6 +103,71 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     }
   }
 
+  test("centroid-routed shards: nprobe << nShards probes, pruned scan, recall floor, routed inserts") {
+    val e = graft.queries.SimilarityQueries.vecs(spark, sf).cache()
+    try {
+      val path = new File(root, "nsw-routed").getAbsolutePath
+      NswSearch.buildIndexRouted(e, path, nShards = 8, m = 8, efBuild = 24, lloydIters = 2, seedIds = Some(1L to 8L))
+      // layout: centroid sidecar + at most nShards shard dirs
+      new File(path, "_centroids").exists() shouldBe true
+      val shardDirs = new File(path).listFiles().map(_.getName).count(_.startsWith("part="))
+      shardDirs should be <= 8
+      shardDirs should be > 1
+
+      val qids = 0L until 20L
+      val queries = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+      // ONE query with nprobe=2 scans at most 2 shard partitions — the
+      // partition-pruning property hash routing cannot have
+      val one = NswSearch.searchIndexRouted(spark, path, queries.take(1), k = 5, efSearch = 64, nprobe = 2)
+      val scannedParts = one.queryExecution.executedPlan.collectLeaves().flatMap {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles.toSeq
+        case _ => Seq.empty
+      }.flatMap(p => "part=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt)).distinct
+      withClue(s"scanned shards: $scannedParts") { scannedParts.size should be <= 2 }
+
+      // recall ladder at nprobe << nShards: the clustered fixture routes
+      // each query's neighborhood into few shards (measured 0.68 at 2/8
+      // probes — a 4x scan cut; probing half the shards restores the
+      // all-shard 0.8 floor). Monotone by construction: a true top-k
+      // member found in any probed shard always survives the sim-ordered
+      // merge, so more probes never lose recall.
+      val exact = AnnSearch.exact(e, qids, 5)
+      val routed = NswSearch.searchIndexRouted(spark, path, queries, k = 5, efSearch = 64, nprobe = 2)
+      val recall2 = AnnSearch.recallAt(exact, routed, qids, 5)
+      val recall4 = AnnSearch.recallAt(
+        exact, NswSearch.searchIndexRouted(spark, path, queries, k = 5, efSearch = 64, nprobe = 4), qids, 5)
+      recall2 should be >= 0.6
+      recall4 should be >= recall2
+      recall4 should be >= 0.8
+
+      // probing EVERY shard must equal the probe-everything reader on the
+      // same files: routing changes which shards are visited, never what
+      // a visited shard answers
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rows(NswSearch.searchIndexRouted(spark, path, queries, k = 5, efSearch = 64, nprobe = 8)) shouldBe
+        rows(NswSearch.searchIndex(spark, path, queries, k = 5, efSearch = 64))
+
+      // deterministic: same (index, queries, parameters) -> same rows
+      rows(NswSearch.searchIndexRouted(spark, path, queries, k = 5, efSearch = 64, nprobe = 2)) shouldBe
+        rows(routed)
+
+      // routed insert: one new vector rewrites exactly one shard
+      val n0 = spark.read.parquet(path).count()
+      def shardFiles() = new File(path).listFiles().filter(_.getName.startsWith("part="))
+        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
+      val before = shardFiles()
+      NswSearch.insertIndexRouted(spark, path,
+        spark.createDataFrame(Seq((8001L, "z", Array.fill(64)(0.25)))).toDF("vec_id", "label", "v"))
+      val after = shardFiles()
+      before.keys.count(kk => before(kk) != after.getOrElse(kk, Set.empty)) shouldBe 1
+      spark.read.parquet(path).count() shouldBe n0 + 1
+    } finally { e.unpersist(); () }
+  }
+
   test("rebalanceIndex splits oversized shards, leaves others untouched, and preserves recall") {
     val e = graft.queries.SimilarityQueries.vecs(spark, sf).cache()
     try {
