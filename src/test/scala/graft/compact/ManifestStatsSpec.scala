@@ -120,6 +120,66 @@ class ManifestStatsSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     none.columns should contain("tag")
   }
 
+  test("compactWhere re-compacts one key range: only stats-intersecting files rewrite, bag identity holds") {
+    val leaf = new File(root, "acct/source=rangec/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    // three commits over three disjoint id decades -> three live output
+    // files with disjoint recorded intervals
+    writeFile(leaf, "a.parquet", 0L, 100L)
+    compactFiles(leafPath, "r1", abs("a.parquet"))
+    writeFile(leaf, "b.parquet", 100L, 200L)
+    compactFiles(leafPath, "r2", abs("b.parquet"))
+    writeFile(leaf, "c.parquet", 200L, 300L)
+    compactFiles(leafPath, "r3", abs("c.parquet"))
+
+    val liveBefore = ManifestCommit.liveFiles(spark, leafPath)
+    liveBefore.size shouldBe 3
+    def rows() = ManifestCommit.readLeaf(spark, leafPath)
+      .select("id", "v", "tag").collect().map(_.toString).sorted.toSeq
+    val bagBefore = rows()
+
+    // [120, 250] intersects decades 2 and 3 only: decade 1's file must
+    // survive untouched (same path, same bytes)
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    val untouched = ManifestStats
+      .pruneFiles(ManifestStats.read(fs, leafPath), leafPath, liveBefore, "id", 0d, 99d)
+    untouched.size shouldBe 1
+    val untouchedLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(untouched.head)).getLen
+
+    val res = ManifestCommit.compactWhere(spark, leafPath, "id", 120d, 250d, cfg, stem = "rw")
+    res should not be empty
+    withClue(res)(res.get.success shouldBe true)
+    res.get.rowsWritten shouldBe 200L // decades 2+3
+
+    // live set: the untouched decade-1 file persists by identity; the
+    // two intersecting files were superseded by the rewrite's outputs
+    val liveAfter = ManifestCommit.liveFiles(spark, leafPath)
+    liveAfter should contain(untouched.head)
+    fs.getFileStatus(new org.apache.hadoop.fs.Path(untouched.head)).getLen shouldBe untouchedLen
+    liveAfter.toSet.intersect(liveBefore.toSet) shouldBe Set(untouched.head)
+
+    // bag identity on the WHOLE leaf, and the range read still prunes
+    rows() shouldBe bagBefore
+    ManifestStats.readLeafWhere(spark, leafPath, "id", 120d, 250d).count() shouldBe 131L
+
+    // the rewrite sealed fresh sidecars: its outputs have recorded stats
+    liveAfter.filterNot(_ == untouched.head).foreach { p =>
+      val rel = ManifestCommit.relativeTo(leafPath, p)
+      withClue(rel)(ManifestStats.read(fs, leafPath)(rel).cols.keySet shouldBe Set("id", "v"))
+    }
+
+    // nothing intersects -> None, leaf untouched; a single-file range
+    // respects the >=2 gate unless forced to re-layout
+    ManifestCommit.compactWhere(spark, leafPath, "id", 5000d, 6000d, cfg) shouldBe None
+    ManifestCommit.compactWhere(spark, leafPath, "id", 0d, 50d, cfg) shouldBe None
+    val solo = ManifestCommit.compactWhere(spark, leafPath, "id", 0d, 50d, cfg, stem = "solo", minFiles = 1)
+    solo.map(_.success) shouldBe Some(true)
+    rows() shouldBe bagBefore
+  }
+
   test("bloom sidecars prune point lookups; no false negatives; probes on bloom-less files keep them") {
     val leaf = new File(root, "acct/source=bloom/year=2026/month=01")
     leaf.mkdirs()
