@@ -27,6 +27,13 @@ object CompactBench {
     // shuffle against the plain coalesce merge on identical inputs.
     val layoutKeys = sys.env.getOrElse("SPARK_GRAFT_COMPACT_LAYOUT", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    // Optional bucketed output layout ("key:n", e.g. "l_orderkey:8") —
+    // prices the pre-paid join shuffle (bucketBy staged write) against
+    // the plain coalesce merge on identical inputs.
+    val (bucketKey, bucketCount) = sys.env.getOrElse("SPARK_GRAFT_COMPACT_BUCKET", "").split(':') match {
+      case Array(k, n) if k.trim.nonEmpty => (Some(k.trim), n.trim.toInt)
+      case _                              => (None: Option[String], 8)
+    }
     // rename (default) | manifest — prices the no-rename commit path
     // against the staged-rename one on identical inputs.
     val commitMode = sys.env.getOrElse("SPARK_GRAFT_COMPACT_COMMIT", "rename") match {
@@ -96,6 +103,7 @@ object CompactBench {
         CompactorConfig(
           targetFileBytes = 128L * 1024 * 1024, maxConcurrentLeaves = 4,
           layoutKeys = layoutKeys, commitMode = commitMode,
+          bucketKey = bucketKey, bucketCount = bucketCount,
         ),
       )
       val sec = (System.nanoTime() - t0) / 1e9
@@ -108,6 +116,7 @@ object CompactBench {
           s""""leaves":${results.size},"jobs":${jobs.get()},""" +
           s""""files_in":$filesIn,"files_out":$outFiles,"rows":$rows,""" +
           s""""layout":"${layoutKeys.mkString(" ")}","commit":"${commitMode.toString.toLowerCase}",""" +
+          s""""bucket":"${bucketKey.fold("")(k => s"$k:$bucketCount")}",""" +
           s""""mb_in":${inBytes / 1048576.0},"mb_per_sec":${inBytes / 1048576.0 / sec}}""",
       )
     } finally {

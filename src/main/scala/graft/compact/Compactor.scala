@@ -53,7 +53,8 @@ object Compactor {
     */
   def runBatch(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {
     val (tiny, big) = plans.partition(p =>
-      cfg.batchTinyLeaves && cfg.layoutKeys.isEmpty && p.totalBytes <= cfg.targetFileBytes)
+      cfg.batchTinyLeaves && cfg.layoutKeys.isEmpty && cfg.bucketKey.isEmpty &&
+        p.totalBytes <= cfg.targetFileBytes)
     val results =
       if (tiny.size < 2) runPlans(spark, plans, cfg)
       else BatchMerger.mergeAndCommitBatch(spark, tiny, cfg) ++ runPlans(spark, big, cfg)

@@ -96,6 +96,54 @@ object Merger {
     else df.coalesce(nOut)
   }
 
+  /** Stage the merged rows at `destDir` under the configured layout
+    * (shared by both commit modes). Bucketed layout must go through the
+    * DataFrameWriter bucketBy path — only it writes the bucket-id file
+    * naming the bucketed read resolves — which requires saveAsTable, so
+    * the write registers a throwaway EXTERNAL table (path = destDir;
+    * files survive the immediate drop). The repartition onto the bucket
+    * hash (same murmur3-pmod as the bucket-id expression) gives each
+    * task exactly one bucket → one file per bucket plus row-cap splits.
+    */
+  private[compact] def stageWrite(
+      spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      destDir: String,
+      totalBytes: Long,
+      rowsIn: Long,
+      cfg: CompactorConfig,
+      runId: String,
+  ): Unit = {
+    cfg.bucketKey match {
+      case Some(k) if cfg.bucketCount > 0 && df.columns.contains(k) =>
+        val tmpTable = s"graft_stage_$runId"
+        spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+        df.repartition(cfg.bucketCount, org.apache.spark.sql.functions.col(k))
+          .write
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", cfg.maxRowsPerFile)
+          .option("path", destDir)
+          .bucketBy(cfg.bucketCount, k)
+          .sortBy(k)
+          .format("parquet")
+          .saveAsTable(tmpTable)
+        spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+      case _ =>
+        sizeForOutput(df, totalBytes, rowsIn, cfg)
+          .write
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", cfg.maxRowsPerFile)
+          .parquet(destDir)
+    }
+  }
+
+  /** The 5-digit bucket tag of a bucketed-writer file name, if any —
+    * preserved through the rename commit so the bucketed read's
+    * name→bucket mapping survives (`{stem}_{32hex}_{tag}.parquet`).
+    */
+  private[compact] def bucketTagOf(name: String): Option[String] =
+    "_(\\d{5})\\.".r.findFirstMatchIn(name).map(_.group(1))
+
   def mergeAndCommit(spark: SparkSession, plan: LeafPlan, cfg: CompactorConfig): LeafResult = {
     if (cfg.commitMode == CommitMode.Manifest) return ManifestCommit.mergeAndCommit(spark, plan, cfg)
     val runId = UUID.randomUUID().toString.replace("-", "")
@@ -112,11 +160,7 @@ object Merger {
         .option("mergeSchema", "true")
         .parquet(plan.files: _*)
 
-      sizeForOutput(df, plan.totalBytes, rowsIn, cfg)
-        .write
-        .option("compression", "snappy")
-        .option("maxRecordsPerFile", cfg.maxRowsPerFile)
-        .parquet(stagingDir)
+      stageWrite(spark, df, stagingDir, plan.totalBytes, rowsIn, cfg, runId)
 
       // Validate the staged output before touching the originals.
       val staged0 = fs
@@ -145,7 +189,11 @@ object Merger {
       val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
       try {
         staged.foreach { f =>
-          val outName = s"${plan.stem}_${UUID.randomUUID().toString.replace("-", "")}.parquet"
+          val hex = UUID.randomUUID().toString.replace("-", "")
+          val outName = bucketTagOf(f.getPath.getName) match {
+            case Some(tag) if cfg.bucketKey.nonEmpty => s"${plan.stem}_${hex}_$tag.parquet"
+            case _ => s"${plan.stem}_$hex.parquet"
+          }
           val dest = new Path(s"${plan.leaf}/$outName")
           if (fs.rename(f.getPath, dest)) { moved += 1; renamed += dest }
           else throw new java.io.IOException(s"rename failed for ${f.getPath}")

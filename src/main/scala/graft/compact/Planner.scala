@@ -30,6 +30,9 @@ object Planner {
 
   private val hexSuffix = "_[0-9a-f]{32}\\.parquet$"
   private val numSuffix = "_[0-9]+\\.parquet$"
+  // bucketed-layout outputs keep a 5-digit bucket tag after the hex
+  // (Merger.bucketTagOf) — compacted all the same
+  private val bucketSuffix = "_[0-9a-f]{32}_[0-9]{5}\\.parquet$"
 
   def plan(spark: SparkSession, files: Dataset[FileMeta], cfg: CompactorConfig): Seq[LeafPlan] = {
     import spark.implicits._
@@ -88,6 +91,7 @@ object Planner {
       .withColumn(
         "isCompacted",
         regexp_extract(col("fname"), s"^(.*)$hexSuffix", 1) === col("stem") ||
+          regexp_extract(col("fname"), s"^(.*)$bucketSuffix", 1) === col("stem") ||
           (!col("isGcp") && regexp_extract(col("fname"), s"^(.*)$numSuffix", 1) === col("stem")),
       )
       // Freshness compares UTC epoch days, independent of the session

@@ -86,6 +86,19 @@ final case class CompactorConfig(
     // Applies under both commit modes.
     layoutKeys: Seq[String] = Nil,
     layoutBits: Int = 16,
+    // Bucketed output layout (the PRE-PAID join shuffle), parallel to
+    // layoutKeys: when set and the key is present in a leaf's merged
+    // schema, merge outputs are written hash-bucketed and sorted on this
+    // column into `bucketCount` buckets with Spark's bucketed-file
+    // naming, so a catalog table registered over the compacted leaf
+    // ([[BucketedLeaf.register]]) joins any co-bucketed peer with ZERO
+    // shuffle exchanges — every downstream fact-to-fact join on the
+    // bucket key skips its Exchange. Z-order optimizes SCAN pruning;
+    // bucketing optimizes JOIN placement — when both are set and the
+    // bucket key resolves, bucketing wins (a write has one layout).
+    // Tiny-leaf batching is bypassed, as with layoutKeys.
+    bucketKey: Option[String] = None,
+    bucketCount: Int = 8,
     // Manifest mode only: keep superseded input files on disk instead of
     // GC-ing them after publish. They stay excluded from the CURRENT
     // live set (the manifest subtracts them), but remain readable by
@@ -122,6 +135,13 @@ final case class CompactorConfig(
     // point-lookup complement to statsColumns' range intervals
     // (ManifestStats.readLeafEquals). Advisory, like the stats.
     bloomColumns: Seq[String] = Nil,
+    // Bloom sidecar sizing dial: numBits = bloomBitsPerItem ×
+    // maxRowsPerFile. The StatsBench bits-ladder prices it on a real
+    // unique-valued column (measured: 2 bits ≈ 38% fpp, 5 ≈ 9%,
+    // 10 ≈ 0.6%); sidecar bytes scale linearly with bits, so 10 is the
+    // default — the first point where a point-probe's expected useless
+    // scans (fpp × files) stop mattering next to the scan it saves.
+    bloomBitsPerItem: Int = 10,
     // Manifest mode: optimistic retries when the head-stamp tripwire
     // detects a concurrent same-seq writer. 0 (default) = the
     // reference's Forbid semantics — collide, roll back, fail loudly.
