@@ -129,6 +129,37 @@ object StatsBench {
     )
     require(frc == mrc, s"range count diverged: $frc != $mrc")
 
+    // Bloom bits-per-item ladder: fpp vs sidecar bytes on the real
+    // unique-valued `tag` column, measured by probing every file's
+    // bloom with absent keys through the same serialized-filter +
+    // xxhash64(seed 42) path the reader uses. This prices the
+    // CompactorConfig.bloomBitsPerItem dial.
+    val liveFiles = ManifestCommit.liveFiles(spark, leafPath)
+    val relAbs = liveFiles.map(p => p.stripPrefix(s"$leafPath/") -> p)
+    val absentProbes = (0 until 1000).map(i => s"zz$i")
+    val bitsLadder = Seq(2, 5, 10).map { bits =>
+      val blooms = ManifestStats.collectBlooms(
+        spark, relAbs, Seq("tag"),
+        expectedItems = rowsPer, numBits = bits.toLong * rowsPer,
+      )
+      val bytes = blooms.valuesIterator.flatMap(_.valuesIterator.map(_.length.toLong)).sum
+      var fp = 0L
+      var probesTotal = 0L
+      blooms.valuesIterator.foreach { cols =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(cols("tag"))
+        absentProbes.foreach { s =>
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType, 42L,
+          )
+          probesTotal += 1
+          if (bf.mightContainLong(h)) fp += 1
+        }
+      }
+      val fpp = if (probesTotal == 0) 0.0 else fp.toDouble / probesTotal
+      f"""{"bits":$bits,"bloom_bytes":$bytes,"fpp":$fpp%.4f}"""
+    }
+
     println(
       f"""{"metric":"stats_skipping","commits":$nCommits,"rows_per_commit":$rowsPer,""" +
         f""""build_sec":$buildSec%.1f,""" +
@@ -136,7 +167,8 @@ object StatsBench {
         f""""point":{"full_sec":$fullPointSec%.3f,"pruned_sec":$prunedPointSec%.3f,"files_pruned":$pf2,"rows":$p1},""" +
         f""""combined":{"sec":$combSec%.3f,"files":$cf,"rows":$c1},""" +
         f""""count":{"full_sec":$fullCountSec%.3f,"meta_sec":$metaCountSec%.3f,"rows":$fc},""" +
-        f""""range_count":{"full_sec":$fullRcSec%.3f,"meta_sec":$metaRcSec%.3f,"rows":$frc}}""",
+        f""""range_count":{"full_sec":$fullRcSec%.3f,"meta_sec":$metaRcSec%.3f,"rows":$frc},""" +
+        s""""bloom_bits_ladder":[${bitsLadder.mkString(",")}]}""",
     )
     Fs.rmTree(root)
     spark.stop()

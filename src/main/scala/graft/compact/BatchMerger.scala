@@ -284,7 +284,7 @@ object BatchMerger {
       if (cfg.bloomColumns.nonEmpty) {
         val bl = ManifestStats.collectBlooms(
           spark, outsAbs, cfg.bloomColumns,
-          expectedItems = cfg.maxRowsPerFile, numBits = 10L * cfg.maxRowsPerFile,
+          expectedItems = cfg.maxRowsPerFile, numBits = cfg.bloomBitsPerItem.toLong * cfg.maxRowsPerFile,
         )
         if (bl.nonEmpty) ManifestStats.writeBlooms(fs, p.plan.leaf, runId, bl)
       }
