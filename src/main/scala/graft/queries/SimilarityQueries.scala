@@ -328,6 +328,25 @@ object SimilarityQueries {
         .orderBy("qid", "vec_id")
     },
 
+    // ----- centroid-routed NSW over a persisted shard index: shard
+    // assignment by the IVF coarse quantizer, so a query batch probes
+    // only its nprobe nearest shards (a static partition filter on the
+    // index scan) instead of every shard — the partition-pruned form of
+    // ann_nsw_topk. no_oracle like every graph walk; NswIndexSpec pins
+    // the <=nprobe scan, the recall ladder (monotone in nprobe), and
+    // that nprobe=nShards equals the probe-everything reader exactly.
+    Q.noOracle("ann_nsw_routed_topk") { (s, d) =>
+      val e = vecs(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft-nsw-routed").toFile.getAbsolutePath + "/idx"
+      graft.operators.NswSearch.buildIndexRouted(e, path, nShards = 8, lloydIters = 1, seedIds = Some(1L to 8L))
+      val queries = e.where(col("vec_id").isin((0L until 10L): _*))
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.operators.NswSearch.searchIndexRouted(s, path, queries, k = 3, nprobe = 2)
+        .select(col("qid"), col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "vec_id")
+    },
+
     // ----- grouped top-k: top-3 nearest per label via the typed O(k)-state
     // [[graft.operators.TopKAggregator]] (map-side partial top-k, one
     // shuffle of k-row states per label) — where a window + filter would
@@ -474,6 +493,63 @@ object SimilarityQueries {
         .where(sim >= 0.2)
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), round(sim, 6).as("cos_sim"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ----- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // dedup = cluster, then prune within clusters. Assign every vector
+    // to its nearest of K=16 seeded centroids (the ann_ivf_topk recipe —
+    // deterministic, oracle-reproducible); within each cluster, rank
+    // members FARTHEST-from-centroid first (the paper keeps the
+    // low-centroid-similarity representative of every duplicate group —
+    // the diversity-preserving choice) and drop a member when any
+    // earlier-ranked cluster-mate is cosine-similar above tau=0.3 (the
+    // paper's greedy: suppression by rank order, one pass, no iteration;
+    // the oracle spells the anti-join as LEFT JOIN ... IS NULL — DuckDB
+    // cannot bind correlated outer references inside list lambdas, so a
+    // NOT EXISTS over the cosine fold fails to parse).
+    // Scale shape: the clusters bound the quadratic to sum(c_k^2); at
+    // corpus scale K grows with N (the IvfStore / sqrt(N) discipline) so
+    // c_k stays fixed, and the suppression self-join shuffles on cid
+    // only — never all-pairs.
+    Q(
+      "dedup_semdedup",
+      s"""WITH $vecsSqlCte,
+         |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id BETWEEN 1 AND 16),
+         |sc AS (SELECT v.vec_id, v.label, v.v, c.cid, ${cosineSql("v.v", "c.cv")} AS acos
+         |       FROM v CROSS JOIN c),
+         |m AS (SELECT vec_id, label, v, cid, acos FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                      ORDER BY acos DESC, cid) AS rn FROM sc)
+         |      WHERE rn = 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cid
+         |                                   ORDER BY acos, vec_id) AS r FROM m)
+         |SELECT x.vec_id, x.label, x.cid, round(x.acos, 6) AS centroid_sim
+         |FROM r x LEFT JOIN r y ON y.cid = x.cid AND y.r < x.r
+         |                      AND ${cosineSql("x.v", "y.v")} >= 0.3
+         |WHERE y.vec_id IS NULL
+         |ORDER BY x.vec_id""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      val cents = broadcast(
+        e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv")),
+      )
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
+      val members = e.crossJoin(cents)
+        .withColumn("acos", cosine("v", "cv"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("v"), col("cid"), col("acos"))
+      val wRank = Window.partitionBy("cid").orderBy(col("acos"), col("vec_id"))
+      val ranked = members.withColumn("r", row_number().over(wRank))
+      ranked.as("x")
+        .join(
+          ranked.as("y"),
+          col("x.cid") === col("y.cid") && col("y.r") < col("x.r") &&
+            cosine("x.v", "y.v") >= 0.3,
+          "left_anti",
+        )
+        .select(col("vec_id"), col("label"), col("cid"), round(col("acos"), 6).as("centroid_sim"))
+        .orderBy("vec_id")
     },
 
     // ----- per-DIMENSION affine int8 quantization (the codebook form of
