@@ -47,8 +47,7 @@ object StatsBench {
     )
 
     // K commits, each one arrival file over its own id decade
-    val tBuild = System.nanoTime()
-    (0 until nCommits).foreach { k =>
+    def arrival(k: Int): Unit = {
       val lo = k * rowsPer
       val name = f"arrival-$k%04d.parquet"
       val tmp = new java.io.File(leaf, s".tmp-$k")
@@ -62,6 +61,8 @@ object StatsBench {
       val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, "sb", Seq(f), new java.io.File(f).length()), cfg)
       require(r.success, s"commit $k failed: ${r.error}")
     }
+    val tBuild = System.nanoTime()
+    (0 until nCommits).foreach(arrival)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
 
     def timed(mk: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
@@ -160,6 +161,28 @@ object StatsBench {
       f"""{"bits":$bits,"bloom_bytes":$bytes,"fpp":$fpp%.4f}"""
     }
 
+    // Materialized-agg refresh vs rebuild (MaterializedAgg — the
+    // O(delta) claim priced): build the 1000-group count/sum state over
+    // the K-commit leaf, land ONE more arrival commit, then refresh
+    // (reads only the new commit's output) vs a from-scratch rebuild
+    // (re-scans every live file). Single-shot timings — build/refresh
+    // mutate the state, so a min-of-2 would measure the no-op path.
+    def timedOnce[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val v = f
+      ((System.nanoTime() - t0) / 1e9, v)
+    }
+    import graft.compact.MaterializedAgg
+    val aggInc = new java.io.File(root, "agg-inc").getAbsolutePath
+    val (maBuildSec, _) = timedOnce(MaterializedAgg.build(spark, leafPath, aggInc, Seq("v"), Seq("id")))
+    arrival(nCommits)
+    val (maRefreshSec, rres) = timedOnce(MaterializedAgg.refresh(spark, leafPath, aggInc, Seq("v"), Seq("id")))
+    require(rres.incremental, "refresh unexpectedly fell back to a rebuild")
+    val aggFull = new java.io.File(root, "agg-full").getAbsolutePath
+    val (maRebuildSec, _) = timedOnce(MaterializedAgg.build(spark, leafPath, aggFull, Seq("v"), Seq("id")))
+    def aggRows(p: String) = MaterializedAgg.read(spark, p).collect()
+      .map(r => (r.getAs[Double]("v"), r.getAs[Long]("cnt"), r.getAs[Long]("sum_id"))).toSet
+    require(aggRows(aggInc) == aggRows(aggFull), "incremental state diverged from rebuild")
+
     println(
       f"""{"metric":"stats_skipping","commits":$nCommits,"rows_per_commit":$rowsPer,""" +
         f""""build_sec":$buildSec%.1f,""" +
@@ -168,7 +191,8 @@ object StatsBench {
         f""""combined":{"sec":$combSec%.3f,"files":$cf,"rows":$c1},""" +
         f""""count":{"full_sec":$fullCountSec%.3f,"meta_sec":$metaCountSec%.3f,"rows":$fc},""" +
         f""""range_count":{"full_sec":$fullRcSec%.3f,"meta_sec":$metaRcSec%.3f,"rows":$frc},""" +
-        s""""bloom_bits_ladder":[${bitsLadder.mkString(",")}]}""",
+        s""""bloom_bits_ladder":[${bitsLadder.mkString(",")}],""" +
+        f""""matagg":{"build_sec":$maBuildSec%.3f,"refresh_sec":$maRefreshSec%.3f,"rebuild_sec":$maRebuildSec%.3f,"groups":${aggRows(aggInc).size}}}""",
     )
     Fs.rmTree(root)
     spark.stop()

@@ -61,7 +61,8 @@ object Compactor {
     // Lifecycle maintenance per successfully-committed leaf, after every
     // merge job of the slice is done (the batch and solo paths above run
     // sequentially, so nothing of this run is still writing here).
-    if (cfg.commitMode == CommitMode.Manifest && (cfg.autoGcOrphans || cfg.expireKeepSnapshots.nonEmpty))
+    if (cfg.commitMode == CommitMode.Manifest &&
+      (cfg.autoGcOrphans || cfg.expireKeepSnapshots.nonEmpty || cfg.matAggRoot.nonEmpty))
       results.filter(_.success).map(_.leaf).distinct.foreach(maintainLeaf(spark, _, cfg))
     results
   }
@@ -78,6 +79,19 @@ object Compactor {
           ManifestCommit.expireSnapshots(spark, leaf, cur - keep)
           if (cfg.checkpointManifests) { ManifestCommit.checkpoint(spark, leaf, cur - keep); () }
         }
+      }
+      // Materialized-agg maintenance LAST: gc/expire above may retire
+      // the files a refresh's ⊖ term wants, in which case refresh
+      // detects it and rebuilds — ordering it after them means the
+      // refresh sees the post-maintenance filesystem, not a view the
+      // expire is about to invalidate.
+      cfg.matAggRoot.foreach { aggRoot =>
+        val aggPath = MaterializedAgg.pathFor(aggRoot, leaf)
+        if (MaterializedAgg.exists(spark, aggPath))
+          MaterializedAgg.refresh(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues)
+        else
+          MaterializedAgg.build(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues)
+        ()
       }
     } catch {
       case e: Throwable =>

@@ -38,6 +38,12 @@ import org.apache.spark.sql.SparkSession
   *   GRAFT_COMMIT_RETRIES=n  manifest mode: optimistic re-stamp after a
   *                        detected concurrent commit (default 0 =
   *                        Forbid; input conflicts always fail)
+  *   GRAFT_MATAGG_ROOT    manifest mode: maintain an incremental
+  *                        materialized GROUP-BY per compacted leaf under
+  *                        this root (MaterializedAgg: built on first
+  *                        touch, O(delta) refresh thereafter), with
+  *   GRAFT_MATAGG_KEYS    comma-separated group-by keys and
+  *   GRAFT_MATAGG_VALUES  comma-separated numeric sum columns
   */
 object Main {
 
@@ -74,6 +80,13 @@ object Main {
       checkpointManifests = env.get("GRAFT_CHECKPOINT")
         .exists(v => v == "1" || v.equalsIgnoreCase("true")),
       commitRetries = env.get("GRAFT_COMMIT_RETRIES").map(_.toInt).getOrElse(0),
+      matAggRoot = env.get("GRAFT_MATAGG_ROOT").orElse(base.matAggRoot),
+      matAggKeys = env.get("GRAFT_MATAGG_KEYS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(base.matAggKeys),
+      matAggValues = env.get("GRAFT_MATAGG_VALUES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(base.matAggValues),
     )
   }
 

@@ -1,0 +1,204 @@
+package graft.compact
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized GROUP-BY over a
+  * manifest-committed leaf — the classic downstream consumer the
+  * snapshot log exists for (an Iceberg/Delta-style incremental
+  * materialized view).
+  *
+  * A dashboard aggregate over a 100-TB leaf cannot re-scan the leaf per
+  * refresh. Because the live set is exact metadata at every commit, the
+  * CHANGE since the state's snapshot is an exact file-set diff; and
+  * because count/sum form an abelian GROUP (they have inverses), the
+  * new aggregate is
+  *
+  *   state ⊕ agg(added files) ⊖ agg(removed files)
+  *
+  * — O(delta) data read, regardless of leaf size. A compaction commit
+  * (adds outputs, removes the inputs carrying the same rows) nets to
+  * zero through the ⊖ term, so refresh is correct across arrivals,
+  * compactions, and range rewrites ([[ManifestCommit.compactWhere]])
+  * alike. min/max are deliberately NOT maintained: they are only a
+  * semigroup (no inverse), so a file removal would force a rescan —
+  * the caller who needs them re-aggregates or keeps them advisory via
+  * the stats sidecars' per-file intervals.
+  *
+  * State layout at `aggPath` (the versioned-pointer discipline of
+  * [[graft.operators.IvfStore]] / the manifest `_head`):
+  *
+  *   - `aggPath/state-<seq>/` — parquet: keys…, `cnt`, `sum_<v>`…
+  *     aggregated as of leaf commit `<seq>`;
+  *   - `aggPath/files-<seq>` — the exact live-file list the state
+  *     aggregates, one path per line. The refresh delta is the set-diff
+  *     of this list against the CURRENT live set — deliberately NOT a
+  *     [[ManifestCommit.liveFilesAt]] replay, which stops resolving a
+  *     historical seq faithfully once a checkpoint folds or an expire
+  *     retires the manifests below it; the recorded list stays exact
+  *     through any log lifecycle.
+  *   - `aggPath/_agg-<seq>` — empty pointer, CREATED LAST. Readers
+  *     resolve the highest pointer whose state dir exists, so a crashed
+  *     refresh leaves the previous state live and a re-run redoes it.
+  *
+  * Sums subtract exactly for integral value columns; floating-point
+  * sums can drift from a from-scratch aggregate by reassociation (the
+  * usual FP caveat — same class as any distributed sum's
+  * non-determinism). Incremental refresh requires the removed files to
+  * still be readable (`retainSuperseded` within the expire horizon);
+  * when history was already GC'd the refresh detects it and falls back
+  * to a full rebuild — correct either way, the flag in the result says
+  * which path ran.
+  */
+object MaterializedAgg {
+
+  private val PtrRe = "_agg-(\\d+)".r
+
+  final case class RefreshResult(seq: Long, incremental: Boolean)
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stateSeq(spark: SparkSession, aggPath: String): Option[Long] = {
+    val fs = fsOf(spark, aggPath)
+    val base = new Path(aggPath)
+    if (!fs.exists(base)) None
+    else
+      fs.listStatus(base)
+        .flatMap(e => PtrRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
+        .sorted.lastOption
+  }
+
+  private def stateDir(aggPath: String, seq: Long) = s"$aggPath/state-$seq"
+
+  /** One aggregation pass over `files` (empty-safe). */
+  private def aggOf(spark: SparkSession, files: Seq[String], keys: Seq[String], values: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      val aggs = count(lit(1)).as("cnt") +: values.map(v => sum(col(v)).as(s"sum_$v"))
+      Some(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
+    }
+
+  /** Negate an aggregate frame (the ⊖ term). */
+  private def negate(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val flipped = df.columns.map {
+      case c if keys.contains(c) => col(c)
+      case c => (-col(c)).as(c)
+    }
+    df.select(flipped.toSeq: _*)
+  }
+
+  /** Merge aggregate frames by key, dropping emptied groups. */
+  private def merge(parts: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    val all = parts.reduce(_.unionByName(_))
+    val valCols = all.columns.filterNot(keys.contains)
+    val aggs = valCols.map(c => sum(col(c)).as(c))
+    all.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("cnt") =!= 0)
+  }
+
+  /** Seal a new state atomically: write the dir and the file list, then
+    * create the pointer, then reclaim superseded states (pointer-last
+    * means the highest sealed pointer always names a complete state).
+    */
+  private def seal(spark: SparkSession, aggPath: String, seq: Long, state: DataFrame, files: Seq[String]): Unit = {
+    val fs = fsOf(spark, aggPath)
+    state.write.mode("overwrite").parquet(stateDir(aggPath, seq))
+    val out = fs.create(new Path(s"$aggPath/files-$seq"), true)
+    try out.write(files.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.create(new Path(s"$aggPath/_agg-$seq"), false).close()
+    fs.listStatus(new Path(aggPath)).foreach { st =>
+      val n = st.getPath.getName
+      val old =
+        (st.isDirectory && n.startsWith("state-") && n.stripPrefix("state-").toLongOption.exists(_ < seq)) ||
+          (n.startsWith("files-") && n.stripPrefix("files-").toLongOption.exists(_ < seq)) ||
+          PtrRe.findFirstMatchIn(n).exists(_.group(1).toLong < seq)
+      if (old) { try fs.delete(st.getPath, true) catch { case _: Throwable => () }; () }
+    }
+  }
+
+  private def recordedFiles(spark: SparkSession, aggPath: String, seq: Long): Seq[String] = {
+    val fs = fsOf(spark, aggPath)
+    val in = fs.open(new Path(s"$aggPath/files-$seq"))
+    val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Whether a sealed state exists — the build-vs-refresh dispatch the
+    * Compactor lifecycle hook uses.
+    */
+  def exists(spark: SparkSession, aggPath: String): Boolean =
+    stateSeq(spark, aggPath).nonEmpty
+
+  /** State directory for `leaf` under an agg root: the sanitized leaf
+    * tail keeps the name human-readable, the digest keeps it unique
+    * (two leaves can share a tail; percent-escapes are deliberately
+    * avoided — Hadoop Path/URI round-trips mangle `%`).
+    */
+  def pathFor(aggRoot: String, leaf: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(leaf.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val digest = md.take(4).map(b => f"$b%02x").mkString
+    val tail = leaf.split('/').takeRight(4).mkString("_").replaceAll("[^A-Za-z0-9_=.-]", "_")
+    s"$aggRoot/$tail-$digest"
+  }
+
+  /** Full build: aggregate the CURRENT live set and seal it at the
+    * leaf's head seq. Returns that seq.
+    */
+  def build(spark: SparkSession, leaf: String, aggPath: String, keys: Seq[String], values: Seq[String]): Long = {
+    require(keys.nonEmpty, "at least one group-by key")
+    val seq = ManifestCommit.currentSeq(spark, leaf)
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val state = aggOf(spark, live, keys, values)
+      .getOrElse(throw new IllegalStateException(s"no live files under $leaf — nothing to materialize"))
+    seal(spark, aggPath, seq, state, live)
+    seq
+  }
+
+  /** Bring the state to the leaf's head: O(delta) when every removed
+    * file is still readable, full rebuild otherwise. No-op when already
+    * current. `keys`/`values` must match the build's (validated against
+    * the state schema — a drifted caller fails loudly, not wrongly).
+    */
+  def refresh(spark: SparkSession, leaf: String, aggPath: String, keys: Seq[String], values: Seq[String]): RefreshResult = {
+    val fromSeq = stateSeq(spark, aggPath).getOrElse(
+      throw new IllegalStateException(s"no sealed state at $aggPath — run build first"),
+    )
+    val expected = (keys ++ Seq("cnt") ++ values.map(v => s"sum_$v")).toSet
+    val stateCols = spark.read.parquet(stateDir(aggPath, fromSeq)).columns.toSet
+    require(stateCols == expected, s"state schema $stateCols does not match keys/values $expected")
+    val toSeq = ManifestCommit.currentSeq(spark, leaf)
+    val recorded = recordedFiles(spark, aggPath, fromSeq).toSet
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val removed = (recorded -- live).toSeq.sorted
+    val added = (live.toSet -- recorded).toSeq.sorted
+    if (removed.isEmpty && added.isEmpty) return RefreshResult(fromSeq, incremental = true)
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val historyReadable = removed.forall(p => fs.exists(new Path(p)))
+    if (!historyReadable) {
+      // GC outran the state: the ⊖ term's inputs are gone — rebuild
+      val state = aggOf(spark, live, keys, values)
+        .getOrElse(throw new IllegalStateException(s"no live files under $leaf"))
+      seal(spark, aggPath, toSeq, state, live)
+      RefreshResult(toSeq, incremental = false)
+    } else {
+      val old = spark.read.parquet(stateDir(aggPath, fromSeq))
+      val parts = Seq(Some(old), aggOf(spark, added, keys, values), aggOf(spark, removed, keys, values).map(negate(_, keys))).flatten
+      seal(spark, aggPath, toSeq, merge(parts, keys), live)
+      RefreshResult(toSeq, incremental = true)
+    }
+  }
+
+  /** The current materialized aggregate. */
+  def read(spark: SparkSession, aggPath: String): DataFrame = {
+    val seq = stateSeq(spark, aggPath).getOrElse(
+      throw new IllegalStateException(s"no sealed state at $aggPath"),
+    )
+    spark.read.parquet(stateDir(aggPath, seq))
+  }
+}

@@ -142,6 +142,18 @@ final case class CompactorConfig(
     // default — the first point where a point-probe's expected useless
     // scans (fpp × files) stop mattering next to the scan it saves.
     bloomBitsPerItem: Int = 10,
+    // Manifest-mode lifecycle: maintain an incrementally-refreshed
+    // materialized GROUP-BY ([[MaterializedAgg]]) per compacted leaf.
+    // State for leaf L lives at MaterializedAgg.pathFor(matAggRoot, L)
+    // (sanitized leaf tail + digest — stable, fs-safe); built on
+    // first touch, then refreshed O(delta) after every commit batch (a
+    // compaction's adds and removes net to zero through the ⊖ term).
+    // Pair with retainSuperseded so the removed-file side of a delta
+    // stays readable between runs; a GC'd delta degrades to a full
+    // rebuild, never to a wrong answer.
+    matAggRoot: Option[String] = None,
+    matAggKeys: Seq[String] = Nil,
+    matAggValues: Seq[String] = Nil,
     // Manifest mode: optimistic retries when the head-stamp tripwire
     // detects a concurrent same-seq writer. 0 (default) = the
     // reference's Forbid semantics — collide, roll back, fail loudly.

@@ -1,0 +1,183 @@
+package graft.compact
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The incremental materialized aggregate must equal a from-scratch
+  * GROUP-BY of the current live set after ANY commit mix — arrivals,
+  * compactions (which add and remove the same rows), range rewrites —
+  * reading only the delta files; and it must detect GC'd history and
+  * fall back to a full rebuild rather than subtract from thin air.
+  */
+class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private val cfg = CompactorConfig(
+    targetFileBytes = 10L * 1024 * 1024,
+    maxRowsPerFile = 1000L,
+    commitMode = CommitMode.Manifest,
+    retainSuperseded = true, // keep history readable for the ⊖ term
+  )
+
+  private var root: File = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-matagg").toFile
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    super.afterAll()
+  }
+
+  /** One visible file of ids [lo, hi): key = id % 7, amount = id. */
+  private def writeFile(leaf: File, name: String, lo: Long, hi: Long): Unit = {
+    val s = spark
+    import s.implicits._
+    val tmp = new File(leaf, s".tmp-$name")
+    (lo until hi).map(i => (i % 7, i)).toDF("k", "amount")
+      .coalesce(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(leaf, name).toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    ()
+  }
+
+  private def commit(leafPath: String, stem: String, files: Seq[String]): Unit = {
+    val bytes = files.map(p => new File(p).length()).sum
+    val r = Merger.mergeAndCommit(spark, LeafPlan(leafPath, stem, files, bytes), cfg)
+    withClue(r) { r.success shouldBe true }
+    ()
+  }
+
+  private def fullAgg(leafPath: String) =
+    ManifestCommit.readLeaf(spark, leafPath)
+      .groupBy("k").agg(count(lit(1)).as("cnt"), sum(col("amount")).as("sum_amount"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "cnt", "sum_amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("refresh stays exact through arrivals, compaction, and range rewrite — reading only deltas") {
+    val leaf = new File(root, "acct/source=ma/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-ma").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 400L)
+    commit(leafPath, "m1", abs("a.parquet"))
+    writeFile(leaf, "b.parquet", 400L, 900L)
+    commit(leafPath, "m2", abs("b.parquet"))
+
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+
+    // 1) pure arrival: delta = the new commit's outputs only
+    writeFile(leaf, "c.parquet", 900L, 1300L)
+    commit(leafPath, "m3", abs("c.parquet"))
+    val r1 = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    r1.incremental shouldBe true
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+
+    // 2) compaction: rewrites the whole live set — adds outputs,
+    // removes inputs carrying the SAME rows; the ⊕/⊖ must net to zero
+    commit(leafPath, "m4", ManifestCommit.liveFiles(spark, leafPath))
+    val r2 = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    r2.incremental shouldBe true
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+
+    // 3) a no-op refresh is a no-op
+    MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+      .incremental shouldBe true
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+
+    // 4) drifted caller fails loudly, never wrongly
+    an[IllegalArgumentException] should be thrownBy
+      MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("other"))
+
+    // only one sealed state survives a refresh chain
+    val names = new File(aggPath).listFiles().map(_.getName)
+    names.count(_.startsWith("state-")) shouldBe 1
+    names.count(_.startsWith("_agg-")) shouldBe 1
+    names.count(_.startsWith("files-")) shouldBe 1
+  }
+
+  test("Compactor lifecycle builds then refreshes the per-leaf materialized agg") {
+    val lcRoot = new File(root, "lc")
+    val leaf = new File(lcRoot, "acct/source=malc/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggRoot = new File(root, "agg-lc").getAbsolutePath
+    // retainSuperseded OFF here: the planner lists physical files, so a
+    // retained superseded raw arrival would be re-planned next run.
+    // Pure-arrival refreshes never need the ⊖ term's inputs anyway —
+    // files committed after the state sealed were never in its recorded
+    // list, so the delta is adds-only.
+    val lcCfg = cfg.copy(
+      retainSuperseded = false,
+      matAggRoot = Some(aggRoot),
+      matAggKeys = Seq("k"),
+      matAggValues = Seq("amount"),
+    )
+    val staleMs = java.sql.Timestamp.valueOf("2020-01-01 00:00:00").getTime
+    def staleAll(): Unit =
+      leaf.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach { f => f.setLastModified(staleMs); () }
+
+    writeFile(leaf, "a.parquet", 0L, 400L)
+    writeFile(leaf, "b.parquet", 400L, 700L)
+    staleAll()
+    val r1 = Compactor.run(spark, lcRoot.getAbsolutePath, lcCfg)
+    r1 should not be empty
+    r1.foreach(r => withClue(r) { r.success shouldBe true })
+    // the lifecycle keys state by the leaf string the LISTING produced
+    // (a file: URI here) — derive the path from the result through the
+    // same pathFor a dashboard reader would use
+    val aggPath = MaterializedAgg.pathFor(aggRoot, r1.head.leaf)
+    MaterializedAgg.exists(spark, aggPath) shouldBe true
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+
+    // second run over fresh arrivals refreshes the SAME state in place
+    writeFile(leaf, "c.parquet", 700L, 1100L)
+    writeFile(leaf, "d.parquet", 1100L, 1200L)
+    staleAll()
+    val r2 = Compactor.run(spark, lcRoot.getAbsolutePath, lcCfg)
+    r2 should not be empty
+    r2.foreach(r => withClue(r) { r.success shouldBe true })
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+    // the refresh advanced the sealed seq to the leaf head (no rebuild
+    // markers left behind — exactly one state survives)
+    new File(aggPath).listFiles().map(_.getName).count(_.startsWith("state-")) shouldBe 1
+  }
+
+  test("GC'd history forces a full rebuild, still exact") {
+    val leaf = new File(root, "acct/source=magc/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-magc").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 300L)
+    commit(leafPath, "g1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+
+    // compact (supersedes the state's recorded file), then simulate GC
+    // of the superseded original BEFORE the refresh runs
+    val recorded = ManifestCommit.liveFiles(spark, leafPath)
+    commit(leafPath, "g2", recorded)
+    recorded.foreach(p => new File(p).delete())
+
+    val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    r.incremental shouldBe false // the ⊖ inputs are gone — rebuilt
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+  }
+}
