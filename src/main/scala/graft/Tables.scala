@@ -41,7 +41,19 @@ object Tables {
     */
   def fanout(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Estimate scan parallelism from plan statistics instead of probing
+    // df.rdd.getNumPartitions — the RDD probe materializes the physical
+    // RDD lineage just to read a planner-level fact. sizeInBytes for a
+    // file relation is the file-length sum (metadata only); partitions ≈
+    // ceil(bytes / maxPartitionBytes) is exactly the split math the scan
+    // will do. Conservative in the right direction: a small table always
+    // estimates low and repartitions; a 100-TB scan estimates far above
+    // target and the guard stays a no-op.
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m"),
+    )
+    val estPartitions = df.queryExecution.optimizedPlan.stats.sizeInBytes / math.max(1L, maxPartitionBytes) + 1
+    if (estPartitions < target) df.repartition(target) else df
   }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
