@@ -76,6 +76,37 @@ object OverlapBench {
       .writeStream.format("memory").queryName("grid_out")
       .outputMode("append").option("checkpointLocation", ckG).start()
 
+    // mixed-length ladder: mostly seconds-long intervals plus a few
+    // HOURS-long ones. The single grid must size its cell to the longest
+    // interval (4 h), so every short interval shares a cell with ~1/cell
+    // of the corpus — the multi-level form registers short intervals on
+    // fine cells and only the long tail on coarse ones (O(levels) per
+    // interval for any length mix).
+    val (aC, bC, aL, bL) = (dir("a-coarse"), dir("b-coarse"), dir("a-levels"), dir("b-levels"))
+    val (ckC, ckL) = (dir("ck-coarse"), dir("ck-levels"))
+    def mkMixed(side: Int, k: Int): DataFrame = {
+      val rows = (0 until rowsPer).map { i =>
+        val id = (k.toLong * rowsPer + i) * 2 + side
+        val s = baseMs + (i.toLong * 21600000L / rowsPer) + k * 1300L + side * 700L
+        val len =
+          if (i % 100 == 0) 3600000L + (id % 4) * 3600000L // 1–4 h tail
+          else 5000L + (id % 6) * 1000L // 5–10 s bulk
+        (id, new Timestamp(s), new Timestamp(s + len))
+      }
+      val p = if (side == 0) "a" else "b"
+      rows.toDF(s"${p}_id", s"${p}_s", s"${p}_e")
+    }
+    val coarseQ = EventStream
+      .overlapJoinStream(readS(aC, schemaA), readS(bC, schemaB),
+        cellSeconds = 14400L, maxIntervalSeconds = 14400L, lateness = "12 hours")
+      .writeStream.format("memory").queryName("coarse_out")
+      .outputMode("append").option("checkpointLocation", ckC).start()
+    val levelsQ = EventStream
+      .overlapJoinStreamLevels(readS(aL, schemaA), readS(bL, schemaB),
+        baseCellSeconds = 60L, levels = 9, maxIntervalSeconds = 14400L, lateness = "12 hours")
+      .writeStream.format("memory").queryName("levels_out")
+      .outputMode("append").option("checkpointLocation", ckL).start()
+
     // flat form: identical semantics, constant join key — one state group
     val aF = readS(aFlat, schemaA).withColumn("k", lit(0)).withWatermark("a_s", "12 hours")
     val bF = readS(bFlat, schemaB).withColumn("k", lit(0)).withWatermark("b_s", "12 hours")
@@ -95,25 +126,38 @@ object OverlapBench {
     }
     val gridMs = Array.ofDim[Double](nBatches)
     val flatMs = Array.ofDim[Double](nBatches)
+    val coarseMs = Array.ofDim[Double](nBatches)
+    val levelsMs = Array.ofDim[Double](nBatches)
     (0 until nBatches).foreach { k =>
       val (ba, bb) = (mkBatch(0, k), mkBatch(1, k))
       writeBatch(aGrid, ba); writeBatch(bGrid, bb)
       gridMs(k) = timeMs(gridQ.processAllAvailable())
       writeBatch(aFlat, ba); writeBatch(bFlat, bb)
       flatMs(k) = timeMs(flatQ.processAllAvailable())
+      val (ma, mb) = (mkMixed(0, k), mkMixed(1, k))
+      writeBatch(aC, ma); writeBatch(bC, mb)
+      coarseMs(k) = timeMs(coarseQ.processAllAvailable())
+      writeBatch(aL, ma); writeBatch(bL, mb)
+      levelsMs(k) = timeMs(levelsQ.processAllAvailable())
     }
-    gridQ.stop(); flatQ.stop()
+    gridQ.stop(); flatQ.stop(); coarseQ.stop(); levelsQ.stop()
 
     val gridPairs = spark.sql("SELECT count(*) FROM grid_out").head().getLong(0)
     val flatPairs = spark.sql("SELECT count(*) FROM flat_out").head().getLong(0)
     require(gridPairs == flatPairs, s"pair counts diverged: grid=$gridPairs flat=$flatPairs")
+    val coarsePairs = spark.sql("SELECT count(*) FROM coarse_out").head().getLong(0)
+    val levelsPairs = spark.sql("SELECT count(*) FROM levels_out").head().getLong(0)
+    require(coarsePairs == levelsPairs, s"mixed pair counts diverged: coarse=$coarsePairs levels=$levelsPairs")
 
     def arr(xs: Array[Double]) = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
     println(
       s"""{"metric":"overlap_stream_ms","batches":$nBatches,"rowsPerBatch":$rowsPer,""" +
         s""""grid":${arr(gridMs)},"flat":${arr(flatMs)},""" +
         f""""gridTotal":${gridMs.sum}%.0f,"flatTotal":${flatMs.sum}%.0f,""" +
-        s""""gridPairs":$gridPairs,"flatPairs":$flatPairs}""",
+        s""""gridPairs":$gridPairs,"flatPairs":$flatPairs,""" +
+        s""""mixed_coarse":${arr(coarseMs)},"mixed_levels":${arr(levelsMs)},""" +
+        f""""coarseTotal":${coarseMs.sum}%.0f,"levelsTotal":${levelsMs.sum}%.0f,""" +
+        s""""mixedPairs":$coarsePairs}""",
     )
     Fs.rmTree(root)
     spark.stop()
