@@ -213,6 +213,18 @@ object IvfStore {
       .select(col("qid"), col("vec_id"), col("label"), col("sim"))
   }
 
+  /** Resolved-version codebook `(cid, cv)` — for sibling operators
+    * (e.g. [[SemDedup]]) that route work through the frozen quantizer.
+    */
+  private[operators] def codebookDf(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(codebookPath(resolve(spark, path)))
+
+  /** Resolved-version member lists; filter on `cid` before any action —
+    * it is the partition column, so the filter is a static prune.
+    */
+  private[operators] def listsDf(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(listsPath(resolve(spark, path)))
+
   /** Per-list sizes `(cid, n)` — one metadata-cheap aggregate. */
   def listSizes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(listsPath(resolve(spark, path))).groupBy("cid").count().orderBy("cid")

@@ -552,6 +552,26 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ----- incremental SemDeDup over a persisted IVF store (the
+    // BandsStore screen-and-absorb pattern for embeddings): the corpus
+    // (vec_id >= 100) is indexed ONCE; the batch (vec_id < 100) is
+    // screened at tau=0.3 against stored cluster members and
+    // earlier-ranked batch-mates, reading only the batch's cluster
+    // partitions. no_oracle like every index walk; SemDedupSpec pins
+    // the exact suppression contract against a sequential reference,
+    // the cross-batch absorb memory, and the partition-pruned scan.
+    Q.noOracle("dedup_semdedup_cross") { (s, d) =>
+      val e = vecs(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft-semdedup-q").toFile.getAbsolutePath + "/idx"
+      graft.operators.IvfStore.build(
+        e.where(col("vec_id") >= 100), path,
+        nCentroids = 16, lloydIters = 1, seedIds = Some(100L to 115L),
+      )
+      graft.operators.SemDedup.screenBatch(s, path, e.where(col("vec_id") < 100), tau = 0.3)
+        .select(col("vec_id"), col("label"), col("cid"), round(col("acos"), 6).as("centroid_sim"))
+        .orderBy("vec_id")
+    },
+
     // ----- per-DIMENSION affine int8 quantization (the codebook form of
     // vector_quantize_int8's per-vector scale): each dimension gets its
     // own (min, scale) learned from the corpus — one posexplode +

@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Incremental SemDeDup over the IVF store must implement EXACTLY the
+  * documented suppression contract — store members and earlier-ranked
+  * batch-mates suppress at `tau` — so a sequential reference over the
+  * collected data pins it; absorbed members must suppress the next
+  * batch (the screen-and-absorb memory); and the corpus read must stay
+  * a partition-pruned scan of the batch's clusters.
+  */
+class SemDedupSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val tau = 0.3
+  private var root: File = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-semdedup").toFile
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    super.afterAll()
+  }
+
+  private def vecs = graft.queries.SimilarityQueries.vecs(spark, sf)
+
+  /** The frozen-codebook assignment rule: max cosine, ties to the
+    * smallest cid — bit-exact with [[IvfStore.assign]] (same fold as
+    * the `cosine_similarity` expression).
+    */
+  private def assignOf(v: Array[Double], cb: Seq[(Long, Array[Double])]): (Long, Double) = {
+    val scored = cb.map { case (cid, cv) => (cid, VecMath.cosine(v, cv)) }
+    scored.minBy { case (cid, s) => (-s, cid) }
+  }
+
+  test("screen equals the sequential reference on a real corpus/batch split") {
+    val e = vecs.cache()
+    try {
+      val corpus = e.where(col("vec_id") >= 100)
+      val batch = e.where(col("vec_id") < 100)
+      val path = new File(root, "sd-ref").getAbsolutePath
+      IvfStore.build(corpus, path, nCentroids = 16, lloydIters = 1, seedIds = Some(100L to 115L))
+
+      val keptIds = SemDedup.screenBatch(spark, path, batch, tau)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+
+      // sequential reference over collected data
+      val cb = IvfStore.codebookDf(spark, path).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      // cid is the hive partition column — it reads back as Integer
+      val stored = IvfStore.listsDf(spark, path).collect()
+        .map(r => (r.getAs[Number]("cid").longValue(), r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("v").toArray))
+      val b = batch.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("v").toArray))
+        .map { case (id, v) => val (cid, acos) = assignOf(v, cb); (cid, id, v, acos) }
+      val expected = b.groupBy(_._1).flatMap { case (cid, members) =>
+        val ranked = members.sortBy { case (_, id, _, acos) => (acos, id) }
+        val inCluster = stored.filter(_._1 == cid)
+        ranked.zipWithIndex.collect {
+          case ((_, id, v, _), i)
+              if !inCluster.exists(s => VecMath.cosine(v, s._3) >= tau) &&
+                !ranked.take(i).exists(m => VecMath.cosine(v, m._3) >= tau) => id
+        }.toSeq
+      }.toSet
+
+      withClue(s"kept=${keptIds.size} expected=${expected.size}") { keptIds shouldBe expected }
+      keptIds.nonEmpty shouldBe true
+      // the screen actually prunes something on this data
+      keptIds.size should be < batch.count().toInt
+    } finally { e.unpersist(); () }
+  }
+
+  test("absorbed members suppress the next batch") {
+    val e = vecs.cache()
+    try {
+      val corpus = e.where(col("vec_id") >= 100)
+      val path = new File(root, "sd-absorb").getAbsolutePath
+      IvfStore.build(corpus, path, nCentroids = 16, lloydIters = 1, seedIds = Some(100L to 115L))
+
+      val b1 = e.where(col("vec_id") < 50)
+      val kept1 = SemDedup.screenAndAbsorbBatch(spark, path, b1, tau)
+
+      // batch 2 carries an exact copy (cos = 1) of an absorbed member
+      // under a fresh id, plus untouched later vectors
+      val copy = kept1.orderBy("vec_id").limit(1)
+        .select(lit(9999L).as("vec_id"), col("label"), col("v"))
+      val b2 = e.where(col("vec_id").between(50, 99))
+        .select("vec_id", "label", "v").unionByName(copy)
+      val kept2 = SemDedup.screenBatch(spark, path, b2, tau)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      kept2 should not contain 9999L
+      // only unpersist once nothing downstream re-evaluates kept1's
+      // lineage: a recompute would re-screen b1 against the store that
+      // now CONTAINS b1's absorbed rows and come back empty
+      kept1.unpersist()
+    } finally { e.unpersist(); () }
+  }
+
+  test("the corpus read prunes to the batch's cluster partitions") {
+    val e = vecs
+    val corpus = e.where(col("vec_id") >= 100)
+    val path = new File(root, "sd-prune").getAbsolutePath
+    IvfStore.build(corpus, path, nCentroids = 16, lloydIters = 1, seedIds = Some(100L to 115L))
+
+    val one = e.where(col("vec_id") === 3)
+    val res = SemDedup.screenBatch(spark, path, one, tau)
+    val files = res.queryExecution.executedPlan.collectLeaves().flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq
+      case _ => Seq.empty
+    }
+    val cids = files.filter(_.contains("/lists/")).flatMap { p =>
+      "cid=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt)
+    }.distinct
+    // a one-vector batch touches exactly one cluster
+    withClue(s"scanned cids: $cids") { cids.size should be <= 1 }
+    res.count() should be <= 1L
+  }
+}
