@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   * (adds outputs, removes the inputs carrying the same rows) nets to
   * zero through the ⊖ term, so refresh is correct across arrivals,
   * compactions, and range rewrites ([[ManifestCommit.compactWhere]])
-  * alike. min/max are deliberately NOT maintained: they are only a
-  * semigroup (no inverse), so a file removal would force a rescan —
-  * the caller who needs them re-aggregates or keeps them advisory via
-  * the stats sidecars' per-file intervals.
+  * alike. Optional `sumSq` columns maintain sum(v²) in the same state —
+  * squares negate exactly like sums, so the group property holds and
+  * exact mean/variance derive downstream (var = sumsq/cnt −
+  * (sum/cnt)²; integral inputs subtract exactly, with the usual
+  * long-overflow caveat at extreme magnitudes). min/max are
+  * deliberately NOT maintained: they are only a semigroup (no
+  * inverse), so a file removal would force a rescan — the caller who
+  * needs them re-aggregates or keeps them advisory via the stats
+  * sidecars' per-file intervals.
   *
   * State layout at `aggPath` (the versioned-pointer discipline of
   * [[graft.operators.IvfStore]] / the manifest `_head`):
@@ -73,11 +78,19 @@ object MaterializedAgg {
   private def stateDir(aggPath: String, seq: Long) = s"$aggPath/state-$seq"
 
   /** One aggregation pass over `files` (empty-safe). */
-  private def aggOf(spark: SparkSession, files: Seq[String], keys: Seq[String], values: Seq[String]): Option[DataFrame] =
+  private def aggOf(
+      spark: SparkSession,
+      files: Seq[String],
+      keys: Seq[String],
+      values: Seq[String],
+      sumSq: Seq[String],
+  ): Option[DataFrame] =
     if (files.isEmpty) None
     else {
       val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
-      val aggs = count(lit(1)).as("cnt") +: values.map(v => sum(col(v)).as(s"sum_$v"))
+      val aggs = count(lit(1)).as("cnt") +:
+        (values.map(v => sum(col(v)).as(s"sum_$v")) ++
+          sumSq.map(v => sum(col(v) * col(v)).as(s"sumsq_$v")))
       Some(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
     }
 
@@ -150,11 +163,18 @@ object MaterializedAgg {
   /** Full build: aggregate the CURRENT live set and seal it at the
     * leaf's head seq. Returns that seq.
     */
-  def build(spark: SparkSession, leaf: String, aggPath: String, keys: Seq[String], values: Seq[String]): Long = {
+  def build(
+      spark: SparkSession,
+      leaf: String,
+      aggPath: String,
+      keys: Seq[String],
+      values: Seq[String],
+      sumSq: Seq[String] = Nil,
+  ): Long = {
     require(keys.nonEmpty, "at least one group-by key")
     val seq = ManifestCommit.currentSeq(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
-    val state = aggOf(spark, live, keys, values)
+    val state = aggOf(spark, live, keys, values, sumSq)
       .getOrElse(throw new IllegalStateException(s"no live files under $leaf — nothing to materialize"))
     seal(spark, aggPath, seq, state, live)
     seq
@@ -165,11 +185,19 @@ object MaterializedAgg {
     * current. `keys`/`values` must match the build's (validated against
     * the state schema — a drifted caller fails loudly, not wrongly).
     */
-  def refresh(spark: SparkSession, leaf: String, aggPath: String, keys: Seq[String], values: Seq[String]): RefreshResult = {
+  def refresh(
+      spark: SparkSession,
+      leaf: String,
+      aggPath: String,
+      keys: Seq[String],
+      values: Seq[String],
+      sumSq: Seq[String] = Nil,
+  ): RefreshResult = {
     val fromSeq = stateSeq(spark, aggPath).getOrElse(
       throw new IllegalStateException(s"no sealed state at $aggPath — run build first"),
     )
-    val expected = (keys ++ Seq("cnt") ++ values.map(v => s"sum_$v")).toSet
+    val expected =
+      (keys ++ Seq("cnt") ++ values.map(v => s"sum_$v") ++ sumSq.map(v => s"sumsq_$v")).toSet
     val stateCols = spark.read.parquet(stateDir(aggPath, fromSeq)).columns.toSet
     require(stateCols == expected, s"state schema $stateCols does not match keys/values $expected")
     val toSeq = ManifestCommit.currentSeq(spark, leaf)
@@ -182,13 +210,17 @@ object MaterializedAgg {
     val historyReadable = removed.forall(p => fs.exists(new Path(p)))
     if (!historyReadable) {
       // GC outran the state: the ⊖ term's inputs are gone — rebuild
-      val state = aggOf(spark, live, keys, values)
+      val state = aggOf(spark, live, keys, values, sumSq)
         .getOrElse(throw new IllegalStateException(s"no live files under $leaf"))
       seal(spark, aggPath, toSeq, state, live)
       RefreshResult(toSeq, incremental = false)
     } else {
       val old = spark.read.parquet(stateDir(aggPath, fromSeq))
-      val parts = Seq(Some(old), aggOf(spark, added, keys, values), aggOf(spark, removed, keys, values).map(negate(_, keys))).flatten
+      val parts = Seq(
+        Some(old),
+        aggOf(spark, added, keys, values, sumSq),
+        aggOf(spark, removed, keys, values, sumSq).map(negate(_, keys)),
+      ).flatten
       seal(spark, aggPath, toSeq, merge(parts, keys), live)
       RefreshResult(toSeq, incremental = true)
     }

@@ -159,6 +159,47 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     new File(aggPath).listFiles().map(_.getName).count(_.startsWith("state-")) shouldBe 1
   }
 
+  test("sumSq columns refresh exactly and derive mean/variance downstream") {
+    val leaf = new File(root, "acct/source=masq/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-masq").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 400L)
+    commit(leafPath, "s1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), sumSq = Seq("amount"))
+
+    // arrival + compaction, refreshed through the same ⊕/⊖ path —
+    // squares must negate exactly like sums
+    writeFile(leaf, "b.parquet", 400L, 900L)
+    commit(leafPath, "s2", abs("b.parquet"))
+    MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), sumSq = Seq("amount"))
+      .incremental shouldBe true
+    commit(leafPath, "s3", ManifestCommit.liveFiles(spark, leafPath))
+    MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), sumSq = Seq("amount"))
+      .incremental shouldBe true
+
+    val direct = ManifestCommit.readLeaf(spark, leafPath)
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("amount")).as("sum_amount"),
+        sum(col("amount") * col("amount")).as("sumsq_amount"),
+      )
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "cnt", "sum_amount", "sumsq_amount").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    all(MaterializedAgg.read(spark, aggPath)) shouldBe all(direct)
+
+    // exact integer state ⇒ exact derived mean/variance per group
+    val (k0, cnt0, s0, sq0) = all(MaterializedAgg.read(spark, aggPath)).minBy(_._1)
+    val members = (0L until 900L).filter(_ % 7 == k0)
+    cnt0 shouldBe members.size.toLong
+    s0 shouldBe members.sum
+    sq0 shouldBe members.map(m => m * m).sum
+  }
+
   test("GC'd history forces a full rebuild, still exact") {
     val leaf = new File(root, "acct/source=magc/year=2026/month=01")
     leaf.mkdirs()

@@ -124,16 +124,25 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
   test("streaming compaction composes with the manifest commit mode") {
     val oroot = Files.createTempDirectory("graft-stream-manifest").toFile
     val ockpt = Files.createTempDirectory("graft-stream-manifest-ckpt").toFile
+    // agg-state root OUTSIDE the streamed tree: state parquet under the
+    // watched root would itself look like compactable arrivals
+    val maRoot = Files.createTempDirectory("graft-stream-manifest-agg").toFile
     try {
       val l = new File(oroot, "acct/source=mst/year=2026/month=01")
       l.mkdirs()
       writeFile(l, "a.parquet", df("mst-a"))
       writeFile(l, "b.parquet", df("mst-b"))
-      // statsColumns rides the shared CompactorConfig: streamed commits
-      // must seal the same data-skipping sidecars as batch commits
+      // statsColumns AND the materialized-agg lifecycle ride the shared
+      // CompactorConfig: streamed commits must seal the same
+      // data-skipping sidecars as batch commits, and each micro-batch's
+      // maintenance pass must keep the per-leaf agg fresh (the
+      // always-current dashboard shape — ROADMAP 55)
       val mcfg = cfg.copy(
         commitMode = graft.compact.CommitMode.Manifest,
         statsColumns = Seq("id"),
+        matAggRoot = Some(maRoot.getAbsolutePath),
+        matAggKeys = Seq("tag"),
+        matAggValues = Seq("id"),
       )
       val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
       def runOnce(): Unit = {
@@ -170,6 +179,11 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
       graft.compact.ManifestStats.countLeaf(spark, l.getAbsolutePath) shouldBe 40L
       graft.compact.ManifestStats
         .readLeafWhere(spark, l.getAbsolutePath, "id", 1d, 5d).count() shouldBe 10L
+      // the micro-batch's lifecycle pass materialized the per-leaf agg
+      val aggPath = graft.compact.MaterializedAgg.pathFor(maRoot.getAbsolutePath, all.head.leaf)
+      graft.compact.MaterializedAgg.exists(spark, aggPath) shouldBe true
+      graft.compact.MaterializedAgg.read(spark, aggPath)
+        .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) shouldBe 40L
       // and a follow-up streaming run sees nothing left to do (the leaf's
       // visible plane is empty; manifest artifacts are planner-invisible)
       val sizeBefore = batches.asScala.flatten.size
@@ -177,7 +191,7 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
       batches.asScala.flatten.size shouldBe sizeBefore
     } finally {
       def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
-      rm(oroot); rm(ockpt)
+      rm(oroot); rm(ockpt); rm(maRoot)
     }
   }
 
