@@ -60,7 +60,18 @@ object MaterializedAgg {
 
   private val PtrRe = "_agg-(\\d+)".r
 
+  /** Group-count tripwire (ROADMAP 58): a materialized state over a
+    * high-cardinality key approaches the leaf itself — the refresh
+    * would still be correct, but the "dashboard-sized state" premise
+    * (cheap to read whole, cheap to rewrite per refresh) is gone.
+    * Builds and refreshes fail loudly past this many groups; raise it
+    * deliberately for genuinely wide dashboards.
+    */
+  val DefaultMaxGroups: Long = 10000000L
+
   final case class RefreshResult(seq: Long, incremental: Boolean)
+
+  final class GroupExplosionException(msg: String) extends IllegalStateException(msg)
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,10 +127,29 @@ object MaterializedAgg {
   /** Seal a new state atomically: write the dir and the file list, then
     * create the pointer, then reclaim superseded states (pointer-last
     * means the highest sealed pointer always names a complete state).
+    * The group-count tripwire runs between write and pointer — the
+    * count is footer metadata of the just-written state (no second
+    * aggregation pass), and a tripped guard deletes the unsealed dir,
+    * leaving the previous state live.
     */
-  private def seal(spark: SparkSession, aggPath: String, seq: Long, state: DataFrame, files: Seq[String]): Unit = {
+  private def seal(
+      spark: SparkSession,
+      aggPath: String,
+      seq: Long,
+      state: DataFrame,
+      files: Seq[String],
+      maxGroups: Long,
+  ): Unit = {
     val fs = fsOf(spark, aggPath)
     state.write.mode("overwrite").parquet(stateDir(aggPath, seq))
+    val n = spark.read.parquet(stateDir(aggPath, seq)).count()
+    if (n > maxGroups) {
+      try fs.delete(new Path(stateDir(aggPath, seq)), true) catch { case _: Throwable => () }
+      throw new GroupExplosionException(
+        s"materialized state has $n groups > maxGroups=$maxGroups — " +
+          "the key set approaches the data itself; aggregate coarser keys or raise maxGroups",
+      )
+    }
     val out = fs.create(new Path(s"$aggPath/files-$seq"), true)
     try out.write(files.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -170,13 +200,14 @@ object MaterializedAgg {
       keys: Seq[String],
       values: Seq[String],
       sumSq: Seq[String] = Nil,
+      maxGroups: Long = DefaultMaxGroups,
   ): Long = {
     require(keys.nonEmpty, "at least one group-by key")
     val seq = ManifestCommit.currentSeq(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
     val state = aggOf(spark, live, keys, values, sumSq)
       .getOrElse(throw new IllegalStateException(s"no live files under $leaf — nothing to materialize"))
-    seal(spark, aggPath, seq, state, live)
+    seal(spark, aggPath, seq, state, live, maxGroups)
     seq
   }
 
@@ -192,6 +223,7 @@ object MaterializedAgg {
       keys: Seq[String],
       values: Seq[String],
       sumSq: Seq[String] = Nil,
+      maxGroups: Long = DefaultMaxGroups,
   ): RefreshResult = {
     val fromSeq = stateSeq(spark, aggPath).getOrElse(
       throw new IllegalStateException(s"no sealed state at $aggPath — run build first"),
@@ -212,7 +244,7 @@ object MaterializedAgg {
       // GC outran the state: the ⊖ term's inputs are gone — rebuild
       val state = aggOf(spark, live, keys, values, sumSq)
         .getOrElse(throw new IllegalStateException(s"no live files under $leaf"))
-      seal(spark, aggPath, toSeq, state, live)
+      seal(spark, aggPath, toSeq, state, live, maxGroups)
       RefreshResult(toSeq, incremental = false)
     } else {
       val old = spark.read.parquet(stateDir(aggPath, fromSeq))
@@ -221,7 +253,7 @@ object MaterializedAgg {
         aggOf(spark, added, keys, values, sumSq),
         aggOf(spark, removed, keys, values, sumSq).map(negate(_, keys)),
       ).flatten
-      seal(spark, aggPath, toSeq, merge(parts, keys), live)
+      seal(spark, aggPath, toSeq, merge(parts, keys), live, maxGroups)
       RefreshResult(toSeq, incremental = true)
     }
   }

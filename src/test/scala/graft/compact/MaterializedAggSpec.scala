@@ -200,6 +200,36 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     sq0 shouldBe members.map(m => m * m).sum
   }
 
+  test("group-count tripwire fails loudly and leaves the previous state live") {
+    val leaf = new File(root, "acct/source=matrip/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-matrip").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 500L)
+    commit(leafPath, "t1", abs("a.parquet"))
+
+    // a build past the cap never seals anything
+    a[MaterializedAgg.GroupExplosionException] should be thrownBy
+      MaterializedAgg.build(spark, leafPath, aggPath, Seq("amount"), Nil, maxGroups = 100L)
+    MaterializedAgg.exists(spark, aggPath) shouldBe false
+
+    // a sane build seals; a later refresh past a (lowered) cap trips
+    // AFTER writing but BEFORE the pointer — the old state stays live
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    val before = rows(MaterializedAgg.read(spark, aggPath))
+    writeFile(leaf, "b.parquet", 500L, 600L)
+    commit(leafPath, "t2", abs("b.parquet"))
+    a[MaterializedAgg.GroupExplosionException] should be thrownBy
+      MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), maxGroups = 3L)
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe before
+    // and the same refresh at the default cap completes
+    MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+      .incremental shouldBe true
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+  }
+
   test("GC'd history forces a full rebuild, still exact") {
     val leaf = new File(root, "acct/source=magc/year=2026/month=01")
     leaf.mkdirs()
