@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnSearch, IvfStore, NswSearch}
+import graft.operators.{AnnSearch, IvfStore, NswSearch, SemDedup}
 
 /** The ANN operating curve: recall@k vs wall time for every quality
   * dial the engine exposes, measured against exact brute force on the
@@ -99,10 +99,20 @@ object AnnBench {
       f"""{"method":"$method","param":"$param","sec":$sec%.2f,"recall":$recall%.3f}"""
     }
 
+    // SemDedup screen pricing (no recall — dedup, not retrieval): a
+    // fixed 100-vector batch screened against each store. The scan is
+    // partition-pruned to the batch's clusters, so the per-batch cost
+    // follows the touched LIST sizes: ∝ N/K at fixed K=16, ∝ √N on the
+    // √N store — never the whole corpus.
+    val sdBatch = e.where(col("vec_id") < 100).select(col("vec_id"), col("label"), col("v"))
+    val (sdSec16, _) = timed(SemDedup.screenBatch(spark, ivfPath, sdBatch, tau = 0.3))
+    val (sdSecSqrt, _) = timed(SemDedup.screenBatch(spark, ivfSqrtPath, sdBatch, tau = 0.3))
+
     println(
       f"""{"metric":"ann_curve","k":$k,"nq":${qids.size},"n":$n,"exact_sec":$exactSec%.2f,""" +
         f""""ivf_store_build_sec":$ivfBuildSec%.2f,""" +
         f""""ivf_store_build_sqrtn_sec":$ivfSqrtBuildSec%.2f,"ivf_sqrtn_k":$kSqrtN,""" +
+        f""""semdedup_screen":{"batch":100,"k16_sec":$sdSec16%.2f,"sqrtn_sec":$sdSecSqrt%.2f},""" +
         s""""points":[${points.mkString(",")}]}""",
     )
     Seq(ivfPath, ivfSqrtPath, nswHashPath, nswR8Path, nswR32Path)

@@ -76,11 +76,23 @@ object SemDedup {
     * [[IvfStore.append]] — same frozen-codebook assignment, so the
     * absorbed rows land in exactly the clusters they screened in).
     * Returns the kept rows; the next batch's screen sees them.
+    *
+    * The kept set is MATERIALIZED to a hidden dir before the absorb
+    * (the [[graft.streaming.DocumentStream.screenAndAbsorbBatch]]
+    * discipline): re-evaluating the screen's lineage after the append
+    * would re-screen the batch against a store that now CONTAINS it
+    * and come back empty — a cache eviction away from a wrong answer.
+    * Bounded by executor disk, never the driver; this is also the
+    * micro-batch body for a streaming embedding pipeline
+    * (`foreachBatch { (b, _) => screenAndAbsorbBatch(spark, path, b,
+    * tau) }` — SemDedupSpec drives it through a memory stream).
     */
   def screenAndAbsorbBatch(spark: SparkSession, path: String, batch: DataFrame, tau: Double): DataFrame = {
-    val kept = screenBatch(spark, path, batch, tau)
+    val keptPath = s"$path/.screen-kept"
+    screenBatch(spark, path, batch, tau)
       .select("vec_id", "label", "v")
-      .cache() // materialize ONCE: the append below and the caller's read
+      .write.mode("overwrite").parquet(keptPath)
+    val kept = spark.read.parquet(keptPath)
     IvfStore.append(spark, kept, path)
     kept
   }

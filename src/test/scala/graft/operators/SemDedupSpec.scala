@@ -45,6 +45,30 @@ class SemDedupSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     scored.minBy { case (cid, s) => (-s, cid) }
   }
 
+  /** Sequential reference of the documented contract, computed from
+    * the store's CURRENT codebook and lists — so it also pins the
+    * post-retrain geometry.
+    */
+  private def referenceKept(path: String, batch: org.apache.spark.sql.DataFrame): Set[Long] = {
+    val cb = IvfStore.codebookDf(spark, path).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    // cid is the hive partition column — it reads back as Integer
+    val stored = IvfStore.listsDf(spark, path).collect()
+      .map(r => (r.getAs[Number]("cid").longValue(), r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("v").toArray))
+    val b = batch.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("v").toArray))
+      .map { case (id, v) => val (cid, acos) = assignOf(v, cb); (cid, id, v, acos) }
+    b.groupBy(_._1).flatMap { case (cid, members) =>
+      val ranked = members.sortBy { case (_, id, _, acos) => (acos, id) }
+      val inCluster = stored.filter(_._1 == cid)
+      ranked.zipWithIndex.collect {
+        case ((_, id, v, _), i)
+            if !inCluster.exists(s => VecMath.cosine(v, s._3) >= tau) &&
+              !ranked.take(i).exists(m => VecMath.cosine(v, m._3) >= tau) => id
+      }.toSeq
+    }.toSet
+  }
+
   test("screen equals the sequential reference on a real corpus/batch split") {
     val e = vecs.cache()
     try {
@@ -55,25 +79,7 @@ class SemDedupSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
 
       val keptIds = SemDedup.screenBatch(spark, path, batch, tau)
         .select("vec_id").collect().map(_.getLong(0)).toSet
-
-      // sequential reference over collected data
-      val cb = IvfStore.codebookDf(spark, path).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      // cid is the hive partition column — it reads back as Integer
-      val stored = IvfStore.listsDf(spark, path).collect()
-        .map(r => (r.getAs[Number]("cid").longValue(), r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("v").toArray))
-      val b = batch.collect()
-        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("v").toArray))
-        .map { case (id, v) => val (cid, acos) = assignOf(v, cb); (cid, id, v, acos) }
-      val expected = b.groupBy(_._1).flatMap { case (cid, members) =>
-        val ranked = members.sortBy { case (_, id, _, acos) => (acos, id) }
-        val inCluster = stored.filter(_._1 == cid)
-        ranked.zipWithIndex.collect {
-          case ((_, id, v, _), i)
-              if !inCluster.exists(s => VecMath.cosine(v, s._3) >= tau) &&
-                !ranked.take(i).exists(m => VecMath.cosine(v, m._3) >= tau) => id
-        }.toSeq
-      }.toSet
+      val expected = referenceKept(path, batch)
 
       withClue(s"kept=${keptIds.size} expected=${expected.size}") { keptIds shouldBe expected }
       keptIds.nonEmpty shouldBe true
@@ -101,10 +107,67 @@ class SemDedupSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       val kept2 = SemDedup.screenBatch(spark, path, b2, tau)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       kept2 should not contain 9999L
-      // only unpersist once nothing downstream re-evaluates kept1's
-      // lineage: a recompute would re-screen b1 against the store that
-      // now CONTAINS b1's absorbed rows and come back empty
-      kept1.unpersist()
+      // kept1 is a materialized read, not live lineage — re-evaluating
+      // it after the absorb must NOT re-screen (which would now find
+      // every member duplicated by its own absorbed copy)
+      kept1.count() should be > 0L
+    } finally { e.unpersist(); () }
+  }
+
+  test("screening survives a retrain: the contract holds against the new geometry") {
+    val e = vecs.cache()
+    try {
+      val corpus = e.where(col("vec_id") >= 100)
+      val path = new File(root, "sd-retrain").getAbsolutePath
+      IvfStore.build(corpus, path, nCentroids = 16, lloydIters = 1, seedIds = Some(100L to 115L))
+      SemDedup.screenAndAbsorbBatch(spark, path, e.where(col("vec_id") < 30), tau).count()
+
+      // retrain re-clusters corpus + absorbed rows under new centroids
+      IvfStore.retrain(spark, path, nCentroids = 16, lloydIters = 1)
+
+      val b2 = e.where(col("vec_id").between(30, 59))
+      val kept = SemDedup.screenBatch(spark, path, b2, tau)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      kept shouldBe referenceKept(path, b2)
+    } finally { e.unpersist(); () }
+  }
+
+  test("streaming embedding dedup: foreachBatch screen-and-absorb remembers across batches") {
+    val e = vecs.cache()
+    try {
+      val corpus = e.where(col("vec_id") >= 100)
+      val path = new File(root, "sd-stream").getAbsolutePath + "/idx"
+      IvfStore.build(corpus, path, nCentroids = 16, lloydIters = 1, seedIds = Some(100L to 115L))
+
+      val in = new File(root, "sd-stream-in"); in.mkdirs()
+      val chk = new File(root, "sd-stream-chk").getAbsolutePath
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val schema = e.select("vec_id", "label", "v").schema
+      val q = spark.readStream.schema(schema).parquet(in.getAbsolutePath)
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          kept ++= SemDedup.screenAndAbsorbBatch(spark, path, b, tau)
+            .select("vec_id").collect().map(_.getLong(0))
+          ()
+        }
+        .start()
+
+      e.where(col("vec_id") < 30).select("vec_id", "label", "v")
+        .coalesce(1).write.mode("append").parquet(in.getAbsolutePath)
+      q.processAllAvailable()
+      kept.nonEmpty shouldBe true
+      val absorbed = kept.min
+
+      // next micro-batch: an exact copy of an ABSORBED member under a
+      // fresh id — the stream's own past is remembered through the
+      // store, not query state — plus fresh vectors
+      e.where(col("vec_id") === absorbed)
+        .select(lit(8888L).as("vec_id"), col("label"), col("v"))
+        .unionByName(e.where(col("vec_id").between(30, 40)).select("vec_id", "label", "v"))
+        .coalesce(1).write.mode("append").parquet(in.getAbsolutePath)
+      q.processAllAvailable()
+      q.stop()
+      kept should not contain 8888L
     } finally { e.unpersist(); () }
   }
 
