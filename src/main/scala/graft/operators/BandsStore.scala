@@ -93,4 +93,40 @@ object BandsStore {
         .distinct()
     }
   }
+
+  /** Fold append debris into one file per partition (the
+    * [[IvfStore.compactLists]] move for the bands store): every
+    * [[append]] adds one small file to each touched `band(/sigb)`
+    * directory, so a long-lived store degrades into the small-files
+    * problem the table compactor exists for. Rows are rewritten
+    * UNCHANGED; `repartition` on the partition columns puts each
+    * partition in one task → one file per directory.
+    *
+    * The store is written in place (no version dirs), so the fold
+    * stages the rewrite to a sibling dir, then swaps ONLY the partition
+    * directories — hidden sidecars living inside the store path (the
+    * `.hs` shingle sets, screen-flags) are untouched. NOT crash-atomic,
+    * unlike the IVF store: a crash mid-swap leaves a partial store,
+    * which is rebuildable from the corpus (build ≡ append-chain,
+    * BandsStoreSpec) — run it offline, the gcOrphans contract.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val all = spark.read.parquet(path)
+    val parts = if (all.columns.contains("sigb")) Seq("band", "sigb") else Seq("band")
+    val stage = s"$path.compact-stage"
+    all.repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visibleChildren(p: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      }
+    visibleChildren(path).foreach(st => fs.delete(st.getPath, true))
+    visibleChildren(stage).foreach(st =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(path, st.getPath.getName)))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    ()
+  }
 }

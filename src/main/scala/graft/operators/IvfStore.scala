@@ -144,19 +144,21 @@ object IvfStore {
     // commit point: create-if-absent pointer — a concurrent builder that
     // raced to the same seq fails loudly here instead of interleaving
     fs.create(new org.apache.hadoop.fs.Path(s"$path/_current-$seq"), false).close()
-    // reclaim superseded versions (single-writer maintenance contract);
-    // runs only after the new pointer sealed, so the max pointer always
-    // resolves to a complete version whatever this loop got through
-    prev.foreach { _ =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
-        val n = st.getPath.getName
-        val old =
-          (st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < seq) ||
-            (st.isFile && PtrRe.findFirstMatchIn(n).exists(_.group(1).toLong < seq))
-        if (old) { try fs.delete(st.getPath, true) catch { case _: Throwable => () }; () }
-      }
-    }
+    prev.foreach(_ => reclaimBelow(fs, path, seq))
   }
+
+  /** Reclaim superseded versions (single-writer maintenance contract);
+    * runs only after the new pointer sealed, so the max pointer always
+    * resolves to a complete version whatever this loop got through.
+    */
+  private def reclaimBelow(fs: org.apache.hadoop.fs.FileSystem, path: String, seq: Long): Unit =
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      val old =
+        (st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < seq) ||
+          (st.isFile && PtrRe.findFirstMatchIn(n).exists(_.group(1).toLong < seq))
+      if (old) { try fs.delete(st.getPath, true) catch { case _: Throwable => () }; () }
+    }
 
   /** Assign a new batch against the FROZEN codebook and append to the
     * list partitions — per-batch work is one broadcast argmax over the
@@ -242,6 +244,32 @@ object IvfStore {
     * deterministic recipe. The store afterwards equals a fresh build on
     * the union corpus — stale assignment from drifted appends is gone.
     */
+  /** Fold every inverted list's accumulated append-files into one file
+    * per partition (ROADMAP 61): [[append]] writes one small parquet
+    * file per touched cid per batch, so a long-lived store degrades
+    * into exactly the small-files problem the table compactor exists
+    * for. The fold rewrites rows UNCHANGED under the SAME codebook into
+    * a fresh version dir (repartition on `cid` puts each list in one
+    * task → one file per `cid=` directory) and flips the pointer last —
+    * the build/retrain crash discipline, so a crash leaves the previous
+    * version live; searches are row-identical by construction.
+    */
+  def compactLists(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val prev = currentSeq(fs, path).getOrElse(
+      throw new IllegalStateException(s"no sealed store at $path — nothing to compact"),
+    )
+    val vOld = s"$path/v$prev"
+    val seq = prev + 1L
+    val vNew = s"$path/v$seq"
+    spark.read.parquet(codebookPath(vOld)).write.mode("overwrite").parquet(codebookPath(vNew))
+    spark.read.parquet(listsPath(vOld))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(listsPath(vNew))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_current-$seq"), false).close()
+    reclaimBelow(fs, path, seq)
+  }
+
   def retrain(spark: SparkSession, path: String, nCentroids: Int = 16, lloydIters: Int = 2): Unit = {
     // build() writes into a FRESH version dir and only reclaims this one
     // after its pointer seals, so the lazy read below scans stable files

@@ -85,6 +85,34 @@ class BandsStoreSpec extends AnyFunSuite with Matchers with SparkSpec with Befor
     a.nonEmpty shouldBe true
   }
 
+  test("compact folds append debris into one file per band, screen unchanged") {
+    val store = new File(root, "bands-compact").getAbsolutePath
+    val h1 = history.where(col("doc_id") % 3 === 0)
+    val h2 = history.where(col("doc_id") % 3 === 1)
+    val h3 = history.where(col("doc_id") % 3 === 2)
+    BandsStore.build(spark, h1, store)
+    BandsStore.append(spark, h2, store)
+    BandsStore.append(spark, h3, store)
+
+    def filesPerBand: Map[String, Int] =
+      new File(store).listFiles().filter(_.getName.startsWith("band="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = filesPerBand
+    withClue(before) { before.values.max should be > 1 }
+    val resBefore = BandsStore.screen(spark, batch, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    BandsStore.compact(spark, store)
+
+    val after = filesPerBand
+    withClue(after) { after.values.max shouldBe 1 }
+    after.keySet shouldBe before.keySet
+    BandsStore.screen(spark, batch, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe resBefore
+    resBefore.nonEmpty shouldBe true
+  }
+
   test("sig-bucketed store screens identically and prunes the history scan to touched buckets") {
     val store = new File(root, "bands5").getAbsolutePath
     BandsStore.build(spark, history, store, sigBuckets = 8)

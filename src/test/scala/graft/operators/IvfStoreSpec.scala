@@ -116,6 +116,39 @@ class IvfStoreSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     } finally { e.unpersist(); () }
   }
 
+  test("compactLists folds append debris into one file per list, search unchanged") {
+    val e = vecs.cache()
+    try {
+      val hist = e.where(col("vec_id") % 4 === 0)
+      val path = new File(root, "ivf-compact").getAbsolutePath
+      IvfStore.build(hist, path, nCentroids = 8, lloydIters = 1)
+      // three append slices → several small files accumulate per list
+      (1 to 3).foreach(i => IvfStore.append(spark, e.where(col("vec_id") % 4 === i), path))
+
+      def listFileCounts(v: String): Map[String, Int] =
+        new File(path, s"$v/lists").listFiles().filter(_.getName.startsWith("cid="))
+          .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+          .toMap
+      val before = listFileCounts("v1")
+      withClue(before) { before.values.max should be > 1 }
+
+      val q = queriesFor(e, Seq(4L, 13L, 26L))
+      val resBefore = rows(IvfStore.search(spark, path, q, k = 5, nprobe = 3))
+
+      IvfStore.compactLists(spark, path)
+
+      // one file per surviving list, old version reclaimed, pointer bumped
+      val names = new File(path).listFiles().map(_.getName)
+      names.count(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)) shouldBe 1
+      names should contain("_current-2")
+      val after = listFileCounts("v2")
+      withClue(after) { after.values.max shouldBe 1 }
+      after.values.sum should be < before.values.sum
+
+      rows(IvfStore.search(spark, path, q, k = 5, nprobe = 3)) shouldBe resBefore
+    } finally { e.unpersist(); () }
+  }
+
   test("needsRetrain trips on skewed lists and retrain restores fresh-build parity") {
     val e = vecs.cache()
     try {
