@@ -21,6 +21,9 @@ class MainConfigSpec extends AnyFunSuite with Matchers {
       "GRAFT_COMMIT_MODE" -> "Manifest",
       "GRAFT_GC_ORPHANS" -> "1",
       "GRAFT_EXPIRE_KEEP" -> "3",
+      "GRAFT_MATAGG_ROOT" -> "/agg",
+      "GRAFT_MATAGG_KEYS" -> "k, tag",
+      "GRAFT_MATAGG_VALUES" -> "amount",
     ))
     cfg.targetFileBytes shouldBe (0.5 * (1L << 30)).toLong
     cfg.maxRowsPerFile shouldBe 500L
@@ -32,6 +35,9 @@ class MainConfigSpec extends AnyFunSuite with Matchers {
     cfg.commitMode shouldBe CommitMode.Manifest
     cfg.autoGcOrphans shouldBe true
     cfg.expireKeepSnapshots shouldBe Some(3)
+    cfg.matAggRoot shouldBe Some("/agg")
+    cfg.matAggKeys shouldBe Seq("k", "tag")
+    cfg.matAggValues shouldBe Seq("amount")
   }
 
   test("an empty environment yields exactly the defaults") {

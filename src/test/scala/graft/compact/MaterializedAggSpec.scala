@@ -230,6 +230,39 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
   }
 
+  test("randomized commit mix: refresh equals from-scratch after every step (seeded)") {
+    val rnd = new scala.util.Random(20260814L)
+    val leaf = new File(root, "acct/source=mafuzz/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-mafuzz").getAbsolutePath
+
+    writeFile(leaf, "seed.parquet", 0L, 200L)
+    commit(leafPath, "z0", Seq(s"$leafPath/seed.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+
+    var nextLo = 200L
+    (1 to 10).foreach { i =>
+      rnd.nextInt(3) match {
+        case 0 => // arrival of a fresh id range
+          val hi = nextLo + 50L + rnd.nextInt(200)
+          writeFile(leaf, s"f$i.parquet", nextLo, hi)
+          commit(leafPath, s"z$i", Seq(s"$leafPath/f$i.parquet"))
+          nextLo = hi
+        case 1 => // full compaction: adds + removes carry the same rows
+          commit(leafPath, s"z$i", ManifestCommit.liveFiles(spark, leafPath))
+        case _ => // partial rewrite of a random live subset
+          val live = ManifestCommit.liveFiles(spark, leafPath)
+          commit(leafPath, s"z$i", rnd.shuffle(live).take(1 + rnd.nextInt(live.size)))
+      }
+      val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+      withClue(s"step $i") {
+        r.incremental shouldBe true
+        rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+      }
+    }
+  }
+
   test("GC'd history forces a full rebuild, still exact") {
     val leaf = new File(root, "acct/source=magc/year=2026/month=01")
     leaf.mkdirs()
