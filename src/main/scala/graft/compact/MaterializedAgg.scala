@@ -88,6 +88,14 @@ object MaterializedAgg {
 
   private def stateDir(aggPath: String, seq: Long) = s"$aggPath/state-$seq"
 
+  /** Aggregate one (possibly cached) frame under a spec's shape. */
+  private def aggOfDf(df: DataFrame, keys: Seq[String], values: Seq[String], sumSq: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +:
+      (values.map(v => sum(col(v)).as(s"sum_$v")) ++
+        sumSq.map(v => sum(col(v) * col(v)).as(s"sumsq_$v")))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** One aggregation pass over `files` (empty-safe). */
   private def aggOf(
       spark: SparkSession,
@@ -97,13 +105,7 @@ object MaterializedAgg {
       sumSq: Seq[String],
   ): Option[DataFrame] =
     if (files.isEmpty) None
-    else {
-      val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
-      val aggs = count(lit(1)).as("cnt") +:
-        (values.map(v => sum(col(v)).as(s"sum_$v")) ++
-          sumSq.map(v => sum(col(v) * col(v)).as(s"sumsq_$v")))
-      Some(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
-    }
+    else Some(aggOfDf(spark.read.option("mergeSchema", "true").parquet(files: _*), keys, values, sumSq))
 
   /** Negate an aggregate frame (the ⊖ term). */
   private def negate(df: DataFrame, keys: Seq[String]): DataFrame = {
@@ -255,6 +257,74 @@ object MaterializedAgg {
       ).flatten
       seal(spark, aggPath, toSeq, merge(parts, keys), live, maxGroups)
       RefreshResult(toSeq, incremental = true)
+    }
+  }
+
+  /** One materialized aggregate's shape, for [[refreshAll]]. */
+  final case class AggSpec(
+      aggPath: String,
+      keys: Seq[String],
+      values: Seq[String],
+      sumSq: Seq[String] = Nil,
+      maxGroups: Long = DefaultMaxGroups,
+  )
+
+  /** Refresh SEVERAL materialized aggregates of one leaf, reading each
+    * distinct delta file-set ONCE (ROADMAP 60): N dashboards over a
+    * 100-TB leaf must not read the same arrival commit N times. The
+    * live set resolves once; specs whose states sit at the same seq
+    * share (added, removed) sets, and those frames are cached across
+    * the specs' aggregation passes — one scan of the delta, N cheap
+    * group-bys off memory. Specs at divergent seqs (built at different
+    * times) still refresh correctly through their own deltas; every
+    * per-spec guarantee (GC fallback, schema guard, tripwire,
+    * pointer-last seal) is [[refresh]]'s, by construction — refreshAll
+    * only deduplicates the reads underneath it.
+    */
+  def refreshAll(spark: SparkSession, leaf: String, specs: Seq[AggSpec]): Seq[RefreshResult] = {
+    if (specs.isEmpty) return Seq.empty
+    val toSeq = ManifestCommit.currentSeq(spark, leaf)
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val cache = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
+    def cachedRead(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(cache.getOrElseUpdate(
+        files,
+        spark.read.option("mergeSchema", "true").parquet(files: _*).persist(),
+      ))
+    try {
+      specs.map { sp =>
+        val fromSeq = stateSeq(spark, sp.aggPath).getOrElse(
+          throw new IllegalStateException(s"no sealed state at ${sp.aggPath} — run build first"),
+        )
+        val expected =
+          (sp.keys ++ Seq("cnt") ++ sp.values.map(v => s"sum_$v") ++ sp.sumSq.map(v => s"sumsq_$v")).toSet
+        val stateCols = spark.read.parquet(stateDir(sp.aggPath, fromSeq)).columns.toSet
+        require(stateCols == expected, s"state schema $stateCols does not match spec $expected")
+        val recorded = recordedFiles(spark, sp.aggPath, fromSeq).toSet
+        val removed = (recorded -- live).toSeq.sorted
+        val added = (live.toSet -- recorded).toSeq.sorted
+        if (removed.isEmpty && added.isEmpty) RefreshResult(fromSeq, incremental = true)
+        else if (!removed.forall(p => fs.exists(new Path(p)))) {
+          val state = cachedRead(live)
+            .map(aggOfDf(_, sp.keys, sp.values, sp.sumSq))
+            .getOrElse(throw new IllegalStateException(s"no live files under $leaf"))
+          seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups)
+          RefreshResult(toSeq, incremental = false)
+        } else {
+          val old = spark.read.parquet(stateDir(sp.aggPath, fromSeq))
+          val parts = Seq(
+            Some(old),
+            cachedRead(added).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq)),
+            cachedRead(removed).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq), sp.keys)),
+          ).flatten
+          seal(spark, sp.aggPath, toSeq, merge(parts, sp.keys), live, sp.maxGroups)
+          RefreshResult(toSeq, incremental = true)
+        }
+      }
+    } finally {
+      cache.valuesIterator.foreach { df => df.unpersist(); () }
     }
   }
 

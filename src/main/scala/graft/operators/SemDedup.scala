@@ -72,6 +72,43 @@ object SemDedup {
     ).select(col("cid"), col("vec_id"), col("label"), col("v"), col("acos"))
   }
 
+  /** Index-routed decontamination (the scale path of the oracled
+    * `embedding_decontaminate` brute-force pass): flag STORED corpus
+    * members cosine-similar to any eval vector, reading only the
+    * clusters the eval set probes. Eval is small and broadcasts; the
+    * corpus is the IvfStore, so the scan is a static partition prune of
+    * `nprobe` lists per eval vector instead of a full corpus pass.
+    * Approximate in the standard ANN sense: a contaminated member whose
+    * cluster no eval vector probes is missed — flags are a SUBSET of
+    * the brute-force flags with exact similarities (no false
+    * positives), recall governed by `nprobe` (SemDedupSpec pins both).
+    */
+  def decontaminate(
+      spark: SparkSession,
+      path: String,
+      evalVecs: DataFrame,
+      tau: Double,
+      nprobe: Int = 2,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cb = IvfStore.codebookDf(spark, path)
+    // rank each eval vector's centroids; union of top-nprobe cids
+    val w = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
+    val probed = evalVecs.crossJoin(broadcast(cb))
+      .withColumn("acos", expr("cosine_similarity(v, cv)"))
+      .withColumn("arn", row_number().over(w))
+      .where(col("arn") <= nprobe)
+      .select("cid").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val members = IvfStore.listsDf(spark, path).where(col("cid").isin(probed: _*))
+    val ev = broadcast(evalVecs.select(col("v").as("ev")))
+    members.crossJoin(ev)
+      .withColumn("sim", expr("cosine_similarity(v, ev)"))
+      .groupBy("vec_id", "label")
+      .agg(max("sim").as("eval_sim"))
+      .where(col("eval_sim") >= tau)
+      .select(col("vec_id"), col("label"), col("eval_sim"))
+  }
+
   /** [[screenBatch]], then absorb the kept rows into the store (one
     * [[IvfStore.append]] — same frozen-codebook assignment, so the
     * absorbed rows land in exactly the clusters they screened in).

@@ -552,6 +552,55 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ----- embedding-space decontamination: the SEMANTIC complement of
+    // text_decontaminate's n-gram screen. The eval set (vec_id < 20 —
+    // standing in for benchmark embeddings) broadcasts; every corpus
+    // vector records its max cosine against ANY eval member and is
+    // flagged past tau=0.3. One embarrassingly-parallel corpus pass ×
+    // |eval| broadcast rows, partial max aggregation — no shuffle of
+    // the corpus side beyond the per-vector max combine; paraphrased
+    // contamination that shares no 13-gram with the eval text is
+    // exactly what this catches and the n-gram screen cannot.
+    Q(
+      "embedding_decontaminate",
+      s"""WITH $vecsSqlCte,
+         |ev AS (SELECT vec_id AS eid, v AS ev FROM v WHERE vec_id < 20),
+         |sc AS (SELECT c.vec_id, c.label, ${cosineSql("c.v", "ev.ev")} AS sim
+         |       FROM v c CROSS JOIN ev WHERE c.vec_id >= 20)
+         |SELECT vec_id, label, round(max(sim), 6) AS eval_sim,
+         |       max(sim) >= 0.3 AS contaminated
+         |FROM sc GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      val ev = broadcast(e.where(col("vec_id") < 20).select(col("v").as("ev")))
+      e.where(col("vec_id") >= 20)
+        .crossJoin(ev)
+        .withColumn("sim", cosine("v", "ev"))
+        .groupBy("vec_id", "label")
+        .agg(round(max("sim"), 6).as("eval_sim"), (max("sim") >= 0.3).as("contaminated"))
+        .orderBy("vec_id")
+    },
+
+    // ----- index-routed decontamination: the scale path of the oracled
+    // brute-force pass above. The corpus lives in an IvfStore; the eval
+    // set probes nprobe clusters per vector (static partition filter),
+    // so the screen reads a corpus SLICE, not the corpus. Approximate
+    // in the standard ANN sense (flags ⊆ brute-force flags, exact
+    // similarities, recall from nprobe — SemDedupSpec pins subset,
+    // exactness, the recall floor, and nprobe=K ≡ brute force).
+    Q.noOracle("embedding_decontaminate_indexed") { (s, d) =>
+      val e = vecs(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft-decon-q").toFile.getAbsolutePath + "/idx"
+      graft.operators.IvfStore.build(
+        e.where(col("vec_id") >= 20), path,
+        nCentroids = 16, lloydIters = 1, seedIds = Some(20L to 35L),
+      )
+      graft.operators.SemDedup
+        .decontaminate(s, path, e.where(col("vec_id") < 20).select("vec_id", "label", "v"), tau = 0.3)
+        .select(col("vec_id"), col("label"), round(col("eval_sim"), 6).as("eval_sim"))
+        .orderBy("vec_id")
+    },
+
     // ----- incremental SemDeDup over a persisted IVF store (the
     // BandsStore screen-and-absorb pattern for embeddings): the corpus
     // (vec_id >= 100) is indexed ONCE; the batch (vec_id < 100) is

@@ -230,6 +230,57 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
   }
 
+  test("refreshAll brings several states of one leaf to head, deltas read once") {
+    val leaf = new File(root, "acct/source=maall/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val p1 = new File(root, "agg-all1").getAbsolutePath
+    val p2 = new File(root, "agg-all2").getAbsolutePath
+    val p3 = new File(root, "agg-all3").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 300L)
+    commit(leafPath, "m1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, p1, Seq("k"), Seq("amount"))
+    MaterializedAgg.build(spark, leafPath, p2, Seq("k"), Seq("amount"), sumSq = Seq("amount"))
+
+    writeFile(leaf, "b.parquet", 300L, 700L)
+    commit(leafPath, "m2", abs("b.parquet"))
+    // a state built at a DIFFERENT seq than the other two
+    MaterializedAgg.build(spark, leafPath, p3, Seq("k"), Nil)
+
+    writeFile(leaf, "c.parquet", 700L, 900L)
+    commit(leafPath, "m3", abs("c.parquet"))
+
+    val specs = Seq(
+      MaterializedAgg.AggSpec(p1, Seq("k"), Seq("amount")),
+      MaterializedAgg.AggSpec(p2, Seq("k"), Seq("amount"), sumSq = Seq("amount")),
+      MaterializedAgg.AggSpec(p3, Seq("k"), Nil),
+    )
+    val rs = MaterializedAgg.refreshAll(spark, leafPath, specs)
+    rs.map(_.incremental) shouldBe Seq(true, true, true)
+    rs.map(_.seq).distinct.size shouldBe 1
+
+    rows(MaterializedAgg.read(spark, p1)) shouldBe rows(fullAgg(leafPath))
+    val direct = ManifestCommit.readLeaf(spark, leafPath)
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("amount")).as("sum_amount"),
+        sum(col("amount") * col("amount")).as("sumsq_amount"),
+      )
+    def sq(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "cnt", "sum_amount", "sumsq_amount").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    sq(MaterializedAgg.read(spark, p2)) shouldBe sq(direct)
+    MaterializedAgg.read(spark, p3).select("k", "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      rows(fullAgg(leafPath)).map(t => (t._1, t._2))
+
+    // already-current states are a no-op round
+    MaterializedAgg.refreshAll(spark, leafPath, specs).map(_.incremental) shouldBe Seq(true, true, true)
+  }
+
   test("randomized commit mix: refresh equals from-scratch after every step (seeded)") {
     val rnd = new scala.util.Random(20260814L)
     val leaf = new File(root, "acct/source=mafuzz/year=2026/month=01")

@@ -171,6 +171,36 @@ class SemDedupSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     } finally { e.unpersist(); () }
   }
 
+  test("index-routed decontamination: exact subset of brute force, recall from nprobe") {
+    val e = vecs.cache()
+    try {
+      val corpus = e.where(col("vec_id") >= 20)
+      val eval = e.where(col("vec_id") < 20).select("vec_id", "label", "v")
+      val path = new File(root, "sd-decon").getAbsolutePath
+      IvfStore.build(corpus, path, nCentroids = 16, lloydIters = 1, seedIds = Some(20L to 35L))
+
+      // brute-force reference over collected data (480 x 20 cosines)
+      val ev = eval.collect().map(_.getAs[Seq[Double]]("v").toArray)
+      val bf = corpus.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("v").toArray))
+        .map { case (id, v) => id -> ev.map(VecMath.cosine(v, _)).max }
+        .filter(_._2 >= tau).toMap
+      bf.nonEmpty shouldBe true
+
+      val routed = SemDedup.decontaminate(spark, path, eval, tau, nprobe = 2)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("eval_sim")).toMap
+      // no false positives, exact similarities on everything found
+      routed.keySet.subsetOf(bf.keySet) shouldBe true
+      routed.foreach { case (id, sim) => sim shouldBe bf(id) }
+      // useful recall at nprobe=2 of 16 clusters
+      routed.size.toDouble / bf.size should be >= 0.5
+      // probing every cluster recovers brute force exactly
+      val full = SemDedup.decontaminate(spark, path, eval, tau, nprobe = 16)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("eval_sim")).toMap
+      full shouldBe bf
+    } finally { e.unpersist(); () }
+  }
+
   test("the corpus read prunes to the batch's cluster partitions") {
     val e = vecs
     val corpus = e.where(col("vec_id") >= 100)
