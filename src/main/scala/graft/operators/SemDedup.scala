@@ -109,6 +109,31 @@ object SemDedup {
       .select(col("vec_id"), col("label"), col("eval_sim"))
   }
 
+  /** Decontamination-guarded [[screenAndAbsorbBatch]] (ROADMAP 64 —
+    * the semantic sibling of the DocumentStream decontaminate guard):
+    * batch members cosine-similar to ANY eval vector at `evalTau` are
+    * dropped BEFORE the dedup screen, so contaminated rows are neither
+    * returned nor absorbed into the corpus store. Eval is small and
+    * broadcasts (the brute-force pass is exact and one batch-sized
+    * map); everything downstream is the normal screen-and-absorb.
+    */
+  def guardedScreenAndAbsorb(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      tau: Double,
+      evalVecs: DataFrame,
+      evalTau: Double,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ev = broadcast(evalVecs.select(col("v").as("ev")))
+    val contaminated = batch.crossJoin(ev)
+      .where(expr("cosine_similarity(v, ev)") >= evalTau)
+      .select("vec_id").distinct()
+    val clean = batch.join(contaminated, Seq("vec_id"), "left_anti")
+    screenAndAbsorbBatch(spark, path, clean, tau)
+  }
+
   /** [[screenBatch]], then absorb the kept rows into the store (one
     * [[IvfStore.append]] — same frozen-codebook assignment, so the
     * absorbed rows land in exactly the clusters they screened in).

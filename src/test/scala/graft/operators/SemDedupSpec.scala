@@ -171,6 +171,29 @@ class SemDedupSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     } finally { e.unpersist(); () }
   }
 
+  test("guarded absorb drops eval-similar members before screening or absorbing") {
+    val e = vecs.cache()
+    try {
+      val corpus = e.where(col("vec_id") >= 100)
+      val path = new File(root, "sd-guard").getAbsolutePath
+      IvfStore.build(corpus, path, nCentroids = 16, lloydIters = 1, seedIds = Some(100L to 115L))
+
+      val eval = e.where(col("vec_id") < 10).select("vec_id", "label", "v")
+      // poison: an exact copy of an eval vector smuggled into the batch
+      val poison = e.where(col("vec_id") === 5)
+        .select(lit(7777L).as("vec_id"), col("label"), col("v"))
+      val batch = e.where(col("vec_id").between(10, 49))
+        .select("vec_id", "label", "v").unionByName(poison)
+
+      val kept = SemDedup.guardedScreenAndAbsorb(spark, path, batch, tau, eval, evalTau = 0.99)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      kept should not contain 7777L
+      kept.nonEmpty shouldBe true
+      // the contaminated row was dropped BEFORE absorb, not just unreturned
+      IvfStore.listsDf(spark, path).where(col("vec_id") === 7777L).count() shouldBe 0L
+    } finally { e.unpersist(); () }
+  }
+
   test("index-routed decontamination: exact subset of brute force, recall from nprobe") {
     val e = vecs.cache()
     try {

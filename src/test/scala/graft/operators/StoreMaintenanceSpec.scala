@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Store maintenance must act exactly when its dials trip — compact a
+  * fragmented store (reads unchanged), retrain a skewed one (preserving
+  * the centroid count) — and be a no-op on a healthy store, so it is
+  * safe to schedule on every ingest cycle.
+  */
+class StoreMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var root: File = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-storemaint").toFile
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    super.afterAll()
+  }
+
+  private def vecs = graft.queries.SimilarityQueries.vecs(spark, sf)
+
+  private def queriesFor(e: org.apache.spark.sql.DataFrame, qids: Seq[Long]) =
+    e.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("fragmented IVF store compacts on maintenance, search unchanged; healthy re-run is a no-op") {
+    val e = vecs.cache()
+    try {
+      val path = new File(root, "ivf-frag").getAbsolutePath
+      IvfStore.build(e.where(col("vec_id") % 4 === 0), path, nCentroids = 8, lloydIters = 1)
+      (1 to 3).foreach(i => IvfStore.append(spark, e.where(col("vec_id") % 4 === i), path))
+
+      val q = queriesFor(e, Seq(3L, 14L))
+      val before = rows(IvfStore.search(spark, path, q, k = 5, nprobe = 3))
+
+      // skewFactor raised out of reach: this case isolates the compaction dial
+      val r1 = StoreMaintenance.maintainIvf(spark, path, skewFactor = 1e9)
+      r1.compacted shouldBe true
+      r1.retrained shouldBe false
+      rows(IvfStore.search(spark, path, q, k = 5, nprobe = 3)) shouldBe before
+
+      val r2 = StoreMaintenance.maintainIvf(spark, path, skewFactor = 1e9)
+      r2.compacted shouldBe false
+      r2.retrained shouldBe false
+    } finally { e.unpersist(); () }
+  }
+
+  test("skewed IVF store retrains preserving its centroid count") {
+    val e = vecs.cache()
+    try {
+      // the IvfStoreSpec drift recipe: codebook fit to a narrow slice,
+      // then the rest of the corpus appended against it
+      val path = new File(root, "ivf-drift").getAbsolutePath
+      IvfStore.build(e.where(col("vec_id") <= 40), path, nCentroids = 8, lloydIters = 1)
+      IvfStore.append(spark, e.where(col("vec_id") > 40), path)
+
+      val wasSkewed = IvfStore.needsRetrain(spark, path, skewFactor = 2.0)
+      val r = StoreMaintenance.maintainIvf(spark, path, skewFactor = 2.0, lloydIters = 1)
+      r.retrained shouldBe wasSkewed
+      if (wasSkewed) IvfStore.needsRetrain(spark, path, skewFactor = 2.0) shouldBe false
+      IvfStore.codebookDf(spark, path).count() shouldBe 8L
+    } finally { e.unpersist(); () }
+  }
+
+  test("fragmented bands store compacts on maintenance, screen unchanged; then a no-op") {
+    val docs = graft.Tables.documents(spark, sf)
+    val h1 = docs.where(col("doc_id") % 2 === 0)
+    val h2 = docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 4 === 1)
+    val h3 = docs.where(col("doc_id") % 4 === 3)
+    val store = new File(root, "bands-frag").getAbsolutePath
+    BandsStore.build(spark, h1, store)
+    BandsStore.append(spark, h2, store)
+    BandsStore.append(spark, h3, store)
+
+    val probe = docs.where(col("doc_id") < 50)
+    val before = BandsStore.screen(spark, probe, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val r1 = StoreMaintenance.maintainBands(spark, store)
+    r1.compacted shouldBe true
+    BandsStore.screen(spark, probe, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe before
+
+    StoreMaintenance.maintainBands(spark, store).compacted shouldBe false
+  }
+}
