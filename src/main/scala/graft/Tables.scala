@@ -52,8 +52,18 @@ object Tables {
     val maxPartitionBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m"),
     )
-    val estPartitions = df.queryExecution.optimizedPlan.stats.sizeInBytes / math.max(1L, maxPartitionBytes) + 1
-    if (estPartitions < target) df.repartition(target) else df
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // a relation with NO computed stats reports the defaultSizeInBytes
+    // sentinel (Long.MaxValue) — "huge" there means "unknown", and
+    // skipping the guard on unknown is exactly backwards for the
+    // CPU-bound per-row work this feeds; fall back to the physical
+    // probe for those rare sources instead
+    if (sz >= BigInt(Long.MaxValue)) {
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else {
+      val estPartitions = sz / math.max(1L, maxPartitionBytes) + 1
+      if (estPartitions < target) df.repartition(target) else df
+    }
   }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -307,8 +307,11 @@ object MaterializedAgg {
         val added = (live.toSet -- recorded).toSeq.sorted
         if (removed.isEmpty && added.isEmpty) RefreshResult(fromSeq, incremental = true)
         else if (!removed.forall(p => fs.exists(new Path(p)))) {
-          val state = cachedRead(live)
-            .map(aggOfDf(_, sp.keys, sp.values, sp.sumSq))
+          // GC-fallback rebuild scans the WHOLE live set — never cache
+          // it (persisting a 100-TB leaf for one aggregation is the
+          // opposite of the sharing this method exists for; only the
+          // delta frames, bounded by the commit, are worth pinning)
+          val state = aggOf(spark, live, sp.keys, sp.values, sp.sumSq)
             .getOrElse(throw new IllegalStateException(s"no live files under $leaf"))
           seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups)
           RefreshResult(toSeq, incremental = false)

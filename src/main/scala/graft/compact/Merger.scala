@@ -115,7 +115,11 @@ object Merger {
       runId: String,
   ): Unit = {
     cfg.bucketKey match {
-      case Some(k) if cfg.bucketCount > 0 && df.columns.contains(k) =>
+      // rename mode only: BucketedLeaf resolves buckets over a LOCATION,
+      // which manifest leaves (live set = manifest subtraction) cannot
+      // express — in manifest mode the bucketBy shuffle would be paid on
+      // every commit with no reader ever able to use the layout
+      case Some(k) if cfg.commitMode == CommitMode.Rename && cfg.bucketCount > 0 && df.columns.contains(k) =>
         val tmpTable = s"graft_stage_$runId"
         spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
         df.repartition(cfg.bucketCount, org.apache.spark.sql.functions.col(k))

@@ -96,7 +96,11 @@ final case class CompactorConfig(
     // bucket key skips its Exchange. Z-order optimizes SCAN pruning;
     // bucketing optimizes JOIN placement — when both are set and the
     // bucket key resolves, bucketing wins (a write has one layout).
-    // Tiny-leaf batching is bypassed, as with layoutKeys.
+    // Tiny-leaf batching is bypassed, as with layoutKeys. RENAME MODE
+    // ONLY: manifest leaves resolve their live set by subtraction,
+    // which a location-based bucketed table cannot express — in
+    // manifest mode the key is ignored rather than paying a bucketBy
+    // shuffle no reader can use (BucketedLeaf scaladoc).
     bucketKey: Option[String] = None,
     bucketCount: Int = 8,
     // Manifest mode only: keep superseded input files on disk instead of

@@ -123,9 +123,18 @@ object BandsStore {
         val n = st.getPath.getName
         !n.startsWith(".") && !n.startsWith("_")
       }
-    visibleChildren(path).foreach(st => fs.delete(st.getPath, true))
-    visibleChildren(stage).foreach(st =>
-      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(path, st.getPath.getName)))
+    // a false return here means a band is gone with no replacement —
+    // fail LOUDLY (the caller rebuilds from the corpus) rather than
+    // letting screen() silently stop flagging those bands' near-dups
+    visibleChildren(path).foreach { st =>
+      if (!fs.delete(st.getPath, true))
+        throw new java.io.IOException(s"bands compact: could not delete ${st.getPath} — store needs rebuild")
+    }
+    visibleChildren(stage).foreach { st =>
+      val dest = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(s"bands compact: rename ${st.getPath} -> $dest failed — store needs rebuild")
+    }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     ()
   }

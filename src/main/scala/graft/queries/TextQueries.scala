@@ -314,6 +314,83 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- one BPE merge step (Sennrich et al. 2016 — the tokenizer-
+    // TRAINING kernel the token-counting queries above consume): corpus
+    // word frequencies → adjacent-symbol pair counts → argmax pair →
+    // that merge applied left-to-right inside every word → the NEXT
+    // iteration's pair table, in which the learned token already
+    // participates. The merge is an aggregate() fold over each word's
+    // symbols; appending the merged token (never re-matching it as its
+    // left half) is exactly BPE's non-overlap rule — "aaaa" under (a,a)
+    // becomes [aa, aa], not [aa, a, a] chained. Full training loops
+    // this kernel; per iteration the work is one pair-count shuffle
+    // over DISTINCT words (the corpus text is read once, for the
+    // frequency table) plus a 1-row broadcast of the best pair — at
+    // 100 TB the fold runs over the vocabulary, never the corpus.
+    // Oracle mirrors the fold as a per-word recursive CTE.
+    Q(
+      "vocab_bpe_merge",
+      """WITH RECURSIVE w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' AND len(word) < 64 GROUP BY word),
+        |s AS (SELECT word, freq, string_split(word, '') AS syms FROM w),
+        |p1 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM s CROSS JOIN (SELECT unnest(range(1, 64)) AS i)
+        |       WHERE i < len(syms) GROUP BY 1, 2),
+        |best AS (SELECT l AS bl, r AS br FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |f AS (SELECT word, freq, syms, 1 AS i, [syms[1]] AS out FROM s
+        |      UNION ALL
+        |      SELECT f.word, f.freq, f.syms, i + 1,
+        |             CASE WHEN out[-1] = bl AND syms[i+1] = br
+        |                  THEN list_append(out[1:len(out)-1], bl || br)
+        |                  ELSE list_append(out, syms[i+1]) END
+        |      FROM f, best WHERE i < len(syms)),
+        |m AS (SELECT word, freq, out FROM f WHERE i = len(syms)),
+        |p2 AS (SELECT out[i] AS left_sym, out[i+1] AS right_sym, CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM m CROSS JOIN (SELECT unnest(range(1, 64)) AS i)
+        |       WHERE i < len(out) GROUP BY 1, 2)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, left_sym, right_sym) AS INTEGER) AS rank,
+        |       (SELECT bl || br FROM best) AS merge1, left_sym, right_sym, cnt
+        |FROM p2 ORDER BY cnt DESC, left_sym, right_sym LIMIT 10""".stripMargin,
+    ) { (s, d) =>
+      // word-length cap on BOTH sides, matching the oracle's recursion
+      // bound (range(1, 64)) — tokenizer practice caps pathological
+      // "words" (URLs, hashes) anyway; without the symmetric predicate
+      // a 64+-char word would count pairs here the oracle truncates
+      val words = Tables.fanout(Tables.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "" && length(col("word")) < 64)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val syms = words.withColumn("syms", split(col("word"), ""))
+      def pairsOf(arr: String) = expr(
+        s"CASE WHEN size($arr) >= 2 THEN transform(sequence(1, size($arr) - 1), " +
+          s"i -> struct($arr[i-1] AS a, $arr[i] AS b)) ELSE array() END")
+      val p1 = syms
+        .select(col("freq"), explode(pairsOf("syms")).as("p"))
+        .groupBy(col("p.a").as("l"), col("p.b").as("r"))
+        .agg(sum("freq").as("cnt"))
+      val best = broadcast(
+        p1.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+          .select(col("l").as("bl"), col("r").as("br")),
+      )
+      val merged = syms.crossJoin(best)
+        .withColumn("out", expr(
+          """aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
+            |  (acc, x) -> CASE WHEN element_at(acc, -1) = bl AND x = br
+            |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(bl, br)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+      val wRank = Window.orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
+      merged
+        .select(col("freq"), concat(col("bl"), col("br")).as("merge1"), explode(pairsOf("out")).as("p"))
+        .groupBy(col("merge1"), col("p.a").as("left_sym"), col("p.b").as("right_sym"))
+        .agg(sum("freq").as("cnt"))
+        .withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("merge1"), col("left_sym"), col("right_sym"), col("cnt"))
+        .orderBy("rank")
+    },
+
     // ----- quality scoring: type-token ratio, stopword ratio, length prior
     Q(
       "text_quality",

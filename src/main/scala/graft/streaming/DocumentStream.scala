@@ -163,8 +163,16 @@ object DocumentStream {
     * before emission: the owner keeps its distinct shingle-hash set and
     * each collider's exact Jaccard against it must clear the threshold
     * — a band-colliding-but-dissimilar pair (the LSH false positive) is
-    * NOT flagged, so the streamed flags mean exactly what the batch
-    * `dedup_minhash_verify` flags mean. The cost is honest and bounded:
+    * NOT flagged, so every emitted flag carries batch
+    * `dedup_minhash_verify` semantics. One structural narrowing vs the
+    * batch pass: state keeps ONE owner per (band, sig), so two
+    * NON-owner colliders that are duplicates of each other but not of
+    * the owner pair only through some OTHER shared band — near-dups
+    * sharing no other band surface in the periodic batch pass, the
+    * same division of labor as the TTL. Note: enabling/disabling
+    * verification changes the state encoder (owner id vs owner id +
+    * shingle set) — restart such a stream from a FRESH checkpoint.
+    * The cost is honest and bounded:
     * state grows from 8 bytes to O(doc shingles) per (band, sig) key,
     * reclaimed by the same TTL. With `verifyMinJaccard = None` the
     * stream emits raw candidates and verification stays the caller's
@@ -271,8 +279,17 @@ object DocumentStream {
         if (!storeExists) spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("dup_of")).limit(0)
         else {
           val hist = spark.read.parquet(storePath)
+          // the id inequality matters on RE-INGEST: a doc_id already in
+          // the store collides with its own rows in every band and, with
+          // verification on, would pass at jac=1 — flagging a document
+          // as a duplicate of itself (and inviting a consumer to drop
+          // the only copy)
           sigs.as("x")
-            .join(hist.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+            .join(
+              hist.as("y"),
+              col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+                col("x.doc_id") =!= col("y.doc_id"),
+            )
             .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
         }
       val within = sigs.as("x")
@@ -294,10 +311,22 @@ object DocumentStream {
           val ownerHs = batchHs.unionByName(histHs).dropDuplicates("doc_id")
           val jac = size(array_intersect(col("nhs"), col("ohs"))).cast("double") /
             size(array_union(col("nhs"), col("ohs")))
+          // LEFT join the owner side: a store populated before
+          // verification was enabled (or a crash between the band
+          // append and the hs append) has band rows with NO recorded
+          // shingle set — such a candidate cannot be verified, and
+          // silently dropping it would hide a real duplicate forever.
+          // It degrades to pre-verify (band-collision) semantics
+          // instead: flagged, like every candidate was before
+          // verifyMinJaccard existed.
           candidates
             .join(batchHs.select(col("doc_id").as("nd"), col("hs").as("nhs")), col("doc_id") === col("nd"))
-            .join(ownerHs.select(col("doc_id").as("od"), col("hs").as("ohs")), col("dup_of") === col("od"))
-            .where(jac >= verifyMinJaccard.get)
+            .join(
+              ownerHs.select(col("doc_id").as("od"), col("hs").as("ohs")),
+              col("dup_of") === col("od"),
+              "left",
+            )
+            .where(col("ohs").isNull || jac >= verifyMinJaccard.get)
             .select(col("doc_id"), col("dup_of"))
         }
       // materialize BEFORE absorb — bounded by executor disk, not driver

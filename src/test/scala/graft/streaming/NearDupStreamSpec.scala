@@ -225,4 +225,34 @@ class NearDupStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("old_doc").collect().map(_.getLong(0)).toSet
     raw should contain(2L)
   }
+
+  test("store screen: hash-less history degrades to band semantics; re-ingest never self-flags") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("neardup-legacy").toFile.getAbsolutePath + "/bands"
+
+    // history absorbed through the PLAIN band front end — band rows
+    // exist but NO .hs shingle sets (the pre-verification store shape)
+    graft.operators.BandsStore.build(
+      spark, Seq(Doc(100, tA, "en", ts("2024-01-01 09:00:00"))).toDF(), store)
+
+    // a true duplicate of the hash-less history doc: it cannot be
+    // VERIFIED, and must degrade to the flagged band-collision rather
+    // than silently pass as unique
+    val f1 = DocumentStream.screenAndAbsorbBatch(
+      Seq(Doc(1, tA, "en", ts("2024-01-01 10:00:00"))).toDF(), store,
+      verifyMinJaccard = Some(0.5),
+    ).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    f1 shouldBe Set((1L, 100L))
+
+    // re-ingesting doc 1 (absorbed above, WITH its hash set): its band
+    // rows collide with themselves in every band — the flag against
+    // history must be (1, 100), never the self-pair (1, 1)
+    val f2 = DocumentStream.screenAndAbsorbBatch(
+      Seq(Doc(1, tA, "en", ts("2024-01-01 10:05:00"))).toDF(), store,
+      verifyMinJaccard = Some(0.5),
+    ).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    f2 should not contain ((1L, 1L))
+    f2 should contain((1L, 100L))
+  }
 }
