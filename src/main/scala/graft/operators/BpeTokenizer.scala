@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + application (ROADMAP 66 — the
+  * loop around the oracled `vocab_bpe_merge` kernel; Sennrich et al.
+  * 2016).
+  *
+  * Training never iterates over the corpus: the caller derives a
+  * `(word, freq)` table once (corpus read exactly once, vocabulary-
+  * sized output — at 100 TB that is ~10⁷ rows against 10¹² corpus
+  * rows), and every merge iteration is one adjacent-pair count shuffle
+  * over that table plus a 1-row collect of the argmax pair. The learned
+  * model is the driver-side merge list (N pairs — broadcast-sized by
+  * construction), and [[tokenize]] replays it in rank order over any
+  * word table, which is exactly how the reference BPE applies its
+  * merges.
+  *
+  * The per-word merge application is a left-to-right `aggregate` fold:
+  * a freshly merged token is APPENDED and never re-matched as the left
+  * half within the same pass, so "aaaa" under (a,a) becomes [aa, aa] —
+  * the non-overlap rule. BpeTokenizerSpec pins the whole loop (merge
+  * sequence AND final symbol tables) against a sequential reference
+  * implementation, and the first learned merge against the oracled
+  * kernel query.
+  */
+object BpeTokenizer {
+
+  /** One merge (x, y) applied left-to-right inside a symbol array. */
+  private[operators] def applyMerge(syms: Column, x: String, y: String): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      array(element_at(syms, 1)),
+      (acc, s) =>
+        when(
+          element_at(acc, -1) === lit(x) && s === lit(y),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))),
+        ).otherwise(concat(acc, array(s))),
+    )
+
+  private def pairCounts(syms: DataFrame): DataFrame =
+    syms
+      .select(
+        col("freq"),
+        explode(
+          when(
+            size(col("syms")) >= 2,
+            expr("transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))"),
+          ).otherwise(expr("array()")),
+        ).as("p"),
+      )
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Learn up to `nMerges` merges from a `(word, freq)` table. Stops
+    * early when no adjacent pair remains. Ties break (count desc, left
+    * asc, right asc) — deterministic, matching the oracled kernel.
+    */
+  def train(words: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var syms = words
+      .select(col("freq"), split(col("word"), "").as("syms"))
+      .cache()
+    syms.count()
+    try {
+      var exhausted = false
+      while (merges.size < nMerges && !exhausted) {
+        val best = pairCounts(syms)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (x, y) = (best.head.getString(0), best.head.getString(1))
+          merges += ((x, y))
+          val next = syms
+            .withColumn("syms", applyMerge(col("syms"), x, y))
+            .cache()
+          next.count()
+          syms.unpersist()
+          syms = next
+        }
+      }
+      merges.toSeq
+    } finally {
+      syms.unpersist()
+      ()
+    }
+  }
+
+  /** Apply a learned merge list in rank order: `words(word, ...)` gains
+    * a `tokens` array column. The N folds nest over the WORD table —
+    * tokenize distinct words, then join back to the corpus.
+    */
+  def tokenize(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val start = words.withColumn("tokens", split(col("word"), ""))
+    merges.foldLeft(start) { case (df, (x, y)) =>
+      df.withColumn("tokens", applyMerge(col("tokens"), x, y))
+    }
+  }
+}

@@ -391,6 +391,26 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // ----- the BPE TRAINING LOOP around the oracled kernel above
+    // (operators.BpeTokenizer): 8 iterations, each one pair-count
+    // shuffle over the distinct-word table + a 1-row argmax collect;
+    // the output is the learned merge table — the model itself, always
+    // driver/broadcast-sized. no_oracle (iterative training);
+    // BpeTokenizerSpec pins the merge sequence AND the resulting
+    // tokenization against a sequential reference, and the first merge
+    // against vocab_bpe_merge's DuckDB-verified step.
+    Q.noOracle("vocab_bpe_train") { (s, d) =>
+      import s.implicits._
+      val words = Tables.fanout(Tables.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "" && length(col("word")) < 64)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.BpeTokenizer.train(words, nMerges = 8)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i + 1, l, r, l + r) }
+        .toDF("rank", "left_sym", "right_sym", "merged")
+    },
+
     // ----- quality scoring: type-token ratio, stopword ratio, length prior
     Q(
       "text_quality",

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+
+/** The distributed BPE loop must learn EXACTLY the merge sequence the
+  * sequential reference algorithm learns (same tie rule), and tokenize
+  * every word to the same symbol sequence — the differential test that
+  * makes the iterated kernel trustworthy beyond the single oracled
+  * step.
+  */
+class BpeTokenizerSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Sequential reference: classic get_stats + merge loop. */
+  private def refTrain(
+      words: Seq[(String, Long)],
+      n: Int,
+  ): (Seq[(String, String)], Map[String, Seq[String]]) = {
+    var tab: Seq[(String, Seq[String], Long)] =
+      words.map { case (w, f) => (w, w.split("").toSeq, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def applyRef(syms: Seq[String], x: String, y: String): Seq[String] =
+      syms.tail.foldLeft(Vector(syms.head)) { (acc, s) =>
+        if (acc.last == x && s == y) acc.init :+ (x + y) else acc :+ s
+      }
+    var stop = false
+    while (merges.size < n && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      tab.foreach { case (_, syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) += f
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        tab = tab.map { case (w, syms, f) => (w, applyRef(syms, best._1, best._2), f) }
+      }
+    }
+    (merges.toSeq, tab.map { case (w, syms, _) => w -> syms }.toMap)
+  }
+
+  private def corpusWords = Tables.documents(spark, sf)
+    .select(explode(split(col("text"), " ")).as("word"))
+    .where(col("word") =!= "")
+    .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  test("distributed training learns the reference merge sequence and tokenization, on real corpus words") {
+    val words = corpusWords.cache()
+    try {
+      val wordFreqs = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (refMerges, refTab) = refTrain(wordFreqs, 8)
+      refMerges.size shouldBe 8 // the fixture has plenty of pair mass
+
+      val merges = BpeTokenizer.train(words, nMerges = 8)
+      merges shouldBe refMerges
+
+      val toks = BpeTokenizer.tokenize(words.select("word"), merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      toks.keySet shouldBe refTab.keySet
+      toks.foreach { case (w, syms) => withClue(w) { syms shouldBe refTab(w) } }
+      // merges actually fuse symbols: some word tokenizes shorter than its chars
+      toks.exists { case (w, syms) => syms.size < w.length } shouldBe true
+    } finally { words.unpersist(); () }
+  }
+
+  test("the first learned merge equals the oracled single-step kernel's merge1") {
+    // vocab_bpe_merge caps word length at 64 — corpus words here are
+    // far shorter, so the tables agree; the cross-check pins the loop
+    // to the DuckDB-verified kernel
+    val q = graft.SparkEntry.queries("vocab_bpe_merge")(spark, sf)
+    val merge1 = q.select("merge1").head().getString(0)
+    val first = BpeTokenizer.train(corpusWords, nMerges = 1)
+    first.map { case (x, y) => x + y } shouldBe Seq(merge1)
+  }
+
+  test("early stop: training on single-symbol words yields no merges") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("a", 5L), ("b", 3L)).toDF("word", "freq")
+    BpeTokenizer.train(words, nMerges = 4) shouldBe Seq.empty
+  }
+}
