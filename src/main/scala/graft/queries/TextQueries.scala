@@ -14,6 +14,42 @@ import graft.Tables
   */
 object TextQueries {
 
+  /** Generated DuckDB oracle for the N-iteration BPE training loop:
+    * iteration i reads the previous symbol table m(i-1), counts
+    * adjacent pairs (p_i), takes the deterministic argmax (b_i), and
+    * folds the merge into every word through a recursive CTE (f_i) —
+    * the vocab_bpe_merge kernel, chained. Every non-recursive CTE is
+    * MATERIALIZED: DuckDB otherwise inlines m(i-1) into each recursion
+    * step of f_i, multiplying work per iteration.
+    */
+  private[queries] def bpeTrainSql(n: Int): String = {
+    val blocks = (1 to n).map { i =>
+      val prev = if (i == 1) "m0" else s"m${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT out[j] AS l, out[j+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM $prev CROSS JOIN (SELECT unnest(range(1, 64)) AS j)
+         |  WHERE j < len(out) GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l AS bl, r AS br FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |f$i AS (SELECT word, freq, out AS syms, 1 AS i2, [out[1]] AS out2 FROM $prev
+         |  UNION ALL
+         |  SELECT f$i.word, f$i.freq, f$i.syms, i2 + 1,
+         |         CASE WHEN out2[-1] = bl AND syms[i2+1] = br
+         |              THEN list_append(out2[1:len(out2)-1], bl || br)
+         |              ELSE list_append(out2, syms[i2+1]) END
+         |  FROM f$i, b$i WHERE i2 < len(syms)),
+         |m$i AS MATERIALIZED (SELECT word, freq, out2 AS out FROM f$i WHERE i2 = len(syms))""".stripMargin
+    }
+    val sel = (1 to n)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS rank, bl AS left_sym, br AS right_sym, bl || br AS merged FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE w AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' AND len(word) < 64 GROUP BY word),
+       |m0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS out FROM w),
+       |${blocks.mkString(",\n")}
+       |SELECT * FROM ($sel) ORDER BY rank""".stripMargin
+  }
+
   /** Tiny per-language keyword lexicon over the fixture vocabulary.
     * A real pipeline would use character-n-gram profiles; the Spark-side
     * plumbing (explode → broadcast lexicon join → per-doc argmax) is the
@@ -395,11 +431,17 @@ object TextQueries {
     // (operators.BpeTokenizer): 8 iterations, each one pair-count
     // shuffle over the distinct-word table + a 1-row argmax collect;
     // the output is the learned merge table — the model itself, always
-    // driver/broadcast-sized. no_oracle (iterative training);
-    // BpeTokenizerSpec pins the merge sequence AND the resulting
-    // tokenization against a sequential reference, and the first merge
-    // against vocab_bpe_merge's DuckDB-verified step.
-    Q.noOracle("vocab_bpe_train") { (s, d) =>
+    // driver/broadcast-sized. FULLY ORACLED: the DuckDB side unrolls
+    // all 8 iterations as generated pair-count/argmax/fold blocks (the
+    // per-word recursive-CTE fold of the kernel, chained; CTEs are
+    // MATERIALIZED — without the hint DuckDB re-inlines each iteration
+    // into every recursion step of the next, exponentially). The
+    // fixture's merge 6 is "m"+"er" — a pair whose right half is the
+    // iteration-1 TOKEN, so the oracle match certifies genuine
+    // iteration, not eight independent argmaxes. BpeTokenizerSpec
+    // additionally pins merges + tokenization against a sequential
+    // reference implementation.
+    Q("vocab_bpe_train", TextQueries.bpeTrainSql(8)) { (s, d) =>
       import s.implicits._
       val words = Tables.fanout(Tables.documents(s, d))
         .select(explode(split(col("text"), " ")).as("word"))
