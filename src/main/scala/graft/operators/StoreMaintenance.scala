@@ -55,6 +55,55 @@ object StoreMaintenance {
     Report(path, "ivf", retrained, compacted)
   }
 
+  /** Evaluate and act on one centroid-ROUTED NSW store ([[NswSearch]]).
+    * Same two families of drift as the IVF store, different remedies:
+    *
+    *   - skew: a hot centroid grows a giant shard, and
+    *     `searchIndexRouted`'s `flatMapGroups` holds a whole shard in
+    *     one task — the max/mean shard-size dial. The remedy is
+    *     [[NswSearch.rebuildRouted]] (retrain the quantizer, same shard
+    *     count, rebuild the graphs): an ordinal split à la
+    *     [[NswSearch.rebalanceIndex]] would orphan the centroid map,
+    *     so for routed stores the rebuild IS the rebalance.
+    *   - fragmentation: insert/rebalance chains spread live shards
+    *     across many version dirs (reader resolution unions that many
+    *     scans) and can multiply files per shard — folded by
+    *     [[NswSearch.compactIndex]] when either files-per-shard or the
+    *     version spread passes its factor.
+    *
+    * Rebuild is evaluated FIRST (it rewrites everything into one fresh
+    * version anyway, so fragmentation is re-checked against the
+    * post-rebuild layout); both dials no-op on a healthy store.
+    */
+  def maintainNswRouted(
+      spark: SparkSession,
+      path: String,
+      smallFileFactor: Double = 2.0,
+      skewFactor: Double = 4.0,
+      maxVersionSpread: Int = 4,
+      m: Int = 8,
+      efBuild: Int = 24,
+      lloydIters: Int = 2,
+  ): Report = {
+    def sizes = NswSearch.readIndex(spark, path).groupBy(col("part")).count()
+      .collect().map(_.getLong(1))
+    val s0 = sizes
+    val rebuilt =
+      if (s0.length > 1 && s0.max.toDouble > skewFactor * (s0.sum.toDouble / s0.length)) {
+        NswSearch.rebuildRouted(spark, path, m = m, efBuild = efBuild, lloydIters = lloydIters)
+        true
+      } else false
+    def index = NswSearch.readIndex(spark, path)
+    val nShards = NswSearch.shardOwners(spark, path).size.toLong
+    val compacted =
+      if (fragmented(index.inputFiles.length.toLong, nShards, smallFileFactor) ||
+        NswSearch.versionSpread(spark, path) > maxVersionSpread) {
+        NswSearch.compactIndex(spark, path)
+        true
+      } else false
+    Report(path, "nsw-routed", retrained = rebuilt, compacted = compacted)
+  }
+
   /** Evaluate and act on one bands store. */
   def maintainBands(spark: SparkSession, path: String, smallFileFactor: Double = 2.0): Report = {
     def store = spark.read.parquet(path)
@@ -71,6 +120,12 @@ object StoreMaintenance {
   }
 
   /** One pass over a fleet of stores. */
-  def run(spark: SparkSession, ivfPaths: Seq[String] = Nil, bandsPaths: Seq[String] = Nil): Seq[Report] =
-    ivfPaths.map(maintainIvf(spark, _)) ++ bandsPaths.map(maintainBands(spark, _))
+  def run(
+      spark: SparkSession,
+      ivfPaths: Seq[String] = Nil,
+      bandsPaths: Seq[String] = Nil,
+      nswRoutedPaths: Seq[String] = Nil,
+  ): Seq[Report] =
+    ivfPaths.map(maintainIvf(spark, _)) ++ bandsPaths.map(maintainBands(spark, _)) ++
+      nswRoutedPaths.map(maintainNswRouted(spark, _))
 }

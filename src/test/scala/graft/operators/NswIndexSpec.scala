@@ -14,7 +14,10 @@ import graft.SparkSpec
   * it returns EXACTLY what building fresh on the same partitioning
   * returns — the equivalence that lets a production pipeline pay the
   * O(n·efBuild·M) graph construction once and amortize it across query
-  * batches as a scan + one grouping shuffle.
+  * batches as a scan + one grouping shuffle. And it must carry the
+  * versioned-pointer crash contract of every sibling store: a writer
+  * dying at ANY point before the `_current-<seq>` seal leaves the
+  * previous version live and search-identical.
   */
 class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
 
@@ -32,6 +35,15 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     super.afterAll()
   }
 
+  /** Concrete live files per shard, resolved through the sealed map —
+    * the isolation checks compare these across maintenance calls.
+    */
+  private def liveShardFiles(path: String): Map[Int, Set[(String, Long)]] =
+    NswSearch.shardOwners(spark, path).map { case (shard, owner) =>
+      val dir = new File(s"$path/v$owner/part=$shard")
+      shard -> dir.listFiles().map(f => (f.getAbsolutePath, f.length())).toSet
+    }
+
   test("searchIndex over a persisted index equals nsw built fresh on the same partitioning") {
     val e = graft.queries.SimilarityQueries.vecs(spark, sf).repartition(3).cache()
     try {
@@ -42,8 +54,9 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
 
       val path = new File(root, "nsw-index").getAbsolutePath
       NswSearch.buildIndex(e, path, m = 8, efBuild = 24)
-      // index layout sanity: hive-partitioned by graph shard
-      new File(path).listFiles().map(_.getName).count(_.startsWith("part=")) shouldBe 3
+      // versioned layout sanity: sealed pointer + one version owning 3 shards
+      new File(path).listFiles().map(_.getName).count(_.startsWith("_current-")) shouldBe 1
+      NswSearch.shardOwners(spark, path).keySet shouldBe Set(0, 1, 2)
 
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -57,6 +70,12 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       // narrower beam still answers from it
       val fromIndex2 = rows(NswSearch.searchIndex(spark, path, queries.take(3), k = 5, efSearch = 16))
       fromIndex2.map(_._1) shouldBe queries.take(3).map(_._1).toSet
+
+      // a REBUILD bumps the version and reclaims the old one
+      NswSearch.buildIndex(e, path, m = 8, efBuild = 24)
+      new File(path).listFiles().map(_.getName).count(_.startsWith("_current-")) shouldBe 1
+      new File(path).listFiles().map(_.getName).count(_.startsWith("v")) shouldBe 1
+      rows(NswSearch.searchIndex(spark, path, queries, k = 5, efSearch = 48, m = 8)) shouldBe fresh
     } finally {
       e.unpersist()
       ()
@@ -70,30 +89,43 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       val base = e.where(col("vec_id") < 400).repartition(4)
       val late = e.where(col("vec_id") >= 400)
       NswSearch.buildIndex(base, path, m = 8, efBuild = 24)
-      val nBase = spark.read.parquet(path).count()
+      val nBase = NswSearch.readIndex(spark, path).count()
 
-      // single-doc insert touches exactly ONE shard: the other shard
-      // partitions keep their files byte-for-byte
+      // single-doc insert touches exactly ONE shard: every other shard
+      // keeps its live files byte-for-byte (same concrete paths — the
+      // versioned map re-points only the rewritten shard)
       val one = late.where(col("vec_id") === 400)
-      val filesBefore = new File(path).listFiles().filter(_.getName.startsWith("part="))
-        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
+      val filesBefore = liveShardFiles(path)
       NswSearch.insertIndex(spark, path, one)
-      val filesAfter = new File(path).listFiles().filter(_.getName.startsWith("part="))
-        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
+      val filesAfter = liveShardFiles(path)
       val changed = filesBefore.keys.filter(k => filesBefore(k) != filesAfter(k))
       changed.size shouldBe 1
-      spark.read.parquet(path).count() shouldBe nBase + 1
-
-      // bulk insert the rest; every vector is present and searchable at
-      // the same recall floor as a fresh build
-      NswSearch.insertIndex(spark, path, late.where(col("vec_id") > 400))
-      spark.read.parquet(path).count() shouldBe e.count()
-      spark.read.parquet(path).select("vec_id").distinct().count() shouldBe e.count()
+      NswSearch.readIndex(spark, path).count() shouldBe nBase + 1
 
       val qids = 0L until 20L
       val queries = e.where(col("vec_id").isin(qids: _*))
         .select(col("vec_id"), col("v"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+      // compactIndex folds the version chain (the single-doc insert left
+      // live shards split across two version dirs): one version dir
+      // afterwards, same node bag, same answers
+      NswSearch.versionSpread(spark, path) shouldBe 2
+      val preCompact = NswSearch.searchIndex(spark, path, queries, k = 5, efSearch = 64)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      NswSearch.compactIndex(spark, path)
+      NswSearch.versionSpread(spark, path) shouldBe 1
+      new File(path).listFiles().map(_.getName).count(_.startsWith("v")) shouldBe 1
+      NswSearch.readIndex(spark, path).count() shouldBe nBase + 1
+      NswSearch.searchIndex(spark, path, queries, k = 5, efSearch = 64)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe preCompact
+
+      // bulk insert the rest; every vector is present and searchable at
+      // the same recall floor as a fresh build
+      NswSearch.insertIndex(spark, path, late.where(col("vec_id") > 400))
+      NswSearch.readIndex(spark, path).count() shouldBe e.count()
+      NswSearch.readIndex(spark, path).select("vec_id").distinct().count() shouldBe e.count()
+
       val exact = AnnSearch.exact(e, qids, 5)
       val ann = NswSearch.searchIndex(spark, path, queries, k = 5, efSearch = 64)
       AnnSearch.recallAt(exact, ann, qids, 5) should be >= 0.8
@@ -108,11 +140,11 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     try {
       val path = new File(root, "nsw-routed").getAbsolutePath
       NswSearch.buildIndexRouted(e, path, nShards = 8, m = 8, efBuild = 24, lloydIters = 2, seedIds = Some(1L to 8L))
-      // layout: centroid sidecar + at most nShards shard dirs
-      new File(path, "_centroids").exists() shouldBe true
-      val shardDirs = new File(path).listFiles().map(_.getName).count(_.startsWith("part="))
-      shardDirs should be <= 8
-      shardDirs should be > 1
+      // layout: centroids sealed INSIDE the version dir; <= nShards shards
+      val owners = NswSearch.shardOwners(spark, path)
+      new File(s"$path/v${owners.values.head}/_centroids").exists() shouldBe true
+      owners.size should be <= 8
+      owners.size should be > 1
 
       val qids = 0L until 20L
       val queries = e.where(col("vec_id").isin(qids: _*))
@@ -155,16 +187,66 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       rows(NswSearch.searchIndexRouted(spark, path, queries, k = 5, efSearch = 64, nprobe = 2)) shouldBe
         rows(routed)
 
-      // routed insert: one new vector rewrites exactly one shard
-      val n0 = spark.read.parquet(path).count()
-      def shardFiles() = new File(path).listFiles().filter(_.getName.startsWith("part="))
-        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
-      val before = shardFiles()
+      // routed insert: one new vector rewrites exactly one shard; every
+      // other shard keeps its live files byte-for-byte
+      val n0 = NswSearch.readIndex(spark, path).count()
+      val before = liveShardFiles(path)
       NswSearch.insertIndexRouted(spark, path,
         spark.createDataFrame(Seq((8001L, "z", Array.fill(64)(0.25)))).toDF("vec_id", "label", "v"))
-      val after = shardFiles()
+      val after = liveShardFiles(path)
       before.keys.count(kk => before(kk) != after.getOrElse(kk, Set.empty)) shouldBe 1
-      spark.read.parquet(path).count() shouldBe n0 + 1
+      NswSearch.readIndex(spark, path).count() shouldBe n0 + 1
+    } finally { e.unpersist(); () }
+  }
+
+  test("crash matrix: a writer dying before the seal leaves the old version live and search-identical") {
+    val e = graft.queries.SimilarityQueries.vecs(spark, sf).cache()
+    try {
+      val path = new File(root, "nsw-crash").getAbsolutePath
+      NswSearch.buildIndexRouted(e, path, nShards = 8, m = 8, efBuild = 24, lloydIters = 1, seedIds = Some(1L to 8L))
+      val qids = 0L until 10L
+      val queries = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      def answers() = NswSearch.searchIndexRouted(spark, path, queries, k = 5, efSearch = 64, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val sealedSeq = NswSearch.shardOwners(spark, path).values.max
+      val good = answers()
+      val goodFiles = liveShardFiles(path)
+
+      // CRASH WINDOW 1 — buildIndexRouted killed between the shard write
+      // and the centroid write: a complete-looking v<seq+1> shard tree
+      // with NO centroids, NO map, NO pointer. Readers must not see it.
+      val partial = s"$path/v${sealedSeq + 1}"
+      e.limit(50).select(col("vec_id"), col("label"), col("v"))
+        .withColumn("ord", lit(0)).withColumn("nbrs", array().cast("array<int>"))
+        .withColumn("part", (col("vec_id") % 3).cast("int"))
+        .write.mode("overwrite").partitionBy("part").parquet(partial)
+      answers() shouldBe good
+      liveShardFiles(path) shouldBe goodFiles
+
+      // CRASH WINDOW 2 — killed after the centroid write too (everything
+      // but the map + pointer): still invisible.
+      spark.read.parquet(s"$path/v$sealedSeq/_centroids")
+        .limit(2).write.mode("overwrite").parquet(s"$partial/_centroids")
+      answers() shouldBe good
+
+      // CRASH WINDOW 3 — killed after the map write, before the pointer:
+      // the pointer IS the commit; still invisible.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$partial/_map"),
+        s"centroids=${sealedSeq + 1}\nshard.0=${sealedSeq + 1}",
+      )
+      answers() shouldBe good
+
+      // recovery: the next real writer reuses the seq, overwrites the
+      // debris wholesale, and seals — the store is healthy again
+      NswSearch.insertIndexRouted(spark, path,
+        spark.createDataFrame(Seq((9501L, "z", Array.fill(64)(0.75)))).toDF("vec_id", "label", "v"))
+      NswSearch.readIndex(spark, path).count() shouldBe e.count() + 1
+      NswSearch.readIndex(spark, path).select("vec_id").distinct().count() shouldBe e.count() + 1
+      // the once-partial seq is now sealed and consistent
+      NswSearch.shardOwners(spark, path).values.max shouldBe sealedSeq + 1
     } finally { e.unpersist(); () }
   }
 
@@ -175,31 +257,28 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       // a deliberately skewed layout: shard sizes ~420 / ~40 / ~40
       val skewed = e.repartitionByRange(3, col("vec_id") >= 420, col("vec_id") >= 460)
       NswSearch.buildIndex(skewed, path, m = 8, efBuild = 24)
-      val sizes0 = spark.read.parquet(path).groupBy("part").count()
+      val sizes0 = NswSearch.readIndex(spark, path).groupBy("part").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       sizes0.values.max should be > 100L
 
-      def shardFiles() = new File(path).listFiles().filter(_.getName.startsWith("part="))
-        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
-
       // within-bound rebalance is a no-op: nothing returned, nothing rewritten
-      val before = shardFiles()
+      val before = liveShardFiles(path)
       NswSearch.rebalanceIndex(spark, path, maxNodes = 1000) shouldBe 0
-      shardFiles() shouldBe before
+      liveShardFiles(path) shouldBe before
 
       // split the big shard into <=100-node chunks; small shards keep their files
       val split = NswSearch.rebalanceIndex(spark, path, maxNodes = 100)
       split shouldBe sizes0.count(_._2 > 100)
-      val after = shardFiles()
-      val untouched = sizes0.filter(_._2 <= 100).keys.map(p => s"part=$p").toSet
+      val after = liveShardFiles(path)
+      val untouched = sizes0.filter(_._2 <= 100).keys.toSet
       untouched.foreach(p => after(p) shouldBe before(p))
-      val sizes1 = spark.read.parquet(path).groupBy("part").count()
+      val sizes1 = NswSearch.readIndex(spark, path).groupBy("part").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       sizes1.values.max should be <= 100L
       // routing domain stays contiguous 0..nParts-1 for insertIndex
       sizes1.keySet shouldBe (0 until sizes1.size).toSet
       // node bag preserved exactly
-      spark.read.parquet(path).select("vec_id").collect().map(_.getLong(0)).sorted shouldBe
+      NswSearch.readIndex(spark, path).select("vec_id").collect().map(_.getLong(0)).sorted shouldBe
         e.select(col("vec_id")).collect().map(_.getLong(0)).sorted
 
       // the rebalanced index still answers at the recall floor, deterministically
@@ -214,10 +293,10 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       a1.collect().toSet shouldBe a2.collect().toSet
 
       // inserts keep working against the widened shard domain
-      val n0 = spark.read.parquet(path).count()
+      val n0 = NswSearch.readIndex(spark, path).count()
       NswSearch.insertIndex(spark, path,
         spark.createDataFrame(Seq((9001L, "z", Array.fill(64)(0.5)))).toDF("vec_id", "label", "v"))
-      spark.read.parquet(path).count() shouldBe n0 + 1
+      NswSearch.readIndex(spark, path).count() shouldBe n0 + 1
 
       // auto-rebalance: a bulk insert with rebalanceMax keeps every
       // shard within bound in the same call, with nothing lost
@@ -225,7 +304,7 @@ class NswIndexSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
         spark.createDataFrame((9100L until 9200L).map(i => (i, "w", Array.fill(64)(i / 9200.0))))
           .toDF("vec_id", "label", "v"),
         rebalanceMax = 60)
-      val sizes2 = spark.read.parquet(path).groupBy("part").count()
+      val sizes2 = NswSearch.readIndex(spark, path).groupBy("part").count()
         .collect().map(r => r.getLong(1))
       sizes2.max should be <= 60L
       sizes2.sum shouldBe n0 + 1 + 100

@@ -102,4 +102,73 @@ class StoreMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec with
 
     StoreMaintenance.maintainBands(spark, store).compacted shouldBe false
   }
+
+  test("skewed routed NSW store rebuilds on maintenance; healthy store is a no-op") {
+    val e = vecs.cache()
+    try {
+      val path = new File(root, "nsw-drift").getAbsolutePath
+      NswSearch.buildIndexRouted(e, path, nShards = 8, lloydIters = 1, seedIds = Some(1L to 8L))
+
+      // healthy store: neither dial trips
+      val r0 = StoreMaintenance.maintainNswRouted(spark, path, skewFactor = 2.0, lloydIters = 1)
+      r0.retrained shouldBe false
+      r0.compacted shouldBe false
+
+      // drift: a tight NEW cluster (unrepresented when the quantizer was
+      // trained) arrives; frozen routing piles it into one hot shard —
+      // exactly the flatMapGroups-holds-a-whole-shard hazard the dial
+      // watches (the real fixture's clusters are all represented at
+      // build time, so organic inserts spread; an unseen mode doesn't)
+      val hot = spark.createDataFrame((10000L until 10200L).map { i =>
+        val v = Array.tabulate(64)(j => if (j % 2 == 0) 0.8 else -0.8)
+        v((i % 64L).toInt) += 0.001 * (i % 7L)
+        (i, 99, v)
+      }).toDF("vec_id", "label", "v")
+      NswSearch.insertIndexRouted(spark, path, hot)
+      val sizes0 = NswSearch.readIndex(spark, path).groupBy("part").count()
+        .collect().map(_.getLong(1))
+      sizes0.max.toDouble should be > 2.0 * (sizes0.sum.toDouble / sizes0.length)
+
+      val r = StoreMaintenance.maintainNswRouted(spark, path, skewFactor = 2.0, lloydIters = 1)
+      r.retrained shouldBe true
+      // rebuild preserved the corpus (same centroid count, new geometry)
+      val union = e.unionByName(hot)
+      NswSearch.readIndex(spark, path).count() shouldBe union.count()
+      NswSearch.readIndex(spark, path).select("vec_id").distinct().count() shouldBe union.count()
+
+      // the rebuilt store still answers real queries at the routed
+      // recall floor (probing half the shards)
+      val qids = 0L until 20L
+      val exact = AnnSearch.exact(union, qids, 5)
+      val routed = NswSearch.searchIndexRouted(spark, path, queriesFor(e, qids), k = 5, efSearch = 64, nprobe = 4)
+      AnnSearch.recallAt(exact, routed, qids, 5) should be >= 0.8
+    } finally { e.unpersist(); () }
+  }
+
+  test("version-sprawled routed NSW store compacts on maintenance, answers unchanged") {
+    val e = vecs.cache()
+    try {
+      val path = new File(root, "nsw-sprawl").getAbsolutePath
+      NswSearch.buildIndexRouted(e.where(col("vec_id") >= 100), path, nShards = 8, lloydIters = 1, seedIds = Some(100L to 107L))
+      // five single-doc inserts: each seals a new version owning one
+      // rewritten shard — live shards end up spread over many dirs
+      (0L until 5L).foreach { i =>
+        NswSearch.insertIndexRouted(spark, path, e.where(col("vec_id") === i))
+      }
+      NswSearch.versionSpread(spark, path) should be > 4
+
+      val q = queriesFor(e, Seq(200L, 300L))
+      def answers() = NswSearch.searchIndexRouted(spark, path, q, k = 5, efSearch = 64, nprobe = 8)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = answers()
+
+      val r = StoreMaintenance.maintainNswRouted(spark, path, skewFactor = 1e9)
+      r.compacted shouldBe true
+      r.retrained shouldBe false
+      NswSearch.versionSpread(spark, path) shouldBe 1
+      answers() shouldBe before
+
+      StoreMaintenance.maintainNswRouted(spark, path, skewFactor = 1e9).compacted shouldBe false
+    } finally { e.unpersist(); () }
+  }
 }
