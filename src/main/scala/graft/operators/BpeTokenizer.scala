@@ -91,13 +91,69 @@ object BpeTokenizer {
   }
 
   /** Apply a learned merge list in rank order: `words(word, ...)` gains
-    * a `tokens` array column. The N folds nest over the WORD table —
-    * tokenize distinct words, then join back to the corpus.
+    * a `tokens` array column. The N folds NEST over the word table —
+    * plan-linear in N, fine at demo merge counts, but Catalyst cannot
+    * plan a real vocabulary's 32k-deep expression tree: use
+    * [[tokenizeKernel]] past a few dozen merges.
     */
   def tokenize(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val start = words.withColumn("tokens", split(col("word"), ""))
     merges.foldLeft(start) { case (df, (x, y)) =>
       df.withColumn("tokens", applyMerge(col("tokens"), x, y))
     }
+  }
+
+  /** The corpus-scale form of [[tokenize]]: replay the merge list in
+    * rank order with a per-word LOOP inside `mapPartitions` — the merge
+    * list is broadcast (the model is driver-sized by construction), the
+    * expression tree is gone, and N merges cost O(N · |word|) local
+    * work per DISTINCT word. Each merge pass is the exact left-to-right
+    * append-or-fuse of [[applyMerge]] (a fused token is never
+    * re-matched as the left half within its own pass), so the kernel
+    * equals the fold wherever the fold can run — BpeTokenizerSpec pins
+    * kernel ≡ fold at N=8 and kernel ≡ the sequential reference at
+    * N=1000, where the fold cannot plan. Returns `(word, tokens)`;
+    * callers join it back to the corpus (vocabulary-sized build side —
+    * see the `corpus_bpe_tokenize` query).
+    */
+  def tokenizeKernel(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val mergesB = spark.sparkContext.broadcast(merges.toArray)
+    words
+      .select(col("word"))
+      .as[String]
+      .mapPartitions { it =>
+        val ms = mergesB.value
+        it.map { w =>
+          var syms: Array[String] = w.split("")
+          var i = 0
+          while (i < ms.length && syms.length > 1) {
+            val (x, y) = ms(i)
+            // pre-scan: most merges never touch a given word — skip the
+            // rebuild unless the pair actually occurs
+            var j = 0
+            var occurs = false
+            while (j < syms.length - 1 && !occurs) {
+              if (syms(j) == x && syms(j + 1) == y) occurs = true
+              j += 1
+            }
+            if (occurs) {
+              val out = scala.collection.mutable.ArrayBuffer(syms(0))
+              var k = 1
+              while (k < syms.length) {
+                val s = syms(k)
+                if (out.last == x && s == y) out(out.length - 1) = x + y
+                else out += s
+                k += 1
+              }
+              syms = out.toArray
+            }
+            i += 1
+          }
+          (w, syms.toSeq)
+        }
+      }
+      .toDF("word", "tokens")
   }
 }

@@ -22,7 +22,12 @@ object TextQueries {
     * MATERIALIZED: DuckDB otherwise inlines m(i-1) into each recursion
     * step of f_i, multiplying work per iteration.
     */
-  private[queries] def bpeTrainSql(n: Int): String = {
+  /** The shared CTE chain: the `(word, freq)` table, m0 (chars), then
+    * per iteration p_i / b_i / f_i / m_i up to the final symbol table
+    * `m<n>` — [[bpeTrainSql]] selects the learned merges out of the
+    * b_i's, [[bpeTokenizeSql]] joins m<n> back to the corpus.
+    */
+  private def bpeCtes(n: Int): String = {
     val blocks = (1 to n).map { i =>
       val prev = if (i == 1) "m0" else s"m${i - 1}"
       s"""p$i AS MATERIALIZED (SELECT out[j] AS l, out[j+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -38,17 +43,39 @@ object TextQueries {
          |  FROM f$i, b$i WHERE i2 < len(syms)),
          |m$i AS MATERIALIZED (SELECT word, freq, out2 AS out FROM f$i WHERE i2 = len(syms))""".stripMargin
     }
-    val sel = (1 to n)
-      .map(i => s"SELECT CAST($i AS INTEGER) AS rank, bl AS left_sym, br AS right_sym, bl || br AS merged FROM b$i")
-      .mkString(" UNION ALL ")
-    s"""WITH RECURSIVE w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' AND len(word) < 64 GROUP BY word),
        |m0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS out FROM w),
-       |${blocks.mkString(",\n")}
+       |${blocks.mkString(",\n")}""".stripMargin
+  }
+
+  private[queries] def bpeTrainSql(n: Int): String = {
+    val sel = (1 to n)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS rank, bl AS left_sym, br AS right_sym, bl || br AS merged FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${bpeCtes(n)}
        |SELECT * FROM ($sel) ORDER BY rank""".stripMargin
   }
+
+  /** Train N merges, then tokenize the CORPUS: every in-vocabulary word
+    * occurrence (position-stamped) joins its final symbol sequence from
+    * m<n> and unnests to one row per token.
+    */
+  private[queries] def bpeTokenizeSql(n: Int): String =
+    s"""WITH RECURSIVE ${bpeCtes(n)},
+       |toks AS (SELECT doc_id,
+       |                generate_subscripts(string_split(text, ' '), 1) AS word_pos,
+       |                unnest(string_split(text, ' ')) AS word
+       |         FROM documents),
+       |ft AS (SELECT doc_id, word_pos, word FROM toks
+       |       WHERE word <> '' AND len(word) < 64)
+       |SELECT f.doc_id, CAST(f.word_pos AS INTEGER) AS word_pos,
+       |       CAST(generate_subscripts(m.out, 1) AS INTEGER) AS token_pos,
+       |       unnest(m.out) AS token
+       |FROM ft f JOIN m$n m USING (word)
+       |ORDER BY doc_id, word_pos, token_pos""".stripMargin
 
   /** Tiny per-language keyword lexicon over the fixture vocabulary.
     * A real pipeline would use character-n-gram profiles; the Spark-side
@@ -451,6 +478,37 @@ object TextQueries {
         .zipWithIndex
         .map { case ((l, r), i) => (i + 1, l, r, l + r) }
         .toDF("rank", "left_sym", "right_sym", "merged")
+    },
+
+    // ----- BPE APPLIED AT CORPUS SCALE (ROADMAP 69 / VERDICT r13 #3):
+    // train the 8 merges as above, replay them over the DISTINCT-word
+    // table with the mapPartitions kernel (broadcast merge list,
+    // per-word loop — no N-deep expression tree, so the same plan holds
+    // at a 32k-merge vocabulary), then ONE join back to the position-
+    // stamped corpus words + posexplode of each word's tokens. The only
+    // corpus-sized work is the word explode and the join against the
+    // vocabulary-sized (hence broadcast) token table — the fold/train
+    // cost stays on the vocabulary. FULLY ORACLED: DuckDB replays the
+    // whole 8-iteration training to its final symbol table and joins it
+    // back to the same corpus positions.
+    Q("corpus_bpe_tokenize", TextQueries.bpeTokenizeSql(8)) { (s, d) =>
+      val words = Tables.fanout(Tables.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "" && length(col("word")) < 64)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val merges = graft.operators.BpeTokenizer.train(words, nMerges = 8)
+      val tokTable = graft.operators.BpeTokenizer.tokenizeKernel(words, merges)
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wp", "word")))
+        .where(col("word") =!= "" && length(col("word")) < 64)
+        .join(broadcast(tokTable), "word")
+        .select(
+          col("doc_id"),
+          (col("wp") + 1).as("word_pos"),
+          posexplode(col("tokens")).as(Seq("tp", "token")),
+        )
+        .select(col("doc_id"), col("word_pos"), (col("tp") + 1).as("token_pos"), col("token"))
+        .orderBy("doc_id", "word_pos", "token_pos")
     },
 
     // ----- quality scoring: type-token ratio, stopword ratio, length prior

@@ -87,4 +87,79 @@ class BpeTokenizerSpec extends AnyFunSuite with Matchers with SparkSpec {
     val words = Seq(("a", 5L), ("b", 3L)).toDF("word", "freq")
     BpeTokenizer.train(words, nMerges = 4) shouldBe Seq.empty
   }
+
+  test("tokenizeKernel equals the nested-fold tokenize at N=8, on real corpus words") {
+    val words = corpusWords.cache()
+    try {
+      val merges = BpeTokenizer.train(words, nMerges = 8)
+      val fold = BpeTokenizer.tokenize(words.select("word"), merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val kernel = BpeTokenizer.tokenizeKernel(words, merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      kernel.keySet shouldBe fold.keySet
+      kernel.foreach { case (w, syms) => withClue(w) { syms shouldBe fold(w) } }
+    } finally { words.unpersist(); () }
+  }
+
+  test("tokenizeKernel replays a 1000-merge vocabulary — where the fold cannot plan") {
+    val s = spark
+    import s.implicits._
+    // a deliberately APPLICABLE synthetic merge chain: tokens compose
+    // out of earlier tokens over a 4-letter alphabet, so deep ranks
+    // still fire on random words (a real vocabulary's shape)
+    val rnd = new scala.util.Random(421)
+    val pool = scala.collection.mutable.ArrayBuffer("a", "b", "c", "d")
+    val merges = (1 to 1000).map { _ =>
+      val x = pool(rnd.nextInt(math.min(pool.length, 40)))
+      val y = pool(rnd.nextInt(math.min(pool.length, 40)))
+      pool += (x + y)
+      (x, y)
+    }
+    val words = (1 to 300).map { _ =>
+      val len = 5 + rnd.nextInt(25)
+      (Seq.fill(len)("abcd" (rnd.nextInt(4))).mkString, 1L)
+    }.distinct
+    // sequential reference: the same per-merge left-to-right pass
+    def refApply(w: String): Seq[String] =
+      merges.foldLeft(w.split("").toSeq) { case (syms, (x, y)) =>
+        if (syms.length < 2) syms
+        else
+          syms.tail.foldLeft(Vector(syms.head)) { (acc, sym) =>
+            if (acc.last == x && sym == y) acc.init :+ (x + y) else acc :+ sym
+          }
+      }
+    val kernel = BpeTokenizer.tokenizeKernel(words.toDF("word", "freq"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    kernel.keySet shouldBe words.map(_._1).toSet
+    kernel.foreach { case (w, syms) => withClue(w) { syms shouldBe refApply(w) } }
+    // the deep ranks genuinely fired: some word compressed beyond what
+    // any 8-merge prefix could do
+    kernel.exists { case (w, syms) => syms.size <= w.length / 3 } shouldBe true
+  }
+
+  test("corpus tokenization: every in-vocabulary word occurrence expands to its trained symbols") {
+    val q = graft.SparkEntry.queries("corpus_bpe_tokenize")(spark, sf)
+    val words = corpusWords.cache()
+    try {
+      val merges = BpeTokenizer.train(words, nMerges = 8)
+      val tokOf = BpeTokenizer.tokenizeKernel(words, merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      // reassembling each word position's tokens gives back the word
+      val byWordPos = q.collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getString(3))))
+        .groupBy(_._1)
+        .map { case (k, rows) => k -> rows.map(_._2).sortBy(_._1).map(_._2) }
+      val docs = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wp", "word")))
+        .where(col("word") =!= "" && org.apache.spark.sql.functions.length(col("word")) < 64)
+        .collect().map(r => (r.getLong(0), r.getInt(1) + 1) -> r.getString(2)).toMap
+      byWordPos.keySet shouldBe docs.keySet
+      byWordPos.foreach { case (k, toks) =>
+        withClue(s"$k ${docs(k)}") {
+          toks.mkString shouldBe docs(k)
+          toks shouldBe tokOf(docs(k))
+        }
+      }
+    } finally { words.unpersist(); () }
+  }
 }
