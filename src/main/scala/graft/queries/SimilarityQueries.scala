@@ -335,10 +335,14 @@ object SimilarityQueries {
     // ann_nsw_topk. no_oracle like every graph walk; NswIndexSpec pins
     // the <=nprobe scan, the recall ladder (monotone in nprobe), and
     // that nprobe=nShards equals the probe-everything reader exactly.
+    // The index comes from the per-corpus StoreCache, so this query
+    // prices the PROBE (the store's steady-state cost); the build is
+    // paid once per fixture and laddered in AnnBench.
     Q.noOracle("ann_nsw_routed_topk") { (s, d) =>
       val e = vecs(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft-nsw-routed").toFile.getAbsolutePath + "/idx"
-      graft.operators.NswSearch.buildIndexRouted(e, path, nShards = 8, lloydIters = 1, seedIds = Some(1L to 8L))
+      val path = StoreCache.resolve(d, "nsw-routed") { p =>
+        graft.operators.NswSearch.buildIndexRouted(e, p, nShards = 8, lloydIters = 1, seedIds = Some(1L to 8L))
+      }
       val queries = e.where(col("vec_id").isin((0L until 10L): _*))
         .select(col("vec_id"), col("v")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
@@ -590,11 +594,14 @@ object SimilarityQueries {
     // exactness, the recall floor, and nprobe=K ≡ brute force).
     Q.noOracle("embedding_decontaminate_indexed") { (s, d) =>
       val e = vecs(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft-decon-q").toFile.getAbsolutePath + "/idx"
-      graft.operators.IvfStore.build(
-        e.where(col("vec_id") >= 20), path,
-        nCentroids = 16, lloydIters = 1, seedIds = Some(20L to 35L),
-      )
+      // cached per corpus fixture: the screen prices the probe, the
+      // one-time build is laddered in AnnBench (VERDICT r13 #2)
+      val path = StoreCache.resolve(d, "ivf-decon") { p =>
+        graft.operators.IvfStore.build(
+          e.where(col("vec_id") >= 20), p,
+          nCentroids = 16, lloydIters = 1, seedIds = Some(20L to 35L),
+        )
+      }
       graft.operators.SemDedup
         .decontaminate(s, path, e.where(col("vec_id") < 20).select("vec_id", "label", "v"), tau = 0.3)
         .select(col("vec_id"), col("label"), round(col("eval_sim"), 6).as("eval_sim"))
@@ -611,11 +618,14 @@ object SimilarityQueries {
     // the cross-batch absorb memory, and the partition-pruned scan.
     Q.noOracle("dedup_semdedup_cross") { (s, d) =>
       val e = vecs(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft-semdedup-q").toFile.getAbsolutePath + "/idx"
-      graft.operators.IvfStore.build(
-        e.where(col("vec_id") >= 100), path,
-        nCentroids = 16, lloydIters = 1, seedIds = Some(100L to 115L),
-      )
+      // cached per corpus fixture: the screen (a read-only probe of the
+      // stored clusters) prices the steady-state cost (VERDICT r13 #2)
+      val path = StoreCache.resolve(d, "ivf-semdedup") { p =>
+        graft.operators.IvfStore.build(
+          e.where(col("vec_id") >= 100), p,
+          nCentroids = 16, lloydIters = 1, seedIds = Some(100L to 115L),
+        )
+      }
       graft.operators.SemDedup.screenBatch(s, path, e.where(col("vec_id") < 100), tau = 0.3)
         .select(col("vec_id"), col("label"), col("cid"), round(col("acos"), 6).as("centroid_sim"))
         .orderBy("vec_id")
