@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * alike. Optional `sumSq` columns maintain sum(v²) in the same state —
   * squares negate exactly like sums, so the group property holds and
   * exact mean/variance derive downstream (var = sumsq/cnt −
-  * (sum/cnt)²; integral inputs subtract exactly, with the usual
-  * long-overflow caveat at extreme magnitudes). min/max are
+  * (sum/cnt)²; integral inputs subtract exactly — and `sumSqWide`
+  * squares through DECIMAL(38,0) for magnitudes where a long sum of
+  * squares would wrap). min/max are
   * deliberately NOT maintained: they are only a semigroup (no
   * inverse), so a file removal would force a rescan — the caller who
   * needs them re-aggregates or keeps them advisory via the stats
@@ -88,11 +89,23 @@ object MaterializedAgg {
 
   private def stateDir(aggPath: String, seq: Long) = s"$aggPath/state-$seq"
 
-  /** Aggregate one (possibly cached) frame under a spec's shape. */
-  private def aggOfDf(df: DataFrame, keys: Seq[String], values: Seq[String], sumSq: Seq[String]): DataFrame = {
+  /** Aggregate one (possibly cached) frame under a spec's shape.
+    * `sumSqWide` (ROADMAP 70): a LONG sum of squares overflows past
+    * |v| ≈ 3×10⁹ on a single row — silently, since Spark's non-ANSI
+    * sum wraps. The wide form squares through DECIMAL(19,0)×DECIMAL
+    * (19,0) → DECIMAL(38,0) (exact for any long; the sum then holds
+    * ~10³⁸, twenty decades of headroom) so the ⊕/⊖ group stays exact
+    * at extreme magnitudes, at decimal-arithmetic cost the caller opts
+    * into per store.
+    */
+  private def aggOfDf(df: DataFrame, keys: Seq[String], values: Seq[String], sumSq: Seq[String], sumSqWide: Boolean): DataFrame = {
+    def sq(v: String) =
+      if (sumSqWide) {
+        val d = col(v).cast(org.apache.spark.sql.types.DecimalType(19, 0))
+        sum(d * d).as(s"sumsq_$v")
+      } else sum(col(v) * col(v)).as(s"sumsq_$v")
     val aggs = count(lit(1)).as("cnt") +:
-      (values.map(v => sum(col(v)).as(s"sum_$v")) ++
-        sumSq.map(v => sum(col(v) * col(v)).as(s"sumsq_$v")))
+      (values.map(v => sum(col(v)).as(s"sum_$v")) ++ sumSq.map(sq))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -103,9 +116,24 @@ object MaterializedAgg {
       keys: Seq[String],
       values: Seq[String],
       sumSq: Seq[String],
+      sumSqWide: Boolean,
   ): Option[DataFrame] =
     if (files.isEmpty) None
-    else Some(aggOfDf(spark.read.option("mergeSchema", "true").parquet(files: _*), keys, values, sumSq))
+    else Some(aggOfDf(spark.read.option("mergeSchema", "true").parquet(files: _*), keys, values, sumSq, sumSqWide))
+
+  /** A widened state must keep widening on refresh (and vice versa):
+    * a LONG delta merged into a DECIMAL state would re-open the exact
+    * overflow window the flag closed. Loud, like the schema guard.
+    */
+  private def checkSumSqWidth(state: DataFrame, sumSq: Seq[String], sumSqWide: Boolean): Unit =
+    sumSq.foreach { v =>
+      val dt = state.schema(s"sumsq_$v").dataType
+      val isWide = dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+      require(
+        isWide == sumSqWide,
+        s"state sumsq_$v is $dt but sumSqWide=$sumSqWide — the flag must match the build's",
+      )
+    }
 
   /** Negate an aggregate frame (the ⊖ term). */
   private def negate(df: DataFrame, keys: Seq[String]): DataFrame = {
@@ -203,11 +231,12 @@ object MaterializedAgg {
       values: Seq[String],
       sumSq: Seq[String] = Nil,
       maxGroups: Long = DefaultMaxGroups,
+      sumSqWide: Boolean = false,
   ): Long = {
     require(keys.nonEmpty, "at least one group-by key")
     val seq = ManifestCommit.currentSeq(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
-    val state = aggOf(spark, live, keys, values, sumSq)
+    val state = aggOf(spark, live, keys, values, sumSq, sumSqWide)
       .getOrElse(throw new IllegalStateException(s"no live files under $leaf — nothing to materialize"))
     seal(spark, aggPath, seq, state, live, maxGroups)
     seq
@@ -226,14 +255,16 @@ object MaterializedAgg {
       values: Seq[String],
       sumSq: Seq[String] = Nil,
       maxGroups: Long = DefaultMaxGroups,
+      sumSqWide: Boolean = false,
   ): RefreshResult = {
     val fromSeq = stateSeq(spark, aggPath).getOrElse(
       throw new IllegalStateException(s"no sealed state at $aggPath — run build first"),
     )
     val expected =
       (keys ++ Seq("cnt") ++ values.map(v => s"sum_$v") ++ sumSq.map(v => s"sumsq_$v")).toSet
-    val stateCols = spark.read.parquet(stateDir(aggPath, fromSeq)).columns.toSet
-    require(stateCols == expected, s"state schema $stateCols does not match keys/values $expected")
+    val state0 = spark.read.parquet(stateDir(aggPath, fromSeq))
+    require(state0.columns.toSet == expected, s"state schema ${state0.columns.toSet} does not match keys/values $expected")
+    checkSumSqWidth(state0, sumSq, sumSqWide)
     val toSeq = ManifestCommit.currentSeq(spark, leaf)
     val recorded = recordedFiles(spark, aggPath, fromSeq).toSet
     val live = ManifestCommit.liveFiles(spark, leaf)
@@ -244,7 +275,7 @@ object MaterializedAgg {
     val historyReadable = removed.forall(p => fs.exists(new Path(p)))
     if (!historyReadable) {
       // GC outran the state: the ⊖ term's inputs are gone — rebuild
-      val state = aggOf(spark, live, keys, values, sumSq)
+      val state = aggOf(spark, live, keys, values, sumSq, sumSqWide)
         .getOrElse(throw new IllegalStateException(s"no live files under $leaf"))
       seal(spark, aggPath, toSeq, state, live, maxGroups)
       RefreshResult(toSeq, incremental = false)
@@ -252,8 +283,8 @@ object MaterializedAgg {
       val old = spark.read.parquet(stateDir(aggPath, fromSeq))
       val parts = Seq(
         Some(old),
-        aggOf(spark, added, keys, values, sumSq),
-        aggOf(spark, removed, keys, values, sumSq).map(negate(_, keys)),
+        aggOf(spark, added, keys, values, sumSq, sumSqWide),
+        aggOf(spark, removed, keys, values, sumSq, sumSqWide).map(negate(_, keys)),
       ).flatten
       seal(spark, aggPath, toSeq, merge(parts, keys), live, maxGroups)
       RefreshResult(toSeq, incremental = true)
@@ -267,6 +298,7 @@ object MaterializedAgg {
       values: Seq[String],
       sumSq: Seq[String] = Nil,
       maxGroups: Long = DefaultMaxGroups,
+      sumSqWide: Boolean = false,
   )
 
   /** Refresh SEVERAL materialized aggregates of one leaf, reading each
@@ -300,8 +332,9 @@ object MaterializedAgg {
         )
         val expected =
           (sp.keys ++ Seq("cnt") ++ sp.values.map(v => s"sum_$v") ++ sp.sumSq.map(v => s"sumsq_$v")).toSet
-        val stateCols = spark.read.parquet(stateDir(sp.aggPath, fromSeq)).columns.toSet
-        require(stateCols == expected, s"state schema $stateCols does not match spec $expected")
+        val state0 = spark.read.parquet(stateDir(sp.aggPath, fromSeq))
+        require(state0.columns.toSet == expected, s"state schema ${state0.columns.toSet} does not match spec $expected")
+        checkSumSqWidth(state0, sp.sumSq, sp.sumSqWide)
         val recorded = recordedFiles(spark, sp.aggPath, fromSeq).toSet
         val removed = (recorded -- live).toSeq.sorted
         val added = (live.toSet -- recorded).toSeq.sorted
@@ -311,7 +344,7 @@ object MaterializedAgg {
           // it (persisting a 100-TB leaf for one aggregation is the
           // opposite of the sharing this method exists for; only the
           // delta frames, bounded by the commit, are worth pinning)
-          val state = aggOf(spark, live, sp.keys, sp.values, sp.sumSq)
+          val state = aggOf(spark, live, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)
             .getOrElse(throw new IllegalStateException(s"no live files under $leaf"))
           seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups)
           RefreshResult(toSeq, incremental = false)
@@ -319,8 +352,8 @@ object MaterializedAgg {
           val old = spark.read.parquet(stateDir(sp.aggPath, fromSeq))
           val parts = Seq(
             Some(old),
-            cachedRead(added).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq)),
-            cachedRead(removed).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq), sp.keys)),
+            cachedRead(added).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
+            cachedRead(removed).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
           ).flatten
           seal(spark, sp.aggPath, toSeq, merge(parts, sp.keys), live, sp.maxGroups)
           RefreshResult(toSeq, incremental = true)

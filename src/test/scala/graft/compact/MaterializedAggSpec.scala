@@ -200,6 +200,61 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     sq0 shouldBe members.map(m => m * m).sum
   }
 
+  test("sumSqWide keeps sum of squares exact past long range, through arrival + compaction + removal") {
+    val s = spark
+    import s.implicits._
+    val leaf = new File(root, "acct/source=mawide/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-mawide").getAbsolutePath
+
+    // every amount's square exceeds Long.MaxValue — the narrow path
+    // would wrap on the FIRST row, let alone the ⊕/⊖ chain
+    val base = 4000000000L
+    (BigInt(base) * BigInt(base) > BigInt(Long.MaxValue)) shouldBe true
+    def writeBig(name: String, lo: Long, hi: Long): Unit = {
+      val tmp = new File(leaf, s".tmp-$name")
+      (lo until hi).map(i => (i % 3, base + i)).toDF("k", "amount")
+        .coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new File(leaf, name).toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      ()
+    }
+    def refreshWide() =
+      MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"),
+        sumSq = Seq("amount"), sumSqWide = true)
+
+    writeBig("a.parquet", 0L, 300L)
+    commit(leafPath, "w1", Seq(s"$leafPath/a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"),
+      sumSq = Seq("amount"), sumSqWide = true)
+
+    writeBig("b.parquet", 300L, 700L) // arrival
+    commit(leafPath, "w2", Seq(s"$leafPath/b.parquet"))
+    refreshWide().incremental shouldBe true
+    commit(leafPath, "w3", ManifestCommit.liveFiles(spark, leafPath)) // compaction
+    refreshWide().incremental shouldBe true
+    // partial rewrite: a strict subset removed and re-added (the ⊖ term
+    // subtracts decimal squares of real magnitude, not a net-zero fold)
+    commit(leafPath, "w4", ManifestCommit.liveFiles(spark, leafPath).take(1))
+    refreshWide().incremental shouldBe true
+
+    val truth = (0L until 700L).groupBy(_ % 3).map { case (k, ids) =>
+      k -> (ids.size.toLong, ids.map(base + _).sum, ids.map(i => BigInt(base + i) * BigInt(base + i)).sum)
+    }
+    val state = MaterializedAgg.read(spark, aggPath)
+      .select("k", "cnt", "sum_amount", "sumsq_amount").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), BigInt(r.getDecimal(3).toBigInteger)))).toMap
+    state.keySet shouldBe truth.keySet
+    state.foreach { case (k, got) => withClue(s"k=$k") { got shouldBe truth(k) } }
+
+    // flag drift fails loudly: a narrow refresh against the wide state
+    // (or the reverse) would re-open the overflow window
+    an[IllegalArgumentException] should be thrownBy
+      MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), sumSq = Seq("amount"))
+  }
+
   test("group-count tripwire fails loudly and leaves the previous state live") {
     val leaf = new File(root, "acct/source=matrip/year=2026/month=01")
     leaf.mkdirs()
