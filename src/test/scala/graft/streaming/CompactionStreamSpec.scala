@@ -195,6 +195,119 @@ class CompactionStreamSpec extends AnyFunSuite with Matchers with SparkSpec with
     }
   }
 
+  test("randomized kill/resume cycles keep the streamed materialized agg exact (seeded)") {
+    // The ROADMAP-67 pressure test: the matagg lifecycle rides every
+    // streamed micro-batch, so ANY interleaving of arrivals, query
+    // restarts from the checkpoint, lost due-schedule snapshots, and
+    // out-of-band commits landing while the stream is DOWN (the
+    // crash-between-commit-and-refresh window) must leave each leaf's
+    // sealed state equal to a from-scratch aggregate of its live set
+    // after the next drain. Recovery mechanics differ by window —
+    // adds-only incremental refresh for streamed commits, GC-fallback
+    // rebuild when an out-of-band compaction already reclaimed the ⊖
+    // inputs — but the sealed state must be exact after every cycle.
+    val oroot = Files.createTempDirectory("graft-stream-mrestart").toFile
+    val ockpt = Files.createTempDirectory("graft-stream-mrestart-ckpt").toFile
+    val maRoot = Files.createTempDirectory("graft-stream-mrestart-agg").toFile
+    try {
+      val rnd = new scala.util.Random(20260814L)
+      val leaves = (1 to 3).map { i =>
+        val l = new File(oroot, s"acct/source=mr$i/year=2026/month=01")
+        l.mkdirs()
+        l
+      }
+      val mcfg = cfg.copy(
+        commitMode = graft.compact.CommitMode.Manifest,
+        matAggRoot = Some(maRoot.getAbsolutePath),
+        matAggKeys = Seq("tag"),
+        matAggValues = Seq("id"),
+      )
+      val batches = new ConcurrentLinkedQueue[Seq[LeafResult]]()
+      var fileNo = 0
+      // >= 2 files per arrival burst so the leaf clears the >=2 gate
+      def arrive(l: File): Unit = (1 to 2).foreach { _ =>
+        fileNo += 1
+        writeFile(l, s"f$fileNo.parquet", df(s"t$fileNo"))
+      }
+      def runOnce(): Unit = {
+        // every cycle starts a FRESH query on the same checkpoint — the
+        // StreamRestartSpec kill/resume shape
+        val q = CompactionStream.start(
+          spark, oroot.getAbsolutePath, mcfg,
+          Trigger.AvailableNow(), ockpt.getAbsolutePath,
+          onBatch = r => { batches.add(r); () },
+        )
+        q.awaitTermination(60000)
+        ()
+      }
+      def visible(l: File) = l.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+      def drain(): Unit = {
+        val deadline = System.currentTimeMillis() + 120000
+        runOnce()
+        while (leaves.exists(visible(_) > 0) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(500)
+          runOnce()
+        }
+        leaves.foreach(l => withClue(l) { visible(l) shouldBe 0 })
+      }
+      def fileOf(p: String) =
+        if (p.startsWith("file:")) new File(new java.net.URI(p)) else new File(p)
+      def checkInvariant(): Unit = {
+        val all = batches.asScala.flatten.toSeq
+        all.foreach(r => withClue(r) { r.success shouldBe true })
+        all.map(_.leaf).distinct.foreach { lf =>
+          val aggPath = graft.compact.MaterializedAgg.pathFor(maRoot.getAbsolutePath, lf)
+          graft.compact.MaterializedAgg.exists(spark, aggPath) shouldBe true
+          def rows(d: DataFrame) = d.select("tag", "cnt", "sum_id").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+          val direct = graft.compact.ManifestCommit.readLeaf(spark, lf)
+            .groupBy("tag")
+            .agg(
+              org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
+              org.apache.spark.sql.functions.sum("id").as("sum_id"),
+            )
+          withClue(lf) {
+            rows(graft.compact.MaterializedAgg.read(spark, aggPath)) shouldBe rows(direct)
+          }
+        }
+      }
+
+      leaves.foreach(arrive)
+      drain()
+      checkInvariant()
+
+      (1 to 4).foreach { c =>
+        // out-of-band compaction while the query is DOWN: commits a
+        // rewrite the stream never sees coming — the state goes stale at
+        // an older seq, exactly the crash-between-commit-and-refresh
+        // window; the next drained cycle must catch it up
+        if (rnd.nextBoolean()) {
+          val streamedLeaves = batches.asScala.flatten.map(_.leaf).toSeq.distinct
+          if (streamedLeaves.nonEmpty) {
+            val lf = streamedLeaves(rnd.nextInt(streamedLeaves.size))
+            val live = graft.compact.ManifestCommit.liveFiles(spark, lf)
+            val plan = graft.compact.LeafPlan(lf, s"oob$c", live, live.map(p => fileOf(p).length()).sum)
+            val r = graft.compact.Merger.mergeAndCommit(spark, plan, mcfg)
+            withClue(r) { r.success shouldBe true }
+          }
+        }
+        // lost due-schedule snapshot — the recovery DueScheduleSpec
+        // fuzzes in isolation, here interleaved with the lifecycle
+        if (rnd.nextBoolean()) {
+          new File(ockpt, CompactionStream.scheduleFileName).delete()
+          ()
+        }
+        // fresh arrivals on a random non-empty subset of leaves
+        rnd.shuffle(leaves).take(1 + rnd.nextInt(3)).foreach(arrive)
+        drain()
+        checkInvariant()
+      }
+    } finally {
+      def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+      rm(oroot); rm(ockpt); rm(maRoot)
+    }
+  }
+
   test("more dirty leaves than maxTrackedLeaves still all compact") {
     val oroot = Files.createTempDirectory("graft-stream-cap").toFile
     val ockpt = Files.createTempDirectory("graft-stream-cap-ckpt").toFile
