@@ -70,10 +70,20 @@ object BandsStore {
     */
   def screen(spark: SparkSession, newDocs: DataFrame, path: String, rowsPerBand: Int = 4, sigBuckets: Int = 1): DataFrame = {
     val newBands = graft.queries.DedupQueries.minhashBands(spark, newDocs, rowsPerBand)
+    // the id inequality is the RE-INGEST guard (the r13 review class,
+    // here on the batch surface like DocumentStream.screenAndAbsorbBatch
+    // already has): a doc_id already absorbed collides with its own
+    // stored rows in every band and would be flagged as a duplicate of
+    // itself — inviting a consumer to drop the only copy. Real near-dup
+    // pairs always have distinct ids, so the guard never loses one.
     if (sigBuckets <= 1) {
       val hist = spark.read.parquet(path)
       newBands.as("x")
-        .join(hist.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+        .join(
+          hist.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") =!= col("y.doc_id"),
+        )
         .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("old_doc"))
         .distinct()
     } else {
@@ -87,7 +97,7 @@ object BandsStore {
         .join(
           hist.as("y"),
           col("x.band") === col("y.band") && col("x.sigb") === col("y.sigb") &&
-            col("x.sig") === col("y.sig"),
+            col("x.sig") === col("y.sig") && col("x.doc_id") =!= col("y.doc_id"),
         )
         .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("old_doc"))
         .distinct()
