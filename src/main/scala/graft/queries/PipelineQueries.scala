@@ -648,6 +648,90 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- mixture sampling to per-domain TOKEN budgets: the step that
+    // turns "mix sources at weights w_s" into an actual training set.
+    // Each source's budget is its share w_s/Σw of a global token budget
+    // (weights here: even-numbered sources 2, odd 1 — the Σw denominator
+    // is derived from the data, not a hardcoded source list); docs are
+    // taken in a seeded-hash order (md5 — the deterministic "shuffle",
+    // so reruns, engines, and partitionings agree row-for-row) until the
+    // running token count exceeds the budget. Plan shape at 100 TB: one
+    // tiny distinct-source aggregate broadcast back, then ONE window per
+    // source partition — the corpus shuffles once on source (its natural
+    // ingest partitioning, usually already in place), never sorts
+    // globally. All arithmetic integral: token counts, budgets
+    // (integer-div), and cumulative sums cannot drift cross-engine.
+    Q(
+      "mix_token_budget",
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |                  CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+        |                       THEN 2 ELSE 1 END AS w,
+        |                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |           FROM documents),
+        |dn AS (SELECT CAST(sum(w) AS BIGINT) AS denom
+        |       FROM (SELECT DISTINCT source, w FROM t)),
+        |b AS (SELECT t.*, CAST((9000 * w) // denom AS BIGINT) AS budget
+        |      FROM t CROSS JOIN dn),
+        |c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM b)
+        |SELECT doc_id, source, n_tok, cum, budget
+        |FROM c WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val t = Tables.documents(s, d).select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).as("n_tok"),
+        when(expr("CAST(substring(source, 4, 18) AS INT) % 2 = 0"), 2L).otherwise(1L).as("w"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("h"),
+      )
+      val denom = t.select("source", "w").distinct().agg(sum("w").as("denom"))
+      val wCum = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.crossJoin(broadcast(denom))
+        .withColumn("budget", expr("(9000 * w) div denom"))
+        .withColumn("cum", sum("n_tok").over(wCum))
+        .where(col("cum") <= col("budget"))
+        .select("doc_id", "source", "n_tok", "cum", "budget")
+        .orderBy("doc_id")
+    },
+
+    // ----- balanced shard export: assign docs to 4 training shards,
+    // balancing token mass, deterministically. Within each source, docs
+    // order by token count DESC (ties by doc_id) and deal out in snake
+    // order (0,1,2,3,3,2,1,0,…) — the classic sorted-serpentine
+    // schedule, within 1 largest-item of even token mass per shard
+    // without any sequential bin state. Per-source windows keep the
+    // plan one shuffle on the ingest partitioning (no global sort, no
+    // single-partition window), and per-source snakes compose: shard
+    // totals stay balanced when sources union. Pure integer arithmetic
+    // end to end.
+    Q(
+      "export_shards",
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                                   ORDER BY n_tok DESC, doc_id) - 1 AS pos
+        |      FROM t)
+        |SELECT doc_id, source, n_tok,
+        |       CAST(CASE WHEN pos % 8 < 4 THEN pos % 8 ELSE 7 - (pos % 8) END AS INTEGER) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val wPos = Window.partitionBy("source").orderBy(desc("n_tok"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("pos", row_number().over(wPos) - 1)
+        .withColumn(
+          "shard",
+          when(pmod(col("pos"), lit(8)) < 4, pmod(col("pos"), lit(8)))
+            .otherwise(lit(7) - pmod(col("pos"), lit(8))).cast("int"),
+        )
+        .select("doc_id", "source", "n_tok", "shard")
+        .orderBy("doc_id")
+    },
+
     // ----- weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     // A-Res): 100 docs drawn with probability proportional to token
     // count, via hash-derived uniforms so the draw is a pure function of

@@ -314,6 +314,155 @@ object SimilarityQueries {
         .orderBy("qid", "vec_id")
     },
 
+    // ----- IVF-routed bulk kNN join: ann_knn_join's scale path. The
+    // brute-force form scores Q×N pairs; here BOTH sides go through the
+    // seeded 16-list coarse quantizer (the ann_ivf_topk recipe — one
+    // broadcast assignment pass each), queries keep their nprobe=2
+    // nearest lists, and the candidate join runs ON cid — each query
+    // only ever meets its probed lists' members, so the scored-pair
+    // count is Σ_q Σ_{probed lists} |list| instead of Q×N. At large Q
+    // the cid join is an ordinary shuffle join co-partitioned on the
+    // list id (queries per list ≈ Q·nprobe/K, members per list ≈ N/K —
+    // both sides partition-bounded); at this Q the 20-row probe side
+    // broadcasts. Fully ORACLED: assignment, probes, and the routed
+    // join replay step for step in DuckDB.
+    Q(
+      "ann_ivf_knn_join",
+      s"""WITH $vecsSqlCte,
+         |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id BETWEEN 1 AND 16),
+         |scored0 AS (SELECT v.vec_id, v.label, v.v, c.cid,
+         |                   ${cosineSql("v.v", "c.cv")} AS acos
+         |            FROM v CROSS JOIN c),
+         |scored AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                        ORDER BY acos DESC, cid) AS rn
+         |           FROM scored0),
+         |members AS (SELECT vec_id, label, v, cid FROM scored WHERE rn = 1),
+         |qprobes AS (SELECT vec_id AS qid, v AS qv, cid
+         |            FROM scored WHERE vec_id < 10 AND rn <= 2),
+         |sc AS (SELECT p.qid, m.vec_id, m.label, m.cid,
+         |              ${cosineSql("m.v", "p.qv")} AS sim
+         |       FROM members m JOIN qprobes p ON m.cid = p.cid
+         |       WHERE m.vec_id <> p.qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY sim DESC, vec_id) AS rn FROM sc)
+         |SELECT qid, vec_id, label, cid, round(sim, 6) AS sim
+         |FROM r WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      val cents = broadcast(
+        e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv")),
+      )
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
+      val scored = e.crossJoin(cents)
+        .withColumn("acos", cosine("v", "cv"))
+        .withColumn("rn", row_number().over(wAssign))
+      val members = scored.where(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("v"), col("cid"))
+      val qprobes = broadcast(
+        scored.where(col("vec_id") < 10 && col("rn") <= 2)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("pcid")),
+      )
+      val wTop = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+      members.join(qprobes, col("cid") === col("pcid"))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("sim", cosine("v", "qv"))
+        .withColumn("rnq", row_number().over(wTop))
+        .where(col("rnq") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), col("cid"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "vec_id")
+    },
+
+    // ----- MMR diversity selection (Carbonell & Goldstein, SIGIR 1998):
+    // the training-data/rerank form of top-k — greedily pick k=4 items
+    // per query maximizing 0.7·relevance − 0.3·max-similarity-to-
+    // already-picked, over a per-query candidate pool of the top-8 by
+    // cosine. The pool cut is the distributed part (one corpus scan +
+    // WindowGroupLimit, exactly ann_knn_join's shape); the greedy walk
+    // is inherently sequential in k but pool-bounded, so it runs per
+    // query inside mapGroups — queries parallelize, no driver collect,
+    // and at 100 TB the pool stays k-scaled while the scan does the
+    // work. Pairwise sims use the same left-fold double arithmetic as
+    // the cosine expression, so picks are bit-stable cross-engine.
+    // Fully ORACLED: DuckDB replays the greedy walk as 4 unrolled
+    // argmax stages over the same pool and pairwise-sim table.
+    Q(
+      "select_mmr_diverse",
+      s"""WITH $vecsSqlCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5),
+         |sc AS (SELECT q.qid, v.vec_id, v.v, ${cosineSql("v.v", "q.qv")} AS rel
+         |       FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+         |pool AS (SELECT * FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                         ORDER BY rel DESC, vec_id) AS rn FROM sc)
+         |         WHERE rn <= 8),
+         |pp AS (SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+         |              ${cosineSql("a.v", "b.v")} AS psim
+         |       FROM pool a JOIN pool b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |s1 AS (SELECT qid, vec_id, rel FROM pool WHERE rn = 1),
+         |${(2 to 4).map { i =>
+           val sel = (1 until i).map(j => s"SELECT qid, vec_id FROM s$j").mkString(" UNION ALL ")
+           s"""sel$i AS ($sel),
+           |cand$i AS (SELECT p.qid, p.vec_id, p.rel,
+           |                  0.7 * p.rel - 0.3 * max(pp.psim) AS score
+           |           FROM pool p
+           |           JOIN pp ON pp.qid = p.qid AND pp.ca = p.vec_id
+           |           JOIN sel$i sl ON sl.qid = pp.qid AND sl.vec_id = pp.cb
+           |           LEFT JOIN sel$i dn ON dn.qid = p.qid AND dn.vec_id = p.vec_id
+           |           WHERE dn.vec_id IS NULL
+           |           GROUP BY p.qid, p.vec_id, p.rel),
+           |s$i AS (SELECT qid, vec_id, rel FROM
+           |          (SELECT *, row_number() OVER (PARTITION BY qid
+           |                                        ORDER BY score DESC, vec_id) AS rn FROM cand$i)
+           |        WHERE rn = 1)""".stripMargin
+         }.mkString(",\n")}
+         |SELECT qid, pick, vec_id, round(rel, 6) AS rel FROM (
+         |${(1 to 4).map(i => s"SELECT qid, $i AS pick, vec_id, rel FROM s$i").mkString(" UNION ALL ")}
+         |) ORDER BY qid, pick""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val e = vecs(s, d)
+      val q = broadcast(e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv")))
+      val wPool = Window.partitionBy("qid").orderBy(desc("rel"), col("vec_id"))
+      val pool = e.crossJoin(q)
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("rel", cosine("v", "qv"))
+        .withColumn("rn", row_number().over(wPool))
+        .where(col("rn") <= 8)
+        .select(col("qid").as("_1"), col("vec_id").as("_2"), col("rel").as("_3"), col("v").as("_4"))
+        .as[(Long, Long, Double, Seq[Double])]
+      // per-element left folds, the exact accumulation order of the
+      // cosine expression and DuckDB's list_reduce — picks stay
+      // bit-stable cross-engine
+      def sim(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      pool.groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }.toArray
+            .sortBy { case (id, rel, _) => (-rel, id) }
+          val picked = scala.collection.mutable.ArrayBuffer(cands.head)
+          while (picked.size < 4 && picked.size < cands.length) {
+            val best = cands.iterator
+              .filterNot(c => picked.exists(_._1 == c._1))
+              .map { c =>
+                val pen = picked.iterator.map(p => sim(c._3, p._3)).max
+                (c, 0.7 * c._2 - 0.3 * pen)
+              }
+              // strict > keeps the first (lowest-id, since cands is
+              // rel-sorted only) — match the oracle's ORDER BY score
+              // DESC, vec_id by tie-breaking on id explicitly
+              .reduceLeft((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1._1 < x._1._1)) y else x)
+            picked += best._1
+          }
+          picked.iterator.zipWithIndex.map { case ((id, rel, _), ix) => (qid, ix + 1, id, rel) }
+        }
+        .toDF("qid", "pick", "vec_id", "rel")
+        .select(col("qid"), col("pick"), col("vec_id"), round(col("rel"), 6).as("rel"))
+        .orderBy("qid", "pick")
+    },
+
     // ----- graph-index ANN (NSW, the single-layer HNSW core): per-
     // partition navigable-small-world graphs built and searched inside
     // mapPartitions, broadcast query batch, WindowGroupLimit top-k
