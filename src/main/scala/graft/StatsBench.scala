@@ -183,6 +183,17 @@ object StatsBench {
       .map(r => (r.getAs[Double]("v"), r.getAs[Long]("cnt"), r.getAs[Long]("sum_id"))).toSet
     require(aggRows(aggInc) == aggRows(aggFull), "incremental state diverged from rebuild")
 
+    // min/max (semigroup) refresh: same O(delta) data read, plus the
+    // metadata-scale partials anti-join + refold — priced separately so
+    // the partials overhead is visible next to the ⊕/⊖-only path
+    val aggMm = new java.io.File(root, "agg-mm").getAbsolutePath
+    val (mmBuildSec, _) = timedOnce(
+      MaterializedAgg.build(spark, leafPath, aggMm, Seq("v"), Seq("id"), minMax = Seq("id")))
+    arrival(nCommits + 1)
+    val (mmRefreshSec, mres) = timedOnce(
+      MaterializedAgg.refresh(spark, leafPath, aggMm, Seq("v"), Seq("id"), minMax = Seq("id")))
+    require(mres.incremental, "minMax refresh unexpectedly fell back to a rebuild")
+
     println(
       f"""{"metric":"stats_skipping","commits":$nCommits,"rows_per_commit":$rowsPer,""" +
         f""""build_sec":$buildSec%.1f,""" +
@@ -192,7 +203,8 @@ object StatsBench {
         f""""count":{"full_sec":$fullCountSec%.3f,"meta_sec":$metaCountSec%.3f,"rows":$fc},""" +
         f""""range_count":{"full_sec":$fullRcSec%.3f,"meta_sec":$metaRcSec%.3f,"rows":$frc},""" +
         s""""bloom_bits_ladder":[${bitsLadder.mkString(",")}],""" +
-        f""""matagg":{"build_sec":$maBuildSec%.3f,"refresh_sec":$maRefreshSec%.3f,"rebuild_sec":$maRebuildSec%.3f,"groups":${aggRows(aggInc).size}}}""",
+        f""""matagg":{"build_sec":$maBuildSec%.3f,"refresh_sec":$maRefreshSec%.3f,"rebuild_sec":$maRebuildSec%.3f,"groups":${aggRows(aggInc).size}},""" +
+        f""""matagg_minmax":{"build_sec":$mmBuildSec%.3f,"refresh_sec":$mmRefreshSec%.3f}}""",
     )
     Fs.rmTree(root)
     spark.stop()

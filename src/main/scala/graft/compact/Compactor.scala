@@ -88,9 +88,11 @@ object Compactor {
       cfg.matAggRoot.foreach { aggRoot =>
         val aggPath = MaterializedAgg.pathFor(aggRoot, leaf)
         if (MaterializedAgg.exists(spark, aggPath))
-          MaterializedAgg.refresh(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues)
+          MaterializedAgg.refresh(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
+            minMax = cfg.matAggMinMax)
         else
-          MaterializedAgg.build(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues)
+          MaterializedAgg.build(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
+            minMax = cfg.matAggMinMax)
         ()
       }
     } catch {

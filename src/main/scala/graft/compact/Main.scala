@@ -87,6 +87,9 @@ object Main {
       matAggValues = env.get("GRAFT_MATAGG_VALUES")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(base.matAggValues),
+      matAggMinMax = env.get("GRAFT_MATAGG_MINMAX")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(base.matAggMinMax),
     )
   }
 

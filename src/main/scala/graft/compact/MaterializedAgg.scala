@@ -26,17 +26,28 @@ import org.apache.spark.sql.functions._
   * exact mean/variance derive downstream (var = sumsq/cnt −
   * (sum/cnt)²; integral inputs subtract exactly — and `sumSqWide`
   * squares through DECIMAL(38,0) for magnitudes where a long sum of
-  * squares would wrap). min/max are
-  * deliberately NOT maintained: they are only a semigroup (no
-  * inverse), so a file removal would force a rescan — the caller who
-  * needs them re-aggregates or keeps them advisory via the stats
-  * sidecars' per-file intervals.
+  * squares would wrap).
+  *
+  * min/max (`minMax` columns) are only a SEMIGROUP — no inverse, so
+  * the ⊕/⊖ trick cannot delete through them. They are maintained the
+  * textbook IVM way instead: a per-(file, group) PARTIALS table rides
+  * along with the state. A removal drops the removed files' partial
+  * rows (a metadata anti-join — no data read); an arrival aggregates
+  * only the added files; the state's min/max re-fold from the partials
+  * table, which is metadata-scale (≤ live-files × groups-per-file
+  * rows, and compaction collapses the file factor as a side effect of
+  * its normal job). Still O(delta) DATA read per refresh; the refold
+  * itself scans the partials parquet, never the leaf.
   *
   * State layout at `aggPath` (the versioned-pointer discipline of
   * [[graft.operators.IvfStore]] / the manifest `_head`):
   *
   *   - `aggPath/state-<seq>/` — parquet: keys…, `cnt`, `sum_<v>`…
-  *     aggregated as of leaf commit `<seq>`;
+  *     (+ `min_<v>`/`max_<v>` when maintained) aggregated as of leaf
+  *     commit `<seq>`;
+  *   - `aggPath/partials-<seq>/` — per-(file, group) min/max partial
+  *     rows (only when `minMax` is non-empty), written inside the same
+  *     seal so state and partials can never be seen torn;
   *   - `aggPath/files-<seq>` — the exact live-file list the state
   *     aggregates, one path per line. The refresh delta is the set-diff
   *     of this list against the CURRENT live set — deliberately NOT a
@@ -121,6 +132,56 @@ object MaterializedAgg {
     if (files.isEmpty) None
     else Some(aggOfDf(spark.read.option("mergeSchema", "true").parquet(files: _*), keys, values, sumSq, sumSqWide))
 
+  /** Read `files` with the source path attached per row (`_file`, from
+    * the `_metadata` hidden column — resolved at the scan, no UDF).
+    * Inert for the cnt/sum pass (aggOfDf groups by keys only); the
+    * min/max partials group on it.
+    *
+    * `_metadata.file_path` is the fs-QUALIFIED form (`file:/…`,
+    * `s3a://bucket/…`), while the manifest's live list carries the
+    * caller's spelling — every path that meets a `_file` column goes
+    * through [[qualified]] first or set algebra silently misses.
+    */
+  private def readWithFile(spark: SparkSession, files: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .withColumn("_file", col("_metadata.file_path"))
+
+  /** The canonical (fs-qualified) spelling of `p` — the one
+    * `_metadata.file_path` rows carry.
+    */
+  private def qualified(spark: SparkSession, p: String): String = {
+    val path = new Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(path).toString
+  }
+
+  private def mmCols(minMax: Seq[String]): Seq[String] =
+    minMax.flatMap(v => Seq(s"min_$v", s"max_$v"))
+
+  /** Per-(file, group) min/max partials — the deletable unit. */
+  private def partialsOf(df: DataFrame, keys: Seq[String], minMax: Seq[String]): DataFrame = {
+    val aggs = minMax.flatMap(v => Seq(min(col(v)).as(s"min_$v"), max(col(v)).as(s"max_$v")))
+    df.groupBy((col("_file") +: keys.map(col)): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Re-fold the partials table to per-group min/max — a scan of the
+    * metadata-scale partials parquet, never of the leaf.
+    */
+  private def foldPartials(partials: DataFrame, keys: Seq[String], minMax: Seq[String]): DataFrame = {
+    val aggs = minMax.flatMap(v =>
+      Seq(min(col(s"min_$v")).as(s"min_$v"), max(col(s"max_$v")).as(s"max_$v")))
+    partials.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Attach the partials refold to the cnt/sum state. FULL OUTER, not
+    * inner: the two sides are both exactly the live group set by
+    * construction, so a key on one side only is a maintenance bug —
+    * an inner join would swallow it silently (the silent-drop class);
+    * the outer join surfaces it as a null that seal's non-null guard
+    * turns into a loud failure.
+    */
+  private def joinMinMax(sums: DataFrame, fold: DataFrame, keys: Seq[String]): DataFrame =
+    sums.join(fold, keys, "full_outer")
+
   /** A widened state must keep widening on refresh (and vice versa):
     * a LONG delta merged into a DECIMAL state would re-open the exact
     * overflow window the flag closed. Loud, like the schema guard.
@@ -169,16 +230,59 @@ object MaterializedAgg {
       state: DataFrame,
       files: Seq[String],
       maxGroups: Long,
+      partials: Option[DataFrame] = None,
+      requireNonNull: Seq[String] = Nil,
   ): Unit = {
     val fs = fsOf(spark, aggPath)
     state.write.mode("overwrite").parquet(stateDir(aggPath, seq))
-    val n = spark.read.parquet(stateDir(aggPath, seq)).count()
-    if (n > maxGroups) {
+    def dropUnsealed(): Unit = {
       try fs.delete(new Path(stateDir(aggPath, seq)), true) catch { case _: Throwable => () }
+      ()
+    }
+    val written = spark.read.parquet(stateDir(aggPath, seq))
+    val n = written.count()
+    if (n > maxGroups) {
+      dropUnsealed()
       throw new GroupExplosionException(
         s"materialized state has $n groups > maxGroups=$maxGroups — " +
           "the key set approaches the data itself; aggregate coarser keys or raise maxGroups",
       )
+    }
+    // the minMax full-outer join's tripwire: a null in cnt or a min/max
+    // column means the cnt/sum merge and the partials refold disagreed
+    // on the live group set — corrupt state must not seal
+    if (requireNonNull.nonEmpty) {
+      val bad = written.where(requireNonNull.map(c => col(c).isNull).reduce(_ || _)).count()
+      if (bad > 0) {
+        dropUnsealed()
+        throw new IllegalStateException(
+          s"materialized state at $aggPath seq=$seq has $bad rows with null in " +
+            s"${requireNonNull.mkString("/")} — cnt/sum merge and min/max partials disagree on the group set",
+        )
+      }
+    }
+    partials.foreach { p =>
+      p.write.mode("overwrite").parquet(s"$aggPath/partials-$seq")
+      // partials-coverage tripwire: the partials' file set must be
+      // EXACTLY the live set — a missed anti-join (e.g. a path-spelling
+      // drift between the manifest and _metadata.file_path) leaves
+      // stale partials whose refold serves a max that no longer exists,
+      // with every key present and non-null. cnt/sum can't catch it;
+      // this set compare does, for one distinct over a metadata-scale
+      // table per seal.
+      // (a live file absent from the partials is fine — a zero-row file
+      // has no groups; only the STALE direction can serve wrong answers)
+      val expect = files.map(qualified(spark, _)).toSet
+      val stale = spark.read.parquet(s"$aggPath/partials-$seq")
+        .select("_file").distinct().collect().map(_.getString(0)).toSet -- expect
+      if (stale.nonEmpty) {
+        dropUnsealed()
+        try fs.delete(new Path(s"$aggPath/partials-$seq"), true) catch { case _: Throwable => () }
+        throw new IllegalStateException(
+          s"partials at $aggPath seq=$seq carry ${stale.size} file(s) no longer live " +
+            s"(e.g. ${stale.take(3).mkString(", ")}) — their refold would resurrect dead rows; state not sealed",
+        )
+      }
     }
     val out = fs.create(new Path(s"$aggPath/files-$seq"), true)
     try out.write(files.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -186,8 +290,10 @@ object MaterializedAgg {
     fs.create(new Path(s"$aggPath/_agg-$seq"), false).close()
     fs.listStatus(new Path(aggPath)).foreach { st =>
       val n = st.getPath.getName
+      def olderDir(prefix: String) =
+        st.isDirectory && n.startsWith(prefix) && n.stripPrefix(prefix).toLongOption.exists(_ < seq)
       val old =
-        (st.isDirectory && n.startsWith("state-") && n.stripPrefix("state-").toLongOption.exists(_ < seq)) ||
+        olderDir("state-") || olderDir("partials-") ||
           (n.startsWith("files-") && n.stripPrefix("files-").toLongOption.exists(_ < seq)) ||
           PtrRe.findFirstMatchIn(n).exists(_.group(1).toLong < seq)
       if (old) { try fs.delete(st.getPath, true) catch { case _: Throwable => () }; () }
@@ -232,15 +338,39 @@ object MaterializedAgg {
       sumSq: Seq[String] = Nil,
       maxGroups: Long = DefaultMaxGroups,
       sumSqWide: Boolean = false,
+      minMax: Seq[String] = Nil,
   ): Long = {
     require(keys.nonEmpty, "at least one group-by key")
     val seq = ManifestCommit.currentSeq(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
-    val state = aggOf(spark, live, keys, values, sumSq, sumSqWide)
-      .getOrElse(throw new IllegalStateException(s"no live files under $leaf — nothing to materialize"))
-    seal(spark, aggPath, seq, state, live, maxGroups)
+    if (live.isEmpty)
+      throw new IllegalStateException(s"no live files under $leaf — nothing to materialize")
+    sealFull(spark, aggPath, seq, live, keys, values, sumSq, sumSqWide, minMax, maxGroups)
     seq
   }
+
+  /** Aggregate the whole live set and seal it (build + GC-fallback). */
+  private def sealFull(
+      spark: SparkSession,
+      aggPath: String,
+      seq: Long,
+      live: Seq[String],
+      keys: Seq[String],
+      values: Seq[String],
+      sumSq: Seq[String],
+      sumSqWide: Boolean,
+      minMax: Seq[String],
+      maxGroups: Long,
+  ): Unit =
+    if (minMax.isEmpty) {
+      val state = aggOf(spark, live, keys, values, sumSq, sumSqWide).get
+      seal(spark, aggPath, seq, state, live, maxGroups)
+    } else {
+      val base = readWithFile(spark, live)
+      val partials = partialsOf(base, keys, minMax)
+      val state = joinMinMax(aggOfDf(base, keys, values, sumSq, sumSqWide), foldPartials(partials, keys, minMax), keys)
+      seal(spark, aggPath, seq, state, live, maxGroups, Some(partials), "cnt" +: mmCols(minMax))
+    }
 
   /** Bring the state to the leaf's head: O(delta) when every removed
     * file is still readable, full rebuild otherwise. No-op when already
@@ -256,12 +386,13 @@ object MaterializedAgg {
       sumSq: Seq[String] = Nil,
       maxGroups: Long = DefaultMaxGroups,
       sumSqWide: Boolean = false,
+      minMax: Seq[String] = Nil,
   ): RefreshResult = {
     val fromSeq = stateSeq(spark, aggPath).getOrElse(
       throw new IllegalStateException(s"no sealed state at $aggPath — run build first"),
     )
     val expected =
-      (keys ++ Seq("cnt") ++ values.map(v => s"sum_$v") ++ sumSq.map(v => s"sumsq_$v")).toSet
+      (keys ++ Seq("cnt") ++ values.map(v => s"sum_$v") ++ sumSq.map(v => s"sumsq_$v") ++ mmCols(minMax)).toSet
     val state0 = spark.read.parquet(stateDir(aggPath, fromSeq))
     require(state0.columns.toSet == expected, s"state schema ${state0.columns.toSet} does not match keys/values $expected")
     checkSumSqWidth(state0, sumSq, sumSqWide)
@@ -275,18 +406,34 @@ object MaterializedAgg {
     val historyReadable = removed.forall(p => fs.exists(new Path(p)))
     if (!historyReadable) {
       // GC outran the state: the ⊖ term's inputs are gone — rebuild
-      val state = aggOf(spark, live, keys, values, sumSq, sumSqWide)
-        .getOrElse(throw new IllegalStateException(s"no live files under $leaf"))
-      seal(spark, aggPath, toSeq, state, live, maxGroups)
+      if (live.isEmpty) throw new IllegalStateException(s"no live files under $leaf")
+      sealFull(spark, aggPath, toSeq, live, keys, values, sumSq, sumSqWide, minMax, maxGroups)
       RefreshResult(toSeq, incremental = false)
     } else {
-      val old = spark.read.parquet(stateDir(aggPath, fromSeq))
-      val parts = Seq(
-        Some(old),
-        aggOf(spark, added, keys, values, sumSq, sumSqWide),
-        aggOf(spark, removed, keys, values, sumSq, sumSqWide).map(negate(_, keys)),
-      ).flatten
-      seal(spark, aggPath, toSeq, merge(parts, keys), live, maxGroups)
+      val old = state0.drop(mmCols(minMax): _*)
+      // the added files feed both the ⊕ term and the new partials —
+      // pin them so the delta is scanned once, not per consumer
+      val addedBase = if (added.nonEmpty) Some(readWithFile(spark, added).persist()) else None
+      try {
+        val parts = Seq(
+          Some(old),
+          addedBase.map(aggOfDf(_, keys, values, sumSq, sumSqWide)),
+          aggOf(spark, removed, keys, values, sumSq, sumSqWide).map(negate(_, keys)),
+        ).flatten
+        val sums = merge(parts, keys)
+        if (minMax.isEmpty) seal(spark, aggPath, toSeq, sums, live, maxGroups)
+        else {
+          import spark.implicits._
+          val oldPartials = spark.read.parquet(s"$aggPath/partials-$fromSeq")
+          val kept =
+            if (removed.isEmpty) oldPartials
+            else oldPartials.join(
+              broadcast(removed.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_anti")
+          val newPartials = addedBase.map(b => kept.unionByName(partialsOf(b, keys, minMax))).getOrElse(kept)
+          val state = joinMinMax(sums, foldPartials(newPartials, keys, minMax), keys)
+          seal(spark, aggPath, toSeq, state, live, maxGroups, Some(newPartials), "cnt" +: mmCols(minMax))
+        }
+      } finally addedBase.foreach { b => b.unpersist(); () }
       RefreshResult(toSeq, incremental = true)
     }
   }
@@ -299,6 +446,7 @@ object MaterializedAgg {
       sumSq: Seq[String] = Nil,
       maxGroups: Long = DefaultMaxGroups,
       sumSqWide: Boolean = false,
+      minMax: Seq[String] = Nil,
   )
 
   /** Refresh SEVERAL materialized aggregates of one leaf, reading each
@@ -319,19 +467,20 @@ object MaterializedAgg {
     val live = ManifestCommit.liveFiles(spark, leaf)
     val fs = FileIndexer.fsFor(spark, leaf)
     val cache = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
+    // _file rides along in every cached delta frame: inert for cnt/sum
+    // (aggOfDf groups by keys only), and it lets minMax specs derive
+    // their partials from the SAME pinned scan instead of re-reading
     def cachedRead(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(cache.getOrElseUpdate(
-        files,
-        spark.read.option("mergeSchema", "true").parquet(files: _*).persist(),
-      ))
+      else Some(cache.getOrElseUpdate(files, readWithFile(spark, files).persist()))
     try {
       specs.map { sp =>
         val fromSeq = stateSeq(spark, sp.aggPath).getOrElse(
           throw new IllegalStateException(s"no sealed state at ${sp.aggPath} — run build first"),
         )
         val expected =
-          (sp.keys ++ Seq("cnt") ++ sp.values.map(v => s"sum_$v") ++ sp.sumSq.map(v => s"sumsq_$v")).toSet
+          (sp.keys ++ Seq("cnt") ++ sp.values.map(v => s"sum_$v") ++
+            sp.sumSq.map(v => s"sumsq_$v") ++ mmCols(sp.minMax)).toSet
         val state0 = spark.read.parquet(stateDir(sp.aggPath, fromSeq))
         require(state0.columns.toSet == expected, s"state schema ${state0.columns.toSet} does not match spec $expected")
         checkSumSqWidth(state0, sp.sumSq, sp.sumSqWide)
@@ -344,18 +493,30 @@ object MaterializedAgg {
           // it (persisting a 100-TB leaf for one aggregation is the
           // opposite of the sharing this method exists for; only the
           // delta frames, bounded by the commit, are worth pinning)
-          val state = aggOf(spark, live, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)
-            .getOrElse(throw new IllegalStateException(s"no live files under $leaf"))
-          seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups)
+          if (live.isEmpty) throw new IllegalStateException(s"no live files under $leaf")
+          sealFull(spark, sp.aggPath, toSeq, live, sp.keys, sp.values, sp.sumSq, sp.sumSqWide, sp.minMax, sp.maxGroups)
           RefreshResult(toSeq, incremental = false)
         } else {
-          val old = spark.read.parquet(stateDir(sp.aggPath, fromSeq))
+          val old = state0.drop(mmCols(sp.minMax): _*)
           val parts = Seq(
             Some(old),
             cachedRead(added).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
             cachedRead(removed).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
           ).flatten
-          seal(spark, sp.aggPath, toSeq, merge(parts, sp.keys), live, sp.maxGroups)
+          val sums = merge(parts, sp.keys)
+          if (sp.minMax.isEmpty) seal(spark, sp.aggPath, toSeq, sums, live, sp.maxGroups)
+          else {
+            import spark.implicits._
+            val oldPartials = spark.read.parquet(s"${sp.aggPath}/partials-$fromSeq")
+            val kept =
+              if (removed.isEmpty) oldPartials
+              else oldPartials.join(
+                broadcast(removed.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_anti")
+            val newPartials = cachedRead(added)
+              .map(b => kept.unionByName(partialsOf(b, sp.keys, sp.minMax))).getOrElse(kept)
+            val state = joinMinMax(sums, foldPartials(newPartials, sp.keys, sp.minMax), sp.keys)
+            seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups, Some(newPartials), "cnt" +: mmCols(sp.minMax))
+          }
           RefreshResult(toSeq, incremental = true)
         }
       }

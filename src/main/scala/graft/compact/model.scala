@@ -158,6 +158,9 @@ final case class CompactorConfig(
     matAggRoot: Option[String] = None,
     matAggKeys: Seq[String] = Nil,
     matAggValues: Seq[String] = Nil,
+    // min/max columns maintained via the per-file partials table
+    // (MaterializedAgg's semigroup path — survives delete-rewrites)
+    matAggMinMax: Seq[String] = Nil,
     // Manifest mode: optimistic retries when the head-stamp tripwire
     // detects a concurrent same-seq writer. 0 (default) = the
     // reference's Forbid semantics — collide, roll back, fail loudly.

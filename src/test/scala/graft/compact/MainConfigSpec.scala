@@ -24,6 +24,7 @@ class MainConfigSpec extends AnyFunSuite with Matchers {
       "GRAFT_MATAGG_ROOT" -> "/agg",
       "GRAFT_MATAGG_KEYS" -> "k, tag",
       "GRAFT_MATAGG_VALUES" -> "amount",
+      "GRAFT_MATAGG_MINMAX" -> "amount, ts",
     ))
     cfg.targetFileBytes shouldBe (0.5 * (1L << 30)).toLong
     cfg.maxRowsPerFile shouldBe 500L
@@ -38,6 +39,7 @@ class MainConfigSpec extends AnyFunSuite with Matchers {
     cfg.matAggRoot shouldBe Some("/agg")
     cfg.matAggKeys shouldBe Seq("k", "tag")
     cfg.matAggValues shouldBe Seq("amount")
+    cfg.matAggMinMax shouldBe Seq("amount", "ts")
   }
 
   test("an empty environment yields exactly the defaults") {

@@ -390,4 +390,135 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     r.incremental shouldBe false // the ⊖ inputs are gone — rebuilt
     rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
   }
+
+  // ---------------- min/max via per-file partials ----------------
+
+  private def fullAggMM(leafPath: String) =
+    ManifestCommit.readLeaf(spark, leafPath)
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("amount")).as("sum_amount"),
+        org.apache.spark.sql.functions.min(col("amount")).as("min_amount"),
+        org.apache.spark.sql.functions.max(col("amount")).as("max_amount"),
+      )
+
+  private def mmRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "cnt", "sum_amount", "min_amount", "max_amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+  /** Publish a DELETE-WHERE shaped commit: the whole live set covered,
+    * one filtered rewrite added. The table-format layer supports
+    * arbitrary file-set commits; this is the one that makes min/max
+    * genuinely non-invertible (rows carrying the max disappear).
+    */
+  private def deleteWhereCommit(leaf: File, leafPath: String, stem: String, keepBelow: Long): Unit = {
+    val live = ManifestCommit.liveFiles(spark, leafPath)
+    val kept = ManifestCommit.readLeaf(spark, leafPath).where(col("amount") < keepBelow)
+    val n = kept.count()
+    val tmp = new File(leaf, s".tmp-$stem")
+    kept.coalesce(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val outName = s"$stem.parquet"
+    Files.move(part.toPath, new File(leaf, outName).toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    val rel = live.map(_.stripPrefix(leafPath + "/"))
+    ManifestCommit.publish(
+      FileIndexer.fsFor(spark, leafPath), leafPath, stem, s"run-$stem", rel, Seq(outName), n)
+  }
+
+  test("minMax refreshes through arrival, compaction, and a delete-rewrite — the max shrinks without a leaf rescan") {
+    val leaf = new File(root, "acct/source=mamm/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-mamm").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+    def refreshMM() =
+      MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+
+    writeFile(leaf, "a.parquet", 0L, 400L)
+    commit(leafPath, "m1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+
+    // arrival RAISES the max (the semigroup-friendly direction)
+    writeFile(leaf, "b.parquet", 400L, 900L)
+    commit(leafPath, "m2", abs("b.parquet"))
+    refreshMM().incremental shouldBe true
+    mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+
+    // compaction rewrites everything: partials collapse to the merged
+    // file's, the fold must net to the same min/max
+    commit(leafPath, "m3", ManifestCommit.liveFiles(spark, leafPath))
+    refreshMM().incremental shouldBe true
+    mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+
+    // delete-rewrite drops every amount >= 850: the max must SHRINK —
+    // the case no ⊕/⊖ trick survives; the partials anti-join + refold
+    // does, reading zero leaf data beyond the one added file
+    deleteWhereCommit(leaf, leafPath, "del", keepBelow = 850L)
+    refreshMM().incremental shouldBe true
+    val after = mmRows(MaterializedAgg.read(spark, aggPath))
+    after shouldBe mmRows(fullAggMM(leafPath))
+    after.map(_._5).max shouldBe 849L
+
+    // flag drift fails loudly both ways: a minMax state refreshed
+    // without minMax (and vice versa) would silently drop/misread cols
+    an[IllegalArgumentException] should be thrownBy
+      MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+
+    // exactly one sealed (state, partials, files, pointer) generation
+    val names = new File(aggPath).listFiles().map(_.getName)
+    names.count(_.startsWith("state-")) shouldBe 1
+    names.count(_.startsWith("partials-")) shouldBe 1
+    names.count(_.startsWith("files-")) shouldBe 1
+    names.count(_.startsWith("_agg-")) shouldBe 1
+  }
+
+  test("refreshAll maintains a minMax spec next to plain specs off the shared delta") {
+    val leaf = new File(root, "acct/source=mammall/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val p1 = new File(root, "agg-mmall1").getAbsolutePath
+    val p2 = new File(root, "agg-mmall2").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 300L)
+    commit(leafPath, "m1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, p1, Seq("k"), Seq("amount"))
+    MaterializedAgg.build(spark, leafPath, p2, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+
+    writeFile(leaf, "b.parquet", 300L, 700L)
+    commit(leafPath, "m2", abs("b.parquet"))
+    deleteWhereCommit(leaf, leafPath, "delall", keepBelow = 650L)
+
+    val rs = MaterializedAgg.refreshAll(spark, leafPath, Seq(
+      MaterializedAgg.AggSpec(p1, Seq("k"), Seq("amount")),
+      MaterializedAgg.AggSpec(p2, Seq("k"), Seq("amount"), minMax = Seq("amount")),
+    ))
+    rs.map(_.incremental) shouldBe Seq(true, true)
+    rows(MaterializedAgg.read(spark, p1)) shouldBe rows(fullAgg(leafPath))
+    mmRows(MaterializedAgg.read(spark, p2)) shouldBe mmRows(fullAggMM(leafPath))
+    mmRows(MaterializedAgg.read(spark, p2)).map(_._5).max shouldBe 649L
+  }
+
+  test("GC'd history forces a full minMax rebuild, still exact") {
+    val leaf = new File(root, "acct/source=mammgc/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-mammgc").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 300L)
+    commit(leafPath, "g1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+
+    val recorded = ManifestCommit.liveFiles(spark, leafPath)
+    commit(leafPath, "g2", recorded)
+    recorded.foreach(p => new File(p).delete())
+
+    val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    r.incremental shouldBe false
+    mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+  }
 }
