@@ -697,6 +697,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- the STREAMING form of mix_token_budget, oracled end to end:
+    // documents arrive as two micro-batches (split by doc_id parity —
+    // any arrival split works), each screened by
+    // DocumentStream.sampleToBudgetBatch against a persisted per-source
+    // taken-tokens state (versioned per batchId, replay-idempotent —
+    // MixBudgetStreamSpec covers the crash/replay matrix; this query
+    // certifies the VALUES). Within a batch the take-while runs in md5
+    // order from the carried offset; across batches only KEPT tokens
+    // carry, so a source's budget can re-open for smaller late docs.
+    // The oracle replays both batches as chained window CTEs.
+    Q(
+      "mix_token_budget_stream",
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+        |                  doc_id % 2 AS batch
+        |           FROM documents),
+        |c1 AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM t WHERE batch = 0),
+        |k1 AS (SELECT * FROM c1 WHERE cum <= 450),
+        |taken AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t0 FROM k1 GROUP BY source),
+        |c2 AS (SELECT t.*, COALESCE(tk.t0, 0) +
+        |              CAST(sum(n_tok) OVER (PARTITION BY t.source ORDER BY h, doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM t LEFT JOIN taken tk ON t.source = tk.source
+        |       WHERE t.batch = 1),
+        |k2 AS (SELECT * FROM c2 WHERE cum <= 450)
+        |SELECT doc_id, source, n_tok, cum FROM k1
+        |UNION ALL SELECT doc_id, source, n_tok, cum FROM k2
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val statePath = java.nio.file.Files.createTempDirectory("mix-stream-q").toFile.getAbsolutePath
+      val docs = Tables.documents(s, d)
+      val b0 = docs.where(col("doc_id") % 2 === 0)
+      val b1 = docs.where(col("doc_id") % 2 === 1)
+      val k1 = graft.streaming.DocumentStream
+        .sampleToBudgetBatch(b0, statePath, 0L, defaultBudget = 450L)
+      val k2 = graft.streaming.DocumentStream
+        .sampleToBudgetBatch(b1, statePath, 1L, defaultBudget = 450L)
+      k1.unionByName(k2).orderBy("doc_id")
+    },
+
     // ----- balanced shard export: assign docs to 4 training shards,
     // balancing token mass, deterministically. Within each source, docs
     // order by token count DESC (ties by doc_id) and deal out in snake

@@ -343,4 +343,95 @@ object DocumentStream {
       ()
     }
   }
+
+  /** Streaming form of `mix_token_budget`: a `foreachBatch` body that
+    * takes each micro-batch's documents per source, in seeded md5
+    * order, until that source's cumulative TOKEN budget is exhausted —
+    * with the cumulative counts carried ACROSS batches in a tiny
+    * persisted state table, so the stream converges on exactly the
+    * mixture the batch query would select over the same arrivals.
+    *
+    * Replay-safety is by construction, not by locking: the state is
+    * versioned per batchId (`state-<b>` + `_mix-<b>` marker sealed
+    * last), and batch b ALWAYS computes from the newest sealed state
+    * STRICTLY BELOW b. foreachBatch replays only the last uncommitted
+    * batch, so a replay re-reads the same predecessor, re-derives the
+    * same selection (md5 order is a pure function of the batch), and
+    * idempotently overwrites its own outputs — every crash window
+    * (before the selection write, between selection and state, between
+    * state and marker, after the marker) lands on the same answer.
+    * States two generations back are reclaimed after the seal.
+    *
+    * The selection materializes to a hidden `.sel-<b>` dir (the
+    * [[screenAndAbsorbBatch]] discipline — executor disk, never a
+    * driver collect) and the returned frame reads it; consume it
+    * inside the same foreachBatch body. Budget lookups and the
+    * carried-counts join are broadcasts of source-cardinality tables;
+    * the only batch shuffle is the per-source cumulative-sum window —
+    * the batch query's plan, per micro-batch.
+    */
+  def sampleToBudgetBatch(
+      batchDocs: DataFrame,
+      statePath: String,
+      batchId: Long,
+      budgets: Map[String, Long] = Map.empty,
+      defaultBudget: Long = Long.MaxValue,
+  ): DataFrame = {
+    val spark = batchDocs.sparkSession
+    import spark.implicits._
+    val base = new org.apache.hadoop.fs.Path(statePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(base)
+    val MarkRe = "_mix-(\\d+)".r
+    val sealedIds = fs.listStatus(base)
+      .flatMap(e => MarkRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
+    val pred = sealedIds.filter(_ < batchId).sorted.lastOption
+    val prev = pred match {
+      case Some(p) => spark.read.parquet(s"$statePath/state-$p")
+      case None    => Seq.empty[(String, Long)].toDF("source", "taken")
+    }
+    val budgetDf =
+      if (budgets.isEmpty) None
+      else Some(broadcast(budgets.toSeq.toDF("source", "budget")))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val scored0 = batchDocs.select(
+      col("doc_id"),
+      col("source"),
+      size(split(col("text"), " ")).as("n_tok"),
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("h"),
+    )
+      .join(broadcast(prev.withColumnRenamed("taken", "taken0")), Seq("source"), "left")
+    val withBudget = budgetDf match {
+      case Some(b) => scored0.join(b, Seq("source"), "left")
+        .withColumn("budget", coalesce(col("budget"), lit(defaultBudget)))
+      case None => scored0.withColumn("budget", lit(defaultBudget))
+    }
+    val scored = withBudget
+      .withColumn("cum", sum("n_tok").over(wCum) + coalesce(col("taken0"), lit(0L)))
+    val selPath = s"$statePath/.sel-$batchId"
+    scored.where(col("cum") <= col("budget"))
+      .select("doc_id", "source", "n_tok", "cum")
+      .write.mode("overwrite").parquet(selPath)
+    val kept = spark.read.schema("doc_id LONG, source STRING, n_tok INT, cum LONG").parquet(selPath)
+    val advanced = prev.as("p")
+      .join(kept.groupBy("source").agg(sum("n_tok").as("add")).as("a"), Seq("source"), "full_outer")
+      .select(col("source"), (coalesce(col("taken"), lit(0L)) + coalesce(col("add"), lit(0L))).as("taken"))
+    advanced.write.mode("overwrite").parquet(s"$statePath/state-$batchId")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/_mix-$batchId")))
+      fs.create(new org.apache.hadoop.fs.Path(s"$statePath/_mix-$batchId"), false).close()
+    // reclaim everything older than the predecessor: a replay of b only
+    // ever needs pred's state; pred itself stays until b+1 seals
+    sealedIds.filter(id => pred.exists(id < _)).foreach { id =>
+      try {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/state-$id"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/_mix-$id"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/.sel-$id"), true)
+        ()
+      } catch { case _: Throwable => () }
+    }
+    kept
+  }
 }
