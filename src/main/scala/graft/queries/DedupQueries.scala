@@ -899,6 +899,58 @@ object DedupQueries {
         )
         .orderBy("doc_id")
     },
+
+    // ----- decontaminated train/eval split: the leakage check every
+    // benchmark split needs. Docs split 90/10 by md5 bucket; an eval
+    // doc is LEAKY when it shares a MinHash LSH band with ANY train
+    // doc (a near-duplicate of training data inflates eval scores —
+    // the reverse direction of text_decontaminate, which protects the
+    // train side from the benchmark). One shared shingle/minhash pass
+    // covers both splits; the leak probe is a band-keyed semi-join —
+    // eval×train candidates only where signatures collide, never
+    // all-pairs, so it scales exactly like dedup_minhash_cross.
+    // Short docs (<3 words, no shingles) cannot leak and pass clean.
+    Q(
+      "split_decontaminated",
+      s"""WITH $shinglesSqlCte,
+         |${minhashBandsSqlCte(4)},
+         |bk AS (SELECT doc_id,
+         |              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+         |       FROM documents),
+         |wb AS (SELECT b.doc_id, b.band, b.sig, bk.bucket
+         |       FROM bands b JOIN bk ON b.doc_id = bk.doc_id),
+         |leak AS (SELECT DISTINCT e.doc_id
+         |         FROM wb e JOIN wb t ON e.band = t.band AND e.sig = t.sig
+         |         WHERE e.bucket = 0 AND t.bucket <> 0)
+         |SELECT d.doc_id, d.source,
+         |       CAST(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS leaky
+         |FROM documents d
+         |JOIN bk ON d.doc_id = bk.doc_id
+         |LEFT JOIN leak l ON d.doc_id = l.doc_id
+         |WHERE bk.bucket = 0
+         |ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bucket =
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10")
+      val withB = minhashBands(s, docs)
+        .join(docs.select(col("doc_id"), bucket.as("bucket")), "doc_id")
+      val leak = withB.where(col("bucket") === 0).as("e")
+        .join(
+          withB.where(col("bucket") =!= 0).as("t"),
+          col("e.band") === col("t.band") && col("e.sig") === col("t.sig"),
+          "left_semi",
+        )
+        .select(col("doc_id")).distinct()
+      docs.withColumn("bucket", bucket)
+        .where(col("bucket") === 0)
+        .join(leak.withColumnRenamed("doc_id", "ld"), col("doc_id") === col("ld"), "left")
+        .select(
+          col("doc_id"), col("source"),
+          when(col("ld").isNull, 0).otherwise(1).cast("int").as("leaky"),
+        )
+        .orderBy("doc_id")
+    },
   )
 
   /** Shared SimHash fingerprint pipeline (doc_id, simhash BIGINT):

@@ -463,6 +463,41 @@ object SimilarityQueries {
         .orderBy("qid", "pick")
     },
 
+    // ----- semi-hard negative mining (Schroff et al., FaceNet 2015 /
+    // dense-retrieval training sets): for each query, the most-similar
+    // items of a DIFFERENT label, capped below a near-dup ceiling —
+    // negatives similar enough to teach the margin, filtered of
+    // probable mislabels (sim >= 0.95 is near-dup territory, the
+    // classic false-negative trap). Same distributed shape as
+    // ann_knn_join (one scan, broadcast queries, WindowGroupLimit
+    // top-k); the label filter and ceiling ride the join condition so
+    // pruned pairs never reach the heap. Fully ORACLED.
+    Q(
+      "mine_hard_negatives",
+      s"""WITH $vecsSqlCte,
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM v WHERE vec_id < 5),
+         |sc AS (SELECT q.qid, v.vec_id, v.label, ${cosineSql("v.v", "q.qv")} AS sim
+         |       FROM v CROSS JOIN q
+         |       WHERE v.label <> q.qlabel AND ${cosineSql("v.v", "q.qv")} < 0.95),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY sim DESC, vec_id) AS rn FROM sc)
+         |SELECT qid, vec_id, label, round(sim, 6) AS sim
+         |FROM r WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin,
+    ) { (s, d) =>
+      val e = vecs(s, d)
+      val q = broadcast(
+        e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv")),
+      )
+      val wTop = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+      e.join(q, col("label") =!= col("qlabel") && cosine("v", "qv") < 0.95)
+        .withColumn("sim", cosine("v", "qv"))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "vec_id")
+    },
+
     // ----- graph-index ANN (NSW, the single-layer HNSW core): per-
     // partition navigable-small-world graphs built and searched inside
     // mapPartitions, broadcast query batch, WindowGroupLimit top-k
