@@ -205,6 +205,24 @@ object PipelineQueries {
       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
       |       FROM ws)""".stripMargin
 
+  /** Snake (serpentine) shard assignment over a `(doc_id, source,
+    * n_tok)` frame: within each source, rows order by token count DESC
+    * (ties by doc_id) and deal out 0..S-1 then S-1..0. Adds `shard`.
+    * Balance contract (SelectionWitnessSpec): per source, shard row
+    * counts differ by <= 1 by construction, and token sums stay within
+    * one largest item of each other — the sorted-serpentine bound.
+    */
+  private[graft] def snakeShards(df: org.apache.spark.sql.DataFrame, nShards: Int): org.apache.spark.sql.DataFrame = {
+    val cycle = 2 * nShards
+    val wPos = Window.partitionBy("source").orderBy(desc("n_tok"), col("doc_id"))
+    df.withColumn("pos", row_number().over(wPos) - 1)
+      .withColumn(
+        "shard",
+        when(pmod(col("pos"), lit(cycle)) < nShards, pmod(col("pos"), lit(cycle)))
+          .otherwise(lit(cycle - 1) - pmod(col("pos"), lit(cycle))).cast("int"),
+      )
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ----- benchmark decontamination: which training documents share
@@ -762,15 +780,11 @@ object PipelineQueries {
         |       CAST(CASE WHEN pos % 8 < 4 THEN pos % 8 ELSE 7 - (pos % 8) END AS INTEGER) AS shard
         |FROM r ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      val wPos = Window.partitionBy("source").orderBy(desc("n_tok"), col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n_tok"))
-        .withColumn("pos", row_number().over(wPos) - 1)
-        .withColumn(
-          "shard",
-          when(pmod(col("pos"), lit(8)) < 4, pmod(col("pos"), lit(8)))
-            .otherwise(lit(7) - pmod(col("pos"), lit(8))).cast("int"),
-        )
+      snakeShards(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n_tok")),
+        nShards = 4,
+      )
         .select("doc_id", "source", "n_tok", "shard")
         .orderBy("doc_id")
     },
