@@ -88,8 +88,24 @@ object Compactor {
       cfg.matAggRoot.foreach { aggRoot =>
         val aggPath = MaterializedAgg.pathFor(aggRoot, leaf)
         if (MaterializedAgg.exists(spark, aggPath))
-          MaterializedAgg.refresh(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
-            minMax = cfg.matAggMinMax)
+          try
+            MaterializedAgg.refresh(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
+              minMax = cfg.matAggMinMax)
+          catch {
+            // refresh's schema/flag guards throw IllegalArgumentException
+            // when the CONFIG drifted from the sealed state (keys/values
+            // changed, minMax or sumSqWide toggled). In the run loop the
+            // config is the contract — a guard that only ever landed in
+            // the maintenance catch-all would freeze the aggregate at
+            // the pre-toggle commit forever. Rebuild under the new
+            // shape instead; direct refresh() callers still get the
+            // loud failure.
+            case e: IllegalArgumentException =>
+              System.err.println(
+                s"[compact] matagg spec drift on $leaf (${e.getMessage}); rebuilding under the configured shape")
+              MaterializedAgg.build(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
+                minMax = cfg.matAggMinMax)
+          }
         else
           MaterializedAgg.build(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
             minMax = cfg.matAggMinMax)

@@ -154,8 +154,23 @@ object MaterializedAgg {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(path).toString
   }
 
+  /** The state columns the minMax machinery owns: min/max per value
+    * plus the `_pc` presence count (see [[foldPartials]]).
+    */
   private def mmCols(minMax: Seq[String]): Seq[String] =
+    if (minMax.isEmpty) Nil
+    else mmColsOnly(minMax) :+ "_pc"
+
+  /** Just the min/max columns — the partials table's value schema. */
+  private def mmColsOnly(minMax: Seq[String]): Seq[String] =
     minMax.flatMap(v => Seq(s"min_$v", s"max_$v"))
+
+  /** What the drift tripwire may check for nulls: presence indicators
+    * only — never the min/max values, which are legitimately NULL for
+    * an all-null-value group.
+    */
+  private def driftCols(minMax: Seq[String]): Seq[String] =
+    if (minMax.isEmpty) Nil else Seq("cnt", "_pc")
 
   /** Per-(file, group) min/max partials — the deletable unit. */
   private def partialsOf(df: DataFrame, keys: Seq[String], minMax: Seq[String]): DataFrame = {
@@ -164,23 +179,36 @@ object MaterializedAgg {
   }
 
   /** Re-fold the partials table to per-group min/max — a scan of the
-    * metadata-scale partials parquet, never of the leaf.
+    * metadata-scale partials parquet, never of the leaf. `_pc` counts
+    * the folded partial rows: it is the PRESENCE indicator the drift
+    * tripwire checks, because min/max themselves are legitimately NULL
+    * for a group whose values are all null (Spark's min/max skip
+    * nulls) — a null min must never read as "group missing".
     */
   private def foldPartials(partials: DataFrame, keys: Seq[String], minMax: Seq[String]): DataFrame = {
     val aggs = minMax.flatMap(v =>
-      Seq(min(col(s"min_$v")).as(s"min_$v"), max(col(s"max_$v")).as(s"max_$v")))
+      Seq(min(col(s"min_$v")).as(s"min_$v"), max(col(s"max_$v")).as(s"max_$v"))) :+
+      count(lit(1)).as("_pc")
     partials.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Attach the partials refold to the cnt/sum state. FULL OUTER, not
-    * inner: the two sides are both exactly the live group set by
-    * construction, so a key on one side only is a maintenance bug —
-    * an inner join would swallow it silently (the silent-drop class);
-    * the outer join surfaces it as a null that seal's non-null guard
-    * turns into a loud failure.
+  /** Attach the partials refold to the cnt/sum state. FULL OUTER on
+    * NULL-SAFE key equality, not inner-on-equals: the two sides are
+    * both exactly the live group set by construction, so a key on one
+    * side only is a maintenance bug — an inner join would swallow it
+    * silently (the silent-drop class), and a plain-equality join would
+    * split a legitimate NULL-key group into two half rows and fake
+    * that very bug. The outer join surfaces real drift as a null
+    * cnt/_pc that seal's guard turns into a loud failure.
     */
-  private def joinMinMax(sums: DataFrame, fold: DataFrame, keys: Seq[String]): DataFrame =
-    sums.join(fold, keys, "full_outer")
+  private def joinMinMax(sums: DataFrame, fold: DataFrame, keys: Seq[String]): DataFrame = {
+    val f = fold.select(fold.columns.map(c => col(c).as(if (keys.contains(c)) s"_k_$c" else c)).toSeq: _*)
+    val cond = keys.map(k => sums(k) <=> f(s"_k_$k")).reduce(_ && _)
+    val sumVals = sums.columns.filterNot(keys.contains)
+    val foldVals = f.columns.filterNot(c => c.startsWith("_k_"))
+    sums.join(f, cond, "full_outer")
+      .select((keys.map(k => coalesce(sums(k), f(s"_k_$k")).as(k)) ++ (sumVals ++ foldVals).map(col)).toSeq: _*)
+  }
 
   /** A widened state must keep widening on refresh (and vice versa):
     * a LONG delta merged into a DECIMAL state would re-open the exact
@@ -287,7 +315,14 @@ object MaterializedAgg {
     val out = fs.create(new Path(s"$aggPath/files-$seq"), true)
     try out.write(files.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.create(new Path(s"$aggPath/_agg-$seq"), false).close()
+    // created LAST (crash discipline); create-if-absent so a REBUILD at
+    // an unchanged head seq (spec-drift fallback, operator re-run with
+    // no new commits) is idempotent rather than a pointer collision —
+    // the state dir was already rewritten above, the pointer just
+    // re-seals it. Single-maintainer model: this store has no
+    // concurrent-writer tripwire (unlike the manifest _head).
+    if (!fs.exists(new Path(s"$aggPath/_agg-$seq")))
+      fs.create(new Path(s"$aggPath/_agg-$seq"), false).close()
     fs.listStatus(new Path(aggPath)).foreach { st =>
       val n = st.getPath.getName
       def olderDir(prefix: String) =
@@ -366,10 +401,35 @@ object MaterializedAgg {
       val state = aggOf(spark, live, keys, values, sumSq, sumSqWide).get
       seal(spark, aggPath, seq, state, live, maxGroups)
     } else {
-      val base = readWithFile(spark, live)
-      val partials = partialsOf(base, keys, minMax)
-      val state = joinMinMax(aggOfDf(base, keys, values, sumSq, sumSqWide), foldPartials(partials, keys, minMax), keys)
-      seal(spark, aggPath, seq, state, live, maxGroups, Some(partials), "cnt" +: mmCols(minMax))
+      // ONE leaf scan: a combined per-(file, group) partial carries
+      // cnt/sums/sumsqs alongside min/max, persists (it is
+      // metadata-scale — never the leaf, which must not be cached),
+      // and BOTH the state fold and the partials write read the cached
+      // result. Folding sums from per-file partial sums is exact for
+      // integral inputs; float sums reassociate (the documented FP
+      // caveat, same class as any distributed sum).
+      def sq(v: String) =
+        if (sumSqWide) {
+          val dc = col(v).cast(org.apache.spark.sql.types.DecimalType(19, 0))
+          sum(dc * dc).as(s"sumsq_$v")
+        } else sum(col(v) * col(v)).as(s"sumsq_$v")
+      val perFileAggs = (count(lit(1)).as("cnt") +:
+        (values.map(v => sum(col(v)).as(s"sum_$v")) ++ sumSq.map(sq))) ++
+        minMax.flatMap(v => Seq(min(col(v)).as(s"min_$v"), max(col(v)).as(s"max_$v")))
+      val perFile = readWithFile(spark, live)
+        .groupBy((col("_file") +: keys.map(col)).toSeq: _*)
+        .agg(perFileAggs.head, perFileAggs.tail: _*)
+        .persist()
+      try {
+        val stateAggs = (sum(col("cnt")).as("cnt") +:
+          (values.map(v => sum(col(s"sum_$v")).as(s"sum_$v")) ++
+            sumSq.map(v => sum(col(s"sumsq_$v")).as(s"sumsq_$v")))) ++
+          (minMax.flatMap(v => Seq(min(col(s"min_$v")).as(s"min_$v"), max(col(s"max_$v")).as(s"max_$v"))) :+
+            count(lit(1)).as("_pc"))
+        val state = perFile.groupBy(keys.map(col).toSeq: _*).agg(stateAggs.head, stateAggs.tail: _*)
+        val partials = perFile.select((col("_file") +: keys.map(col)) ++ mmColsOnly(minMax).map(col): _*)
+        seal(spark, aggPath, seq, state, live, maxGroups, Some(partials), driftCols(minMax))
+      } finally { perFile.unpersist(); () }
     }
 
   /** Bring the state to the leaf's head: O(delta) when every removed
@@ -431,7 +491,7 @@ object MaterializedAgg {
               broadcast(removed.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_anti")
           val newPartials = addedBase.map(b => kept.unionByName(partialsOf(b, keys, minMax))).getOrElse(kept)
           val state = joinMinMax(sums, foldPartials(newPartials, keys, minMax), keys)
-          seal(spark, aggPath, toSeq, state, live, maxGroups, Some(newPartials), "cnt" +: mmCols(minMax))
+          seal(spark, aggPath, toSeq, state, live, maxGroups, Some(newPartials), driftCols(minMax))
         }
       } finally addedBase.foreach { b => b.unpersist(); () }
       RefreshResult(toSeq, incremental = true)
@@ -515,7 +575,7 @@ object MaterializedAgg {
             val newPartials = cachedRead(added)
               .map(b => kept.unionByName(partialsOf(b, sp.keys, sp.minMax))).getOrElse(kept)
             val state = joinMinMax(sums, foldPartials(newPartials, sp.keys, sp.minMax), sp.keys)
-            seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups, Some(newPartials), "cnt" +: mmCols(sp.minMax))
+            seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups, Some(newPartials), driftCols(sp.minMax))
           }
           RefreshResult(toSeq, incremental = true)
         }
@@ -525,11 +585,14 @@ object MaterializedAgg {
     }
   }
 
-  /** The current materialized aggregate. */
+  /** The current materialized aggregate. `_pc` (the minMax drift
+    * tripwire's internal presence count) is maintenance state, not a
+    * consumer column — dropped here.
+    */
   def read(spark: SparkSession, aggPath: String): DataFrame = {
     val seq = stateSeq(spark, aggPath).getOrElse(
       throw new IllegalStateException(s"no sealed state at $aggPath"),
     )
-    spark.read.parquet(stateDir(aggPath, seq))
+    spark.read.parquet(stateDir(aggPath, seq)).drop("_pc")
   }
 }

@@ -347,9 +347,17 @@ object DocumentStream {
   /** Streaming form of `mix_token_budget`: a `foreachBatch` body that
     * takes each micro-batch's documents per source, in seeded md5
     * order, until that source's cumulative TOKEN budget is exhausted —
-    * with the cumulative counts carried ACROSS batches in a tiny
-    * persisted state table, so the stream converges on exactly the
-    * mixture the batch query would select over the same arrivals.
+    * with the KEPT-token counts carried ACROSS batches in a tiny
+    * persisted state table. The contract is a take-while PER BATCH
+    * from the carried offset, NOT equality with the batch query over
+    * the union of arrivals: within a batch, skipped docs' tokens still
+    * block everything after them (cum is monotone), but they do not
+    * carry forward — so a budget a large early doc couldn't fit can
+    * re-open for a smaller doc in a later batch, which the one-shot
+    * batch query (whose cum includes every skipped doc) would reject.
+    * That re-opening is deliberate: a stream must not let one oversized
+    * document permanently close a source. `mix_token_budget_stream`
+    * oracles the exact two-batch semantics.
     *
     * Replay-safety is by construction, not by locking: the state is
     * versioned per batchId (`state-<b>` + `_mix-<b>` marker sealed

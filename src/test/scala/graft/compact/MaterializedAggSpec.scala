@@ -502,6 +502,116 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     mmRows(MaterializedAgg.read(spark, p2)).map(_._5).max shouldBe 649L
   }
 
+  test("minMax is exact over NULL group keys and all-null value groups — no false corruption trips") {
+    val s = spark
+    import s.implicits._
+    val leaf = new File(root, "acct/source=mamnull/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-mamnull").getAbsolutePath
+    // k NULL for every 5th id (a legitimate null-key group); amount NULL
+    // for the whole k=9 group (min/max legitimately NULL there)
+    def writeNullable(name: String, lo: Long, hi: Long): Unit = {
+      val tmp = new File(leaf, s".tmp-$name")
+      (lo until hi).map { i =>
+        val k = if (i % 5 == 0) None else Some(i % 3)
+        val amount = if (k.contains(2L)) None else Some(i)
+        (k, amount)
+      }.toDF("k", "amount").coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new File(leaf, name).toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      ()
+    }
+    def truth() = ManifestCommit.readLeaf(spark, leafPath)
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("amount")).as("sum_amount"),
+        org.apache.spark.sql.functions.min(col("amount")).as("min_amount"),
+        org.apache.spark.sql.functions.max(col("amount")).as("max_amount"),
+      )
+    def optRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "cnt", "sum_amount", "min_amount", "max_amount").collect()
+        .map(r => (0 until 5).map(i => Option(r.get(i))).toList).toSet
+
+    writeNullable("a.parquet", 0L, 200L)
+    commit(leafPath, "n1", Seq(s"$leafPath/a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    optRows(MaterializedAgg.read(spark, aggPath)) shouldBe optRows(truth())
+    // the all-null-value group really is in the state, with NULL min/max
+    val nullMm = MaterializedAgg.read(spark, aggPath).where(col("k") === 2)
+      .select("min_amount", "max_amount").collect()
+    nullMm should have length 1
+    nullMm.head.isNullAt(0) shouldBe true
+
+    // arrival + delete-rewrite still exact through the null-safe join
+    writeNullable("b.parquet", 200L, 500L)
+    commit(leafPath, "n2", Seq(s"$leafPath/b.parquet"))
+    MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+      .incremental shouldBe true
+    optRows(MaterializedAgg.read(spark, aggPath)) shouldBe optRows(truth())
+    deleteWhereCommit(leaf, leafPath, "ndel", keepBelow = 400L)
+    MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+      .incremental shouldBe true
+    optRows(MaterializedAgg.read(spark, aggPath)) shouldBe optRows(truth())
+  }
+
+  test("a rebuild at an unchanged head seq re-seals idempotently (spec-drift fallback path)") {
+    val leaf = new File(root, "acct/source=mareseal/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-mareseal").getAbsolutePath
+    writeFile(leaf, "a.parquet", 0L, 200L)
+    commit(leafPath, "r1", Seq(s"$leafPath/a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    // same head, new shape: the pointer already exists — build must
+    // overwrite the state and re-seal, not collide
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+    val names = new File(aggPath).listFiles().map(_.getName)
+    names.count(_.startsWith("state-")) shouldBe 1
+    names.count(_.startsWith("_agg-")) shouldBe 1
+  }
+
+  test("Compactor lifecycle rebuilds under a toggled matAggMinMax instead of freezing the aggregate") {
+    val lcRoot = new File(root, "lcmm")
+    val leaf = new File(lcRoot, "acct/source=mamlc/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggRoot = new File(root, "agg-mamlc").getAbsolutePath
+    val base = cfg.copy(
+      retainSuperseded = false,
+      matAggRoot = Some(aggRoot),
+      matAggKeys = Seq("k"),
+      matAggValues = Seq("amount"),
+    )
+    val staleMs = java.sql.Timestamp.valueOf("2020-01-01 00:00:00").getTime
+    def staleAll(): Unit =
+      leaf.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach { f => f.setLastModified(staleMs); () }
+
+    writeFile(leaf, "a.parquet", 0L, 300L)
+    writeFile(leaf, "a2.parquet", 300L, 400L)
+    staleAll()
+    val r1 = Compactor.run(spark, lcRoot.getAbsolutePath, base)
+    r1 should not be empty
+    r1.foreach(r => withClue(r) { r.success shouldBe true })
+    val aggPath = MaterializedAgg.pathFor(aggRoot, r1.head.leaf)
+    MaterializedAgg.read(spark, aggPath).columns should not contain "min_amount"
+
+    // operator toggles minMax ON; next run's refresh hits the schema
+    // guard and must fall back to a rebuild under the new shape
+    writeFile(leaf, "b.parquet", 400L, 500L)
+    writeFile(leaf, "b2.parquet", 500L, 600L)
+    staleAll()
+    val r2 = Compactor.run(spark, lcRoot.getAbsolutePath, base.copy(matAggMinMax = Seq("amount")))
+    r2.foreach(r => withClue(r) { r.success shouldBe true })
+    val cols = MaterializedAgg.read(spark, aggPath).columns
+    cols should contain allOf ("min_amount", "max_amount")
+    mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+  }
+
   test("GC'd history forces a full minMax rebuild, still exact") {
     val leaf = new File(root, "acct/source=mammgc/year=2026/month=01")
     leaf.mkdirs()
