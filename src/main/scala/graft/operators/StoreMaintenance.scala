@@ -119,13 +119,36 @@ object StoreMaintenance {
     Report(path, "bands", retrained = false, compacted = compacted)
   }
 
+  /** Evaluate and act on one inverted-index store ([[IndexStore]]).
+    * The add-log's drift dial is GENERATION SPREAD: every append seals
+    * a new `add-<seq>` dir, and a probe unions one partition-pruned
+    * scan per generation — folded back to one by
+    * [[IndexStore.compact]] when the live generation count passes
+    * `maxGenerations`. No retrain dial: the index has no learned
+    * geometry, and per-probe scoring re-derives df/avgdl from the
+    * current stats, so drift cannot skew answers — only probe fan-out.
+    */
+  def maintainIndex(
+      spark: SparkSession,
+      path: String,
+      maxGenerations: Int = 4,
+  ): Report = {
+    val compacted =
+      if (IndexStore.generationCount(spark, path) > maxGenerations) {
+        IndexStore.compact(spark, path)
+        true
+      } else false
+    Report(path, "index", retrained = false, compacted = compacted)
+  }
+
   /** One pass over a fleet of stores. */
   def run(
       spark: SparkSession,
       ivfPaths: Seq[String] = Nil,
       bandsPaths: Seq[String] = Nil,
       nswRoutedPaths: Seq[String] = Nil,
+      indexPaths: Seq[String] = Nil,
   ): Seq[Report] =
     ivfPaths.map(maintainIvf(spark, _)) ++ bandsPaths.map(maintainBands(spark, _)) ++
-      nswRoutedPaths.map(maintainNswRouted(spark, _))
+      nswRoutedPaths.map(maintainNswRouted(spark, _)) ++ indexPaths.map(maintainIndex(spark, _))
 }

@@ -22,7 +22,7 @@ object SearchQueries {
 
   // BM25 constants, written identically in both engines' SQL:
   // k1 = 1.2, b = 0.75 → k1+1 = 2.2, 1-b = 0.25.
-  private def contribSql(tf: String, df: String) =
+  private[graft] def contribSql(tf: String, df: String) =
     s"ln((n - $df + 0.5) / ($df + 0.5) + 1) * ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
 
   /** BM25 scoring over `documents` for a caller-supplied term list
@@ -61,6 +61,31 @@ object SearchQueries {
       .orderBy(desc("bm25"), col("doc_id"))
   }
 
+  /** The full-corpus BM25 oracle — shared by `bm25_search` and
+    * `bm25_indexed` (a probe of a complete index IS the one-shot
+    * query, so the same SQL pins both).
+    */
+  private val bm25Sql =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, count(*) AS dl,
+       |              count(CASE WHEN word = '${terms(0)}' THEN 1 END) AS tf1,
+       |              count(CASE WHEN word = '${terms(1)}' THEN 1 END) AS tf2,
+       |              count(CASE WHEN word = '${terms(2)}' THEN 1 END) AS tf3
+       |       FROM w GROUP BY doc_id),
+       |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |             CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+       |             CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2,
+       |             CAST(count(CASE WHEN tf3 > 0 THEN 1 END) AS DOUBLE) AS df3
+       |      FROM tf)
+       |SELECT doc_id, CAST(tf1 AS INTEGER) AS tf1, CAST(tf2 AS INTEGER) AS tf2,
+       |       CAST(tf3 AS INTEGER) AS tf3,
+       |       round(${contribSql("tf1", "df1")} + ${contribSql("tf2", "df2")}
+       |             + ${contribSql("tf3", "df3")}, 6) AS bm25
+       |FROM tf CROSS JOIN g
+       |WHERE tf1 + tf2 + tf3 > 0
+       |ORDER BY bm25 DESC, doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ----- BM25 search: per-doc term frequencies and document length
@@ -69,28 +94,26 @@ object SearchQueries {
     // over that result, broadcast back. At 100 TB the per-doc relation
     // is corpus-sized but the scoring join is against a 1-row broadcast;
     // nothing quadratic, nothing re-shuffled.
-    Q(
-      "bm25_search",
-      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |tf AS (SELECT doc_id, count(*) AS dl,
-         |              count(CASE WHEN word = '${terms(0)}' THEN 1 END) AS tf1,
-         |              count(CASE WHEN word = '${terms(1)}' THEN 1 END) AS tf2,
-         |              count(CASE WHEN word = '${terms(2)}' THEN 1 END) AS tf3
-         |       FROM w GROUP BY doc_id),
-         |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-         |             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-         |             CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
-         |             CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2,
-         |             CAST(count(CASE WHEN tf3 > 0 THEN 1 END) AS DOUBLE) AS df3
-         |      FROM tf)
-         |SELECT doc_id, CAST(tf1 AS INTEGER) AS tf1, CAST(tf2 AS INTEGER) AS tf2,
-         |       CAST(tf3 AS INTEGER) AS tf3,
-         |       round(${contribSql("tf1", "df1")} + ${contribSql("tf2", "df2")}
-         |             + ${contribSql("tf3", "df3")}, 6) AS bm25
-         |FROM tf CROSS JOIN g
-         |WHERE tf1 + tf2 + tf3 > 0
-         |ORDER BY bm25 DESC, doc_id""".stripMargin,
-    ) { (s, d) => bm25(s, d) },
+    Q("bm25_search", bm25Sql) { (s, d) => bm25(s, d) },
+
+    // ----- BM25 over the PERSISTED inverted index: the probe path.
+    // operators.IndexStore keeps postings hive-partitioned by term
+    // hash bucket with cumulative stats per sealed generation; a query
+    // reads only its terms' tb= partitions (static partition filter)
+    // and re-derives scores from (tf, dl) + current stats — so the
+    // probe of a complete index equals the one-shot bm25_search
+    // bit-for-bit (same integers, same expression tree) and the SAME
+    // oracle pins it. The store comes from the per-corpus StoreCache:
+    // this query prices the PROBE; build cost is the one-time ingest.
+    // IndexStoreSpec pins append/compact equivalence and the pruned
+    // scan.
+    Q("bm25_indexed", bm25Sql) { (s, d) =>
+      val path = StoreCache.resolve(d, "bm25-index", table = "documents") { p =>
+        graft.operators.IndexStore.build(s, Tables.documents(s, d), p)
+        ()
+      }
+      graft.operators.IndexStore.search(s, path, terms)
+    },
 
     // ----- vocabulary build: frequency-ranked token ids (BPE-prep /
     // embedding-table layout). The id assignment is a TOTAL order over

@@ -28,8 +28,8 @@ import java.io.File
   */
 object StoreCache {
 
-  private def fingerprint(sfDir: String): String = {
-    val src = new File(s"$sfDir/embeddings.parquet")
+  private def fingerprint(sfDir: String, table: String): String = {
+    val src = new File(s"$sfDir/$table.parquet")
     val parts =
       if (src.isFile) Array(src)
       else Option(src.listFiles()).getOrElse(Array.empty[File]).filter(_.isFile).sortBy(_.getName)
@@ -45,8 +45,8 @@ object StoreCache {
     * session race to the same path otherwise (cross-JVM races are
     * already handled by the stores' create-only pointer).
     */
-  def resolve(sfDir: String, name: String)(build: String => Unit): String = synchronized {
-    val path = s"${sys.props("java.io.tmpdir")}/graft-store-cache/${fingerprint(sfDir)}/$name"
+  def resolve(sfDir: String, name: String, table: String = "embeddings")(build: String => Unit): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft-store-cache/${fingerprint(sfDir, table)}/$name"
     val built = Option(new File(path).listFiles())
       .exists(_.exists(_.getName.startsWith("_current-")))
     if (!built) build(path)

@@ -171,4 +171,26 @@ class StoreMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec with
       StoreMaintenance.maintainNswRouted(spark, path, skewFactor = 1e9).compacted shouldBe false
     } finally { e.unpersist(); () }
   }
+
+  test("generation-sprawled inverted index compacts on maintenance, probes unchanged; then a no-op") {
+    val docs = graft.Tables.documents(spark, sf)
+    val path = new File(root, "idx-sprawl").getAbsolutePath
+    IndexStore.build(spark, docs.where(col("doc_id") % 6 === 0), path)
+    (1L until 6L).foreach { k =>
+      IndexStore.append(spark, docs.where(col("doc_id") % 6 === k), path)
+      ()
+    }
+    IndexStore.generationCount(spark, path) shouldBe 6
+    val terms = Seq("spark", "merge", "window")
+    def probe() = IndexStore.search(spark, path, terms).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toSeq
+    val before = probe()
+
+    val r = StoreMaintenance.maintainIndex(spark, path)
+    r.compacted shouldBe true
+    IndexStore.generationCount(spark, path) shouldBe 1
+    probe() shouldBe before
+
+    StoreMaintenance.maintainIndex(spark, path).compacted shouldBe false
+  }
 }
