@@ -838,5 +838,42 @@ object TextQueries {
         .select("doc_id", "n_words", "top_word_frac", "n_2grams", "dup_2gram_frac")
         .orderBy("doc_id")
     },
+
+    // ----- compression-ratio quality signal (the CCNet/RefinedWeb
+    // heuristic): deflate(text).length / text.length. Highly repetitive
+    // or templated documents compress far below natural prose; the
+    // ratio is a cheap model-free quality feature next to the
+    // repetition/entropy columns. DEFLATE has no SQL form in either
+    // engine, so this is a codec boundary like the multimodal family —
+    // one Deflater per PARTITION (reset per row, the batched-setup
+    // discipline), embarrassingly parallel, zero exchanges before the
+    // presentation sort. no_oracle: DuckDB cannot deflate;
+    // TextWitnessSpec pins determinism across partitionings, the
+    // repetitive<prose<random ordering, and the bounds.
+    Q.noOracle("text_compress_ratio") { (s, d) =>
+      import s.implicits._
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+          val buf = new Array[Byte](1 << 16)
+          rows.map { case (id, text) =>
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            (id, raw.length.toLong, n)
+          }
+        }
+        .toDF("doc_id", "n_raw", "n_comp")
+        .select(
+          col("doc_id"), col("n_raw"), col("n_comp"),
+          round(col("n_comp").cast("double") / col("n_raw"), 6).as("ratio"),
+        )
+        .orderBy("doc_id")
+    },
   )
 }

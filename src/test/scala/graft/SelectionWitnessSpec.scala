@@ -121,6 +121,34 @@ class SelectionWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("text_compress_ratio: partition-independent, ordered repetitive < prose < random, bounded") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    val repetitive = Seq.fill(200)("spark merge").mkString(" ")
+    val prose = Seq.fill(200)(Seq("the", "quick", "brown", "fox", "jumps", "merge", "window", "scan")(rnd.nextInt(8))).mkString(" ")
+    val random = Seq.fill(200)(rnd.alphanumeric.take(8).mkString).mkString(" ")
+    // 50 copies of each text spread across partitions: a doc's ratio
+    // must not depend on its partition-mates (per-row Deflater reset)
+    val docs = (0 until 150).map { i =>
+      val t = i % 3 match { case 0 => repetitive; case 1 => prose; case _ => random }
+      (i.toLong, t, "en", s"src${i % 4}", t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cr-docs").toFile.getAbsolutePath
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(7).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_compress_ratio")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    out should have length 150
+    val byKind = out.groupBy(t => t._1 % 3).map { case (k, rs) => k -> rs.map(_._2).distinct }
+    // identical texts → identical ratios, wherever they landed
+    byKind.values.foreach(_ should have length 1)
+    val Seq(rRep, rProse, rRand) = Seq(0L, 1L, 2L).map(k => byKind(k).head)
+    rRep should be < rProse
+    rProse should be < rRand
+    out.foreach { case (_, r) => r should (be > 0.0 and be < 1.2) }
+  }
+
   test("split_decontaminated: clean eval docs share no band with train; flagged ones demonstrably do") {
     val s = spark
     import s.implicits._
