@@ -194,6 +194,25 @@ object StatsBench {
       MaterializedAgg.refresh(spark, leafPath, aggMm, Seq("v"), Seq("id"), minMax = Seq("id")))
     require(mres.incremental, "minMax refresh unexpectedly fell back to a rebuild")
 
+    // compaction-NEUTRAL refresh (the commit-window walk): bring the
+    // cnt/sum state to head, compact the whole K-commit leaf into one
+    // commit, refresh again — the walk certifies net-zero from input
+    // footers + the sealed row count and reads ZERO data, where the
+    // live-set diff would re-read the entire old AND new leaf to net
+    // the same zero (the rebuild_sec above prices that full-scan cost).
+    MaterializedAgg.refresh(spark, leafPath, aggInc, Seq("v"), Seq("id"))
+    val liveAll = graft.compact.ManifestCommit.liveFiles(spark, leafPath)
+    val liveBytes = liveAll.map(p => new java.io.File(p).length()).sum
+    val rcomp = Merger.mergeAndCommit(
+      spark, LeafPlan(leafPath, "sbcompact", liveAll, liveBytes), cfg)
+    require(rcomp.success, s"bench compaction failed: ${rcomp.error}")
+    val (walkSec, wres) = timedOnce(MaterializedAgg.refresh(spark, leafPath, aggInc, Seq("v"), Seq("id")))
+    require(wres.mode == "walk", s"expected walk-mode refresh, got ${wres.mode}")
+    val expectNow = graft.compact.ManifestCommit.readLeaf(spark, leafPath)
+      .groupBy("v").agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"))
+      .collect().map(r => (r.getAs[Double]("v"), r.getAs[Long]("cnt"), r.getAs[Long]("sum_id"))).toSet
+    require(aggRows(aggInc) == expectNow, "walk-refreshed state diverged")
+
     println(
       f"""{"metric":"stats_skipping","commits":$nCommits,"rows_per_commit":$rowsPer,""" +
         f""""build_sec":$buildSec%.1f,""" +
@@ -204,7 +223,8 @@ object StatsBench {
         f""""range_count":{"full_sec":$fullRcSec%.3f,"meta_sec":$metaRcSec%.3f,"rows":$frc},""" +
         s""""bloom_bits_ladder":[${bitsLadder.mkString(",")}],""" +
         f""""matagg":{"build_sec":$maBuildSec%.3f,"refresh_sec":$maRefreshSec%.3f,"rebuild_sec":$maRebuildSec%.3f,"groups":${aggRows(aggInc).size}},""" +
-        f""""matagg_minmax":{"build_sec":$mmBuildSec%.3f,"refresh_sec":$mmRefreshSec%.3f}}""",
+        f""""matagg_minmax":{"build_sec":$mmBuildSec%.3f,"refresh_sec":$mmRefreshSec%.3f},""" +
+        f""""matagg_compact_walk":{"refresh_sec":$walkSec%.3f,"files_compacted":${liveAll.size}}}""",
     )
     Fs.rmTree(root)
     spark.stop()

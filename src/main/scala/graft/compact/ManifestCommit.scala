@@ -495,6 +495,31 @@ object ManifestCommit {
   def manifestLog(spark: SparkSession, leaf: String): Seq[Manifest] =
     sealedManifests(FileIndexer.fsFor(spark, leaf), leaf).sortBy(m => (m.seq, m.runId))
 
+  /** The sealed commit window `(fromSeq, toSeq]`, oldest first — the
+    * incremental-consumer changelog. None when the chain is incomplete
+    * (a checkpoint folded or an expire retired manifests inside the
+    * window, or a seq is missing/duplicated): a consumer that walks
+    * commits must then fall back to set-diff semantics over the live
+    * set, which stays exact through any log lifecycle.
+    */
+  private[compact] def changelog(
+      spark: SparkSession,
+      leaf: String,
+      fromSeq: Long,
+      toSeq: Long,
+  ): Option[Seq[Manifest]] =
+    changelogOf(manifestLog(spark, leaf), fromSeq, toSeq)
+
+  /** [[changelog]] over an already-fetched manifest log. */
+  private[compact] def changelogOf(
+      log: Seq[Manifest],
+      fromSeq: Long,
+      toSeq: Long,
+  ): Option[Seq[Manifest]] = {
+    val window = log.filter(m => m.seq > fromSeq && m.seq <= toSeq)
+    if (window.map(_.seq) == (fromSeq + 1 to toSeq).toSeq) Some(window) else None
+  }
+
   /** The live parquet set of a leaf under manifest semantics: visible
     * files minus superseded inputs plus manifest outputs. One listing of
     * the leaf + one head read when the head is current — O(1) metadata

@@ -81,7 +81,12 @@ object MaterializedAgg {
     */
   val DefaultMaxGroups: Long = 10000000L
 
-  final case class RefreshResult(seq: Long, incremental: Boolean)
+  /** `mode` says which refresh path ran: "noop" (already current),
+    * "walk" (commit-window walk — read only net row changes), "diff"
+    * (live-set diff — read added and removed files), "rebuild" (GC
+    * outran the state; full re-aggregation).
+    */
+  final case class RefreshResult(seq: Long, incremental: Boolean, mode: String = "diff")
 
   final class GroupExplosionException(msg: String) extends IllegalStateException(msg)
 
@@ -432,10 +437,116 @@ object MaterializedAgg {
       } finally { perFile.unpersist(); () }
     }
 
-  /** Bring the state to the leaf's head: O(delta) when every removed
-    * file is still readable, full rebuild otherwise. No-op when already
-    * current. `keys`/`values` must match the build's (validated against
-    * the state schema — a drifted caller fails loudly, not wrongly).
+  /** Classify the commit window `(fromSeq, toSeq]` into net row
+    * changes — the Iceberg-style incremental-consumption walk. A
+    * commit's shape against the files already folded into the state
+    * decides what it did to the aggregate:
+    *
+    *   - inputs disjoint from the counted set → APPEND (a raw arrival
+    *     staged into the leaf): its outputs carry net-new rows;
+    *   - inputs all counted, outputs non-empty → a rewrite. It nets to
+    *     ZERO only if it preserved rows, which is VERIFIED, not
+    *     trusted: Σ input rows must equal the manifest's sealed output
+    *     row count. Input rows resolve WITHOUT data reads — a rewrite
+    *     input is some earlier commit's output, and when the rewrite
+    *     consumes that producer's output set COMPLETELY, the producer's
+    *     sealed `rows` is the exact subtotal (so the check survives GC
+    *     of the inputs themselves — the normal non-retaining config);
+    *     inputs with no resolvable producer (raw arrivals, partially
+    *     consumed output sets, checkpoint debris) fall back to parquet
+    *     footer counts, a metadata-only read. Equal → compaction /
+    *     re-sort, nothing to read (count-equality implies row
+    *     preservation in this format's commit vocabulary — concat
+    *     merges and filter rewrites; there is no value-mutating
+    *     commit). Unequal → a DELETE-WHERE-shaped rewrite:
+    *     ⊕ agg(outputs) ⊖ agg(inputs), exact for ANY rewrite content;
+    *   - inputs all counted, outputs empty → DELETE: its inputs' rows
+    *     leave the aggregate (the ⊖ term reads them);
+    *   - anything mixed, or a rewrite whose input rows cannot be
+    *     resolved (no producer AND file gone) → unclassifiable, None.
+    *
+    * The walked counted set must land exactly on the current live set;
+    * any drift (log lag, a torn manifest, an unknown commit shape)
+    * returns None and the caller falls back to the live-set diff, which
+    * stays exact through every lifecycle. Returns (appends, deletes) —
+    * the ONLY files a refresh must read for its cnt/sum terms. A pure
+    * compaction window returns (Nil, Nil): zero data read.
+    */
+  private def walkDeltas(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      leaf: String,
+      fullLog: Seq[ManifestCommit.Manifest],
+      commits: Seq[ManifestCommit.Manifest],
+      recorded: Set[String],
+      live: Set[String],
+  ): Option[(Seq[String], Seq[String])] = {
+    // producer ledger: every output file's creating commit. Checkpoint
+    // manifests are excluded — their `rows` is the LAST folded commit's
+    // count, not a total over their (net) outputs.
+    val producerOf: Map[String, ManifestCommit.Manifest] =
+      fullLog.filterNot(_.stem == "checkpoint")
+        .flatMap(m => m.outputs.map(o => s"$leaf/$o" -> m)).toMap
+    // Σ rows of `ins`, metadata-only: complete producer output sets by
+    // their sealed count, the rest by parquet footer (None if a file
+    // has neither a usable producer nor a footer on disk)
+    def rowsOfInputs(ins: Seq[String]): Option[Long] = {
+      val insSet = ins.toSet
+      val byProducer = ins.groupBy(producerOf.get)
+      var total = 0L
+      val needFooter = Seq.newBuilder[String]
+      byProducer.foreach {
+        case (Some(p), _) if p.outputs.forall(o => insSet.contains(s"$leaf/$o")) =>
+          total += p.rows
+        case (_, files) => needFooter ++= files
+      }
+      val rest = needFooter.result()
+      if (rest.forall(p => fs.exists(new Path(p)))) {
+        if (rest.nonEmpty) total += Merger.footerRows(spark, rest)
+        Some(total)
+      } else None
+    }
+    var counted = recorded
+    val appends = Seq.newBuilder[String]
+    val deletes = Seq.newBuilder[String]
+    var ok = true
+    val it = commits.iterator
+    while (ok && it.hasNext) {
+      val m = it.next()
+      val ins = m.inputs.map(r => s"$leaf/$r")
+      val outs = m.outputs.map(r => s"$leaf/$r")
+      val nIn = ins.count(counted)
+      if (outs.isEmpty) {
+        if (nIn == ins.size) { deletes ++= ins; counted --= ins }
+        else ok = false
+      } else if (nIn == 0) { appends ++= outs; counted ++= outs }
+      else if (nIn == ins.size) {
+        rowsOfInputs(ins) match {
+          case Some(inRows) =>
+            if (inRows != m.rows) { appends ++= outs; deletes ++= ins }
+            counted = counted -- ins ++ outs
+          case None => ok = false
+        }
+      } else ok = false
+    }
+    if (ok && counted == live) Some((appends.result().distinct.sorted, deletes.result().distinct.sorted))
+    else None
+  }
+
+  /** Bring the state to the leaf's head. Cheapest applicable path, in
+    * order: commit-window walk (read only net row changes — a pure
+    * compaction window reads ZERO data for a cnt/sum state), live-set
+    * diff (read added + removed files), full rebuild (GC outran the
+    * state). No-op when already current. `keys`/`values` must match the
+    * build's (validated against the state schema — a drifted caller
+    * fails loudly, not wrongly).
+    *
+    * min/max states keep their per-(file, group) partials at live-FILE
+    * granularity (the deletable unit), so even a walk-mode refresh
+    * rebuilds partials for the diff's added files — that read prunes to
+    * keys + min/max columns, but a full compaction still re-scans those
+    * columns of the new leaf. The cnt/sum columns are what the walk
+    * saves unconditionally.
     */
   def refresh(
       spark: SparkSession,
@@ -447,56 +558,11 @@ object MaterializedAgg {
       maxGroups: Long = DefaultMaxGroups,
       sumSqWide: Boolean = false,
       minMax: Seq[String] = Nil,
-  ): RefreshResult = {
-    val fromSeq = stateSeq(spark, aggPath).getOrElse(
-      throw new IllegalStateException(s"no sealed state at $aggPath — run build first"),
-    )
-    val expected =
-      (keys ++ Seq("cnt") ++ values.map(v => s"sum_$v") ++ sumSq.map(v => s"sumsq_$v") ++ mmCols(minMax)).toSet
-    val state0 = spark.read.parquet(stateDir(aggPath, fromSeq))
-    require(state0.columns.toSet == expected, s"state schema ${state0.columns.toSet} does not match keys/values $expected")
-    checkSumSqWidth(state0, sumSq, sumSqWide)
-    val toSeq = ManifestCommit.currentSeq(spark, leaf)
-    val recorded = recordedFiles(spark, aggPath, fromSeq).toSet
-    val live = ManifestCommit.liveFiles(spark, leaf)
-    val removed = (recorded -- live).toSeq.sorted
-    val added = (live.toSet -- recorded).toSeq.sorted
-    if (removed.isEmpty && added.isEmpty) return RefreshResult(fromSeq, incremental = true)
-    val fs = FileIndexer.fsFor(spark, leaf)
-    val historyReadable = removed.forall(p => fs.exists(new Path(p)))
-    if (!historyReadable) {
-      // GC outran the state: the ⊖ term's inputs are gone — rebuild
-      if (live.isEmpty) throw new IllegalStateException(s"no live files under $leaf")
-      sealFull(spark, aggPath, toSeq, live, keys, values, sumSq, sumSqWide, minMax, maxGroups)
-      RefreshResult(toSeq, incremental = false)
-    } else {
-      val old = state0.drop(mmCols(minMax): _*)
-      // the added files feed both the ⊕ term and the new partials —
-      // pin them so the delta is scanned once, not per consumer
-      val addedBase = if (added.nonEmpty) Some(readWithFile(spark, added).persist()) else None
-      try {
-        val parts = Seq(
-          Some(old),
-          addedBase.map(aggOfDf(_, keys, values, sumSq, sumSqWide)),
-          aggOf(spark, removed, keys, values, sumSq, sumSqWide).map(negate(_, keys)),
-        ).flatten
-        val sums = merge(parts, keys)
-        if (minMax.isEmpty) seal(spark, aggPath, toSeq, sums, live, maxGroups)
-        else {
-          import spark.implicits._
-          val oldPartials = spark.read.parquet(s"$aggPath/partials-$fromSeq")
-          val kept =
-            if (removed.isEmpty) oldPartials
-            else oldPartials.join(
-              broadcast(removed.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_anti")
-          val newPartials = addedBase.map(b => kept.unionByName(partialsOf(b, keys, minMax))).getOrElse(kept)
-          val state = joinMinMax(sums, foldPartials(newPartials, keys, minMax), keys)
-          seal(spark, aggPath, toSeq, state, live, maxGroups, Some(newPartials), driftCols(minMax))
-        }
-      } finally addedBase.foreach { b => b.unpersist(); () }
-      RefreshResult(toSeq, incremental = true)
-    }
-  }
+  ): RefreshResult =
+    refreshAll(
+      spark, leaf,
+      Seq(AggSpec(aggPath, keys, values, sumSq, maxGroups, sumSqWide, minMax)),
+    ).head
 
   /** One materialized aggregate's shape, for [[refreshAll]]. */
   final case class AggSpec(
@@ -527,12 +593,26 @@ object MaterializedAgg {
     val live = ManifestCommit.liveFiles(spark, leaf)
     val fs = FileIndexer.fsFor(spark, leaf)
     val cache = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
+    val pinned = scala.collection.mutable.Set.empty[Seq[String]]
     // _file rides along in every cached delta frame: inert for cnt/sum
     // (aggOfDf groups by keys only), and it lets minMax specs derive
-    // their partials from the SAME pinned scan instead of re-reading
-    def cachedRead(files: Seq[String]): Option[DataFrame] =
+    // their partials from the SAME pinned scan instead of re-reading.
+    // `pin` marks frames with more than one consumer (several specs, or
+    // a minMax spec's agg + partials passes) — a single-consumer delta
+    // (e.g. the diff path's removed set, which can be leaf-sized after
+    // a full compaction) must NOT be persisted just to be read once.
+    def cachedRead(files: Seq[String], pin: Boolean): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(cache.getOrElseUpdate(files, readWithFile(spark, files).persist()))
+      else {
+        val df = cache.getOrElseUpdate(files, readWithFile(spark, files))
+        if (pin && !pinned.contains(files)) { df.persist(); pinned += files; () }
+        Some(df)
+      }
+    // the commit-window walk depends only on (leaf, fromSeq) — memoized
+    // so N specs built at the same seq classify the window once; the
+    // manifest log backing it is fetched once per refresh pass
+    lazy val fullLog = ManifestCommit.manifestLog(spark, leaf)
+    val walks = scala.collection.mutable.Map.empty[Long, Option[(Seq[String], Seq[String])]]
     try {
       specs.map { sp =>
         val fromSeq = stateSeq(spark, sp.aggPath).getOrElse(
@@ -547,37 +627,78 @@ object MaterializedAgg {
         val recorded = recordedFiles(spark, sp.aggPath, fromSeq).toSet
         val removed = (recorded -- live).toSeq.sorted
         val added = (live.toSet -- recorded).toSeq.sorted
-        if (removed.isEmpty && added.isEmpty) RefreshResult(fromSeq, incremental = true)
-        else if (!removed.forall(p => fs.exists(new Path(p)))) {
-          // GC-fallback rebuild scans the WHOLE live set — never cache
-          // it (persisting a 100-TB leaf for one aggregation is the
-          // opposite of the sharing this method exists for; only the
-          // delta frames, bounded by the commit, are worth pinning)
-          if (live.isEmpty) throw new IllegalStateException(s"no live files under $leaf")
-          sealFull(spark, sp.aggPath, toSeq, live, sp.keys, sp.values, sp.sumSq, sp.sumSqWide, sp.minMax, sp.maxGroups)
-          RefreshResult(toSeq, incremental = false)
-        } else {
+        if (removed.isEmpty && added.isEmpty) RefreshResult(fromSeq, incremental = true, mode = "noop")
+        else {
+          val shared = specs.size > 1
+          val pinAdded = shared || sp.minMax.nonEmpty
           val old = state0.drop(mmCols(sp.minMax): _*)
-          val parts = Seq(
-            Some(old),
-            cachedRead(added).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
-            cachedRead(removed).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
-          ).flatten
-          val sums = merge(parts, sp.keys)
-          if (sp.minMax.isEmpty) seal(spark, sp.aggPath, toSeq, sums, live, sp.maxGroups)
-          else {
-            import spark.implicits._
-            val oldPartials = spark.read.parquet(s"${sp.aggPath}/partials-$fromSeq")
-            val kept =
-              if (removed.isEmpty) oldPartials
-              else oldPartials.join(
-                broadcast(removed.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_anti")
-            val newPartials = cachedRead(added)
-              .map(b => kept.unionByName(partialsOf(b, sp.keys, sp.minMax))).getOrElse(kept)
-            val state = joinMinMax(sums, foldPartials(newPartials, sp.keys, sp.minMax), sp.keys)
-            seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups, Some(newPartials), driftCols(sp.minMax))
+
+          // seal `sums` (+ refreshed partials for minMax specs) at toSeq
+          def sealWith(sums: DataFrame, mode: String): RefreshResult = {
+            if (sp.minMax.isEmpty) seal(spark, sp.aggPath, toSeq, sums, live, sp.maxGroups)
+            else {
+              import spark.implicits._
+              val oldPartials = spark.read.parquet(s"${sp.aggPath}/partials-$fromSeq")
+              val kept =
+                if (removed.isEmpty) oldPartials
+                else oldPartials.join(
+                  broadcast(removed.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_anti")
+              val newPartials = cachedRead(added, pinAdded)
+                .map(b => kept.unionByName(partialsOf(b, sp.keys, sp.minMax))).getOrElse(kept)
+              val state = joinMinMax(sums, foldPartials(newPartials, sp.keys, sp.minMax), sp.keys)
+              seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups, Some(newPartials), driftCols(sp.minMax))
+            }
+            RefreshResult(toSeq, incremental = true, mode)
           }
-          RefreshResult(toSeq, incremental = true)
+
+          // needed columns must exist in a delta frame — a schema-evolved
+          // leaf can have early files without a later column (the merged
+          // diff files carry it as nulls; the raw walk files may not)
+          def hasCols(df: DataFrame): Boolean = {
+            val need = sp.keys ++ sp.values ++ sp.sumSq ++ sp.minMax
+            need.forall(df.columns.contains)
+          }
+
+          // 1) commit-window walk: read only net row changes (a pure
+          // compaction window reads NOTHING for the cnt/sum terms)
+          val walked = walks.getOrElseUpdate(
+            fromSeq,
+            ManifestCommit.changelogOf(fullLog, fromSeq, toSeq)
+              .flatMap(walkDeltas(spark, fs, leaf, fullLog, _, recorded, live.toSet)),
+          ).filter { case (app, del) =>
+            // appended outputs may have been superseded (and GC'd) by a
+            // later replace in the window; deletes are pre-state files —
+            // both must still be readable for the ⊕/⊖ terms
+            (app ++ del).forall(p => fs.exists(new Path(p)))
+          }
+          walked match {
+            case Some((app, del))
+                if cachedRead(app, shared || (pinAdded && app == added)).forall(hasCols) &&
+                  cachedRead(del, shared).forall(hasCols) =>
+              val parts = Seq(
+                Some(old),
+                cachedRead(app, shared).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
+                cachedRead(del, shared).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
+              ).flatten
+              sealWith(if (parts.size == 1) old else merge(parts, sp.keys), mode = "walk")
+            // 2) live-set diff: read added + removed
+            case _ if removed.forall(p => fs.exists(new Path(p))) =>
+              val parts = Seq(
+                Some(old),
+                cachedRead(added, pinAdded).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
+                cachedRead(removed, shared).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
+              ).flatten
+              sealWith(merge(parts, sp.keys), mode = "diff")
+            // 3) GC outran the state: the ⊖ term's inputs are gone —
+            // rebuild. Scans the WHOLE live set — never cache it
+            // (persisting a 100-TB leaf for one aggregation is the
+            // opposite of the sharing this method exists for; only the
+            // delta frames, bounded by the commit, are worth pinning)
+            case _ =>
+              if (live.isEmpty) throw new IllegalStateException(s"no live files under $leaf")
+              sealFull(spark, sp.aggPath, toSeq, live, sp.keys, sp.values, sp.sumSq, sp.sumSqWide, sp.minMax, sp.maxGroups)
+              RefreshResult(toSeq, incremental = false, mode = "rebuild")
+          }
         }
       }
     } finally {

@@ -111,6 +111,92 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     names.count(_.startsWith("files-")) shouldBe 1
   }
 
+  test("a pure-compaction window refreshes a cnt/sum state with ZERO data read (walk mode)") {
+    val leaf = new File(root, "acct/source=mawalk0/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-walk0").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 400L)
+    commit(leafPath, "w1", abs("a.parquet"))
+    writeFile(leaf, "b.parquet", 400L, 900L)
+    commit(leafPath, "w2", abs("b.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    val before = rows(MaterializedAgg.read(spark, aggPath))
+
+    // full compaction: adds outputs, removes inputs carrying the same rows
+    commit(leafPath, "w3", ManifestCommit.liveFiles(spark, leafPath))
+
+    // PROOF of zero data read: replace every live parquet with garbage —
+    // any refresh path that opened a data file would throw; the walk
+    // classifies the window as a pure replace and reads nothing
+    ManifestCommit.liveFiles(spark, leafPath).foreach { p =>
+      Files.write(new File(p).toPath, Array[Byte](0x13, 0x37)); ()
+    }
+    val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    r.mode shouldBe "walk"
+    r.incremental shouldBe true
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe before
+  }
+
+  test("arrival+compaction+arrival window: walk reads the arrivals' outputs, never the merged leaf") {
+    val leaf = new File(root, "acct/source=mawalk1/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-walk1").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 400L)
+    commit(leafPath, "x1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+
+    writeFile(leaf, "c.parquet", 400L, 700L)
+    commit(leafPath, "x2", abs("c.parquet"))
+    val arrivalsKeptLive = ManifestCommit.liveFiles(spark, leafPath)
+    commit(leafPath, "x3", arrivalsKeptLive) // compacts a+c into merged outputs
+    writeFile(leaf, "e.parquet", 700L, 950L)
+    commit(leafPath, "x4", abs("e.parquet"))
+    val expected = rows(fullAgg(leafPath))
+
+    // corrupt ONLY the compaction's merged outputs (still live): the walk
+    // must price this window as ⊕(c outputs) ⊕ (e outputs) — the merged
+    // files net to zero and are never opened
+    val eOutputs = ManifestCommit.manifestLog(spark, leafPath)
+      .filter(_.stem == "x4").flatMap(_.outputs).map(rel => s"$leafPath/$rel").toSet
+    ManifestCommit.liveFiles(spark, leafPath).filterNot(eOutputs).foreach { p =>
+      Files.write(new File(p).toPath, Array[Byte](0x13, 0x37)); ()
+    }
+    val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    r.mode shouldBe "walk"
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe expected
+  }
+
+  test("a checkpointed commit window falls back to live-set diff, still exact") {
+    val leaf = new File(root, "acct/source=mawalk2/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-walk2").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 400L)
+    commit(leafPath, "y1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    writeFile(leaf, "b.parquet", 400L, 800L)
+    commit(leafPath, "y2", abs("b.parquet"))
+    commit(leafPath, "y3", ManifestCommit.liveFiles(spark, leafPath))
+
+    // fold every manifest in the window into a checkpoint: the changelog
+    // is no longer contiguous, so the walk must refuse and the live-set
+    // diff (which survives any log lifecycle) must carry the refresh
+    val head = ManifestCommit.currentSeq(spark, leafPath)
+    ManifestCommit.checkpoint(spark, leafPath, beforeSeq = head + 1)
+    val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    r.mode shouldBe "diff"
+    r.incremental shouldBe true
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+  }
+
   test("Compactor lifecycle builds then refreshes the per-leaf materialized agg") {
     val lcRoot = new File(root, "lc")
     val leaf = new File(lcRoot, "acct/source=malc/year=2026/month=01")
@@ -369,7 +455,7 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     }
   }
 
-  test("GC'd history forces a full rebuild, still exact") {
+  test("GC'd history: the walk survives via the producer ledger; a checkpointed window forces the rebuild") {
     val leaf = new File(root, "acct/source=magc/year=2026/month=01")
     leaf.mkdirs()
     val leafPath = leaf.getAbsolutePath
@@ -381,13 +467,33 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
 
     // compact (supersedes the state's recorded file), then simulate GC
-    // of the superseded original BEFORE the refresh runs
+    // of the superseded original BEFORE the refresh runs: the walk
+    // verifies net-zero from the PRODUCER LEDGER (g1's sealed row
+    // count), so the non-retaining config still refreshes with zero
+    // data read — GC'd inputs no longer force a rebuild
     val recorded = ManifestCommit.liveFiles(spark, leafPath)
     commit(leafPath, "g2", recorded)
     recorded.foreach(p => new File(p).delete())
 
     val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
-    r.incremental shouldBe false // the ⊖ inputs are gone — rebuilt
+    r.mode shouldBe "walk"
+    r.incremental shouldBe true
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+
+    // now make the window unclassifiable: arrival + compaction + GC,
+    // then a checkpoint folds the manifests — the walk refuses the
+    // non-contiguous log, the diff's ⊖ inputs are gone, and the
+    // refresh must fall all the way back to a full rebuild
+    writeFile(leaf, "b.parquet", 300L, 500L)
+    commit(leafPath, "g3", abs("b.parquet"))
+    val live2 = ManifestCommit.liveFiles(spark, leafPath)
+    commit(leafPath, "g4", live2)
+    live2.foreach(p => new File(p).delete())
+    ManifestCommit.checkpoint(spark, leafPath, beforeSeq = ManifestCommit.currentSeq(spark, leafPath))
+
+    val r2 = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    r2.mode shouldBe "rebuild"
+    r2.incremental shouldBe false
     rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
   }
 
@@ -623,12 +729,29 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     commit(leafPath, "g1", abs("a.parquet"))
     MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
 
+    // GC'd inputs: the walk still classifies (producer ledger) and the
+    // partials rebuild only needs the ADDED files — removed partials
+    // drop by a name anti-join, no data read of the GC'd originals
     val recorded = ManifestCommit.liveFiles(spark, leafPath)
     commit(leafPath, "g2", recorded)
     recorded.foreach(p => new File(p).delete())
 
     val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
-    r.incremental shouldBe false
+    r.mode shouldBe "walk"
+    r.incremental shouldBe true
+    mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+
+    // checkpointed window + GC'd diff inputs → full minMax rebuild
+    writeFile(leaf, "b.parquet", 300L, 500L)
+    commit(leafPath, "g3", abs("b.parquet"))
+    val live2 = ManifestCommit.liveFiles(spark, leafPath)
+    commit(leafPath, "g4", live2)
+    live2.foreach(p => new File(p).delete())
+    ManifestCommit.checkpoint(spark, leafPath, beforeSeq = ManifestCommit.currentSeq(spark, leafPath))
+
+    val r2 = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    r2.mode shouldBe "rebuild"
+    r2.incremental shouldBe false
     mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
   }
 }
