@@ -463,6 +463,96 @@ object SimilarityQueries {
         .orderBy("qid", "pick")
     },
 
+    // ----- MMR with pool re-expansion (ROADMAP 78): when k approaches
+    // the candidate-pool size the greedy walk degenerates — every pool
+    // member gets picked regardless of diversity. The scale fix keeps
+    // the pool in TIERS of the same one-scan window cut (rn ≤ 4, then
+    // rn ≤ 12): the walk runs over the first tier, and on exhausting it
+    // re-expands to the next tier and CONTINUES with the picked set
+    // intact — bounded restarts, never a second corpus scan (both tiers
+    // come from the one WindowGroupLimit pass). Here k=6 over a 4-item
+    // first tier, so picks 5–6 demonstrably come from the re-expanded
+    // pool. Fully ORACLED: the walk unrolls to 6 argmax stages, stages
+    // 1–4 over the first tier, 5–6 over the expanded pool — certifying
+    // the tier switch, not just the greedy order. Same bit-stable
+    // left-fold cosine as select_mmr_diverse.
+    Q(
+      "select_mmr_expand",
+      s"""WITH $vecsSqlCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5),
+         |sc AS (SELECT q.qid, v.vec_id, v.v, ${cosineSql("v.v", "q.qv")} AS rel
+         |       FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+         |pool AS (SELECT * FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                         ORDER BY rel DESC, vec_id) AS rn FROM sc)
+         |         WHERE rn <= 12),
+         |pp AS (SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+         |              ${cosineSql("a.v", "b.v")} AS psim
+         |       FROM pool a JOIN pool b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |s1 AS (SELECT qid, vec_id, rel FROM pool WHERE rn = 1),
+         |${(2 to 6).map { i =>
+           val tier = if (i <= 4) "p.rn <= 4" else "p.rn <= 12"
+           val sel = (1 until i).map(j => s"SELECT qid, vec_id FROM s$j").mkString(" UNION ALL ")
+           s"""sel$i AS ($sel),
+           |cand$i AS (SELECT p.qid, p.vec_id, p.rel,
+           |                  0.7 * p.rel - 0.3 * max(pp.psim) AS score
+           |           FROM pool p
+           |           JOIN pp ON pp.qid = p.qid AND pp.ca = p.vec_id
+           |           JOIN sel$i sl ON sl.qid = pp.qid AND sl.vec_id = pp.cb
+           |           LEFT JOIN sel$i dn ON dn.qid = p.qid AND dn.vec_id = p.vec_id
+           |           WHERE dn.vec_id IS NULL AND $tier
+           |           GROUP BY p.qid, p.vec_id, p.rel),
+           |s$i AS (SELECT qid, vec_id, rel FROM
+           |          (SELECT *, row_number() OVER (PARTITION BY qid
+           |                                        ORDER BY score DESC, vec_id) AS rn FROM cand$i)
+           |        WHERE rn = 1)""".stripMargin
+         }.mkString(",\n")}
+         |SELECT qid, pick, vec_id, round(rel, 6) AS rel FROM (
+         |${(1 to 6).map(i => s"SELECT qid, $i AS pick, vec_id, rel FROM s$i").mkString(" UNION ALL ")}
+         |) ORDER BY qid, pick""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val e = vecs(s, d)
+      val q = broadcast(e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv")))
+      val wPool = Window.partitionBy("qid").orderBy(desc("rel"), col("vec_id"))
+      val pool = e.crossJoin(q)
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("rel", cosine("v", "qv"))
+        .withColumn("rn", row_number().over(wPool))
+        .where(col("rn") <= 12)
+        .select(col("qid").as("_1"), col("vec_id").as("_2"), col("rel").as("_3"),
+          col("v").as("_4"), col("rn").as("_5"))
+        .as[(Long, Long, Double, Seq[Double], Int)]
+      def sim(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      pool.groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          val cands = it.map { case (_, id, rel, v, rn) => (id, rel, v.toArray, rn) }.toArray
+            .sortBy { case (id, rel, _, _) => (-rel, id) }
+          val picked = scala.collection.mutable.ArrayBuffer(cands.head)
+          while (picked.size < 6 && picked.size < cands.length) {
+            // tier gate: the walk sees rn <= 4 until that tier is
+            // exhausted, then re-expands to the full pool mid-walk
+            val tierCap = if (picked.size < 4) 4 else 12
+            val best = cands.iterator
+              .filter(c => c._4 <= tierCap && !picked.exists(_._1 == c._1))
+              .map { c =>
+                val pen = picked.iterator.map(p => sim(c._3, p._3)).max
+                (c, 0.7 * c._2 - 0.3 * pen)
+              }
+              .reduceLeft((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1._1 < x._1._1)) y else x)
+            picked += best._1
+          }
+          picked.iterator.zipWithIndex.map { case ((id, rel, _, _), ix) => (qid, ix + 1, id, rel) }
+        }
+        .toDF("qid", "pick", "vec_id", "rel")
+        .select(col("qid"), col("pick"), col("vec_id"), round(col("rel"), 6).as("rel"))
+        .orderBy("qid", "pick")
+    },
+
     // ----- semi-hard negative mining (Schroff et al., FaceNet 2015 /
     // dense-retrieval training sets): for each query, the most-similar
     // items of a DIFFERENT label, capped below a near-dup ceiling —
