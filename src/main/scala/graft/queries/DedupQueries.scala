@@ -559,6 +559,52 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ----- cluster-representative selection (the RefinedWeb/CCNet
+    // keep-best step): near-dup clusters keep ONE representative — the
+    // highest-QUALITY member (longest doc, doc_id tiebreak), not the
+    // min-id canonical. Same LSH candidate graph + min-label components
+    // as dedup_clusters; singleton docs (in no candidate pair) are their
+    // own cluster and always kept. The rep choice is one window rank
+    // over cluster — component-output-scale, dwarfed by the label
+    // propagation — and the keep flag is the pipeline's downstream
+    // filter: a semi-join on keep=1 drops every duplicate while
+    // retaining the best copy instead of an arbitrary one.
+    Q(
+      "dedup_cluster_rep",
+      s"""WITH RECURSIVE $shinglesSqlCte,
+         |${minhashBandsSqlCte(4)},
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bands x JOIN bands y
+         |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON reach.node = e.a),
+         |comp AS (SELECT node AS doc_id, min(r) AS cl FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(c.cl, d.doc_id) AS BIGINT) AS cluster,
+         |       CAST(CASE WHEN row_number() OVER (
+         |                        PARTITION BY coalesce(c.cl, d.doc_id)
+         |                        ORDER BY d.n_chars DESC, d.doc_id) = 1
+         |                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val pairs = minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs)
+        .select(col("node").as("doc_id"), col("label"))
+      val wRep = Window.partitionBy("cluster").orderBy(desc("n_chars"), col("doc_id"))
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+        .withColumn("keep", when(row_number().over(wRep) === 1, 1).otherwise(0))
+        .select(col("doc_id"), col("cluster"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     // ----- SimHash: 64-bit fingerprint from token-frequency-weighted bit votes
     Q(
       "dedup_simhash",
