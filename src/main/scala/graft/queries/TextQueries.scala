@@ -137,6 +137,15 @@ object TextQueries {
       )
   }
 
+  /** PII regexes in the shared Java/RE2 dialect — identical semantics
+    * in Spark (java.util.regex) and DuckDB (RE2): character classes,
+    * bounded repetition, and \b word boundaries only; no lookaround, no
+    * backreferences (RE2 has neither).
+    */
+  private val PiiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PiiIpRe = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+  private val PiiPhoneRe = """\b\d{3}-\d{4}\b"""
+
   val qs: Seq[Q] = Seq(
 
     // ----- text normalization: casefold → strip non-alphanumerics →
@@ -850,6 +859,55 @@ object TextQueries {
     // presentation sort. no_oracle: DuckDB cannot deflate;
     // TextWitnessSpec pins determinism across partitionings, the
     // repetitive<prose<random ordering, and the bounds.
+    // ----- PII masking (the C4/CCNet scrub step): redact emails, IPv4
+    // literals, and phone-shaped digit runs with typed placeholders,
+    // counting each class per doc. The fixture corpus carries no PII,
+    // so the query plants a deterministic contact line derived from
+    // doc_id before masking — both engines build the identical string,
+    // so every regex class fires on every row and the redaction stays
+    // hash-comparable. The regexes are the shared Java/RE2 dialect (no
+    // lookaround, no backrefs): the whole query is one codegen'd
+    // projection pass — no shuffle but the output sort, embarrassingly
+    // parallel at 100 TB. Masking order is email → IP → phone so a
+    // class's placeholder can never be re-matched by a later class.
+    Q(
+      "text_pii_mask",
+      s"""WITH t AS (SELECT doc_id,
+         |             text || ' contact user' || doc_id || '@mail.example.com via 10.' ||
+         |             (doc_id % 200) || '.0.' || (doc_id % 250) || ' tel 555-' ||
+         |             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+         |           FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(txt, '$PiiEmailRe')) AS INTEGER) AS n_email,
+         |       CAST(len(regexp_extract_all(txt, '$PiiIpRe')) AS INTEGER) AS n_ip,
+         |       CAST(len(regexp_extract_all(txt, '$PiiPhoneRe')) AS INTEGER) AS n_phone,
+         |       regexp_replace(regexp_replace(regexp_replace(
+         |         txt, '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiIpRe', '<IP>', 'g'),
+         |         '$PiiPhoneRe', '<PHONE>', 'g') AS masked
+         |FROM t ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val txt = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com via 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" tel 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      )
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("txt", txt)
+        .select(
+          col("doc_id"),
+          regexp_count(col("txt"), lit(PiiEmailRe)).cast("int").as("n_email"),
+          regexp_count(col("txt"), lit(PiiIpRe)).cast("int").as("n_ip"),
+          regexp_count(col("txt"), lit(PiiPhoneRe)).cast("int").as("n_phone"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("txt"), PiiEmailRe, "<EMAIL>"),
+              PiiIpRe, "<IP>"),
+            PiiPhoneRe, "<PHONE>").as("masked"),
+        )
+        .orderBy("doc_id")
+    },
+
     Q.noOracle("text_compress_ratio") { (s, d) =>
       import s.implicits._
       Tables.fanout(Tables.documents(s, d))
