@@ -97,6 +97,74 @@ object EtlQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- data-quality expectations audit (the dbt-test / Deequ
+    // shape): a battery of declared table checks, each one scalar
+    // violation count, unioned into one report — the gate a pipeline
+    // runs before promoting a batch. Checks span the classes that
+    // matter: uniqueness (duplicate keys), completeness (nulls),
+    // referential integrity both directions (orphans / childless),
+    // domain ranges, and a cross-table temporal rule. Each check is an
+    // independent aggregate over one scan-shaped plan (the anti-joins
+    // broadcast their key side or shuffle once); zero-violation rows
+    // are part of the contract — the report proves the checks RAN.
+    Q(
+      "etl_expectations",
+      """WITH checks AS (
+        |  SELECT 'customers_without_orders' AS check_name,
+        |         (SELECT count(*) FROM customer c
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS violations
+        |  UNION ALL
+        |  SELECT 'orders_without_lineitems',
+        |         (SELECT count(*) FROM orders o
+        |          WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |  UNION ALL
+        |  SELECT 'orphan_lineitems',
+        |         (SELECT count(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'duplicate_orderkeys',
+        |         (SELECT count(*) FROM
+        |            (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+        |  UNION ALL
+        |  SELECT 'null_custkeys',
+        |         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'discount_out_of_range',
+        |         (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)
+        |  UNION ALL
+        |  SELECT 'shipped_before_ordered',
+        |         (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |          WHERE l.l_shipdate < o.o_orderdate))
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations
+        |FROM checks ORDER BY check_name""".stripMargin,
+    ) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      // each check: a LAZY 1-row aggregate — the whole report is one
+      // plan, one job; never a driver-side count() loop
+      def one(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("check_name"), col("violations"))
+      val report = Seq(
+        one("customers_without_orders",
+          cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")),
+        one("orders_without_lineitems",
+          orders.join(li, orders("o_orderkey") === li("l_orderkey"), "left_anti")),
+        one("orphan_lineitems",
+          li.join(orders, li("l_orderkey") === orders("o_orderkey"), "left_anti")),
+        one("duplicate_orderkeys",
+          orders.groupBy("o_orderkey").agg(count(lit(1)).as("n")).where(col("n") > 1)),
+        one("null_custkeys", orders.where(col("o_custkey").isNull)),
+        one("discount_out_of_range",
+          li.where(col("l_discount") < 0 || col("l_discount") > 0.1)),
+        one("shipped_before_ordered",
+          li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+            .where(col("l_shipdate") < col("o_orderdate"))),
+      ).reduce(_ unionByName _)
+      report.orderBy("check_name")
+    },
+
     // ----- SCD type-2 intervals: collapse each user's event stream to
     // its TYPE CHANGES, then stamp validity windows — valid_from at the
     // change, valid_to when the next change arrives (NULL = current

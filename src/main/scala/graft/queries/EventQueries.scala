@@ -14,6 +14,53 @@ object EventQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ----- rolling z-score anomaly detection: each event scored
+    // against its OWN user's trailing 20-event window (frame ends at
+    // 1 PRECEDING so the scored value never contaminates its baseline).
+    // Float discipline: value quantizes to integer cents via floor
+    // (never round — grid ties), so the frame's sum/sum-of-squares are
+    // EXACT integers in both engines and z derives through one fixed
+    // double expression — bit-stable cross-engine with no aggregate
+    // reassociation anywhere. One shuffle (the per-user window);
+    // embarrassingly parallel across users at 100 TB.
+    Q(
+      "event_anomaly_zscore",
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |                  CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |w AS (SELECT event_id, user_id, v,
+        |             count(v) OVER win AS cnt,
+        |             sum(v) OVER win AS s,
+        |             sum(v * v) OVER win AS s2
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, user_id,
+        |             (v - CAST(s AS DOUBLE) / cnt) /
+        |             sqrt((s2 - CAST(s AS DOUBLE) * s / cnt) / (cnt - 1)) AS z
+        |      FROM w
+        |      WHERE cnt >= 8 AND (s2 - CAST(s AS DOUBLE) * s / cnt) > 0)
+        |SELECT event_id, user_id, round(z, 6) AS z
+        |FROM z WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val varNum = col("s2") - col("s").cast("double") * col("s") / col("cnt")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("bigint").as("v"))
+        .select(col("event_id"), col("user_id"), col("v"),
+          count("v").over(win).as("cnt"),
+          sum("v").over(win).as("s"),
+          sum(col("v") * col("v")).over(win).as("s2"))
+        .where(col("cnt") >= 8 && varNum > 0)
+        .withColumn("z",
+          (col("v") - col("s").cast("double") / col("cnt")) /
+            sqrt(varNum / (col("cnt") - 1)))
+        .where(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("user_id"), round(col("z"), 6).as("z"))
+        .orderBy("event_id")
+    },
+
     // ----- tumbling event-time window (Spark `window()` ↔ date_trunc)
     Q(
       "event_tumbling_window",
