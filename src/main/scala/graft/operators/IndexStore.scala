@@ -142,7 +142,12 @@ object IndexStore {
     * the one-shot [[graft.queries.SearchQueries.bm25]] — byte-equal
     * results on the same corpus.
     */
-  def search(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+  def search(
+      spark: SparkSession,
+      path: String,
+      terms: Seq[String],
+      withDl: Boolean = false, // keep the doc-length column (rerank stages need it)
+  ): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     val seq = currentSeq(spark, path)
       .getOrElse(throw new IllegalStateException(s"no sealed index at $path"))
@@ -169,9 +174,9 @@ object IndexStore {
     val score = (1 to n)
       .map(i => expr(graft.queries.SearchQueries.contribSql(s"tf$i", s"df$i")))
       .reduce(_ + _)
-    val outCols = col("doc_id") +:
+    val outCols = (col("doc_id") +:
       (1 to n).map(i => col(s"tf$i").cast("int").as(s"tf$i")) :+
-      round(score, 6).as("bm25")
+      round(score, 6).as("bm25")) ++ (if (withDl) Seq(col("dl")) else Seq.empty)
     cand.join(dl, "doc_id")
       .crossJoin(broadcast(g))
       .select(outCols: _*)
