@@ -1,0 +1,231 @@
+package graft.compact
+
+import java.io.File
+import java.net.URI
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import WapCommit._
+
+/** Write–audit–publish gate: a batch becomes live ONLY through a green
+  * audit; a red audit quarantines it with the target leaf untouched; a
+  * crash anywhere before the (single) commit point of either path leaves
+  * both live sets unchanged with gc-reclaimable debris.
+  */
+class WapCommitSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private var root: File = _
+  private val cfg = CompactorConfig(maxRowsPerFile = 7L) // force multi-file staging
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    root = Files.createTempDirectory("graft-wap").toFile
+  }
+
+  override def afterAll(): Unit = {
+    FaultFs.reset()
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    super.afterAll()
+  }
+
+  private def leaf(name: String): String = {
+    val d = new File(root, name); d.mkdirs(); d.getAbsolutePath
+  }
+
+  private def cleanBatch(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (1 to n).map(i => (i.toLong, s"u$i", i % 5)).toDF("id", "user", "grade")
+  }
+
+  private def dims = {
+    val s = spark
+    import s.implicits._
+    (0 to 4).map(g => (g, s"grade-$g")).toDF("g", "label")
+  }
+
+  private def battery: Seq[AuditCheck] = Seq(
+    AuditCheck.notNull("user"),
+    AuditCheck.unique("id"),
+    AuditCheck.satisfies("grade_in_domain", org.apache.spark.sql.functions.col("grade").between(0, 4)),
+    AuditCheck.refIntegrity("grade", dims, "g"),
+  )
+
+  test("green audit publishes: batch live, report all-zero in declaration order, appends stack") {
+    val l = leaf("pass")
+    val r1 = writeAuditPublish(spark, l, cleanBatch(20), battery, cfg)
+    val c1 = r1 match { case c: WapCommitted => c; case other => fail(s"expected commit, got $other") }
+    c1.rows shouldBe 20L
+    c1.report.checks.map(_._1) shouldBe Seq("not_null_user", "unique_id", "grade_in_domain", "ref_grade_in_g")
+    c1.report.checks.foreach { case (n, v) => withClue(n) { v shouldBe 0L } }
+    ManifestCommit.readLeaf(spark, l).count() shouldBe 20L
+    // staged multi-file (7-row cap on 20 rows) — the audit ran across files
+    ManifestCommit.liveFiles(spark, l).size should be >= 3
+
+    val r2 = writeAuditPublish(spark, l, cleanBatch(10), battery, cfg)
+    r2 shouldBe a[WapCommitted]
+    r2.asInstanceOf[WapCommitted].seq shouldBe c1.seq + 1
+    ManifestCommit.readLeaf(spark, l).count() shouldBe 30L
+  }
+
+  test("red audit quarantines: target leaf untouched, batch sealed + queryable in quarantine, exact counts") {
+    val s = spark
+    import s.implicits._
+    val l = leaf("fail")
+    writeAuditPublish(spark, l, cleanBatch(20), battery, cfg) shouldBe a[WapCommitted]
+    val liveBefore = ManifestCommit.liveFiles(spark, l)
+    val seqBefore = ManifestCommit.currentSeq(spark, l)
+    // committed batches keep their .data dirs — that IS the live data;
+    // the quarantine must add no NEW one under the target
+    def dataDirs() = new File(l).listFiles().map(_.getName).filter(_.startsWith(".data-")).toSet
+    val dirsBefore = dataDirs()
+
+    // 2 nulls, one id duplicated (3 rows in its group), 2 out-of-domain
+    val bad = Seq(
+      (1L, null.asInstanceOf[String], 2), (2L, null.asInstanceOf[String], 3),
+      (3L, "a", 2), (3L, "b", 3), (3L, "c", 4),
+      (4L, "d", 9), (5L, "e", -1),
+    ).toDF("id", "user", "grade")
+    val r = writeAuditPublish(spark, l, bad, battery, cfg)
+    val q = r match { case q: WapQuarantined => q; case other => fail(s"expected quarantine, got $other") }
+    q.rows shouldBe 7L
+    q.report.checks.toMap shouldBe Map(
+      "not_null_user" -> 2L, "unique_id" -> 1L, // unique reports the KEY GROUPS in breach
+      "grade_in_domain" -> 2L, "ref_grade_in_g" -> 2L,
+    )
+    q.report.passed shouldBe false
+    q.report.failing.map(_._1).toSet shouldBe Set("not_null_user", "unique_id", "grade_in_domain", "ref_grade_in_g")
+
+    // target leaf: byte-identical live set, no seq consumed, no debris left behind
+    ManifestCommit.liveFiles(spark, l) shouldBe liveBefore
+    ManifestCommit.currentSeq(spark, l) shouldBe seqBefore
+    dataDirs() shouldBe dirsBefore
+    // quarantine: the bad batch, whole and queryable, on its own chain
+    q.quarantineLeaf shouldBe WapCommit.defaultQuarantine(l)
+    ManifestCommit.readLeaf(spark, q.quarantineLeaf).count() shouldBe 7L
+    ManifestCommit.currentSeq(spark, q.quarantineLeaf) shouldBe 1L
+
+    // the gate re-opens: a clean batch after a quarantine commits normally
+    val r3 = writeAuditPublish(spark, l, cleanBatch(5), battery, cfg)
+    r3 shouldBe a[WapCommitted]
+    r3.asInstanceOf[WapCommitted].seq shouldBe seqBefore + 1
+    ManifestCommit.readLeaf(spark, l).count() shouldBe 25L
+  }
+
+  test("a null-valued domain predicate is a violation, not a pass") {
+    val s = spark
+    import s.implicits._
+    val l = leaf("nulldomain")
+    val batch = Seq((1L, "a", Some(2)), (2L, "b", None)).toDF("id", "user", "grade")
+    val r = writeAuditPublish(
+      spark, l, batch,
+      Seq(AuditCheck.satisfies("grade_in_domain", org.apache.spark.sql.functions.col("grade").between(0, 4))),
+      cfg,
+    )
+    r shouldBe a[WapQuarantined]
+    r.report.checks.toMap.apply("grade_in_domain") shouldBe 1L
+  }
+
+  // ---- crash matrix (FaultFs injection) --------------------------------
+
+  private def faultLeaf(name: String): String = {
+    val d = new File(root, name); d.mkdirs(); s"faultfs:${d.getAbsolutePath}"
+  }
+  private def localDirOf(l: String) = new File(new URI("file:" + l.stripPrefix("faultfs:")))
+
+  test("crash at the pass-path commit point: no live change, staged dir is gc-reclaimable debris") {
+    FaultFs.reset()
+    val l = faultLeaf("crash-pass")
+    FaultFs.failCreateRe = Some(".*/_manifest-wap-[0-9a-f]{32}\\.json$")
+    val thrown = intercept[java.io.IOException] {
+      writeAuditPublish(spark, l, cleanBatch(10), battery, cfg)
+    }
+    FaultFs.reset()
+    thrown.getMessage should include("injected create failure")
+    ManifestCommit.liveFiles(spark, l) shouldBe Seq.empty
+    ManifestCommit.currentSeq(spark, l) shouldBe 0L
+    val debris = localDirOf(l).listFiles().map(_.getName).filter(_.startsWith(".data-")).toSeq
+    debris.size shouldBe 1
+    ManifestCommit.gcOrphans(spark, l) should be >= 1
+    localDirOf(l).listFiles().map(_.getName).filter(_.startsWith(".data-")).toSeq shouldBe Seq.empty
+    // and a retry of the SAME batch goes through
+    writeAuditPublish(spark, l, cleanBatch(10), battery, cfg) shouldBe a[WapCommitted]
+    ManifestCommit.readLeaf(spark, l).count() shouldBe 10L
+  }
+
+  test("crash at the quarantine move: loud failure, target leaf unchanged, debris under target") {
+    val s = spark
+    import s.implicits._
+    FaultFs.reset()
+    val l = faultLeaf("crash-move")
+    writeAuditPublish(spark, l, cleanBatch(6), battery, cfg) shouldBe a[WapCommitted]
+    val liveBefore = ManifestCommit.liveFiles(spark, l)
+    def dataDirs() = localDirOf(l).listFiles().map(_.getName).filter(_.startsWith(".data-")).toSet
+    val dirsBefore = dataDirs()
+
+    val bad = Seq((1L, null.asInstanceOf[String], 2)).toDF("id", "user", "grade")
+    // FaultFs.rename only intercepts committed-name destinations; fail the
+    // move via delete-refusal? No — rename of a dir to `_quarantine/.data-*`
+    // is not matched, so inject on the quarantine MANIFEST instead below;
+    // here simulate the move failing by pre-creating the destination as a
+    // FILE (rename onto an existing path returns false on RawLocalFs…
+    // except the runId is fresh each call). So: make the quarantine parent
+    // un-creatable by occupying `_quarantine` with a plain file.
+    val qObstruction = new File(localDirOf(l), "_quarantine")
+    Files.writeString(qObstruction.toPath, "not a directory")
+    val thrown = intercept[java.io.IOException] {
+      writeAuditPublish(spark, l, bad, battery, cfg)
+    }
+    qObstruction.delete()
+    thrown.getMessage.toLowerCase should (include("quarantine") or include("mkdir"))
+    ManifestCommit.liveFiles(spark, l) shouldBe liveBefore
+    // the stranded stage is debris; reclaim it — committed dirs survive
+    dataDirs().size shouldBe dirsBefore.size + 1
+    ManifestCommit.gcOrphans(spark, l) should be >= 1
+    dataDirs() shouldBe dirsBefore
+  }
+
+  test("crash between quarantine move and quarantine seal: both live sets unchanged, debris under quarantine") {
+    val s = spark
+    import s.implicits._
+    FaultFs.reset()
+    val l = faultLeaf("crash-qseal")
+    writeAuditPublish(spark, l, cleanBatch(6), battery, cfg) shouldBe a[WapCommitted]
+    val liveBefore = ManifestCommit.liveFiles(spark, l)
+    def dataDirs() = localDirOf(l).listFiles().map(_.getName).filter(_.startsWith(".data-")).toSet
+    val dirsBefore = dataDirs()
+
+    FaultFs.failCreateRe = Some(".*/_manifest-wap-quarantine-[0-9a-f]{32}\\.json$")
+    val bad = Seq((1L, null.asInstanceOf[String], 2)).toDF("id", "user", "grade")
+    intercept[java.io.IOException] {
+      writeAuditPublish(spark, l, bad, battery, cfg)
+    }
+    FaultFs.reset()
+    val qLeaf = WapCommit.defaultQuarantine(l)
+    ManifestCommit.liveFiles(spark, l) shouldBe liveBefore
+    ManifestCommit.liveFiles(spark, qLeaf) shouldBe Seq.empty
+    // the moved dir sits under quarantine as debris; no NEW dir under target
+    dataDirs() shouldBe dirsBefore
+    val qDebris = new File(localDirOf(l), "_quarantine").listFiles().map(_.getName).filter(_.startsWith(".data-")).toSeq
+    qDebris.size shouldBe 1
+    ManifestCommit.gcOrphans(spark, qLeaf) should be >= 1
+    new File(localDirOf(l), "_quarantine").listFiles().map(_.getName).filter(_.startsWith(".data-")).toSeq shouldBe Seq.empty
+  }
+
+  test("sidecars ride the pass path: stats written before the seal, prunable after") {
+    val l = leaf("sidecar")
+    val r = writeAuditPublish(spark, l, cleanBatch(20), battery, cfg.copy(statsColumns = Seq("id")))
+    r shouldBe a[WapCommitted]
+    // every live file has a recorded interval ⇒ a disjoint range prunes to zero files
+    val stats = ManifestStats.read(FileIndexer.fsFor(spark, l), l)
+    val pruned = ManifestStats.pruneFiles(stats, l, ManifestCommit.liveFiles(spark, l), "id", 1000d, 2000d)
+    pruned shouldBe Seq.empty
+  }
+}
