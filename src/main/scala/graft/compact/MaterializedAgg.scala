@@ -472,7 +472,7 @@ object MaterializedAgg {
     * the ONLY files a refresh must read for its cnt/sum terms. A pure
     * compaction window returns (Nil, Nil): zero data read.
     */
-  private def walkDeltas(
+  private[compact] def walkDeltas(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       leaf: String,
