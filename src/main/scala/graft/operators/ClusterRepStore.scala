@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental cluster-representative maintenance — keep-best fuzzy
+  * dedup over a persisted corpus memory, WITH RETRACTIONS.
+  *
+  * The one-shot `dedup_cluster_rep` query labels near-dup clusters
+  * (connected components of the MinHash-LSH candidate graph) and keeps
+  * the best member of each (quality DESC, doc_id tiebreak). A streaming
+  * corpus cannot re-run that over 100 TB per ingest: a new batch can
+  * MERGE previously-separate clusters (only through one of its own docs
+  * — stored docs' pairs never change) or DISPLACE a keeper, so the store
+  * must both absorb the batch in batch-proportional work and tell
+  * downstream consumers what to unpublish. Each [[update]] therefore
+  * emits a changefeed of `(op ∈ assert|retract, doc_id, cluster)` rows:
+  * folding `asserts ⊖ retracts` across the whole history reproduces the
+  * kept set of the one-shot query on the unioned corpus exactly
+  * (ClusterRepStoreSpec pins it on randomized splits).
+  *
+  * Never-rewrite-the-corpus design — the per-batch work is bounded by
+  * the batch and its candidate pairs, not the store:
+  *
+  *   - `members/sq=<s>/db=<b>/` — add-log of (doc_id, quality,
+  *     orig_cluster), hash-bucketed by doc_id so the screen's lookup of
+  *     matched old docs is a static-partition-pruned read. A member row
+  *     is written ONCE; cluster merges never touch it.
+  *   - `bands/sq=<s>/band=<b>/` — the batch's LSH band signatures
+  *     (the shared [[graft.queries.DedupQueries.minhashBands]] kernel,
+  *     same rowsPerBand as the one-shot queries), band-partitioned like
+  *     [[BandsStore]] so the screen join prunes to matching bands.
+  *   - `alias-<seq>/` — the UNION-FIND indirection that makes merges
+  *     O(merge) instead of O(cluster): member rows keep the canonical
+  *     label their cluster had at insert time; a merge only rewrites
+  *     this merge-count-sized table (path-compressed every seal, so
+  *     resolution is always one hop). Relabeling a million-member
+  *     cluster costs one small-table row, zero member rewrites.
+  *   - `keepers-<seq>/` — current (cluster, doc_id, quality) for
+  *     MULTI-member clusters only; singletons are implicitly their own
+  *     keeper, so the table is bounded by the duplicate count, not the
+  *     corpus.
+  *   - `feed/sq=<s>/` — the retained changefeed of every seal.
+  *   - `_current-<seq>` — create-only pointer, sealed LAST (the
+  *     IvfStore/NswSearch crash discipline). Readers filter every
+  *     add-log to `sq <= sealed`, so a crashed update's debris is
+  *     invisible and the next attempt deletes-then-redoes it —
+  *     re-ingest can never double-count a batch.
+  *
+  * Merge mechanics: the new pairs are contracted onto cluster canons —
+  * each stored cluster is ONE node (its canonical label, which is by
+  * induction the min doc_id of its members), each batch doc one node —
+  * and min-label connected components run on that batch-scale graph
+  * ([[ConnectedComponents.minLabel]], adaptively driver-local). The
+  * merged group's label is the min over {canon labels, new ids} = the
+  * true component min; its keeper is the argmax over {old cluster
+  * keepers, matched old singletons, new members} — old non-keepers are
+  * dominated by their own cluster keeper, so they never need reading.
+  */
+object ClusterRepStore {
+
+  private val PtrRe = "_current-(\\d+)".r
+
+  /** doc_id hash buckets under each members/sq=<s>/ generation. */
+  val DocBuckets = 16
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def currentSeq(spark: SparkSession, path: String): Option[Long] = {
+    val fs = fsOf(spark, path)
+    val base = new Path(path)
+    if (!fs.exists(base)) None
+    else
+      fs.listStatus(base)
+        .flatMap(e => PtrRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
+        .sorted.lastOption
+  }
+
+  private def docBucket = pmod(crc32(col("doc_id").cast("string").cast("binary")), lit(DocBuckets.toLong)).cast("int")
+
+  // explicit schemas: the add-log reads must never infer from a footer
+  // (inference opens an arbitrary file — possibly one the partition
+  // prune is about to skip) and the layouts are fixed by this writer
+  private val membersSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id LONG, quality LONG, orig LONG, sq INT, db INT")
+  private val bandsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id LONG, sig STRING, sq INT, band INT")
+
+  private def readAlias(spark: SparkSession, path: String, seq: Long): DataFrame =
+    spark.read.parquet(s"$path/alias-$seq").select(col("orig").as("a_orig"), col("canon").as("a_canon"))
+
+  private def readKeepers(spark: SparkSession, path: String, seq: Long): DataFrame =
+    spark.read.parquet(s"$path/keepers-$seq").select(col("cluster").as("k_cluster"), col("doc_id").as("k_doc"), col("quality").as("k_q"))
+
+  /** Absorb one `(doc_id, text, quality)` batch; returns the changefeed
+    * written for this seal (op, doc_id, cluster, quality). Batches must
+    * carry globally-unique doc_ids (the usual ingest contract; a
+    * replayed CRASHED batch is fine — debris is swept, see above).
+    */
+  def update(spark: SparkSession, path: String, batchIn: DataFrame): DataFrame = {
+    val fs = fsOf(spark, path)
+    val sealedOpt = currentSeq(spark, path)
+    val headSeq = sealedOpt.getOrElse(0L)
+    val s = headSeq + 1
+    // sweep a crashed attempt's unsealed debris so the redo is exact
+    Seq(s"$path/members/sq=$s", s"$path/bands/sq=$s", s"$path/alias-$s", s"$path/keepers-$s", s"$path/feed/sq=$s")
+      .foreach(d => fs.delete(new Path(d), true))
+
+    val batch = batchIn
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("quality").cast("long").as("quality"))
+      .cache()
+    val bands = graft.queries.DedupQueries.minhashBands(spark, batch).cache()
+
+    val emptyPairs = batch.select(col("doc_id").as("nd"), col("doc_id").as("od")).where(lit(false))
+    // cross pairs: batch bands vs the SEALED history (sq <= sealed), the
+    // same (band, sig) criterion as the one-shot kernel; the id guard is
+    // the re-ingest self-pair class every screen here carries
+    val cross = (if (sealedOpt.isEmpty) emptyPairs
+                 else {
+                   val hist = spark.read.schema(bandsSchema).parquet(s"$path/bands").where(col("sq") <= headSeq)
+                   bands.as("x")
+                     .join(
+                       hist.as("y"),
+                       col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+                         col("x.doc_id") =!= col("y.doc_id"),
+                     )
+                     .select(col("x.doc_id").as("nd"), col("y.doc_id").as("od"))
+                     .distinct()
+                 }).cache()
+
+    val within = bands.as("x")
+      .join(
+        bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"),
+      )
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    val alias =
+      if (sealedOpt.isEmpty) batch.select(col("doc_id").as("a_orig"), col("doc_id").as("a_canon")).where(lit(false))
+      else readAlias(spark, path, headSeq)
+    val keepers =
+      if (sealedOpt.isEmpty)
+        batch.select(col("doc_id").as("k_cluster"), col("doc_id").as("k_doc"), col("quality").as("k_q")).where(lit(false))
+      else readKeepers(spark, path, headSeq)
+
+    // matched old docs' member rows — a static-partition-pruned lookup:
+    // the touched db buckets (≤ DocBuckets values) become an isin filter
+    val oldIds = cross.select(col("od").as("doc_id")).distinct()
+    val canonOf = (if (sealedOpt.isEmpty) {
+                     batch.select(col("doc_id"), col("quality"), col("doc_id").as("canon")).where(lit(false))
+                   } else {
+                     val buckets = oldIds.select(docBucket.as("db")).distinct().collect().map(_.getInt(0)).toSeq
+                     val members = spark.read.schema(membersSchema).parquet(s"$path/members")
+                       .where(col("sq") <= headSeq && col("db").isin(buckets: _*))
+                     members.join(oldIds, "doc_id")
+                       .join(alias, members("orig") === col("a_orig"), "left")
+                       .select(members("doc_id"), members("quality"), coalesce(col("a_canon"), members("orig")).as("canon"))
+                   }).cache()
+
+    // contract stored clusters to their canon node; min-label the
+    // batch-scale graph (adaptively driver-local under the hood)
+    val edges = cross.join(canonOf.select(col("doc_id").as("od"), col("canon")), "od")
+      .select(col("nd").as("a"), col("canon").as("b"))
+      .unionByName(within)
+    val labels = ConnectedComponents.minLabel(edges).cache()
+
+    val affCanon = canonOf.select(col("canon")).distinct()
+      .join(labels, col("canon") === col("node"))
+      .select(col("canon"), col("label"))
+      .cache()
+
+    // union-find maintenance: remap every alias chain ending in a moved
+    // canon, add the moved canons themselves, keep the table identity-free
+    val remap = affCanon.where(col("canon") =!= col("label"))
+    val aliasNew = alias
+      .join(remap.select(col("canon").as("r_c"), col("label").as("r_l")), alias("a_canon") === col("r_c"), "left")
+      .select(col("a_orig").as("orig"), coalesce(col("r_l"), col("a_canon")).as("canon"))
+      .unionByName(remap.select(col("canon").as("orig"), col("label").as("canon")))
+      .where(col("orig") =!= col("canon"))
+
+    // keeper candidates per affected group: old MULTI-cluster keepers,
+    // matched old SINGLETONS (no keeper row — they are their own), and
+    // the batch's grouped members
+    val oldKeeperCand = keepers.join(affCanon, col("k_cluster") === col("canon"))
+      .select(col("label"), col("k_doc").as("doc_id"), col("k_q").as("quality"))
+    val singleCand = canonOf.join(keepers.select(col("k_cluster")), canonOf("canon") === col("k_cluster"), "left_anti")
+      .join(affCanon, "canon")
+      .select(col("label"), canonOf("doc_id"), canonOf("quality"))
+      .cache()
+    val newCand = batch.join(labels, batch("doc_id") === col("node"))
+      .select(col("label"), batch("doc_id"), col("quality"))
+    val wRep = Window.partitionBy("label").orderBy(desc("quality"), col("doc_id"))
+    val groupKeeper = oldKeeperCand.unionByName(singleCand).unionByName(newCand)
+      .withColumn("rn", row_number().over(wRep)).where(col("rn") === 1)
+      .select(col("label").as("cluster"), col("doc_id"), col("quality"))
+      .cache()
+
+    val keepersNew = keepers
+      .join(affCanon.select(col("canon")), col("k_cluster") === col("canon"), "left_anti")
+      .select(col("k_cluster").as("cluster"), col("k_doc").as("doc_id"), col("k_q").as("quality"))
+      .unionByName(groupKeeper)
+
+    // changefeed: a (doc, cluster) keep-state that folds exactly —
+    // retract every previously-kept pair the seal ends (keeper displaced
+    // OR cluster relabeled), assert every kept pair it creates
+    val gk = groupKeeper.select(col("cluster").as("g_l"), col("doc_id").as("g_k"))
+    val retractMulti = keepers.join(affCanon, col("k_cluster") === col("canon"))
+      .join(gk, col("label") === col("g_l"))
+      .where(col("label") =!= col("k_cluster") || col("g_k") =!= col("k_doc"))
+      .select(lit("retract").as("op"), col("k_doc").as("doc_id"), col("k_cluster").as("cluster"), col("k_q").as("quality"))
+    val retractSingle = singleCand
+      .join(gk, col("label") === col("g_l"))
+      .where(col("label") =!= col("doc_id") || col("g_k") =!= col("doc_id"))
+      .select(lit("retract").as("op"), col("doc_id"), col("doc_id").as("cluster"), col("quality"))
+    val prevKeptPairs = keepers.select(col("k_cluster").as("cluster"), col("k_doc").as("doc_id"))
+      .unionByName(singleCand.select(col("doc_id").as("cluster"), col("doc_id")))
+    val assertGroup = groupKeeper.join(prevKeptPairs, Seq("cluster", "doc_id"), "left_anti")
+      .select(lit("assert").as("op"), col("doc_id"), col("cluster"), col("quality"))
+    val assertIsolated = batch.join(labels, batch("doc_id") === col("node"), "left_anti")
+      .select(lit("assert").as("op"), col("doc_id"), col("doc_id").as("cluster"), col("quality"))
+    val feed = retractMulti.unionByName(retractSingle).unionByName(assertGroup).unionByName(assertIsolated)
+
+    // new member rows carry the label their cluster has NOW; later
+    // merges reach them through the alias, never by rewrite
+    val newMembers = batch.join(labels, batch("doc_id") === col("node"), "left")
+      .select(batch("doc_id"), col("quality"), coalesce(col("label"), batch("doc_id")).as("orig"))
+      .withColumn("db", docBucket)
+
+    // seal: small state + add-log generations first, pointer LAST
+    aliasNew.coalesce(1).write.parquet(s"$path/alias-$s")
+    keepersNew.coalesce(1).write.parquet(s"$path/keepers-$s")
+    feed.coalesce(1).write.parquet(s"$path/feed/sq=$s")
+    newMembers.write.partitionBy("db").parquet(s"$path/members/sq=$s")
+    bands.write.partitionBy("band").parquet(s"$path/bands/sq=$s")
+    if (!fs.createNewFile(new Path(path, s"_current-$s")))
+      throw new java.io.IOException(s"cluster-rep store at $path: concurrent sealer for seq $s")
+    // reclaim superseded small state (feed history is retained — it IS
+    // the public surface); best-effort, debris is re-swept next update
+    sealedOpt.foreach { old =>
+      Seq(s"$path/alias-$old", s"$path/keepers-$old", s"$path/_current-$old")
+        .foreach(d => fs.delete(new Path(d), true))
+    }
+    Seq(batch, bands, cross, canonOf, labels, affCanon, singleCand, groupKeeper).foreach(_.unpersist())
+    spark.read.parquet(s"$path/feed/sq=$s")
+  }
+
+  /** The store's full current assignment: (doc_id, cluster, keep) —
+    * definitionally equal to the one-shot `dedup_cluster_rep` on the
+    * union of every absorbed batch (the spec's randomized pin).
+    */
+  def assignment(spark: SparkSession, path: String): DataFrame = {
+    val headSeq = currentSeq(spark, path)
+      .getOrElse(throw new IllegalStateException(s"no sealed cluster-rep store at $path"))
+    val members = spark.read.schema(membersSchema).parquet(s"$path/members").where(col("sq") <= headSeq)
+    val alias = readAlias(spark, path, headSeq)
+    val keepers = readKeepers(spark, path, headSeq)
+    members.join(alias, members("orig") === col("a_orig"), "left")
+      .withColumn("cluster", coalesce(col("a_canon"), members("orig")))
+      .join(keepers.select(col("k_cluster").as("cluster"), col("k_doc")), Seq("cluster"), "left")
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        when(col("k_doc").isNull || col("k_doc") === col("doc_id"), 1).otherwise(0).as("keep"),
+      )
+  }
+
+  /** The retained changefeed, every seal: (sq, op, doc_id, cluster,
+    * quality). Folding asserts minus retracts up to any sealed sq
+    * reproduces that seal's kept pairs.
+    */
+  def feed(spark: SparkSession, path: String): DataFrame = {
+    val headSeq = currentSeq(spark, path)
+      .getOrElse(throw new IllegalStateException(s"no sealed cluster-rep store at $path"))
+    spark.read.parquet(s"$path/feed").where(col("sq") <= headSeq)
+  }
+}

@@ -219,6 +219,34 @@ object DedupQueries {
       )
   }
 
+  /** The keep-best cluster-representative semantics in DuckDB — shared
+    * by `dedup_cluster_rep` (one-shot) and `dedup_cluster_rep_inc` (the
+    * [[graft.operators.ClusterRepStore]] incremental form): the final
+    * folded store state over any batch history IS the one-shot answer
+    * on the unioned corpus, so one oracle certifies both.
+    */
+  private lazy val clusterRepSql =
+    s"""WITH RECURSIVE $shinglesSqlCte,
+       |${minhashBandsSqlCte(4)},
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bands x JOIN bands y
+       |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON reach.node = e.a),
+       |comp AS (SELECT node AS doc_id, min(r) AS cl FROM reach GROUP BY node)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(c.cl, d.doc_id) AS BIGINT) AS cluster,
+       |       CAST(CASE WHEN row_number() OVER (
+       |                        PARTITION BY coalesce(c.cl, d.doc_id)
+       |                        ORDER BY d.n_chars DESC, d.doc_id) = 1
+       |                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ----- exact dedup by content hash; min doc_id is the keeper
@@ -571,26 +599,7 @@ object DedupQueries {
     // retaining the best copy instead of an arbitrary one.
     Q(
       "dedup_cluster_rep",
-      s"""WITH RECURSIVE $shinglesSqlCte,
-         |${minhashBandsSqlCte(4)},
-         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |          FROM bands x JOIN bands y
-         |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |      UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
-         |  UNION
-         |  SELECT e.b, reach.r FROM reach JOIN e ON reach.node = e.a),
-         |comp AS (SELECT node AS doc_id, min(r) AS cl FROM reach GROUP BY node)
-         |SELECT d.doc_id,
-         |       CAST(coalesce(c.cl, d.doc_id) AS BIGINT) AS cluster,
-         |       CAST(CASE WHEN row_number() OVER (
-         |                        PARTITION BY coalesce(c.cl, d.doc_id)
-         |                        ORDER BY d.n_chars DESC, d.doc_id) = 1
-         |                 THEN 1 ELSE 0 END AS INTEGER) AS keep
-         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      clusterRepSql,
     ) { (s, d) =>
       val pairs = minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
       val comp = graft.operators.ConnectedComponents.minLabel(pairs)
@@ -996,6 +1005,40 @@ object DedupQueries {
           when(col("ld").isNull, 0).otherwise(1).cast("int").as("leaky"),
         )
         .orderBy("doc_id")
+    },
+
+    // ----- incremental cluster-representative maintenance (ROADMAP 84):
+    // the corpus arrives as TWO md5-split batches into a persisted
+    // ClusterRepStore — each update screens against the stored bands,
+    // contracts merged clusters onto their canonical labels, updates the
+    // union-find alias + keeper tables, and emits assert/retract feed
+    // rows. The registered output is the folded store ASSIGNMENT, which
+    // must equal the one-shot dedup_cluster_rep on the union — the SAME
+    // oracle SQL certifies both (order-independence of the final state
+    // across any split is the store's core contract; the changefeed's
+    // fold identity and the merge/displacement mechanics are pinned in
+    // ClusterRepStoreSpec). StoreCache prices re-runs as the assignment
+    // read, the store's probe-side cost.
+    Q(
+      "dedup_cluster_rep_inc",
+      clusterRepSql,
+    ) { (s, d) =>
+      val path = StoreCache.resolve(d, "cluster-rep", table = "documents") { p =>
+        // two updates = two sealed pointers, but StoreCache's built check
+        // is "any _current-"; stage the whole history and rename into
+        // place so a crashed half-build never registers as built
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+        fs.delete(stage, true)
+        val docs = Tables.fanout(Tables.documents(s, d))
+          .select(col("doc_id"), col("text"), col("n_chars").as("quality"))
+        val half = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2")
+        graft.operators.ClusterRepStore.update(s, stage.toString, docs.where(half === 0))
+        graft.operators.ClusterRepStore.update(s, stage.toString, docs.where(half === 1))
+        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+          throw new java.io.IOException(s"cluster-rep store publish rename failed: $stage -> $p")
+      }
+      graft.operators.ClusterRepStore.assignment(s, path).orderBy("doc_id")
     },
   )
 
