@@ -45,9 +45,20 @@ import org.apache.spark.sql.functions._
   *   - `aggPath/state-<seq>/` — parquet: keys…, `cnt`, `sum_<v>`…
   *     (+ `min_<v>`/`max_<v>` when maintained) aggregated as of leaf
   *     commit `<seq>`;
-  *   - `aggPath/partials-<seq>/` — per-(file, group) min/max partial
-  *     rows (only when `minMax` is non-empty), written inside the same
-  *     seal so state and partials can never be seen torn;
+  *   - `aggPath/pgen-<seq>/` + `aggPath/pgens-<seq>` — per-(file,
+  *     group) min/max partial rows (only when `minMax` is non-empty) as
+  *     a GENERATIONAL add-log (ROADMAP 85): each seal writes ONLY the
+  *     added files' rows as a new generation; the `pgens-<seq>` ledger
+  *     names the generations the state reads. Removals are IMPLICIT —
+  *     the refold semi-joins partial rows on the counted live-file
+  *     list, so dead files' rows are structurally excluded (the stale-
+  *     partials hazard the pre-generational coverage tripwire guarded
+  *     is now unrepresentable). Past `maxPartialGens` generations the
+  *     seal folds the live rows into ONE fresh generation — the old
+  *     whole-rewrite cost, paid 1-in-maxPartialGens seals instead of
+  *     every seal. A legacy `partials-<seq>` dir (pre-generational
+  *     states) reads as a single implicit generation and folds away on
+  *     its first compaction.
   *   - `aggPath/files-<seq>` — the exact live-file list the state
   *     aggregates, one path per line. The refresh delta is the set-diff
   *     of this list against the CURRENT live set — deliberately NOT a
@@ -80,6 +91,12 @@ object MaterializedAgg {
     * deliberately for genuinely wide dashboards.
     */
   val DefaultMaxGroups: Long = 10000000L
+
+  /** Partials generations kept before a seal folds them into one
+    * (ROADMAP 85): the dial between O(delta) seals (large) and refold
+    * read amplification (small — every refresh reads all generations).
+    */
+  val DefaultMaxPartialGens: Int = 8
 
   /** `mode` says which refresh path ran: "noop" (already current),
     * "walk" (commit-window walk — read only net row changes), "diff"
@@ -177,6 +194,21 @@ object MaterializedAgg {
   private def driftCols(minMax: Seq[String]): Seq[String] =
     if (minMax.isEmpty) Nil else Seq("cnt", "_pc")
 
+  /** The generation dirs a sealed state's refold reads: the
+    * `pgens-<seq>` ledger, or — for a pre-generational state — the
+    * legacy `partials-<seq>` dir as a single implicit generation.
+    */
+  private def readLedger(spark: SparkSession, aggPath: String, seq: Long): Seq[String] = {
+    val fs = fsOf(spark, aggPath)
+    val ledger = new Path(s"$aggPath/pgens-$seq")
+    if (fs.exists(ledger)) {
+      val in = fs.open(ledger)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty)
+    } else if (fs.exists(new Path(s"$aggPath/partials-$seq"))) Seq(s"partials-$seq")
+    else Seq.empty
+  }
+
   /** Per-(file, group) min/max partials — the deletable unit. */
   private def partialsOf(df: DataFrame, keys: Seq[String], minMax: Seq[String]): DataFrame = {
     val aggs = minMax.flatMap(v => Seq(min(col(v)).as(s"min_$v"), max(col(v)).as(s"max_$v")))
@@ -265,6 +297,7 @@ object MaterializedAgg {
       maxGroups: Long,
       partials: Option[DataFrame] = None,
       requireNonNull: Seq[String] = Nil,
+      keepGens: Seq[String] = Nil,
   ): Unit = {
     val fs = fsOf(spark, aggPath)
     state.write.mode("overwrite").parquet(stateDir(aggPath, seq))
@@ -294,28 +327,28 @@ object MaterializedAgg {
         )
       }
     }
-    partials.foreach { p =>
-      p.write.mode("overwrite").parquet(s"$aggPath/partials-$seq")
-      // partials-coverage tripwire: the partials' file set must be
-      // EXACTLY the live set — a missed anti-join (e.g. a path-spelling
-      // drift between the manifest and _metadata.file_path) leaves
-      // stale partials whose refold serves a max that no longer exists,
-      // with every key present and non-null. cnt/sum can't catch it;
-      // this set compare does, for one distinct over a metadata-scale
-      // table per seal.
-      // (a live file absent from the partials is fine — a zero-row file
-      // has no groups; only the STALE direction can serve wrong answers)
-      val expect = files.map(qualified(spark, _)).toSet
-      val stale = spark.read.parquet(s"$aggPath/partials-$seq")
-        .select("_file").distinct().collect().map(_.getString(0)).toSet -- expect
-      if (stale.nonEmpty) {
+    // partials as a generational add-log (ROADMAP 85): the new
+    // generation (only the added files' rows — or the compaction fold)
+    // plus a ledger naming every generation the state reads. The
+    // pre-generational stale-partials coverage tripwire is retired
+    // structurally: generations legitimately carry dead files' rows
+    // (implicit tombstones) and the refold semi-joins on the counted
+    // live list, so a stale row can never reach a served min/max.
+    val ledger = keepGens ++ partials.map(_ => s"pgen-$seq").toSeq
+    partials.foreach { p => p.write.mode("overwrite").parquet(s"$aggPath/pgen-$seq") }
+    if (ledger.nonEmpty) {
+      // a kept generation must exist — a missing dir means the reclaim
+      // below outran a ledger reference in some earlier crash window
+      val missing = keepGens.filterNot(g => fs.exists(new Path(s"$aggPath/$g")))
+      if (missing.nonEmpty) {
         dropUnsealed()
-        try fs.delete(new Path(s"$aggPath/partials-$seq"), true) catch { case _: Throwable => () }
         throw new IllegalStateException(
-          s"partials at $aggPath seq=$seq carry ${stale.size} file(s) no longer live " +
-            s"(e.g. ${stale.take(3).mkString(", ")}) — their refold would resurrect dead rows; state not sealed",
+          s"partials generation(s) ${missing.mkString(", ")} missing at $aggPath — state not sealed",
         )
       }
+      val out = fs.create(new Path(s"$aggPath/pgens-$seq"), true)
+      try out.write(ledger.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     val out = fs.create(new Path(s"$aggPath/files-$seq"), true)
     try out.write(files.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -328,13 +361,18 @@ object MaterializedAgg {
     // concurrent-writer tripwire (unlike the manifest _head).
     if (!fs.exists(new Path(s"$aggPath/_agg-$seq")))
       fs.create(new Path(s"$aggPath/_agg-$seq"), false).close()
+    val referenced = ledger.toSet
     fs.listStatus(new Path(aggPath)).foreach { st =>
       val n = st.getPath.getName
       def olderDir(prefix: String) =
         st.isDirectory && n.startsWith(prefix) && n.stripPrefix(prefix).toLongOption.exists(_ < seq)
+      // generations survive reclaim exactly while a ledger names them
+      def unreferencedGen =
+        st.isDirectory && (n.startsWith("pgen-") || n.startsWith("partials-")) && !referenced.contains(n)
       val old =
-        olderDir("state-") || olderDir("partials-") ||
+        olderDir("state-") || unreferencedGen ||
           (n.startsWith("files-") && n.stripPrefix("files-").toLongOption.exists(_ < seq)) ||
+          (n.startsWith("pgens-") && n.stripPrefix("pgens-").toLongOption.exists(_ < seq)) ||
           PtrRe.findFirstMatchIn(n).exists(_.group(1).toLong < seq)
       if (old) { try fs.delete(st.getPath, true) catch { case _: Throwable => () }; () }
     }
@@ -558,10 +596,11 @@ object MaterializedAgg {
       maxGroups: Long = DefaultMaxGroups,
       sumSqWide: Boolean = false,
       minMax: Seq[String] = Nil,
+      maxPartialGens: Int = DefaultMaxPartialGens,
   ): RefreshResult =
     refreshAll(
       spark, leaf,
-      Seq(AggSpec(aggPath, keys, values, sumSq, maxGroups, sumSqWide, minMax)),
+      Seq(AggSpec(aggPath, keys, values, sumSq, maxGroups, sumSqWide, minMax, maxPartialGens)),
     ).head
 
   /** One materialized aggregate's shape, for [[refreshAll]]. */
@@ -573,6 +612,7 @@ object MaterializedAgg {
       maxGroups: Long = DefaultMaxGroups,
       sumSqWide: Boolean = false,
       minMax: Seq[String] = Nil,
+      maxPartialGens: Int = DefaultMaxPartialGens,
   )
 
   /** Refresh SEVERAL materialized aggregates of one leaf, reading each
@@ -638,15 +678,23 @@ object MaterializedAgg {
             if (sp.minMax.isEmpty) seal(spark, sp.aggPath, toSeq, sums, live, sp.maxGroups)
             else {
               import spark.implicits._
-              val oldPartials = spark.read.parquet(s"${sp.aggPath}/partials-$fromSeq")
-              val kept =
-                if (removed.isEmpty) oldPartials
-                else oldPartials.join(
-                  broadcast(removed.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_anti")
-              val newPartials = cachedRead(added, pinAdded)
-                .map(b => kept.unionByName(partialsOf(b, sp.keys, sp.minMax))).getOrElse(kept)
-              val state = joinMinMax(sums, foldPartials(newPartials, sp.keys, sp.minMax), sp.keys)
-              seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups, Some(newPartials), driftCols(sp.minMax))
+              // generational partials (ROADMAP 85): history stays put,
+              // removals are implicit — the refold semi-joins every
+              // generation's rows on the CURRENT live list, so the
+              // seal's partials I/O is O(added files), not O(live set)
+              val gens = readLedger(spark, sp.aggPath, fromSeq)
+              require(gens.nonEmpty, s"sealed minMax state at ${sp.aggPath} seq=$fromSeq has no partials generations")
+              val hist = gens.map(g => spark.read.parquet(s"${sp.aggPath}/$g")).reduce(_.unionByName(_))
+              val histLive = hist.join(
+                broadcast(live.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_semi")
+              val newGen = cachedRead(added, pinAdded).map(b => partialsOf(b, sp.keys, sp.minMax))
+              val all = newGen.map(histLive.unionByName(_)).getOrElse(histLive)
+              val state = joinMinMax(sums, foldPartials(all, sp.keys, sp.minMax), sp.keys)
+              if (gens.size + newGen.size > sp.maxPartialGens)
+                // sprawl: fold the live rows into ONE fresh generation
+                seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups, Some(all), driftCols(sp.minMax))
+              else
+                seal(spark, sp.aggPath, toSeq, state, live, sp.maxGroups, newGen, driftCols(sp.minMax), keepGens = gens)
             }
             RefreshResult(toSeq, incremental = true, mode)
           }

@@ -573,10 +573,15 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     an[IllegalArgumentException] should be thrownBy
       MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
 
-    // exactly one sealed (state, partials, files, pointer) generation
+    // exactly one sealed state generation; every partials generation
+    // the single ledger names is present, nothing else survives reclaim
     val names = new File(aggPath).listFiles().map(_.getName)
     names.count(_.startsWith("state-")) shouldBe 1
-    names.count(_.startsWith("partials-")) shouldBe 1
+    names.count(_.startsWith("pgens-")) shouldBe 1
+    val ledger = java.nio.file.Files.readString(
+      new File(aggPath).listFiles().find(_.getName.startsWith("pgens-")).get.toPath,
+    ).split("\n").filter(_.nonEmpty).toSet
+    names.filter(n => n.startsWith("pgen-") || n.startsWith("partials-")).toSet shouldBe ledger
     names.count(_.startsWith("files-")) shouldBe 1
     names.count(_.startsWith("_agg-")) shouldBe 1
   }
@@ -753,5 +758,121 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     r2.mode shouldBe "rebuild"
     r2.incremental shouldBe false
     mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+  }
+
+  test("partials seal is O(delta): each refresh writes only the added files' generation") {
+    val leaf = new File(root, "acct/source=pgen/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-pgen").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 400L)
+    commit(leafPath, "p1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    val before = ManifestCommit.liveFiles(spark, leafPath).map(p => new File(p).getName).toSet
+
+    writeFile(leaf, "b.parquet", 400L, 900L)
+    commit(leafPath, "p2", abs("b.parquet"))
+    MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+
+    // the NEW generation holds ONLY the arrival commit's output — the
+    // build's generation was carried by ledger reference, not rewritten
+    val addedNames = ManifestCommit.liveFiles(spark, leafPath).map(p => new File(p).getName).toSet -- before
+    val names = new File(aggPath).listFiles().map(_.getName)
+    names.count(_.startsWith("pgen-")) shouldBe 2
+    val newest = names.filter(_.startsWith("pgen-")).maxBy(_.stripPrefix("pgen-").toLong)
+    val genFiles = spark.read.parquet(s"$aggPath/$newest")
+      .select("_file").distinct().collect().map(f => new File(f.getString(0)).getName).toSet
+    genFiles shouldBe addedNames
+    genFiles should have size 1
+
+    // a DELETE-WHERE rewrite: the dead files' rows stay in their
+    // generations but the refold's live semi-join excludes them — the
+    // max shrinks with zero history rewrite
+    deleteWhereCommit(leaf, leafPath, "pdel", keepBelow = 700L)
+    MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    val after = mmRows(MaterializedAgg.read(spark, aggPath))
+    after shouldBe mmRows(fullAggMM(leafPath))
+    after.map(_._5).max shouldBe 699L
+  }
+
+  test("generation sprawl folds into one past maxPartialGens; a planted stale row never resurrects") {
+    val leaf = new File(root, "acct/source=pfold/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-pfold").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 100L)
+    commit(leafPath, "f1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+
+    // plant a STALE partial row (a file that never existed) claiming an
+    // absurd max: the pre-generational layout needed a coverage
+    // tripwire against this class; generational refolds exclude it
+    // structurally via the live semi-join
+    val s = spark
+    import s.implicits._
+    val gen0 = new File(aggPath).listFiles().map(_.getName).filter(_.startsWith("pgen-")).head
+    Seq(("file:///nowhere/ghost.parquet", 0L, -999999L, 999999L))
+      .toDF("_file", "k", "min_amount", "max_amount")
+      .write.mode("append").parquet(s"$aggPath/$gen0")
+
+    (2 to 4).foreach { i =>
+      writeFile(leaf, s"f$i.parquet", i * 100L, i * 100L + 100L)
+      commit(leafPath, s"fc$i", abs(s"f$i.parquet"))
+      val r = MaterializedAgg.refresh(
+        spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"), maxPartialGens = 2)
+      r.incremental shouldBe true
+      mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath)) // ghost never served
+    }
+    // at maxPartialGens=2 the chain must have folded: a single
+    // generation remains, the ledger names exactly it, the ghost is gone
+    val names = new File(aggPath).listFiles().map(_.getName)
+    val gens = names.filter(_.startsWith("pgen-"))
+    gens.length should be <= 2
+    val ledger = java.nio.file.Files.readString(
+      new File(aggPath).listFiles().find(_.getName.startsWith("pgens-")).get.toPath,
+    ).split("\n").filter(_.nonEmpty).toSet
+    gens.toSet shouldBe ledger
+    val allFiles = gens.flatMap(g => spark.read.parquet(s"$aggPath/$g")
+      .select("_file").distinct().collect().map(_.getString(0)))
+    allFiles.exists(_.contains("ghost")) shouldBe false
+  }
+
+  test("a legacy partials-<seq> layout reads as one implicit generation and refreshes exactly") {
+    val leaf = new File(root, "acct/source=plegacy/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-plegacy").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 300L)
+    commit(leafPath, "l1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+
+    // rewrite the store into the pre-generational shape: partials-<seq>
+    // dir, no ledger — exactly what an old build left on disk
+    val aggDir = new File(aggPath)
+    val seq = aggDir.listFiles().map(_.getName).find(_.startsWith("pgens-")).get.stripPrefix("pgens-")
+    val gen = aggDir.listFiles().map(_.getName).find(_.startsWith("pgen-")).get
+    Files.move(new File(aggDir, gen).toPath, new File(aggDir, s"partials-$seq").toPath)
+    new File(aggDir, s"pgens-$seq").delete() shouldBe true
+
+    writeFile(leaf, "b.parquet", 300L, 600L)
+    commit(leafPath, "l2", abs("b.parquet"))
+    deleteWhereCommit(leaf, leafPath, "ldel", keepBelow = 500L)
+    val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    r.incremental shouldBe true
+    val after = mmRows(MaterializedAgg.read(spark, aggPath))
+    after shouldBe mmRows(fullAggMM(leafPath))
+    after.map(_._5).max shouldBe 499L
+    // the refreshed ledger carries the legacy dir by reference
+    val ledger = java.nio.file.Files.readString(
+      aggDir.listFiles().find(_.getName.startsWith("pgens-")).get.toPath,
+    ).split("\n").filter(_.nonEmpty).toSet
+    ledger should contain(s"partials-$seq")
   }
 }
