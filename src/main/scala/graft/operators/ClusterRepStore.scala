@@ -45,8 +45,9 @@ import org.apache.spark.sql.functions._
   *   - `feed/sq=<s>/` — the retained changefeed of every seal.
   *   - `_current-<seq>` — create-only pointer, sealed LAST (the
   *     IvfStore/NswSearch crash discipline). Readers filter every
-  *     add-log to `sq <= sealed`, so a crashed update's debris is
-  *     invisible and the next attempt deletes-then-redoes it —
+  *     add-log to `floor ≤ sq ≤ sealed` (the floor marker is how
+  *     [[compact]] retires folded generations), so a crashed update's
+  *     debris is invisible and the next attempt deletes-then-redoes it —
   *     re-ingest can never double-count a batch.
   *
   * Merge mechanics: the new pairs are contracted onto cluster canons —
@@ -99,14 +100,36 @@ object ClusterRepStore {
     * written for this seal (op, doc_id, cluster, quality). Batches must
     * carry globally-unique doc_ids (the usual ingest contract; a
     * replayed CRASHED batch is fine — debris is swept, see above).
+    *
+    * `batchTag` makes a SEALED update replay-idempotent — the
+    * at-least-once contract a `foreachBatch` caller needs: a replay
+    * delivers the same batchId with identical content, so an update
+    * whose tag is already sealed (at ANY seq — a maintenance compact
+    * may have bumped the head since) returns that seal's feed instead
+    * of absorbing the batch twice. Tag markers are feed-history-sized
+    * and never reclaimed.
     */
-  def update(spark: SparkSession, path: String, batchIn: DataFrame): DataFrame = {
+  def update(spark: SparkSession, path: String, batchIn: DataFrame, batchTag: Option[String] = None): DataFrame = {
     val fs = fsOf(spark, path)
     val sealedOpt = currentSeq(spark, path)
     val headSeq = sealedOpt.getOrElse(0L)
     val s = headSeq + 1
+    batchTag.foreach { tag =>
+      val applied = if (!fs.exists(new Path(path))) None
+      else fs.listStatus(new Path(path)).collectFirst {
+        case e if e.getPath.getName.startsWith("tag-") && {
+              val in = fs.open(e.getPath)
+              val t = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+              t == tag
+            } =>
+          e.getPath.getName.stripPrefix("tag-").toLong
+      }
+      applied.foreach { seq =>
+        if (seq <= headSeq) return spark.read.parquet(s"$path/feed/sq=$seq")
+      }
+    }
     // sweep a crashed attempt's unsealed debris so the redo is exact
-    Seq(s"$path/members/sq=$s", s"$path/bands/sq=$s", s"$path/alias-$s", s"$path/keepers-$s", s"$path/feed/sq=$s")
+    Seq(s"$path/members/sq=$s", s"$path/bands/sq=$s", s"$path/alias-$s", s"$path/keepers-$s", s"$path/feed/sq=$s", s"$path/tag-$s")
       .foreach(d => fs.delete(new Path(d), true))
 
     val batch = batchIn
@@ -120,7 +143,9 @@ object ClusterRepStore {
     // the re-ingest self-pair class every screen here carries
     val cross = (if (sealedOpt.isEmpty) emptyPairs
                  else {
-                   val hist = spark.read.schema(bandsSchema).parquet(s"$path/bands").where(col("sq") <= headSeq)
+                   val floor = floorOf(spark, path, headSeq)
+                   val hist = spark.read.schema(bandsSchema).parquet(s"$path/bands")
+                     .where(col("sq").between(floor, headSeq))
                    bands.as("x")
                      .join(
                        hist.as("y"),
@@ -156,7 +181,7 @@ object ClusterRepStore {
                    } else {
                      val buckets = oldIds.select(docBucket.as("db")).distinct().collect().map(_.getInt(0)).toSeq
                      val members = spark.read.schema(membersSchema).parquet(s"$path/members")
-                       .where(col("sq") <= headSeq && col("db").isin(buckets: _*))
+                       .where(col("sq").between(floorOf(spark, path, headSeq), headSeq) && col("db").isin(buckets: _*))
                      members.join(oldIds, "doc_id")
                        .join(alias, members("orig") === col("a_orig"), "left")
                        .select(members("doc_id"), members("quality"), coalesce(col("a_canon"), members("orig")).as("canon"))
@@ -237,6 +262,10 @@ object ClusterRepStore {
     feed.coalesce(1).write.parquet(s"$path/feed/sq=$s")
     newMembers.write.partitionBy("db").parquet(s"$path/members/sq=$s")
     bands.write.partitionBy("band").parquet(s"$path/bands/sq=$s")
+    batchTag.foreach { tag =>
+      val out = fs.create(new Path(s"$path/tag-$s"), true)
+      try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    }
     if (!fs.createNewFile(new Path(path, s"_current-$s")))
       throw new java.io.IOException(s"cluster-rep store at $path: concurrent sealer for seq $s")
     // reclaim superseded small state (feed history is retained — it IS
@@ -256,7 +285,8 @@ object ClusterRepStore {
   def assignment(spark: SparkSession, path: String): DataFrame = {
     val headSeq = currentSeq(spark, path)
       .getOrElse(throw new IllegalStateException(s"no sealed cluster-rep store at $path"))
-    val members = spark.read.schema(membersSchema).parquet(s"$path/members").where(col("sq") <= headSeq)
+    val members = spark.read.schema(membersSchema).parquet(s"$path/members")
+      .where(col("sq").between(floorOf(spark, path, headSeq), headSeq))
     val alias = readAlias(spark, path, headSeq)
     val keepers = readKeepers(spark, path, headSeq)
     members.join(alias, members("orig") === col("a_orig"), "left")
@@ -277,5 +307,81 @@ object ClusterRepStore {
     val headSeq = currentSeq(spark, path)
       .getOrElse(throw new IllegalStateException(s"no sealed cluster-rep store at $path"))
     spark.read.parquet(s"$path/feed").where(col("sq") <= headSeq)
+  }
+
+  /** Live members/bands generations: `floor ≤ sq ≤ sealed`. The floor
+    * is how [[compact]] retires folded generations without an in-place
+    * swap: a fold seals a NEW generation holding every live row and a
+    * `floor-<seq>` marker; readers below the pointer never see the fold
+    * until the pointer flips, and after it they never see the folded-
+    * away dirs — every crash window reads exactly one edition.
+    */
+  private def floorOf(spark: SparkSession, path: String, sealedSeq: Long): Long = {
+    val fs = fsOf(spark, path)
+    val re = "floor-(\\d+)".r
+    fs.listStatus(new Path(path))
+      .flatMap(e => re.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
+      .filter(_ <= sealedSeq).sorted.lastOption.getOrElse(1L)
+  }
+
+  /** Live add-log generations — the fragmentation dial
+    * [[StoreMaintenance.maintainClusterRep]] watches: every update adds
+    * one members + one bands generation, and each history screen unions
+    * a scan per generation.
+    */
+  def generationCount(spark: SparkSession, path: String): Long = {
+    val headSeq = currentSeq(spark, path)
+      .getOrElse(throw new IllegalStateException(s"no sealed cluster-rep store at $path"))
+    headSeq - floorOf(spark, path, headSeq) + 1
+  }
+
+  /** Fold every live members/bands generation into one (rows unchanged,
+    * one file per partition), sealed as generation `sealed+1` with a
+    * floor marker — probe-equal to the unfolded store, pinned by
+    * ClusterRepStoreSpec. The changefeed history keeps its sq dirs: it
+    * is the public log, not derivable state.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val headSeq = currentSeq(spark, path)
+      .getOrElse(throw new IllegalStateException(s"no sealed cluster-rep store at $path"))
+    val floor = floorOf(spark, path, headSeq)
+    val s = headSeq + 1
+    Seq(s"$path/members/sq=$s", s"$path/bands/sq=$s", s"$path/alias-$s", s"$path/keepers-$s", s"$path/floor-$s")
+      .foreach(d => fs.delete(new Path(d), true))
+    val mem = spark.read.schema(membersSchema).parquet(s"$path/members")
+      .where(col("sq").between(floor, headSeq))
+    mem.drop("sq").repartition(col("db"))
+      .write.partitionBy("db").parquet(s"$path/members/sq=$s")
+    val bnd = spark.read.schema(bandsSchema).parquet(s"$path/bands")
+      .where(col("sq").between(floor, headSeq))
+    bnd.drop("sq").repartition(col("band"))
+      .write.partitionBy("band").parquet(s"$path/bands/sq=$s")
+    // small state carries forward unchanged under the new seq
+    readAlias(spark, path, headSeq).select(col("a_orig").as("orig"), col("a_canon").as("canon"))
+      .coalesce(1).write.parquet(s"$path/alias-$s")
+    readKeepers(spark, path, headSeq)
+      .select(col("k_cluster").as("cluster"), col("k_doc").as("doc_id"), col("k_q").as("quality"))
+      .coalesce(1).write.parquet(s"$path/keepers-$s")
+    fs.create(new Path(s"$path/floor-$s"), true).close()
+    if (!fs.createNewFile(new Path(path, s"_current-$s")))
+      throw new java.io.IOException(s"cluster-rep store at $path: concurrent sealer for seq $s")
+    // reclaim every pre-fold generation (including stragglers a
+    // crashed earlier reclaim left behind) and superseded small state
+    Seq("members", "bands").foreach { sub =>
+      val base = new Path(s"$path/$sub")
+      if (fs.exists(base)) fs.listStatus(base).foreach { e =>
+        val n = e.getPath.getName
+        if (n.startsWith("sq=") && n.stripPrefix("sq=").toLongOption.exists(_ < s))
+          fs.delete(e.getPath, true)
+      }
+    }
+    Seq(s"$path/alias-$headSeq", s"$path/keepers-$headSeq", s"$path/_current-$headSeq")
+      .foreach(d => fs.delete(new Path(d), true))
+    val re = "floor-(\\d+)".r
+    fs.listStatus(new Path(path)).foreach { e =>
+      re.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong).filter(_ < s)
+        .foreach(_ => fs.delete(e.getPath, true))
+    }
   }
 }

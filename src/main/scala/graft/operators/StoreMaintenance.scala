@@ -141,6 +141,27 @@ object StoreMaintenance {
     Report(path, "index", retrained = false, compacted = compacted)
   }
 
+  /** Evaluate and act on one cluster-representative store
+    * ([[ClusterRepStore]]). Like [[maintainIndex]], the drift dial is
+    * generation spread — every update seals one members + one bands
+    * generation, and each screen unions a scan per generation — folded
+    * by [[ClusterRepStore.compact]] past `maxGenerations` (probe-equal
+    * by construction; the floor marker keeps every crash window on one
+    * edition). No retrain dial: cluster state has no learned geometry.
+    */
+  def maintainClusterRep(
+      spark: SparkSession,
+      path: String,
+      maxGenerations: Int = 4,
+  ): Report = {
+    val compacted =
+      if (ClusterRepStore.generationCount(spark, path) > maxGenerations) {
+        ClusterRepStore.compact(spark, path)
+        true
+      } else false
+    Report(path, "cluster-rep", retrained = false, compacted = compacted)
+  }
+
   /** One pass over a fleet of stores. */
   def run(
       spark: SparkSession,
@@ -148,7 +169,9 @@ object StoreMaintenance {
       bandsPaths: Seq[String] = Nil,
       nswRoutedPaths: Seq[String] = Nil,
       indexPaths: Seq[String] = Nil,
+      clusterRepPaths: Seq[String] = Nil,
   ): Seq[Report] =
     ivfPaths.map(maintainIvf(spark, _)) ++ bandsPaths.map(maintainBands(spark, _)) ++
-      nswRoutedPaths.map(maintainNswRouted(spark, _)) ++ indexPaths.map(maintainIndex(spark, _))
+      nswRoutedPaths.map(maintainNswRouted(spark, _)) ++ indexPaths.map(maintainIndex(spark, _)) ++
+      clusterRepPaths.map(maintainClusterRep(spark, _))
 }

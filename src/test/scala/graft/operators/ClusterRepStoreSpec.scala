@@ -193,6 +193,33 @@ class ClusterRepStoreSpec extends AnyFunSuite with Matchers with SparkSpec with 
       Set("sq=1", "sq=2", "sq=3")
   }
 
+  test("compact folds the add-log generations probe-equally and keeps the feed history") {
+    val path = dir("rand3") // the 3-batch store from the first test
+    val before = rows(ClusterRepStore.assignment(spark, path))
+    ClusterRepStore.generationCount(spark, path) shouldBe 3L
+    ClusterRepStore.compact(spark, path)
+    ClusterRepStore.generationCount(spark, path) shouldBe 1L
+    rows(ClusterRepStore.assignment(spark, path)) shouldBe before
+    // folded-away generations reclaimed; feed history (the public log) intact
+    new File(s"$path/members").listFiles().map(_.getName).filter(_.startsWith("sq=")).toSet shouldBe Set("sq=4")
+    new File(s"$path/bands").listFiles().map(_.getName).filter(_.startsWith("sq=")).toSet shouldBe Set("sq=4")
+    new File(s"$path/feed").listFiles().map(_.getName).filter(_.startsWith("sq=")).toSet shouldBe
+      Set("sq=1", "sq=2", "sq=3")
+    // the folded store keeps absorbing: a displacing arrival still
+    // screens against the folded bands and updates the folded members
+    val anyKept = ClusterRepStore.assignment(spark, path).where(col("keep") === 1)
+      .orderBy("doc_id").limit(1).collect().head
+    val (kd, kc) = (anyKept.getLong(0), anyKept.getLong(1))
+    val kt = graft.Tables.documents(spark, sf).where(col("doc_id") === kd)
+      .select("text").collect().head.getString(0)
+    val huge = spark.createDataFrame(Seq((900000L, kt, 1000000L))).toDF("doc_id", "text", "quality")
+    val feedN = ClusterRepStore.update(spark, path, huge)
+      .select("op", "doc_id", "cluster").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    feedN should contain(("retract", kd, kc))
+    feedN should contain(("assert", 900000L, kc))
+  }
+
   test("the matched-member lookup is a static-partition-pruned read of the doc buckets") {
     // docs 11 (bucket 7) and 12 (bucket 13) under crc32 % 16; the new
     // batch matches ONLY 11, so only db=7 may be read — proven by

@@ -193,4 +193,25 @@ class StoreMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec with
 
     StoreMaintenance.maintainIndex(spark, path).compacted shouldBe false
   }
+
+  test("generation-sprawled cluster-rep store compacts on maintenance, assignment unchanged; then a no-op") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("quality"))
+    val path = new File(root, "crep-sprawl").getAbsolutePath
+    (0L until 6L).foreach { k =>
+      ClusterRepStore.update(spark, path, docs.where(col("doc_id") % 6 === k))
+      ()
+    }
+    ClusterRepStore.generationCount(spark, path) shouldBe 6L
+    def assign() = ClusterRepStore.assignment(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = assign()
+
+    val r = StoreMaintenance.maintainClusterRep(spark, path)
+    r.compacted shouldBe true
+    ClusterRepStore.generationCount(spark, path) shouldBe 1L
+    assign() shouldBe before
+
+    StoreMaintenance.maintainClusterRep(spark, path).compacted shouldBe false
+  }
 }
