@@ -442,4 +442,24 @@ object DocumentStream {
     }
     kept
   }
+
+  /** Streaming form of the keep-best cluster-representative pipeline: a
+    * `foreachBatch` body that absorbs each micro-batch of
+    * `(doc_id, text, quality)` documents into a persisted
+    * [[graft.operators.ClusterRepStore]] and returns the seal's
+    * changefeed — the assert/retract rows a downstream publisher folds
+    * to keep exactly one best copy per near-dup cluster across the
+    * WHOLE stream history (batch-vs-store merges and displacements
+    * included; the batch pipelines share the one-shot MinHash kernel).
+    *
+    * Replay-safety rides on the store's own `batchTag` idempotence: an
+    * at-least-once redelivery of batchId b (same content by the
+    * foreachBatch contract) finds its tag sealed — even when a
+    * maintenance compact bumped the head since — and gets b's original
+    * feed back without absorbing twice; a crash MID-update left no
+    * pointer, so the redo sweeps the debris and lands on the same seal.
+    */
+  def clusterRepBatch(batchDocs: DataFrame, storePath: String, batchId: Long): DataFrame =
+    graft.operators.ClusterRepStore.update(
+      batchDocs.sparkSession, storePath, batchDocs, batchTag = Some(s"batch-$batchId"))
 }
