@@ -194,6 +194,34 @@ object StatsBench {
       MaterializedAgg.refresh(spark, leafPath, aggMm, Seq("v"), Seq("id"), minMax = Seq("id")))
     require(mres.incremental, "minMax refresh unexpectedly fell back to a rebuild")
 
+    // generational partials (ROADMAP 85): the seal's partials I/O is
+    // ONE added-files generation, not the whole table. Price the same
+    // arrival refreshed generationally (default dial) vs forced-fold
+    // (maxPartialGens=1 — the pre-generational whole-rewrite), as seal
+    // time and as partials bytes written this seal.
+    def dirBytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+      else f.length()
+    def newestGenBytes(aggPath: String): Long = {
+      val gens = new java.io.File(aggPath).listFiles()
+        .filter(_.getName.startsWith("pgen-"))
+      dirBytes(gens.maxBy(_.getName.stripPrefix("pgen-").toLong))
+    }
+    val aggMmFold = new java.io.File(root, "agg-mm-fold").getAbsolutePath
+    MaterializedAgg.build(spark, leafPath, aggMmFold, Seq("v"), Seq("id"), minMax = Seq("id"))
+    arrival(nCommits + 2)
+    val (mmGenSec, gres) = timedOnce(
+      MaterializedAgg.refresh(spark, leafPath, aggMm, Seq("v"), Seq("id"), minMax = Seq("id")))
+    require(gres.incremental, "generational minMax refresh fell back to a rebuild")
+    val genBytes = newestGenBytes(aggMm)
+    val (mmFoldSec, fres) = timedOnce(
+      MaterializedAgg.refresh(spark, leafPath, aggMmFold, Seq("v"), Seq("id"), minMax = Seq("id"), maxPartialGens = 1))
+    require(fres.incremental, "fold-mode minMax refresh fell back to a rebuild")
+    val foldBytes = newestGenBytes(aggMmFold)
+    def mmRowsOf(p: String) = MaterializedAgg.read(spark, p).collect()
+      .map(r => (r.getAs[Double]("v"), r.getAs[Long]("cnt"), r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).toSet
+    require(mmRowsOf(aggMm) == mmRowsOf(aggMmFold), "generational and fold minMax states diverged")
+
     // compaction-NEUTRAL refresh (the commit-window walk): bring the
     // cnt/sum state to head, compact the whole K-commit leaf into one
     // commit, refresh again — the walk certifies net-zero from input
@@ -223,7 +251,9 @@ object StatsBench {
         f""""range_count":{"full_sec":$fullRcSec%.3f,"meta_sec":$metaRcSec%.3f,"rows":$frc},""" +
         s""""bloom_bits_ladder":[${bitsLadder.mkString(",")}],""" +
         f""""matagg":{"build_sec":$maBuildSec%.3f,"refresh_sec":$maRefreshSec%.3f,"rebuild_sec":$maRebuildSec%.3f,"groups":${aggRows(aggInc).size}},""" +
-        f""""matagg_minmax":{"build_sec":$mmBuildSec%.3f,"refresh_sec":$mmRefreshSec%.3f},""" +
+        f""""matagg_minmax":{"build_sec":$mmBuildSec%.3f,"refresh_sec":$mmRefreshSec%.3f,""" +
+        f""""gen_seal_sec":$mmGenSec%.3f,"fold_seal_sec":$mmFoldSec%.3f,""" +
+        f""""gen_partials_bytes":$genBytes,"fold_partials_bytes":$foldBytes},""" +
         f""""matagg_compact_walk":{"refresh_sec":$walkSec%.3f,"files_compacted":${liveAll.size}}}""",
     )
     Fs.rmTree(root)
