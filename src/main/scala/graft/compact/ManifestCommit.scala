@@ -195,6 +195,104 @@ object ManifestCommit {
     Some(mergeAndCommit(spark, LeafPlan(leaf, stem, kept, totalBytes), cfg))
   }
 
+  /** DELETE WHERE as one manifest commit — the retention /
+    * right-to-be-forgotten primitive, and the only public producer of
+    * genuine row REMOVALS for [[ChangeFeed]] consumers (compactions net
+    * to zero; arrivals only add). One metadata-scale classification
+    * pass finds the live files that CONTAIN matching rows
+    * (`_metadata.file_path` group-by); untouched files are never read
+    * again or rewritten — a selective delete on a 100-TB leaf costs the
+    * hit files, not the leaf. Hit files are rewritten WITHOUT their
+    * matching rows into a hidden `.data-` stage (a fully-emptied file
+    * gets no replacement output) and superseded by ONE sealed manifest;
+    * the staged row count is validated against inputs − matches before
+    * the commit point, and every crash window mirrors
+    * [[mergeAndCommit]]'s (stage invisible until the manifest seals,
+    * rollback removes manifest-then-stage, gcOrphans reclaims debris).
+    *
+    * Returns None when no live row matches (no commit — the head does
+    * not move for a no-op). `cond` must be deterministic: it runs once
+    * to classify and once to rewrite.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      leaf: String,
+      cond: org.apache.spark.sql.Column,
+      cfg: CompactorConfig,
+      stem: String = "delete",
+  ): Option[LeafResult] = {
+    require(cfg.commitMode == CommitMode.Manifest, "deleteWhere requires manifest mode (atomic supersede of partially-rewritten files)")
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val live = liveFiles(spark, leaf)
+    if (live.isEmpty) return None
+    import org.apache.spark.sql.functions.{col => c, count => cnt, lit}
+    val perFile = spark.read.option("mergeSchema", "true").parquet(live: _*)
+      .where(cond)
+      .groupBy(c("_metadata.file_path").as("_df"))
+      .agg(cnt(lit(1)).as("_n"))
+      .collect()
+    if (perFile.isEmpty) return None
+    val hit = perFile.map(_.getString(0)).toSet
+    val matched = perFile.map(_.getLong(1)).sum
+    def qualify(p: String) = fs.makeQualified(new Path(p)).toString
+    val inputs = live.filter(p => hit.contains(qualify(p)))
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val dataDir = s"$leaf/.data-$runId"
+    try {
+      val rowsIn = Merger.footerRows(spark, inputs)
+      // SQL DELETE semantics: only cond=TRUE rows go; a NULL-evaluating
+      // row SURVIVES (a bare !cond would silently drop it — and the
+      // rowsIn − matched validation below would catch exactly that)
+      spark.read.option("mergeSchema", "true").parquet(inputs: _*)
+        .where(!org.apache.spark.sql.functions.coalesce(cond, org.apache.spark.sql.functions.lit(false)))
+        .write.mode("overwrite").parquet(dataDir)
+      val outFiles = fs.listStatus(new Path(dataDir))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName).toSeq
+        .filter(p => Merger.footerRows(spark, Seq(p.toString)) > 0L) // a 0-row survivor file is dead weight
+      val rowsStaged = if (outFiles.isEmpty) 0L else Merger.footerRows(spark, outFiles.map(_.toString))
+      if (rowsStaged != rowsIn - matched) {
+        fs.delete(new Path(dataDir), true)
+        return Some(LeafResult(
+          leaf, stem, success = false, rowsStaged, 0,
+          Some(s"validation failed: staged $rowsStaged rows != input $rowsIn - matched $matched"),
+        ))
+      }
+      val outputsRel = outFiles.map(p => s".data-$runId/${p.getName}")
+      if (cfg.statsColumns.nonEmpty && outputsRel.nonEmpty) {
+        val st = ManifestStats.collect(spark, outputsRel.zip(outFiles.map(_.toString)), cfg.statsColumns)
+        if (st.nonEmpty) ManifestStats.write(fs, leaf, runId, st)
+      }
+      val inputsRel = inputs.map(relativeTo(leaf, _))
+      publish(fs, leaf, stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries)
+      val undeleted =
+        if (cfg.retainSuperseded) Seq.empty
+        else inputs.filterNot { p =>
+          try fs.delete(new Path(p), false)
+          catch { case _: Throwable => false }
+        }
+      Some(LeafResult(
+        leaf, stem, success = true, rowsStaged, outFiles.size,
+        if (undeleted.isEmpty) None
+        else Some(s"committed; ${undeleted.size} superseded original(s) left as debris"),
+      ))
+    } catch {
+      case e: Throwable =>
+        val fsR = try Some(FileIndexer.fsFor(spark, leaf)) catch { case _: Throwable => None }
+        val manifestGone = fsR.exists { f =>
+          val mp = new Path(s"$leaf/_manifest-$stem-$runId.json")
+          try { f.delete(mp, false); !f.exists(mp) }
+          catch { case _: Throwable => false }
+        }
+        if (manifestGone) {
+          try fsR.foreach(_.delete(new Path(dataDir), true))
+          catch { case _: Throwable => () }
+          fsR.foreach(ManifestStats.deleteSidecars(_, leaf, runId))
+        }
+        Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
+    }
+  }
+
   /** The atomic publish: one create of the sealed manifest object (the
     * commit point), then one create of the seq-named head pointer (the
     * O(1) resolution cache + the concurrent-writer tripwire). Shared by
