@@ -14,13 +14,24 @@ import org.apache.spark.sql.functions._
   *
   * Layout at `path` — a manifest-lite ADD-LOG, sealed per generation:
   *
-  *   - `add-<seq>/tb=<b>/` — one append batch's postings
-  *     `(word, doc_id, tf)`, hive-partitioned by the term's hash
-  *     bucket (xxhash64 % [[Buckets]]) so a probe is a static
-  *     partition filter;
+  *   - `add-<seq>/tb=<b>/` — one batch's postings `(word, doc_id, tf)`,
+  *     hive-partitioned by the term's hash bucket (xxhash64 %
+  *     [[Buckets]]) so a probe is a static partition filter;
   *   - `dl-<seq>/` — that batch's `(doc_id, dl)` document lengths;
+  *   - `del-<seq>/` — that generation's TOMBSTONES `(doc_id, dl)`:
+  *     docs REMOVED from the corpus (a retention delete, a rewrite's
+  *     retraction side). Removal is logical — postings stay put, and
+  *     every probe kills a posting whose doc has a LATER tombstone
+  *     (`dseq > gseq`, so a doc re-added after its removal scores from
+  *     its new edition only); [[compact]] drops tombstoned rows
+  *     physically and clears the tombstones.
   *   - `stats-<seq>` — CUMULATIVE corpus stats (n docs, Σdl) as of the
-  *     generation — one tiny file, read whole per probe;
+  *     generation — additions added, removals subtracted — one tiny
+  *     file, read whole per probe;
+  *   - `cursor-<seq>` — when the index is maintained by
+  *     [[syncFromLeaf]]: the [[graft.compact.ChangeFeed.Cursor]] this
+  *     generation corresponds to (feed seq + counted file set), sealed
+  *     WITH the data so crash replays are idempotent by construction;
   *   - `_current-<seq>` — empty pointer, CREATED LAST. A crashed
   *     build/append leaves unsealed dirs a reader never resolves and
   *     the next writer's seq reuses-or-supersedes; the same
@@ -28,15 +39,24 @@ import org.apache.spark.sql.functions._
   *
   * Probes compute BM25 from (tf, dl) + the current stats at QUERY
   * time, so scores reflect the corpus as of the sealed generation —
-  * append moves n/avgdl/df and thereby every score, exactly like the
-  * from-scratch query. [[IndexStoreSpec]] pins probe ≡ one-shot
-  * [[graft.queries.SearchQueries.bm25]] bit-for-bit (same expression
-  * tree, same integer inputs) after builds, appends, and compaction.
+  * appends AND removals move n/avgdl/df and thereby every score,
+  * exactly like the from-scratch query. [[IndexStoreSpec]] pins probe
+  * ≡ one-shot [[graft.queries.SearchQueries.bm25]] bit-for-bit (same
+  * expression tree, same integer inputs) after builds, appends,
+  * deletions, and compaction.
+  *
+  * **CDC-driven maintenance** ([[syncFromLeaf]]): the index subscribes
+  * to a manifest leaf's [[graft.compact.ChangeFeed]] — appended rows
+  * become a generation's additions, removed rows its tombstones, and a
+  * PURE COMPACTION of the leaf (walk-verified net-zero) advances the
+  * cursor with zero index work. The cursor seals atomically with the
+  * generation, so a crashed sync replays from the same cursor and
+  * lands on the same seal — at-least-once safe without tags.
   *
   * Contract: `append` batches carry NEW doc_ids (the ingest pipeline
-  * dedups upstream — re-appending a doc would double its postings, the
-  * same at-least-once caveat BandsStore documents). `compact` folds
-  * append debris offline, like the sibling stores' compaction.
+  * dedups upstream — re-appending a LIVE doc would double its
+  * postings; re-adding a TOMBSTONED doc is the supported update shape).
+  * `compact` folds generations offline, like the sibling stores.
   */
 object IndexStore {
 
@@ -81,25 +101,43 @@ object IndexStore {
     (n.toLong, s.toLong)
   }
 
+  /** Seal one generation: additions (postings + lengths), tombstones,
+    * net stats, optional cursor — pointer LAST.
+    */
   private def writeGeneration(
       spark: SparkSession,
-      docs: DataFrame,
+      docs: Option[DataFrame],
+      removed: Option[DataFrame],
       path: String,
       seq: Long,
       prevStats: (Long, Long),
+      cursor: Option[String] = None,
   ): Long = {
     val fs = fsOf(spark, path)
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    words.groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(xxhash64(col("word")), lit(Buckets)))
-      .write.partitionBy("tb").mode("overwrite").parquet(s"$path/add-$seq")
-    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$path/dl-$seq")
-    val batch = dl.agg(count(lit(1)), sum(col("dl"))).head
-    val (n, s) = (prevStats._1 + batch.getLong(0), prevStats._2 + batch.getLong(1))
+    val (an, as) = docs.map { d =>
+      val words = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      words.groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(xxhash64(col("word")), lit(Buckets)))
+        .write.partitionBy("tb").mode("overwrite").parquet(s"$path/add-$seq")
+      val dl = d.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      dl.write.mode("overwrite").parquet(s"$path/dl-$seq")
+      val b = dl.agg(count(lit(1)), sum(col("dl"))).head
+      (b.getLong(0), b.getLong(1))
+    }.getOrElse((0L, 0L))
+    val (rn, rs) = removed.map { r =>
+      val rdl = r.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      rdl.write.mode("overwrite").parquet(s"$path/del-$seq")
+      val b = rdl.agg(count(lit(1)), sum(col("dl"))).head
+      (b.getLong(0), b.getLong(1))
+    }.getOrElse((0L, 0L))
+    val (n, s) = (prevStats._1 + an - rn, prevStats._2 + as - rs)
     val out = fs.create(new Path(s"$path/stats-$seq"), true)
     try out.write(s"$n $s".getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    cursor.foreach { c =>
+      val co = fs.create(new Path(s"$path/cursor-$seq"), true)
+      try co.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally co.close()
+    }
     fs.create(new Path(s"$path/_current-$seq"), false).close()
     seq
   }
@@ -107,40 +145,75 @@ object IndexStore {
   /** Build a fresh index over `docs` (seq 1). */
   def build(spark: SparkSession, docs: DataFrame, path: String): Long = {
     require(currentSeq(spark, path).isEmpty, s"index already sealed at $path — use append")
-    writeGeneration(spark, docs, path, 1L, (0L, 0L))
+    writeGeneration(spark, Some(docs), None, path, 1L, (0L, 0L))
   }
 
   /** Append a batch of NEW documents as the next sealed generation —
     * work proportional to the batch; no existing generation is read or
-    * rewritten (the add-log trick: deletes don't exist in an ingest
-    * index, so arrival-only generations compose by union).
+    * rewritten (the add-log trick: arrival-only generations compose by
+    * union, removals by tombstone).
     */
   def append(spark: SparkSession, docs: DataFrame, path: String): Long = {
     val cur = currentSeq(spark, path)
       .getOrElse(throw new IllegalStateException(s"no sealed index at $path — build first"))
-    writeGeneration(spark, docs, path, cur + 1L, readStats(spark, path, cur))
+    writeGeneration(spark, Some(docs), None, path, cur + 1L, readStats(spark, path, cur))
   }
 
-  private def dirsOf(spark: SparkSession, path: String, seq: Long, prefix: String): Seq[String] = {
+  /** One sealed generation carrying additions AND/OR removals (both
+    * `(doc_id, text)` frames — tombstones need the text only for its
+    * length). Bootstraps an empty index when nothing is sealed yet.
+    */
+  def applyDelta(
+      spark: SparkSession,
+      path: String,
+      added: Option[DataFrame],
+      removed: Option[DataFrame],
+      cursor: Option[String] = None,
+  ): Long = {
+    val cur = currentSeq(spark, path)
+    val prev = cur.map(readStats(spark, path, _)).getOrElse((0L, 0L))
+    writeGeneration(spark, added, removed, path, cur.getOrElse(0L) + 1L, prev, cursor)
+  }
+
+  private def seqDirs(spark: SparkSession, path: String, seq: Long, prefix: String): Seq[(String, Long)] = {
     val fs = fsOf(spark, path)
-    (1L to seq).map(i => s"$path/$prefix-$i").filter(p => fs.exists(new Path(p)))
+    (1L to seq).map(i => (s"$path/$prefix-$i", i)).filter { case (p, _) => fs.exists(new Path(p)) }
   }
-
-  private def addDirs(spark: SparkSession, path: String, seq: Long): Seq[String] =
-    dirsOf(spark, path, seq, "add")
 
   /** Live generation count — [[StoreMaintenance.maintainIndex]]'s
-    * compaction dial (probe fan-out is one scan per generation).
+    * compaction dial (probe fan-out is one scan per add/del dir).
     */
   def generationCount(spark: SparkSession, path: String): Int =
-    currentSeq(spark, path).map(addDirs(spark, path, _).size).getOrElse(0)
+    currentSeq(spark, path)
+      .map(s => seqDirs(spark, path, s, "add").size + seqDirs(spark, path, s, "del").size)
+      .getOrElse(0)
+
+  /** Union the tombstones as (t_id, dseq), if any exist. */
+  private def tombstones(spark: SparkSession, path: String, seq: Long): Option[DataFrame] =
+    seqDirs(spark, path, seq, "del")
+      .map { case (p, i) => spark.read.parquet(p).select(col("doc_id").as("t_id"), lit(i).as("dseq")) }
+      .reduceOption(_ unionByName _)
+
+  /** Kill every row whose doc carries a LATER tombstone (re-adds after
+    * a removal survive — `dseq > gseq` scopes the kill to the dead
+    * edition). Tombstones are churn-bounded, so the anti-join
+    * broadcasts them.
+    */
+  private def dropTombstoned(rows: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    tomb match {
+      case None => rows.drop("gseq")
+      case Some(t) =>
+        rows.join(broadcast(t), rows("doc_id") === t("t_id") && t("dseq") > rows("gseq"), "left_anti")
+          .drop("gseq")
+    }
 
   /** BM25 over the sealed index for `terms`: reads ONLY the terms'
     * `tb=` partitions of each generation (static partition filter),
     * derives per-term df from the probed postings (complete per term
-    * by construction), and scores with the exact expression tree of
-    * the one-shot [[graft.queries.SearchQueries.bm25]] — byte-equal
-    * results on the same corpus.
+    * by construction, tombstoned docs excluded), and scores with the
+    * exact expression tree of the one-shot
+    * [[graft.queries.SearchQueries.bm25]] — byte-equal results on the
+    * same corpus.
     */
   def search(
       spark: SparkSession,
@@ -153,18 +226,27 @@ object IndexStore {
       .getOrElse(throw new IllegalStateException(s"no sealed index at $path"))
     val (nDocs, sumDl) = readStats(spark, path, seq)
     val tbs = terms.map(bucketOf).distinct
-    val postings = addDirs(spark, path, seq)
-      .map(p => spark.read.parquet(p).where(col("tb").isin(tbs: _*)))
-      .reduce(_ unionByName _)
-      .where(col("word").isin(terms: _*))
+    val tomb = tombstones(spark, path, seq)
+    val postings = dropTombstoned(
+      seqDirs(spark, path, seq, "add")
+        .map { case (p, i) =>
+          spark.read.parquet(p).where(col("tb").isin(tbs: _*)).withColumn("gseq", lit(i))
+        }
+        .reduce(_ unionByName _)
+        .where(col("word").isin(terms: _*)),
+      tomb,
+    )
     val n = terms.size
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       coalesce(sum(when(col("word") === t, col("tf"))), lit(0L)).as(s"tf${i + 1}")
     }
     val cand = postings.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
-    val dl = dirsOf(spark, path, seq, "dl")
-      .map(p => spark.read.parquet(p))
-      .reduce(_ unionByName _)
+    val dl = dropTombstoned(
+      seqDirs(spark, path, seq, "dl")
+        .map { case (p, i) => spark.read.parquet(p).withColumn("gseq", lit(i)) }
+        .reduce(_ unionByName _),
+      tomb,
+    )
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       count(when(col("word") === t, 1)).cast("double").as(s"df${i + 1}")
     }
@@ -183,32 +265,94 @@ object IndexStore {
       .orderBy(desc("bm25"), col("doc_id"))
   }
 
+  private def readCursor(spark: SparkSession, path: String, seq: Long): Option[graft.compact.ChangeFeed.Cursor] = {
+    val fs = fsOf(spark, path)
+    val p = new Path(s"$path/cursor-$seq")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val lines = text.split("\n").toSeq
+      Some(graft.compact.ChangeFeed.Cursor(lines.head.trim.toLong, lines.tail.filter(_.nonEmpty).toSet))
+    }
+  }
+
+  private def serializeCursor(c: graft.compact.ChangeFeed.Cursor): String =
+    (c.seq.toString +: c.counted.toSeq.sorted).mkString("\n")
+
+  /** Advance the index to `leaf`'s head through the commit-log change
+    * feed — the CDC consumer composition: appended rows become this
+    * generation's additions, removed rows its tombstones, and a
+    * walk-verified PURE COMPACTION of the leaf advances the cursor
+    * with ZERO data read on either side (IndexStoreSpec proves it over
+    * deliberately corrupted leaf bytes). The cursor seals atomically
+    * with the generation, so an at-least-once re-drive replays from
+    * the same cursor and lands on the same seal. Returns the feed mode
+    * applied ("noop" | "walk" | "diff"). Run the leaf with
+    * `retainSuperseded` spanning the sync lag — [[ChangeFeed
+    * .readRemoved]] fails loudly on GC'd retractions rather than
+    * under-deleting.
+    */
+  def syncFromLeaf(spark: SparkSession, leaf: String, path: String): String = {
+    import graft.compact.ChangeFeed
+    val cur = currentSeq(spark, path)
+    val cursor = cur match {
+      case None => ChangeFeed.Cursor.initial
+      case Some(s) => readCursor(spark, path, s).getOrElse(
+        throw new IllegalStateException(
+          s"index at $path has no cursor for generation $s — it was not built by syncFromLeaf; " +
+            "bootstrap a fresh path instead of mixing manual appends with feed sync"),
+      )
+    }
+    val ch = ChangeFeed.changesSince(spark, leaf, cursor)
+    if (ch.mode == "noop") return "noop"
+    val added =
+      if (ch.appended.isEmpty) None
+      else Some(ChangeFeed.readAppended(spark, ch).drop("_change_file"))
+    val removed =
+      if (ch.removed.isEmpty) None
+      else Some(ChangeFeed.readRemoved(spark, ch).drop("_change_file"))
+    applyDelta(spark, path, added, removed, cursor = Some(serializeCursor(ch.next)))
+    ch.mode
+  }
+
   /** Fold every generation's postings/lengths into ONE new sealed
-    * generation (probe cost returns to one dir per bucket after many
-    * appends), then reclaim the superseded dirs. Offline-only, like
-    * the sibling stores' compaction: readers mid-probe on the old
-    * generations lose their dirs at the reclaim.
+    * generation — tombstoned rows dropped PHYSICALLY and the
+    * tombstones cleared, probe cost back to one dir per bucket — then
+    * reclaim the superseded dirs. The newest cursor carries forward.
+    * Offline-only, like the sibling stores' compaction: readers
+    * mid-probe on the old generations lose their dirs at the reclaim.
     */
   def compact(spark: SparkSession, path: String): Long = {
     val seq = currentSeq(spark, path)
       .getOrElse(throw new IllegalStateException(s"no sealed index at $path"))
-    if (addDirs(spark, path, seq).size <= 1) return seq
+    val adds = seqDirs(spark, path, seq, "add")
+    val dels = seqDirs(spark, path, seq, "del")
+    if (adds.size <= 1 && dels.isEmpty) return seq
     val fs = fsOf(spark, path)
     val next = seq + 1L
-    addDirs(spark, path, seq)
-      .map(p => spark.read.parquet(p))
-      .reduce(_ unionByName _)
-      .write.partitionBy("tb").mode("overwrite").parquet(s"$path/add-$next")
-    dirsOf(spark, path, seq, "dl")
-      .map(p => spark.read.parquet(p))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$path/dl-$next")
+    val tomb = tombstones(spark, path, seq)
+    dropTombstoned(
+      adds.map { case (p, i) => spark.read.parquet(p).withColumn("gseq", lit(i)) }
+        .reduce(_ unionByName _),
+      tomb,
+    ).write.partitionBy("tb").mode("overwrite").parquet(s"$path/add-$next")
+    dropTombstoned(
+      seqDirs(spark, path, seq, "dl")
+        .map { case (p, i) => spark.read.parquet(p).withColumn("gseq", lit(i)) }
+        .reduce(_ unionByName _),
+      tomb,
+    ).write.mode("overwrite").parquet(s"$path/dl-$next")
     val (nDocs, sumDl) = readStats(spark, path, seq)
     val out = fs.create(new Path(s"$path/stats-$next"), true)
     try out.write(s"$nDocs $sumDl".getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    readCursor(spark, path, seq).foreach { c =>
+      val co = fs.create(new Path(s"$path/cursor-$next"), true)
+      try co.write(serializeCursor(c).getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally co.close()
+    }
     fs.create(new Path(s"$path/_current-$next"), false).close()
     (1L to seq).foreach { i =>
-      Seq(s"add-$i", s"dl-$i", s"stats-$i", s"_current-$i").foreach { ndir =>
+      Seq(s"add-$i", s"dl-$i", s"del-$i", s"stats-$i", s"cursor-$i", s"_current-$i").foreach { ndir =>
         try { fs.delete(new Path(s"$path/$ndir"), true); () } catch { case _: Throwable => () }
       }
     }

@@ -63,10 +63,12 @@ object SearchQueries {
 
   /** The full-corpus BM25 oracle — shared by `bm25_search` and
     * `bm25_indexed` (a probe of a complete index IS the one-shot
-    * query, so the same SQL pins both).
+    * query, so the same SQL pins both), parameterized by a corpus
+    * predicate for `bm25_cdc_sync` (whose index holds the leaf's
+    * CURRENT live rows — the post-delete corpus).
     */
-  private val bm25Sql =
-    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+  private def bm25SqlWhere(where: String): String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents$where),
        |tf AS (SELECT doc_id, count(*) AS dl,
        |              count(CASE WHEN word = '${terms(0)}' THEN 1 END) AS tf1,
        |              count(CASE WHEN word = '${terms(1)}' THEN 1 END) AS tf2,
@@ -85,6 +87,8 @@ object SearchQueries {
        |FROM tf CROSS JOIN g
        |WHERE tf1 + tf2 + tf3 > 0
        |ORDER BY bm25 DESC, doc_id""".stripMargin
+
+  private val bm25Sql = bm25SqlWhere("")
 
   /** Two-stage retrieval oracle (retrieve-then-rerank): BM25 cuts the
     * corpus to K=50 candidates, a deterministic "cross-encoder"
@@ -186,6 +190,52 @@ object SearchQueries {
         ()
       }
       graft.operators.IndexStore.search(s, path, terms)
+    },
+
+    // ----- the CDC consumer composition, end to end: a manifest leaf
+    // ingested through the WAP gate, COMPACTED (walk-verified net-zero
+    // — the index sync advances its cursor with ZERO index work), then
+    // hit with a ManifestCommit.deleteWhere retention delete; the
+    // inverted index follows the leaf purely through
+    // IndexStore.syncFromLeaf (ChangeFeed appended→additions,
+    // removed→tombstones, cursor sealed with each generation). The
+    // probe must equal the one-shot BM25 over the leaf's CURRENT rows
+    // — the oracle is the same SQL with the delete's predicate, so a
+    // single hash match certifies the whole chain: gate, feed,
+    // tombstone scoring (n/avgdl/df all move), and that the pure
+    // compaction added nothing. Deletions tombstone doc lengths too,
+    // so every survivor's score shifts — a stale stats read would
+    // hash-mismatch.
+    Q("bm25_cdc_sync", bm25SqlWhere(" WHERE doc_id % 10 <> 0")) { (s, d) =>
+      import graft.compact.{CommitMode, CompactorConfig, LeafPlan, ManifestCommit, Merger, WapCommit}
+      val path = StoreCache.resolve(d, "bm25-cdc", table = "documents") { p =>
+        // stateful two-phase build: stage whole, publish by rename
+        // (the dedup_cluster_rep_inc discipline — a crashed half-build
+        // must never register as built)
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+        fs.delete(stage, true)
+        val leaf = s"$stage/leaf"
+        val idx = s"$stage/index"
+        val cfg = CompactorConfig(commitMode = CommitMode.Manifest, retainSuperseded = true)
+        val gate = Seq(WapCommit.AuditCheck.notNull("doc_id"))
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val half = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2")
+        WapCommit.writeAuditPublish(s, leaf, docs.where(half === 0), gate, cfg)
+        graft.operators.IndexStore.syncFromLeaf(s, leaf, idx) // bootstrap
+        WapCommit.writeAuditPublish(s, leaf, docs.where(half === 1), gate, cfg)
+        graft.operators.IndexStore.syncFromLeaf(s, leaf, idx) // arrival
+        val live = ManifestCommit.liveFiles(s, leaf)
+        val bytes = live.map(f => new java.io.File(f).length).sum
+        Merger.mergeAndCommit(s, LeafPlan(leaf, "fold", live, bytes), cfg)
+        graft.operators.IndexStore.syncFromLeaf(s, leaf, idx) // net-zero walk
+        ManifestCommit.deleteWhere(s, leaf, col("doc_id") % 10 === 0, cfg)
+        graft.operators.IndexStore.syncFromLeaf(s, leaf, idx) // retractions
+        fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
+        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+          throw new java.io.IOException(s"bm25-cdc store publish rename failed: $stage -> $p")
+      }
+      graft.operators.IndexStore.search(s, s"$path/index", terms)
     },
 
     // ----- two-stage retrieval (retrieve-then-rerank — the production

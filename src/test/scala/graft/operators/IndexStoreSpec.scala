@@ -120,4 +120,78 @@ class IndexStoreSpec extends AnyFunSuite with Matchers with SparkSpec with Befor
     // non-probed postings are gone from disk; the probe never notices
     rows(IndexStore.search(spark, path, terms)) shouldBe before
   }
+
+  test("tombstoned docs vanish from probes — n/avgdl/df move, survivors re-score") {
+    val path = new File(root, "del").getAbsolutePath
+    IndexStore.build(spark, docs, path)
+    val gone = docs.where(col("doc_id") % 10 === 0)
+    IndexStore.applyDelta(spark, path, added = None, removed = Some(gone))
+    val survivors = docs.where(col("doc_id") % 10 =!= 0)
+    rows(IndexStore.search(spark, path, terms)) shouldBe rows(oneShot(survivors))
+
+    // compact drops the tombstoned rows PHYSICALLY and clears del dirs
+    IndexStore.compact(spark, path)
+    val names = new File(path).listFiles().map(_.getName)
+    names.count(_.startsWith("add-")) shouldBe 1
+    names.count(_.startsWith("del-")) shouldBe 0
+    rows(IndexStore.search(spark, path, terms)) shouldBe rows(oneShot(survivors))
+  }
+
+  test("a doc re-added after removal scores from its NEW edition only (the update shape)") {
+    val s = spark
+    import s.implicits._
+    val path = new File(root, "readd").getAbsolutePath
+    val v1 = Seq((1L, "spark merge window alpha"), (2L, "beta gamma delta spark")).toDF("doc_id", "text")
+    IndexStore.build(spark, v1, path)
+    // update doc 1: remove the old edition, add the new one
+    IndexStore.applyDelta(spark, path, added = None, removed = Some(v1.where($"doc_id" === 1L)))
+    val v2row = Seq((1L, "window window merge epsilon zeta")).toDF("doc_id", "text")
+    IndexStore.applyDelta(spark, path, added = Some(v2row), removed = None)
+    val updated = v1.where($"doc_id" =!= 1L).unionByName(v2row)
+    rows(IndexStore.search(spark, path, terms)) shouldBe rows(oneShot(updated))
+    // and the fold keeps exactly the live editions
+    IndexStore.compact(spark, path)
+    rows(IndexStore.search(spark, path, terms)) shouldBe rows(oneShot(updated))
+  }
+
+  test("syncFromLeaf follows a manifest leaf: arrivals, a ZERO-work compaction walk, a retention delete") {
+    import graft.compact.{CommitMode, CompactorConfig, LeafPlan, ManifestCommit, Merger, WapCommit}
+    val leaf = new File(root, "cdc-leaf").getAbsolutePath
+    val path = new File(root, "cdc-idx").getAbsolutePath
+    val cfg = CompactorConfig(commitMode = CommitMode.Manifest, retainSuperseded = true)
+    val gate = Seq(WapCommit.AuditCheck.notNull("doc_id"))
+    val d = docs.select(col("doc_id"), col("text"))
+
+    WapCommit.writeAuditPublish(spark, leaf, d.where(col("doc_id") % 2 === 0), gate, cfg)
+    IndexStore.syncFromLeaf(spark, leaf, path) should (be("walk") or be("diff")) // bootstrap
+    rows(IndexStore.search(spark, path, terms)) shouldBe rows(oneShot(d.where(col("doc_id") % 2 === 0)))
+
+    WapCommit.writeAuditPublish(spark, leaf, d.where(col("doc_id") % 2 === 1), gate, cfg)
+    IndexStore.syncFromLeaf(spark, leaf, path) shouldBe "walk"
+    rows(IndexStore.search(spark, path, terms)) shouldBe rows(oneShot(d))
+
+    // replay idempotence: nothing new on the leaf → noop, seq unchanged
+    val seqBefore = IndexStore.currentSeq(spark, path).get
+    IndexStore.syncFromLeaf(spark, leaf, path) shouldBe "noop"
+    IndexStore.currentSeq(spark, path).get shouldBe seqBefore
+
+    // pure compaction of the leaf: the walk verifies net-zero, so the
+    // sync advances the cursor with ZERO data read on either side —
+    // proven by corrupting every live leaf byte before the sync
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    val bytes = live.map(f => new File(f).length).sum
+    Merger.mergeAndCommit(spark, LeafPlan(leaf, "fold", live, bytes), cfg).success shouldBe true
+    val merged = ManifestCommit.liveFiles(spark, leaf)
+    val saved = merged.map(p => p -> Files.readAllBytes(new File(p).toPath)).toMap
+    merged.foreach(p => Files.write(new File(p).toPath, "not parquet".getBytes))
+    IndexStore.syncFromLeaf(spark, leaf, path) shouldBe "walk"
+    saved.foreach { case (p, b) => Files.write(new File(p).toPath, b) }
+    rows(IndexStore.search(spark, path, terms)) shouldBe rows(oneShot(d))
+
+    // retention delete → retraction feed → tombstones; scores shift
+    ManifestCommit.deleteWhere(spark, leaf, col("doc_id") % 10 === 0, cfg).get.success shouldBe true
+    IndexStore.syncFromLeaf(spark, leaf, path) shouldBe "walk"
+    rows(IndexStore.search(spark, path, terms)) shouldBe
+      rows(oneShot(d.where(col("doc_id") % 10 =!= 0)))
+  }
 }
