@@ -98,6 +98,15 @@ object ChangeFeed {
         ManifestCommit
           .changelogOf(fullLog, cursor.seq, toSeq)
           .flatMap(MaterializedAgg.walkDeltas(spark, fs, leaf, fullLog, _, cursor.counted, liveSet))
+          // a walked append can already be superseded-and-GC'd by a
+          // later commit INSIDE the window (default non-retaining
+          // config): its rows are the window's genuine net change but
+          // only the superseder's outputs still hold them. An
+          // unreadable ChangeSet would wedge the consumer forever
+          // (same poll, same throw) — degrade to the file-level diff,
+          // which only names live files on the ⊕ side. The same guard
+          // MaterializedAgg.refreshAll applies to its own walk.
+          .filter { case (app, del) => (app ++ del).forall(p => fs.exists(new Path(p))) }
     val nextCur = Cursor(toSeq, liveSet)
     walked match {
       case Some((app, del)) => ChangeSet("walk", app, del, nextCur)

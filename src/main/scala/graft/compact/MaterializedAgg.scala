@@ -554,7 +554,17 @@ object MaterializedAgg {
       val ins = m.inputs.map(r => s"$leaf/$r")
       val outs = m.outputs.map(r => s"$leaf/$r")
       val nIn = ins.count(counted)
-      if (outs.isEmpty) {
+      // outputs already in the counted set mean the ledger ran AHEAD of
+      // the state's seq — the (currentSeq, liveFiles) reads are not one
+      // atomic snapshot, so a commit sealing between them gets folded
+      // into the recorded file list with the OLD seq, and re-applying
+      // it here would double its rows into the ⊕ term (counted ++= is
+      // a set no-op, so the final counted==live tripwire would pass).
+      // Commits never legitimately re-create a counted file (write-once
+      // .data dirs, unique runIds) — refuse the walk, the diff fallback
+      // is idempotent set algebra.
+      if (outs.exists(counted)) ok = false
+      else if (outs.isEmpty) {
         if (nIn == ins.size) { deletes ++= ins; counted --= ins }
         else ok = false
       } else if (nIn == 0) { appends ++= outs; counted ++= outs }

@@ -118,6 +118,48 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers with SparkSpec with Befor
     folded shouldBe 150L
   }
 
+  test("a cursor whose counted set ran ahead of its seq never re-delivers the straddling commit") {
+    // the (currentSeq, liveFiles) reads are not one atomic snapshot: a
+    // commit sealing between them yields cursor(seq=T, counted=live(T+1)).
+    // The walk must refuse to re-apply T+1 (its outputs are already
+    // counted) and the diff must deliver NOTHING — double-delivery here
+    // doubles a downstream index's postings silently.
+    val l = leaf("race")
+    append(l, 1, 50)
+    val seqT = ManifestCommit.currentSeq(spark, l)
+    append(l, 51, 100) // the commit that "sealed between the two reads"
+    val skewed = ChangeFeed.Cursor(seqT, ManifestCommit.liveFiles(spark, l).toSet)
+    val ch = ChangeFeed.changesSince(spark, l, skewed)
+    ch.appended shouldBe Seq.empty
+    ch.removed shouldBe Seq.empty
+    ch.next.seq shouldBe ManifestCommit.currentSeq(spark, l)
+    // and from the REPAIRED cursor, polling is a clean noop
+    ChangeFeed.changesSince(spark, l, ch.next).mode shouldBe "noop"
+  }
+
+  test("an append superseded-and-GC'd inside one window degrades to diff instead of wedging the consumer") {
+    // non-retaining leaf: commit N appends f, commit N+1 compacts f away
+    // and deletes it. A lagging consumer's walk would name the dead f on
+    // the ⊕ side — readAppended would throw on every retry, forever.
+    // The existence guard must push the window to diff, whose ⊕ side
+    // names only live files.
+    val noRetain = cfg.copy(retainSuperseded = false)
+    val l = leaf("gcwedge")
+    WapCommit.writeAuditPublish(spark, l, batch(1, 40), gate, noRetain)
+    val cursor = ChangeFeed.Cursor.atHead(spark, l)
+    WapCommit.writeAuditPublish(spark, l, batch(41, 80), gate, noRetain) // appends f
+    val files = ManifestCommit.liveFiles(spark, l)
+    val r = ManifestCommit.mergeAndCommit(
+      spark, LeafPlan(l, "cfgc", files, files.map(f => new File(f).length()).sum), noRetain)
+    withClue(r)(r.success shouldBe true) // supersedes f and DELETES it
+    val ch = ChangeFeed.changesSince(spark, l, cursor)
+    ch.mode shouldBe "diff"
+    noException should be thrownBy ChangeFeed.readAppended(spark, ch).count()
+    // the fold is still exact: cursor.counted ⊕ appended ⊖ removed = live
+    (cursor.counted ++ ch.appended -- ch.removed) shouldBe
+      ManifestCommit.liveFiles(spark, l).toSet
+  }
+
   test("a raw arrival (no commit) degrades the window to diff and is still reported exactly") {
     val l = leaf("arrival")
     append(l, 1, 100)
