@@ -138,6 +138,13 @@ object WapCommit {
       quarantine: Option[String] = None,
   ): WapResult = {
     require(checks.nonEmpty, "an empty audit battery gates nothing — declare at least one check")
+    // duplicate names would collapse in the report's name-keyed merge —
+    // a failing check masked by a later same-named passing one is the
+    // exact silent publish the gate exists to prevent
+    require(
+      checks.map(_.name).distinct.size == checks.size,
+      s"duplicate audit check names: ${checks.map(_.name).diff(checks.map(_.name).distinct).distinct.mkString(", ")}",
+    )
     val runId = UUID.randomUUID().toString.replace("-", "")
     val dataDir = s"$leaf/.data-$runId"
     val fs = FileIndexer.fsFor(spark, leaf)

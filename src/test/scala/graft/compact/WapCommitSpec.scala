@@ -228,4 +228,14 @@ class WapCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Before
     val pruned = ManifestStats.pruneFiles(stats, l, ManifestCommit.liveFiles(spark, l), "id", 1000d, 2000d)
     pruned shouldBe Seq.empty
   }
+
+  test("duplicate check names are rejected — a failing check cannot hide behind a same-named passing one") {
+    val l = leaf("dupnames")
+    val checks = Seq(
+      WapCommit.AuditCheck("same_name", df => df.where(df("id").isNull)),
+      WapCommit.AuditCheck("same_name", df => df.where(org.apache.spark.sql.functions.lit(false))),
+    )
+    an[IllegalArgumentException] should be thrownBy
+      WapCommit.writeAuditPublish(spark, l, cleanBatch(10), checks, cfg)
+  }
 }
