@@ -246,11 +246,20 @@ object ManifestCommit {
       spark.read.option("mergeSchema", "true").parquet(inputs: _*)
         .where(!org.apache.spark.sql.functions.coalesce(cond, org.apache.spark.sql.functions.lit(false)))
         .write.mode("overwrite").parquet(dataDir)
-      val outFiles = fs.listStatus(new Path(dataDir))
+      // ONE footer open per staged file feeds both the 0-row filter (a
+      // 0-row survivor file is dead weight) and the validation sum
+      val conf = spark.sparkContext.hadoopConfiguration
+      val stagedRows: Seq[(Path, Long)] = fs.listStatus(new Path(dataDir))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath).sortBy(_.getName).toSeq
-        .filter(p => Merger.footerRows(spark, Seq(p.toString)) > 0L) // a 0-row survivor file is dead weight
-      val rowsStaged = if (outFiles.isEmpty) 0L else Merger.footerRows(spark, outFiles.map(_.toString))
+        .map { p =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try p -> r.getRecordCount finally r.close()
+        }
+      val outFiles = stagedRows.collect { case (p, n) if n > 0L => p }
+      stagedRows.collect { case (p, n) if n == 0L => p }.foreach(p => fs.delete(p, false))
+      val rowsStaged = stagedRows.map(_._2).sum
       if (rowsStaged != rowsIn - matched) {
         fs.delete(new Path(dataDir), true)
         return Some(LeafResult(

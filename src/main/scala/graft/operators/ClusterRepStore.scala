@@ -63,6 +63,12 @@ import org.apache.spark.sql.functions._
 object ClusterRepStore {
 
   private val PtrRe = "_current-(\\d+)".r
+  private val TagRe = "tag-(\\d+)-([0-9a-f]+)".r
+
+  private def tagHash(tag: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
 
   /** doc_id hash buckets under each members/sq=<s>/ generation. */
   val DocBuckets = 16
@@ -115,27 +121,37 @@ object ClusterRepStore {
     val headSeq = sealedOpt.getOrElse(0L)
     val s = headSeq + 1
     batchTag.foreach { tag =>
+      // the tag HASH lives in the marker NAME, so the replay check is a
+      // pure listing (one metadata op regardless of stream history) —
+      // reading one tiny file per historical batch would make every
+      // micro-batch O(batches-so-far) object-store GETs
+      val h = tagHash(tag)
       val applied = if (!fs.exists(new Path(path))) None
       else fs.listStatus(new Path(path)).collectFirst {
-        case e if e.getPath.getName.startsWith("tag-") && {
-              val in = fs.open(e.getPath)
-              val t = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-              t == tag
-            } =>
-          e.getPath.getName.stripPrefix("tag-").toLong
+        case e if TagRe.findFirstMatchIn(e.getPath.getName).exists(m => m.group(2) == h) =>
+          TagRe.findFirstMatchIn(e.getPath.getName).get.group(1).toLong
       }
       applied.foreach { seq =>
         if (seq <= headSeq) return spark.read.parquet(s"$path/feed/sq=$seq")
       }
     }
     // sweep a crashed attempt's unsealed debris so the redo is exact
-    Seq(s"$path/members/sq=$s", s"$path/bands/sq=$s", s"$path/alias-$s", s"$path/keepers-$s", s"$path/feed/sq=$s", s"$path/tag-$s")
+    Seq(s"$path/members/sq=$s", s"$path/bands/sq=$s", s"$path/alias-$s", s"$path/keepers-$s", s"$path/feed/sq=$s")
       .foreach(d => fs.delete(new Path(d), true))
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path))
+        .filter(e => TagRe.findFirstMatchIn(e.getPath.getName).exists(_.group(1).toLong == s))
+        .foreach(e => fs.delete(e.getPath, false))
 
-    val batch = batchIn
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("quality").cast("long").as("quality"))
-      .cache()
-    val bands = graft.queries.DedupQueries.minhashBands(spark, batch).cache()
+    // every persisted frame lands here so a FAILED update (write error,
+    // concurrent sealer) cannot strand cached blocks across foreachBatch
+    // retries — the unpersist runs in the finally below
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def tracked(df: DataFrame): DataFrame = { df.cache(); cached += df; df }
+    try {
+    val batch = tracked(batchIn
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("quality").cast("long").as("quality")))
+    val bands = tracked(graft.queries.DedupQueries.minhashBands(spark, batch))
 
     val emptyPairs = batch.select(col("doc_id").as("nd"), col("doc_id").as("od")).where(lit(false))
     // cross pairs: batch bands vs the SEALED history (sq <= sealed), the
@@ -154,7 +170,8 @@ object ClusterRepStore {
                      )
                      .select(col("x.doc_id").as("nd"), col("y.doc_id").as("od"))
                      .distinct()
-                 }).cache()
+                 })
+    cross.cache(); cached += cross
 
     val within = bands.as("x")
       .join(
@@ -185,19 +202,20 @@ object ClusterRepStore {
                      members.join(oldIds, "doc_id")
                        .join(alias, members("orig") === col("a_orig"), "left")
                        .select(members("doc_id"), members("quality"), coalesce(col("a_canon"), members("orig")).as("canon"))
-                   }).cache()
+                   })
+    canonOf.cache(); cached += canonOf
 
     // contract stored clusters to their canon node; min-label the
     // batch-scale graph (adaptively driver-local under the hood)
     val edges = cross.join(canonOf.select(col("doc_id").as("od"), col("canon")), "od")
       .select(col("nd").as("a"), col("canon").as("b"))
       .unionByName(within)
-    val labels = ConnectedComponents.minLabel(edges).cache()
+    val labels = tracked(ConnectedComponents.minLabel(edges))
 
     val affCanon = canonOf.select(col("canon")).distinct()
       .join(labels, col("canon") === col("node"))
       .select(col("canon"), col("label"))
-      .cache()
+    affCanon.cache(); cached += affCanon
 
     // union-find maintenance: remap every alias chain ending in a moved
     // canon, add the moved canons themselves, keep the table identity-free
@@ -213,17 +231,17 @@ object ClusterRepStore {
     // the batch's grouped members
     val oldKeeperCand = keepers.join(affCanon, col("k_cluster") === col("canon"))
       .select(col("label"), col("k_doc").as("doc_id"), col("k_q").as("quality"))
-    val singleCand = canonOf.join(keepers.select(col("k_cluster")), canonOf("canon") === col("k_cluster"), "left_anti")
-      .join(affCanon, "canon")
-      .select(col("label"), canonOf("doc_id"), canonOf("quality"))
-      .cache()
+    val singleCand = tracked(
+      canonOf.join(keepers.select(col("k_cluster")), canonOf("canon") === col("k_cluster"), "left_anti")
+        .join(affCanon, "canon")
+        .select(col("label"), canonOf("doc_id"), canonOf("quality")))
     val newCand = batch.join(labels, batch("doc_id") === col("node"))
       .select(col("label"), batch("doc_id"), col("quality"))
     val wRep = Window.partitionBy("label").orderBy(desc("quality"), col("doc_id"))
-    val groupKeeper = oldKeeperCand.unionByName(singleCand).unionByName(newCand)
-      .withColumn("rn", row_number().over(wRep)).where(col("rn") === 1)
-      .select(col("label").as("cluster"), col("doc_id"), col("quality"))
-      .cache()
+    val groupKeeper = tracked(
+      oldKeeperCand.unionByName(singleCand).unionByName(newCand)
+        .withColumn("rn", row_number().over(wRep)).where(col("rn") === 1)
+        .select(col("label").as("cluster"), col("doc_id"), col("quality")))
 
     val keepersNew = keepers
       .join(affCanon.select(col("canon")), col("k_cluster") === col("canon"), "left_anti")
@@ -263,8 +281,7 @@ object ClusterRepStore {
     newMembers.write.partitionBy("db").parquet(s"$path/members/sq=$s")
     bands.write.partitionBy("band").parquet(s"$path/bands/sq=$s")
     batchTag.foreach { tag =>
-      val out = fs.create(new Path(s"$path/tag-$s"), true)
-      try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+      fs.create(new Path(s"$path/tag-$s-${tagHash(tag)}"), true).close()
     }
     if (!fs.createNewFile(new Path(path, s"_current-$s")))
       throw new java.io.IOException(s"cluster-rep store at $path: concurrent sealer for seq $s")
@@ -274,8 +291,10 @@ object ClusterRepStore {
       Seq(s"$path/alias-$old", s"$path/keepers-$old", s"$path/_current-$old")
         .foreach(d => fs.delete(new Path(d), true))
     }
-    Seq(batch, bands, cross, canonOf, labels, affCanon, singleCand, groupKeeper).foreach(_.unpersist())
     spark.read.parquet(s"$path/feed/sq=$s")
+    } finally {
+      cached.foreach(df => try { df.unpersist(); () } catch { case _: Throwable => () })
+    }
   }
 
   /** The store's full current assignment: (doc_id, cluster, keep) —
