@@ -226,7 +226,14 @@ object ManifestCommit {
     val live = liveFiles(spark, leaf)
     if (live.isEmpty) return None
     import org.apache.spark.sql.functions.{col => c, count => cnt, lit}
-    val perFile = spark.read.option("mergeSchema", "true").parquet(live: _*)
+    // skipping-layer prune (ROADMAP 90): with stats/bloom sidecars on
+    // the predicate's columns, files that cannot hold a matching row
+    // are never even opened by the classification pass — a narrow
+    // retention delete on a wide leaf is candidate-bounded, and the
+    // never-wrongly-pruned sidecar contract makes the shortcut exact
+    val candidates = ManifestStats.pruneByPredicate(spark, leaf, live, cond)
+    if (candidates.isEmpty) return None
+    val perFile = spark.read.option("mergeSchema", "true").parquet(candidates: _*)
       .where(cond)
       .groupBy(c("_metadata.file_path").as("_df"))
       .agg(cnt(lit(1)).as("_n"))
@@ -235,7 +242,7 @@ object ManifestCommit {
     val hit = perFile.map(_.getString(0)).toSet
     val matched = perFile.map(_.getLong(1)).sum
     def qualify(p: String) = fs.makeQualified(new Path(p)).toString
-    val inputs = live.filter(p => hit.contains(qualify(p)))
+    val inputs = candidates.filter(p => hit.contains(qualify(p)))
     val runId = UUID.randomUUID().toString.replace("-", "")
     val dataDir = s"$leaf/.data-$runId"
     try {

@@ -561,9 +561,28 @@ object ManifestStats {
     * predicate coerces and matches; such points just prune nothing.
     */
   def readLeafFiltered(spark: SparkSession, leaf: String, predicate: org.apache.spark.sql.Column): DataFrame = {
-    val (ranges, points) = org.apache.spark.sql.graft.ColumnBridge.prunableConjuncts(predicate)
     val live = ManifestCommit.liveFiles(spark, leaf)
     if (live.isEmpty) return spark.emptyDataFrame // no schema to resolve predicates against
+    val kept = pruneByPredicate(spark, leaf, live, predicate)
+    readKept(spark, live, kept).where(predicate)
+  }
+
+  /** The live files that can possibly hold a `predicate`-matching row,
+    * by the stats/bloom sidecars: attr-OP-literal CONJUNCTS extract
+    * through the ColumnBridge (numeric comparisons → interval prune,
+    * string equalities → bloom prune — the literal-width hash hazard
+    * keeps numeric equality on the interval path), everything else
+    * prunes nothing. Superset-keeping by construction: a file outside
+    * the result CANNOT contain a matching row. Shared by
+    * [[readLeafFiltered]] and [[ManifestCommit.deleteWhere]].
+    */
+  private[compact] def pruneByPredicate(
+      spark: SparkSession,
+      leaf: String,
+      live: Seq[String],
+      predicate: org.apache.spark.sql.Column,
+  ): Seq[String] = {
+    val (ranges, points) = org.apache.spark.sql.graft.ColumnBridge.prunableConjuncts(predicate)
     val safePoints =
       if (points.isEmpty) points
       else {
@@ -573,7 +592,7 @@ object ManifestStats {
             .exists(_.dataType == org.apache.spark.sql.types.StringType)
         }
       }
-    val kept = keptFor(spark, leaf, live, ranges, safePoints)
-    readKept(spark, live, kept).where(predicate)
+    if (ranges.isEmpty && safePoints.isEmpty) live
+    else keptFor(spark, leaf, live, ranges, safePoints)
   }
 }

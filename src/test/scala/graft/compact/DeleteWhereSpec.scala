@@ -116,6 +116,36 @@ class DeleteWhereSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
       Array(2L, 3L)
   }
 
+  test("the classification pass prunes through the stats sidecars: non-intersecting files are never opened") {
+    val statsCfg = cfg.copy(statsColumns = Seq("id"))
+    val leaf = new File(root, "pruned"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    // three disjoint-range files committed WITH sidecars (mergeAndCommit
+    // seals the per-file id intervals)
+    Seq(("a", 1L to 100L), ("b", 101L to 200L), ("c", 201L to 300L)).foreach { case (t, ids) =>
+      writeFile(leaf, s"$t.parquet", ids, t)
+      val f = s"$leafPath/$t.parquet"
+      ManifestCommit.mergeAndCommit(
+        spark, LeafPlan(leafPath, s"in$t", Seq(f), new File(f).length()), statsCfg,
+      ).success shouldBe true
+    }
+    // corrupt every live file OUTSIDE [120, 180]: an unpruned
+    // classification read would throw; the sidecar prune never opens them
+    val live = ManifestCommit.liveFiles(spark, leafPath)
+    val spared = live.filter { p =>
+      val ids = spark.read.parquet(p).select("id").collect().map(_.getLong(0))
+      ids.exists(i => i >= 120L && i <= 180L)
+    }
+    val saved = live.filterNot(spared.contains).map(p => p -> Files.readAllBytes(new File(p).toPath)).toMap
+    saved.keys.foreach(p => Files.write(new File(p).toPath, "not parquet".getBytes))
+
+    val r = ManifestCommit.deleteWhere(spark, leafPath, col("id") >= 120L && col("id") <= 180L, statsCfg)
+    r.get.success shouldBe true
+    saved.foreach { case (p, b) => Files.write(new File(p).toPath, b) }
+    ManifestCommit.readLeaf(spark, leafPath).select("id").collect().map(_.getLong(0)).sorted shouldBe
+      ((1L to 119L) ++ (181L to 300L)).toArray
+  }
+
   test("the retraction feed sees the delete: removed inputs, appended survivors") {
     val leaf = new File(root, "feed"); leaf.mkdirs()
     val leafPath = leaf.getAbsolutePath
