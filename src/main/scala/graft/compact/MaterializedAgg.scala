@@ -81,7 +81,7 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedAgg {
 
-  private val PtrRe = "_agg-(\\d+)".r
+  private val Ptr = VersionedPointer("_agg-")
 
   /** Group-count tripwire (ROADMAP 58): a materialized state over a
     * high-cardinality key approaches the leaf itself — the refresh
@@ -110,15 +110,8 @@ object MaterializedAgg {
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def stateSeq(spark: SparkSession, aggPath: String): Option[Long] = {
-    val fs = fsOf(spark, aggPath)
-    val base = new Path(aggPath)
-    if (!fs.exists(base)) None
-    else
-      fs.listStatus(base)
-        .flatMap(e => PtrRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
-        .sorted.lastOption
-  }
+  private def stateSeq(spark: SparkSession, aggPath: String): Option[Long] =
+    Ptr.resolve(fsOf(spark, aggPath), aggPath)
 
   private def stateDir(aggPath: String, seq: Long) = s"$aggPath/state-$seq"
 
@@ -359,8 +352,7 @@ object MaterializedAgg {
     // the state dir was already rewritten above, the pointer just
     // re-seals it. Single-maintainer model: this store has no
     // concurrent-writer tripwire (unlike the manifest _head).
-    if (!fs.exists(new Path(s"$aggPath/_agg-$seq")))
-      fs.create(new Path(s"$aggPath/_agg-$seq"), false).close()
+    Ptr.sealIdempotent(fs, aggPath, seq)
     val referenced = ledger.toSet
     fs.listStatus(new Path(aggPath)).foreach { st =>
       val n = st.getPath.getName
@@ -373,7 +365,7 @@ object MaterializedAgg {
         olderDir("state-") || unreferencedGen ||
           (n.startsWith("files-") && n.stripPrefix("files-").toLongOption.exists(_ < seq)) ||
           (n.startsWith("pgens-") && n.stripPrefix("pgens-").toLongOption.exists(_ < seq)) ||
-          PtrRe.findFirstMatchIn(n).exists(_.group(1).toLong < seq)
+          Ptr.seqOf(n).exists(_ < seq)
       if (old) { try fs.delete(st.getPath, true) catch { case _: Throwable => () }; () }
     }
   }

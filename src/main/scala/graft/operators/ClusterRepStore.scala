@@ -62,7 +62,7 @@ import org.apache.spark.sql.functions._
   */
 object ClusterRepStore {
 
-  private val PtrRe = "_current-(\\d+)".r
+  private val Ptr = graft.compact.VersionedPointer.Current
   private val TagRe = "tag-(\\d+)-([0-9a-f]+)".r
 
   private def tagHash(tag: String): String =
@@ -76,15 +76,8 @@ object ClusterRepStore {
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def currentSeq(spark: SparkSession, path: String): Option[Long] = {
-    val fs = fsOf(spark, path)
-    val base = new Path(path)
-    if (!fs.exists(base)) None
-    else
-      fs.listStatus(base)
-        .flatMap(e => PtrRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
-        .sorted.lastOption
-  }
+  def currentSeq(spark: SparkSession, path: String): Option[Long] =
+    Ptr.resolve(fsOf(spark, path), path)
 
   private def docBucket = pmod(crc32(col("doc_id").cast("string").cast("binary")), lit(DocBuckets.toLong)).cast("int")
 
@@ -283,8 +276,7 @@ object ClusterRepStore {
     batchTag.foreach { tag =>
       fs.create(new Path(s"$path/tag-$s-${tagHash(tag)}"), true).close()
     }
-    if (!fs.createNewFile(new Path(path, s"_current-$s")))
-      throw new java.io.IOException(s"cluster-rep store at $path: concurrent sealer for seq $s")
+    Ptr.seal(fs, path, s) // create-only: a concurrent sealer of seq s throws here
     // reclaim superseded small state (feed history is retained — it IS
     // the public surface); best-effort, debris is re-swept next update
     sealedOpt.foreach { old =>
@@ -383,8 +375,7 @@ object ClusterRepStore {
       .select(col("k_cluster").as("cluster"), col("k_doc").as("doc_id"), col("k_q").as("quality"))
       .coalesce(1).write.parquet(s"$path/keepers-$s")
     fs.create(new Path(s"$path/floor-$s"), true).close()
-    if (!fs.createNewFile(new Path(path, s"_current-$s")))
-      throw new java.io.IOException(s"cluster-rep store at $path: concurrent sealer for seq $s")
+    Ptr.seal(fs, path, s) // create-only: a concurrent sealer of seq s throws here
     // reclaim every pre-fold generation (including stragglers a
     // crashed earlier reclaim left behind) and superseded small state
     Seq("members", "bands").foreach { sub =>

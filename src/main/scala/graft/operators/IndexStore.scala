@@ -66,20 +66,14 @@ object IndexStore {
     */
   val Buckets = 16
 
-  private val PtrRe = "_current-(\\d+)".r
+  private val Ptr = graft.compact.VersionedPointer.Current
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Newest sealed generation, if any. */
-  def currentSeq(spark: SparkSession, path: String): Option[Long] = {
-    val fs = fsOf(spark, path)
-    val base = new Path(path)
-    if (!fs.exists(base)) None
-    else fs.listStatus(base)
-      .flatMap(e => PtrRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
-      .sorted.lastOption
-  }
+  def currentSeq(spark: SparkSession, path: String): Option[Long] =
+    Ptr.resolve(fsOf(spark, path), path)
 
   /** The bucket the Spark-side `pmod(xxhash64(word), Buckets)` assigns
     * — computed driver-side for the probe's static partition filter
@@ -138,7 +132,7 @@ object IndexStore {
       val co = fs.create(new Path(s"$path/cursor-$seq"), true)
       try co.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally co.close()
     }
-    fs.create(new Path(s"$path/_current-$seq"), false).close()
+    Ptr.seal(fs, path, seq)
     seq
   }
 
@@ -350,7 +344,7 @@ object IndexStore {
       val co = fs.create(new Path(s"$path/cursor-$next"), true)
       try co.write(serializeCursor(c).getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally co.close()
     }
-    fs.create(new Path(s"$path/_current-$next"), false).close()
+    Ptr.seal(fs, path, next)
     (1L to seq).foreach { i =>
       Seq(s"add-$i", s"dl-$i", s"del-$i", s"stats-$i", s"cursor-$i", s"_current-$i").foreach { ndir =>
         try { fs.delete(new Path(s"$path/$ndir"), true); () } catch { case _: Throwable => () }

@@ -57,20 +57,14 @@ object IvfStore {
   private def codebookPath(vdir: String) = s"$vdir/codebook"
   private def listsPath(vdir: String) = s"$vdir/lists"
 
-  private val PtrRe = "_current-(\\d+)".r
+  private val Ptr = graft.compact.VersionedPointer.Current
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Highest sealed version seq, if any build ever committed here. */
-  private def currentSeq(fs: org.apache.hadoop.fs.FileSystem, path: String): Option[Long] = {
-    val base = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(base)) None
-    else
-      fs.listStatus(base)
-        .flatMap(e => PtrRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
-        .sorted.lastOption
-  }
+  private def currentSeq(fs: org.apache.hadoop.fs.FileSystem, path: String): Option[Long] =
+    Ptr.resolve(fs, path)
 
   /** The live version dir; loud failure when no build has sealed (a
     * crashed first build leaves only an unsealed partial dir — re-run
@@ -143,7 +137,7 @@ object IvfStore {
       .write.mode("overwrite").partitionBy("cid").parquet(listsPath(vdir))
     // commit point: create-if-absent pointer — a concurrent builder that
     // raced to the same seq fails loudly here instead of interleaving
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/_current-$seq"), false).close()
+    Ptr.seal(fs, path, seq)
     prev.foreach(_ => reclaimBelow(fs, path, seq))
   }
 
@@ -156,7 +150,7 @@ object IvfStore {
       val n = st.getPath.getName
       val old =
         (st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < seq) ||
-          (st.isFile && PtrRe.findFirstMatchIn(n).exists(_.group(1).toLong < seq))
+          (st.isFile && Ptr.seqOf(n).exists(_ < seq))
       if (old) { try fs.delete(st.getPath, true) catch { case _: Throwable => () }; () }
     }
 
@@ -266,7 +260,7 @@ object IvfStore {
     spark.read.parquet(listsPath(vOld))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(listsPath(vNew))
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/_current-$seq"), false).close()
+    Ptr.seal(fs, path, seq)
     reclaimBelow(fs, path, seq)
   }
 

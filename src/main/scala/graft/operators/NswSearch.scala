@@ -179,7 +179,7 @@ object NswSearch {
     */
   private[operators] final case class ShardMap(centroids: Option[Long], shards: Map[Int, Long])
 
-  private val PtrRe = "_current-(\\d+)".r
+  private val Ptr = graft.compact.VersionedPointer.Current
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -189,14 +189,8 @@ object NswSearch {
   private def centroidsDir(path: String, ownerSeq: Long) = s"${vdirOf(path, ownerSeq)}/_centroids"
 
   /** Highest sealed version seq, if any build ever committed here. */
-  private def currentSeq(fs: FileSystem, path: String): Option[Long] = {
-    val base = new Path(path)
-    if (!fs.exists(base)) None
-    else
-      fs.listStatus(base)
-        .flatMap(e => PtrRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
-        .sorted.lastOption
-  }
+  private def currentSeq(fs: FileSystem, path: String): Option[Long] =
+    Ptr.resolve(fs, path)
 
   private def resolveSeq(fs: FileSystem, path: String): Long =
     currentSeq(fs, path).getOrElse(
@@ -234,7 +228,7 @@ object NswSearch {
     val text = (map.centroids.map(s => s"centroids=$s").toSeq ++
       map.shards.toSeq.sortBy(_._1).map { case (k, v) => s"shard.$k=$v" }).mkString("\n")
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-    fs.create(new Path(s"$path/_current-$seq"), false).close()
+    Ptr.seal(fs, path, seq)
     reclaim(fs, path, seq, map)
   }
 
@@ -247,7 +241,7 @@ object NswSearch {
     def rm(p: Path): Unit = { try fs.delete(p, true) catch { case _: Throwable => () }; () }
     fs.listStatus(new Path(path)).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && PtrRe.findFirstMatchIn(n).exists(_.group(1).toLong < seq)) rm(st.getPath)
+      if (st.isFile && Ptr.seqOf(n).exists(_ < seq)) rm(st.getPath)
       else if (st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < seq) {
         val old = n.drop(1).toLong
         val owned = map.shards.collect { case (id, o) if o == old => id }.toSet
