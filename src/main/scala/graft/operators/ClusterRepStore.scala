@@ -95,6 +95,22 @@ object ClusterRepStore {
   private def readKeepers(spark: SparkSession, path: String, seq: Long): DataFrame =
     spark.read.parquet(s"$path/keepers-$seq").select(col("cluster").as("k_cluster"), col("doc_id").as("k_doc"), col("quality").as("k_q"))
 
+  /** Retraction tombstones ([[retract]]): docs removed from the corpus.
+    * Their member/band rows STAY — the sticky-component contract keeps
+    * historical edges working (a future near-dup of a dead doc still
+    * joins its cluster, exactly like the all-docs oracle) — but they
+    * never appear in assignments and never candidate for keeperships.
+    */
+  private def readTombstones(spark: SparkSession, path: String, headSeq: Long): DataFrame = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(s"$path/removed"))) spark.range(0).select(col("id").as("t_doc"))
+    else
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, sq INT"))
+        .parquet(s"$path/removed")
+        .where(col("sq") <= headSeq)
+        .select(col("doc_id").as("t_doc"))
+  }
+
   /** Absorb one `(doc_id, text, quality)` batch; returns the changefeed
     * written for this seal (op, doc_id, cluster, quality). Batches must
     * carry globally-unique doc_ids (the usual ingest contract; a
@@ -221,11 +237,16 @@ object ClusterRepStore {
 
     // keeper candidates per affected group: old MULTI-cluster keepers,
     // matched old SINGLETONS (no keeper row — they are their own), and
-    // the batch's grouped members
+    // the batch's grouped members. Tombstoned docs still RESOLVE canons
+    // (their rows stay in canonOf so edges to dead docs work) but are
+    // never candidates and were never kept.
+    val tomb = if (sealedOpt.isEmpty) spark.range(0).select(col("id").as("t_doc"))
+               else readTombstones(spark, path, headSeq)
     val oldKeeperCand = keepers.join(affCanon, col("k_cluster") === col("canon"))
       .select(col("label"), col("k_doc").as("doc_id"), col("k_q").as("quality"))
     val singleCand = tracked(
       canonOf.join(keepers.select(col("k_cluster")), canonOf("canon") === col("k_cluster"), "left_anti")
+        .join(broadcast(tomb), canonOf("doc_id") === col("t_doc"), "left_anti")
         .join(affCanon, "canon")
         .select(col("label"), canonOf("doc_id"), canonOf("quality")))
     val newCand = batch.join(labels, batch("doc_id") === col("node"))
@@ -289,15 +310,115 @@ object ClusterRepStore {
     }
   }
 
+  /** Remove documents from the corpus (ROADMAP 89 — the retention /
+    * right-to-be-forgotten side of keep-best dedup, the consumer of
+    * [[graft.compact.ManifestCommit.deleteWhere]]'s retraction feed).
+    *
+    * STICKY-COMPONENT semantics: clusters never split. A removed doc's
+    * member and band rows stay (its historical edges keep working — a
+    * future near-dup of a dead doc still joins that cluster), but the
+    * doc leaves every assignment and every keeper candidacy via a
+    * tombstone. That makes the contract exactly oracle-able: cluster
+    * over ALL docs ever ingested, rank representatives among SURVIVORS
+    * only (`dedup_cluster_rep_retract` pins it in DuckDB).
+    *
+    * Feed rows: `retract(k, c)` for each cluster whose keeper died,
+    * `assert(k', c)` for its recomputed keeper (argmax over surviving
+    * members — the ONE read here that is not batch-bounded: members are
+    * doc-bucketed, so the survivor lookup is a column-pruned scan
+    * filtered to the affected clusters; retention sweeps are rare next
+    * to ingest, and the scan touches 3 columns), and `retract(d, d)`
+    * for dying kept singletons. Clusters with no survivors just drop
+    * their keeper row — a later arrival revives the label. Unknown and
+    * already-removed ids are no-ops (replay-idempotent at any seq).
+    */
+  def retract(spark: SparkSession, path: String, removedIn: DataFrame): DataFrame = {
+    val fs = fsOf(spark, path)
+    val headSeq = currentSeq(spark, path)
+      .getOrElse(throw new IllegalStateException(s"no sealed cluster-rep store at $path"))
+    val s = headSeq + 1
+    Seq(s"$path/removed/sq=$s", s"$path/alias-$s", s"$path/keepers-$s", s"$path/feed/sq=$s")
+      .foreach(d => fs.delete(new Path(d), true))
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def tracked(df: DataFrame): DataFrame = { df.cache(); cached += df; df }
+    try {
+      val ids = tracked(removedIn.select(col("doc_id").cast("long").as("doc_id")).distinct())
+      val floor = floorOf(spark, path, headSeq)
+      val alias = readAlias(spark, path, headSeq)
+      val keepers = tracked(readKeepers(spark, path, headSeq))
+      val tomb = tracked(readTombstones(spark, path, headSeq))
+      val buckets = ids.select(docBucket.as("db")).distinct().collect().map(_.getInt(0)).toSeq
+      val lookup = spark.read.schema(membersSchema).parquet(s"$path/members")
+        .where(col("sq").between(floor, headSeq) && col("db").isin(buckets: _*))
+      // the docs actually dying NOW: known member rows, not yet tombstoned
+      val rem = tracked(
+        lookup.join(ids, "doc_id")
+          .join(broadcast(tomb), lookup("doc_id") === col("t_doc"), "left_anti")
+          .join(alias, lookup("orig") === col("a_orig"), "left")
+          .select(lookup("doc_id"), lookup("quality"), coalesce(col("a_canon"), lookup("orig")).as("canon")))
+
+      // clusters losing their KEEPER need a recompute over survivors
+      val deadKeeper = tracked(
+        rem.join(keepers, rem("canon") === col("k_cluster") && rem("doc_id") === col("k_doc"))
+          .select(rem("canon"), col("k_doc"), col("k_q")))
+      val allMembers = spark.read.schema(membersSchema).parquet(s"$path/members")
+        .where(col("sq").between(floor, headSeq))
+      val resolved = allMembers
+        .join(alias, allMembers("orig") === col("a_orig"), "left")
+        .select(allMembers("doc_id"), allMembers("quality"), coalesce(col("a_canon"), allMembers("orig")).as("canon"))
+      val goneNow = rem.select(col("doc_id").as("t_doc"))
+        .unionByName(tomb).distinct()
+      val survivors = resolved
+        .join(broadcast(deadKeeper.select(col("canon"))), Seq("canon"))
+        .join(broadcast(goneNow), resolved("doc_id") === col("t_doc"), "left_anti")
+      val wRep = Window.partitionBy("canon").orderBy(desc("quality"), col("doc_id"))
+      val newKeepers = tracked(
+        survivors.withColumn("rn", row_number().over(wRep)).where(col("rn") === 1)
+          .select(col("canon").as("cluster"), col("doc_id"), col("quality")))
+
+      val keepersNew = keepers
+        .join(broadcast(deadKeeper.select(col("canon"))), col("k_cluster") === col("canon"), "left_anti")
+        .select(col("k_cluster").as("cluster"), col("k_doc").as("doc_id"), col("k_q").as("quality"))
+        .unionByName(newKeepers)
+
+      // dying kept singletons: a rem doc whose cluster has NO keeper row
+      // is an unmatched singleton (any revived or multi cluster carries
+      // one) — it was implicitly kept as (d, d)
+      val deadSingle = rem.join(keepers.select(col("k_cluster")), rem("canon") === col("k_cluster"), "left_anti")
+      val feed = deadKeeper
+        .select(lit("retract").as("op"), col("k_doc").as("doc_id"), col("canon").as("cluster"), col("k_q").as("quality"))
+        .unionByName(newKeepers
+          .select(lit("assert").as("op"), col("doc_id"), col("cluster"), col("quality")))
+        .unionByName(deadSingle
+          .select(lit("retract").as("op"), rem("doc_id"), rem("doc_id").as("cluster"), rem("quality")))
+
+      rem.select(col("doc_id")).coalesce(1).write.parquet(s"$path/removed/sq=$s")
+      aliasNewCopy(spark, path, headSeq).coalesce(1).write.parquet(s"$path/alias-$s")
+      keepersNew.coalesce(1).write.parquet(s"$path/keepers-$s")
+      feed.coalesce(1).write.parquet(s"$path/feed/sq=$s")
+      Ptr.seal(fs, path, s)
+      Seq(s"$path/alias-$headSeq", s"$path/keepers-$headSeq", s"$path/_current-$headSeq")
+        .foreach(d => fs.delete(new Path(d), true))
+      spark.read.parquet(s"$path/feed/sq=$s")
+    } finally {
+      cached.foreach(df => try { df.unpersist(); () } catch { case _: Throwable => () })
+    }
+  }
+
+  private def aliasNewCopy(spark: SparkSession, path: String, seq: Long): DataFrame =
+    readAlias(spark, path, seq).select(col("a_orig").as("orig"), col("a_canon").as("canon"))
+
   /** The store's full current assignment: (doc_id, cluster, keep) —
     * definitionally equal to the one-shot `dedup_cluster_rep` on the
-    * union of every absorbed batch (the spec's randomized pin).
+    * union of every absorbed batch (the spec's randomized pin; with
+    * retractions, components over ALL docs and reps among survivors).
     */
   def assignment(spark: SparkSession, path: String): DataFrame = {
     val headSeq = currentSeq(spark, path)
       .getOrElse(throw new IllegalStateException(s"no sealed cluster-rep store at $path"))
     val members = spark.read.schema(membersSchema).parquet(s"$path/members")
       .where(col("sq").between(floorOf(spark, path, headSeq), headSeq))
+      .join(broadcast(readTombstones(spark, path, headSeq)), col("doc_id") === col("t_doc"), "left_anti")
     val alias = readAlias(spark, path, headSeq)
     val keepers = readKeepers(spark, path, headSeq)
     members.join(alias, members("orig") === col("a_orig"), "left")
@@ -358,7 +479,7 @@ object ClusterRepStore {
       .getOrElse(throw new IllegalStateException(s"no sealed cluster-rep store at $path"))
     val floor = floorOf(spark, path, headSeq)
     val s = headSeq + 1
-    Seq(s"$path/members/sq=$s", s"$path/bands/sq=$s", s"$path/alias-$s", s"$path/keepers-$s", s"$path/floor-$s")
+    Seq(s"$path/members/sq=$s", s"$path/bands/sq=$s", s"$path/alias-$s", s"$path/keepers-$s", s"$path/floor-$s", s"$path/removed/sq=$s")
       .foreach(d => fs.delete(new Path(d), true))
     val mem = spark.read.schema(membersSchema).parquet(s"$path/members")
       .where(col("sq").between(floor, headSeq))
@@ -368,7 +489,12 @@ object ClusterRepStore {
       .where(col("sq").between(floor, headSeq))
     bnd.drop("sq").repartition(col("band"))
       .write.partitionBy("band").parquet(s"$path/bands/sq=$s")
-    // small state carries forward unchanged under the new seq
+    // small state carries forward unchanged under the new seq —
+    // including the tombstones: member/band rows of dead docs are kept
+    // (historical edges), so the exclusion set must survive the fold
+    val tombs = readTombstones(spark, path, headSeq)
+    if (tombs.limit(1).count() > 0)
+      tombs.select(col("t_doc").as("doc_id")).coalesce(1).write.parquet(s"$path/removed/sq=$s")
     readAlias(spark, path, headSeq).select(col("a_orig").as("orig"), col("a_canon").as("canon"))
       .coalesce(1).write.parquet(s"$path/alias-$s")
     readKeepers(spark, path, headSeq)
@@ -378,7 +504,7 @@ object ClusterRepStore {
     Ptr.seal(fs, path, s) // create-only: a concurrent sealer of seq s throws here
     // reclaim every pre-fold generation (including stragglers a
     // crashed earlier reclaim left behind) and superseded small state
-    Seq("members", "bands").foreach { sub =>
+    Seq("members", "bands", "removed").foreach { sub =>
       val base = new Path(s"$path/$sub")
       if (fs.exists(base)) fs.listStatus(base).foreach { e =>
         val n = e.getPath.getName

@@ -225,7 +225,7 @@ object DedupQueries {
     * folded store state over any batch history IS the one-shot answer
     * on the unioned corpus, so one oracle certifies both.
     */
-  private lazy val clusterRepSql =
+  private def clusterRepSqlWhere(where: String): String =
     s"""WITH RECURSIVE $shinglesSqlCte,
        |${minhashBandsSqlCte(4)},
        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -244,8 +244,10 @@ object DedupQueries {
        |                        PARTITION BY coalesce(c.cl, d.doc_id)
        |                        ORDER BY d.n_chars DESC, d.doc_id) = 1
        |                 THEN 1 ELSE 0 END AS INTEGER) AS keep
-       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id$where
        |ORDER BY d.doc_id""".stripMargin
+
+  private lazy val clusterRepSql = clusterRepSqlWhere("")
 
   val qs: Seq[Q] = Seq(
 
@@ -1037,6 +1039,35 @@ object DedupQueries {
         graft.operators.ClusterRepStore.update(s, stage.toString, docs.where(half === 1))
         if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
           throw new java.io.IOException(s"cluster-rep store publish rename failed: $stage -> $p")
+      }
+      graft.operators.ClusterRepStore.assignment(s, path).orderBy("doc_id")
+    },
+
+    // ----- retention retractions over the incremental store (ROADMAP
+    // 89): after the two-batch build, every doc_id % 7 == 3 is REMOVED
+    // — keepers recompute among survivors, dying kept singletons
+    // retract, and the STICKY-component contract (clusters keep their
+    // historical edges; a dead doc's near-dups still share its
+    // cluster) is exactly what the oracle says: components over ALL
+    // documents, representatives ranked among survivors only — the
+    // WHERE sits between the closure and the window, so the rank sees
+    // exactly the surviving rows.
+    Q(
+      "dedup_cluster_rep_retract",
+      clusterRepSqlWhere("\n|WHERE d.doc_id % 7 <> 3"),
+    ) { (s, d) =>
+      val path = StoreCache.resolve(d, "cluster-rep-retract", table = "documents") { p =>
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+        fs.delete(stage, true)
+        val docs = Tables.fanout(Tables.documents(s, d))
+          .select(col("doc_id"), col("text"), col("n_chars").as("quality"))
+        val half = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2")
+        graft.operators.ClusterRepStore.update(s, stage.toString, docs.where(half === 0))
+        graft.operators.ClusterRepStore.update(s, stage.toString, docs.where(half === 1))
+        graft.operators.ClusterRepStore.retract(s, stage.toString, docs.where(col("doc_id") % 7 === 3).select("doc_id"))
+        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+          throw new java.io.IOException(s"cluster-rep-retract store publish rename failed: $stage -> $p")
       }
       graft.operators.ClusterRepStore.assignment(s, path).orderBy("doc_id")
     },

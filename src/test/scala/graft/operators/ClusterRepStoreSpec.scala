@@ -220,6 +220,78 @@ class ClusterRepStoreSpec extends AnyFunSuite with Matchers with SparkSpec with 
     feedN should contain(("assert", 900000L, kc))
   }
 
+  /** Sticky-retraction reference: components over ALL docs (dead edges
+    * included), representatives ranked among survivors only.
+    */
+  private def oneShotSurvivors(docs: DataFrame, gone: Set[Long]): Set[(Long, Long, Int)] = {
+    val pairs = graft.queries.DedupQueries.minhashPairsOf(spark, docs)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = ConnectedComponents.minLabel(pairs).select(col("node").as("doc_id"), col("label"))
+    val w = Window.partitionBy("cluster").orderBy(desc("quality"), col("doc_id"))
+    rows(
+      docs.select("doc_id", "quality")
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+        .where(!col("doc_id").isin(gone.toSeq: _*))
+        .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+        .select(col("doc_id"), col("cluster"), col("keep")))
+  }
+
+  test("retract recomputes a dead keeper among survivors and retracts dying singletons") {
+    val t = words(5, 20, "r").mkString(" ")
+    val u = words(6, 20, "s").mkString(" ")
+    // cluster {10,20,30} keeper 20 (q9); singleton 40
+    val b1 = spark.createDataFrame(Seq((10L, t, 5L), (20L, t, 9L), (30L, t, 7L), (40L, u, 3L)))
+      .toDF("doc_id", "text", "quality")
+    val path = dir("retract")
+    ClusterRepStore.update(spark, path, b1)
+    val gone = spark.createDataFrame(Seq(Tuple1(20L), Tuple1(40L))).toDF("doc_id")
+    val feed = ClusterRepStore.retract(spark, path, gone)
+      .select("op", "doc_id", "cluster").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    feed shouldBe Set(("retract", 20L, 10L), ("assert", 30L, 10L), ("retract", 40L, 40L))
+    rows(ClusterRepStore.assignment(spark, path)) shouldBe
+      Set((10L, 10L, 0), (30L, 10L, 1)) // dead docs gone; 30 (q7) beats 10 (q5)
+
+    // replay: the same retraction again is a no-op feed, state unchanged
+    ClusterRepStore.retract(spark, path, gone).count() shouldBe 0L
+    rows(ClusterRepStore.assignment(spark, path)) shouldBe Set((10L, 10L, 0), (30L, 10L, 1))
+  }
+
+  test("sticky components: a near-dup of a DEAD doc still joins its historical cluster") {
+    val t = words(7, 20, "z").mkString(" ")
+    val b1 = spark.createDataFrame(Seq((10L, t, 5L), (20L, t, 9L))).toDF("doc_id", "text", "quality")
+    val path = dir("sticky")
+    ClusterRepStore.update(spark, path, b1)
+    // kill the whole cluster
+    ClusterRepStore.retract(spark, path, spark.createDataFrame(Seq(Tuple1(10L), Tuple1(20L))).toDF("doc_id"))
+    ClusterRepStore.assignment(spark, path).count() shouldBe 0L
+    // a later arrival with the same text revives the HISTORICAL label 10
+    val b2 = spark.createDataFrame(Seq((90L, t, 2L))).toDF("doc_id", "text", "quality")
+    val feed = ClusterRepStore.update(spark, path, b2)
+      .select("op", "doc_id", "cluster").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    feed shouldBe Set(("assert", 90L, 10L))
+    rows(ClusterRepStore.assignment(spark, path)) shouldBe Set((90L, 10L, 1))
+  }
+
+  test("randomized ingest + retraction history folds to the all-docs/survivor-rank reference") {
+    val docs = realDocs.cache()
+    val split = pmod(crc32(concat(col("doc_id").cast("string"), lit("|r89")).cast("binary")), lit(2L))
+    val path = dir("randret")
+    (0L to 1L).foreach(b => ClusterRepStore.update(spark, path, docs.where(split === b)))
+    val gone = docs.where(col("doc_id") % 5 === 2).select("doc_id")
+    ClusterRepStore.retract(spark, path, gone)
+    val goneSet = gone.collect().map(_.getLong(0)).toSet
+    rows(ClusterRepStore.assignment(spark, path)) shouldBe oneShotSurvivors(docs, goneSet)
+
+    // compaction folds the add-log but keeps the tombstones effective
+    ClusterRepStore.compact(spark, path)
+    rows(ClusterRepStore.assignment(spark, path)) shouldBe oneShotSurvivors(docs, goneSet)
+    docs.unpersist()
+    ()
+  }
+
   test("the matched-member lookup is a static-partition-pruned read of the doc buckets") {
     // docs 11 (bucket 7) and 12 (bucket 13) under crc32 % 16; the new
     // batch matches ONLY 11, so only db=7 may be read — proven by
