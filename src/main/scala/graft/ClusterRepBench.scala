@@ -53,13 +53,18 @@ object ClusterRepBench {
     val (_, tBase) = time(graft.operators.ClusterRepStore.update(spark, path("store"), docs.where(!inBatch)))
     val (_, tBatch) = time(graft.operators.ClusterRepStore.update(spark, path("store"), docs.where(inBatch)))
     val (_, tOneShot) = time(graft.operators.ClusterRepStore.update(spark, path("oneshot"), docs))
+    // retention retraction of the same fixed-size set: the tombstone +
+    // keeper-recompute path (its one corpus-proportional piece is the
+    // survivor scan over affected clusters)
+    val (_, tRetract) = time(
+      graft.operators.ClusterRepStore.retract(spark, path("store"), docs.where(inBatch).select("doc_id")))
     Fs.rmTree(root)
 
     spark.stop()
     println(
       s"""{"metric":"cluster_rep_price","docs":$nDocs,"batch_docs":$nBatch,""" +
         s""""base_build_sec":${"%.2f".format(tBase)},"batch_absorb_sec":${"%.2f".format(tBatch)},""" +
-        s""""oneshot_sec":${"%.2f".format(tOneShot)},"sf":"$sfDir"}""",
+        s""""oneshot_sec":${"%.2f".format(tOneShot)},"retract_sec":${"%.2f".format(tRetract)},"sf":"$sfDir"}""",
     )
   }
 }
