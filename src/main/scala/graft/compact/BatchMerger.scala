@@ -289,7 +289,14 @@ object BatchMerger {
         if (bl.nonEmpty) ManifestStats.writeBlooms(fs, p.plan.leaf, runId, bl)
       }
       val inputsRel = p.plan.files.map(ManifestCommit.relativeTo(p.plan.leaf, _))
-      ManifestCommit.publish(fs, p.plan.leaf, p.plan.stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries)
+      // the batch path reads plan files RAW, so it is only correct on a
+      // leaf with no merge-on-read delete sidecars (Compactor routes
+      // those solo); knownDeletes=empty makes publish abort loudly if
+      // one exists or appears — never a silently resurrected row
+      ManifestCommit.publish(
+        fs, p.plan.leaf, p.plan.stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries,
+        knownDeletes = Some(Set.empty),
+      )
       // same retention semantics as the solo manifest path: superseded
       // inputs stay on disk under retainSuperseded for as-of reads
       val undeleted =

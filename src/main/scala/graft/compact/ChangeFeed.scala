@@ -51,8 +51,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ChangeFeed {
 
   /** A consumer's resume point: `seq` = last processed head,
-    * `counted` = the exact live-file set the consumer's state reflects
-    * (absolute paths). [[Cursor.initial]] starts before everything.
+    * `counted` = the exact live set the consumer's state reflects
+    * (absolute paths — data files AND merge-on-read delete sidecars,
+    * since both carry row-change state). [[Cursor.initial]] starts
+    * before everything.
     */
   final case class Cursor(seq: Long, counted: Set[String])
 
@@ -65,29 +67,39 @@ object ChangeFeed {
     def atHead(spark: SparkSession, leaf: String): Cursor =
       Cursor(
         ManifestCommit.currentSeq(spark, leaf),
-        ManifestCommit.liveFiles(spark, leaf).toSet,
+        (ManifestCommit.liveFiles(spark, leaf) ++ ManifestCommit.liveDeletes(spark, leaf)).toSet,
       )
   }
 
-  /** One consumable window. `appended`/`removed` are absolute file
-    * paths; [[next]] is the cursor to persist AFTER folding the window
-    * (by construction `cursor.counted ⊕ appended ⊖ removed` = the live
-    * set this window was computed against).
+  /** One consumable window. All four change lists are absolute file
+    * paths; [[next]] is the cursor to persist AFTER folding the window.
+    * `appended`/`removed` are DATA files read whole; `deleted` /
+    * `restored` are merge-on-read delete SIDECARS whose addressed rows
+    * leave (⊖) or re-assert (⊕) — read them through [[readDeleted]] /
+    * [[readRestored]], never as data. A restored sidecar always rides
+    * with its targets' whole-file removal in the same window (a sidecar
+    * is only ever consumed by a commit that supersedes its targets), so
+    * the four-term fold `⊕ appended ⊖ removed ⊖ deleted ⊕ restored`
+    * stays the exact net row delta in both modes.
     */
   final case class ChangeSet(
       mode: String, // "walk" | "diff" | "noop"
       appended: Seq[String],
       removed: Seq[String],
       next: Cursor,
+      deleted: Seq[String] = Seq.empty,
+      restored: Seq[String] = Seq.empty,
   ) {
-    def isEmpty: Boolean = appended.isEmpty && removed.isEmpty
+    def isEmpty: Boolean =
+      appended.isEmpty && removed.isEmpty && deleted.isEmpty && restored.isEmpty
   }
 
   /** Everything between `cursor` and the current head. */
   def changesSince(spark: SparkSession, leaf: String, cursor: Cursor): ChangeSet = {
     val toSeq = ManifestCommit.currentSeq(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
-    val liveSet = live.toSet
+    val liveDel = ManifestCommit.liveDeletes(spark, leaf)
+    val liveSet = live.toSet ++ liveDel
     if (toSeq == cursor.seq && liveSet == cursor.counted)
       return ChangeSet("noop", Seq.empty, Seq.empty, cursor)
     val fs = FileIndexer.fsFor(spark, leaf)
@@ -106,17 +118,23 @@ object ChangeFeed {
           // (same poll, same throw) — degrade to the file-level diff,
           // which only names live files on the ⊕ side. The same guard
           // MaterializedAgg.refreshAll applies to its own walk.
-          .filter { case (app, del) => (app ++ del).forall(p => fs.exists(new Path(p))) }
+          // Sidecar terms additionally need their TARGET files on disk
+          // (the rows resolve through a position join).
+          .filter { w =>
+            w.files.forall(p => fs.exists(new Path(p))) &&
+              Seq(w.deleted, w.restored).forall(dfl =>
+                dfl.isEmpty ||
+                  ManifestCommit.deleteTargets(spark, leaf, dfl).forall(p => fs.exists(new Path(p))))
+          }
     val nextCur = Cursor(toSeq, liveSet)
     walked match {
-      case Some((app, del)) => ChangeSet("walk", app, del, nextCur)
+      case Some(w) => ChangeSet("walk", w.appended, w.removed, nextCur, w.deleted, w.restored)
       case None =>
-        ChangeSet(
-          "diff",
-          appended = (liveSet -- cursor.counted).toSeq.sorted,
-          removed = (cursor.counted -- liveSet).toSeq.sorted,
-          next = nextCur,
-        )
+        val addedAll = (liveSet -- cursor.counted).toSeq.sorted
+        val removedAll = (cursor.counted -- liveSet).toSeq.sorted
+        val (delNew, appData) = addedAll.partition(ManifestCommit.isDeletePath)
+        val (delGone, remData) = removedAll.partition(ManifestCommit.isDeletePath)
+        ChangeSet("diff", appData, remData, nextCur, deleted = delNew, restored = delGone)
     }
   }
 
@@ -130,7 +148,11 @@ object ChangeFeed {
   def changesSinceSeq(spark: SparkSession, leaf: String, fromSeq: Long): ChangeSet =
     changesSince(
       spark, leaf,
-      Cursor(fromSeq, ManifestCommit.liveFilesAt(spark, leaf, fromSeq).toSet),
+      Cursor(
+        fromSeq,
+        (ManifestCommit.liveFilesAt(spark, leaf, fromSeq) ++
+          ManifestCommit.liveDeletesAt(spark, leaf, fromSeq)).toSet,
+      ),
     )
 
   /** The appended rows of a change set, stamped with `_change_file` (the
@@ -161,6 +183,27 @@ object ChangeFeed {
       )
     readFiles(spark, changes.removed)
   }
+
+  /** The rows a window's `deleted` sidecars retract — the row-level
+    * ⊖ side of a merge-on-read delete. `_change_file` names the SIDECAR
+    * (the idempotence key), not the data file the row came from. Same
+    * loud-failure retention contract as [[readRemoved]]: both the
+    * sidecar and its target files must still be on disk.
+    */
+  def readDeleted(spark: SparkSession, leaf: String, changes: ChangeSet): DataFrame =
+    readSidecarRows(spark, leaf, changes.deleted)
+
+  /** The rows a window's `restored` sidecars re-assert (⊕) — a consumed
+    * sidecar's retractions cancel against its targets' whole-file
+    * removal in the same window.
+    */
+  def readRestored(spark: SparkSession, leaf: String, changes: ChangeSet): DataFrame =
+    readSidecarRows(spark, leaf, changes.restored)
+
+  private def readSidecarRows(spark: SparkSession, leaf: String, sidecars: Seq[String]): DataFrame =
+    if (sidecars.isEmpty) spark.emptyDataFrame
+    else ManifestCommit.readDeleteRows(spark, leaf, sidecars)
+      .withColumnRenamed("_delete_file", "_change_file")
 
   private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
     if (files.isEmpty) spark.emptyDataFrame

@@ -54,7 +54,12 @@ object Compactor {
   def runBatch(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {
     val (tiny, big) = plans.partition(p =>
       cfg.batchTinyLeaves && cfg.layoutKeys.isEmpty && cfg.bucketKey.isEmpty &&
-        p.totalBytes <= cfg.targetFileBytes)
+        p.totalBytes <= cfg.targetFileBytes &&
+        // a leaf carrying merge-on-read delete sidecars must go through
+        // the solo path, which folds them into the rewrite — the batch
+        // path reads plan files raw and would resurrect deleted rows
+        (cfg.commitMode != CommitMode.Manifest ||
+          ManifestCommit.liveDeletes(spark, p.leaf).isEmpty))
     val results =
       if (tiny.size < 2) runPlans(spark, plans, cfg)
       else BatchMerger.mergeAndCommitBatch(spark, tiny, cfg) ++ runPlans(spark, big, cfg)

@@ -57,6 +57,91 @@ object ManifestCommit {
 
   private val sealMark = "\"sealed\":true}"
 
+  /** How a rewrite folds the leaf's outstanding merge-on-read delete
+    * sidecars (see [[foldForInputs]]): `touchingRel` are the sidecar
+    * files it must CONSUME (list in `inputs`), `applied` the positions
+    * to anti-join out of the rewrite (they target plan files), and
+    * `residual` the consumed sidecars' OTHER positions, re-sealed as
+    * this commit's own delete sidecar so a touched sidecar is always
+    * retired whole — partial consumption would leave entries whose
+    * retraction algebra no feed consumer could replay exactly.
+    */
+  private final case class DeleteFold(
+      touchingRel: Seq[String],
+      applied: Option[DataFrame],
+      appliedRows: Long,
+      residual: Option[DataFrame],
+      residualRows: Long,
+  )
+
+  private val NoFold = DeleteFold(Seq.empty, None, 0L, None, 0L)
+
+  /** Classify the leaf's live delete sidecars against a rewrite's input
+    * set. Sidecars are churn-bounded position files: the (sidecar,
+    * target) pairs collect driver-side at metadata scale, and the
+    * position split runs as one broadcast semi/anti join pair.
+    */
+  private def foldForInputs(
+      spark: SparkSession,
+      leaf: String,
+      planRel: Set[String],
+      liveDelRel: Seq[String],
+  ): DeleteFold = {
+    import org.apache.spark.sql.functions.col
+    if (liveDelRel.isEmpty) return NoFold
+    val pfx = qualifiedPrefix(spark, leaf)
+    val pos = spark.read.parquet(liveDelRel.map(r => s"$leaf/$r"): _*)
+      .select(
+        col(DelFile), col(DelPos),
+        col("_metadata.file_path").substr(
+          org.apache.spark.sql.functions.lit(pfx.length + 1),
+          org.apache.spark.sql.functions.lit(Int.MaxValue),
+        ).as("_src"),
+      )
+    val pairs = pos.select(col("_src"), col(DelFile)).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val touching = pairs.filter(p => planRel.contains(p._2)).map(_._1).distinct.sorted.toSeq
+    if (touching.isEmpty) return NoFold
+    import spark.implicits._
+    val tpos = pos.where(col("_src").isin(touching: _*)).drop("_src")
+    val planDf = org.apache.spark.sql.functions.broadcast(planRel.toSeq.toDF(DelFile))
+    val applied = tpos.join(planDf, Seq(DelFile), "left_semi")
+    val residual = tpos.join(planDf, Seq(DelFile), "left_anti")
+    val appliedRows = applied.count()
+    val residualRows = residual.count()
+    DeleteFold(
+      touching,
+      if (appliedRows > 0) Some(applied) else None, appliedRows,
+      if (residualRows > 0) Some(residual) else None, residualRows,
+    )
+  }
+
+  /** Seal `residual` positions (if any) as this run's own delete
+    * sidecar under `.delete-<runId>/`, returning (relative sidecar
+    * paths, row count). ONE part file per commit — the walk resolves a
+    * consumed sidecar's row count from its producing manifest only when
+    * it consumes the producer's sidecar set whole, and a single file
+    * makes that the only possible shape.
+    */
+  private def writeDeleteSidecar(
+      spark: SparkSession,
+      fs: FileSystem,
+      leaf: String,
+      runId: String,
+      positions: DataFrame,
+  ): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$leaf/.delete-$runId"
+    positions.select(col(DelFile), col(DelPos))
+      .orderBy(col(DelFile), col(DelPos))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    fs.listStatus(new Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => s".delete-$runId/${f.getPath.getName}")
+      .sorted.toSeq
+  }
+
   /** Merge one plan and commit via manifest publish. Mirrors
     * [[Merger.mergeAndCommit]]'s validate-before-commit discipline; only
     * the commit mechanism differs.
@@ -66,11 +151,30 @@ object ManifestCommit {
     val dataDir = s"${plan.leaf}/.data-$runId"
     try {
       val fs = FileIndexer.fsFor(spark, plan.leaf)
-      val rowsIn = Merger.footerRows(spark, plan.files)
+      val leafPath = new Path(plan.leaf)
+      val st0 = resolveState(
+        fs, plan.leaf,
+        if (fs.exists(leafPath)) fs.listStatus(leafPath) else Array.empty[org.apache.hadoop.fs.FileStatus],
+      )
+      val planRel = plan.files.map(relativeTo(plan.leaf, _))
+      // Fold outstanding merge-on-read delete sidecars into the rewrite:
+      // positions targeting plan files are applied (those rows do not
+      // survive), touched sidecars are consumed whole (their other
+      // positions re-seal as this commit's residual sidecar), and the
+      // publish-time tripwire aborts if a sidecar this fold didn't see
+      // appears concurrently. Zero extra work when the leaf has none.
+      val fold = foldForInputs(spark, plan.leaf, planRel.toSet, st0.deletes)
+      val rowsIn = Merger.footerRows(spark, plan.files) - fold.appliedRows
 
-      val df = spark.read
-        .option("mergeSchema", "true")
-        .parquet(plan.files: _*)
+      val df = fold.applied match {
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(plan.files: _*)
+        case Some(applied) =>
+          import org.apache.spark.sql.functions.col
+          readWithPos(spark, plan.leaf, plan.files)
+            .join(applied, col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti")
+            .drop("_mor_rel", "_mor_pos")
+      }
       Merger.stageWrite(spark, df, dataDir, plan.totalBytes, rowsIn, cfg, runId)
 
       val outFiles = fs
@@ -109,20 +213,29 @@ object ManifestCommit {
         if (bl.nonEmpty) ManifestStats.writeBlooms(fs, plan.leaf, runId, bl)
       }
 
+      // Residual delete sidecar BEFORE the commit point — debris until
+      // the manifest seals, exactly like the data stage.
+      val deletesRel = fold.residual
+        .map(writeDeleteSidecar(spark, fs, plan.leaf, runId, _))
+        .getOrElse(Seq.empty)
+
       // COMMIT POINT: one PUT of the sealed manifest. Everything before
       // this line is invisible; everything after is garbage collection.
-      val inputsRel = plan.files.map(relativeTo(plan.leaf, _))
-      publish(fs, plan.leaf, plan.stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries)
+      val inputsRel = planRel ++ fold.touchingRel
+      publish(
+        fs, plan.leaf, plan.stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries,
+        deletesRel = deletesRel, drows = fold.residualRows, knownDeletes = Some(st0.deletes.toSet),
+      )
 
-      // GC the superseded originals. Best-effort BY DESIGN: the manifest
-      // already subtracts them from the live set, so a failed delete is
-      // surfaced as debris, never as duplicate rows. With
-      // cfg.retainSuperseded they are kept deliberately — the time-travel
-      // retention mode ([[readLeafAt]] needs them to reconstruct earlier
-      // snapshots).
+      // GC the superseded originals (data files AND consumed delete
+      // sidecars). Best-effort BY DESIGN: the manifest already subtracts
+      // them from the live set, so a failed delete is surfaced as
+      // debris, never as duplicate rows. With cfg.retainSuperseded they
+      // are kept deliberately — the time-travel retention mode
+      // ([[readLeafAt]] needs them to reconstruct earlier snapshots).
       val undeleted =
         if (cfg.retainSuperseded) Seq.empty
-        else plan.files.filterNot { p =>
+        else (plan.files ++ fold.touchingRel.map(r => s"${plan.leaf}/$r")).filterNot { p =>
           try fs.delete(new Path(p), false)
           catch { case _: Throwable => false }
         }
@@ -149,6 +262,8 @@ object ManifestCommit {
         }
         if (manifestGone) {
           try fsR.foreach(_.delete(new Path(dataDir), true))
+          catch { case _: Throwable => () }
+          try fsR.foreach(_.delete(new Path(s"${plan.leaf}/.delete-$runId"), true))
           catch { case _: Throwable => () }
           fsR.foreach(ManifestStats.deleteSidecars(_, plan.leaf, runId))
         }
@@ -223,6 +338,9 @@ object ManifestCommit {
   ): Option[LeafResult] = {
     require(cfg.commitMode == CommitMode.Manifest, "deleteWhere requires manifest mode (atomic supersede of partially-rewritten files)")
     val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return None
+    val st0 = resolveState(fs, leaf, fs.listStatus(leafPath))
     val live = liveFiles(spark, leaf)
     if (live.isEmpty) return None
     import org.apache.spark.sql.functions.{col => c, count => cnt, lit}
@@ -233,25 +351,49 @@ object ManifestCommit {
     // never-wrongly-pruned sidecar contract makes the shortcut exact
     val candidates = ManifestStats.pruneByPredicate(spark, leaf, live, cond)
     if (candidates.isEmpty) return None
-    val perFile = spark.read.option("mergeSchema", "true").parquet(candidates: _*)
+    // classification runs DELETE-AWARE: a row an outstanding MoR sidecar
+    // already retracted must neither count as a match nor re-delete.
+    // Grouping key is the materialized `_mor_rel` column (stamped at the
+    // scan) — a plain column that survives the anti join, where the
+    // `_metadata` pseudo-column would not resolve.
+    val liveDelAbs = st0.deletes.map(r => s"$leaf/$r")
+    val awareScan = {
+      val base = readWithPos(spark, leaf, candidates)
+      if (liveDelAbs.isEmpty) base
+      else base.join(
+        deletePositions(spark, liveDelAbs),
+        c("_mor_rel") === c(DelFile) && c("_mor_pos") === c(DelPos), "left_anti",
+      )
+    }
+    val perFile = awareScan
       .where(cond)
-      .groupBy(c("_metadata.file_path").as("_df"))
+      .groupBy(c("_mor_rel").as("_df"))
       .agg(cnt(lit(1)).as("_n"))
       .collect()
     if (perFile.isEmpty) return None
-    val hit = perFile.map(_.getString(0)).toSet
+    val hitRelSet = perFile.map(_.getString(0)).toSet
     val matched = perFile.map(_.getLong(1)).sum
-    def qualify(p: String) = fs.makeQualified(new Path(p)).toString
-    val inputs = candidates.filter(p => hit.contains(qualify(p)))
+    val inputs = candidates.filter(p => hitRelSet.contains(relativeTo(leaf, p)))
+    val inputsDataRel = inputs.map(relativeTo(leaf, _))
+    val fold = foldForInputs(spark, leaf, inputsDataRel.toSet, st0.deletes)
     val runId = UUID.randomUUID().toString.replace("-", "")
     val dataDir = s"$leaf/.data-$runId"
     try {
-      val rowsIn = Merger.footerRows(spark, inputs)
+      val rowsIn = Merger.footerRows(spark, inputs) - fold.appliedRows
       // SQL DELETE semantics: only cond=TRUE rows go; a NULL-evaluating
       // row SURVIVES (a bare !cond would silently drop it — and the
-      // rowsIn − matched validation below would catch exactly that)
-      spark.read.option("mergeSchema", "true").parquet(inputs: _*)
-        .where(!org.apache.spark.sql.functions.coalesce(cond, org.apache.spark.sql.functions.lit(false)))
+      // rowsIn − matched validation below would catch exactly that).
+      // Folded sidecar positions are applied first, so the rewrite's
+      // survivors are exactly the delete-aware rows that fail cond.
+      val aware = fold.applied match {
+        case None => spark.read.option("mergeSchema", "true").parquet(inputs: _*)
+        case Some(applied) =>
+          readWithPos(spark, leaf, inputs)
+            .join(applied, c("_mor_rel") === c(DelFile) && c("_mor_pos") === c(DelPos), "left_anti")
+            .drop("_mor_rel", "_mor_pos")
+      }
+      aware
+        .where(!org.apache.spark.sql.functions.coalesce(cond, lit(false)))
         .write.mode("overwrite").parquet(dataDir)
       // ONE footer open per staged file feeds both the 0-row filter (a
       // 0-row survivor file is dead weight) and the validation sum
@@ -279,11 +421,27 @@ object ManifestCommit {
         val st = ManifestStats.collect(spark, outputsRel.zip(outFiles.map(_.toString)), cfg.statsColumns)
         if (st.nonEmpty) ManifestStats.write(fs, leaf, runId, st)
       }
-      val inputsRel = inputs.map(relativeTo(leaf, _))
-      publish(fs, leaf, stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries)
+      // bloom sidecars too, mirroring mergeAndCommit — without them the
+      // survivors of a retention delete silently lose string-equality
+      // pruning that every other rewrite path preserves
+      if (cfg.bloomColumns.nonEmpty && outputsRel.nonEmpty) {
+        val bl = ManifestStats.collectBlooms(
+          spark, outputsRel.zip(outFiles.map(_.toString)), cfg.bloomColumns,
+          expectedItems = cfg.maxRowsPerFile, numBits = cfg.bloomBitsPerItem.toLong * cfg.maxRowsPerFile,
+        )
+        if (bl.nonEmpty) ManifestStats.writeBlooms(fs, leaf, runId, bl)
+      }
+      val deletesRel = fold.residual
+        .map(writeDeleteSidecar(spark, fs, leaf, runId, _))
+        .getOrElse(Seq.empty)
+      val inputsRel = inputsDataRel ++ fold.touchingRel
+      publish(
+        fs, leaf, stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries,
+        deletesRel = deletesRel, drows = fold.residualRows, knownDeletes = Some(st0.deletes.toSet),
+      )
       val undeleted =
         if (cfg.retainSuperseded) Seq.empty
-        else inputs.filterNot { p =>
+        else (inputs ++ fold.touchingRel.map(r => s"$leaf/$r")).filterNot { p =>
           try fs.delete(new Path(p), false)
           catch { case _: Throwable => false }
         }
@@ -303,10 +461,303 @@ object ManifestCommit {
         if (manifestGone) {
           try fsR.foreach(_.delete(new Path(dataDir), true))
           catch { case _: Throwable => () }
+          try fsR.foreach(_.delete(new Path(s"$leaf/.delete-$runId"), true))
+          catch { case _: Throwable => () }
           fsR.foreach(ManifestStats.deleteSidecars(_, leaf, runId))
         }
         Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
     }
+  }
+
+  /** DELETE WHERE, merge-on-read (the scale-honest twin of
+    * [[deleteWhere]]): instead of rewriting every hit file, ONE tiny
+    * position sidecar (`.delete-<runId>/` — `(_del_file, _del_pos)` per
+    * matched row) becomes the commit, [[readLeaf]] anti-joins it at
+    * scan time, and the next compaction of the targeted files folds it
+    * physically (consuming the sidecar, re-sealing unconsumed positions
+    * as its residual). A 1-row right-to-be-forgotten delete on a wide
+    * leaf costs one sidecar write — Σ(matched rows), never Σ(hit-file
+    * bytes). Read results are indistinguishable from the CoW path
+    * (DeleteWhereSpec pins the equivalence); the commit-log walk
+    * classifies the sidecar exactly (its rows are the window's net ⊖),
+    * so [[ChangeFeed]] consumers and materialized aggregates stay
+    * incremental.
+    *
+    * Classification is delete-AWARE (an already-retracted row never
+    * re-matches) and sidecar-pruned like the CoW path. Concurrency: the
+    * publish-time tripwires abort this commit if its position targets
+    * were superseded mid-flight, and abort any racing rewrite that did
+    * not fold this sidecar — a deleted row can be re-deleted by retry,
+    * never silently resurrected.
+    *
+    * Returns None when no live row matches (no commit). On success the
+    * result's `rowsWritten` is the number of rows RETRACTED (nothing is
+    * staged — the sidecar is the write).
+    */
+  def deleteWhereMoR(
+      spark: SparkSession,
+      leaf: String,
+      cond: org.apache.spark.sql.Column,
+      cfg: CompactorConfig,
+      stem: String = "delete-mor",
+  ): Option[LeafResult] = {
+    require(cfg.commitMode == CommitMode.Manifest, "deleteWhereMoR requires manifest mode (the sidecar is a manifest commit)")
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return None
+    val st0 = resolveState(fs, leaf, fs.listStatus(leafPath))
+    val live = liveFiles(spark, leaf)
+    if (live.isEmpty) return None
+    import org.apache.spark.sql.functions.col
+    val candidates = ManifestStats.pruneByPredicate(spark, leaf, live, cond)
+    if (candidates.isEmpty) return None
+    val liveDelAbs = st0.deletes.map(r => s"$leaf/$r")
+    val base = readWithPos(spark, leaf, candidates)
+    val aware =
+      if (liveDelAbs.isEmpty) base
+      else base.join(
+        deletePositions(spark, liveDelAbs),
+        col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti",
+      )
+    val matchedPos = aware.where(cond)
+      .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos))
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    try {
+      val deletesRel = writeDeleteSidecar(spark, fs, leaf, runId, matchedPos)
+      val drows =
+        if (deletesRel.isEmpty) 0L
+        else Merger.footerRows(spark, deletesRel.map(r => s"$leaf/$r"))
+      if (drows == 0L) {
+        try { fs.delete(new Path(s"$leaf/.delete-$runId"), true); () } catch { case _: Throwable => () }
+        return None
+      }
+      // targets re-read from the SEALED sidecar (not the lazy frame):
+      // what the tripwire protects is byte-for-byte what was committed
+      val targetsRel = deleteTargets(spark, leaf, deletesRel.map(r => s"$leaf/$r"))
+        .map(relativeTo(leaf, _))
+      publish(
+        fs, leaf, stem, runId,
+        inputsRel = Seq.empty, outputsRel = Seq.empty, rows = 0L, retries = cfg.commitRetries,
+        deletesRel = deletesRel, drows = drows,
+        knownDeletes = Some(st0.deletes.toSet), requiresLive = targetsRel.toSet,
+      )
+      Some(LeafResult(leaf, stem, success = true, drows, 0, None))
+    } catch {
+      case e: Throwable =>
+        val fsR = try Some(FileIndexer.fsFor(spark, leaf)) catch { case _: Throwable => None }
+        val manifestGone = fsR.exists { f =>
+          val mp = new Path(s"$leaf/_manifest-$stem-$runId.json")
+          try { f.delete(mp, false); !f.exists(mp) }
+          catch { case _: Throwable => false }
+        }
+        if (manifestGone) {
+          try fsR.foreach(_.delete(new Path(s"$leaf/.delete-$runId"), true))
+          catch { case _: Throwable => () }
+        }
+        Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
+    }
+  }
+
+  /** MERGE INTO (key-based upsert) as ONE manifest commit — the CDC-apply
+    * primitive: every live row whose key tuple appears in `source` is
+    * REPLACED by the source edition, source rows with unmatched (or
+    * NULL — SQL equality never matches NULL) keys are INSERTED, and
+    * untouched files are never read twice or rewritten. Classification
+    * is sidecar-pruned on the source's key range (numeric keys) and
+    * delete-aware; hit files are rewritten without their matched
+    * editions, the source appends once, and one sealed manifest
+    * supersedes the hits — so the commit-log walk sees a row-changing
+    * rewrite (⊖ hit inputs ⊕ outputs: retract+assert pairs, exactly
+    * what feed consumers like [[graft.operators.IndexStore
+    * .syncFromLeaf]] need for an update), while a merge with NO matched
+    * keys publishes as a plain append. Outstanding MoR delete sidecars
+    * fold through the rewrite like any compaction.
+    *
+    * `source` must be key-unique over non-NULL key tuples (two source
+    * editions of one key would make the result order-dependent —
+    * refused loudly, the standard MERGE cardinality rule) and carry
+    * exactly the leaf's columns. At 100 TB the cost is Σ(hit-file
+    * bytes) + the source — the sidecar prune keeps the hit set tight
+    * for key-clustered leaves; rows REPLACED rather than deleted make
+    * the copy-on-write shape the right one (a position sidecar cannot
+    * express "this row changed").
+    *
+    * Returns None when `source` is empty. On success `rowsWritten` is
+    * the staged row count (survivors + source).
+    */
+  def merge(
+      spark: SparkSession,
+      leaf: String,
+      source: DataFrame,
+      keys: Seq[String],
+      cfg: CompactorConfig,
+      stem: String = "merge",
+  ): Option[LeafResult] = {
+    require(cfg.commitMode == CommitMode.Manifest, "merge requires manifest mode (atomic supersede of partially-rewritten files)")
+    require(keys.nonEmpty, "merge needs at least one key column")
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, struct}
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return None
+    val st0 = resolveState(fs, leaf, fs.listStatus(leafPath))
+    val live = liveFiles(spark, leaf)
+    val src = source.persist()
+    try {
+      // one pass over the source: total rows, key-uniqueness, and the
+      // numeric key bounds the sidecar prune needs
+      val numericKeys = keys.filter(k =>
+        src.schema(k).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      val aggCols =
+        Seq(count(lit(1)).as("_n"), countDistinct(struct(keys.map(col): _*)).as("_dk"),
+          count(org.apache.spark.sql.functions.when(keys.map(col(_).isNull).reduce(_ || _), 1)).as("_nullk")) ++
+          numericKeys.flatMap(k => Seq(
+            org.apache.spark.sql.functions.min(col(k)).cast("double").as(s"_lo_$k"),
+            org.apache.spark.sql.functions.max(col(k)).cast("double").as(s"_hi_$k")))
+      val a = src.agg(aggCols.head, aggCols.tail: _*).head
+      val srcRows = a.getAs[Long]("_n")
+      if (srcRows == 0L) return None
+      val nullKeyRows = a.getAs[Long]("_nullk")
+      // countDistinct skips all-null tuples; partial-null tuples are
+      // distinct-by-value like SQL GROUP BY — uniqueness is enforced on
+      // the non-null-tuple population
+      require(
+        a.getAs[Long]("_dk") >= srcRows - nullKeyRows,
+        s"merge source is not key-unique on (${keys.mkString(", ")}) — " +
+          "two editions of one key make the result order-dependent; dedupe upstream (e.g. keep-latest)",
+      )
+      val liveDelAbs = st0.deletes.map(r => s"$leaf/$r")
+      val (hit: Seq[String], matched: Long) =
+        if (live.isEmpty) (Seq.empty[String], 0L)
+        else {
+          val pruneCond = numericKeys
+            .map(k => col(k) >= lit(a.getAs[Double](s"_lo_$k")) && col(k) <= lit(a.getAs[Double](s"_hi_$k")))
+            .reduceOption(_ && _)
+          val candidates = pruneCond
+            .map(c => ManifestStats.pruneByPredicate(spark, leaf, live, c))
+            .getOrElse(live)
+          if (candidates.isEmpty) (Seq.empty[String], 0L)
+          else {
+            val srcKeys = src.select(keys.map(col): _*)
+            val withPos = readWithPos(spark, leaf, candidates)
+            val aware =
+              if (liveDelAbs.isEmpty) withPos
+              else withPos.join(
+                deletePositions(spark, liveDelAbs),
+                col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti",
+              )
+            val perFile = aware
+              .join(srcKeys, keys, "left_semi")
+              .groupBy(col("_mor_rel").as("_mf"))
+              .agg(count(lit(1)).as("_mn"))
+              .collect()
+            val hitRelSet = perFile.map(_.getString(0)).toSet
+            (candidates.filter(p => hitRelSet.contains(relativeTo(leaf, p))), perFile.map(_.getLong(1)).sum)
+          }
+        }
+      val hitRel = hit.map(relativeTo(leaf, _))
+      val fold = foldForInputs(spark, leaf, hitRel.toSet, st0.deletes)
+      val runId = UUID.randomUUID().toString.replace("-", "")
+      val dataDir = s"$leaf/.data-$runId"
+      try {
+        val rowsIn = (if (hit.isEmpty) 0L else Merger.footerRows(spark, hit)) - fold.appliedRows
+        // survivors: hit rows (delete-aware) whose key has NO source
+        // edition — plain-equality anti join, so NULL-key target rows
+        // always survive; then the source appends whole
+        val survivors =
+          if (hit.isEmpty) None
+          else {
+            val aware = fold.applied match {
+              case None => spark.read.option("mergeSchema", "true").parquet(hit: _*)
+              case Some(applied) =>
+                readWithPos(spark, leaf, hit)
+                  .join(applied, col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti")
+                  .drop("_mor_rel", "_mor_pos")
+            }
+            Some(aware.join(src.select(keys.map(col): _*), keys, "left_anti"))
+          }
+        val staged = survivors match {
+          case None => src
+          case Some(sv) =>
+            require(
+              sv.columns.sorted.sameElements(src.columns.sorted),
+              s"merge source columns ${src.columns.sorted.mkString(",")} != leaf columns ${sv.columns.sorted.mkString(",")}",
+            )
+            sv.unionByName(src)
+        }
+        staged.write
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", cfg.maxRowsPerFile)
+          .mode("overwrite").parquet(dataDir)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val stagedRows: Seq[(Path, Long)] = fs.listStatus(new Path(dataDir))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).sortBy(_.getName).toSeq
+          .map { p =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+            try p -> r.getRecordCount finally r.close()
+          }
+        val outFiles = stagedRows.collect { case (p, n) if n > 0L => p }
+        stagedRows.collect { case (p, n) if n == 0L => p }.foreach(p => fs.delete(p, false))
+        val rowsStaged = stagedRows.map(_._2).sum
+        if (rowsStaged != rowsIn - matched + srcRows) {
+          fs.delete(new Path(dataDir), true)
+          return Some(LeafResult(
+            leaf, stem, success = false, rowsStaged, 0,
+            Some(s"validation failed: staged $rowsStaged rows != input $rowsIn - matched $matched + source $srcRows"),
+          ))
+        }
+        val outputsRel = outFiles.map(p => s".data-$runId/${p.getName}")
+        if (cfg.statsColumns.nonEmpty && outputsRel.nonEmpty) {
+          val st = ManifestStats.collect(spark, outputsRel.zip(outFiles.map(_.toString)), cfg.statsColumns)
+          if (st.nonEmpty) ManifestStats.write(fs, leaf, runId, st)
+        }
+        if (cfg.bloomColumns.nonEmpty && outputsRel.nonEmpty) {
+          val bl = ManifestStats.collectBlooms(
+            spark, outputsRel.zip(outFiles.map(_.toString)), cfg.bloomColumns,
+            expectedItems = cfg.maxRowsPerFile, numBits = cfg.bloomBitsPerItem.toLong * cfg.maxRowsPerFile,
+          )
+          if (bl.nonEmpty) ManifestStats.writeBlooms(fs, leaf, runId, bl)
+        }
+        val deletesRel = fold.residual
+          .map(writeDeleteSidecar(spark, fs, leaf, runId, _))
+          .getOrElse(Seq.empty)
+        publish(
+          fs, leaf, stem, runId,
+          inputsRel = hitRel ++ fold.touchingRel, outputsRel = outputsRel,
+          rows = rowsStaged, retries = cfg.commitRetries,
+          deletesRel = deletesRel, drows = fold.residualRows,
+          knownDeletes = Some(st0.deletes.toSet),
+        )
+        val undeleted =
+          if (cfg.retainSuperseded) Seq.empty
+          else (hit ++ fold.touchingRel.map(r => s"$leaf/$r")).filterNot { p =>
+            try fs.delete(new Path(p), false)
+            catch { case _: Throwable => false }
+          }
+        Some(LeafResult(
+          leaf, stem, success = true, rowsStaged, outFiles.size,
+          if (undeleted.isEmpty) None
+          else Some(s"committed; ${undeleted.size} superseded original(s) left as debris"),
+        ))
+      } catch {
+        case e: Throwable =>
+          val fsR = try Some(FileIndexer.fsFor(spark, leaf)) catch { case _: Throwable => None }
+          val manifestGone = fsR.exists { f =>
+            val mp = new Path(s"$leaf/_manifest-$stem-$runId.json")
+            try { f.delete(mp, false); !f.exists(mp) }
+            catch { case _: Throwable => false }
+          }
+          if (manifestGone) {
+            try fsR.foreach(_.delete(new Path(dataDir), true))
+            catch { case _: Throwable => () }
+            try fsR.foreach(_.delete(new Path(s"$leaf/.delete-$runId"), true))
+            catch { case _: Throwable => () }
+            fsR.foreach(ManifestStats.deleteSidecars(_, leaf, runId))
+          }
+          Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
+      }
+    } finally { src.unpersist(); () }
   }
 
   /** The atomic publish: one create of the sealed manifest object (the
@@ -338,6 +789,10 @@ object ManifestCommit {
       outputsRel: Seq[String],
       rows: Long,
       retries: Int = 0,
+      deletesRel: Seq[String] = Seq.empty,
+      drows: Long = 0L,
+      knownDeletes: Option[Set[String]] = None,
+      requiresLive: Set[String] = Set.empty,
   ): Unit = {
     val leafPath = new Path(leaf)
     val manifestName = s"_manifest-$stem-$runId.json"
@@ -346,20 +801,46 @@ object ManifestCommit {
     while (true) {
       val entries = if (fs.exists(leafPath)) fs.listStatus(leafPath) else Array.empty[org.apache.hadoop.fs.FileStatus]
       val st = resolveState(fs, leaf, entries)
-      // OCC input validation (only meaningful past attempt 0, but free):
-      // if a concurrent commit superseded any of OUR inputs, re-stamping
-      // would double-supersede them and this commit's outputs would
-      // DUPLICATE the racer's — the merge must be re-planned, not
-      // re-stamped. Fail loudly instead.
-      if (attempt > 0 && inputsRel.exists(st.superseded))
+      // OCC read-set validation, EVERY attempt (the plan→publish window
+      // is a race surface even on attempt 0): if a concurrent commit
+      // superseded any of OUR inputs, re-stamping would double-supersede
+      // them and this commit's outputs would DUPLICATE the racer's — the
+      // merge must be re-planned, not re-stamped. Fail loudly instead.
+      if (inputsRel.exists(st.superseded))
         throw new java.io.IOException(
           s"commit conflict on $leaf: input(s) ${inputsRel.filter(st.superseded).mkString(", ")} " +
             "were superseded by a concurrent commit — re-plan required, not retrying",
         )
+      // Lost-delete tripwires (the MoR concurrency hazard — a silently
+      // resurrected row is the one outcome this protocol must never
+      // allow):
+      //  - a rewrite that planned against delete set K must abort if a
+      //    delete sidecar it did NOT fold has appeared since — its
+      //    outputs would carry rows that sidecar deleted;
+      //  - a delete commit (CoW or MoR) racing another delete the same
+      //    way would retract the same rows twice downstream;
+      //  - a MoR delete whose position targets were superseded mid-
+      //    flight would seal positions into files no reader resolves.
+      knownDeletes.foreach { kd =>
+        if (inputsRel.nonEmpty || deletesRel.nonEmpty) {
+          val appeared = (st.deletes.toSet -- inputsRel) -- kd
+          if (appeared.nonEmpty)
+            throw new java.io.IOException(
+              s"commit conflict on $leaf: delete sidecar(s) ${appeared.toSeq.sorted.mkString(", ")} " +
+                "appeared since this commit was planned — its rewrite did not fold them; re-plan required",
+            )
+        }
+      }
+      if (requiresLive.exists(st.superseded))
+        throw new java.io.IOException(
+          s"commit conflict on $leaf: delete target(s) ${requiresLive.filter(st.superseded).toSeq.sorted.mkString(", ")} " +
+            "were superseded by a concurrent commit — positions no longer address live rows; re-plan required",
+        )
       val seq = st.seq + 1L
       val json =
-        s"""{"runId":"$runId","stem":"$stem","rows":$rows,"seq":$seq,""" +
+        s"""{"runId":"$runId","stem":"$stem","rows":$rows,"seq":$seq,"drows":$drows,""" +
           s""""inputs":${jsonArray(inputsRel)},"outputs":${jsonArray(outputsRel)},""" +
+          s""""deletes":${jsonArray(deletesRel)},""" +
           sealMark
       val out = fs.create(manifestPath, false)
       try out.write(json.getBytes(StandardCharsets.UTF_8))
@@ -370,7 +851,9 @@ object ManifestCommit {
       // a no-op — and a NEW arrival reusing an old name must count as live),
       // so prune them by top-level presence; same for covered manifests
       // that were themselves pruned. This keeps the head O(current files),
-      // not O(all files ever superseded).
+      // not O(all files ever superseded). Live DELETE entries are NOT
+      // presence-pruned: a missing live sidecar must fail a read loudly,
+      // never silently un-delete its rows.
       val names = entries.map(_.getPath.getName).toSet
       val topPresent = (rel: String) => names.contains(rel.takeWhile(_ != '/'))
       val inputSet = inputsRel.toSet
@@ -385,6 +868,7 @@ object ManifestCommit {
           superseded = ((st.superseded ++ inputsRel).filter(topPresent)).toSeq.sorted,
           outputs = (st.outputs.filterNot(inputSet) ++ outputsRel).distinct.sorted,
           priorHeads = entries.map(_.getPath).filter(p => headSeqOf(p.getName).isDefined),
+          deletes = (st.deletes.filterNot(inputSet) ++ deletesRel).distinct.sorted,
         )
         return
       } catch {
@@ -392,7 +876,8 @@ object ManifestCommit {
           // Optimistic retry (opt-in via CompactorConfig.commitRetries;
           // default 0 keeps the reference's Forbid semantics): retract
           // the stale-seq manifest, re-resolve — the next loop sees the
-          // racer's commit, validates inputs against it, and re-stamps.
+          // racer's commit, validates the read set against it, and
+          // re-stamps.
           attempt += 1
           if (!(try fs.delete(manifestPath, false) catch { case _: Throwable => false }) && fs.exists(manifestPath))
             throw e // can't retract the stale manifest: surface the collision
@@ -411,8 +896,11 @@ object ManifestCommit {
 
   /** Parsed head pointer: the cumulative resolution state as of `seq`.
     * `covered` names the manifest FILES whose effects are already folded
-    * into (superseded, outputs) — a reader only reads manifests outside
-    * this set.
+    * into (superseded, outputs, deletes) — a reader only reads manifests
+    * outside this set. `deletes` is the NET-LIVE list of merge-on-read
+    * delete sidecar files (relative `.delete-<runId>/…` paths): a
+    * consumed delete file (listed in a later commit's inputs) drops off
+    * at fold time, so deletes ∩ superseded = ∅ by construction.
     */
   private[compact] final case class HeadState(
       seq: Long,
@@ -420,6 +908,7 @@ object ManifestCommit {
       outputs: Seq[String],
       covered: Set[String],
       runId: String = "",
+      deletes: Seq[String] = Seq.empty,
   )
 
   private[compact] def readHead(fs: FileSystem, p: Path): Option[HeadState] = {
@@ -434,7 +923,12 @@ object ManifestCommit {
       cov <- parseArr(text, "covered")
       sup <- parseArr(text, "superseded")
       outs <- parseArr(text, "outputs")
-    } yield HeadState(parseNum(text, "seq"), sup.toSet, outs, cov.toSet, parseStr(text, "runId"))
+    } yield HeadState(
+      parseNum(text, "seq"), sup.toSet, outs, cov.toSet, parseStr(text, "runId"),
+      // absent on pre-MoR heads — which predate every delete commit, so
+      // the empty default is exact, not a guess
+      parseArr(text, "deletes").getOrElse(Seq.empty),
+    )
   }
 
   /** Create the head for `seq` with overwrite=false — the collision
@@ -457,11 +951,13 @@ object ManifestCommit {
       outputs: Seq[String],
       priorHeads: Seq[Path],
       retried: Boolean = false,
+      deletes: Seq[String] = Seq.empty,
   ): Unit = {
     val p = new Path(s"$leaf/${headName(seq)}")
     val json =
       s"""{"seq":$seq,"runId":"$runId","covered":${jsonArray(covered)},""" +
         s""""superseded":${jsonArray(superseded)},"outputs":${jsonArray(outputs)},""" +
+        s""""deletes":${jsonArray(deletes)},""" +
         sealMark
     try {
       val out = fs.create(p, false)
@@ -480,7 +976,7 @@ object ManifestCommit {
           case Some(h) =>
             throw new ConcurrentCommitException(leaf, seq, h.runId)
           case None if !retried && (try fs.delete(p, false) catch { case _: Throwable => false }) =>
-            createHead(fs, leaf, seq, runId, covered, superseded, outputs, priorHeads, retried = true)
+            createHead(fs, leaf, seq, runId, covered, superseded, outputs, priorHeads, retried = true, deletes = deletes)
           case None =>
             System.err.println(s"[compact] head stamp for $leaf seq $seq failed (${e.toString}); " +
               "commit stands (manifest sealed), head repaired on next publish")
@@ -532,6 +1028,7 @@ object ManifestCommit {
           (st.outputs.filterNot(ins) ++ m.outputs).distinct,
           st.covered + name,
           st.runId,
+          (st.deletes.filterNot(ins) ++ m.deletes).distinct,
         )
       }
     }
@@ -549,7 +1046,13 @@ object ManifestCommit {
 
   /** Parsed manifest. `seq` orders the commit history (0 for manifests
     * sealed before the field existed — legacy reads keep working, they
-    * just sort before every stamped commit).
+    * just sort before every stamped commit). `deletes` names the
+    * merge-on-read delete sidecar files this commit ADDS (relative
+    * `.delete-<runId>/…` paths — position files of `(_del_file,
+    * _del_pos)` rows); `drows` is their total row count, recorded so
+    * the incremental walk can classify the commit without reading the
+    * sidecar (and after it is GC'd). A commit CONSUMES delete files by
+    * listing them in `inputs` alongside the data files it rewrote.
     */
   private[compact] final case class Manifest(
       inputs: Seq[String],
@@ -558,6 +1061,8 @@ object ManifestCommit {
       runId: String = "",
       stem: String = "",
       rows: Long = 0L,
+      deletes: Seq[String] = Seq.empty,
+      drows: Long = 0L,
   )
 
   /** Read + parse one manifest; None if torn/garbled (a partial upload
@@ -573,7 +1078,10 @@ object ManifestCommit {
       } catch { case _: Throwable => return None }
     if (!text.endsWith(sealMark)) return None
     for (ins <- parseArr(text, "inputs"); outs <- parseArr(text, "outputs"))
-      yield Manifest(ins, outs, parseNum(text, "seq"), parseStr(text, "runId"), parseStr(text, "stem"), parseNum(text, "rows"))
+      yield Manifest(
+        ins, outs, parseNum(text, "seq"), parseStr(text, "runId"), parseStr(text, "stem"),
+        parseNum(text, "rows"), parseArr(text, "deletes").getOrElse(Seq.empty), parseNum(text, "drows"),
+      )
   }
 
   // Regex field extraction over the restricted JSON this module writes
@@ -659,6 +1167,140 @@ object ManifestCommit {
       .distinct.sorted.map(rel => s"$leaf/$rel")
   }
 
+  // ---- merge-on-read delete sidecars ------------------------------------
+
+  /** Delete-sidecar schema: `_del_file` (leaf-relative path of the data
+    * file a deleted row lives in) + `_del_pos` (its `_metadata
+    * .row_index` ordinal within that file). Positions address a
+    * write-once parquet file, so they stay exact until the file is
+    * superseded — at which point the sidecar entry is retired with it
+    * (compaction folds sidecars into its rewrite).
+    */
+  private[compact] val DelFile = "_del_file"
+  private[compact] val DelPos = "_del_pos"
+
+  private[compact] def isDeleteRel(rel: String): Boolean = rel.startsWith(".delete-")
+  private[compact] def isDeletePath(p: String): Boolean = p.contains("/.delete-")
+
+  /** The fs-qualified spelling of `leaf` plus the trailing slash — what
+    * `_metadata.file_path` values of files under the leaf start with.
+    */
+  private[compact] def qualifiedPrefix(spark: SparkSession, leaf: String): String = {
+    val p = new Path(leaf)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString + "/"
+  }
+
+  /** Read data `files` (all under `leaf`) with hidden row-identity
+    * columns: `_mor_rel` (leaf-relative source path) and `_mor_pos`
+    * (row ordinal in that file) — both resolved at the scan from the
+    * parquet `_metadata` struct, no UDF, codegen-friendly.
+    */
+  private[compact] def readWithPos(spark: SparkSession, leaf: String, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pfx = qualifiedPrefix(spark, leaf)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .withColumn("_mor_rel", col("_metadata.file_path").substr(lit(pfx.length + 1), lit(Int.MaxValue)))
+      .withColumn("_mor_pos", col("_metadata.row_index"))
+  }
+
+  /** The (file, pos) rows of the given delete sidecar files. */
+  private[compact] def deletePositions(spark: SparkSession, deleteFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(deleteFiles: _*).select(col(DelFile), col(DelPos))
+  }
+
+  /** `files` (under `leaf`) with the rows named by `deleteFiles`
+    * anti-joined away — THE merge-on-read scan. The sidecar side is
+    * churn-bounded (position files, not data), so Spark's size estimate
+    * broadcasts it in the common case; a retention backlog large enough
+    * to shuffle is exactly when a shuffle is correct.
+    */
+  private[compact] def readFilesAware(
+      spark: SparkSession,
+      leaf: String,
+      files: Seq[String],
+      deleteFiles: Seq[String],
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (deleteFiles.isEmpty) spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else {
+      val pos = deletePositions(spark, deleteFiles)
+      readWithPos(spark, leaf, files)
+        .join(pos, col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti")
+        .drop("_mor_rel", "_mor_pos")
+    }
+  }
+
+  /** The leaf's NET-LIVE merge-on-read delete sidecar files (absolute
+    * paths) — empty for a leaf with no outstanding row-level deletes.
+    * Same metadata cost as [[liveFiles]].
+    */
+  def liveDeletes(spark: SparkSession, leaf: String): Seq[String] = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return Seq.empty
+    val st = resolveState(fs, leaf, fs.listStatus(leafPath))
+    st.deletes.filterNot(st.superseded).distinct.sorted.map(rel => s"$leaf/$rel")
+  }
+
+  /** [[liveDeletes]] as of commit `asOfSeq` — the delete half of the
+    * snapshot ([[liveFilesAt]]'s companion, same retention caveats).
+    */
+  def liveDeletesAt(spark: SparkSession, leaf: String, asOfSeq: Long): Seq[String] = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return Seq.empty
+    val upTo = fs.listStatus(leafPath)
+      .filter(e => e.isFile && e.getPath.getName.startsWith("_manifest-") && e.getPath.getName.endsWith(".json"))
+      .flatMap(e => readManifest(fs, e.getPath))
+      .filter(_.seq <= asOfSeq)
+      .sortBy(m => (m.seq, m.runId))
+    upTo.foldLeft(Seq.empty[String]) { (dels, m) =>
+      (dels.filterNot(m.inputs.toSet) ++ m.deletes).distinct
+    }.sorted.map(rel => s"$leaf/$rel")
+  }
+
+  /** Materialize the ROWS the given delete sidecars retract — positions
+    * joined back to their (possibly superseded, still-on-disk) source
+    * files. The returned frame carries the data schema plus
+    * `_delete_file` (the sidecar that retracted each row — the natural
+    * idempotence key for feed consumers). Fails LOUDLY when a source
+    * file is already GC'd: a retraction feed must never silently
+    * under-retract (run the leaf with `retainSuperseded` spanning the
+    * consumer's lag, like [[ChangeFeed.readRemoved]]).
+    */
+  private[compact] def readDeleteRows(
+      spark: SparkSession,
+      leaf: String,
+      deleteFiles: Seq[String],
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(deleteFiles.nonEmpty, "no delete sidecars to read")
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val pos = spark.read.parquet(deleteFiles: _*)
+      .select(col(DelFile), col(DelPos), col("_metadata.file_path").as("_delete_file"))
+    val targets = deleteTargets(spark, leaf, deleteFiles)
+    val missing = targets.filterNot(p => fs.exists(new Path(p)))
+    if (missing.nonEmpty)
+      throw new java.io.IOException(
+        s"delete-sidecar rows unreadable: ${missing.size} target file(s) already GC'd " +
+          s"(first: ${missing.head}) — retain superseded files for the consumer's lag",
+      )
+    val data = readWithPos(spark, leaf, targets)
+    data.join(pos, data("_mor_rel") === pos(DelFile) && data("_mor_pos") === pos(DelPos), "inner")
+      .drop("_mor_rel", "_mor_pos", DelFile, DelPos)
+  }
+
+  /** The distinct data files (absolute) the given delete sidecars
+    * target — a driver-side read of the position files' `_del_file`
+    * column, bounded by sidecar size (churn), never by the leaf.
+    */
+  private[compact] def deleteTargets(spark: SparkSession, leaf: String, deleteFiles: Seq[String]): Seq[String] =
+    if (deleteFiles.isEmpty) Seq.empty
+    else spark.read.parquet(deleteFiles: _*)
+      .select(DelFile).distinct().collect()
+      .map(r => s"$leaf/${r.getString(0)}").toSeq.sorted
+
   /** [[liveFiles]] as of commit `asOfSeq` (inclusive): only manifests
     * with `seq <= asOfSeq` participate, so the result is the live set
     * right after that commit — snapshot time travel over the manifest
@@ -695,13 +1337,18 @@ object ManifestCommit {
     // commits ≤ asOf and arrive via the outputs union below — or belong
     // to commits > asOf and must not appear — so only raw names
     // reconstruct here.
-    val visibleAtAsOf = (visibleNow ++ later.flatMap(_.inputs).filterNot(_.startsWith(".data-"))).distinct
+    val visibleAtAsOf = (visibleNow ++
+      later.flatMap(_.inputs).filterNot(r => r.startsWith(".data-") || isDeleteRel(r))).distinct
     val live = (visibleAtAsOf.filterNot(superseded) ++
       upTo.flatMap(_.outputs).filterNot(superseded)).distinct
     live.sorted.map(rel => s"$leaf/$rel")
   }
 
-  /** The leaf as a DataFrame, resolved through its manifests. */
+  /** The leaf as a DataFrame, resolved through its manifests — with any
+    * outstanding merge-on-read delete sidecars applied (the row-level
+    * read contract: a MoR delete and its copy-on-write twin are
+    * indistinguishable here).
+    */
   def readLeaf(spark: SparkSession, leaf: String): DataFrame =
     readLeafAt(spark, leaf, Long.MaxValue)
 
@@ -709,7 +1356,7 @@ object ManifestCommit {
   def readLeafAt(spark: SparkSession, leaf: String, asOfSeq: Long): DataFrame = {
     val files = liveFilesAt(spark, leaf, asOfSeq)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else readFilesAware(spark, leaf, files, liveDeletesAt(spark, leaf, asOfSeq))
   }
 
   /** Incremental-consumer surface over the snapshot log: the live-set
@@ -736,7 +1383,8 @@ object ManifestCommit {
   def expireSnapshots(spark: SparkSession, leaf: String, beforeSeq: Long): Int = {
     val fs = FileIndexer.fsFor(spark, leaf)
     val manifests = sealedManifestsNamed(fs, leaf)
-    val stillLive = liveFiles(spark, leaf).map(relativeTo(leaf, _)).toSet
+    val stillLive = (liveFiles(spark, leaf) ++ liveDeletes(spark, leaf))
+      .map(relativeTo(leaf, _)).toSet
     val expirable = manifests.map(_._2).filter(_.seq <= beforeSeq).flatMap(_.inputs).distinct
       .filterNot(stillLive) // a live file is never history, whatever names it
     val removed = expirable.count { rel =>
@@ -755,7 +1403,7 @@ object ManifestCommit {
     //    if the head pointer is lost.
     manifests.foreach { case (name, m) =>
       if (m.seq <= beforeSeq) {
-        val anyFile = (m.inputs ++ m.outputs).exists { rel =>
+        val anyFile = (m.inputs ++ m.outputs ++ m.deletes).exists { rel =>
           try fs.exists(new Path(s"$leaf/$rel"))
           catch { case _: Throwable => true } // unsure => keep
         }
@@ -771,7 +1419,8 @@ object ManifestCommit {
     val leafPath = new Path(leaf)
     if (fs.exists(leafPath)) {
       fs.listStatus(leafPath)
-        .filter(e => e.isDirectory && e.getPath.getName.startsWith(".data-"))
+        .filter(e => e.isDirectory &&
+          (e.getPath.getName.startsWith(".data-") || e.getPath.getName.startsWith(".delete-")))
         .foreach { d =>
           // "empty" = no parquet left; write markers (_SUCCESS, checksum
           // files) are debris once every data file has been expired
@@ -825,6 +1474,14 @@ object ManifestCommit {
     val netOutputs = folded.foldLeft(Seq.empty[String]) { case (outs, (_, m)) =>
       (outs.filterNot(m.inputs.toSet) ++ m.outputs).distinct
     }
+    // net-live delete sidecars fold the same way (added by a commit's
+    // `deletes`, retired when a later fold lists them in `inputs`);
+    // `drows` is NOT carried — the walk never crosses a checkpoint
+    // (changelogOf refuses folded windows), so the count is only dead
+    // weight there, while the delete LIST must survive for liveDeletes
+    val netDeletes = folded.foldLeft(Seq.empty[String]) { case (dels, (_, m)) =>
+      (dels.filterNot(m.inputs.toSet) ++ m.deletes).distinct
+    }
     val names = entries.map(_.getPath.getName).toSet
     val topPresent = (rel: String) => names.contains(rel.takeWhile(_ != '/'))
     val allInputs = folded.flatMap(_._2.inputs).distinct.filter(topPresent)
@@ -834,6 +1491,7 @@ object ManifestCommit {
     val json =
       s"""{"runId":"$runId","stem":"checkpoint","rows":${last.rows},"seq":${last.seq},""" +
         s""""inputs":${jsonArray(allInputs)},"outputs":${jsonArray(netOutputs)},""" +
+        s""""deletes":${jsonArray(netDeletes)},""" +
         sealMark
     val out = fs.create(new Path(s"$leaf/$ckptName"), false)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
@@ -873,6 +1531,7 @@ object ManifestCommit {
         superseded = st.superseded.filter(topPresent).toSeq.sorted,
         outputs = st.outputs.sorted,
         priorHeads = entries.map(_.getPath).filter(p => headSeqOf(p.getName).isDefined),
+        deletes = st.deletes.distinct.sorted,
       )
     } catch {
       case e: ConcurrentCommitException =>
@@ -920,11 +1579,12 @@ object ManifestCommit {
     val entries = fs.listStatus(leafPath)
     val referenced = manifestFiles(entries)
       .flatMap(e => readManifest(fs, e.getPath))
-      .flatMap(_.outputs)
+      .flatMap(m => m.outputs ++ m.deletes ++ m.inputs.filter(isDeleteRel))
       .map(_.takeWhile(_ != '/'))
       .toSet
     val orphans = entries.filter { e =>
-      e.isDirectory && e.getPath.getName.startsWith(".data-") && !referenced.contains(e.getPath.getName)
+      val n = e.getPath.getName
+      e.isDirectory && (n.startsWith(".data-") || n.startsWith(".delete-")) && !referenced.contains(n)
     }
     // stats/bloom sidecars from runs that died pre-commit: same debris class
     val manifestRunIds = runIdsOf(entries)
@@ -949,7 +1609,7 @@ object ManifestCommit {
         catch { case _: Throwable => () }
       }
     orphans
-      .filter(o => stillOrphan(o.getPath.getName.stripPrefix(".data-")))
+      .filter(o => stillOrphan(o.getPath.getName.stripPrefix(".data-").stripPrefix(".delete-")))
       .count(o => fs.delete(o.getPath, true))
   }
 

@@ -564,7 +564,24 @@ object ManifestStats {
     val live = ManifestCommit.liveFiles(spark, leaf)
     if (live.isEmpty) return spark.emptyDataFrame // no schema to resolve predicates against
     val kept = pruneByPredicate(spark, leaf, live, predicate)
-    readKept(spark, live, kept).where(predicate)
+    val dels = ManifestCommit.liveDeletes(spark, leaf)
+    val base = readKept(spark, live, kept).where(predicate)
+    if (dels.isEmpty) base
+    else {
+      // merge-on-read contract holds through the pruned scan too: a
+      // sidecar-retracted row must not surface however the leaf is read
+      import org.apache.spark.sql.functions.{col, lit}
+      val pfx = ManifestCommit.qualifiedPrefix(spark, leaf)
+      base
+        .withColumn("_mor_rel", col("_metadata.file_path").substr(lit(pfx.length + 1), lit(Int.MaxValue)))
+        .withColumn("_mor_pos", col("_metadata.row_index"))
+        .join(
+          ManifestCommit.deletePositions(spark, dels),
+          col("_mor_rel") === col(ManifestCommit.DelFile) && col("_mor_pos") === col(ManifestCommit.DelPos),
+          "left_anti",
+        )
+        .drop("_mor_rel", "_mor_pos")
+    }
   }
 
   /** The live files that can possibly hold a `predicate`-matching row,

@@ -413,18 +413,52 @@ object MaterializedAgg {
     require(keys.nonEmpty, "at least one group-by key")
     val seq = ManifestCommit.currentSeq(spark, leaf)
     val live = ManifestCommit.liveFiles(spark, leaf)
+    val liveDel = ManifestCommit.liveDeletes(spark, leaf)
     if (live.isEmpty)
       throw new IllegalStateException(s"no live files under $leaf — nothing to materialize")
-    sealFull(spark, aggPath, seq, live, keys, values, sumSq, sumSqWide, minMax, maxGroups)
+    sealFull(spark, leaf, aggPath, seq, live, liveDel, keys, values, sumSq, sumSqWide, minMax, maxGroups)
     seq
   }
 
-  /** Aggregate the whole live set and seal it (build + GC-fallback). */
+  /** [[readWithFile]] with the leaf's merge-on-read delete sidecars
+    * applied — the from-scratch passes must aggregate exactly what
+    * [[ManifestCommit.readLeaf]] serves. `_file` still names the RAW
+    * source file; the counted ledger tracks data files and sidecars
+    * separately, so the incremental algebra (raw file terms ± sidecar
+    * row terms) composes with states built here.
+    */
+  private def readWithFileAware(
+      spark: SparkSession,
+      leaf: String,
+      files: Seq[String],
+      deleteFiles: Seq[String],
+  ): DataFrame = {
+    val df = readWithFile(spark, files)
+    if (deleteFiles.isEmpty) df
+    else {
+      val pfx = ManifestCommit.qualifiedPrefix(spark, leaf)
+      df.withColumn("_mor_rel", col("_metadata.file_path").substr(lit(pfx.length + 1), lit(Int.MaxValue)))
+        .withColumn("_mor_pos", col("_metadata.row_index"))
+        .join(
+          ManifestCommit.deletePositions(spark, deleteFiles),
+          col("_mor_rel") === col(ManifestCommit.DelFile) && col("_mor_pos") === col(ManifestCommit.DelPos),
+          "left_anti",
+        )
+        .drop("_mor_rel", "_mor_pos")
+    }
+  }
+
+  /** Aggregate the whole live set (delete-aware) and seal it (build +
+    * GC-fallback). The recorded ledger covers data files AND delete
+    * sidecars — both participate in the next refresh's set diff.
+    */
   private def sealFull(
       spark: SparkSession,
+      leaf: String,
       aggPath: String,
       seq: Long,
       live: Seq[String],
+      liveDel: Seq[String],
       keys: Seq[String],
       values: Seq[String],
       sumSq: Seq[String],
@@ -433,8 +467,8 @@ object MaterializedAgg {
       maxGroups: Long,
   ): Unit =
     if (minMax.isEmpty) {
-      val state = aggOf(spark, live, keys, values, sumSq, sumSqWide).get
-      seal(spark, aggPath, seq, state, live, maxGroups)
+      val state = aggOfDf(readWithFileAware(spark, leaf, live, liveDel), keys, values, sumSq, sumSqWide)
+      seal(spark, aggPath, seq, state, live ++ liveDel, maxGroups)
     } else {
       // ONE leaf scan: a combined per-(file, group) partial carries
       // cnt/sums/sumsqs alongside min/max, persists (it is
@@ -451,7 +485,7 @@ object MaterializedAgg {
       val perFileAggs = (count(lit(1)).as("cnt") +:
         (values.map(v => sum(col(v)).as(s"sum_$v")) ++ sumSq.map(sq))) ++
         minMax.flatMap(v => Seq(min(col(v)).as(s"min_$v"), max(col(v)).as(s"max_$v")))
-      val perFile = readWithFile(spark, live)
+      val perFile = readWithFileAware(spark, leaf, live, liveDel)
         .groupBy((col("_file") +: keys.map(col)).toSeq: _*)
         .agg(perFileAggs.head, perFileAggs.tail: _*)
         .persist()
@@ -463,7 +497,7 @@ object MaterializedAgg {
             count(lit(1)).as("_pc"))
         val state = perFile.groupBy(keys.map(col).toSeq: _*).agg(stateAggs.head, stateAggs.tail: _*)
         val partials = perFile.select((col("_file") +: keys.map(col)) ++ mmColsOnly(minMax).map(col): _*)
-        seal(spark, aggPath, seq, state, live, maxGroups, Some(partials), driftCols(minMax))
+        seal(spark, aggPath, seq, state, live ++ liveDel, maxGroups, Some(partials), driftCols(minMax))
       } finally { perFile.unpersist(); () }
     }
 
@@ -502,6 +536,58 @@ object MaterializedAgg {
     * the ONLY files a refresh must read for its cnt/sum terms. A pure
     * compaction window returns (Nil, Nil): zero data read.
     */
+  /** A walked window's net row changes, as FILE sets. `appended`/
+    * `removed` are data files read whole; `deleted`/`restored` are
+    * merge-on-read delete SIDECARS — their net rows resolve through
+    * [[ManifestCommit.readDeleteRows]] (positions joined back to the
+    * targeted data files): `deleted` rows leave the aggregate, and
+    * `restored` rows re-assert (a consumed sidecar's retractions are
+    * paired with its targets' whole-file removal, so the algebra stays
+    * exact — see the commit classification below).
+    */
+  private[compact] final case class WalkChanges(
+      appended: Seq[String],
+      removed: Seq[String],
+      deleted: Seq[String],
+      restored: Seq[String],
+  ) {
+    def files: Seq[String] = appended ++ removed ++ deleted ++ restored
+    def isEmpty: Boolean = files.isEmpty
+  }
+
+  /** Classify the commit window `(fromSeq, toSeq]` into net row
+    * changes — the Iceberg-style incremental-consumption walk. The
+    * counted set tracks data files AND live delete sidecars; a commit's
+    * shape against it decides what it did to the aggregate:
+    *
+    *   - data inputs disjoint from the counted set → APPEND (a raw
+    *     arrival staged into the leaf): its outputs carry net-new rows;
+    *   - no inputs, no outputs, only new delete sidecars → a
+    *     merge-on-read DELETE: the sidecars' rows leave the aggregate
+    *     (⊖ via position join — never a whole-file read);
+    *   - counted inputs, non-empty outputs → a rewrite. It nets to ZERO
+    *     only if it preserved rows, which is VERIFIED, not trusted:
+    *     Σ data-input rows − Σ consumed-sidecar rows + residual-sidecar
+    *     rows must equal the manifest's sealed output count (in this
+    *     format's commit vocabulary — concat merges, filter rewrites,
+    *     sidecar folds; there is no value-mutating commit — count
+    *     equality implies row preservation). Input rows resolve WITHOUT
+    *     data reads: a complete producer output (or sidecar) set uses
+    *     the producer's sealed `rows`/`drows`, the rest parquet
+    *     footers. Unequal → ⊕ agg(outputs) ⊖ agg(data inputs)
+    *     ⊕ rows(consumed sidecars) ⊖ rows(new sidecars), exact for ANY
+    *     rewrite content;
+    *   - counted inputs, empty outputs → DELETE: data inputs' rows
+    *     leave, consumed sidecars' rows re-assert (they were already
+    *     subtracted), new sidecars' rows leave;
+    *   - anything mixed or unresolvable → unclassifiable, None.
+    *
+    * The walked counted set must land exactly on the current live set
+    * (data ∪ delete sidecars); any drift returns None and the caller
+    * falls back to the live-set diff, which stays exact through every
+    * lifecycle. A pure compaction window returns all-empty: zero data
+    * read.
+    */
   private[compact] def walkDeltas(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -510,25 +596,31 @@ object MaterializedAgg {
       commits: Seq[ManifestCommit.Manifest],
       recorded: Set[String],
       live: Set[String],
-  ): Option[(Seq[String], Seq[String])] = {
-    // producer ledger: every output file's creating commit. Checkpoint
-    // manifests are excluded — their `rows` is the LAST folded commit's
-    // count, not a total over their (net) outputs.
+  ): Option[WalkChanges] = {
+    // producer ledgers: every output file's / delete sidecar's creating
+    // commit. Checkpoint manifests are excluded — their `rows` is the
+    // LAST folded commit's count, not a total over their (net) outputs.
+    val log = fullLog.filterNot(_.stem == "checkpoint")
     val producerOf: Map[String, ManifestCommit.Manifest] =
-      fullLog.filterNot(_.stem == "checkpoint")
-        .flatMap(m => m.outputs.map(o => s"$leaf/$o" -> m)).toMap
-    // Σ rows of `ins`, metadata-only: complete producer output sets by
-    // their sealed count, the rest by parquet footer (None if a file
-    // has neither a usable producer nor a footer on disk)
-    def rowsOfInputs(ins: Seq[String]): Option[Long] = {
-      val insSet = ins.toSet
-      val byProducer = ins.groupBy(producerOf.get)
+      log.flatMap(m => m.outputs.map(o => s"$leaf/$o" -> m)).toMap
+    val producerDel: Map[String, ManifestCommit.Manifest] =
+      log.flatMap(m => m.deletes.map(d => s"$leaf/$d" -> m)).toMap
+    // Σ rows of files, metadata-only: complete producer sets by their
+    // sealed count, the rest by parquet footer (None if a file has
+    // neither a usable producer nor a footer on disk)
+    def rowsVia(
+        files: Seq[String],
+        producer: Map[String, ManifestCommit.Manifest],
+        setOf: ManifestCommit.Manifest => Seq[String],
+        countOf: ManifestCommit.Manifest => Long,
+    ): Option[Long] = {
+      val fileSet = files.toSet
       var total = 0L
       val needFooter = Seq.newBuilder[String]
-      byProducer.foreach {
-        case (Some(p), _) if p.outputs.forall(o => insSet.contains(s"$leaf/$o")) =>
-          total += p.rows
-        case (_, files) => needFooter ++= files
+      files.groupBy(producer.get).foreach {
+        case (Some(p), _) if setOf(p).forall(o => fileSet.contains(s"$leaf/$o")) =>
+          total += countOf(p)
+        case (_, fs2) => needFooter ++= fs2
       }
       val rest = needFooter.result()
       if (rest.forall(p => fs.exists(new Path(p)))) {
@@ -536,40 +628,66 @@ object MaterializedAgg {
         Some(total)
       } else None
     }
+    def rowsOfInputs(ins: Seq[String]) = rowsVia(ins, producerOf, _.outputs, _.rows)
+    def rowsOfSidecars(dels: Seq[String]) =
+      if (dels.isEmpty) Some(0L) else rowsVia(dels, producerDel, _.deletes, _.drows)
     var counted = recorded
     val appends = Seq.newBuilder[String]
-    val deletes = Seq.newBuilder[String]
+    val removals = Seq.newBuilder[String]
+    val delNew = Seq.newBuilder[String]
+    val delGone = Seq.newBuilder[String]
     var ok = true
     val it = commits.iterator
     while (ok && it.hasNext) {
       val m = it.next()
-      val ins = m.inputs.map(r => s"$leaf/$r")
+      val dataIns = m.inputs.filterNot(ManifestCommit.isDeleteRel).map(r => s"$leaf/$r")
+      val delIns = m.inputs.filter(ManifestCommit.isDeleteRel).map(r => s"$leaf/$r")
       val outs = m.outputs.map(r => s"$leaf/$r")
-      val nIn = ins.count(counted)
-      // outputs already in the counted set mean the ledger ran AHEAD of
-      // the state's seq — the (currentSeq, liveFiles) reads are not one
-      // atomic snapshot, so a commit sealing between them gets folded
-      // into the recorded file list with the OLD seq, and re-applying
-      // it here would double its rows into the ⊕ term (counted ++= is
-      // a set no-op, so the final counted==live tripwire would pass).
-      // Commits never legitimately re-create a counted file (write-once
-      // .data dirs, unique runIds) — refuse the walk, the diff fallback
-      // is idempotent set algebra.
-      if (outs.exists(counted)) ok = false
-      else if (outs.isEmpty) {
-        if (nIn == ins.size) { deletes ++= ins; counted --= ins }
-        else ok = false
-      } else if (nIn == 0) { appends ++= outs; counted ++= outs }
-      else if (nIn == ins.size) {
-        rowsOfInputs(ins) match {
-          case Some(inRows) =>
-            if (inRows != m.rows) { appends ++= outs; deletes ++= ins }
-            counted = counted -- ins ++ outs
-          case None => ok = false
+      val newDels = m.deletes.map(r => s"$leaf/$r")
+      val nIn = dataIns.count(counted)
+      // outputs (or new sidecars) already in the counted set mean the
+      // ledger ran AHEAD of the state's seq — the (currentSeq,
+      // liveFiles) reads are not one atomic snapshot, so a commit
+      // sealing between them gets folded into the recorded file list
+      // with the OLD seq, and re-applying it here would double its rows
+      // into the ⊕ term (counted ++= is a set no-op, so the final
+      // counted==live tripwire would pass). Commits never legitimately
+      // re-create a counted file (write-once dirs, unique runIds) —
+      // refuse the walk, the diff fallback is idempotent set algebra.
+      if ((outs ++ newDels).exists(counted)) ok = false
+      // a consumed sidecar the state never counted cannot re-assert
+      else if (!delIns.forall(counted)) ok = false
+      else if (dataIns.isEmpty && delIns.isEmpty && outs.isEmpty) {
+        if (newDels.nonEmpty) { delNew ++= newDels; counted ++= newDels } // pure MoR delete
+        else ok = false // empty commit shape — unknown
+      } else if (nIn == 0 && delIns.isEmpty && newDels.isEmpty && outs.nonEmpty) {
+        // APPEND: a WAP/publish append (no inputs) or a raw arrival
+        // staged into the leaf (inputs disjoint from the counted set)
+        appends ++= outs; counted ++= outs
+      } else if (dataIns.nonEmpty && nIn == dataIns.size) {
+        if (outs.isEmpty) {
+          // row-deleting rewrite with no survivors:
+          // ⊖ data inputs ⊕ consumed sidecars ⊖ residual sidecars
+          removals ++= dataIns; delGone ++= delIns; delNew ++= newDels
+          counted = counted -- dataIns -- delIns ++ newDels
+        } else {
+          (rowsOfInputs(dataIns), rowsOfSidecars(delIns)) match {
+            case (Some(inRows), Some(consumedRows)) =>
+              if (inRows - consumedRows + m.drows != m.rows) {
+                appends ++= outs; removals ++= dataIns
+                delGone ++= delIns; delNew ++= newDels
+              }
+              counted = counted -- dataIns -- delIns ++ outs ++ newDels
+            case _ => ok = false
+          }
         }
       } else ok = false
     }
-    if (ok && counted == live) Some((appends.result().distinct.sorted, deletes.result().distinct.sorted))
+    if (ok && counted == live)
+      Some(WalkChanges(
+        appends.result().distinct.sorted, removals.result().distinct.sorted,
+        delNew.result().distinct.sorted, delGone.result().distinct.sorted,
+      ))
     else None
   }
 
@@ -632,7 +750,12 @@ object MaterializedAgg {
   def refreshAll(spark: SparkSession, leaf: String, specs: Seq[AggSpec]): Seq[RefreshResult] = {
     if (specs.isEmpty) return Seq.empty
     val toSeq = ManifestCommit.currentSeq(spark, leaf)
-    val live = ManifestCommit.liveFiles(spark, leaf)
+    val liveData = ManifestCommit.liveFiles(spark, leaf)
+    val liveDel = ManifestCommit.liveDeletes(spark, leaf)
+    // the counted ledger tracks BOTH: data files (whole-file ⊕/⊖ terms)
+    // and merge-on-read delete sidecars (row-level ⊖/⊕ terms resolved
+    // through their position joins)
+    val live = (liveData ++ liveDel).sorted
     val fs = FileIndexer.fsFor(spark, leaf)
     val cache = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
     val pinned = scala.collection.mutable.Set.empty[Seq[String]]
@@ -650,11 +773,32 @@ object MaterializedAgg {
         if (pin && !pinned.contains(files)) { df.persist(); pinned += files; () }
         Some(df)
       }
+    // delete-sidecar ROW frames (positions joined back to their target
+    // files) — churn-bounded, shared across specs like the data deltas
+    val delCache = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
+    def cachedDeleteRows(files: Seq[String], pin: Boolean): Option[DataFrame] =
+      if (files.isEmpty) None
+      else {
+        val df = delCache.getOrElseUpdate(files, ManifestCommit.readDeleteRows(spark, leaf, files))
+        if (pin && !pinned.contains(files)) { df.persist(); pinned += files; () }
+        Some(df)
+      }
+    // a delete term is readable iff the sidecar AND every file its
+    // positions target are still on disk (same retention contract as
+    // the whole-file ⊖ term) — targets resolve with one tiny read,
+    // memoized across specs
+    val targetsMemo = scala.collection.mutable.Map.empty[Seq[String], Seq[String]]
+    def delReadable(files: Seq[String]): Boolean =
+      files.isEmpty || (
+        files.forall(p => fs.exists(new Path(p))) &&
+          targetsMemo.getOrElseUpdate(files, ManifestCommit.deleteTargets(spark, leaf, files))
+            .forall(p => fs.exists(new Path(p)))
+      )
     // the commit-window walk depends only on (leaf, fromSeq) — memoized
     // so N specs built at the same seq classify the window once; the
     // manifest log backing it is fetched once per refresh pass
     lazy val fullLog = ManifestCommit.manifestLog(spark, leaf)
-    val walks = scala.collection.mutable.Map.empty[Long, Option[(Seq[String], Seq[String])]]
+    val walks = scala.collection.mutable.Map.empty[Long, Option[WalkChanges]]
     try {
       specs.map { sp =>
         val fromSeq = stateSeq(spark, sp.aggPath).getOrElse(
@@ -667,10 +811,12 @@ object MaterializedAgg {
         require(state0.columns.toSet == expected, s"state schema ${state0.columns.toSet} does not match spec $expected")
         checkSumSqWidth(state0, sp.sumSq, sp.sumSqWide)
         val recorded = recordedFiles(spark, sp.aggPath, fromSeq).toSet
-        val removed = (recorded -- live).toSeq.sorted
-        val added = (live.toSet -- recorded).toSeq.sorted
-        if (removed.isEmpty && added.isEmpty) RefreshResult(fromSeq, incremental = true, mode = "noop")
+        val removedAll = (recorded -- live).toSeq.sorted
+        val addedAll = (live.toSet -- recorded).toSeq.sorted
+        if (removedAll.isEmpty && addedAll.isEmpty) RefreshResult(fromSeq, incremental = true, mode = "noop")
         else {
+          val (addedDel, added) = addedAll.partition(ManifestCommit.isDeletePath)
+          val (removedDel, removed) = removedAll.partition(ManifestCommit.isDeletePath)
           val shared = specs.size > 1
           val pinAdded = shared || sp.minMax.nonEmpty
           val old = state0.drop(mmCols(sp.minMax): _*)
@@ -688,7 +834,7 @@ object MaterializedAgg {
               require(gens.nonEmpty, s"sealed minMax state at ${sp.aggPath} seq=$fromSeq has no partials generations")
               val hist = gens.map(g => spark.read.parquet(s"${sp.aggPath}/$g")).reduce(_.unionByName(_))
               val histLive = hist.join(
-                broadcast(live.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_semi")
+                broadcast(liveData.map(qualified(spark, _)).toDF("_file")), Seq("_file"), "left_semi")
               val newGen = cachedRead(added, pinAdded).map(b => partialsOf(b, sp.keys, sp.minMax))
               val all = newGen.map(histLive.unionByName(_)).getOrElse(histLive)
               val state = joinMinMax(sums, foldPartials(all, sp.keys, sp.minMax), sp.keys)
@@ -709,34 +855,61 @@ object MaterializedAgg {
             need.forall(df.columns.contains)
           }
 
+          def rebuild(): RefreshResult = {
+            if (liveData.isEmpty) throw new IllegalStateException(s"no live files under $leaf")
+            sealFull(spark, leaf, sp.aggPath, toSeq, liveData, liveDel, sp.keys, sp.values, sp.sumSq, sp.sumSqWide, sp.minMax, sp.maxGroups)
+            RefreshResult(toSeq, incremental = false, mode = "rebuild")
+          }
+
           // 1) commit-window walk: read only net row changes (a pure
           // compaction window reads NOTHING for the cnt/sum terms)
           val walked = walks.getOrElseUpdate(
             fromSeq,
             ManifestCommit.changelogOf(fullLog, fromSeq, toSeq)
               .flatMap(walkDeltas(spark, fs, leaf, fullLog, _, recorded, live.toSet)),
-          ).filter { case (app, del) =>
+          ).filter { w =>
             // appended outputs may have been superseded (and GC'd) by a
-            // later replace in the window; deletes are pre-state files —
-            // both must still be readable for the ⊕/⊖ terms
-            (app ++ del).forall(p => fs.exists(new Path(p)))
+            // later replace in the window; removals are pre-state files —
+            // every term (including delete-sidecar rows and their target
+            // files) must still be readable for the ⊕/⊖ algebra
+            (w.appended ++ w.removed).forall(p => fs.exists(new Path(p))) &&
+              delReadable(w.deleted) && delReadable(w.restored)
           }
-          walked match {
-            case Some((app, del))
-                if cachedRead(app, shared || (pinAdded && app == added)).forall(hasCols) &&
-                  cachedRead(del, shared).forall(hasCols) =>
+          // min/max partials live at (file, group) granularity — a
+          // row-SUBSET retraction (a delete sidecar appearing, being
+          // consumed, or re-asserting) cannot be expressed by dropping
+          // or adding whole-file partial rows, so any delete movement
+          // sends a minMax spec to the rebuild path (which re-derives
+          // the partials delete-aware). cnt/sum specs stay incremental
+          // through the row-level terms.
+          val delMoved = addedDel.nonEmpty || removedDel.nonEmpty ||
+            walked.exists(w => w.deleted.nonEmpty || w.restored.nonEmpty)
+          if (sp.minMax.nonEmpty && delMoved) rebuild()
+          else walked match {
+            case Some(w)
+                if cachedRead(w.appended, shared || (pinAdded && w.appended == added)).forall(hasCols) &&
+                  cachedRead(w.removed, shared).forall(hasCols) &&
+                  cachedDeleteRows(w.deleted, shared).forall(hasCols) &&
+                  cachedDeleteRows(w.restored, shared).forall(hasCols) =>
               val parts = Seq(
                 Some(old),
-                cachedRead(app, shared).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
-                cachedRead(del, shared).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
+                cachedRead(w.appended, shared).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
+                cachedRead(w.removed, shared).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
+                cachedDeleteRows(w.deleted, shared).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
+                cachedDeleteRows(w.restored, shared).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
               ).flatten
               sealWith(if (parts.size == 1) old else merge(parts, sp.keys), mode = "walk")
-            // 2) live-set diff: read added + removed
-            case _ if removed.forall(p => fs.exists(new Path(p))) =>
+            // 2) live-set diff: read added + removed data files whole,
+            // added sidecars as ⊖ rows, vanished sidecars as ⊕ rows
+            // (their retractions ride out with their targets' ⊖ term)
+            case _ if removed.forall(p => fs.exists(new Path(p))) &&
+                delReadable(addedDel) && delReadable(removedDel) =>
               val parts = Seq(
                 Some(old),
                 cachedRead(added, pinAdded).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
                 cachedRead(removed, shared).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
+                cachedDeleteRows(addedDel, shared).map(df => negate(aggOfDf(df, sp.keys, sp.values, sp.sumSq, sp.sumSqWide), sp.keys)),
+                cachedDeleteRows(removedDel, shared).map(aggOfDf(_, sp.keys, sp.values, sp.sumSq, sp.sumSqWide)),
               ).flatten
               sealWith(merge(parts, sp.keys), mode = "diff")
             // 3) GC outran the state: the ⊖ term's inputs are gone —
@@ -744,15 +917,13 @@ object MaterializedAgg {
             // (persisting a 100-TB leaf for one aggregation is the
             // opposite of the sharing this method exists for; only the
             // delta frames, bounded by the commit, are worth pinning)
-            case _ =>
-              if (live.isEmpty) throw new IllegalStateException(s"no live files under $leaf")
-              sealFull(spark, sp.aggPath, toSeq, live, sp.keys, sp.values, sp.sumSq, sp.sumSqWide, sp.minMax, sp.maxGroups)
-              RefreshResult(toSeq, incremental = false, mode = "rebuild")
+            case _ => rebuild()
           }
         }
       }
     } finally {
       cache.valuesIterator.foreach { df => df.unpersist(); () }
+      delCache.valuesIterator.foreach { df => df.unpersist(); () }
     }
   }
 

@@ -162,7 +162,24 @@ object WapCommit {
       .map(_.getPath)
       .sortBy(_.getName)
       .toSeq
-    val rowsStaged = Merger.footerRows(spark, staged.map(_.toString))
+    val rowsStaged =
+      if (staged.isEmpty) 0L else Merger.footerRows(spark, staged.map(_.toString))
+
+    // Empty micro-batches are ROUTINE foreachBatch inputs for the
+    // streaming callers this API targets, and Spark may stage zero part
+    // files (or one 0-row file) for them — spark.read over zero paths
+    // throws before the audit even runs, and a published 0-row file is
+    // dead weight. Short-circuit: clean the stage, report every check
+    // as trivially passed (each ran over zero rows — zero violations by
+    // definition), and leave the leaf's head untouched (a no-op must
+    // not burn a commit seq).
+    if (rowsStaged == 0L) {
+      try { fs.delete(new Path(dataDir), true); () } catch { case _: Throwable => () }
+      return WapCommitted(
+        ManifestCommit.currentSeq(spark, leaf), 0L,
+        WapReport(checks.map(c => (c.name, 0L))),
+      )
+    }
 
     // AUDIT: one unioned lazy plan over the staged files; each check is
     // a 1-row count. Collect size == number of checks.

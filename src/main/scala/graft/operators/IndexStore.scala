@@ -108,6 +108,17 @@ object IndexStore {
       cursor: Option[String] = None,
   ): Long = {
     val fs = fsOf(spark, path)
+    // Pre-redo debris sweep (the ClusterRepStore.update discipline): a
+    // crashed UNSEALED attempt at this seq may have left add-/dl-/del-/
+    // cursor-<seq> dirs behind, and seqDirs resolves by EXISTENCE — if
+    // this retry's re-derived delta no longer carries a side (e.g. the
+    // ChangeSet now has no removals), the stale dir would be sealed
+    // into the generation, resurrecting ghost postings absent from
+    // stats-<seq>. Delete unconditionally so the sealed generation
+    // contains exactly what THIS attempt computed.
+    Seq(s"add-$seq", s"dl-$seq", s"del-$seq", s"cursor-$seq").foreach { n =>
+      try { fs.delete(new Path(s"$path/$n"), true); () } catch { case _: Throwable => () }
+    }
     val (an, as) = docs.map { d =>
       val words = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       words.groupBy("doc_id", "word")
@@ -300,12 +311,25 @@ object IndexStore {
     }
     val ch = ChangeFeed.changesSince(spark, leaf, cursor)
     if (ch.mode == "noop") return "noop"
-    val added =
+    // merge-on-read sidecar terms compose with the file terms exactly
+    // like a compaction's remove+add of the same doc: additions and
+    // tombstones sealed in ONE generation, `dseq > gseq` scoping the
+    // kill to the dead edition — so ⊕appended ⊕restored ⊖removed
+    // ⊖deleted folds to the leaf's true row delta
+    def unionOpt(parts: Seq[Option[DataFrame]]): Option[DataFrame] =
+      parts.flatten.reduceOption(_ unionByName _)
+    val added = unionOpt(Seq(
       if (ch.appended.isEmpty) None
-      else Some(ChangeFeed.readAppended(spark, ch).drop("_change_file"))
-    val removed =
+      else Some(ChangeFeed.readAppended(spark, ch).drop("_change_file")),
+      if (ch.restored.isEmpty) None
+      else Some(ChangeFeed.readRestored(spark, leaf, ch).drop("_change_file")),
+    ))
+    val removed = unionOpt(Seq(
       if (ch.removed.isEmpty) None
-      else Some(ChangeFeed.readRemoved(spark, ch).drop("_change_file"))
+      else Some(ChangeFeed.readRemoved(spark, ch).drop("_change_file")),
+      if (ch.deleted.isEmpty) None
+      else Some(ChangeFeed.readDeleted(spark, leaf, ch).drop("_change_file")),
+    ))
     applyDelta(spark, path, added, removed, cursor = Some(serializeCursor(ch.next)))
     ch.mode
   }

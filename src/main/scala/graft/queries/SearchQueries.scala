@@ -208,7 +208,7 @@ object SearchQueries {
     // hash-mismatch.
     Q("bm25_cdc_sync", bm25SqlWhere(" WHERE doc_id % 10 <> 0")) { (s, d) =>
       import graft.compact.{CommitMode, CompactorConfig, LeafPlan, ManifestCommit, Merger, WapCommit}
-      val path = StoreCache.resolve(d, "bm25-cdc", table = "documents") { p =>
+      val path = StoreCache.resolve(d, "bm25-cdc-mor", table = "documents") { p =>
         // stateful two-phase build: stage whole, publish by rename
         // (the dedup_cluster_rep_inc discipline — a crashed half-build
         // must never register as built)
@@ -229,8 +229,18 @@ object SearchQueries {
         val bytes = live.map(f => new java.io.File(f).length).sum
         Merger.mergeAndCommit(s, LeafPlan(leaf, "fold", live, bytes), cfg)
         graft.operators.IndexStore.syncFromLeaf(s, leaf, idx) // net-zero walk
-        ManifestCommit.deleteWhere(s, leaf, col("doc_id") % 10 === 0, cfg)
-        graft.operators.IndexStore.syncFromLeaf(s, leaf, idx) // retractions
+        // retention delete through the MERGE-ON-READ path: the commit is
+        // one position sidecar (no data rewrite); the feed's `deleted`
+        // term retracts exactly those rows into tombstones
+        ManifestCommit.deleteWhereMoR(s, leaf, col("doc_id") % 10 === 0, cfg)
+        graft.operators.IndexStore.syncFromLeaf(s, leaf, idx) // sidecar retractions
+        // ... and the next compaction folds the sidecar physically — a
+        // walk-verified net-zero window, so this sync advances the
+        // cursor with zero index work (the probe certifies both states)
+        val live2 = ManifestCommit.liveFiles(s, leaf)
+        val bytes2 = live2.map(f => new java.io.File(f).length).sum
+        ManifestCommit.mergeAndCommit(s, LeafPlan(leaf, "fold2", live2, bytes2), cfg)
+        graft.operators.IndexStore.syncFromLeaf(s, leaf, idx) // net-zero sidecar fold
         fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
         if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
           throw new java.io.IOException(s"bm25-cdc store publish rename failed: $stage -> $p")

@@ -269,4 +269,57 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers with SparkSpec with Befor
       .groupBy("k").count().as[(String, Long)].collect().toMap
     state shouldBe direct
   }
+
+  test("merge-on-read deletes feed exactly in BOTH modes: the four-term fold equals a direct aggregate through delete, fold, and a checkpointed window") {
+    val s = spark
+    import s.implicits._
+    val l = leaf("mor-consumer")
+    var cursor = Cursor.initial
+    var state = Map.empty[String, Long]
+    var sawDiff = false
+    var sawDeleted = false
+    def poll(): Unit = {
+      val ch = changesSince(spark, l, cursor)
+      if (ch.mode == "diff") sawDiff = true
+      if (ch.deleted.nonEmpty) sawDeleted = true
+      def counts(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("k").count().as[(String, Long)].collect().toMap
+      val plus = Seq(
+        if (ch.appended.nonEmpty) counts(readAppended(spark, ch)) else Map.empty[String, Long],
+        if (ch.restored.nonEmpty) counts(readRestored(spark, l, ch)) else Map.empty[String, Long],
+      )
+      val minus = Seq(
+        if (ch.removed.nonEmpty) counts(readRemoved(spark, ch)) else Map.empty[String, Long],
+        if (ch.deleted.nonEmpty) counts(readDeleted(spark, l, ch)) else Map.empty[String, Long],
+      )
+      val keys = (plus ++ minus).flatMap(_.keySet).toSet ++ state.keySet
+      state = keys.map { k =>
+        k -> (state.getOrElse(k, 0L) + plus.map(_.getOrElse(k, 0L)).sum - minus.map(_.getOrElse(k, 0L)).sum)
+      }.filter(_._2 != 0L).toMap
+      cursor = ch.next
+    }
+    def check(): Unit =
+      state shouldBe ManifestCommit.readLeaf(spark, l)
+        .groupBy("k").count().as[(String, Long)].collect().toMap
+
+    append(l, 1, 200); poll(); check()
+    // walk mode: a pure MoR delete — the sidecar's rows are the ⊖ side
+    ManifestCommit.deleteWhereMoR(spark, l, col("id") % 10 === 0L, cfg).get.success shouldBe true
+    poll(); check()
+    sawDeleted shouldBe true
+    // the physical fold nets to zero in the same feed
+    compactAll(l); poll(); check()
+    // diff mode: delete again, then checkpoint the log so the window
+    // cannot walk — the sidecar surfaces through the live-set diff
+    ManifestCommit.deleteWhereMoR(spark, l, col("id") % 7 === 0L, cfg).get.success shouldBe true
+    ManifestCommit.checkpoint(spark, l, ManifestCommit.currentSeq(spark, l)) should be >= 2
+    poll(); check()
+    sawDiff shouldBe true
+    // and one delete+fold pair inside a SINGLE walked window: the
+    // consumed sidecar's rows are the window's only net change
+    val before = state
+    ManifestCommit.deleteWhereMoR(spark, l, col("id") % 11 === 0L, cfg).get.success shouldBe true
+    compactAll(l); poll(); check()
+    state should not be before
+  }
 }

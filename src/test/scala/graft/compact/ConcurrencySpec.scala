@@ -58,4 +58,62 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkSpec {
       tags shouldBe (0 until 3).map(j => s"leaf$i-f$j").sorted.toArray
     }
   }
+
+  test("a row-level delete racing a compaction on ONE leaf: serialized or loud abort — never a resurrected or duplicated row") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-conc-row").toFile
+    val cfg = CompactorConfig(commitMode = CommitMode.Manifest, retainSuperseded = true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // several iterations vary the interleaving: plan capture, sidecar
+      // seal, and head stamp land in a different order each run
+      (1 to 5).foreach { iter =>
+        val leaf = new File(root, s"race$iter"); leaf.mkdirs()
+        val leafPath = leaf.getAbsolutePath
+        Seq(("a", 1L to 100L), ("b", 101L to 200L)).foreach { case (t, ids) =>
+          val tmp = new File(leaf, s".tmp-$t")
+          ids.map(i => (i, t)).toDF("id", "tag").coalesce(1).write.parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          Files.move(part.toPath, new File(leaf, s"$t.parquet").toPath)
+          tmp.listFiles().foreach(_.delete()); tmp.delete()
+          ManifestCommit.publish(
+            FileIndexer.fsFor(spark, leafPath), leafPath, s"arr$t", s"r$iter$t",
+            inputsRel = Seq(), outputsRel = Seq(s"$t.parquet"), rows = ids.size.toLong)
+        }
+        val cond = col("id") % 10 === iter.toLong
+
+        // the compactor captures its plan BEFORE the race begins — the
+        // exact read-set-staleness window the tripwires must close
+        val files = ManifestCommit.liveFiles(spark, leafPath)
+        val plan = LeafPlan(leafPath, "fold", files, files.map(f => new File(f).length()).sum)
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fCompact = scala.concurrent.Future(ManifestCommit.mergeAndCommit(spark, plan, cfg))(ec)
+        val fDelete = scala.concurrent.Future(ManifestCommit.deleteWhereMoR(spark, leafPath, cond, cfg))(ec)
+        val rCompact = scala.concurrent.Await.result(fCompact, scala.concurrent.duration.Duration("120s"))
+        val rDelete = scala.concurrent.Await.result(fDelete, scala.concurrent.duration.Duration("120s"))
+
+        // each racer either committed or aborted LOUDLY; an aborted
+        // delete re-runs cleanly against the post-race state
+        if (!rDelete.exists(_.success)) {
+          withClue(s"iter $iter delete abort must be loud: $rDelete") {
+            rDelete.foreach(_.error should not be empty)
+          }
+          val retry = ManifestCommit.deleteWhereMoR(spark, leafPath, cond, cfg)
+          withClue(s"iter $iter delete retry: $retry") { retry.exists(_.success) shouldBe true }
+        }
+        withClue(s"iter $iter compaction result must be decisive: $rCompact") {
+          if (!rCompact.success) rCompact.error should not be empty
+        }
+
+        // THE invariant: every cond row gone, every other row EXACTLY
+        // once — neither a resurrected deleted row (a rewrite that
+        // ignored the sidecar) nor a duplicate (a double-supersede)
+        val got = ManifestCommit.readLeaf(spark, leafPath)
+          .select("id").as[Long].collect().sorted
+        got shouldBe (1L to 200L).filterNot(_ % 10 == iter).toArray
+      }
+    } finally { pool.shutdown() }
+  }
 }

@@ -161,4 +161,206 @@ class DeleteWhereSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     ChangeFeed.readAppended(spark, ch).select("id").collect().map(_.getLong(0)).sorted shouldBe
       (11L to 50L).toArray
   }
+
+  // ---- merge-on-read (position-sidecar) deletes -------------------------
+
+  test("MoR delete reads identically to CoW, writes NO data — one position sidecar is the whole commit") {
+    val leafC = new File(root, "mor-cow"); leafC.mkdirs()
+    val leafM = new File(root, "mor-mor"); leafM.mkdirs()
+    Seq(leafC, leafM).foreach { l =>
+      writeFile(l, "a.parquet", 1L to 100L, "a")
+      writeFile(l, "b.parquet", 101L to 200L, "b")
+      commitAll(l.getAbsolutePath)
+    }
+    val cond = col("id") % 7 === 0L
+    ManifestCommit.deleteWhere(spark, leafC.getAbsolutePath, cond, cfg).get.success shouldBe true
+
+    val liveBefore = ManifestCommit.liveFiles(spark, leafM.getAbsolutePath)
+    val r = ManifestCommit.deleteWhereMoR(spark, leafM.getAbsolutePath, cond, cfg).get
+    withClue(r) { r.success shouldBe true }
+    r.rowsWritten shouldBe (1L to 200L).count(_ % 7 == 0).toLong // rows RETRACTED
+    // read-equivalence to the CoW twin, bit for bit
+    bag(leafM.getAbsolutePath) shouldBe bag(leafC.getAbsolutePath)
+    // the data file set did not move — the sidecar is the commit
+    ManifestCommit.liveFiles(spark, leafM.getAbsolutePath) shouldBe liveBefore
+    ManifestCommit.liveDeletes(spark, leafM.getAbsolutePath).size shouldBe 1
+    // the pruned-read surface honors the sidecar too
+    ManifestStats.readLeafFiltered(spark, leafM.getAbsolutePath, col("id") <= 50L)
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe
+      (1L to 50L).filterNot(_ % 7 == 0).toArray
+
+    // delete-aware classification: re-running the same predicate finds
+    // nothing live to match — no commit, the head does not move
+    val head = ManifestCommit.currentSeq(spark, leafM.getAbsolutePath)
+    ManifestCommit.deleteWhereMoR(spark, leafM.getAbsolutePath, cond, cfg) shouldBe None
+    ManifestCommit.currentSeq(spark, leafM.getAbsolutePath) shouldBe head
+  }
+
+  test("MoR delete keeps SQL NULL semantics and time-travel snapshots") {
+    val s = spark
+    import s.implicits._
+    val leaf = new File(root, "mor-null"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val tmp = new File(leaf, ".tmp-n")
+    Seq((1L, Some("x")), (2L, None: Option[String]), (3L, Some("y")))
+      .toDF("id", "tag").coalesce(1).write.parquet(tmp.getAbsolutePath)
+    Files.move(
+      tmp.listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+      new File(leaf, "n.parquet").toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    ManifestCommit.publish(
+      FileIndexer.fsFor(spark, leafPath), leafPath, "arr", "run0",
+      inputsRel = Seq.empty, outputsRel = Seq("n.parquet"), rows = 3L)
+    val seq0 = ManifestCommit.currentSeq(spark, leafPath)
+
+    // cond is NULL for id=2 (tag is null): only id=1 goes
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("tag") === "x", cfg).get.success shouldBe true
+    ManifestCommit.readLeaf(spark, leafPath).select("id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(2L, 3L)
+    // the delete is a snapshot boundary: as-of the prior commit, all rows
+    ManifestCommit.readLeafAt(spark, leafPath, seq0)
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L)
+  }
+
+  test("CoW delete after a MoR delete stays delete-aware: already-retracted rows never re-match, the sidecar folds") {
+    val leaf = new File(root, "mor-mixed"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 1L to 100L, "a")
+    commitAll(leafPath)
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") <= 10L, cfg).get.rowsWritten shouldBe 10L
+    // the CoW pass must match ONLY 11..20 (1..10 are already retracted)
+    // and must consume the outstanding sidecar while rewriting a.parquet
+    val r = ManifestCommit.deleteWhere(spark, leafPath, col("id") <= 20L, cfg).get
+    withClue(r) { r.success shouldBe true }
+    r.rowsWritten shouldBe 80L // survivors staged: 100 − 10 (sidecar) − 10 (matched)
+    ManifestCommit.liveDeletes(spark, leafPath) shouldBe Seq.empty // consumed, no residual
+    bag(leafPath) shouldBe (21L to 100L).map(i => (i, "a"))
+  }
+
+  test("compaction folds the sidecar physically; the fold window is walk-verified net-zero") {
+    val leaf = new File(root, "mor-fold"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 1L to 100L, "a")
+    writeFile(leaf, "b.parquet", 101L to 200L, "b")
+    commitAll(leafPath)
+    val c0 = ChangeFeed.Cursor.atHead(spark, leafPath)
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") % 10 === 0L, cfg).get.success shouldBe true
+    val c1 = ChangeFeed.changesSince(spark, leafPath, c0)
+    val expect = bag(leafPath)
+
+    val files = ManifestCommit.liveFiles(spark, leafPath)
+    val r = ManifestCommit.mergeAndCommit(
+      spark, LeafPlan(leafPath, "fold", files, files.map(f => new File(f).length()).sum), cfg)
+    withClue(r) { r.success shouldBe true }
+    r.rowsWritten shouldBe 180L // the staged rewrite is delete-aware
+    ManifestCommit.liveDeletes(spark, leafPath) shouldBe Seq.empty
+    bag(leafPath) shouldBe expect
+
+    // the fold commit consumed the sidecar as an input: walk-verified
+    // net-zero — a consumer polling across it reads NOTHING
+    val c2 = ChangeFeed.changesSince(spark, leafPath, c1.next)
+    c2.mode shouldBe "walk"
+    c2.isEmpty shouldBe true
+    // and a consumer spanning [delete; fold] sees exactly the sidecar's
+    // rows as the window's net ⊖ (the fold contributes nothing)
+    val cSpan = ChangeFeed.changesSince(spark, leafPath, c0)
+    cSpan.mode shouldBe "walk"
+    cSpan.appended shouldBe Seq.empty
+    cSpan.removed shouldBe Seq.empty
+    cSpan.restored shouldBe Seq.empty
+    ChangeFeed.readDeleted(spark, leafPath, cSpan)
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe
+      (1L to 200L).filter(_ % 10 == 0).toArray
+  }
+
+  test("a partial rewrite consumes the sidecar whole and re-seals the rest as a residual") {
+    val leaf = new File(root, "mor-resid"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 1L to 100L, "a")
+    writeFile(leaf, "b.parquet", 101L to 200L, "b")
+    commitAll(leafPath)
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") % 10 === 0L, cfg).get.success shouldBe true
+    val expect = bag(leafPath)
+    val sidecar0 = ManifestCommit.liveDeletes(spark, leafPath)
+    sidecar0.size shouldBe 1
+
+    // rewrite ONLY a.parquet: its 10 positions apply, b's 10 re-seal
+    val a = ManifestCommit.liveFiles(spark, leafPath).filter(_.endsWith("a.parquet"))
+    a.size shouldBe 1
+    val r = ManifestCommit.mergeAndCommit(
+      spark, LeafPlan(leafPath, "part", a, a.map(f => new File(f).length()).sum), cfg)
+    withClue(r) { r.success shouldBe true }
+    r.rowsWritten shouldBe 90L
+    val resid = ManifestCommit.liveDeletes(spark, leafPath)
+    resid.size shouldBe 1
+    resid should not be sidecar0 // a NEW sidecar, sealed by the rewrite's commit
+    bag(leafPath) shouldBe expect // reads stay exact through the handoff
+
+    // folding the rest clears the residual and preserves the bag
+    val rest = ManifestCommit.liveFiles(spark, leafPath)
+    ManifestCommit.mergeAndCommit(
+      spark, LeafPlan(leafPath, "rest", rest, rest.map(f => new File(f).length()).sum), cfg)
+      .success shouldBe true
+    ManifestCommit.liveDeletes(spark, leafPath) shouldBe Seq.empty
+    bag(leafPath) shouldBe expect
+  }
+
+  test("a crashed MoR delete (sidecar staged, no manifest) is invisible and reclaimed by gcOrphans") {
+    val s = spark
+    import s.implicits._
+    val leaf = new File(root, "mor-crash"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 1L to 50L, "a")
+    commitAll(leafPath)
+    val before = bag(leafPath)
+    // debris exactly as a pre-publish death leaves it: positions written,
+    // no sealed manifest names them
+    Seq(("a.parquet", 0L), ("a.parquet", 1L)).toDF("_del_file", "_del_pos")
+      .coalesce(1).write.parquet(s"$leafPath/.delete-deadbeefdead")
+    ManifestCommit.liveDeletes(spark, leafPath) shouldBe Seq.empty
+    bag(leafPath) shouldBe before
+    ManifestCommit.gcOrphans(spark, leafPath) should be >= 1
+    new File(leaf, ".delete-deadbeefdead").exists() shouldBe false
+  }
+
+  test("lost-delete tripwires: an unfolded sidecar aborts a racing rewrite; superseded targets abort a racing MoR delete") {
+    val leaf = new File(root, "mor-race"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    writeFile(leaf, "a.parquet", 1L to 50L, "a")
+    commitAll(leafPath)
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") <= 5L, cfg).get.success shouldBe true
+
+    // (a) a rewrite that planned BEFORE the sidecar sealed (knownDeletes
+    // empty) must abort rather than resurrect rows 1..5 in its outputs
+    val ex = intercept[java.io.IOException] {
+      ManifestCommit.publish(
+        fs, leafPath, "stale", "feedcafefeedcafe",
+        inputsRel = Seq("a.parquet"), outputsRel = Seq.empty, rows = 45L,
+        knownDeletes = Some(Set.empty),
+      )
+    }
+    ex.getMessage should include("did not fold")
+    // aborted BEFORE the manifest was written — nothing to roll back
+    fs.listStatus(new org.apache.hadoop.fs.Path(leafPath))
+      .map(_.getPath.getName).exists(_.startsWith("_manifest-stale-")) shouldBe false
+
+    // (b) a MoR delete whose positions target a file a racer superseded
+    // mid-flight must abort — its positions address dead rows
+    val files = ManifestCommit.liveFiles(spark, leafPath)
+    ManifestCommit.mergeAndCommit(
+      spark, LeafPlan(leafPath, "fold", files, files.map(f => new File(f).length()).sum), cfg)
+      .success shouldBe true // supersedes a.parquet (and folds the live sidecar)
+    val ex2 = intercept[java.io.IOException] {
+      ManifestCommit.publish(
+        fs, leafPath, "stale2", "deadc0dedeadc0de",
+        inputsRel = Seq.empty, outputsRel = Seq.empty, rows = 0L,
+        deletesRel = Seq(".delete-deadc0dedeadc0de/p.parquet"), drows = 1L,
+        knownDeletes = Some(ManifestCommit.liveDeletes(spark, leafPath)
+          .map(ManifestCommit.relativeTo(leafPath, _)).toSet),
+        requiresLive = Set("a.parquet"),
+      )
+    }
+    ex2.getMessage should include("no longer address live rows")
+  }
 }

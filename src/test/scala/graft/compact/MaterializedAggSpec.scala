@@ -875,4 +875,105 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec with 
     ).split("\n").filter(_.nonEmpty).toSet
     ledger should contain(s"partials-$seq")
   }
+
+  // ---- merge-on-read delete sidecars ------------------------------------
+
+  test("cnt/sum state refreshes through a MoR delete (walk reads only the sidecar's rows) and through its fold for free") {
+    val leaf = new File(root, "acct/source=mamor/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-mor").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+
+    writeFile(leaf, "a.parquet", 0L, 400L)
+    commit(leafPath, "d1", abs("a.parquet"))
+    writeFile(leaf, "b.parquet", 400L, 900L)
+    commit(leafPath, "d2", abs("b.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+
+    // MoR delete: live DATA files unchanged, one sidecar appears — the
+    // refresh must subtract exactly those rows (walk mode: the sidecar's
+    // position join, never a whole-file re-read)
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("amount") % 10 === 0L, cfg)
+      .get.success shouldBe true
+    val r1 = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    r1.mode shouldBe "walk"
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+
+    // fold the sidecar physically — a walk-verified net-zero window.
+    // PROOF of zero data read: corrupt every live byte before refreshing
+    commit(leafPath, "d3", ManifestCommit.liveFiles(spark, leafPath))
+    ManifestCommit.liveDeletes(spark, leafPath) shouldBe Seq.empty
+    val before = rows(MaterializedAgg.read(spark, aggPath))
+    val saved = ManifestCommit.liveFiles(spark, leafPath)
+      .map(p => p -> Files.readAllBytes(new File(p).toPath)).toMap
+    saved.keys.foreach(p => Files.write(new File(p).toPath, Array[Byte](0x13, 0x37)))
+    val r2 = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"))
+    saved.foreach { case (p, b) => Files.write(new File(p).toPath, b) }
+    r2.mode shouldBe "walk"
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe before
+    rows(MaterializedAgg.read(spark, aggPath)) shouldBe rows(fullAgg(leafPath))
+  }
+
+  test("a build over a leaf with an outstanding sidecar is delete-aware; a state built before the delete catches up in diff mode too") {
+    val leaf = new File(root, "acct/source=mamord/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+    writeFile(leaf, "a.parquet", 0L, 500L)
+    commit(leafPath, "e1", abs("a.parquet"))
+
+    val aggOld = new File(root, "agg-mord-old").getAbsolutePath
+    MaterializedAgg.build(spark, leafPath, aggOld, Seq("k"), Seq("amount"))
+
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("amount") >= 450L, cfg)
+      .get.success shouldBe true
+
+    // fresh build AFTER the delete: must aggregate the delete-aware read
+    val aggNew = new File(root, "agg-mord-new").getAbsolutePath
+    MaterializedAgg.build(spark, leafPath, aggNew, Seq("k"), Seq("amount"))
+    rows(MaterializedAgg.read(spark, aggNew)) shouldBe rows(fullAgg(leafPath))
+
+    // the pre-delete state catches up through the DIFF path (checkpoint
+    // the log so the window cannot walk) — the sidecar shows up as an
+    // added ledger entry whose rows subtract
+    ManifestCommit.checkpoint(spark, leafPath, ManifestCommit.currentSeq(spark, leafPath)) should be >= 2
+    val r = MaterializedAgg.refresh(spark, leafPath, aggOld, Seq("k"), Seq("amount"))
+    r.mode shouldBe "diff"
+    rows(MaterializedAgg.read(spark, aggOld)) shouldBe rows(fullAgg(leafPath))
+  }
+
+  test("minMax state rebuilds on sidecar movement and stops serving the deleted extreme") {
+    val leaf = new File(root, "acct/source=mamorm/year=2026/month=01")
+    leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val aggPath = new File(root, "agg-morm").getAbsolutePath
+    def abs(ns: String*) = ns.map(n => s"$leafPath/$n")
+    writeFile(leaf, "a.parquet", 0L, 600L)
+    commit(leafPath, "f1", abs("a.parquet"))
+    MaterializedAgg.build(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    mmRows(MaterializedAgg.read(spark, aggPath)).map(_._5).max shouldBe 599L
+
+    // per-(file, group) partials cannot express a row-subset retraction
+    // — the refresh must take the rebuild path and re-derive them
+    // delete-aware, so the retracted max is never served again
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("amount") >= 500L, cfg)
+      .get.success shouldBe true
+    val r = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    r.mode shouldBe "rebuild"
+    val after = mmRows(MaterializedAgg.read(spark, aggPath))
+    after shouldBe mmRows(fullAggMM(leafPath))
+    after.map(_._5).max shouldBe 499L
+
+    // the fold window moves the sidecar out again → rebuild again, and
+    // thereafter (no sidecar movement) incremental refresh resumes
+    commit(leafPath, "f2", ManifestCommit.liveFiles(spark, leafPath))
+    MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+      .mode shouldBe "rebuild"
+    writeFile(leaf, "g.parquet", 600L, 700L)
+    commit(leafPath, "f3", abs("g.parquet"))
+    val r3 = MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("k"), Seq("amount"), minMax = Seq("amount"))
+    r3.mode should (be("walk") or be("diff"))
+    mmRows(MaterializedAgg.read(spark, aggPath)) shouldBe mmRows(fullAggMM(leafPath))
+  }
 }
