@@ -97,6 +97,64 @@ object EtlQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- MERGE INTO as a TABLE-FORMAT commit (the real thing, not
+    // the join shape above): a manifest leaf takes an upsert batch
+    // through ManifestCommit.merge — matched keys' editions replaced,
+    // unmatched keys inserted, untouched files never rewritten, ONE
+    // sealed manifest as the commit point. The oracle recomputes the
+    // upsert algebra directly (target minus source keys, union source),
+    // so the hash certifies classification, the delete-aware rewrite,
+    // the append of the source, and the manifest-resolved read — end to
+    // end. The leaf is built once per corpus in the StoreCache (the
+    // query prices the post-merge READ; MergeCommitSpec prices and pins
+    // the commit itself, including NULL keys and MoR-sidecar folds).
+    Q(
+      "merge_upsert",
+      """WITH target AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0),
+        |source AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <= 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM source
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      import graft.compact.{CommitMode, CompactorConfig, ManifestCommit, WapCommit}
+      val path = StoreCache.resolve(d, "merge-upsert", table = "orders") { p =>
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+        fs.delete(stage, true)
+        val leaf = s"$stage/leaf"
+        // stats sidecars on the merge key: classification prunes to the
+        // files whose key interval the source can touch
+        val cfg = CompactorConfig(
+          commitMode = CommitMode.Manifest, retainSuperseded = true,
+          statsColumns = Seq("o_orderkey"),
+        )
+        val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val target = orders.where(col("o_orderkey") % 4 =!= 0)
+          .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        WapCommit.writeAuditPublish(
+          s, leaf, target, Seq(WapCommit.AuditCheck.notNull("o_orderkey")), cfg)
+        val source = orders.where(col("o_orderkey") % 10 <= 1)
+          .withColumn(
+            "o_totalprice",
+            expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DOUBLE)"))
+        val r = ManifestCommit.merge(s, leaf, source, Seq("o_orderkey"), cfg)
+          .getOrElse(throw new IllegalStateException("merge_upsert: empty source"))
+        if (!r.success) throw new IllegalStateException(s"merge_upsert commit failed: ${r.error}")
+        fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
+        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+          throw new java.io.IOException(s"merge-upsert store publish rename failed: $stage -> $p")
+      }
+      ManifestCommit.readLeaf(s, s"$path/leaf")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ----- data-quality expectations audit (the dbt-test / Deequ
     // shape): a battery of declared table checks, each one scalar
     // violation count, unioned into one report — the gate a pipeline
