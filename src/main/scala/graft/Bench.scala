@@ -130,10 +130,13 @@ object Bench {
       val r3 = retried.get(k).map(v => s", ${sec(v)}").getOrElse("")
       s"""  "$k": [${sec(t1)}, ${sec(t2)}$r3]"""
     } :+
+      // Harness metadata nested under ONE reserved key so every other
+      // top-level entry is a query timing — a naive max-over-values
+      // consumer never reads "cpus": 32 as the most expensive query.
       // "passes" stays numeric (2 fixed passes); the adaptive third
       // sample is reported separately so numeric consumers don't break.
-      (s"""  "unit": "sec", "passes": 2, "retried": ${retried.size}, "reported": "min",""" +
-        s""" "cpus": $cpus, "sf": "$sfDir"$filterJson$excludeJson""")
+      (s"""  "_meta": {"unit": "sec", "passes": 2, "retried": ${retried.size}, "reported": "min",""" +
+        s""" "cpus": $cpus, "sf": "$sfDir"$filterJson$excludeJson}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
       detailEntries.mkString("{\n", ",\n", "\n}"),

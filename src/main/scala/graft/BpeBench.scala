@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Train-time ladder for [[graft.operators.BpeTokenizer]]: the bench
+  * suite's `vocab_bpe_train` pins the sequential loop at N=8, but a
+  * real vocabulary is learned at thousands of merges, where the
+  * sequential form is nMerges Spark jobs. This main prices sequential
+  * vs batched training at N=256 on the SAME corpus word table and
+  * prints one JSON line; measured numbers live in ARCHITECTURE.md.
+  */
+object BpeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .cache()
+    val vocab = words.count()
+
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val n = sys.env.getOrElse("SPARK_GRAFT_BPE_N", "256").toInt
+    val k = sys.env.getOrElse("SPARK_GRAFT_BPE_K", "32").toInt
+    // warm-up (JIT/codegen) at a small count, then the measured ladder
+    graft.operators.BpeTokenizer.train(words, 4)
+    val (seqM, tSeq) = time(graft.operators.BpeTokenizer.train(words, n))
+    val (batM, tBat) = time(graft.operators.BpeTokenizer.trainBatched(words, n, k))
+    // both must learn a full vocabulary of merges on this corpus, and
+    // the merge SETS coincide heavily even where order drifts (the
+    // fused-token-visibility trade documented on trainBatched)
+    require(seqM.size == n && batM.size == n, s"short train: ${seqM.size}/${batM.size} of $n")
+    val overlap = seqM.toSet.intersect(batM.toSet).size
+
+    spark.stop()
+    println(
+      s"""{"bench":"bpe_train_ladder","sf":"$sfDir","vocab_words":$vocab,"n_merges":$n,""" +
+        s""""batch":$k,"seq_sec":${f"$tSeq%.2f"},"batched_sec":${f"$tBat%.2f"},""" +
+        s""""speedup":${f"${tSeq / tBat}%.2f"},"merge_overlap":$overlap}""",
+    )
+  }
+}

@@ -90,6 +90,118 @@ object BpeTokenizer {
     }
   }
 
+  /** Apply a rank-ordered merge batch to a symbol table in ONE typed
+    * pass (no nested expression tree — the [[tokenizeKernel]] loop on
+    * symbol arrays), preserving `(freq, syms)` shape.
+    */
+  private def applyBatch(syms: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = syms.sparkSession
+    import spark.implicits._
+    val mergesB = spark.sparkContext.broadcast(merges.toArray)
+    syms.select(col("freq").cast("long"), col("syms"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ms = mergesB.value
+        it.map { case (f, s0) =>
+          var arr = s0.toArray
+          var i = 0
+          while (i < ms.length && arr.length > 1) {
+            val (x, y) = ms(i)
+            var j = 0
+            var occurs = false
+            while (j < arr.length - 1 && !occurs) {
+              if (arr(j) == x && arr(j + 1) == y) occurs = true
+              j += 1
+            }
+            if (occurs) {
+              val out = scala.collection.mutable.ArrayBuffer(arr(0))
+              var k = 1
+              while (k < arr.length) {
+                val s = arr(k)
+                if (out.last == x && s == y) out(out.length - 1) = x + y
+                else out += s
+                k += 1
+              }
+              arr = out.toArray
+            }
+            i += 1
+          }
+          (f, arr.toSeq)
+        }
+      }
+      .toDF("freq", "syms")
+  }
+
+  /** Batched training (ROADMAP: the 32k-merge scale path): learn up to
+    * `batch` merges per pair-count SHUFFLE instead of one — a real
+    * vocabulary costs ~nMerges/batch Spark jobs over the
+    * vocabulary-sized table rather than nMerges sequential jobs.
+    *
+    * One ranked pair list per round; candidates are accepted greedily
+    * in rank order while SYMBOL-DISJOINT from every pair already
+    * accepted this round (neither side equal to an accepted side or an
+    * accepted fused token) — disjoint merges commute, so applying an
+    * accepted pair cannot change any other accepted pair's count, and
+    * a conflicting candidate is simply DEFERRED to the next round's
+    * recount (the documented conflict rule). What batching trades is
+    * mid-round visibility of brand-new pairs: a pair involving a token
+    * fused THIS round (e.g. (x, ab) right after (a, b)) cannot be
+    * learned until the next recount, so where such a pair would
+    * out-count a lower-ranked accepted pair, the learned ORDER can
+    * differ from [[train]]'s. `batch = 1` is exactly [[train]];
+    * corpora whose merges spawn no higher-count fused-token neighbors
+    * (e.g. two-symbol words, or well-separated pair mass) batch
+    * LOSSLESSLY — BpeTokenizerSpec pins both, and BpeBench prices the
+    * N=256 ladder.
+    */
+  def trainBatched(words: DataFrame, nMerges: Int, batch: Int): Seq[(String, String)] = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    require(batch >= 1, "batch must be at least 1")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var syms = words
+      .select(col("freq"), split(col("word"), "").as("syms"))
+      .cache()
+    syms.count()
+    try {
+      var exhausted = false
+      while (merges.size < nMerges && !exhausted) {
+        val want = math.min(batch, nMerges - merges.size)
+        // rank headroom: conflicting candidates are skipped, so fetch
+        // more than one round can accept; anything deferred re-ranks
+        // next round with fresh counts
+        val ranked = pairCounts(syms)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(want * 4 + 4)
+          .collect()
+        if (ranked.isEmpty) exhausted = true
+        else {
+          val used = scala.collection.mutable.Set.empty[String]
+          val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val it = ranked.iterator
+          while (accepted.size < want && it.hasNext) {
+            val r = it.next()
+            val (x, y) = (r.getString(0), r.getString(1))
+            if (!used(x) && !used(y)) {
+              accepted += ((x, y))
+              used ++= Seq(x, y, x + y)
+            }
+          }
+          // the top-ranked pair never conflicts (used starts empty), so
+          // progress is guaranteed whenever any pair remains
+          merges ++= accepted
+          val next = applyBatch(syms, accepted.toSeq).cache()
+          next.count()
+          syms.unpersist()
+          syms = next
+        }
+      }
+      merges.toSeq
+    } finally {
+      syms.unpersist()
+      ()
+    }
+  }
+
   /** Apply a learned merge list in rank order: `words(word, ...)` gains
     * a `tokens` array column. The N folds NEST over the word table —
     * plan-linear in N, fine at demo merge counts, but Catalyst cannot

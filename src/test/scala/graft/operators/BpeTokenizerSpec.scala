@@ -162,4 +162,67 @@ class BpeTokenizerSpec extends AnyFunSuite with Matchers with SparkSpec {
       }
     } finally { words.unpersist(); () }
   }
+
+  // ---- batched training rounds ------------------------------------------
+
+  test("trainBatched(batch=1) IS the sequential loop, merge for merge") {
+    val words = corpusWords.cache()
+    try {
+      BpeTokenizer.trainBatched(words, nMerges = 6, batch = 1) shouldBe
+        BpeTokenizer.train(words, nMerges = 6)
+    } finally { words.unpersist(); () }
+  }
+
+  test("trainBatched is lossless where merges spawn no fused-token neighbors: two-symbol words") {
+    val s = spark
+    import s.implicits._
+    // every word is exactly two symbols, so a merge collapses its word
+    // to ONE token and can create no new adjacent pair — the batched
+    // round sees exactly what sequential recounts would see
+    val words = Seq(
+      ("ab", 90L), ("cd", 70L), ("ef", 50L), ("gh", 30L), ("ij", 10L),
+    ).toDF("word", "freq")
+    val seq = BpeTokenizer.train(words, nMerges = 5)
+    seq.size shouldBe 5
+    BpeTokenizer.trainBatched(words, nMerges = 5, batch = 5) shouldBe seq
+    BpeTokenizer.trainBatched(words, nMerges = 5, batch = 2) shouldBe seq
+  }
+
+  test("conflict rule: a candidate sharing a symbol with an accepted pair is DEFERRED, and the recount keeps the result sequential") {
+    val s = spark
+    import s.implicits._
+    // top pair (a,b); runner-up (b,c) SHARES b — one round must accept
+    // only (a,b) and defer (b,c) to the recount, where its true count
+    // (after ab fused) decides. Words chosen so the recount's answer is
+    // the sequential one.
+    val words = Seq(
+      ("ab", 100L), // pair (a,b) mass, two-symbol: fuses clean
+      ("bc", 60L), // pair (b,c) mass
+      ("de", 40L), // disjoint mass — batchable alongside (a,b)
+    ).toDF("word", "freq")
+    val seq = BpeTokenizer.train(words, nMerges = 3)
+    seq shouldBe Seq(("a", "b"), ("b", "c"), ("d", "e"))
+    val bat = BpeTokenizer.trainBatched(words, nMerges = 3, batch = 3)
+    // round 1 accepts (a,b) then skips (b,c) [shares b] and accepts
+    // (d,e); round 2 recounts and learns (b,c) — same SET, and the
+    // deferral is visible as the order swap of the conflicted pair
+    bat.toSet shouldBe seq.toSet
+    bat shouldBe Seq(("a", "b"), ("d", "e"), ("b", "c"))
+  }
+
+  test("batched at N=64 on real corpus words: full vocabulary learned, applied tokenization round-trips") {
+    val words = corpusWords.cache()
+    try {
+      val merges = BpeTokenizer.trainBatched(words, nMerges = 64, batch = 16)
+      merges.size shouldBe 64
+      merges.distinct.size shouldBe 64 // no pair learned twice
+      // the learned model APPLIES: every tokenization reassembles its
+      // word, and the fused vocabulary is actually used
+      val toks = BpeTokenizer.tokenizeKernel(words, merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+      toks.foreach { case (w, syms) => withClue(w) { syms.mkString shouldBe w } }
+      val fused = merges.map { case (x, y) => x + y }.toSet
+      toks.flatMap(_._2).toSet.intersect(fused) should not be empty
+    } finally { words.unpersist(); () }
+  }
 }
