@@ -157,7 +157,7 @@ object MaterializedAgg {
     * caller's spelling — every path that meets a `_file` column goes
     * through [[qualified]] first or set algebra silently misses.
     */
-  private def readWithFile(spark: SparkSession, files: Seq[String]): DataFrame =
+  private[compact] def readWithFile(spark: SparkSession, files: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files: _*)
       .withColumn("_file", col("_metadata.file_path"))
 
@@ -437,14 +437,11 @@ object MaterializedAgg {
     if (deleteFiles.isEmpty) df
     else {
       val pfx = ManifestCommit.qualifiedPrefix(spark, leaf)
-      df.withColumn("_mor_rel", col("_metadata.file_path").substr(lit(pfx.length + 1), lit(Int.MaxValue)))
-        .withColumn("_mor_pos", col("_metadata.row_index"))
-        .join(
-          ManifestCommit.deletePositions(spark, deleteFiles),
-          col("_mor_rel") === col(ManifestCommit.DelFile) && col("_mor_pos") === col(ManifestCommit.DelPos),
-          "left_anti",
-        )
-        .drop("_mor_rel", "_mor_pos")
+      ManifestCommit.antiJoinPositions(
+        df.withColumn("_mor_rel", col("_metadata.file_path").substr(lit(pfx.length + 1), lit(Int.MaxValue)))
+          .withColumn("_mor_pos", col("_metadata.row_index")),
+        ManifestCommit.deletePositions(spark, deleteFiles),
+      )
     }
   }
 
@@ -747,7 +744,23 @@ object MaterializedAgg {
     * pointer-last seal) is [[refresh]]'s, by construction — refreshAll
     * only deduplicates the reads underneath it.
     */
-  def refreshAll(spark: SparkSession, leaf: String, specs: Seq[AggSpec]): Seq[RefreshResult] = {
+  /** [[refreshAll]] with externally-materialized delta frames
+    * (ROADMAP 97, [[SyncTick]]): `seedData` maps a delta FILE LIST to
+    * its already-persisted [[readWithFile]] frame, `seedDeleteRows`
+    * likewise for delete-sidecar row frames — when a spec's window
+    * resolves to a seeded list (the lockstep steady state), the fold
+    * reads the caller's cached blocks instead of the files. Seeded
+    * frames are the CALLER's to persist and unpersist; unmatched seeds
+    * are simply unused, and a spec at a different seq still reads its
+    * own window — exactness never depends on the seed.
+    */
+  def refreshAll(
+      spark: SparkSession,
+      leaf: String,
+      specs: Seq[AggSpec],
+      seedData: Map[Seq[String], DataFrame] = Map.empty,
+      seedDeleteRows: Map[Seq[String], DataFrame] = Map.empty,
+  ): Seq[RefreshResult] = {
     if (specs.isEmpty) return Seq.empty
     val toSeq = ManifestCommit.currentSeq(spark, leaf)
     val liveData = ManifestCommit.liveFiles(spark, leaf)
@@ -759,6 +772,11 @@ object MaterializedAgg {
     val fs = FileIndexer.fsFor(spark, leaf)
     val cache = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
     val pinned = scala.collection.mutable.Set.empty[Seq[String]]
+    // seeded frames enter the caches pre-pinned (the caller persisted
+    // them) and are excluded from this pass's unpersist
+    val seeded = (seedData.keySet ++ seedDeleteRows.keySet).toSet
+    cache ++= seedData
+    pinned ++= seeded
     // _file rides along in every cached delta frame: inert for cnt/sum
     // (aggOfDf groups by keys only), and it lets minMax specs derive
     // their partials from the SAME pinned scan instead of re-reading.
@@ -776,6 +794,7 @@ object MaterializedAgg {
     // delete-sidecar ROW frames (positions joined back to their target
     // files) — churn-bounded, shared across specs like the data deltas
     val delCache = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
+    delCache ++= seedDeleteRows
     def cachedDeleteRows(files: Seq[String], pin: Boolean): Option[DataFrame] =
       if (files.isEmpty) None
       else {
@@ -922,8 +941,8 @@ object MaterializedAgg {
         }
       }
     } finally {
-      cache.valuesIterator.foreach { df => df.unpersist(); () }
-      delCache.valuesIterator.foreach { df => df.unpersist(); () }
+      cache.foreach { case (k, df) => if (!seeded.contains(k)) { df.unpersist(); () } }
+      delCache.foreach { case (k, df) => if (!seeded.contains(k)) { df.unpersist(); () } }
     }
   }
 

@@ -127,13 +127,16 @@ object IndexStore {
         .write.partitionBy("tb").mode("overwrite").parquet(s"$path/add-$seq")
       val dl = d.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
       dl.write.mode("overwrite").parquet(s"$path/dl-$seq")
-      val b = dl.agg(count(lit(1)), sum(col("dl"))).head
+      // coalesce: a netted feed window can legitimately carry ZERO
+      // additions or removals (everything asserted was also retracted),
+      // and sum() over an empty frame is NULL, not 0
+      val b = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
       (b.getLong(0), b.getLong(1))
     }.getOrElse((0L, 0L))
     val (rn, rs) = removed.map { r =>
       val rdl = r.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
       rdl.write.mode("overwrite").parquet(s"$path/del-$seq")
-      val b = rdl.agg(count(lit(1)), sum(col("dl"))).head
+      val b = rdl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
       (b.getLong(0), b.getLong(1))
     }.getOrElse((0L, 0L))
     val (n, s) = (prevStats._1 + an - rn, prevStats._2 + as - rs)
@@ -285,6 +288,74 @@ object IndexStore {
   private def serializeCursor(c: graft.compact.ChangeFeed.Cursor): String =
     (c.seq.toString +: c.counted.toSeq.sorted).mkString("\n")
 
+  /** The sealed feed cursor of a [[syncFromLeaf]]-maintained index —
+    * None for an index built by hand (or not yet built). The shared
+    * lifecycle tick ([[graft.compact.SyncTick]]) reads it to compute
+    * ONE window for every subscribed consumer.
+    */
+  def feedCursor(spark: SparkSession, path: String): Option[graft.compact.ChangeFeed.Cursor] =
+    currentSeq(spark, path).flatMap(readCursor(spark, path, _))
+
+  /** Net a window's (added, removed) row bags against each other
+    * before sealing. A multi-commit window can assert and retract the
+    * SAME edition of a doc (appended then deleted — prior state never
+    * held it; or a compaction's identical remove+add — prior state
+    * keeps it): sealing both in one generation would let the
+    * same-generation add win the `dseq > gseq` tie and serve a doc the
+    * window net-removed. Bag subtraction of IDENTICAL rows resolves
+    * both cases exactly — identical text contributes identical
+    * postings, so a netted pair is a no-op on the index either way,
+    * while a genuinely re-worded edition (different text) still
+    * tombstones + re-adds.
+    */
+  private def netDelta(
+      added: Option[DataFrame],
+      removed: Option[DataFrame],
+  ): (Option[DataFrame], Option[DataFrame]) = (added, removed) match {
+    case (Some(a), Some(r)) =>
+      // align by UNION-with-null-fill, not a strict shared select: each
+      // side merges ITS OWN files' schemas, so mid-evolution the same
+      // logical row can arrive with different column sets — a strict
+      // select would throw on every poll and wedge the consumer. A
+      // null-filled column nets exactly when the visible content
+      // matches, which is the only thing postings derive from.
+      val types = (a.schema ++ r.schema).map(f => f.name -> f.dataType).toMap
+      val allCols = types.keys.toSeq.sorted
+      def align(df: DataFrame) = df.select(allCols.map { n =>
+        if (df.columns.contains(n)) col(n).cast(types(n)).as(n)
+        else lit(null).cast(types(n)).as(n)
+      }: _*)
+      // persist the netted frames: the emptiness probe AND the
+      // generation writes both consume them — unpinned, each exceptAll
+      // would evaluate twice (and re-read the window's files with it).
+      // Callers unpersist after the generation seals.
+      def nonEmptyOpt(df: DataFrame): Option[DataFrame] = {
+        val p = df.persist()
+        if (p.isEmpty) { p.unpersist(); None } else Some(p)
+      }
+      val (as, rs) = (align(a), align(r))
+      (nonEmptyOpt(as.exceptAll(rs)), nonEmptyOpt(rs.exceptAll(as)))
+    case other => other
+  }
+
+  /** Seal one generation from an externally-computed change window —
+    * the [[graft.compact.SyncTick]] entry: `added`/`removed` are the
+    * window's asserted/retracted `(doc_id, text)` rows (the caller
+    * materialized them once for every consumer), and the cursor seals
+    * from `ch.next` exactly as [[syncFromLeaf]] would.
+    */
+  private[graft] def applyChanges(
+      spark: SparkSession,
+      path: String,
+      ch: graft.compact.ChangeFeed.ChangeSet,
+      added: Option[DataFrame],
+      removed: Option[DataFrame],
+  ): Long = {
+    val (a, r) = netDelta(added, removed)
+    try applyDelta(spark, path, a, r, cursor = Some(serializeCursor(ch.next)))
+    finally Seq(a, r).flatten.foreach { df => df.unpersist(); () }
+  }
+
   /** Advance the index to `leaf`'s head through the commit-log change
     * feed — the CDC consumer composition: appended rows become this
     * generation's additions, removed rows its tombstones, and a
@@ -316,8 +387,10 @@ object IndexStore {
     // tombstones sealed in ONE generation, `dseq > gseq` scoping the
     // kill to the dead edition — so ⊕appended ⊕restored ⊖removed
     // ⊖deleted folds to the leaf's true row delta
+    // allowMissingColumns: each term merges its own files' schemas, so
+    // a mid-evolution window can union differently-shaped frames
     def unionOpt(parts: Seq[Option[DataFrame]]): Option[DataFrame] =
-      parts.flatten.reduceOption(_ unionByName _)
+      parts.flatten.reduceOption(_.unionByName(_, allowMissingColumns = true))
     val added = unionOpt(Seq(
       if (ch.appended.isEmpty) None
       else Some(ChangeFeed.readAppended(spark, ch).drop("_change_file")),
@@ -330,7 +403,12 @@ object IndexStore {
       if (ch.deleted.isEmpty) None
       else Some(ChangeFeed.readDeleted(spark, leaf, ch).drop("_change_file")),
     ))
-    applyDelta(spark, path, added, removed, cursor = Some(serializeCursor(ch.next)))
+    // identical assert+retract pairs inside ONE window net out (see
+    // netDelta — the appended-then-deleted edition must not survive
+    // the same-generation tie)
+    val (a, r) = netDelta(added, removed)
+    try applyDelta(spark, path, a, r, cursor = Some(serializeCursor(ch.next)))
+    finally Seq(a, r).flatten.foreach { df => df.unpersist(); () }
     ch.mode
   }
 
