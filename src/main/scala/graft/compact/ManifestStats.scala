@@ -257,12 +257,19 @@ object ManifestStats {
     val live = ManifestCommit.liveFiles(spark, leaf)
     if (live.isEmpty) return spark.emptyDataFrame // no schema to resolve predicates against
     val kept = pruneFiles(read(fs, leaf), leaf, live, col, lo, hi)
-    readKept(spark, live, kept).where(c(col) >= lo && c(col) <= hi)
+    readKept(spark, leaf, live, kept).where(c(col) >= lo && c(col) <= hi)
   }
 
-  private def readKept(spark: SparkSession, live: Seq[String], kept: Seq[String]): DataFrame = {
+  /** The pruned scan every read surface funnels through — which is
+    * also where the merge-on-read contract threads in ONCE: a
+    * sidecar-retracted row must not surface however the leaf is read,
+    * so the kept files anti-join the leaf's live delete positions
+    * ([[ManifestCommit.readFilesAware]]).
+    */
+  private def readKept(spark: SparkSession, leaf: String, live: Seq[String], kept: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    if (kept.nonEmpty) spark.read.option("mergeSchema", "true").parquet(kept: _*)
+    if (kept.nonEmpty)
+      ManifestCommit.readFilesAware(spark, leaf, kept, ManifestCommit.liveDeletes(spark, leaf))
     // schema still needs to come from somewhere: an all-pruned leaf
     // keeps the FULL merged schema (footer reads only — lit(false)
     // folds to an empty scan) so the caller's exact predicate still
@@ -270,6 +277,19 @@ object ManifestStats {
     // short-circuits in every public reader before predicates apply
     else if (live.nonEmpty) spark.read.option("mergeSchema", "true").parquet(live: _*).where(lit(false))
     else spark.emptyDataFrame
+  }
+
+  /** Live-sidecar position counts per targeted file (relative path →
+    * retracted rows) — the metadata-scale correction the count
+    * surfaces subtract. Empty when the leaf has no outstanding
+    * merge-on-read deletes (the common case costs nothing).
+    */
+  private def deletedPerFile(spark: SparkSession, leaf: String): Map[String, Long] = {
+    val dels = ManifestCommit.liveDeletes(spark, leaf)
+    if (dels.isEmpty) Map.empty
+    else spark.read.parquet(dels: _*)
+      .groupBy(ManifestCommit.DelFile).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   // ---- bloom sidecars: point-lookup skipping ---------------------------
@@ -387,7 +407,7 @@ object ManifestStats {
     val live = ManifestCommit.liveFiles(spark, leaf)
     if (live.isEmpty) return spark.emptyDataFrame // no schema to resolve predicates against
     val kept = bloomKeep(readBlooms(fs, leaf), leaf, live, col, value)
-    readKept(spark, live, kept).where(c(col) === lit(value))
+    readKept(spark, leaf, live, kept).where(c(col) === lit(value))
   }
 
   /** The files of `files` whose bloom for `col` might contain `value`
@@ -458,7 +478,7 @@ object ManifestStats {
       ranges.toSeq.map { case (col, (lo, hi)) => c(col) >= lo && c(col) <= hi } ++
         points.toSeq.map { case (col, value) => c(col) === lit(value) }
     ).reduceOption(_ && _).getOrElse(lit(true))
-    readKept(spark, live, kept).where(exact)
+    readKept(spark, leaf, live, kept).where(exact)
   }
 
   private def keptFor(
@@ -490,8 +510,14 @@ object ManifestStats {
     val live = ManifestCommit.liveFiles(spark, leaf)
     val stats = read(FileIndexer.fsFor(spark, leaf), leaf)
     val (known, unknown) = live.partition(f => stats.contains(ManifestCommit.relativeTo(leaf, f)))
+    // outstanding MoR sidecars retract rows the footers still count —
+    // their per-file position totals subtract at the same metadata
+    // scale (positions address live files by the publish tripwire;
+    // the live-set filter is belt-and-braces)
+    val liveRel = live.map(ManifestCommit.relativeTo(leaf, _)).toSet
+    val deleted = deletedPerFile(spark, leaf).collect { case (f, n) if liveRel(f) => n }.sum
     known.map(f => stats(ManifestCommit.relativeTo(leaf, f)).rows).sum +
-      (if (unknown.isEmpty) 0L else Merger.footerRows(spark, unknown))
+      (if (unknown.isEmpty) 0L else Merger.footerRows(spark, unknown)) - deleted
   }
 
   /** Conservative metadata-only bounds of `col` over the leaf: the
@@ -522,14 +548,20 @@ object ManifestStats {
     val live = ManifestCommit.liveFiles(spark, leaf)
     if (live.isEmpty) return 0L
     val stats = read(FileIndexer.fsFor(spark, leaf), leaf)
+    val delByFile = deletedPerFile(spark, leaf)
     val classified = live.map { f =>
-      val fst = stats.get(ManifestCommit.relativeTo(leaf, f))
+      val rel = ManifestCommit.relativeTo(leaf, f)
+      val fst = stats.get(rel)
       fst.flatMap(s => s.cols.get(col).map(cs => (s.rows, cs))) match {
         // crediting the whole file requires the interval inside the
         // range AND a known-zero null count: NULL rows fail the exact
-        // predicate, so a file with (possible) nulls must scan
-        case Some((rows, cs)) if lo <= cs.lo && cs.hi <= hi && cs.nulls == 0L => ("inside", f, rows)
-        // exclusion needs only the interval: nulls never match either
+        // predicate, so a file with (possible) nulls must scan. A
+        // fully-inside file's MoR-retracted rows are also fully inside
+        // — subtracting its position count keeps the credit exact.
+        case Some((rows, cs)) if lo <= cs.lo && cs.hi <= hi && cs.nulls == 0L =>
+          ("inside", f, rows - delByFile.getOrElse(rel, 0L))
+        // exclusion needs only the interval: nulls never match either,
+        // and retracted rows cannot un-exclude a file
         case Some((_, cs)) if cs.hi < lo || hi < cs.lo => ("outside", f, 0L)
         case _ => ("scan", f, 0L)
       }
@@ -538,9 +570,58 @@ object ManifestStats {
     val toScan = classified.collect { case ("scan", f, _) => f }
     val scanned =
       if (toScan.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true").parquet(toScan: _*)
+      else ManifestCommit.readFilesAware(spark, leaf, toScan, ManifestCommit.liveDeletes(spark, leaf))
         .where(c(col) >= lo && c(col) <= hi).count()
     metaRows + scanned
+  }
+
+  /** Clustering-drift metric for `col` over the leaf's LIVE files,
+    * from the stats sidecars alone (no data I/O): the average STABBING
+    * DEPTH of the files' [min, max] intervals — how many files a
+    * point query on `col` must open, averaged over the covered value
+    * range. 1.0 = perfectly range-disjoint layout (each point hits one
+    * file); K ≈ every file spans the whole range (a point query opens
+    * them all — the layout a long arrival history degrades into).
+    * None when any live file lacks a recorded interval (unassessable —
+    * the dial must not re-sort a leaf it cannot measure) or fewer than
+    * two files are live. Zero-width union (all files at one point)
+    * reads as full overlap: depth = file count.
+    */
+  def clusteringDepth(spark: SparkSession, leaf: String, col: String): Option[Double] = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val live = ManifestCommit.liveFiles(spark, leaf)
+    if (live.size < 2) return None
+    val stats = read(fs, leaf)
+    val iv = live.map { p =>
+      val rel = ManifestCommit.relativeTo(leaf, p)
+      stats.get(rel).flatMap(_.cols.get(col)).map(c => (c.lo, c.hi))
+    }
+    if (iv.exists(_.isEmpty)) return None
+    val ivs = iv.flatten
+    val totalLen = ivs.map { case (lo, hi) => math.max(0.0, hi - lo) }.sum
+    // union length by endpoint sweep
+    val sorted = ivs.sortBy(_._1)
+    var unionLen = 0.0
+    var curLo = Double.NaN
+    var curHi = Double.NaN
+    sorted.foreach { case (lo, hi) =>
+      if (curLo.isNaN || lo > curHi) {
+        if (!curLo.isNaN) unionLen += curHi - curLo
+        curLo = lo; curHi = hi
+      } else curHi = math.max(curHi, hi)
+    }
+    if (!curLo.isNaN) unionLen += curHi - curLo
+    if (unionLen > 0.0) Some(totalLen / unionLen)
+    else {
+      // every interval is a single point: stabbing depth is files per
+      // DISTINCT point, averaged — N files at N distinct points is a
+      // perfectly clustered 1.0 (re-sorting it would change nothing;
+      // the first cut returned fileCount here and would have re-sorted
+      // such a leaf on every maintenance pass forever), N files at one
+      // point is a true N
+      val pts = ivs.map(_._1).distinct.size
+      Some(ivs.size.toDouble / pts)
+    }
   }
 
   /** The predicate bridge (ROADMAP 43): a lake reader passes an
@@ -564,24 +645,7 @@ object ManifestStats {
     val live = ManifestCommit.liveFiles(spark, leaf)
     if (live.isEmpty) return spark.emptyDataFrame // no schema to resolve predicates against
     val kept = pruneByPredicate(spark, leaf, live, predicate)
-    val dels = ManifestCommit.liveDeletes(spark, leaf)
-    val base = readKept(spark, live, kept).where(predicate)
-    if (dels.isEmpty) base
-    else {
-      // merge-on-read contract holds through the pruned scan too: a
-      // sidecar-retracted row must not surface however the leaf is read
-      import org.apache.spark.sql.functions.{col, lit}
-      val pfx = ManifestCommit.qualifiedPrefix(spark, leaf)
-      base
-        .withColumn("_mor_rel", col("_metadata.file_path").substr(lit(pfx.length + 1), lit(Int.MaxValue)))
-        .withColumn("_mor_pos", col("_metadata.row_index"))
-        .join(
-          ManifestCommit.deletePositions(spark, dels),
-          col("_mor_rel") === col(ManifestCommit.DelFile) && col("_mor_pos") === col(ManifestCommit.DelPos),
-          "left_anti",
-        )
-        .drop("_mor_rel", "_mor_pos")
-    }
+    readKept(spark, leaf, live, kept).where(predicate)
   }
 
   /** The live files that can possibly hold a `predicate`-matching row,

@@ -162,6 +162,45 @@ object StoreMaintenance {
     Report(path, "cluster-rep", retrained = false, compacted = compacted)
   }
 
+  /** Evaluate and act on one MANIFEST LEAF's query-key clustering
+    * (round-14 prescription 8): Z-order/sort layout is applied at
+    * compaction time, but a long arrival history degrades it — every
+    * appended batch spans the whole key range, so the leaf's files
+    * drift from range-disjoint toward all-overlapping and a point/range
+    * read re-opens every file. The dial is
+    * [[graft.compact.ManifestStats.clusteringDepth]] — the sidecar-
+    * derived average stabbing depth of the live files' [min, max]
+    * intervals on `col` (metadata-only; 1.0 = disjoint, fileCount =
+    * fully interleaved). Past `maxDepth` the remedy is a range-targeted
+    * re-sort THROUGH the normal commit path:
+    * [[graft.compact.ManifestCommit.compactWhere]] over the full range
+    * with `layoutKeys = [col]` (rank-bucketed layout — correct for any
+    * numeric key width) and stats on `col`, so the rewrite seals fresh,
+    * tight sidecars and the next evaluation reads ~1.0. A leaf whose
+    * sidecars cannot measure the column (missing intervals) is left
+    * alone — the dial must never re-sort what it cannot assess.
+    */
+  def maintainClustering(
+      spark: SparkSession,
+      leaf: String,
+      col: String,
+      cfg: graft.compact.CompactorConfig,
+      maxDepth: Double = 2.0,
+  ): Report = {
+    val depth = graft.compact.ManifestStats.clusteringDepth(spark, leaf, col)
+    val reclustered =
+      if (depth.exists(_ > maxDepth)) {
+        val sortCfg = cfg.copy(
+          layoutKeys = Seq(col),
+          statsColumns = (cfg.statsColumns :+ col).distinct,
+        )
+        graft.compact.ManifestCommit.compactWhere(
+          spark, leaf, col, Double.MinValue, Double.MaxValue, sortCfg, stem = "recluster",
+        ).exists(_.success)
+      } else false
+    Report(leaf, "leaf-clustering", retrained = reclustered, compacted = reclustered)
+  }
+
   /** One pass over a fleet of stores. */
   def run(
       spark: SparkSession,

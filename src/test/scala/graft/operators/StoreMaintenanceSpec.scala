@@ -214,4 +214,94 @@ class StoreMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec with
 
     StoreMaintenance.maintainClusterRep(spark, path).compacted shouldBe false
   }
+
+  test("leaf-clustering dial: a fully interleaved leaf re-sorts through the commit path; the re-sorted leaf is a no-op") {
+    import graft.compact._
+    val s = spark
+    import s.implicits._
+    val leaf = new File(root, "recluster-leaf"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    // targetFileBytes tiny so the re-sort emits SEVERAL range-bucketed
+    // outputs — a 1-file result would read as depth 1 trivially
+    val cfg = CompactorConfig(
+      commitMode = CommitMode.Manifest, retainSuperseded = true,
+      statsColumns = Seq("id"), targetFileBytes = 8 * 1024,
+    )
+    // four committed files, each round-robin over the WHOLE id range —
+    // the layout a long arrival history degrades into: every file's
+    // [min, max] spans everything, a point query opens all four
+    (0 until 4).foreach { j =>
+      val tmp = new File(leaf, s".tmp-$j")
+      (0L until 2000L).filter(_ % 4 == j).map(i => (i, s"row$i"))
+        .toDF("id", "tag").coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new File(leaf, s"f$j.parquet").toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      // commit THROUGH mergeAndCommit so each file gets a stats sidecar
+      val f = s"$leafPath/f$j.parquet"
+      ManifestCommit.mergeAndCommit(
+        spark, LeafPlan(leafPath, s"in$j", Seq(f), new File(f).length()), cfg,
+      ).success shouldBe true
+    }
+    val depth0 = ManifestStats.clusteringDepth(spark, leafPath, "id").get
+    depth0 should be > 3.5 // four fully-overlapping spans
+    val before = ManifestCommit.readLeaf(spark, leafPath)
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    val r = StoreMaintenance.maintainClustering(spark, leafPath, "id", cfg, maxDepth = 2.0)
+    r.compacted shouldBe true
+    // bag identity through the re-sort, several outputs, near-disjoint
+    // fresh sidecars — and the dial now reads healthy
+    ManifestCommit.readLeaf(spark, leafPath)
+      .select("id", "tag").collect().map(x => (x.getLong(0), x.getString(1))).sorted.toSeq shouldBe before
+    ManifestCommit.liveFiles(spark, leafPath).size should be > 1
+    val depth1 = ManifestStats.clusteringDepth(spark, leafPath, "id").get
+    depth1 should be < 1.5
+    StoreMaintenance.maintainClustering(spark, leafPath, "id", cfg, maxDepth = 2.0)
+      .compacted shouldBe false
+
+    // unassessable leaves are left alone: a raw arrival without a
+    // sidecar interval parks the dial at None → no-op
+    val tmp = new File(leaf, ".tmp-raw")
+    Seq((99999L, "raw")).toDF("id", "tag").coalesce(1).write.parquet(tmp.getAbsolutePath)
+    Files.move(
+      tmp.listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+      new File(leaf, "raw.parquet").toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    ManifestStats.clusteringDepth(spark, leafPath, "id") shouldBe None
+    StoreMaintenance.maintainClustering(spark, leafPath, "id", cfg, maxDepth = 2.0)
+      .compacted shouldBe false
+  }
+
+  test("clusteringDepth on point intervals: distinct constants are perfectly clustered (1.0), a shared constant is true overlap — no eternal re-sort loop") {
+    import graft.compact._
+    val s = spark
+    import s.implicits._
+    def pointLeaf(name: String, vals: Seq[Long]): String = {
+      val leaf = new File(root, name); leaf.mkdirs()
+      val leafPath = leaf.getAbsolutePath
+      val cfg = CompactorConfig(commitMode = CommitMode.Manifest, statsColumns = Seq("id"))
+      vals.zipWithIndex.foreach { case (v, j) =>
+        val tmp = new File(leaf, s".tmp-$j")
+        Seq((v, s"r$j")).toDF("id", "tag").coalesce(1).write.parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, new File(leaf, s"f$j.parquet").toPath)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        val fp = new File(leaf, s"f$j.parquet")
+        ManifestCommit.mergeAndCommit(
+          spark, LeafPlan(leafPath, s"p$j", Seq(fp.getAbsolutePath), fp.length()), cfg,
+        ).success shouldBe true
+      }
+      leafPath
+    }
+    // three single-value files at DISTINCT values: a point query opens
+    // exactly one — depth 1.0, and the dial must never re-sort it (the
+    // first cut read this as fileCount and would have rewritten the
+    // leaf on every pass forever)
+    val distinct = pointLeaf("pts-distinct", Seq(10L, 20L, 30L))
+    ManifestStats.clusteringDepth(spark, distinct, "id") shouldBe Some(1.0)
+    // three files at ONE value: every point query opens all three
+    val shared = pointLeaf("pts-shared", Seq(7L, 7L, 7L))
+    ManifestStats.clusteringDepth(spark, shared, "id") shouldBe Some(3.0)
+  }
 }
