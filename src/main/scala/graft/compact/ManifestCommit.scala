@@ -170,10 +170,7 @@ object ManifestCommit {
         case None =>
           spark.read.option("mergeSchema", "true").parquet(plan.files: _*)
         case Some(applied) =>
-          import org.apache.spark.sql.functions.col
-          readWithPos(spark, plan.leaf, plan.files)
-            .join(applied, col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti")
-            .drop("_mor_rel", "_mor_pos")
+          antiJoinPositions(readWithPos(spark, plan.leaf, plan.files), applied)
       }
       Merger.stageWrite(spark, df, dataDir, plan.totalBytes, rowsIn, cfg, runId)
 
@@ -360,10 +357,7 @@ object ManifestCommit {
     val awareScan = {
       val base = readWithPos(spark, leaf, candidates)
       if (liveDelAbs.isEmpty) base
-      else base.join(
-        deletePositions(spark, liveDelAbs),
-        c("_mor_rel") === c(DelFile) && c("_mor_pos") === c(DelPos), "left_anti",
-      )
+      else antiJoinPositionsKeep(base, deletePositions(spark, liveDelAbs))
     }
     val perFile = awareScan
       .where(cond)
@@ -387,10 +381,7 @@ object ManifestCommit {
       // survivors are exactly the delete-aware rows that fail cond.
       val aware = fold.applied match {
         case None => spark.read.option("mergeSchema", "true").parquet(inputs: _*)
-        case Some(applied) =>
-          readWithPos(spark, leaf, inputs)
-            .join(applied, c("_mor_rel") === c(DelFile) && c("_mor_pos") === c(DelPos), "left_anti")
-            .drop("_mor_rel", "_mor_pos")
+        case Some(applied) => antiJoinPositions(readWithPos(spark, leaf, inputs), applied)
       }
       aware
         .where(!org.apache.spark.sql.functions.coalesce(cond, lit(false)))
@@ -515,10 +506,7 @@ object ManifestCommit {
     val base = readWithPos(spark, leaf, candidates)
     val aware =
       if (liveDelAbs.isEmpty) base
-      else base.join(
-        deletePositions(spark, liveDelAbs),
-        col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti",
-      )
+      else antiJoinPositionsKeep(base, deletePositions(spark, liveDelAbs))
     val matchedPos = aware.where(cond)
       .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos))
     val runId = UUID.randomUUID().toString.replace("-", "")
@@ -604,24 +592,32 @@ object ManifestCommit {
     val src = source.persist()
     try {
       // one pass over the source: total rows, key-uniqueness, and the
-      // numeric key bounds the sidecar prune needs
+      // numeric key bounds the sidecar prune needs. Uniqueness is
+      // enforced over the rows whose key tuple is FULLY non-null —
+      // exactly the population that can match (SQL equality never
+      // matches a NULL member; null-key rows always insert and may
+      // legitimately repeat). The when(...) wrapper makes countDistinct
+      // skip every other row, so a null-key row can never mask a
+      // genuine duplicate (the first cut of this check compared against
+      // srcRows − nullKeyRows and one null-key row absorbed one
+      // duplicate — caught in review).
       val numericKeys = keys.filter(k =>
         src.schema(k).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      val keysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
       val aggCols =
-        Seq(count(lit(1)).as("_n"), countDistinct(struct(keys.map(col): _*)).as("_dk"),
-          count(org.apache.spark.sql.functions.when(keys.map(col(_).isNull).reduce(_ || _), 1)).as("_nullk")) ++
+        Seq(
+          count(lit(1)).as("_n"),
+          count(org.apache.spark.sql.functions.when(keysNonNull, 1)).as("_nn"),
+          countDistinct(org.apache.spark.sql.functions.when(keysNonNull, struct(keys.map(col): _*))).as("_dk"),
+        ) ++
           numericKeys.flatMap(k => Seq(
             org.apache.spark.sql.functions.min(col(k)).cast("double").as(s"_lo_$k"),
             org.apache.spark.sql.functions.max(col(k)).cast("double").as(s"_hi_$k")))
       val a = src.agg(aggCols.head, aggCols.tail: _*).head
       val srcRows = a.getAs[Long]("_n")
       if (srcRows == 0L) return None
-      val nullKeyRows = a.getAs[Long]("_nullk")
-      // countDistinct skips all-null tuples; partial-null tuples are
-      // distinct-by-value like SQL GROUP BY — uniqueness is enforced on
-      // the non-null-tuple population
       require(
-        a.getAs[Long]("_dk") >= srcRows - nullKeyRows,
+        a.getAs[Long]("_dk") == a.getAs[Long]("_nn"),
         s"merge source is not key-unique on (${keys.mkString(", ")}) — " +
           "two editions of one key make the result order-dependent; dedupe upstream (e.g. keep-latest)",
       )
@@ -641,10 +637,7 @@ object ManifestCommit {
             val withPos = readWithPos(spark, leaf, candidates)
             val aware =
               if (liveDelAbs.isEmpty) withPos
-              else withPos.join(
-                deletePositions(spark, liveDelAbs),
-                col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti",
-              )
+              else antiJoinPositionsKeep(withPos, deletePositions(spark, liveDelAbs))
             val perFile = aware
               .join(srcKeys, keys, "left_semi")
               .groupBy(col("_mor_rel").as("_mf"))
@@ -668,10 +661,7 @@ object ManifestCommit {
           else {
             val aware = fold.applied match {
               case None => spark.read.option("mergeSchema", "true").parquet(hit: _*)
-              case Some(applied) =>
-                readWithPos(spark, leaf, hit)
-                  .join(applied, col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti")
-                  .drop("_mor_rel", "_mor_pos")
+              case Some(applied) => antiJoinPositions(readWithPos(spark, leaf, hit), applied)
             }
             Some(aware.join(src.select(keys.map(col): _*), keys, "left_anti"))
           }
@@ -831,11 +821,24 @@ object ManifestCommit {
             )
         }
       }
-      if (requiresLive.exists(st.superseded))
-        throw new java.io.IOException(
-          s"commit conflict on $leaf: delete target(s) ${requiresLive.filter(st.superseded).toSeq.sorted.mkString(", ")} " +
-            "were superseded by a concurrent commit — positions no longer address live rows; re-plan required",
-        )
+      if (requiresLive.nonEmpty) {
+        // POSITIVE membership in the current live set, not absence from
+        // `superseded` — the head presence-prunes superseded entries
+        // whose files were GC'd, so a negative check could wave through
+        // positions addressing a dead file (a lost delete)
+        val visible = entries.collect {
+          case e if e.isFile && e.getPath.getName.endsWith(".parquet") &&
+            !e.getPath.getName.startsWith(".") && !e.getPath.getName.startsWith("_") =>
+            e.getPath.getName
+        }.toSet
+        val liveNow = (visible ++ st.outputs).filterNot(st.superseded)
+        val dead = requiresLive.filterNot(liveNow)
+        if (dead.nonEmpty)
+          throw new java.io.IOException(
+            s"commit conflict on $leaf: delete target(s) ${dead.toSeq.sorted.mkString(", ")} " +
+              "are not in the live set — positions no longer address live rows; re-plan required",
+          )
+      }
       val seq = st.seq + 1L
       val json =
         s"""{"runId":"$runId","stem":"$stem","rows":$rows,"seq":$seq,"drows":$drows,""" +
@@ -1209,6 +1212,19 @@ object ManifestCommit {
     spark.read.parquet(deleteFiles: _*).select(col(DelFile), col(DelPos))
   }
 
+  /** THE one implementation of position application: anti-join a
+    * frame carrying `_mor_rel`/`_mor_pos` (from [[readWithPos]] or
+    * equivalent) against a positions frame. `Keep` retains the
+    * identity columns for callers that classify on them afterwards.
+    */
+  private[compact] def antiJoinPositionsKeep(df: DataFrame, pos: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.join(pos, col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti")
+  }
+
+  private[compact] def antiJoinPositions(df: DataFrame, pos: DataFrame): DataFrame =
+    antiJoinPositionsKeep(df, pos).drop("_mor_rel", "_mor_pos")
+
   /** `files` (under `leaf`) with the rows named by `deleteFiles`
     * anti-joined away — THE merge-on-read scan. The sidecar side is
     * churn-bounded (position files, not data), so Spark's size estimate
@@ -1221,14 +1237,8 @@ object ManifestCommit {
       files: Seq[String],
       deleteFiles: Seq[String],
   ): DataFrame = {
-    import org.apache.spark.sql.functions.col
     if (deleteFiles.isEmpty) spark.read.option("mergeSchema", "true").parquet(files: _*)
-    else {
-      val pos = deletePositions(spark, deleteFiles)
-      readWithPos(spark, leaf, files)
-        .join(pos, col("_mor_rel") === col(DelFile) && col("_mor_pos") === col(DelPos), "left_anti")
-        .drop("_mor_rel", "_mor_pos")
-    }
+    else antiJoinPositions(readWithPos(spark, leaf, files), deletePositions(spark, deleteFiles))
   }
 
   /** The leaf's NET-LIVE merge-on-read delete sidecar files (absolute

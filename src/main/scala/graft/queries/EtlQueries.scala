@@ -155,6 +155,58 @@ object EtlQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- merge-on-read DELETE, oracled end to end: a manifest leaf
+    // takes a retention delete as ONE position sidecar (no data
+    // rewrite), then a RANGE-TARGETED compaction folds the sidecar's
+    // positions for half the key space and re-seals the rest as a
+    // residual sidecar — the read must equal plain SQL row filtering
+    // through BOTH representations at once (anti-joined positions over
+    // untouched files + physically-folded rewrite + residual). The
+    // DuckDB hash certifies the whole path: delete-aware matching,
+    // sidecar anti-join at scan, whole-sidecar consumption with
+    // residual handoff, and the manifest-resolved read.
+    Q(
+      "delete_where_mor",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      import graft.compact.{CommitMode, CompactorConfig, ManifestCommit, WapCommit}
+      val path = StoreCache.resolve(d, "delete-mor", table = "orders") { p =>
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+        fs.delete(stage, true)
+        val leaf = s"$stage/leaf"
+        val cfg = CompactorConfig(
+          commitMode = CommitMode.Manifest, retainSuperseded = true,
+          statsColumns = Seq("o_orderkey"),
+        )
+        val target = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .where(col("o_orderkey") % 3 =!= 0)
+          .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        WapCommit.writeAuditPublish(
+          s, leaf, target, Seq(WapCommit.AuditCheck.notNull("o_orderkey")), cfg)
+        val r = ManifestCommit.deleteWhereMoR(s, leaf, col("o_orderkey") % 7 === 0, cfg)
+          .getOrElse(throw new IllegalStateException("delete_where_mor: nothing matched"))
+        if (!r.success) throw new IllegalStateException(s"MoR delete failed: ${r.error}")
+        // fold the sidecar for the LOWER half of the key range only —
+        // the upper half's positions survive as the rewrite's residual
+        val mid = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0) / 2
+        ManifestCommit.compactWhere(s, leaf, "o_orderkey", 0.0, mid.toDouble, cfg)
+          .foreach(cr => if (!cr.success) throw new IllegalStateException(s"fold failed: ${cr.error}"))
+        if (ManifestCommit.liveDeletes(s, leaf).isEmpty)
+          throw new IllegalStateException("delete_where_mor: expected a residual sidecar to survive the partial fold")
+        fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
+        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+          throw new java.io.IOException(s"delete-mor store publish rename failed: $stage -> $p")
+      }
+      graft.compact.ManifestCommit.readLeaf(s, s"$path/leaf")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ----- data-quality expectations audit (the dbt-test / Deequ
     // shape): a battery of declared table checks, each one scalar
     // violation count, unioned into one report — the gate a pipeline

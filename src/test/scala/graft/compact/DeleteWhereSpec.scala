@@ -184,10 +184,21 @@ class DeleteWhereSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     // the data file set did not move — the sidecar is the commit
     ManifestCommit.liveFiles(spark, leafM.getAbsolutePath) shouldBe liveBefore
     ManifestCommit.liveDeletes(spark, leafM.getAbsolutePath).size shouldBe 1
-    // the pruned-read surface honors the sidecar too
-    ManifestStats.readLeafFiltered(spark, leafM.getAbsolutePath, col("id") <= 50L)
+    // EVERY read/count surface honors the sidecar, not just readLeaf:
+    // pruned predicate reads, range reads, and the metadata-count
+    // paths (which subtract the sidecar's per-file position totals)
+    val mPath = leafM.getAbsolutePath
+    ManifestStats.readLeafFiltered(spark, mPath, col("id") <= 50L)
       .select("id").collect().map(_.getLong(0)).sorted shouldBe
       (1L to 50L).filterNot(_ % 7 == 0).toArray
+    ManifestStats.readLeafWhere(spark, mPath, "id", 1.0, 50.0)
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe
+      (1L to 50L).filterNot(_ % 7 == 0).toArray
+    ManifestStats.countLeaf(spark, mPath) shouldBe (1L to 200L).count(_ % 7 != 0).toLong
+    ManifestStats.countLeafWhere(spark, mPath, "id", 1.0, 200.0) shouldBe
+      (1L to 200L).count(_ % 7 != 0).toLong
+    ManifestStats.countLeafWhere(spark, mPath, "id", 30.0, 60.0) shouldBe
+      (30L to 60L).count(_ % 7 != 0).toLong
 
     // delete-aware classification: re-running the same predicate finds
     // nothing live to match — no commit, the head does not move

@@ -139,6 +139,16 @@ class MergeCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
       ManifestCommit.merge(spark, leafPath, df(Seq((7L, "a"), (7L, "b"))), Seq("id"), cfg)
     }
     ex.getMessage should include("not key-unique")
+    // a NULL-key row must not absorb a duplicate: uniqueness is
+    // counted over the non-null-key population only (review catch —
+    // the first cut compared against srcRows − nullKeyRows and one
+    // null-key row masked one genuine duplicate)
+    val s2 = spark
+    import s2.implicits._
+    val masked = Seq((Some(7L), "a"), (Some(7L), "b"), (None: Option[Long], "c")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      ManifestCommit.merge(spark, leafPath, masked, Seq("id"), cfg)
+    }.getMessage should include("not key-unique")
     ManifestCommit.merge(spark, leafPath, df(Seq.empty), Seq("id"), cfg) shouldBe None
     ManifestCommit.currentSeq(spark, leafPath) shouldBe head
   }
