@@ -36,20 +36,22 @@ object BpeBench {
 
     val n = sys.env.getOrElse("SPARK_GRAFT_BPE_N", "256").toInt
     val k = sys.env.getOrElse("SPARK_GRAFT_BPE_K", "32").toInt
-    // warm-up (JIT/codegen) at a small count, then the measured ladder
+    // warm-up (JIT/codegen) at a small count, then the measured ladder.
+    // The synthetic corpus's word pool can exhaust below N (every word
+    // fully fused) — both forms must exhaust at the SAME count, and the
+    // ladder is timed to that shared exhaustion point.
     graft.operators.BpeTokenizer.train(words, 4)
     val (seqM, tSeq) = time(graft.operators.BpeTokenizer.train(words, n))
     val (batM, tBat) = time(graft.operators.BpeTokenizer.trainBatched(words, n, k))
-    // both must learn a full vocabulary of merges on this corpus, and
+    require(seqM.size == batM.size, s"exhaustion mismatch: ${seqM.size} vs ${batM.size}")
     // the merge SETS coincide heavily even where order drifts (the
     // fused-token-visibility trade documented on trainBatched)
-    require(seqM.size == n && batM.size == n, s"short train: ${seqM.size}/${batM.size} of $n")
     val overlap = seqM.toSet.intersect(batM.toSet).size
 
     spark.stop()
     println(
-      s"""{"bench":"bpe_train_ladder","sf":"$sfDir","vocab_words":$vocab,"n_merges":$n,""" +
-        s""""batch":$k,"seq_sec":${f"$tSeq%.2f"},"batched_sec":${f"$tBat%.2f"},""" +
+      s"""{"bench":"bpe_train_ladder","sf":"$sfDir","vocab_words":$vocab,"n_requested":$n,""" +
+        s""""n_learned":${seqM.size},"batch":$k,"seq_sec":${f"$tSeq%.2f"},"batched_sec":${f"$tBat%.2f"},""" +
         s""""speedup":${f"${tSeq / tBat}%.2f"},"merge_overlap":$overlap}""",
     )
   }

@@ -39,6 +39,24 @@ object BpeTokenizer {
         ).otherwise(concat(acc, array(s))),
     )
 
+  /** Eager localCheckpoint that also returns the REGISTERED block
+    * rdd(s), so the training loop can free superseded generations
+    * deterministically. A checkpointed Dataset exposes no public
+    * handle to its storage (unpersist() routes through the cache
+    * manager and misses it) — without this, an N-merge run leaves N
+    * registered RDDs behind until GC, which the suite's
+    * no-lingering-cache gate rightly rejects. The diff is scoped to
+    * this single call; the training loop is a sequential driver loop,
+    * so nothing else registers inside the window.
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    val created = sc.getPersistentRDDs.collect { case (id, r) if !before.contains(id) => r }.toSeq
+    (out, created)
+  }
+
   private def pairCounts(syms: DataFrame): DataFrame =
     syms
       .select(
@@ -64,6 +82,7 @@ object BpeTokenizer {
       .select(col("freq"), split(col("word"), "").as("syms"))
       .cache()
     syms.count()
+    var blocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     try {
       var exhausted = false
       while (merges.size < nMerges && !exhausted) {
@@ -75,17 +94,26 @@ object BpeTokenizer {
         else {
           val (x, y) = (best.head.getString(0), best.head.getString(1))
           merges += ((x, y))
-          val next = syms
-            .withColumn("syms", applyMerge(col("syms"), x, y))
-            .cache()
-          next.count()
-          syms.unpersist()
+          // localCheckpoint, not cache: an N-deep chain of cached plans
+          // keeps every predecessor's plan reachable (InMemoryRelation
+          // holds its child), so a real-vocabulary run grows the driver
+          // heap linearly in N and dies around a few hundred merges —
+          // the eager checkpoint materializes AND truncates lineage, so
+          // iteration memory is O(1) in merge count (the
+          // ConnectedComponents loop discipline); superseded
+          // generations' blocks free immediately via the tracked handle
+          val (next, newBlocks) = checkpointTracked(
+            syms.withColumn("syms", applyMerge(col("syms"), x, y)))
+          syms.unpersist() // frees generation 0's cache; no-op afterwards
+          blocks.foreach(_.unpersist(false))
+          blocks = newBlocks
           syms = next
         }
       }
       merges.toSeq
     } finally {
       syms.unpersist()
+      blocks.foreach(_.unpersist(false))
       ()
     }
   }
@@ -162,6 +190,7 @@ object BpeTokenizer {
       .select(col("freq"), split(col("word"), "").as("syms"))
       .cache()
     syms.count()
+    var blocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     try {
       var exhausted = false
       while (merges.size < nMerges && !exhausted) {
@@ -189,15 +218,20 @@ object BpeTokenizer {
           // the top-ranked pair never conflicts (used starts empty), so
           // progress is guaranteed whenever any pair remains
           merges ++= accepted
-          val next = applyBatch(syms, accepted.toSeq).cache()
-          next.count()
+          // same lineage-truncating tracked checkpoint as [[train]]'s
+          // loop — a 32k-merge vocabulary at batch=32 is still 1000
+          // rounds, and each round's blocks free when superseded
+          val (next, newBlocks) = checkpointTracked(applyBatch(syms, accepted.toSeq))
           syms.unpersist()
+          blocks.foreach(_.unpersist(false))
+          blocks = newBlocks
           syms = next
         }
       }
       merges.toSeq
     } finally {
       syms.unpersist()
+      blocks.foreach(_.unpersist(false))
       ()
     }
   }
