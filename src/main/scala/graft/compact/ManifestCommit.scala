@@ -546,6 +546,74 @@ object ManifestCommit {
     }
   }
 
+  /** Consolidate the leaf's live merge-on-read delete sidecars into
+    * ONE (ROADMAP 100): a retention cadence that outruns compaction
+    * accumulates standing sidecars, and every read anti-joins their
+    * union while every rewrite classifies against each — this commit
+    * re-seals all positions as one sidecar (inputs = the old sidecars,
+    * deletes = the union), touching NO data files. The commit-window
+    * walk verifies it position-preserving through the `drows` ledger
+    * and nets it to ZERO — feed consumers and materialized aggregates
+    * cross it without reading a byte (spec-proven over corrupted
+    * bytes). Concurrency rides the standard tripwires: a racer that
+    * folded one of our inputs supersedes it (the OCC input check), and
+    * a sidecar appearing mid-flight fails the knownDeletes check (it
+    * would be missing from the union). Returns None below
+    * `minSidecars` (consolidating one sidecar is a rename, not a
+    * saving).
+    */
+  def consolidateDeletes(
+      spark: SparkSession,
+      leaf: String,
+      cfg: CompactorConfig,
+      minSidecars: Int = 2,
+      stem: String = "delete-fold",
+  ): Option[LeafResult] = {
+    require(cfg.commitMode == CommitMode.Manifest, "sidecar consolidation requires manifest mode")
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return None
+    val st0 = resolveState(fs, leaf, fs.listStatus(leafPath))
+    val dels = st0.deletes.filterNot(st0.superseded).distinct.sorted
+    if (dels.size < minSidecars) return None
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    try {
+      val positions = deletePositions(spark, dels.map(r => s"$leaf/$r"))
+      val deletesRel = writeDeleteSidecar(spark, fs, leaf, runId, positions)
+      val drows = Merger.footerRows(spark, deletesRel.map(r => s"$leaf/$r"))
+      publish(
+        fs, leaf, stem, runId,
+        inputsRel = dels, outputsRel = Seq.empty, rows = 0L, retries = cfg.commitRetries,
+        deletesRel = deletesRel, drows = drows,
+        knownDeletes = Some(st0.deletes.toSet),
+      )
+      val undeleted =
+        if (cfg.retainSuperseded) Seq.empty
+        else dels.map(r => s"$leaf/$r").filterNot { p =>
+          try fs.delete(new Path(p), false)
+          catch { case _: Throwable => false }
+        }
+      Some(LeafResult(
+        leaf, stem, success = true, drows, 0,
+        if (undeleted.isEmpty) None
+        else Some(s"committed; ${undeleted.size} superseded sidecar(s) left as debris"),
+      ))
+    } catch {
+      case e: Throwable =>
+        val fsR = try Some(FileIndexer.fsFor(spark, leaf)) catch { case _: Throwable => None }
+        val manifestGone = fsR.exists { f =>
+          val mp = new Path(s"$leaf/_manifest-$stem-$runId.json")
+          try { f.delete(mp, false); !f.exists(mp) }
+          catch { case _: Throwable => false }
+        }
+        if (manifestGone) {
+          try fsR.foreach(_.delete(new Path(s"$leaf/.delete-$runId"), true))
+          catch { case _: Throwable => () }
+        }
+        Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
+    }
+  }
+
   /** MERGE INTO (key-based upsert) as ONE manifest commit — the CDC-apply
     * primitive: every live row whose key tuple appears in `source` is
     * REPLACED by the source edition, source rows with unmatched (or

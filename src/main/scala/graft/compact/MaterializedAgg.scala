@@ -657,6 +657,16 @@ object MaterializedAgg {
       else if (dataIns.isEmpty && delIns.isEmpty && outs.isEmpty) {
         if (newDels.nonEmpty) { delNew ++= newDels; counted ++= newDels } // pure MoR delete
         else ok = false // empty commit shape — unknown
+      } else if (dataIns.isEmpty && outs.isEmpty && delIns.nonEmpty && newDels.nonEmpty) {
+        // sidecar-only reorganization (consolidation: N sidecars
+        // re-sealed as one) — nets to ZERO when verified
+        // position-preserving, by the same drows ledger
+        rowsOfSidecars(delIns) match {
+          case Some(consumed) =>
+            if (consumed != m.drows) { delGone ++= delIns; delNew ++= newDels }
+            counted = counted -- delIns ++ newDels
+          case None => ok = false
+        }
       } else if (nIn == 0 && delIns.isEmpty && newDels.isEmpty && outs.nonEmpty) {
         // APPEND: a WAP/publish append (no inputs) or a raw arrival
         // staged into the leaf (inputs disjoint from the counted set)

@@ -201,6 +201,31 @@ object StoreMaintenance {
     Report(leaf, "leaf-clustering", retrained = reclustered, compacted = reclustered)
   }
 
+  /** Evaluate and act on one MANIFEST LEAF's merge-on-read delete
+    * backlog (ROADMAP 100): a retention cadence that outruns
+    * compaction accumulates standing `.delete-*` sidecars — every read
+    * anti-joins their union, every rewrite classifies against each.
+    * Past `maxSidecars` they consolidate into ONE via
+    * [[graft.compact.ManifestCommit.consolidateDeletes]] (a
+    * sidecar-only commit the walk verifies position-preserving and
+    * nets to zero — downstream consumers cross it for free). The
+    * PHYSICAL fold stays compaction's job; this dial only bounds the
+    * read/classify fan-out between compactions.
+    */
+  def maintainDeleteSidecars(
+      spark: SparkSession,
+      leaf: String,
+      cfg: graft.compact.CompactorConfig,
+      maxSidecars: Int = 4,
+  ): Report = {
+    val n = graft.compact.ManifestCommit.liveDeletes(spark, leaf).size
+    val compacted =
+      if (n > maxSidecars)
+        graft.compact.ManifestCommit.consolidateDeletes(spark, leaf, cfg).exists(_.success)
+      else false
+    Report(leaf, "delete-sidecars", retrained = false, compacted = compacted)
+  }
+
   /** One pass over a fleet of stores. */
   def run(
       spark: SparkSession,

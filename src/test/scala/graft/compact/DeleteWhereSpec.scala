@@ -334,6 +334,58 @@ class DeleteWhereSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     new File(leaf, ".delete-deadbeefdead").exists() shouldBe false
   }
 
+  test("sidecar consolidation: N sidecars fold to ONE with reads identical, the window walks to zero over corrupted bytes, and the dial acts/no-ops") {
+    val leaf = new File(root, "mor-consolidate"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 1L to 100L, "a")
+    writeFile(leaf, "b.parquet", 101L to 200L, "b")
+    commitAll(leafPath)
+    // three retention passes = three standing sidecars
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") <= 5L, cfg).get.success shouldBe true
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") % 10 === 0L, cfg).get.success shouldBe true
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") >= 195L, cfg).get.success shouldBe true
+    ManifestCommit.liveDeletes(spark, leafPath).size shouldBe 3
+    val expect = bag(leafPath)
+    val cursor = ChangeFeed.Cursor.atHead(spark, leafPath)
+
+    val r = ManifestCommit.consolidateDeletes(spark, leafPath, cfg).get
+    withClue(r) { r.success shouldBe true }
+    // 1..5 (5) + %10==0 (20, none overlap 1..5) + 195..199 (5 — 200
+    // was already retracted by the %10 pass, delete-aware matching)
+    r.rowsWritten shouldBe 30L
+    ManifestCommit.liveDeletes(spark, leafPath).size shouldBe 1
+    bag(leafPath) shouldBe expect
+
+    // the consolidation window nets to ZERO for every consumer —
+    // proven by corrupting ALL live bytes (data files AND the old,
+    // retained sidecars) before the poll: the walk resolves the
+    // position counts from the drows ledger, never from the files
+    val toCorrupt = ManifestCommit.liveFiles(spark, leafPath) ++
+      ManifestCommit.liveDeletes(spark, leafPath)
+    val saved = toCorrupt.map(p => p -> Files.readAllBytes(new File(p).toPath)).toMap
+    saved.keys.foreach(p => Files.write(new File(p).toPath, Array[Byte](0x13, 0x37)))
+    val ch = ChangeFeed.changesSince(spark, leafPath, cursor)
+    saved.foreach { case (p, b) => Files.write(new File(p).toPath, b) }
+    ch.mode shouldBe "walk"
+    ch.isEmpty shouldBe true
+    bag(leafPath) shouldBe expect
+
+    // the dial: below the threshold it rests, above it it acts
+    graft.operators.StoreMaintenance.maintainDeleteSidecars(spark, leafPath, cfg, maxSidecars = 4)
+      .compacted shouldBe false
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") === 51L, cfg).get.success shouldBe true
+    graft.operators.StoreMaintenance.maintainDeleteSidecars(spark, leafPath, cfg, maxSidecars = 1)
+      .compacted shouldBe true
+    ManifestCommit.liveDeletes(spark, leafPath).size shouldBe 1
+    // ... and compaction still folds the consolidated sidecar physically
+    val files = ManifestCommit.liveFiles(spark, leafPath)
+    ManifestCommit.mergeAndCommit(
+      spark, LeafPlan(leafPath, "physfold", files, files.map(f => new File(f).length()).sum), cfg)
+      .success shouldBe true
+    ManifestCommit.liveDeletes(spark, leafPath) shouldBe Seq.empty
+    bag(leafPath) shouldBe expect.filterNot(_._1 == 51L)
+  }
+
   test("lost-delete tripwires: an unfolded sidecar aborts a racing rewrite; superseded targets abort a racing MoR delete") {
     val leaf = new File(root, "mor-race"); leaf.mkdirs()
     val leafPath = leaf.getAbsolutePath
