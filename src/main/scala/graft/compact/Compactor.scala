@@ -85,36 +85,58 @@ object Compactor {
           if (cfg.checkpointManifests) { ManifestCommit.checkpoint(spark, leaf, cur - keep); () }
         }
       }
-      // Materialized-agg maintenance LAST: gc/expire above may retire
-      // the files a refresh's ⊖ term wants, in which case refresh
-      // detects it and rebuilds — ordering it after them means the
-      // refresh sees the post-maintenance filesystem, not a view the
-      // expire is about to invalidate.
-      cfg.matAggRoot.foreach { aggRoot =>
-        val aggPath = MaterializedAgg.pathFor(aggRoot, leaf)
-        if (MaterializedAgg.exists(spark, aggPath))
-          try
-            MaterializedAgg.refresh(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
-              minMax = cfg.matAggMinMax)
-          catch {
-            // refresh's schema/flag guards throw IllegalArgumentException
-            // when the CONFIG drifted from the sealed state (keys/values
-            // changed, minMax or sumSqWide toggled). In the run loop the
-            // config is the contract — a guard that only ever landed in
-            // the maintenance catch-all would freeze the aggregate at
-            // the pre-toggle commit forever. Rebuild under the new
-            // shape instead; direct refresh() callers still get the
-            // loud failure.
-            case e: IllegalArgumentException =>
-              System.err.println(
-                s"[compact] matagg spec drift on $leaf (${e.getMessage}); rebuilding under the configured shape")
-              MaterializedAgg.build(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
-                minMax = cfg.matAggMinMax)
-          }
-        else
-          MaterializedAgg.build(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
-            minMax = cfg.matAggMinMax)
+      // Consumer maintenance LAST: gc/expire above may retire the
+      // files a refresh's ⊖ term wants, in which case refresh detects
+      // it and rebuilds — ordering it after them means the consumers
+      // see the post-maintenance filesystem, not a view the expire is
+      // about to invalidate.
+      val idxPath = cfg.syncIndexRoot.map(MaterializedAgg.pathFor(_, leaf))
+      // index bootstrap on first touch (full read through its own API)
+      idxPath.foreach { p =>
+        if (graft.operators.IndexStore.feedCursor(spark, p).isEmpty) {
+          graft.operators.IndexStore.syncFromLeaf(spark, leaf, p); ()
+        }
+      }
+      def buildAgg(aggPath: String): Unit = {
+        MaterializedAgg.build(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
+          minMax = cfg.matAggMinMax)
         ()
+      }
+      cfg.matAggRoot match {
+        case Some(aggRoot) =>
+          val aggPath = MaterializedAgg.pathFor(aggRoot, leaf)
+          val spec = MaterializedAgg.AggSpec(
+            aggPath, cfg.matAggKeys, cfg.matAggValues, minMax = cfg.matAggMinMax)
+          if (MaterializedAgg.exists(spark, aggPath))
+            try
+              idxPath match {
+                // both consumers subscribed and bootstrapped: ONE shared
+                // window drives them (the tick reads the batch once)
+                case Some(p) => SyncTick.tick(spark, leaf, Seq(spec), Some(p)); ()
+                case None =>
+                  MaterializedAgg.refresh(spark, leaf, aggPath, cfg.matAggKeys, cfg.matAggValues,
+                    minMax = cfg.matAggMinMax)
+                  ()
+              }
+            catch {
+              // refresh's schema/flag guards throw IllegalArgumentException
+              // when the CONFIG drifted from the sealed state (keys/values
+              // changed, minMax or sumSqWide toggled). In the run loop the
+              // config is the contract — a guard that only ever landed in
+              // the maintenance catch-all would freeze the aggregate at
+              // the pre-toggle commit forever. Rebuild under the new
+              // shape instead; direct refresh() callers still get the
+              // loud failure. (In the tick path the index generation has
+              // already sealed by then — consumers lag independently.)
+              case e: IllegalArgumentException =>
+                System.err.println(
+                  s"[compact] matagg spec drift on $leaf (${e.getMessage}); rebuilding under the configured shape")
+                buildAgg(aggPath)
+            }
+          else buildAgg(aggPath)
+        case None =>
+          // index-only subscription: plain cursor sync past bootstrap
+          idxPath.foreach { p => graft.operators.IndexStore.syncFromLeaf(spark, leaf, p); () }
       }
     } catch {
       case e: Throwable =>

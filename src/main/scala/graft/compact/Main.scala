@@ -44,6 +44,11 @@ import org.apache.spark.sql.SparkSession
   *                        touch, O(delta) refresh thereafter), with
   *   GRAFT_MATAGG_KEYS    comma-separated group-by keys and
   *   GRAFT_MATAGG_VALUES  comma-separated numeric sum columns
+  *   GRAFT_SYNC_INDEX     manifest mode: maintain a CDC-synced inverted
+  *                        search index per compacted leaf under this
+  *                        root (leaf must carry doc_id/text); with a
+  *                        matagg configured, both consumers ride ONE
+  *                        shared feed window per maintenance pass
   */
 object Main {
 
@@ -90,6 +95,7 @@ object Main {
       matAggMinMax = env.get("GRAFT_MATAGG_MINMAX")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(base.matAggMinMax),
+      syncIndexRoot = env.get("GRAFT_SYNC_INDEX").orElse(base.syncIndexRoot),
     )
   }
 

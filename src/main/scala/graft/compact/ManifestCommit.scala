@@ -156,7 +156,20 @@ object ManifestCommit {
         fs, plan.leaf,
         if (fs.exists(leafPath)) fs.listStatus(leafPath) else Array.empty[org.apache.hadoop.fs.FileStatus],
       )
-      val planRel = plan.files.map(relativeTo(plan.leaf, _))
+      // A listing-based plan on a retainSuperseded leaf can name
+      // files an earlier commit already superseded (history kept on
+      // disk for time travel) — they are snapshots, not input. Merging
+      // them again would duplicate their rows into fresh outputs, and
+      // the publish OCC check would refuse the commit; filter them out
+      // HERE so the plan degrades to its live remainder (or to a
+      // clean no-op when nothing live is left).
+      val files = plan.files.filterNot(p => st0.superseded(relativeTo(plan.leaf, p)))
+      if (files.isEmpty)
+        return LeafResult(
+          plan.leaf, plan.stem, success = true, 0L, 0,
+          Some("no-op: every planned input is already superseded (retained history)"),
+        )
+      val planRel = files.map(relativeTo(plan.leaf, _))
       // Fold outstanding merge-on-read delete sidecars into the rewrite:
       // positions targeting plan files are applied (those rows do not
       // survive), touched sidecars are consumed whole (their other
@@ -164,13 +177,13 @@ object ManifestCommit {
       // publish-time tripwire aborts if a sidecar this fold didn't see
       // appears concurrently. Zero extra work when the leaf has none.
       val fold = foldForInputs(spark, plan.leaf, planRel.toSet, st0.deletes)
-      val rowsIn = Merger.footerRows(spark, plan.files) - fold.appliedRows
+      val rowsIn = Merger.footerRows(spark, files) - fold.appliedRows
 
       val df = fold.applied match {
         case None =>
-          spark.read.option("mergeSchema", "true").parquet(plan.files: _*)
+          spark.read.option("mergeSchema", "true").parquet(files: _*)
         case Some(applied) =>
-          antiJoinPositions(readWithPos(spark, plan.leaf, plan.files), applied)
+          antiJoinPositions(readWithPos(spark, plan.leaf, files), applied)
       }
       Merger.stageWrite(spark, df, dataDir, plan.totalBytes, rowsIn, cfg, runId)
 
@@ -232,7 +245,7 @@ object ManifestCommit {
       // ([[readLeafAt]] needs them to reconstruct earlier snapshots).
       val undeleted =
         if (cfg.retainSuperseded) Seq.empty
-        else (plan.files ++ fold.touchingRel.map(r => s"${plan.leaf}/$r")).filterNot { p =>
+        else (files ++ fold.touchingRel.map(r => s"${plan.leaf}/$r")).filterNot { p =>
           try fs.delete(new Path(p), false)
           catch { case _: Throwable => false }
         }

@@ -161,6 +161,16 @@ final case class CompactorConfig(
     // min/max columns maintained via the per-file partials table
     // (MaterializedAgg's semigroup path — survives delete-rewrites)
     matAggMinMax: Seq[String] = Nil,
+    // Manifest-mode lifecycle: maintain a CDC-synced inverted search
+    // index ([[graft.operators.IndexStore]]) per compacted leaf (the
+    // leaf must carry doc_id/text columns). Store for leaf L lives at
+    // MaterializedAgg.pathFor(syncIndexRoot, L) (same sanitized
+    // naming). Bootstrapped on first touch via syncFromLeaf; when a
+    // materialized agg is ALSO configured, subsequent maintenance
+    // drives BOTH consumers from one shared ChangeFeed window
+    // ([[SyncTick]]) — the commit batch is read once, not once per
+    // consumer.
+    syncIndexRoot: Option[String] = None,
     // Manifest mode: optimistic retries when the head-stamp tripwire
     // detects a concurrent same-seq writer. 0 (default) = the
     // reference's Forbid semantics — collide, roll back, fail loudly.

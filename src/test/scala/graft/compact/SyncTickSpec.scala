@@ -140,4 +140,65 @@ class SyncTickSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     val f = dir.listFiles().find(_.getName.startsWith("files-")).get
     java.nio.file.Files.readString(f.toPath).split("\n").filter(_.nonEmpty).toSet
   }
+
+  test("Compactor lifecycle: ONE run() advances leaf + materialized agg + search index (GRAFT_SYNC_INDEX wiring)") {
+    val s = spark
+    import s.implicits._
+    val lifecycleRoot = new File(root, "lifecycle"); lifecycleRoot.mkdirs()
+    val leaf = new File(lifecycleRoot, "acct/source=sync/year=2026/month=01"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val staleMs = java.sql.Timestamp.valueOf("2026-06-01 00:00:00").getTime
+    def drop(name: String, lo: Long, hi: Long): Unit = {
+      val tmp = new File(leaf, s".tmp-$name")
+      (lo to hi).map(i => (i, s"alpha beta doc$i", 3L))
+        .toDF("doc_id", "text", "toks").coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new File(leaf, s"$name.parquet").toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      new File(leaf, s"$name.parquet").setLastModified(staleMs); ()
+    }
+    drop("a", 1L, 30L); drop("b", 31L, 60L)
+    val cfg = Main.configFromEnv(Map(
+      "GRAFT_COMMIT_MODE" -> "manifest",
+      "GRAFT_MATAGG_ROOT" -> new File(root, "lc-agg").getAbsolutePath,
+      "GRAFT_MATAGG_KEYS" -> "toks",
+      "GRAFT_MATAGG_VALUES" -> "doc_id",
+      "GRAFT_SYNC_INDEX" -> new File(root, "lc-idx").getAbsolutePath,
+    )).copy(
+      asOf = Some(java.time.LocalDate.parse("2026-06-20")),
+      retainSuperseded = true,
+    )
+    cfg.syncIndexRoot should not be empty
+
+    val r1 = Compactor.run(spark, lifecycleRoot.getAbsolutePath, cfg)
+    r1.size shouldBe 1
+    r1.foreach(x => withClue(x) { x.success shouldBe true })
+    // store names key on the leaf SPELLING the run loop saw (the
+    // fs-qualified LeafResult.leaf), not the raw local path
+    val qLeaf = r1.head.leaf
+    val aggPath = MaterializedAgg.pathFor(cfg.matAggRoot.get, qLeaf)
+    val idxPath = MaterializedAgg.pathFor(cfg.syncIndexRoot.get, qLeaf)
+    MaterializedAgg.exists(spark, aggPath) shouldBe true
+    graft.operators.IndexStore.feedCursor(spark, idxPath) should not be empty
+
+    // second round: fresh arrivals → compaction commit → the tick
+    // drives BOTH consumers from one window to the new head
+    drop("c", 61L, 90L); drop("d", 91L, 120L)
+    Compactor.run(spark, lifecycleRoot.getAbsolutePath, cfg)
+      .foreach(x => withClue(x) { x.success shouldBe true })
+    val head = ManifestCommit.currentSeq(spark, leafPath)
+    graft.operators.IndexStore.feedCursor(spark, idxPath).get.seq shouldBe head
+
+    val direct = ManifestCommit.readLeaf(spark, leafPath)
+      .groupBy("toks").agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("sum_doc_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    MaterializedAgg.read(spark, aggPath)
+      .select("toks", "cnt", "sum_doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet shouldBe direct
+    val oneShot = new File(root, "lc-idx-oneshot").getAbsolutePath
+    graft.operators.IndexStore.build(
+      spark, ManifestCommit.readLeaf(spark, leafPath).select("doc_id", "text"), oneShot)
+    graft.operators.IndexStore.search(spark, idxPath, Seq("beta")).collect().map(_.toString).toSeq shouldBe
+      graft.operators.IndexStore.search(spark, oneShot, Seq("beta")).collect().map(_.toString).toSeq
+  }
 }
