@@ -29,13 +29,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("agg_group_sum")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Built once —
+    * the driver resolves queries by name per verification run, and a
+    * `def` would re-map the registry (re-running its `require`) on
+    * every access.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] =
+  val oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

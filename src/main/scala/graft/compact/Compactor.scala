@@ -132,8 +132,20 @@ object Compactor {
                 System.err.println(
                   s"[compact] matagg spec drift on $leaf (${e.getMessage}); rebuilding under the configured shape")
                 buildAgg(aggPath)
+                // tick already sealed the index generation before the
+                // agg threw; this re-sync is a cursor noop there — it
+                // exists so no exit of this branch leaves the index
+                // behind the window this pass processed
+                idxPath.foreach { p => graft.operators.IndexStore.syncFromLeaf(spark, leaf, p); () }
             }
-          else buildAgg(aggPath)
+          else {
+            buildAgg(aggPath)
+            // first-build pass: an already-bootstrapped index (cursor
+            // present, so the bootstrap block above skipped it) must
+            // still advance this pass — 'consumers land on head every
+            // pass' holds even while the aggregate bootstraps
+            idxPath.foreach { p => graft.operators.IndexStore.syncFromLeaf(spark, leaf, p); () }
+          }
         case None =>
           // index-only subscription: plain cursor sync past bootstrap
           idxPath.foreach { p => graft.operators.IndexStore.syncFromLeaf(spark, leaf, p); () }

@@ -31,6 +31,16 @@ def load_queries(path):
     try:
         d = json.loads(text)
         if isinstance(d, dict):
+            # BENCH_DETAIL.json: {"query": [t1, t2], ..., "_meta": {...}}
+            # — the min-of-2 per-query form the round-over-round
+            # adjudication compares (harness fields live under _meta)
+            detail = {
+                k: min(v) for k, v in d.items()
+                if not k.startswith("_") and isinstance(v, list)
+                and v and all(isinstance(x, (int, float)) for x in v)
+            }
+            if detail:
+                return detail
             for key in ("tail",):
                 if isinstance(d.get(key), str):
                     text = d[key]
@@ -73,9 +83,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
-    ap.add_argument("--threshold", type=float, default=2.0,
-                    help="flag queries slower than old*threshold (default 2.0)")
-    ap.add_argument("--min-sec", type=float, default=0.5,
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="flag queries slower than old*threshold (default 1.5)")
+    ap.add_argument("--min-sec", type=float, default=0.3,
                     help="ignore queries faster than this in BOTH runs (noise floor)")
     args = ap.parse_args()
 
