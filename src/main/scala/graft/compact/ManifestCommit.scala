@@ -66,20 +66,41 @@ object ManifestCommit {
     * retired whole — partial consumption would leave entries whose
     * retraction algebra no feed consumer could replay exactly.
     */
+  /** A touched equality sidecar's reseal: the SAME key tuples over the
+    * scope files the rewrite did NOT supersede (`prior` positions and
+    * `refs` narrowed/carried along) — a touched eq sidecar is always
+    * retired whole, like its position twin.
+    */
+  private[compact] final case class EqReseal(
+      keys: DataFrame,
+      scopeRels: Seq[String],
+      prior: Option[DataFrame],
+      refs: Seq[String],
+  )
+
   private final case class DeleteFold(
       touchingRel: Seq[String],
       applied: Option[DataFrame],
       appliedRows: Long,
       residual: Option[DataFrame],
       residualRows: Long,
+      eqResiduals: Seq[EqReseal] = Seq.empty,
   )
 
   private val NoFold = DeleteFold(Seq.empty, None, 0L, None, 0L)
 
   /** Classify the leaf's live delete sidecars against a rewrite's input
-    * set. Sidecars are churn-bounded position files: the (sidecar,
-    * target) pairs collect driver-side at metadata scale, and the
-    * position split runs as one broadcast semi/anti join pair.
+    * set. Position sidecars are churn-bounded position files: the
+    * (sidecar, target) pairs collect driver-side at metadata scale, and
+    * the position split runs as one broadcast semi/anti join pair.
+    * Equality sidecars classify on their recorded SCOPE (metadata): a
+    * sidecar whose scope intersects the plan is consumed whole — its
+    * kills inside the plan resolve to positions (one key-column scan of
+    * plan∩scope files, which the rewrite reads anyway) and fold into
+    * `applied`; its kills outside re-seal as an [[EqReseal]] with the
+    * surviving scope. `applied` is DISTINCT (file, pos) across kinds,
+    * so a row killed by both a position and an equality sidecar
+    * subtracts once from the caller's `rowsIn` arithmetic.
     */
   private def foldForInputs(
       spark: SparkSession,
@@ -87,33 +108,95 @@ object ManifestCommit {
       planRel: Set[String],
       liveDelRel: Seq[String],
   ): DeleteFold = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     if (liveDelRel.isEmpty) return NoFold
+    val (posRels, eqs) = splitSidecarRels(liveDelRel)
     val pfx = qualifiedPrefix(spark, leaf)
-    val pos = spark.read.parquet(liveDelRel.map(r => s"$leaf/$r"): _*)
-      .select(
-        col(DelFile), col(DelPos),
-        col("_metadata.file_path").substr(
-          org.apache.spark.sql.functions.lit(pfx.length + 1),
-          org.apache.spark.sql.functions.lit(Int.MaxValue),
-        ).as("_src"),
-      )
-    val pairs = pos.select(col("_src"), col(DelFile)).distinct().collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val touching = pairs.filter(p => planRel.contains(p._2)).map(_._1).distinct.sorted.toSeq
-    if (touching.isEmpty) return NoFold
-    import spark.implicits._
-    val tpos = pos.where(col("_src").isin(touching: _*)).drop("_src")
-    val planDf = org.apache.spark.sql.functions.broadcast(planRel.toSeq.toDF(DelFile))
-    val applied = tpos.join(planDf, Seq(DelFile), "left_semi")
-    val residual = tpos.join(planDf, Seq(DelFile), "left_anti")
-    val appliedRows = applied.count()
-    val residualRows = residual.count()
+    // ---- position sidecars ----
+    val (posTouching, posApplied, posResidual) =
+      if (posRels.isEmpty) (Seq.empty[String], None: Option[DataFrame], None: Option[DataFrame])
+      else {
+        val pos = spark.read.parquet(posRels.map(r => s"$leaf/$r"): _*)
+          .select(
+            col(DelFile), col(DelPos),
+            col("_metadata.file_path").substr(
+              org.apache.spark.sql.functions.lit(pfx.length + 1),
+              org.apache.spark.sql.functions.lit(Int.MaxValue),
+            ).as("_src"),
+          )
+        val pairs = pos.select(col("_src"), col(DelFile)).distinct().collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val touching = pairs.filter(p => planRel.contains(p._2)).map(_._1).distinct.sorted.toSeq
+        if (touching.isEmpty) (Seq.empty[String], None, None)
+        else {
+          import spark.implicits._
+          val tpos = pos.where(col("_src").isin(touching: _*)).drop("_src")
+          val planDf = broadcast(planRel.toSeq.toDF(DelFile))
+          (
+            touching,
+            Some(tpos.join(planDf, Seq(DelFile), "left_semi")),
+            Some(tpos.join(planDf, Seq(DelFile), "left_anti")),
+          )
+        }
+      }
+    // ---- equality sidecars ----
+    val eqWithScope = eqs.map(e => e -> eqScopeRels(spark, leaf, e))
+    val eqTouched = eqWithScope.filter { case (_, scope) => scope.exists(planRel) }
+    val eqApplied: Option[DataFrame] =
+      if (eqTouched.isEmpty) None
+      else {
+        val parts = eqTouched.flatMap { case (e, scope) =>
+          val inPlan = scope.filter(planRel).sorted
+          if (inPlan.isEmpty) None
+          else {
+            val keys = readEqKeys(spark, leaf, e)
+            Some(
+              semiJoinKeysGuarded(readWithPos(spark, leaf, inPlan.map(r => s"$leaf/$r")), keys)
+                .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos)))
+          }
+        }
+        parts.reduceOption(_.unionByName(_))
+      }
+    val eqResiduals = eqTouched.flatMap { case (e, scope) =>
+      val survive = scope.filterNot(planRel).sorted
+      if (survive.isEmpty) None
+      else {
+        import spark.implicits._
+        val surviveDf = broadcast(survive.toDF(DelFile))
+        val prior = eqPrior(spark, leaf, e).map(_.join(surviveDf, Seq(DelFile), "left_semi"))
+        Some(EqReseal(readEqKeys(spark, leaf, e), survive, prior, eqRefs(spark, leaf, e)))
+      }
+    }
+    if (posTouching.isEmpty && eqTouched.isEmpty) return NoFold
+    val applied = (posApplied.toSeq ++ eqApplied.toSeq)
+      .reduceOption(_.unionByName(_)).map(_.distinct())
+    val appliedRows = applied.map(_.count()).getOrElse(0L)
+    val residualRows = posResidual.map(_.count()).getOrElse(0L)
     DeleteFold(
-      touching,
-      if (appliedRows > 0) Some(applied) else None, appliedRows,
-      if (residualRows > 0) Some(residual) else None, residualRows,
+      posTouching ++ eqTouched.flatMap(_._1.allFiles),
+      if (appliedRows > 0) applied else None, appliedRows,
+      if (residualRows > 0) posResidual else None, residualRows,
+      eqResiduals,
     )
+  }
+
+  /** Seal a fold's residuals — the position residual (counted in
+    * `drows`) plus each touched equality sidecar's reseal (never in
+    * `drows`: its retraction count is unresolved by design). Returns
+    * the relative sidecar files for the manifest's `deletes` list.
+    */
+  private def writeFoldResiduals(
+      spark: SparkSession,
+      fs: FileSystem,
+      leaf: String,
+      runId: String,
+      fold: DeleteFold,
+  ): Seq[String] = {
+    val pos = fold.residual.map(writeDeleteSidecar(spark, fs, leaf, runId, _)).getOrElse(Seq.empty)
+    val eq = fold.eqResiduals.zipWithIndex.flatMap { case (r, i) =>
+      writeEqSidecar(spark, fs, leaf, s"${runId}r$i", r.keys, r.scopeRels, r.prior, r.refs)
+    }
+    pos ++ eq
   }
 
   /** Seal `residual` positions (if any) as this run's own delete
@@ -123,6 +206,21 @@ object ManifestCommit {
     * it consumes the producer's sidecar set whole, and a single file
     * makes that the only possible shape.
     */
+  /** Best-effort reclaim of a dead run's row-level sidecar stages
+    * (the `.delete-<runId>/` dir and every `.eqdel-<runId>*-*` dir) —
+    * call only after the run's manifest is proven unsealed.
+    */
+  private def cleanupRunSidecars(fs: FileSystem, leaf: String, runId: String): Unit = {
+    try { fs.delete(new Path(s"$leaf/.delete-$runId"), true); () } catch { case _: Throwable => () }
+    try {
+      val leafPath = new Path(leaf)
+      if (fs.exists(leafPath))
+        fs.listStatus(leafPath)
+          .filter(e => e.isDirectory && e.getPath.getName.startsWith(s".eqdel-$runId"))
+          .foreach { d => try { fs.delete(d.getPath, true); () } catch { case _: Throwable => () } }
+    } catch { case _: Throwable => () }
+  }
+
   private def writeDeleteSidecar(
       spark: SparkSession,
       fs: FileSystem,
@@ -223,11 +321,9 @@ object ManifestCommit {
         if (bl.nonEmpty) ManifestStats.writeBlooms(fs, plan.leaf, runId, bl)
       }
 
-      // Residual delete sidecar BEFORE the commit point — debris until
+      // Residual delete sidecars BEFORE the commit point — debris until
       // the manifest seals, exactly like the data stage.
-      val deletesRel = fold.residual
-        .map(writeDeleteSidecar(spark, fs, plan.leaf, runId, _))
-        .getOrElse(Seq.empty)
+      val deletesRel = writeFoldResiduals(spark, fs, plan.leaf, runId, fold)
 
       // COMMIT POINT: one PUT of the sealed manifest. Everything before
       // this line is invisible; everything after is garbage collection.
@@ -273,8 +369,7 @@ object ManifestCommit {
         if (manifestGone) {
           try fsR.foreach(_.delete(new Path(dataDir), true))
           catch { case _: Throwable => () }
-          try fsR.foreach(_.delete(new Path(s"${plan.leaf}/.delete-$runId"), true))
-          catch { case _: Throwable => () }
+          fsR.foreach(cleanupRunSidecars(_, plan.leaf, runId))
           fsR.foreach(ManifestStats.deleteSidecars(_, plan.leaf, runId))
         }
         LeafResult(plan.leaf, plan.stem, success = false, 0L, 0, Some(e.toString))
@@ -367,11 +462,7 @@ object ManifestCommit {
     // scan) — a plain column that survives the anti join, where the
     // `_metadata` pseudo-column would not resolve.
     val liveDelAbs = st0.deletes.map(r => s"$leaf/$r")
-    val awareScan = {
-      val base = readWithPos(spark, leaf, candidates)
-      if (liveDelAbs.isEmpty) base
-      else antiJoinPositionsKeep(base, deletePositions(spark, liveDelAbs))
-    }
+    val awareScan = awareWithPos(spark, leaf, candidates, liveDelAbs)
     val perFile = awareScan
       .where(cond)
       .groupBy(c("_mor_rel").as("_df"))
@@ -435,9 +526,7 @@ object ManifestCommit {
         )
         if (bl.nonEmpty) ManifestStats.writeBlooms(fs, leaf, runId, bl)
       }
-      val deletesRel = fold.residual
-        .map(writeDeleteSidecar(spark, fs, leaf, runId, _))
-        .getOrElse(Seq.empty)
+      val deletesRel = writeFoldResiduals(spark, fs, leaf, runId, fold)
       val inputsRel = inputsDataRel ++ fold.touchingRel
       publish(
         fs, leaf, stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries,
@@ -465,8 +554,7 @@ object ManifestCommit {
         if (manifestGone) {
           try fsR.foreach(_.delete(new Path(dataDir), true))
           catch { case _: Throwable => () }
-          try fsR.foreach(_.delete(new Path(s"$leaf/.delete-$runId"), true))
-          catch { case _: Throwable => () }
+          fsR.foreach(cleanupRunSidecars(_, leaf, runId))
           fsR.foreach(ManifestStats.deleteSidecars(_, leaf, runId))
         }
         Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
@@ -516,10 +604,7 @@ object ManifestCommit {
     val candidates = ManifestStats.pruneByPredicate(spark, leaf, live, cond)
     if (candidates.isEmpty) return None
     val liveDelAbs = st0.deletes.map(r => s"$leaf/$r")
-    val base = readWithPos(spark, leaf, candidates)
-    val aware =
-      if (liveDelAbs.isEmpty) base
-      else antiJoinPositionsKeep(base, deletePositions(spark, liveDelAbs))
+    val aware = awareWithPos(spark, leaf, candidates, liveDelAbs)
     val matchedPos = aware.where(cond)
       .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos))
     val runId = UUID.randomUUID().toString.replace("-", "")
@@ -552,11 +637,112 @@ object ManifestCommit {
           catch { case _: Throwable => false }
         }
         if (manifestGone) {
-          try fsR.foreach(_.delete(new Path(s"$leaf/.delete-$runId"), true))
-          catch { case _: Throwable => () }
+          fsR.foreach(cleanupRunSidecars(_, leaf, runId))
         }
         Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
     }
+  }
+
+  /** Keyed DELETE, merge-on-read with EQUALITY sidecars — the zero-
+    * data-read half of the MoR algebra ([[deleteWhereMoR]]'s position
+    * sidecar still pays a classification READ of candidate files to
+    * resolve row ordinals; this commit reads no data pages — at most
+    * one live FOOTER for the string-type bloom guard, and it commits
+    * fine without even that).
+    * The commit is: the distinct non-NULL key tuples of `keys` (its
+    * columns ARE the key columns), the SCOPE — live files that can
+    * possibly hold a match, resolved purely from the stats/bloom
+    * sidecars ([[ManifestStats.pruneByKeySet]]) — and the already-dead
+    * exclusions ([[EqSidecar]] prior/refs, metadata-scale). A keyed
+    * retention delete on a bloom-equipped leaf is O(keys): one sidecar
+    * write, scope tight to the bloom hits.
+    *
+    * Read contract: [[readLeaf]] anti-joins scope-file rows on the key
+    * tuples — indistinguishable from the position path (spec-pinned) —
+    * and rows appended AFTER this commit are outside the scope, so a
+    * re-used key never kills a new edition. The next compaction
+    * touching scope files folds the sidecar ([[foldForInputs]]):
+    * in-plan kills resolve to positions and drop from the rewrite,
+    * out-of-plan scope re-seals. Feed consumers read the exact
+    * retraction set through [[readDeleteRows]] (key matches minus
+    * prior/ref exclusions) — the commit-window walk hands such commits
+    * to that resolution rather than the `drows` ledger (the matched
+    * count is deliberately unresolved at commit), and rewrites touching
+    * equality sidecars classify as row-changing, never "verified
+    * preserving".
+    *
+    * Concurrency: `requiresLive` pins the scope (a racer superseding a
+    * scope file aborts this commit), and the `knownDeletes` tripwire
+    * aborts any racing rewrite that did not fold this sidecar.
+    *
+    * Returns None when `keys` has no fully-non-NULL tuple (SQL equality
+    * never matches NULL) or no live file can hold a match — both
+    * decided without data I/O. On success `rowsWritten` is the KEY
+    * count (the retracted-row count is what this commit refuses to pay
+    * for; [[ManifestStats.countLeaf]] resolves it lazily).
+    */
+  def deleteKeysMoR(
+      spark: SparkSession,
+      leaf: String,
+      keys: DataFrame,
+      cfg: CompactorConfig,
+      stem: String = "delete-keys",
+  ): Option[LeafResult] = {
+    require(cfg.commitMode == CommitMode.Manifest, "deleteKeysMoR requires manifest mode (the sidecar is a manifest commit)")
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteKeysMoR needs at least one key column")
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return None
+    val st0 = resolveState(fs, leaf, fs.listStatus(leafPath))
+    val live = liveFiles(spark, leaf)
+    if (live.isEmpty) return None
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val keysD = keys.na.drop("any", keyCols).dropDuplicates(keyCols).persist()
+    try {
+      val nKeys = keysD.count()
+      if (nKeys == 0L) return None
+      val scope =
+        if (nKeys <= ManifestStats.KeySetPruneCap) {
+          val tuples = keysD.collect()
+          val keyVals = keyCols.zipWithIndex.map { case (k, i) =>
+            k -> tuples.map(_.get(i)).toSeq.distinct
+          }.toMap
+          ManifestStats.pruneByKeySet(spark, leaf, live, keyVals)
+        } else live
+      if (scope.isEmpty) return None // no live file can hold a match — decided from sidecars alone
+      val scopeRels = scope.map(relativeTo(leaf, _)).sorted
+      val liveDel = st0.deletes.filterNot(st0.superseded).distinct
+      val (posRels, eqs) = splitSidecarRels(liveDel)
+      val prior =
+        if (posRels.isEmpty) None
+        else Some(
+          deletePositions(spark, posRels.map(r => s"$leaf/$r"))
+            .join(broadcast(scopeRels.toDF(DelFile)), Seq(DelFile), "left_semi"))
+      val refs = eqs.filter(e => eqScopeRels(spark, leaf, e).exists(scopeRels.toSet)).map(_.dirStem)
+      val runId = UUID.randomUUID().toString.replace("-", "")
+      try {
+        val deletesRel = writeEqSidecar(spark, fs, leaf, runId, keysD, scopeRels, prior, refs)
+        publish(
+          fs, leaf, stem, runId,
+          inputsRel = Seq.empty, outputsRel = Seq.empty, rows = 0L, retries = cfg.commitRetries,
+          deletesRel = deletesRel, drows = 0L,
+          knownDeletes = Some(st0.deletes.toSet), requiresLive = scopeRels.toSet,
+        )
+        Some(LeafResult(leaf, stem, success = true, nKeys, 0, None))
+      } catch {
+        case e: Throwable =>
+          val fsR = try Some(FileIndexer.fsFor(spark, leaf)) catch { case _: Throwable => None }
+          val manifestGone = fsR.exists { f =>
+            val mp = new Path(s"$leaf/_manifest-$stem-$runId.json")
+            try { f.delete(mp, false); !f.exists(mp) }
+            catch { case _: Throwable => false }
+          }
+          if (manifestGone) fsR.foreach(cleanupRunSidecars(_, leaf, runId))
+          Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
+      }
+    } finally { keysD.unpersist(); () }
   }
 
   /** Consolidate the leaf's live merge-on-read delete sidecars into
@@ -587,7 +773,11 @@ object ManifestCommit {
     val leafPath = new Path(leaf)
     if (!fs.exists(leafPath)) return None
     val st0 = resolveState(fs, leaf, fs.listStatus(leafPath))
-    val dels = st0.deletes.filterNot(st0.superseded).distinct.sorted
+    // POSITION sidecars only: equality sidecars pair keys with their own
+    // scope — folding two scopes' keys into one anti-join table would
+    // kill sidecar A's keys in sidecar B's files. Their sprawl is
+    // bounded by compaction folds instead.
+    val dels = st0.deletes.filterNot(st0.superseded).filter(isPosDeleteRel).distinct.sorted
     if (dels.size < minSidecars) return None
     val runId = UUID.randomUUID().toString.replace("-", "")
     try {
@@ -620,8 +810,7 @@ object ManifestCommit {
           catch { case _: Throwable => false }
         }
         if (manifestGone) {
-          try fsR.foreach(_.delete(new Path(s"$leaf/.delete-$runId"), true))
-          catch { case _: Throwable => () }
+          fsR.foreach(cleanupRunSidecars(_, leaf, runId))
         }
         Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
     }
@@ -709,16 +898,32 @@ object ManifestCommit {
           val pruneCond = numericKeys
             .map(k => col(k) >= lit(a.getAs[Double](s"_lo_$k")) && col(k) <= lit(a.getAs[Double](s"_hi_$k")))
             .reduceOption(_ && _)
-          val candidates = pruneCond
+          val rangeCands = pruneCond
             .map(c => ManifestStats.pruneByPredicate(spark, leaf, live, c))
             .getOrElse(live)
+          // key-SET prune on top of the interval prune: probe each
+          // candidate's bloom sidecar with the source's distinct key
+          // values (string keys — the dominant doc_id upsert shape)
+          // and its stats interval with the exact value set (tighter
+          // than min/max for sparse keys). Without it a string-keyed
+          // merge classifies against EVERY live file — Σ(live) key-
+          // column reads instead of Σ(hit). Capped: a source with more
+          // distinct keys than the cap touches most files anyway, and
+          // the tuple collect must stay driver-bounded.
+          val dk = a.getAs[Long]("_dk")
+          val candidates =
+            if (dk == 0L) Seq.empty[String] // every source key tuple has a NULL: nothing can match
+            else if (dk <= ManifestStats.KeySetPruneCap && rangeCands.nonEmpty) {
+              val tuples = src.where(keysNonNull).select(keys.map(col): _*).distinct().collect()
+              val keyVals = keys.zipWithIndex.map { case (k, i) =>
+                k -> tuples.map(_.get(i)).toSeq.distinct
+              }.toMap
+              ManifestStats.pruneByKeySet(spark, leaf, rangeCands, keyVals)
+            } else rangeCands
           if (candidates.isEmpty) (Seq.empty[String], 0L)
           else {
             val srcKeys = src.select(keys.map(col): _*)
-            val withPos = readWithPos(spark, leaf, candidates)
-            val aware =
-              if (liveDelAbs.isEmpty) withPos
-              else antiJoinPositionsKeep(withPos, deletePositions(spark, liveDelAbs))
+            val aware = awareWithPos(spark, leaf, candidates, liveDelAbs)
             val perFile = aware
               .join(srcKeys, keys, "left_semi")
               .groupBy(col("_mor_rel").as("_mf"))
@@ -747,7 +952,21 @@ object ManifestCommit {
             Some(aware.join(src.select(keys.map(col): _*), keys, "left_anti"))
           }
         val staged = survivors match {
-          case None => src
+          case None =>
+            // no hit files, but the columns contract must still hold
+            // (a column-mismatched source sealing silently would make
+            // every later mergeSchema read null-fill the drift) —
+            // resolve the leaf's column set from the live footers
+            // (metadata-only, distributed) and apply the same require
+            // the survivors branch applies
+            if (live.nonEmpty) {
+              val leafCols = spark.read.option("mergeSchema", "true").parquet(live: _*).schema.fieldNames
+              require(
+                src.columns.sorted.sameElements(leafCols.sorted),
+                s"merge source columns ${src.columns.sorted.mkString(",")} != leaf columns ${leafCols.sorted.mkString(",")}",
+              )
+            }
+            src
           case Some(sv) =>
             require(
               sv.columns.sorted.sameElements(src.columns.sorted),
@@ -790,9 +1009,7 @@ object ManifestCommit {
           )
           if (bl.nonEmpty) ManifestStats.writeBlooms(fs, leaf, runId, bl)
         }
-        val deletesRel = fold.residual
-          .map(writeDeleteSidecar(spark, fs, leaf, runId, _))
-          .getOrElse(Seq.empty)
+        val deletesRel = writeFoldResiduals(spark, fs, leaf, runId, fold)
         publish(
           fs, leaf, stem, runId,
           inputsRel = hitRel ++ fold.touchingRel, outputsRel = outputsRel,
@@ -822,8 +1039,7 @@ object ManifestCommit {
           if (manifestGone) {
             try fsR.foreach(_.delete(new Path(dataDir), true))
             catch { case _: Throwable => () }
-            try fsR.foreach(_.delete(new Path(s"$leaf/.delete-$runId"), true))
-            catch { case _: Throwable => () }
+            fsR.foreach(cleanupRunSidecars(_, leaf, runId))
             fsR.foreach(ManifestStats.deleteSidecars(_, leaf, runId))
           }
           Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
@@ -1263,8 +1479,182 @@ object ManifestCommit {
   private[compact] val DelFile = "_del_file"
   private[compact] val DelPos = "_del_pos"
 
-  private[compact] def isDeleteRel(rel: String): Boolean = rel.startsWith(".delete-")
-  private[compact] def isDeletePath(p: String): Boolean = p.contains("/.delete-")
+  /** "Is a row-level delete sidecar" — position (`.delete-`) OR
+    * equality (`.eqdel-`) kind. Everything that classifies rel paths
+    * into data-vs-sidecar uses these; surfaces that READ sidecar
+    * contents split by kind via [[splitSidecarRels]].
+    */
+  private[compact] def isDeleteRel(rel: String): Boolean =
+    rel.startsWith(".delete-") || rel.startsWith(".eqdel-")
+  private[compact] def isDeletePath(p: String): Boolean =
+    p.contains("/.delete-") || p.contains("/.eqdel-")
+  private[compact] def isPosDeleteRel(rel: String): Boolean = rel.startsWith(".delete-")
+  private[compact] def isPosDeletePath(p: String): Boolean = p.contains("/.delete-")
+
+  // ---- equality-delete sidecars (the Iceberg-v2 equality-delete shape) --
+
+  /** Equality-sidecar schema: a keyed retention delete commits the KEY
+    * TUPLES themselves (`-keys/` parquet, the key columns as written)
+    * plus the SCOPE — the live files the delete applies to, recorded at
+    * commit time (`-scope/` parquet, one `_eq_scope` rel path per row) —
+    * with ZERO data reads: scope resolves from the stats/bloom sidecars
+    * ([[ManifestStats.pruneByKeySet]]). Readers anti-join scope-file
+    * rows on the keys; rows appended AFTER the commit (outside the
+    * scope) are never killed, however their keys collide.
+    *
+    * Feed exactness needs one more piece: the rows the commit RETRACTS
+    * are the key matches that were still live at commit time, so the
+    * sidecar also records what was already dead — `-prior/` (the live
+    * position sidecars' (file, pos) rows inside the scope, a metadata-
+    * scale copy) and `-refs/` (the dir stems of live equality sidecars
+    * whose scope intersects ours; their kills re-resolve at read).
+    * [[readDeleteRows]] subtracts both, so a feed consumer never sees a
+    * row retracted twice.
+    */
+  private[compact] val EqScope = "_eq_scope"
+  private[compact] val EqRef = "_eq_ref"
+  private val eqRelRe = """\.eqdel-([0-9a-f]+(?:r\d+)?)-(keys|scope|prior|refs)(?:/.*)?""".r
+
+  private[compact] def isEqDeleteRel(rel: String): Boolean = rel.startsWith(".eqdel-")
+  private[compact] def isEqDeletePath(p: String): Boolean = p.contains("/.eqdel-")
+
+  /** One equality sidecar = up to four flat sibling dirs sharing a stem
+    * id (`<runId>` or `<runId>r<i>` for fold residuals): keys + scope
+    * required, prior + refs optional. `allFiles` lists every member
+    * (relative) — what a consuming commit puts in `inputs`.
+    */
+  private[compact] final case class EqSidecar(
+      stemId: String,
+      keyFiles: Seq[String],
+      scopeFiles: Seq[String],
+      priorFiles: Seq[String],
+      refFiles: Seq[String],
+  ) {
+    def dirStem: String = s".eqdel-$stemId"
+    def allFiles: Seq[String] = (keyFiles ++ scopeFiles ++ priorFiles ++ refFiles).sorted
+  }
+
+  /** Split a mixed list of sidecar RELATIVE paths into position files
+    * and grouped equality sidecars. Unrecognized `.eqdel-` members
+    * (torn debris) fail loudly — a silently dropped sidecar would
+    * resurrect its deleted rows.
+    */
+  private[compact] def splitSidecarRels(rels: Seq[String]): (Seq[String], Seq[EqSidecar]) = {
+    val (eqRels, posRels) = rels.partition(isEqDeleteRel)
+    val parsed = eqRels.map { r =>
+      r match {
+        case eqRelRe(stem, role) => (stem, role, r)
+        case _ => throw new IllegalArgumentException(s"unrecognized equality-delete sidecar path: $r")
+      }
+    }
+    val eqs = parsed.groupBy(_._1).toSeq.sortBy(_._1).map { case (stem, members) =>
+      def of(role: String) = members.collect { case (_, `role`, r) => r }.sorted
+      val s = EqSidecar(stem, of("keys"), of("scope"), of("prior"), of("refs"))
+      require(
+        s.keyFiles.nonEmpty && s.scopeFiles.nonEmpty,
+        s"equality sidecar .eqdel-$stem is missing its keys or scope files",
+      )
+      s
+    }
+    (posRels, eqs)
+  }
+
+  private[compact] def readEqKeys(spark: SparkSession, leaf: String, s: EqSidecar): DataFrame =
+    spark.read.parquet(s.keyFiles.map(r => s"$leaf/$r"): _*)
+
+  /** The sidecar's recorded scope — leaf-relative data file names. */
+  private[compact] def eqScopeRels(spark: SparkSession, leaf: String, s: EqSidecar): Seq[String] =
+    spark.read.parquet(s.scopeFiles.map(r => s"$leaf/$r"): _*)
+      .select(EqScope).collect().map(_.getString(0)).toSeq.sorted
+
+  private[compact] def eqPrior(spark: SparkSession, leaf: String, s: EqSidecar): Option[DataFrame] =
+    if (s.priorFiles.isEmpty) None
+    else Some(deletePositions(spark, s.priorFiles.map(r => s"$leaf/$r")))
+
+  private[compact] def eqRefs(spark: SparkSession, leaf: String, s: EqSidecar): Seq[String] =
+    if (s.refFiles.isEmpty) Seq.empty
+    else spark.read.parquet(s.refFiles.map(r => s"$leaf/$r"): _*)
+      .select(EqRef).collect().map(_.getString(0)).toSeq.sorted
+
+  /** Re-materialize a (possibly superseded, still-on-disk) equality
+    * sidecar from its dir stem — how a `refs` entry resolves at read
+    * time. Loud when the referenced dirs are gone: an exclusion set
+    * that silently shrank would double-retract rows downstream.
+    */
+  private[compact] def eqSidecarFromDisk(fs: FileSystem, leaf: String, dirStem: String): EqSidecar = {
+    def filesIn(role: String): Seq[String] = {
+      val d = new Path(s"$leaf/$dirStem-$role")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$dirStem-$role/${f.getPath.getName}").sorted.toSeq
+    }
+    val s = EqSidecar(dirStem.stripPrefix(".eqdel-"), filesIn("keys"), filesIn("scope"), filesIn("prior"), filesIn("refs"))
+    if (s.keyFiles.isEmpty || s.scopeFiles.isEmpty)
+      throw new java.io.IOException(
+        s"referenced equality sidecar $dirStem under $leaf is gone or torn — " +
+          "retain superseded sidecars for the consumer's lag (retainSuperseded + expireSnapshots)",
+      )
+    s
+  }
+
+  /** Seal one equality sidecar (keys + scope [+ prior, refs]) under
+    * `.eqdel-<stemId>-*` flat dirs; returns the relative file list for
+    * the manifest. Debris until the manifest seals, like every stage.
+    */
+  private[compact] def writeEqSidecar(
+      spark: SparkSession,
+      fs: FileSystem,
+      leaf: String,
+      stemId: String,
+      keys: DataFrame,
+      scopeRels: Seq[String],
+      prior: Option[DataFrame],
+      refs: Seq[String],
+  ): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    require(scopeRels.nonEmpty, "an equality sidecar without scope deletes nothing")
+    def seal(role: String, df: DataFrame): Seq[String] = {
+      val dir = s"$leaf/.eqdel-$stemId-$role"
+      df.write.mode("overwrite").parquet(dir)
+      fs.listStatus(new Path(dir))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s".eqdel-$stemId-$role/${f.getPath.getName}")
+        .sorted.toSeq
+    }
+    val keyCols = keys.columns.toSeq
+    seal("keys", keys.dropDuplicates(keyCols).coalesce(1)) ++
+      seal("scope", scopeRels.sorted.toDF(EqScope).coalesce(1)) ++
+      prior.toSeq.flatMap(p => seal("prior", p.select(col(DelFile), col(DelPos)).coalesce(1))) ++
+      (if (refs.isEmpty) Seq.empty else seal("refs", refs.sorted.toDF(EqRef).coalesce(1)))
+  }
+
+  /** Semi-join a `readWithPos` frame on an equality sidecar's key
+    * tuples — the rows the sidecar KILLS among `df`'s files. Schema-
+    * evolution guard: a scope file sealed before a key column was ADDED
+    * has no values of it — the synthesized NULL never equals, so the
+    * whole file survives (semi) / passes (anti), exactly the read
+    * contract.
+    */
+  private def withKeyCols(df: DataFrame, keys: DataFrame): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.lit
+    val keyCols = keys.columns.toSeq
+    val missing = keyCols.filterNot(df.columns.contains)
+    val padded = missing.foldLeft(df)((d, k) => d.withColumn(k, lit(null).cast(keys.schema(k).dataType)))
+    (padded, missing)
+  }
+
+  private[compact] def semiJoinKeysGuarded(df: DataFrame, keys: DataFrame): DataFrame = {
+    val (padded, _) = withKeyCols(df, keys)
+    padded.join(org.apache.spark.sql.functions.broadcast(keys), keys.columns.toSeq, "left_semi")
+  }
+
+  private[compact] def antiJoinKeysGuarded(df: DataFrame, keys: DataFrame): DataFrame = {
+    val (padded, missing) = withKeyCols(df, keys)
+    padded.join(org.apache.spark.sql.functions.broadcast(keys), keys.columns.toSeq, "left_anti")
+      .drop(missing: _*)
+  }
 
   /** The fs-qualified spelling of `leaf` plus the trailing slash — what
     * `_metadata.file_path` values of files under the leaf start with.
@@ -1307,19 +1697,75 @@ object ManifestCommit {
     antiJoinPositionsKeep(df, pos).drop("_mor_rel", "_mor_pos")
 
   /** `files` (under `leaf`) with the rows named by `deleteFiles`
-    * anti-joined away — THE merge-on-read scan. The sidecar side is
-    * churn-bounded (position files, not data), so Spark's size estimate
-    * broadcasts it in the common case; a retention backlog large enough
-    * to shuffle is exactly when a shuffle is correct.
+    * anti-joined away, the `_mor_rel`/`_mor_pos` identity columns KEPT —
+    * THE merge-on-read scan, both sidecar kinds applied in one pass:
+    * data files group by which equality sidecars' scopes cover them
+    * (each group is read ONCE and anti-joined on each covering
+    * sidecar's broadcast keys — no second scan, no positions resolved),
+    * then position sidecars anti-join on (file, pos). The sidecar side
+    * is churn-bounded, so Spark's size estimate broadcasts it in the
+    * common case; a retention backlog large enough to shuffle is
+    * exactly when a shuffle is correct.
     */
-  private[compact] def readFilesAware(
+  private[compact] def awareWithPos(
       spark: SparkSession,
       leaf: String,
       files: Seq[String],
       deleteFiles: Seq[String],
   ): DataFrame = {
+    if (deleteFiles.isEmpty) return readWithPos(spark, leaf, files)
+    val (posRels, eqs) = splitSidecarRels(deleteFiles.map(relativeTo(leaf, _)))
+    val base =
+      if (eqs.isEmpty) readWithPos(spark, leaf, files)
+      else {
+        val scopes = eqs.map(e => eqScopeRels(spark, leaf, e).toSet)
+        val groups = files
+          .groupBy(f => scopes.zipWithIndex.collect { case (sc, i) if sc(relativeTo(leaf, f)) => i })
+          .toSeq.sortBy(_._2.head)
+        val parts = groups.map { case (sids, fls) =>
+          sids.foldLeft(readWithPos(spark, leaf, fls)) { (df, i) =>
+            antiJoinKeysGuarded(df, readEqKeys(spark, leaf, eqs(i)))
+          }
+        }
+        parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+    if (posRels.isEmpty) base
+    else antiJoinPositionsKeep(base, deletePositions(spark, posRels.map(r => s"$leaf/$r")))
+  }
+
+  private[compact] def readFilesAware(
+      spark: SparkSession,
+      leaf: String,
+      files: Seq[String],
+      deleteFiles: Seq[String],
+  ): DataFrame =
     if (deleteFiles.isEmpty) spark.read.option("mergeSchema", "true").parquet(files: _*)
-    else antiJoinPositions(readWithPos(spark, leaf, files), deletePositions(spark, deleteFiles))
+    else awareWithPos(spark, leaf, files, deleteFiles).drop("_mor_rel", "_mor_pos")
+
+  /** Resolve a mixed sidecar list to ONE distinct (file, pos) frame —
+    * the COUNT currency ([[ManifestStats.countLeaf]]'s correction).
+    * Position sidecars read as-is (metadata scale); equality sidecars
+    * resolve by scanning their scope files' key columns — the leaf's
+    * first data read the zero-read commit deferred, bounded by the
+    * bloom-pruned scope. Distinct across kinds: a row killed twice
+    * still subtracts once.
+    */
+  private[compact] def resolveDeletePositions(
+      spark: SparkSession,
+      leaf: String,
+      deleteFiles: Seq[String],
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (posRels, eqs) = splitSidecarRels(deleteFiles.map(relativeTo(leaf, _)))
+    val posDf =
+      if (posRels.isEmpty) None
+      else Some(deletePositions(spark, posRels.map(r => s"$leaf/$r")))
+    val eqDfs = eqs.map { e =>
+      val scope = eqScopeRels(spark, leaf, e)
+      semiJoinKeysGuarded(readWithPos(spark, leaf, scope.map(r => s"$leaf/$r")), readEqKeys(spark, leaf, e))
+        .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos))
+    }
+    (posDf.toSeq ++ eqDfs).reduce(_.unionByName(_)).distinct()
   }
 
   /** The leaf's NET-LIVE merge-on-read delete sidecar files (absolute
@@ -1365,11 +1811,9 @@ object ManifestCommit {
       leaf: String,
       deleteFiles: Seq[String],
   ): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     require(deleteFiles.nonEmpty, "no delete sidecars to read")
     val fs = FileIndexer.fsFor(spark, leaf)
-    val pos = spark.read.parquet(deleteFiles: _*)
-      .select(col(DelFile), col(DelPos), col("_metadata.file_path").as("_delete_file"))
     val targets = deleteTargets(spark, leaf, deleteFiles)
     val missing = targets.filterNot(p => fs.exists(new Path(p)))
     if (missing.nonEmpty)
@@ -1377,20 +1821,60 @@ object ManifestCommit {
         s"delete-sidecar rows unreadable: ${missing.size} target file(s) already GC'd " +
           s"(first: ${missing.head}) — retain superseded files for the consumer's lag",
       )
-    val data = readWithPos(spark, leaf, targets)
-    data.join(pos, data("_mor_rel") === pos(DelFile) && data("_mor_pos") === pos(DelPos), "inner")
-      .drop("_mor_rel", "_mor_pos", DelFile, DelPos)
+    val (posRels, eqs) = splitSidecarRels(deleteFiles.map(relativeTo(leaf, _)))
+    val posPart =
+      if (posRels.isEmpty) None
+      else {
+        val posAbs = posRels.map(r => s"$leaf/$r")
+        val pos = spark.read.parquet(posAbs: _*)
+          .select(col(DelFile), col(DelPos), col("_metadata.file_path").as("_delete_file"))
+        val data = readWithPos(spark, leaf, deleteTargets(spark, leaf, posAbs))
+        Some(
+          data.join(pos, data("_mor_rel") === pos(DelFile) && data("_mor_pos") === pos(DelPos), "inner")
+            .drop("_mor_rel", "_mor_pos", DelFile, DelPos))
+      }
+    // an equality sidecar's retraction set = its key matches in scope
+    // MINUS what was already dead when it committed (recorded prior
+    // positions + referenced earlier equality sidecars, re-resolved
+    // here) — a feed consumer never double-retracts a row
+    val eqParts = eqs.map { e =>
+      val scope = eqScopeRels(spark, leaf, e)
+      val scopeSet = scope.toSet
+      val mine = semiJoinKeysGuarded(
+        readWithPos(spark, leaf, scope.map(r => s"$leaf/$r")), readEqKeys(spark, leaf, e))
+      val refExcl = eqRefs(spark, leaf, e).flatMap { stem =>
+        val rs = eqSidecarFromDisk(fs, leaf, stem)
+        val shared = eqScopeRels(spark, leaf, rs).toSet.intersect(scopeSet).toSeq.sorted
+        if (shared.isEmpty) None
+        else Some(
+          semiJoinKeysGuarded(readWithPos(spark, leaf, shared.map(r => s"$leaf/$r")), readEqKeys(spark, leaf, rs))
+            .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos)))
+      }
+      val excl = (eqPrior(spark, leaf, e).toSeq ++ refExcl).reduceOption(_.unionByName(_))
+      excl.map(antiJoinPositionsKeep(mine, _)).getOrElse(mine)
+        .drop("_mor_rel", "_mor_pos")
+        .withColumn("_delete_file", lit(s"$leaf/${e.dirStem}"))
+    }
+    (posPart.toSeq ++ eqParts).reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The distinct data files (absolute) the given delete sidecars
-    * target — a driver-side read of the position files' `_del_file`
-    * column, bounded by sidecar size (churn), never by the leaf.
+    * target — position files' `_del_file` column plus equality
+    * sidecars' recorded scope; a driver-side read bounded by sidecar
+    * size (churn), never by the leaf.
     */
   private[compact] def deleteTargets(spark: SparkSession, leaf: String, deleteFiles: Seq[String]): Seq[String] =
     if (deleteFiles.isEmpty) Seq.empty
-    else spark.read.parquet(deleteFiles: _*)
-      .select(DelFile).distinct().collect()
-      .map(r => s"$leaf/${r.getString(0)}").toSeq.sorted
+    else {
+      val (posRels, eqs) = splitSidecarRels(deleteFiles.map(relativeTo(leaf, _)))
+      val posTargets =
+        if (posRels.isEmpty) Seq.empty
+        else spark.read.parquet(posRels.map(r => s"$leaf/$r"): _*)
+          .select(DelFile).distinct().collect()
+          .map(r => s"$leaf/${r.getString(0)}").toSeq
+      val eqTargets = eqs.flatMap(e => eqScopeRels(spark, leaf, e).map(r => s"$leaf/$r"))
+      (posTargets ++ eqTargets).distinct.sorted
+    }
 
   /** [[liveFiles]] as of commit `asOfSeq` (inclusive): only manifests
     * with `seq <= asOfSeq` participate, so the result is the live set
@@ -1511,7 +1995,8 @@ object ManifestCommit {
     if (fs.exists(leafPath)) {
       fs.listStatus(leafPath)
         .filter(e => e.isDirectory &&
-          (e.getPath.getName.startsWith(".data-") || e.getPath.getName.startsWith(".delete-")))
+          (e.getPath.getName.startsWith(".data-") || e.getPath.getName.startsWith(".delete-") ||
+            e.getPath.getName.startsWith(".eqdel-")))
         .foreach { d =>
           // "empty" = no parquet left; write markers (_SUCCESS, checksum
           // files) are debris once every data file has been expired
@@ -1675,7 +2160,9 @@ object ManifestCommit {
       .toSet
     val orphans = entries.filter { e =>
       val n = e.getPath.getName
-      e.isDirectory && (n.startsWith(".data-") || n.startsWith(".delete-")) && !referenced.contains(n)
+      e.isDirectory &&
+        (n.startsWith(".data-") || n.startsWith(".delete-") || n.startsWith(".eqdel-")) &&
+        !referenced.contains(n)
     }
     // stats/bloom sidecars from runs that died pre-commit: same debris class
     val manifestRunIds = runIdsOf(entries)
@@ -1699,8 +2186,15 @@ object ManifestCommit {
         try fs.delete(e.getPath, false)
         catch { case _: Throwable => () }
       }
+    // an .eqdel- dir's owning run is the hex id before any residual
+    // marker ('r<i>') or role suffix — it must map to the COMMIT's
+    // runId so a freshly-published manifest rescues its own stages
+    def ownerRunId(dirName: String): String =
+      if (dirName.startsWith(".eqdel-"))
+        dirName.stripPrefix(".eqdel-").takeWhile(ch => ch.isDigit || (ch >= 'a' && ch <= 'f'))
+      else dirName.stripPrefix(".data-").stripPrefix(".delete-")
     orphans
-      .filter(o => stillOrphan(o.getPath.getName.stripPrefix(".data-").stripPrefix(".delete-")))
+      .filter(o => stillOrphan(ownerRunId(o.getPath.getName)))
       .count(o => fs.delete(o.getPath, true))
   }
 

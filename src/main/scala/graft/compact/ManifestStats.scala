@@ -287,9 +287,14 @@ object ManifestStats {
   private def deletedPerFile(spark: SparkSession, leaf: String): Map[String, Long] = {
     val dels = ManifestCommit.liveDeletes(spark, leaf)
     if (dels.isEmpty) Map.empty
-    else spark.read.parquet(dels: _*)
-      .groupBy(ManifestCommit.DelFile).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    else
+      // equality sidecars resolve by scanning their scope files' key
+      // columns (the deferred cost of the zero-read commit) — a
+      // position-only backlog stays metadata-scale; the distinct inside
+      // the resolver keeps a row killed by both kinds subtracting once
+      ManifestCommit.resolveDeletePositions(spark, leaf, dels)
+        .groupBy(ManifestCommit.DelFile).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   // ---- bloom sidecars: point-lookup skipping ---------------------------
@@ -675,5 +680,95 @@ object ManifestStats {
       }
     if (ranges.isEmpty && safePoints.isEmpty) live
     else keptFor(spark, leaf, live, ranges, safePoints)
+  }
+
+  /** Source key sets above this size skip the key-set prune: hashing
+    * cost grows with |keys| × |files|, and a source that large touches
+    * most of the leaf anyway (the numeric min/max interval prune still
+    * applies). Driver-bounded by construction — the caller collects at
+    * most this many distinct key tuples.
+    */
+  private[compact] val KeySetPruneCap = 100000L
+
+  /** The live files that can possibly hold a row whose key tuple is in
+    * the given per-column value sets — the MERGE / keyed-DELETE
+    * classification prune (the Iceberg-v2 "which data files can this
+    * equality delete hit" question). Per column a file is DROPPED only
+    * when the sidecars rule out EVERY source value: numeric columns
+    * check each value against the stats interval (sorted + binary
+    * search — O(log n) per file), string columns probe the bloom with
+    * each value's xxhash64 (hashes computed once, first hit keeps).
+    * Superset-keeping per column — a file holding a matching tuple
+    * holds each member value — so the conjunction over columns is too,
+    * and a column with no sidecar entry (or a non-prunable type) keeps
+    * everything. The string probe is schema-guarded like
+    * [[readLeafFiltered]]: a String value only probes when the leaf
+    * column IS a string (one footer read), since a type-coerced match
+    * would hash differently and wrongly prune.
+    */
+  private[compact] def pruneByKeySet(
+      spark: SparkSession,
+      leaf: String,
+      live: Seq[String],
+      keyVals: Map[String, Seq[Any]],
+  ): Seq[String] = {
+    if (live.isEmpty || keyVals.isEmpty) return live
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val numeric: Map[String, Array[Double]] = keyVals.collect {
+      case (c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+        c -> vs.map(_.asInstanceOf[Number].doubleValue).toArray.sorted
+    }
+    val stringCols = keyVals.collect {
+      case (c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) => c
+    }.toSeq
+    val safeStringCols =
+      if (stringCols.isEmpty) Set.empty[String]
+      else {
+        // one footer open for the type guard — the ONLY file touch this
+        // prune ever makes. Resilient: an unreadable footer steps to the
+        // next live file, and a leaf with no readable footer just skips
+        // the string prune (prunes nothing — the safe direction).
+        val schema = live.iterator.flatMap { f =>
+          try Some(spark.read.parquet(f).schema)
+          catch { case _: Throwable => None }
+        }.nextOption()
+        schema match {
+          case None => Set.empty[String]
+          case Some(sc) =>
+            stringCols.filter { c =>
+              sc.find(_.name.equalsIgnoreCase(c))
+                .exists(_.dataType == org.apache.spark.sql.types.StringType)
+            }.toSet
+        }
+      }
+    val hashed: Map[String, Array[Long]] = keyVals.collect {
+      case (c, vs) if safeStringCols(c) => c -> vs.map(sqlXxhash64).toArray
+    }
+    if (numeric.isEmpty && hashed.isEmpty) return live
+    val stats = if (numeric.nonEmpty) read(fs, leaf) else Map.empty: Stats
+    val blooms = if (hashed.nonEmpty) readBlooms(fs, leaf) else Map.empty[String, Map[String, Array[Byte]]]
+    live.filter { abs =>
+      val rel = ManifestCommit.relativeTo(leaf, abs)
+      val numOk = numeric.forall { case (c, vals) =>
+        stats.get(rel).flatMap(_.cols.get(c)) match {
+          case Some(cs) =>
+            // first value >= lo; keep iff it exists and is <= hi
+            val i = java.util.Arrays.binarySearch(vals, cs.lo)
+            val from = if (i >= 0) i else -i - 1
+            from < vals.length && vals(from) <= cs.hi
+          case None => true // no recorded interval: cannot exclude
+        }
+      }
+      numOk && hashed.forall { case (c, hs) =>
+        blooms.get(rel).flatMap(_.get(c)) match {
+          case Some(bytes) =>
+            try {
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+              hs.exists(bf.mightContainLong)
+            } catch { case _: java.io.IOException => true } // unreadable bloom: keep
+          case None => true
+        }
+      }
+    }
   }
 }

@@ -660,8 +660,14 @@ object MaterializedAgg {
       } else if (dataIns.isEmpty && outs.isEmpty && delIns.nonEmpty && newDels.nonEmpty) {
         // sidecar-only reorganization (consolidation: N sidecars
         // re-sealed as one) — nets to ZERO when verified
-        // position-preserving, by the same drows ledger
-        rowsOfSidecars(delIns) match {
+        // position-preserving, by the same drows ledger. Equality
+        // sidecars have no drows (their matched count is unresolved by
+        // design) — such a shape replays as retract+assert, which
+        // readDeleteRows resolves exactly either way.
+        if ((delIns ++ newDels).exists(ManifestCommit.isEqDeletePath)) {
+          delGone ++= delIns; delNew ++= newDels
+          counted = counted -- delIns ++ newDels
+        } else rowsOfSidecars(delIns) match {
           case Some(consumed) =>
             if (consumed != m.drows) { delGone ++= delIns; delNew ++= newDels }
             counted = counted -- delIns ++ newDels
@@ -677,6 +683,15 @@ object MaterializedAgg {
           // ⊖ data inputs ⊕ consumed sidecars ⊖ residual sidecars
           removals ++= dataIns; delGone ++= delIns; delNew ++= newDels
           counted = counted -- dataIns -- delIns ++ newDels
+        } else if ((delIns ++ newDels).exists(ManifestCommit.isEqDeletePath)) {
+          // a rewrite folding (or re-sealing) an equality sidecar can
+          // never verify row-preserving through the drows ledger — its
+          // kill count was deliberately left unresolved at commit. It
+          // replays exactly as row-changing: ⊕outputs ⊖inputs
+          // ⊕consumed-sidecar rows ⊖residual-sidecar rows.
+          appends ++= outs; removals ++= dataIns
+          delGone ++= delIns; delNew ++= newDels
+          counted = counted -- dataIns -- delIns ++ outs ++ newDels
         } else {
           (rowsOfInputs(dataIns), rowsOfSidecars(delIns)) match {
             case (Some(inRows), Some(consumedRows)) =>

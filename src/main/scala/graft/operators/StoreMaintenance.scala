@@ -218,7 +218,12 @@ object StoreMaintenance {
       cfg: graft.compact.CompactorConfig,
       maxSidecars: Int = 4,
   ): Report = {
-    val n = graft.compact.ManifestCommit.liveDeletes(spark, leaf).size
+    // position sidecars only: equality sidecars (`.eqdel-*`) pair keys
+    // with their own scope and are consolidated by compaction folds,
+    // not by this dial — counting them here would make the dial "act"
+    // forever on a backlog consolidateDeletes deliberately skips
+    val n = graft.compact.ManifestCommit.liveDeletes(spark, leaf)
+      .count(p => p.contains("/.delete-"))
     val compacted =
       if (n > maxSidecars)
         graft.compact.ManifestCommit.consolidateDeletes(spark, leaf, cfg).exists(_.success)

@@ -207,6 +207,66 @@ object EtlQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- keyed DELETE via EQUALITY sidecars, oracled end to end: the
+    // string-doc_uid retention shape. The commit writes ONLY key tuples
+    // + a bloom-resolved scope (zero data reads — the position path
+    // still scans candidates to resolve ordinals); reads anti-join
+    // scope-file rows on the keys; a range-targeted compaction then
+    // folds the sidecar for the lower half of the id space (in-plan
+    // kills resolve to positions and drop from the rewrite) and
+    // re-seals the surviving scope as a residual equality sidecar. The
+    // DuckDB hash certifies key-set semantics, the scope-bounded
+    // anti-join, the fold/reseal handoff, and the manifest-resolved
+    // read — through BOTH representations at once.
+    Q(
+      "delete_keys_mor",
+      """SELECT doc_id, concat('doc-', CAST(doc_id AS VARCHAR)) AS doc_uid, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import graft.compact.{CommitMode, CompactorConfig, ManifestCommit, WapCommit}
+      val path = StoreCache.resolve(d, "delete-keys-mor", table = "documents") { p =>
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+        fs.delete(stage, true)
+        val leaf = s"$stage/leaf"
+        // stats on the numeric id (range fold target), blooms on the
+        // string key: the commit's scope prunes to possible-hit files
+        val cfg = CompactorConfig(
+          commitMode = CommitMode.Manifest, retainSuperseded = true,
+          statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_uid"),
+        )
+        val docs = Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            concat(lit("doc-"), col("doc_id").cast("string")).as("doc_uid"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        WapCommit.writeAuditPublish(
+          s, leaf, docs, Seq(WapCommit.AuditCheck.notNull("doc_uid")), cfg)
+        val keys = Tables.documents(s, d)
+          .where(col("doc_id") % 7 === 0)
+          .select(concat(lit("doc-"), col("doc_id").cast("string")).as("doc_uid"))
+        val r = ManifestCommit.deleteKeysMoR(s, leaf, keys, cfg)
+          .getOrElse(throw new IllegalStateException("delete_keys_mor: no possible match"))
+        if (!r.success) throw new IllegalStateException(s"equality delete failed: ${r.error}")
+        val mid = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) / 2
+        ManifestCommit.compactWhere(s, leaf, "doc_id", 0.0, mid.toDouble, cfg)
+          .foreach(cr => if (!cr.success) throw new IllegalStateException(s"fold failed: ${cr.error}"))
+        val resid = ManifestCommit.liveDeletes(s, leaf)
+        if (!resid.exists(_.contains("/.eqdel-")))
+          throw new IllegalStateException(
+            s"delete_keys_mor: expected a residual equality sidecar to survive the partial fold, got $resid")
+        fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
+        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+          throw new java.io.IOException(s"delete-keys-mor store publish rename failed: $stage -> $p")
+      }
+      graft.compact.ManifestCommit.readLeaf(s, s"$path/leaf")
+        .select("doc_id", "doc_uid", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // ----- data-quality expectations audit (the dbt-test / Deequ
     // shape): a battery of declared table checks, each one scalar
     // violation count, unioned into one report — the gate a pipeline

@@ -66,6 +66,54 @@ class MergeCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     rows.toDF("id", "v")
   }
 
+  test("string-keyed merge classifies through the bloom sidecars: non-hit files are NEVER OPENED (they are corrupted)") {
+    val s = spark
+    import s.implicits._
+    val leaf = new File(root, "bloomkey"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val bcfg = cfg.copy(bloomColumns = Seq("doc"))
+    def ingest(ids: Seq[Long]): Unit = {
+      val df = ids.map(i => (s"d$i", s"old$i")).toDF("doc", "v").coalesce(1)
+      WapCommit.writeAuditPublish(spark, leafPath, df, Seq(WapCommit.AuditCheck.notNull("doc")), bcfg)
+      ()
+    }
+    ingest(1L to 100L)
+    ingest(101L to 200L)
+    ingest(201L to 300L)
+    val live = ManifestCommit.liveFiles(spark, leafPath)
+    live.size shouldBe 3
+
+    // the source hits ONLY the middle commit's key range; the other two
+    // files are garbage on disk while the merge runs — a classification
+    // that opened them would die, a bloom-pruned one never looks
+    val hitFile = live.find { p =>
+      try spark.read.parquet(p).where(col("doc") === "d150").count() > 0
+      catch { case _: Throwable => false }
+    }.get
+    val others = live.filterNot(_ == hitFile)
+    def clobber(p: String): Array[Byte] = {
+      val orig = Files.readAllBytes(new File(p).toPath)
+      val bad = orig.clone()
+      (math.max(0, bad.length - 16) until bad.length).foreach(i => bad(i) = 0x5a)
+      (0 until math.min(64, bad.length)).foreach(i => bad(i) = 0x5a)
+      Files.write(new File(p).toPath, bad)
+      orig
+    }
+    val saved = others.map(p => p -> clobber(p))
+    val src = Seq(("d150", "new150"), ("d2000", "ins")).toDF("doc", "v")
+    val r = ManifestCommit.merge(spark, leafPath, src, Seq("doc"), bcfg)
+    saved.foreach { case (p, b) => Files.write(new File(p).toPath, b); () }
+    withClue(r) { r.get.success shouldBe true }
+
+    // only the hit file was superseded; reads reflect the upsert
+    val liveAfter = ManifestCommit.liveFiles(spark, leafPath).toSet
+    (live.toSet -- liveAfter) shouldBe Set(hitFile)
+    val got = ManifestCommit.readLeaf(spark, leafPath)
+      .where(col("doc").isin("d150", "d2000", "d50", "d250"))
+      .select("doc", "v").collect().map(r2 => (r2.getString(0), r2.getString(1))).toSet
+    got shouldBe Set(("d150", "new150"), ("d2000", "ins"), ("d50", "old50"), ("d250", "old250"))
+  }
+
   test("upsert: matched editions replaced, unmatched inserted, untouched files not rewritten") {
     val leaf = new File(root, "basic"); leaf.mkdirs()
     val leafPath = leaf.getAbsolutePath
