@@ -1,0 +1,183 @@
+package graft.compact
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-leaf ATOMIC publish — the catalog-root pointer over per-leaf
+  * head seqs (the [[VersionedPointer]] discipline one level up, with
+  * content: Iceberg's catalog / Delta's `_last_checkpoint` shape,
+  * dependency-free).
+  *
+  * Every [[ManifestCommit]] commit is single-leaf atomic; a dataset
+  * spanning leaves (a data leaf + its quarantine leaf, partitioned
+  * leaves, a table + its downstream rollup) has no cross-leaf publish —
+  * a reader can observe leaf A's new commit beside leaf B's old one.
+  * This module adds the missing boundary: a SNAPSHOT file
+  * `_cat-<seq>.json` at a catalog root pins each member leaf to a head
+  * seq, and catalog readers resolve every leaf THROUGH the pin
+  * ([[ManifestCommit.readLeafAt]]) — all-or-nothing across leaves.
+  *
+  * Protocol (one object create IS the commit point):
+  *   1. run the per-leaf commits as usual (WAP appends, merges,
+  *      deletes, compactions) — each atomic on its own leaf, but
+  *      invisible to CATALOG readers, who are still pinned;
+  *   2. capture each touched leaf's new head seq;
+  *   3. [[publish]] — ONE create-only PUT of the next `_cat-<seq>.json`
+  *      carrying the updated pins merged over the carried-forward rest.
+  *
+  * Crash matrix:
+  *   - death between leaf commits and publish: catalog readers see
+  *     old-EVERYTHING (the sealed leaf commits are future state only
+  *     direct leaf readers observe); re-running the publish heals;
+  *   - torn snapshot upload: fails the seal-mark check, ignored —
+  *     readers resolve the previous snapshot;
+  *   - two writers racing seq S+1: same object name, create-only —
+  *     the loser gets [[ConcurrentCommitException]] and rolls back.
+  *
+  * Retention: a pinned read is [[ManifestCommit.readLeafAt]], so leaf
+  * lifecycle must keep superseded files for as long as a catalog
+  * snapshot pins a pre-rewrite seq — run member leaves with
+  * `retainSuperseded` and expire ONLY past [[oldestPin]] (the same
+  * contract the ChangeFeed retraction reader documents).
+  */
+object CatalogCommit {
+
+  private val sealMark = "\"sealed\":true}"
+  private val nameRe = "_cat-(\\d+)\\.json".r
+
+  /** One sealed catalog snapshot: `leaves` maps member leaf paths
+    * (RELATIVE to the catalog root, so catalogs stay movable) to the
+    * head seq the snapshot pins them at.
+    */
+  final case class Snapshot(seq: Long, leaves: Map[String, Long])
+
+  private def snapName(seq: Long) = f"_cat-$seq%09d.json"
+  private[compact] def seqOf(name: String): Option[Long] = name match {
+    case nameRe(d) => Some(d.toLong)
+    case _         => None
+  }
+
+  private def fsFor(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def parse(fs: FileSystem, p: Path): Option[Snapshot] = {
+    val text =
+      try {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: Throwable => return None }
+    if (!text.endsWith(sealMark)) return None
+    val seq = """"seq":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(return None)
+    val leaves = """\{"p":"([^"]+)","s":(\d+)\}""".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    Some(Snapshot(seq, leaves))
+  }
+
+  /** The newest sealed snapshot (None: never published). Torn or
+    * garbled snapshot files step down to the previous sealed one.
+    */
+  def current(spark: SparkSession, root: String): Option[Snapshot] = {
+    val fs = fsFor(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return None
+    fs.listStatus(rootPath)
+      .filter(e => e.isFile && seqOf(e.getPath.getName).isDefined)
+      .sortBy(e => seqOf(e.getPath.getName).get)(Ordering[Long].reverse)
+      .iterator.flatMap(e => parse(fs, e.getPath)).nextOption()
+  }
+
+  /** A specific sealed snapshot — catalog time travel. */
+  def snapshotAt(spark: SparkSession, root: String, seq: Long): Option[Snapshot] = {
+    val fs = fsFor(spark, root)
+    val p = new Path(s"$root/${snapName(seq)}")
+    if (fs.exists(p)) parse(fs, p) else None
+  }
+
+  /** Publish the next snapshot: `updates` (leaf rel → new head seq)
+    * merged over the current snapshot's carried-forward pins. The ONE
+    * create-only PUT is the cross-leaf commit point; a racer stamping
+    * the same seq makes the loser throw [[ConcurrentCommitException]].
+    */
+  def publish(spark: SparkSession, root: String, updates: Map[String, Long]): Snapshot = {
+    require(updates.nonEmpty, "a catalog publish must pin at least one leaf")
+    updates.keys.foreach(k =>
+      require(
+        !k.exists(c => c == '"' || c == '\\' || c == ']' || c == ','),
+        s"unencodable leaf path: $k",
+      ))
+    val fs = fsFor(spark, root)
+    fs.mkdirs(new Path(root))
+    val cur = current(spark, root)
+    val next = Snapshot(
+      cur.map(_.seq).getOrElse(0L) + 1L,
+      cur.map(_.leaves).getOrElse(Map.empty) ++ updates,
+    )
+    val body = next.leaves.toSeq.sortBy(_._1)
+      .map { case (p, s) => s"""{"p":"$p","s":$s}""" }
+      .mkString("[", ",", "]")
+    val json = s"""{"seq":${next.seq},"leaves":$body,""" + sealMark
+    val target = new Path(s"$root/${snapName(next.seq)}")
+    val out =
+      try fs.create(target, false)
+      catch {
+        case e: java.io.IOException =>
+          // only an actual name collision is a race; transient IO stays IO
+          if (fs.exists(target)) throw new ConcurrentCommitException(root, next.seq, "unknown")
+          else throw e
+      }
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    next
+  }
+
+  /** A member leaf read THROUGH the catalog pin: old-everything or
+    * new-everything across the whole catalog, never a mix. Loud when
+    * the leaf is not a member — a silent fall-through to head would
+    * defeat the boundary.
+    */
+  def readLeaf(spark: SparkSession, root: String, leafRel: String): DataFrame =
+    readLeafAt(spark, root, leafRel, current(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no sealed catalog snapshot at $root")))
+
+  /** [[readLeaf]] against an explicit snapshot (time travel). */
+  def readLeafAt(spark: SparkSession, root: String, leafRel: String, snap: Snapshot): DataFrame = {
+    val pin = snap.leaves.getOrElse(
+      leafRel,
+      throw new IllegalArgumentException(
+        s"leaf $leafRel is not a member of catalog $root at seq ${snap.seq} " +
+          s"(members: ${snap.leaves.keys.toSeq.sorted.mkString(", ")})"),
+    )
+    ManifestCommit.readLeafAt(spark, s"$root/$leafRel", pin)
+  }
+
+  /** The oldest seq any retained snapshot pins `leafRel` at — the
+    * expire horizon: [[ManifestCommit.expireSnapshots]] below this is
+    * safe for every catalog reader; above it would break a pinned read.
+    */
+  def oldestPin(spark: SparkSession, root: String, leafRel: String): Option[Long] = {
+    val fs = fsFor(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return None
+    val pins = fs.listStatus(rootPath)
+      .filter(e => e.isFile && seqOf(e.getPath.getName).isDefined)
+      .flatMap(e => parse(fs, e.getPath))
+      .flatMap(_.leaves.get(leafRel))
+    if (pins.isEmpty) None else Some(pins.min)
+  }
+
+  /** Retire snapshot files below `keepFrom` (their pinned reads become
+    * unavailable — pair with the leaf-side expire horizon). Returns the
+    * number removed.
+    */
+  def expire(spark: SparkSession, root: String, keepFrom: Long): Int = {
+    val fs = fsFor(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return 0
+    fs.listStatus(rootPath)
+      .filter(e => e.isFile && seqOf(e.getPath.getName).exists(_ < keepFrom))
+      .count(e => try fs.delete(e.getPath, false) catch { case _: Throwable => false })
+  }
+}

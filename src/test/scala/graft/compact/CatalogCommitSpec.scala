@@ -1,0 +1,131 @@
+package graft.compact
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** `CatalogCommit` — the multi-leaf atomic publish: catalog readers see
+  * old-EVERYTHING or new-EVERYTHING across member leaves, never a mix,
+  * through every crash window of the snapshot protocol.
+  */
+class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeAndAfterAll {
+
+  private var root: File = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-catalog").toFile
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    super.afterAll()
+  }
+
+  /** A WAP-shaped append: outputs land HIDDEN under `.data-<runId>/`
+    * so the manifest log versions them (a bare-named raw arrival is
+    * visible to every as-of read by design — the documented leaf
+    * caveat — and a catalog pin could not isolate it).
+    */
+  private def appendCommit(leaf: String, name: String, runId: String, ids: Seq[Long]): Long = {
+    val s = spark
+    import s.implicits._
+    new File(leaf).mkdirs()
+    val dataDir = s"$leaf/.data-$runId"
+    ids.toDF("id").coalesce(1).write.parquet(dataDir)
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val outs = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => s".data-$runId/${f.getPath.getName}").sorted.toSeq
+    ManifestCommit.publish(fs, leaf, "app", runId, Seq.empty, outs, rows = ids.size.toLong)
+    ManifestCommit.currentSeq(spark, leaf)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("crash matrix: readers land on old-everything or new-everything, never a mix; torn snapshots and lost publishes are invisible") {
+    val cat = new File(root, "cat1").getAbsolutePath
+    val seqA1 = appendCommit(s"$cat/leafA", "a1.parquet", "ra1", 1L to 10L)
+    val seqB1 = appendCommit(s"$cat/leafB", "b1.parquet", "rb1", 100L to 110L)
+    val s1 = CatalogCommit.publish(spark, cat, Map("leafA" -> seqA1, "leafB" -> seqB1))
+    s1.seq shouldBe 1L
+    ids(CatalogCommit.readLeaf(spark, cat, "leafA")) shouldBe (1L to 10L)
+    ids(CatalogCommit.readLeaf(spark, cat, "leafB")) shouldBe (100L to 110L)
+
+    // CRASH WINDOW 1: both leaves take new commits, the catalog publish
+    // never runs — catalog readers stay pinned at OLD-everything even
+    // though direct leaf readers already see the future
+    val seqA2 = appendCommit(s"$cat/leafA", "a2.parquet", "ra2", 11L to 20L)
+    val seqB2 = appendCommit(s"$cat/leafB", "b2.parquet", "rb2", 111L to 120L)
+    ids(ManifestCommit.readLeaf(spark, s"$cat/leafA")) shouldBe (1L to 20L) // leaf-level future
+    ids(CatalogCommit.readLeaf(spark, cat, "leafA")) shouldBe (1L to 10L) // catalog still pinned
+    ids(CatalogCommit.readLeaf(spark, cat, "leafB")) shouldBe (100L to 110L)
+
+    // CRASH WINDOW 2: a torn snapshot upload (no seal mark) is ignored
+    val torn = new File(cat, "_cat-000000002.json")
+    Files.write(torn.toPath, """{"seq":2,"leaves":[{"p":"leafA","s":99}]""".getBytes)
+    CatalogCommit.current(spark, cat).get.seq shouldBe 1L
+    ids(CatalogCommit.readLeaf(spark, cat, "leafA")) shouldBe (1L to 10L)
+    torn.delete() shouldBe true
+
+    // the healing publish: ONE put flips BOTH leaves together
+    val s2 = CatalogCommit.publish(spark, cat, Map("leafA" -> seqA2, "leafB" -> seqB2))
+    s2.seq shouldBe 2L
+    ids(CatalogCommit.readLeaf(spark, cat, "leafA")) shouldBe (1L to 20L)
+    ids(CatalogCommit.readLeaf(spark, cat, "leafB")) shouldBe (100L to 120L)
+
+    // time travel: the old snapshot still reads old-everything
+    val snap1 = CatalogCommit.snapshotAt(spark, cat, 1L).get
+    ids(CatalogCommit.readLeafAt(spark, cat, "leafA", snap1)) shouldBe (1L to 10L)
+    ids(CatalogCommit.readLeafAt(spark, cat, "leafB", snap1)) shouldBe (100L to 110L)
+  }
+
+  test("partial-update publish carries the untouched member's pin forward; non-members read loudly") {
+    val cat = new File(root, "cat2").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "ca1", 1L to 5L)
+    val seqB = appendCommit(s"$cat/leafB", "b.parquet", "cb1", 6L to 9L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA, "leafB" -> seqB))
+
+    val seqA2 = appendCommit(s"$cat/leafA", "a2.parquet", "ca2", 50L to 55L)
+    val s2 = CatalogCommit.publish(spark, cat, Map("leafA" -> seqA2)) // B carried forward
+    s2.leaves("leafB") shouldBe seqB
+    ids(CatalogCommit.readLeaf(spark, cat, "leafA")) shouldBe ((1L to 5L) ++ (50L to 55L))
+    ids(CatalogCommit.readLeaf(spark, cat, "leafB")) shouldBe (6L to 9L)
+
+    val ex = intercept[IllegalArgumentException] {
+      CatalogCommit.readLeaf(spark, cat, "leafZ")
+    }
+    ex.getMessage should include("not a member")
+  }
+
+  test("concurrent publishes collide on the snapshot name: the loser throws and nothing is mixed") {
+    val cat = new File(root, "cat3").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "xa1", 1L to 3L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA))
+
+    // both writers resolved seq 1 and race to stamp 2: the winner's
+    // create has landed (upload still in flight — unsealed, so resolve
+    // ignores it), the loser computes the SAME name and must collide
+    Files.write(new File(cat, "_cat-000000002.json").toPath, """{"seq":2,""".getBytes)
+    intercept[ConcurrentCommitException] {
+      CatalogCommit.publish(spark, cat, Map("leafA" -> seqA))
+    }
+    new File(cat, "_cat-000000002.json").delete() shouldBe true
+    val winner = CatalogCommit.publish(spark, cat, Map("leafA" -> seqA))
+    winner.seq shouldBe 2L
+
+    // retention surfaces: oldestPin tracks the expire horizon; expire
+    // retires old snapshots and the pinned floor moves up
+    CatalogCommit.oldestPin(spark, cat, "leafA") shouldBe Some(seqA)
+    CatalogCommit.expire(spark, cat, keepFrom = 2L) shouldBe 1
+    CatalogCommit.current(spark, cat).get.seq shouldBe 2L
+    CatalogCommit.snapshotAt(spark, cat, 1L) shouldBe None
+  }
+}
