@@ -111,26 +111,48 @@ object CatalogCommit {
     val fs = fsFor(spark, root)
     fs.mkdirs(new Path(root))
     val cur = current(spark, root)
-    val next = Snapshot(
-      cur.map(_.seq).getOrElse(0L) + 1L,
-      cur.map(_.leaves).getOrElse(Map.empty) ++ updates,
-    )
-    val body = next.leaves.toSeq.sortBy(_._1)
-      .map { case (p, s) => s"""{"p":"$p","s":$s}""" }
-      .mkString("[", ",", "]")
-    val json = s"""{"seq":${next.seq},"leaves":$body,""" + sealMark
-    val target = new Path(s"$root/${snapName(next.seq)}")
-    val out =
-      try fs.create(target, false)
-      catch {
-        case e: java.io.IOException =>
-          // only an actual name collision is a race; transient IO stays IO
-          if (fs.exists(target)) throw new ConcurrentCommitException(root, next.seq, "unknown")
-          else throw e
+    val base = cur.map(_.leaves).getOrElse(Map.empty) ++ updates
+    // A SEALED collision is a live racer → abort (the loser must
+    // re-resolve and re-decide). An UNSEALED collision is debris from a
+    // writer that died mid-upload: its seq is burned — skip past it
+    // (readers already ignore it) rather than wedging every future
+    // publish on the same name forever. Object-store PUTs are atomic,
+    // so torn-visible files only arise on filesystems with non-atomic
+    // create+write; a writer slow enough to seal AFTER a skip-ahead
+    // loses its update — the same single-writer-per-catalog assumption
+    // the leaf head documents as best-effort.
+    var seq = cur.map(_.seq).getOrElse(0L) + 1L
+    var attempts = 0
+    while (true) {
+      val next = Snapshot(seq, base)
+      val body = next.leaves.toSeq.sortBy(_._1)
+        .map { case (p, s) => s"""{"p":"$p","s":$s}""" }
+        .mkString("[", ",", "]")
+      val json = s"""{"seq":${next.seq},"leaves":$body,""" + sealMark
+      val target = new Path(s"$root/${snapName(next.seq)}")
+      val created =
+        try Some(fs.create(target, false))
+        catch {
+          case e: java.io.IOException =>
+            if (!fs.exists(target)) throw e // transient IO stays IO
+            if (parse(fs, target).isDefined)
+              throw new ConcurrentCommitException(root, next.seq, "unknown")
+            attempts += 1
+            if (attempts > 64)
+              throw new java.io.IOException(
+                s"catalog $root: $attempts torn snapshot files in a row starting at " +
+                  s"${snapName(seq - attempts + 1)} — reclaim the debris manually")
+            None // torn debris: burn the seq
+        }
+      created match {
+        case Some(out) =>
+          try out.write(json.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          return next
+        case None => seq += 1
       }
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    next
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** A member leaf read THROUGH the catalog pin: old-everything or

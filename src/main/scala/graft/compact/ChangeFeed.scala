@@ -118,13 +118,12 @@ object ChangeFeed {
           // (same poll, same throw) — degrade to the file-level diff,
           // which only names live files on the ⊕ side. The same guard
           // MaterializedAgg.refreshAll applies to its own walk.
-          // Sidecar terms additionally need their TARGET files on disk
-          // (the rows resolve through a position join).
+          // Sidecar terms additionally need their TARGET files (and any
+          // referenced equality-exclusion sidecars) on disk — the rows
+          // resolve through position/key joins.
           .filter { w =>
             w.files.forall(p => fs.exists(new Path(p))) &&
-              Seq(w.deleted, w.restored).forall(dfl =>
-                dfl.isEmpty ||
-                  ManifestCommit.deleteTargets(spark, leaf, dfl).forall(p => fs.exists(new Path(p))))
+              Seq(w.deleted, w.restored).forall(ManifestCommit.deleteRowsReadable(spark, leaf, _))
           }
     val nextCur = Cursor(toSeq, liveSet)
     walked match {

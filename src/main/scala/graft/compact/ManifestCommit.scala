@@ -141,30 +141,31 @@ object ManifestCommit {
       }
     // ---- equality sidecars ----
     val eqWithScope = eqs.map(e => e -> eqScopeRels(spark, leaf, e))
-    val eqTouched = eqWithScope.filter { case (_, scope) => scope.exists(planRel) }
+    // (sidecar, scope, keys) resolved ONCE per touched sidecar — the
+    // applied set and the reseal share the same keys frame
+    val eqTouched = eqWithScope.collect {
+      case (e, scope) if scope.exists(planRel) => (e, scope, readEqKeys(spark, leaf, e))
+    }
     val eqApplied: Option[DataFrame] =
       if (eqTouched.isEmpty) None
       else {
-        val parts = eqTouched.flatMap { case (e, scope) =>
+        val parts = eqTouched.flatMap { case (_, scope, keys) =>
           val inPlan = scope.filter(planRel).sorted
           if (inPlan.isEmpty) None
-          else {
-            val keys = readEqKeys(spark, leaf, e)
-            Some(
-              semiJoinKeysGuarded(readWithPos(spark, leaf, inPlan.map(r => s"$leaf/$r")), keys)
-                .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos)))
-          }
+          else Some(
+            semiJoinKeysGuarded(readWithPos(spark, leaf, inPlan.map(r => s"$leaf/$r")), keys)
+              .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos)))
         }
         parts.reduceOption(_.unionByName(_))
       }
-    val eqResiduals = eqTouched.flatMap { case (e, scope) =>
+    val eqResiduals = eqTouched.flatMap { case (e, scope, keys) =>
       val survive = scope.filterNot(planRel).sorted
       if (survive.isEmpty) None
       else {
         import spark.implicits._
         val surviveDf = broadcast(survive.toDF(DelFile))
         val prior = eqPrior(spark, leaf, e).map(_.join(surviveDf, Seq(DelFile), "left_semi"))
-        Some(EqReseal(readEqKeys(spark, leaf, e), survive, prior, eqRefs(spark, leaf, e)))
+        Some(EqReseal(keys, survive, prior, eqRefs(spark, leaf, e)))
       }
     }
     if (posTouching.isEmpty && eqTouched.isEmpty) return NoFold
@@ -341,9 +342,19 @@ object ManifestCommit {
       // ([[readLeafAt]] needs them to reconstruct earlier snapshots).
       val undeleted =
         if (cfg.retainSuperseded) Seq.empty
-        else (files ++ fold.touchingRel.map(r => s"${plan.leaf}/$r")).filterNot { p =>
-          try fs.delete(new Path(p), false)
-          catch { case _: Throwable => false }
+        else {
+          // consumed eq-sidecar files a LIVE sidecar still excludes
+          // through must survive (retention dependency, like position
+          // targets) — retained on purpose, not reported as failures
+          val refStems =
+            if (fold.touchingRel.exists(isEqDeleteRel)) liveEqRefStems(spark, plan.leaf)
+            else Set.empty[String]
+          (files ++ fold.touchingRel.map(r => s"${plan.leaf}/$r"))
+            .filterNot(p => underEqStems(refStems, relativeTo(plan.leaf, p)))
+            .filterNot { p =>
+              try fs.delete(new Path(p), false)
+              catch { case _: Throwable => false }
+            }
         }
       LeafResult(
         plan.leaf, plan.stem, success = true, rowsStaged, outFiles.size,
@@ -534,9 +545,166 @@ object ManifestCommit {
       )
       val undeleted =
         if (cfg.retainSuperseded) Seq.empty
-        else (inputs ++ fold.touchingRel.map(r => s"$leaf/$r")).filterNot { p =>
-          try fs.delete(new Path(p), false)
+        else {
+          val refStems =
+            if (fold.touchingRel.exists(isEqDeleteRel)) liveEqRefStems(spark, leaf)
+            else Set.empty[String]
+          (inputs ++ fold.touchingRel.map(r => s"$leaf/$r"))
+            .filterNot(p => underEqStems(refStems, relativeTo(leaf, p)))
+            .filterNot { p =>
+              try fs.delete(new Path(p), false)
+              catch { case _: Throwable => false }
+            }
+        }
+      Some(LeafResult(
+        leaf, stem, success = true, rowsStaged, outFiles.size,
+        if (undeleted.isEmpty) None
+        else Some(s"committed; ${undeleted.size} superseded original(s) left as debris"),
+      ))
+    } catch {
+      case e: Throwable =>
+        val fsR = try Some(FileIndexer.fsFor(spark, leaf)) catch { case _: Throwable => None }
+        val manifestGone = fsR.exists { f =>
+          val mp = new Path(s"$leaf/_manifest-$stem-$runId.json")
+          try { f.delete(mp, false); !f.exists(mp) }
           catch { case _: Throwable => false }
+        }
+        if (manifestGone) {
+          try fsR.foreach(_.delete(new Path(dataDir), true))
+          catch { case _: Throwable => () }
+          fsR.foreach(cleanupRunSidecars(_, leaf, runId))
+          fsR.foreach(ManifestStats.deleteSidecars(_, leaf, runId))
+        }
+        Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
+    }
+  }
+
+  /** UPDATE ... SET ... WHERE as one manifest commit — the third DML
+    * primitive beside [[deleteWhere]] and [[merge]], copy-on-write:
+    * one classification pass (sidecar-pruned, delete-aware) finds the
+    * files CONTAINING cond=TRUE rows, only THEY are rewritten with the
+    * assignments applied to exactly those rows (SQL UPDATE semantics —
+    * a NULL-evaluating row is NOT updated), untouched files are never
+    * read twice, and one sealed manifest supersedes the hits.
+    * Assignment values are Columns (they may reference other columns)
+    * and are cast back to the column's existing type, so the commit
+    * can never drift the schema. Row-preserving by construction —
+    * validated staged == input rows before the commit point — but the
+    * manifest declares `mut`, so the commit-window walk replays it as
+    * retract+assert instead of netting the count-equal rewrite to zero
+    * (feed consumers see old editions out, new editions in). MoR
+    * delete sidecars fold through the rewrite like any compaction, and
+    * an already-retracted row neither matches nor resurrects.
+    *
+    * Returns None when no live row matches. On success `rowsWritten`
+    * is the staged row count (all survivors of the hit files, updated
+    * and not).
+    */
+  def updateWhere(
+      spark: SparkSession,
+      leaf: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      cfg: CompactorConfig,
+      stem: String = "update",
+  ): Option[LeafResult] = {
+    require(cfg.commitMode == CommitMode.Manifest, "updateWhere requires manifest mode (atomic supersede of partially-rewritten files)")
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val leafPath = new Path(leaf)
+    if (!fs.exists(leafPath)) return None
+    val st0 = resolveState(fs, leaf, fs.listStatus(leafPath))
+    val live = liveFiles(spark, leaf)
+    if (live.isEmpty) return None
+    import org.apache.spark.sql.functions.{coalesce, col => c, count => cnt, lit, when}
+    val candidates = ManifestStats.pruneByPredicate(spark, leaf, live, cond)
+    if (candidates.isEmpty) return None
+    val liveDelAbs = st0.deletes.map(r => s"$leaf/$r")
+    val awareScan = awareWithPos(spark, leaf, candidates, liveDelAbs)
+    set.keys.foreach(k => require(
+      awareScan.columns.exists(_.equalsIgnoreCase(k)),
+      s"UPDATE assignment targets unknown column '$k' (leaf columns: ${awareScan.columns.mkString(", ")})",
+    ))
+    val perFile = awareScan.where(cond)
+      .groupBy(c("_mor_rel").as("_uf"))
+      .agg(cnt(lit(1)).as("_n"))
+      .collect()
+    if (perFile.isEmpty) return None
+    val hitRelSet = perFile.map(_.getString(0)).toSet
+    val inputs = candidates.filter(p => hitRelSet.contains(relativeTo(leaf, p)))
+    val inputsDataRel = inputs.map(relativeTo(leaf, _))
+    val fold = foldForInputs(spark, leaf, inputsDataRel.toSet, st0.deletes)
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val dataDir = s"$leaf/.data-$runId"
+    try {
+      val rowsIn = Merger.footerRows(spark, inputs) - fold.appliedRows
+      val aware = fold.applied match {
+        case None => spark.read.option("mergeSchema", "true").parquet(inputs: _*)
+        case Some(applied) => antiJoinPositions(readWithPos(spark, leaf, inputs), applied)
+      }
+      // SQL UPDATE semantics: only cond=TRUE rows change; the cast back
+      // to the column's own type keeps the leaf schema fixed
+      val safeCond = coalesce(cond, lit(false))
+      val staged = aware.select(aware.schema.fields.map { f =>
+        set.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, v)) => when(safeCond, v.cast(f.dataType)).otherwise(c(f.name)).as(f.name)
+          case None         => c(f.name)
+        }
+      }.toSeq: _*)
+      staged.write
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", cfg.maxRowsPerFile)
+        .mode("overwrite").parquet(dataDir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val stagedRows: Seq[(Path, Long)] = fs.listStatus(new Path(dataDir))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName).toSeq
+        .map { p =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try p -> r.getRecordCount finally r.close()
+        }
+      val outFiles = stagedRows.collect { case (p, n) if n > 0L => p }
+      stagedRows.collect { case (p, n) if n == 0L => p }.foreach(p => fs.delete(p, false))
+      val rowsStaged = stagedRows.map(_._2).sum
+      if (rowsStaged != rowsIn) {
+        fs.delete(new Path(dataDir), true)
+        return Some(LeafResult(
+          leaf, stem, success = false, rowsStaged, 0,
+          Some(s"validation failed: staged $rowsStaged rows != input $rowsIn (UPDATE must preserve rows)"),
+        ))
+      }
+      val outputsRel = outFiles.map(p => s".data-$runId/${p.getName}")
+      if (cfg.statsColumns.nonEmpty && outputsRel.nonEmpty) {
+        val st = ManifestStats.collect(spark, outputsRel.zip(outFiles.map(_.toString)), cfg.statsColumns)
+        if (st.nonEmpty) ManifestStats.write(fs, leaf, runId, st)
+      }
+      if (cfg.bloomColumns.nonEmpty && outputsRel.nonEmpty) {
+        val bl = ManifestStats.collectBlooms(
+          spark, outputsRel.zip(outFiles.map(_.toString)), cfg.bloomColumns,
+          expectedItems = cfg.maxRowsPerFile, numBits = cfg.bloomBitsPerItem.toLong * cfg.maxRowsPerFile,
+        )
+        if (bl.nonEmpty) ManifestStats.writeBlooms(fs, leaf, runId, bl)
+      }
+      val deletesRel = writeFoldResiduals(spark, fs, leaf, runId, fold)
+      val inputsRel = inputsDataRel ++ fold.touchingRel
+      publish(
+        fs, leaf, stem, runId, inputsRel, outputsRel, rowsStaged, cfg.commitRetries,
+        deletesRel = deletesRel, drows = fold.residualRows, knownDeletes = Some(st0.deletes.toSet),
+        mutates = true,
+      )
+      val undeleted =
+        if (cfg.retainSuperseded) Seq.empty
+        else {
+          val refStems =
+            if (fold.touchingRel.exists(isEqDeleteRel)) liveEqRefStems(spark, leaf)
+            else Set.empty[String]
+          (inputs ++ fold.touchingRel.map(r => s"$leaf/$r"))
+            .filterNot(p => underEqStems(refStems, relativeTo(leaf, p)))
+            .filterNot { p =>
+              try fs.delete(new Path(p), false)
+              catch { case _: Throwable => false }
+            }
         }
       Some(LeafResult(
         leaf, stem, success = true, rowsStaged, outFiles.size,
@@ -1016,12 +1184,26 @@ object ManifestCommit {
           rows = rowsStaged, retries = cfg.commitRetries,
           deletesRel = deletesRel, drows = fold.residualRows,
           knownDeletes = Some(st0.deletes.toSet),
+          // a merge that REPLACED editions changed values without
+          // changing counts — a pure update (matched == srcRows) is
+          // count-preserving, and without this flag the walk's
+          // "count equality ⇒ row preservation" verification would net
+          // it to ZERO and every feed consumer would keep the stale
+          // editions (caught by MergeCommitSpec's pure-update case)
+          mutates = matched > 0,
         )
         val undeleted =
           if (cfg.retainSuperseded) Seq.empty
-          else (hit ++ fold.touchingRel.map(r => s"$leaf/$r")).filterNot { p =>
-            try fs.delete(new Path(p), false)
-            catch { case _: Throwable => false }
+          else {
+            val refStems =
+              if (fold.touchingRel.exists(isEqDeleteRel)) liveEqRefStems(spark, leaf)
+              else Set.empty[String]
+            (hit ++ fold.touchingRel.map(r => s"$leaf/$r"))
+              .filterNot(p => underEqStems(refStems, relativeTo(leaf, p)))
+              .filterNot { p =>
+                try fs.delete(new Path(p), false)
+                catch { case _: Throwable => false }
+              }
           }
         Some(LeafResult(
           leaf, stem, success = true, rowsStaged, outFiles.size,
@@ -1080,6 +1262,7 @@ object ManifestCommit {
       drows: Long = 0L,
       knownDeletes: Option[Set[String]] = None,
       requiresLive: Set[String] = Set.empty,
+      mutates: Boolean = false,
   ): Unit = {
     val leafPath = new Path(leaf)
     val manifestName = s"_manifest-$stem-$runId.json"
@@ -1139,6 +1322,7 @@ object ManifestCommit {
       val seq = st.seq + 1L
       val json =
         s"""{"runId":"$runId","stem":"$stem","rows":$rows,"seq":$seq,"drows":$drows,""" +
+          (if (mutates) """"mut":1,""" else "") +
           s""""inputs":${jsonArray(inputsRel)},"outputs":${jsonArray(outputsRel)},""" +
           s""""deletes":${jsonArray(deletesRel)},""" +
           sealMark
@@ -1363,6 +1547,7 @@ object ManifestCommit {
       rows: Long = 0L,
       deletes: Seq[String] = Seq.empty,
       drows: Long = 0L,
+      mut: Boolean = false,
   )
 
   /** Read + parse one manifest; None if torn/garbled (a partial upload
@@ -1381,6 +1566,7 @@ object ManifestCommit {
       yield Manifest(
         ins, outs, parseNum(text, "seq"), parseStr(text, "runId"), parseStr(text, "stem"),
         parseNum(text, "rows"), parseArr(text, "deletes").getOrElse(Seq.empty), parseNum(text, "drows"),
+        parseNum(text, "mut") == 1L,
       )
   }
 
@@ -1489,7 +1675,7 @@ object ManifestCommit {
   private[compact] def isDeletePath(p: String): Boolean =
     p.contains("/.delete-") || p.contains("/.eqdel-")
   private[compact] def isPosDeleteRel(rel: String): Boolean = rel.startsWith(".delete-")
-  private[compact] def isPosDeletePath(p: String): Boolean = p.contains("/.delete-")
+  def isPosDeletePath(p: String): Boolean = p.contains("/.delete-")
 
   // ---- equality-delete sidecars (the Iceberg-v2 equality-delete shape) --
 
@@ -1640,7 +1826,11 @@ object ManifestCommit {
   private def withKeyCols(df: DataFrame, keys: DataFrame): (DataFrame, Seq[String]) = {
     import org.apache.spark.sql.functions.lit
     val keyCols = keys.columns.toSeq
-    val missing = keyCols.filterNot(df.columns.contains)
+    // presence must use the session's (case-insensitive) resolution —
+    // a case-sensitive check would mark a case-variant column missing
+    // and withColumn (case-INSENSITIVE) would clobber it with NULLs,
+    // silently resurrecting every deleted row (review-round-16 catch)
+    val missing = keyCols.filterNot(k => df.columns.exists(_.equalsIgnoreCase(k)))
     val padded = missing.foldLeft(df)((d, k) => d.withColumn(k, lit(null).cast(keys.schema(k).dataType)))
     (padded, missing)
   }
@@ -1780,6 +1970,48 @@ object ManifestCommit {
     st.deletes.filterNot(st.superseded).distinct.sorted.map(rel => s"$leaf/$rel")
   }
 
+  /** The equality-sidecar dir stems REFERENCED by the leaf's live
+    * equality sidecars (their `refs` exclusion sets). These are a
+    * RETENTION DEPENDENCY exactly like position targets: the
+    * referenced sidecar may itself be consumed by a fold, but its
+    * keys/scope files must survive on disk while any live sidecar
+    * excludes through them — the post-publish GC, [[expireSnapshots]],
+    * and (via the manifest `inputs` reference) [[gcOrphans]] all
+    * exempt them. Metadata-scale: one small read per live eq sidecar.
+    */
+  private[compact] def liveEqRefStems(spark: SparkSession, leaf: String): Set[String] = {
+    val (_, eqs) = splitSidecarRels(liveDeletes(spark, leaf).map(relativeTo(leaf, _)))
+    eqs.flatMap(e => eqRefs(spark, leaf, e)).toSet
+  }
+
+  /** Is `rel` a member file of one of the given equality-sidecar dir
+    * stems? (`.eqdel-<stem>` covers its `-keys/-scope/-prior/-refs`
+    * dirs.)
+    */
+  private[compact] def underEqStems(stems: Set[String], rel: String): Boolean =
+    stems.exists(s => rel.startsWith(s + "-"))
+
+  /** Can [[readDeleteRows]] over these sidecars succeed right now? —
+    * every position target / scope file on disk AND every referenced
+    * exclusion sidecar still re-materializable. Incremental consumers
+    * use this to fall back (diff / rebuild) instead of throwing
+    * mid-refresh.
+    */
+  def deleteRowsReadable(spark: SparkSession, leaf: String, deleteFiles: Seq[String]): Boolean =
+    deleteFiles.isEmpty || {
+      try {
+        val fs = FileIndexer.fsFor(spark, leaf)
+        deleteFiles.forall(p => fs.exists(new Path(p))) &&
+          deleteTargets(spark, leaf, deleteFiles).forall(p => fs.exists(new Path(p))) && {
+            val (_, eqs) = splitSidecarRels(deleteFiles.map(relativeTo(leaf, _)))
+            eqs.forall(e => eqRefs(spark, leaf, e).forall { stem =>
+              try { eqSidecarFromDisk(fs, leaf, stem); true }
+              catch { case _: java.io.IOException => false }
+            })
+          }
+      } catch { case _: Throwable => false }
+    }
+
   /** [[liveDeletes]] as of commit `asOfSeq` — the delete half of the
     * snapshot ([[liveFilesAt]]'s companion, same retention caveats).
     */
@@ -1814,21 +2046,30 @@ object ManifestCommit {
     import org.apache.spark.sql.functions.{col, lit}
     require(deleteFiles.nonEmpty, "no delete sidecars to read")
     val fs = FileIndexer.fsFor(spark, leaf)
-    val targets = deleteTargets(spark, leaf, deleteFiles)
+    // one split, one position-targets read, one scope read per sidecar —
+    // this is a hot incremental-consumer path (feed, SyncTick, matagg
+    // walk), so the sidecar metadata resolves exactly once
+    val (posRels, eqs) = splitSidecarRels(deleteFiles.map(relativeTo(leaf, _)))
+    val posAbs = posRels.map(r => s"$leaf/$r")
+    val posTargets =
+      if (posRels.isEmpty) Seq.empty[String]
+      else spark.read.parquet(posAbs: _*)
+        .select(DelFile).distinct().collect()
+        .map(r => s"$leaf/${r.getString(0)}").toSeq.sorted
+    val eqScopes = eqs.map(e => e -> eqScopeRels(spark, leaf, e))
+    val targets = (posTargets ++ eqScopes.flatMap(_._2.map(r => s"$leaf/$r"))).distinct
     val missing = targets.filterNot(p => fs.exists(new Path(p)))
     if (missing.nonEmpty)
       throw new java.io.IOException(
         s"delete-sidecar rows unreadable: ${missing.size} target file(s) already GC'd " +
           s"(first: ${missing.head}) — retain superseded files for the consumer's lag",
       )
-    val (posRels, eqs) = splitSidecarRels(deleteFiles.map(relativeTo(leaf, _)))
     val posPart =
       if (posRels.isEmpty) None
       else {
-        val posAbs = posRels.map(r => s"$leaf/$r")
         val pos = spark.read.parquet(posAbs: _*)
           .select(col(DelFile), col(DelPos), col("_metadata.file_path").as("_delete_file"))
-        val data = readWithPos(spark, leaf, deleteTargets(spark, leaf, posAbs))
+        val data = readWithPos(spark, leaf, posTargets)
         Some(
           data.join(pos, data("_mor_rel") === pos(DelFile) && data("_mor_pos") === pos(DelPos), "inner")
             .drop("_mor_rel", "_mor_pos", DelFile, DelPos))
@@ -1837,8 +2078,7 @@ object ManifestCommit {
     // MINUS what was already dead when it committed (recorded prior
     // positions + referenced earlier equality sidecars, re-resolved
     // here) — a feed consumer never double-retracts a row
-    val eqParts = eqs.map { e =>
-      val scope = eqScopeRels(spark, leaf, e)
+    val eqParts = eqScopes.map { case (e, scope) =>
       val scopeSet = scope.toSet
       val mine = semiJoinKeysGuarded(
         readWithPos(spark, leaf, scope.map(r => s"$leaf/$r")), readEqKeys(spark, leaf, e))
@@ -1960,8 +2200,12 @@ object ManifestCommit {
     val manifests = sealedManifestsNamed(fs, leaf)
     val stillLive = (liveFiles(spark, leaf) ++ liveDeletes(spark, leaf))
       .map(relativeTo(leaf, _)).toSet
+    // superseded eq-sidecar files a LIVE sidecar's refs exclusion still
+    // resolves through are a retention dependency — never history
+    val refStems = liveEqRefStems(spark, leaf)
     val expirable = manifests.map(_._2).filter(_.seq <= beforeSeq).flatMap(_.inputs).distinct
       .filterNot(stillLive) // a live file is never history, whatever names it
+      .filterNot(rel => underEqStems(refStems, rel))
     val removed = expirable.count { rel =>
       val p = new Path(s"$leaf/$rel")
       try fs.exists(p) && fs.delete(p, false)

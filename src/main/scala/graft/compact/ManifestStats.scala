@@ -706,7 +706,7 @@ object ManifestStats {
     * column IS a string (one footer read), since a type-coerced match
     * would hash differently and wrongly prune.
     */
-  private[compact] def pruneByKeySet(
+  def pruneByKeySet(
       spark: SparkSession,
       leaf: String,
       live: Seq[String],

@@ -437,10 +437,15 @@ object MaterializedAgg {
     if (deleteFiles.isEmpty) df
     else {
       val pfx = ManifestCommit.qualifiedPrefix(spark, leaf)
+      // kind-aware resolution: equality sidecars resolve to positions by
+      // scanning their scope files' key columns (a full build reads the
+      // leaf anyway — review-round-16 catch: the position-only form
+      // crashed on an eq-only backlog and silently KEPT eq-deleted rows
+      // on a mixed one)
       ManifestCommit.antiJoinPositions(
         df.withColumn("_mor_rel", col("_metadata.file_path").substr(lit(pfx.length + 1), lit(Int.MaxValue)))
           .withColumn("_mor_pos", col("_metadata.row_index")),
-        ManifestCommit.deletePositions(spark, deleteFiles),
+        ManifestCommit.resolveDeletePositions(spark, leaf, deleteFiles),
       )
     }
   }
@@ -565,10 +570,12 @@ object MaterializedAgg {
     *   - counted inputs, non-empty outputs → a rewrite. It nets to ZERO
     *     only if it preserved rows, which is VERIFIED, not trusted:
     *     Σ data-input rows − Σ consumed-sidecar rows + residual-sidecar
-    *     rows must equal the manifest's sealed output count (in this
-    *     format's commit vocabulary — concat merges, filter rewrites,
-    *     sidecar folds; there is no value-mutating commit — count
-    *     equality implies row preservation). Input rows resolve WITHOUT
+    *     rows must equal the manifest's sealed output count (count
+    *     equality implies row preservation ONLY because value-mutating
+    *     commits declare themselves: a manifest with `mut` — a merge
+    *     that replaced editions, or any future UPDATE — always takes
+    *     the row-changing branch, however its counts land). Input rows
+    *     resolve WITHOUT
     *     data reads: a complete producer output (or sidecar) set uses
     *     the producer's sealed `rows`/`drows`, the rest parquet
     *     footers. Unequal → ⊕ agg(outputs) ⊖ agg(data inputs)
@@ -683,11 +690,15 @@ object MaterializedAgg {
           // ⊖ data inputs ⊕ consumed sidecars ⊖ residual sidecars
           removals ++= dataIns; delGone ++= delIns; delNew ++= newDels
           counted = counted -- dataIns -- delIns ++ newDels
-        } else if ((delIns ++ newDels).exists(ManifestCommit.isEqDeletePath)) {
-          // a rewrite folding (or re-sealing) an equality sidecar can
-          // never verify row-preserving through the drows ledger — its
-          // kill count was deliberately left unresolved at commit. It
-          // replays exactly as row-changing: ⊕outputs ⊖inputs
+        } else if (m.mut || (delIns ++ newDels).exists(ManifestCommit.isEqDeletePath)) {
+          // Two shapes can never verify row-preserving through the
+          // count ledger: a commit whose manifest declares it MUTATED
+          // values (a merge that replaced editions — a pure update is
+          // count-preserving, and netting it to zero would freeze every
+          // consumer on the stale editions), and a rewrite folding or
+          // re-sealing an equality sidecar (its kill count was
+          // deliberately left unresolved at commit). Both replay
+          // exactly as row-changing: ⊕outputs ⊖inputs
           // ⊕consumed-sidecar rows ⊖residual-sidecar rows.
           appends ++= outs; removals ++= dataIns
           delGone ++= delIns; delNew ++= newDels
@@ -827,17 +838,15 @@ object MaterializedAgg {
         if (pin && !pinned.contains(files)) { df.persist(); pinned += files; () }
         Some(df)
       }
-    // a delete term is readable iff the sidecar AND every file its
-    // positions target are still on disk (same retention contract as
-    // the whole-file ⊖ term) — targets resolve with one tiny read,
-    // memoized across specs
-    val targetsMemo = scala.collection.mutable.Map.empty[Seq[String], Seq[String]]
+    // a delete term is readable iff the sidecar, every file its
+    // positions/scope target, AND every referenced exclusion sidecar
+    // are still on disk (same retention contract as the whole-file ⊖
+    // term) — resolved with tiny reads, memoized across specs, so a
+    // GC'd term degrades to the diff/rebuild fallback instead of
+    // throwing mid-refresh
+    val readableMemo = scala.collection.mutable.Map.empty[Seq[String], Boolean]
     def delReadable(files: Seq[String]): Boolean =
-      files.isEmpty || (
-        files.forall(p => fs.exists(new Path(p))) &&
-          targetsMemo.getOrElseUpdate(files, ManifestCommit.deleteTargets(spark, leaf, files))
-            .forall(p => fs.exists(new Path(p)))
-      )
+      readableMemo.getOrElseUpdate(files, ManifestCommit.deleteRowsReadable(spark, leaf, files))
     // the commit-window walk depends only on (leaf, fromSeq) — memoized
     // so N specs built at the same seq classify the window once; the
     // manifest log backing it is fetched once per refresh pass

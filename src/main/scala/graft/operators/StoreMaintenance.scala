@@ -223,7 +223,7 @@ object StoreMaintenance {
     // not by this dial — counting them here would make the dial "act"
     // forever on a backlog consolidateDeletes deliberately skips
     val n = graft.compact.ManifestCommit.liveDeletes(spark, leaf)
-      .count(p => p.contains("/.delete-"))
+      .count(graft.compact.ManifestCommit.isPosDeletePath)
     val compacted =
       if (n > maxSidecars)
         graft.compact.ManifestCommit.consolidateDeletes(spark, leaf, cfg).exists(_.success)

@@ -105,27 +105,28 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     ex.getMessage should include("not a member")
   }
 
-  test("concurrent publishes collide on the snapshot name: the loser throws and nothing is mixed") {
+  test("torn snapshot debris never wedges the catalog: its seq is burned and publish lands past it") {
     val cat = new File(root, "cat3").getAbsolutePath
     val seqA = appendCommit(s"$cat/leafA", "a.parquet", "xa1", 1L to 3L)
     CatalogCommit.publish(spark, cat, Map("leafA" -> seqA))
 
-    // both writers resolved seq 1 and race to stamp 2: the winner's
-    // create has landed (upload still in flight — unsealed, so resolve
-    // ignores it), the loser computes the SAME name and must collide
+    // a writer died mid-upload at seq 2 (create landed, never sealed):
+    // readers ignore it, and the next publish BURNS the seq instead of
+    // colliding with the debris forever — the wedge the first cut had.
+    // (A SEALED file at the same name is a live racer and still aborts
+    // the loser loudly — that branch only opens in a true TOCTOU race.)
     Files.write(new File(cat, "_cat-000000002.json").toPath, """{"seq":2,""".getBytes)
-    intercept[ConcurrentCommitException] {
-      CatalogCommit.publish(spark, cat, Map("leafA" -> seqA))
-    }
-    new File(cat, "_cat-000000002.json").delete() shouldBe true
     val winner = CatalogCommit.publish(spark, cat, Map("leafA" -> seqA))
-    winner.seq shouldBe 2L
+    winner.seq shouldBe 3L
+    CatalogCommit.current(spark, cat).get.seq shouldBe 3L
+    ids(CatalogCommit.readLeaf(spark, cat, "leafA")) shouldBe (1L to 3L)
+    new File(cat, "_cat-000000002.json").delete() shouldBe true
 
     // retention surfaces: oldestPin tracks the expire horizon; expire
     // retires old snapshots and the pinned floor moves up
     CatalogCommit.oldestPin(spark, cat, "leafA") shouldBe Some(seqA)
     CatalogCommit.expire(spark, cat, keepFrom = 2L) shouldBe 1
-    CatalogCommit.current(spark, cat).get.seq shouldBe 2L
+    CatalogCommit.current(spark, cat).get.seq shouldBe 3L
     CatalogCommit.snapshotAt(spark, cat, 1L) shouldBe None
   }
 }

@@ -258,8 +258,8 @@ class EqDeleteSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     val aggPath = new File(root, "agg-state").getAbsolutePath
     MaterializedAgg.build(spark, leafPath, aggPath, keys = Seq("tag"), values = Seq("id"))
 
-    def check(): Unit = {
-      val got = MaterializedAgg.read(spark, aggPath)
+    def check(p: String = aggPath): Unit = {
+      val got = MaterializedAgg.read(spark, p)
         .select("tag", "cnt", "sum_id").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
       val want = ManifestCommit.readLeaf(spark, leafPath)
@@ -272,6 +272,17 @@ class EqDeleteSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       spark, leafPath, keysDf(Seq("d7", "d77", "d177")), cfg).get.success shouldBe true
     MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("tag"), Seq("id"))
     check()
+    // a FULL build while the eq sidecar is outstanding (review-round-16
+    // catch: readWithFileAware resolved sidecars position-only — an
+    // eq-only backlog crashed it and a mixed one silently KEPT the
+    // eq-deleted rows in the sealed state)
+    val aggFresh = new File(root, "agg-state-post").getAbsolutePath
+    MaterializedAgg.build(spark, leafPath, aggFresh, keys = Seq("tag"), values = Seq("id"))
+    check(aggFresh)
+    ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") === 42L, cfg).get.success shouldBe true
+    val aggMixed = new File(root, "agg-state-mixed").getAbsolutePath
+    MaterializedAgg.build(spark, leafPath, aggMixed, keys = Seq("tag"), values = Seq("id"))
+    check(aggMixed)
 
     // partial fold (reseal) then full fold — refresh stays exact
     val a = ManifestCommit.liveFiles(spark, leafPath).filter(_.endsWith("a.parquet"))
@@ -284,6 +295,44 @@ class EqDeleteSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       spark, LeafPlan(leafPath, "r", rest, rest.map(f => new File(f).length()).sum), cfg).success shouldBe true
     MaterializedAgg.refresh(spark, leafPath, aggPath, Seq("tag"), Seq("id"))
     check()
+  }
+
+  test("a fold's reseal keeps its refs RESOLVABLE under default GC: the referenced consumed sidecar's files survive as a retention dependency") {
+    val leaf = new File(root, "refs-gc"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 1L to 50L, "a")
+    writeFile(leaf, "b.parquet", 51L to 100L, "b")
+    commitAll(leafPath)
+    val gcCfg = cfg.copy(retainSuperseded = false)
+    // E1 kills d60 (lives in b); E2 = {d60 (dead via E1), d70} refs E1
+    ManifestCommit.deleteKeysMoR(spark, leafPath, keysDf(Seq("d60")), gcCfg).get.success shouldBe true
+    ManifestCommit.deleteKeysMoR(spark, leafPath, keysDf(Seq("d60", "d70")), gcCfg).get.success shouldBe true
+    val (_, eqsBefore) = ManifestCommit.splitSidecarRels(
+      ManifestCommit.liveDeletes(spark, leafPath).map(ManifestCommit.relativeTo(leafPath, _)))
+    val e2 = eqsBefore.find(e => ManifestCommit.eqRefs(spark, leafPath, e).nonEmpty).get
+    val refStem = ManifestCommit.eqRefs(spark, leafPath, e2).head
+
+    // fold ONLY a.parquet with default (non-retaining) GC: both
+    // sidecars are consumed + resealed; the reseal of E2 still refs
+    // E1's ORIGINAL dirs — which the review-caught first cut deleted
+    val a = ManifestCommit.liveFiles(spark, leafPath).filter(_.endsWith("a.parquet"))
+    ManifestCommit.mergeAndCommit(
+      spark, LeafPlan(leafPath, "part", a, a.map(f => new File(f).length()).sum), gcCfg)
+      .success shouldBe true
+    new File(leaf, s"$refStem-keys").exists() shouldBe true // retention dependency survived GC
+    new File(leaf, s"$refStem-scope").exists() shouldBe true
+
+    // the reseal's retraction rows resolve EXACTLY: d70 only (d60 was
+    // dead via the referenced sidecar), and they resolve WITHOUT error
+    val resid = ManifestCommit.liveDeletes(spark, leafPath)
+    val (_, eqsAfter) = ManifestCommit.splitSidecarRels(
+      resid.map(ManifestCommit.relativeTo(leafPath, _)))
+    val e2r = eqsAfter.find(e => ManifestCommit.eqRefs(spark, leafPath, e).contains(refStem)).get
+    ManifestCommit.deleteRowsReadable(
+      spark, leafPath, e2r.allFiles.map(r => s"$leafPath/$r")) shouldBe true
+    ManifestCommit.readDeleteRows(spark, leafPath, e2r.allFiles.map(r => s"$leafPath/$r"))
+      .select("doc").collect().map(_.getString(0)) shouldBe Array("d70")
+    bag(leafPath).map(_._2).filter(Set("d60", "d70")) shouldBe Seq.empty
   }
 
   test("tripwires and lifecycle: a racing rewrite that did not fold the sidecar aborts; crashed stages are invisible and gcOrphans reclaims them") {
