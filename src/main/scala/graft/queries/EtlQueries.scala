@@ -207,6 +207,55 @@ object EtlQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- UPDATE ... SET ... WHERE as a table-format commit: the
+    // third DML primitive. Only the files containing cond=TRUE rows
+    // are rewritten (sidecar-pruned classification), the assignments
+    // apply to exactly those rows, the commit is row-preserving by
+    // validation, and the manifest declares `mut` so feed consumers
+    // replay it as retract+assert instead of netting the count-equal
+    // rewrite to zero. The oracle recomputes the CASE expression over
+    // the base table — the hash certifies classification, assignment
+    // semantics (decimal-exact arithmetic), untouched-row identity,
+    // and the manifest-resolved read.
+    Q(
+      "update_where",
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 3
+        |            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DOUBLE)
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      import graft.compact.{CommitMode, CompactorConfig, ManifestCommit, WapCommit}
+      val path = StoreCache.resolve(d, "update-where", table = "orders") { p =>
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+        fs.delete(stage, true)
+        val leaf = s"$stage/leaf"
+        val cfg = CompactorConfig(
+          commitMode = CommitMode.Manifest, retainSuperseded = true,
+          statsColumns = Seq("o_orderkey"),
+        )
+        val target = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        WapCommit.writeAuditPublish(
+          s, leaf, target, Seq(WapCommit.AuditCheck.notNull("o_orderkey")), cfg)
+        val r = ManifestCommit.updateWhere(
+          s, leaf, col("o_orderkey") % 10 === 3,
+          Map("o_totalprice" -> expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DOUBLE)")),
+          cfg)
+          .getOrElse(throw new IllegalStateException("update_where: nothing matched"))
+        if (!r.success) throw new IllegalStateException(s"UPDATE failed: ${r.error}")
+        fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
+        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+          throw new java.io.IOException(s"update-where store publish rename failed: $stage -> $p")
+      }
+      graft.compact.ManifestCommit.readLeaf(s, s"$path/leaf")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ----- keyed DELETE via EQUALITY sidecars, oracled end to end: the
     // string-doc_uid retention shape. The commit writes ONLY key tuples
     // + a bloom-resolved scope (zero data reads — the position path

@@ -114,6 +114,32 @@ class MergeCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     got shouldBe Set(("d150", "new150"), ("d2000", "ins"), ("d50", "old50"), ("d250", "old250"))
   }
 
+  test("a PURE-UPDATE merge (every source key matched) replays as retract+assert — count equality must not read as row preservation") {
+    val leaf = new File(root, "pureupd"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", (1L to 20L).map(i => (i, s"old$i")))
+    commitAll(leafPath)
+    val c0 = ChangeFeed.Cursor.atHead(spark, leafPath)
+
+    // zero inserts: staged rows == input rows, values CHANGED
+    val source = (5L to 9L).map(i => (i, s"new$i"))
+    ManifestCommit.merge(spark, leafPath, df(source), Seq("id"), cfg).get.success shouldBe true
+
+    val ch = ChangeFeed.changesSince(spark, leafPath, c0)
+    ch.mode shouldBe "walk"
+    withClue("a value-mutating commit must never net to zero in the walk") {
+      ch.isEmpty shouldBe false
+    }
+    // the four-term fold lands on the post-merge bag: new editions in,
+    // old editions out
+    val plus = ChangeFeed.readAppended(spark, ch).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val minus = ChangeFeed.readRemoved(spark, ch).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    plus.count(_._2.startsWith("new")) shouldBe 5
+    minus.count(t => t._2.startsWith("old") && t._1 >= 5L && t._1 <= 9L) shouldBe 5
+  }
+
   test("upsert: matched editions replaced, unmatched inserted, untouched files not rewritten") {
     val leaf = new File(root, "basic"); leaf.mkdirs()
     val leafPath = leaf.getAbsolutePath
