@@ -21,11 +21,25 @@ object BpeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val words = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .where(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .cache()
+    // The synthetic testdata corpus draws from a ~31-word pool at every
+    // SF, so corpus-derived training EXHAUSTS at ~90 merges — fine for
+    // pinning batched≡sequential, useless for vocabulary-scale
+    // economics. SPARK_GRAFT_BPE_SYNTH=<n> swaps in a deterministic
+    // generated word table (base-36 id encoding → distinct multi-char
+    // words over a 36-symbol alphabet; zipf-ish 1/(id+1) frequencies)
+    // whose pair diversity sustains tens of thousands of merges.
+    val synth = sys.env.get("SPARK_GRAFT_BPE_SYNTH").map(_.toLong)
+    val words = (synth match {
+      case Some(nw) =>
+        spark.range(nw).select(
+          concat(lit("w"), expr("conv(id, 10, 36)")).as("word"),
+          (lit(1000000L) / (col("id") + 1L) + 1L).as("freq"))
+      case None =>
+        Tables.documents(spark, sfDir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+    }).cache()
     val vocab = words.count()
 
     def time[A](body: => A): (A, Double) = {
@@ -39,9 +53,16 @@ object BpeBench {
     // warm-up (JIT/codegen) at a small count, then the measured ladder.
     // The synthetic corpus's word pool can exhaust below N (every word
     // fully fused) — both forms must exhaust at the SAME count, and the
-    // ladder is timed to that shared exhaustion point.
+    // ladder is timed to that shared exhaustion point. At vocabulary
+    // scale (SYNTH mode, N in the thousands) the sequential form IS the
+    // known-slow baseline — N full Spark jobs — so it only runs up to
+    // SPARK_GRAFT_BPE_NSEQ (default 256) and the batched form carries
+    // the full ladder point.
     graft.operators.BpeTokenizer.train(words, 4)
-    val (seqM, tSeq) = time(graft.operators.BpeTokenizer.train(words, n))
+    val nSeq =
+      if (synth.isEmpty) n
+      else math.min(n, sys.env.getOrElse("SPARK_GRAFT_BPE_NSEQ", "256").toInt)
+    val (seqM, tSeq) = time(graft.operators.BpeTokenizer.train(words, nSeq))
     val (batM, tBat) = time(graft.operators.BpeTokenizer.trainBatched(words, n, k))
     // The two forms USUALLY exhaust at the same merge count, but a
     // deferred-conflict round can change pair availability near
@@ -53,6 +74,7 @@ object BpeBench {
     spark.stop()
     println(
       s"""{"bench":"bpe_train_ladder","sf":"$sfDir","vocab_words":$vocab,"n_requested":$n,""" +
+        synth.map(nw => s""""synth_words":$nw,"n_seq_requested":$nSeq,""").getOrElse("") +
         s""""n_learned_seq":${seqM.size},"n_learned_batched":${batM.size},"batch":$k,""" +
         s""""seq_sec":${f"$tSeq%.2f"},"batched_sec":${f"$tBat%.2f"},""" +
         s""""speedup":${f"${tSeq / tBat}%.2f"},"merge_overlap":$overlap}""",

@@ -222,6 +222,31 @@ object StatsBench {
       .map(r => (r.getAs[Double]("v"), r.getAs[Long]("cnt"), r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).toSet
     require(mmRowsOf(aggMm) == mmRowsOf(aggMmFold), "generational and fold minMax states diverged")
 
+    // MERGE/keyed-DELETE classification with vs without the key-set
+    // prune (ROADMAP 105): a string-keyed source whose keys live in
+    // ONE commit's file. The no-prune form scans the key column of
+    // EVERY live file; the bloom-probed form opens only the hit set —
+    // at 100 TB this is the difference between touching 3 files and
+    // scanning the leaf. Both forms run the same matched-per-file
+    // aggregation so the delta is the classification read alone.
+    val liveNow = ManifestCommit.liveFiles(spark, leafPath)
+    val srcTags = (0 until 50).map(i => s"t${(nCommits / 2) * rowsPer + i}")
+    def classify(cands: Seq[String]): Long =
+      if (cands.isEmpty) 0L
+      else spark.read.parquet(cands: _*)
+        .where(col("tag").isin(srcTags: _*))
+        .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .groupBy("f").count().count()
+    var prunedCands: Seq[String] = Seq.empty
+    val (clsPruneSec, _) = timedVal {
+      prunedCands = ManifestStats.pruneByKeySet(
+        spark, leafPath, liveNow, Map("tag" -> srcTags.map(x => x: Any)))
+      classify(prunedCands)
+    }
+    val (clsFullSec, _) = timedVal(classify(liveNow))
+    require(prunedCands.nonEmpty && prunedCands.size < liveNow.size,
+      s"key-set prune ineffective: ${prunedCands.size} of ${liveNow.size} candidates")
+
     // compaction-NEUTRAL refresh (the commit-window walk): bring the
     // cnt/sum state to head, compact the whole K-commit leaf into one
     // commit, refresh again — the walk certifies net-zero from input
@@ -254,6 +279,8 @@ object StatsBench {
         f""""matagg_minmax":{"build_sec":$mmBuildSec%.3f,"refresh_sec":$mmRefreshSec%.3f,""" +
         f""""gen_seal_sec":$mmGenSec%.3f,"fold_seal_sec":$mmFoldSec%.3f,""" +
         f""""gen_partials_bytes":$genBytes,"fold_partials_bytes":$foldBytes},""" +
+        f""""merge_classify":{"full_sec":$clsFullSec%.3f,"pruned_sec":$clsPruneSec%.3f,""" +
+        f""""files_full":${liveNow.size},"files_pruned":${prunedCands.size}},""" +
         f""""matagg_compact_walk":{"refresh_sec":$walkSec%.3f,"files_compacted":${liveAll.size}}}""",
     )
     Fs.rmTree(root)
