@@ -1958,6 +1958,40 @@ object ManifestCommit {
     (posDf.toSeq ++ eqDfs).reduce(_.unionByName(_)).distinct()
   }
 
+  /** Number of live EQUALITY sidecars on the leaf (sidecars, not
+    * member files) — the backlog metric the eq fold dial reads.
+    */
+  def liveEqDeleteCount(spark: SparkSession, leaf: String): Int =
+    splitSidecarRels(liveDeletes(spark, leaf).map(relativeTo(leaf, _)))._2.size
+
+  /** Physically fold EVERY live equality sidecar: one compaction of
+    * the union of their scopes. Each read of the leaf currently pays
+    * one key anti-join per live sidecar, each stacked keyed delete
+    * deepens the `refs` exclusion chains, and consumed sidecars pin
+    * their referenced dirs — this commit resets all three to zero
+    * (scopes ⊆ plan ⇒ every sidecar is consumed whole, no reseal, no
+    * surviving refs). Position sidecars targeting scope files fold
+    * along for free; others stay. Unlike [[consolidateDeletes]] this
+    * PAYS the scope rewrite — which is exactly the compaction the
+    * retention cadence owed the leaf anyway. Returns None when no
+    * equality sidecar is live.
+    */
+  def foldEqDeletes(
+      spark: SparkSession,
+      leaf: String,
+      cfg: CompactorConfig,
+      stem: String = "eqfold",
+  ): Option[LeafResult] = {
+    require(cfg.commitMode == CommitMode.Manifest, "equality-sidecar folding requires manifest mode")
+    val (_, eqs) = splitSidecarRels(liveDeletes(spark, leaf).map(relativeTo(leaf, _)))
+    if (eqs.isEmpty) return None
+    val fs = FileIndexer.fsFor(spark, leaf)
+    val files = eqs.flatMap(e => eqScopeRels(spark, leaf, e))
+      .distinct.sorted.map(r => s"$leaf/$r")
+    val bytes = files.map(p => fs.getFileStatus(new Path(p)).getLen).sum
+    Some(mergeAndCommit(spark, LeafPlan(leaf, stem, files, bytes), cfg))
+  }
+
   /** The leaf's NET-LIVE merge-on-read delete sidecar files (absolute
     * paths) — empty for a leaf with no outstanding row-level deletes.
     * Same metadata cost as [[liveFiles]].

@@ -231,6 +231,30 @@ object StoreMaintenance {
     Report(leaf, "delete-sidecars", retrained = false, compacted = compacted)
   }
 
+  /** Bound the EQUALITY-sidecar backlog (the stacked keyed-retention
+    * cadence): every read pays one key anti-join per live eq sidecar
+    * and each new keyed delete deepens the `refs` exclusion chains —
+    * past `maxSidecars` the dial physically folds them all via
+    * [[graft.compact.ManifestCommit.foldEqDeletes]] (one compaction of
+    * the union of their scopes; no zero-I/O consolidation exists for
+    * equality sidecars — two scopes' keys must never merge into one
+    * anti-join table — so the dial pays the rewrite the cadence owed
+    * the leaf anyway).
+    */
+  def maintainEqDeleteSidecars(
+      spark: SparkSession,
+      leaf: String,
+      cfg: graft.compact.CompactorConfig,
+      maxSidecars: Int = 4,
+  ): Report = {
+    val n = graft.compact.ManifestCommit.liveEqDeleteCount(spark, leaf)
+    val compacted =
+      if (n > maxSidecars)
+        graft.compact.ManifestCommit.foldEqDeletes(spark, leaf, cfg).exists(_.success)
+      else false
+    Report(leaf, "eq-delete-sidecars", retrained = false, compacted = compacted)
+  }
+
   /** One pass over a fleet of stores. */
   def run(
       spark: SparkSession,

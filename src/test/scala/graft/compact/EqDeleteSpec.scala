@@ -335,6 +335,32 @@ class EqDeleteSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     bag(leafPath).map(_._2).filter(Set("d60", "d70")) shouldBe Seq.empty
   }
 
+  test("the eq fold dial acts past maxSidecars: one compaction retires the whole stacked backlog (refs chains included), reads identical") {
+    val leaf = new File(root, "eqdial"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 1L to 60L, "a")
+    commitAll(leafPath)
+    // a stacked retention cadence: each delete refs its predecessors
+    Seq("d5", "d15", "d25").foreach { k =>
+      ManifestCommit.deleteKeysMoR(spark, leafPath, keysDf(Seq(k)), cfg).get.success shouldBe true
+    }
+    ManifestCommit.liveEqDeleteCount(spark, leafPath) shouldBe 3
+    val expect = bag(leafPath)
+
+    // below the dial threshold: no-op
+    graft.operators.StoreMaintenance.maintainEqDeleteSidecars(spark, leafPath, cfg, maxSidecars = 4)
+      .compacted shouldBe false
+    ManifestCommit.liveEqDeleteCount(spark, leafPath) shouldBe 3
+
+    // past it: ONE fold retires every sidecar; the bag is untouched
+    graft.operators.StoreMaintenance.maintainEqDeleteSidecars(spark, leafPath, cfg, maxSidecars = 2)
+      .compacted shouldBe true
+    ManifestCommit.liveEqDeleteCount(spark, leafPath) shouldBe 0
+    ManifestCommit.liveDeletes(spark, leafPath) shouldBe Seq.empty
+    bag(leafPath) shouldBe expect
+    bag(leafPath).map(_._2).filter(Set("d5", "d15", "d25")) shouldBe Seq.empty
+  }
+
   test("tripwires and lifecycle: a racing rewrite that did not fold the sidecar aborts; crashed stages are invisible and gcOrphans reclaims them") {
     val leaf = new File(root, "race"); leaf.mkdirs()
     val leafPath = leaf.getAbsolutePath
