@@ -31,9 +31,14 @@ object BpeBench {
     val synth = sys.env.get("SPARK_GRAFT_BPE_SYNTH").map(_.toLong)
     val words = (synth match {
       case Some(nw) =>
+        // freq must be a LONG like the corpus path's count(): Spark's
+        // `/` is true division, and a DOUBLE freq would train the
+        // sequential form on fractional mass while the batched form
+        // truncates per round — the comparison would measure the type
+        // discrepancy, not the batching (review-round-16 catch)
         spark.range(nw).select(
           concat(lit("w"), expr("conv(id, 10, 36)")).as("word"),
-          (lit(1000000L) / (col("id") + 1L) + 1L).as("freq"))
+          expr("CAST(1000000 DIV (id + 1) AS BIGINT) + 1").as("freq"))
       case None =>
         Tables.documents(spark, sfDir)
           .select(explode(split(col("text"), " ")).as("word"))

@@ -238,12 +238,14 @@ object StatsBench {
         .select(org.apache.spark.sql.functions.input_file_name().as("f"))
         .groupBy("f").count().count()
     var prunedCands: Seq[String] = Seq.empty
-    val (clsPruneSec, _) = timedVal {
+    val (clsPruneSec, prunedHits) = timedVal {
       prunedCands = ManifestStats.pruneByKeySet(
         spark, leafPath, liveNow, Map("tag" -> srcTags.map(x => x: Any)))
       classify(prunedCands)
     }
-    val (clsFullSec, _) = timedVal(classify(liveNow))
+    val (clsFullSec, fullHits) = timedVal(classify(liveNow))
+    require(prunedHits == fullHits,
+      s"key-set prune diverged: $prunedHits hit files pruned vs $fullHits full")
     require(prunedCands.nonEmpty && prunedCands.size < liveNow.size,
       s"key-set prune ineffective: ${prunedCands.size} of ${liveNow.size} candidates")
 

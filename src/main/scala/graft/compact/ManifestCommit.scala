@@ -1981,15 +1981,28 @@ object ManifestCommit {
       leaf: String,
       cfg: CompactorConfig,
       stem: String = "eqfold",
+      minSidecars: Int = 1,
   ): Option[LeafResult] = {
     require(cfg.commitMode == CommitMode.Manifest, "equality-sidecar folding requires manifest mode")
+    // one state resolution decides both the dial threshold and the
+    // plan (the commit path re-resolves scopes for its own fold
+    // classification — metadata-scale, and the OCC/knownDeletes
+    // tripwires re-validate everything at publish anyway)
     val (_, eqs) = splitSidecarRels(liveDeletes(spark, leaf).map(relativeTo(leaf, _)))
-    if (eqs.isEmpty) return None
-    val fs = FileIndexer.fsFor(spark, leaf)
-    val files = eqs.flatMap(e => eqScopeRels(spark, leaf, e))
-      .distinct.sorted.map(r => s"$leaf/$r")
-    val bytes = files.map(p => fs.getFileStatus(new Path(p)).getLen).sum
-    Some(mergeAndCommit(spark, LeafPlan(leaf, stem, files, bytes), cfg))
+    if (eqs.size < minSidecars || eqs.isEmpty) return None
+    // pre-commit planning degrades to a FAILED result, never a throw —
+    // a concurrent fold can consume a scope file between the listing
+    // and these reads (the same contract as the sibling dials)
+    try {
+      val fs = FileIndexer.fsFor(spark, leaf)
+      val files = eqs.flatMap(e => eqScopeRels(spark, leaf, e))
+        .distinct.sorted.map(r => s"$leaf/$r")
+      val bytes = files.map(p => fs.getFileStatus(new Path(p)).getLen).sum
+      Some(mergeAndCommit(spark, LeafPlan(leaf, stem, files, bytes), cfg))
+    } catch {
+      case e: Throwable =>
+        Some(LeafResult(leaf, stem, success = false, 0L, 0, Some(e.toString)))
+    }
   }
 
   /** The leaf's NET-LIVE merge-on-read delete sidecar files (absolute

@@ -247,11 +247,11 @@ object StoreMaintenance {
       cfg: graft.compact.CompactorConfig,
       maxSidecars: Int = 4,
   ): Report = {
-    val n = graft.compact.ManifestCommit.liveEqDeleteCount(spark, leaf)
-    val compacted =
-      if (n > maxSidecars)
-        graft.compact.ManifestCommit.foldEqDeletes(spark, leaf, cfg).exists(_.success)
-      else false
+    // one state resolution: foldEqDeletes itself applies the threshold
+    // (None below it) and degrades pre-commit races to a failed result
+    val compacted = graft.compact.ManifestCommit
+      .foldEqDeletes(spark, leaf, cfg, minSidecars = maxSidecars + 1)
+      .exists(_.success)
     Report(leaf, "eq-delete-sidecars", retrained = false, compacted = compacted)
   }
 
