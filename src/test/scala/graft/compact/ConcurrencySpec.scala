@@ -116,4 +116,56 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkSpec {
       }
     } finally { pool.shutdown() }
   }
+
+  test("an EQUALITY delete racing a compaction on ONE leaf: serialized or loud abort — never a resurrected or duplicated row") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-conc-eq").toFile
+    val cfg = CompactorConfig(commitMode = CommitMode.Manifest, retainSuperseded = true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // the eq commit's race surface differs from the position path's:
+      // its scope is captured at plan time (requiresLive must abort it
+      // if a racer superseded a scope file), and the racing rewrite
+      // must abort on the sidecar it did not fold (knownDeletes)
+      (1 to 5).foreach { iter =>
+        val leaf = new File(root, s"eqrace$iter"); leaf.mkdirs()
+        val leafPath = leaf.getAbsolutePath
+        Seq(("a", 1L to 100L), ("b", 101L to 200L)).foreach { case (t, ids) =>
+          val tmp = new File(leaf, s".tmp-$t")
+          ids.map(i => (i, s"d$i", t)).toDF("id", "doc", "tag").coalesce(1).write.parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          Files.move(part.toPath, new File(leaf, s"$t.parquet").toPath)
+          tmp.listFiles().foreach(_.delete()); tmp.delete()
+          ManifestCommit.publish(
+            FileIndexer.fsFor(spark, leafPath), leafPath, s"arr$t", s"eqr$iter$t",
+            inputsRel = Seq(), outputsRel = Seq(s"$t.parquet"), rows = ids.size.toLong)
+        }
+        val keys = (1L to 200L).filter(_ % 10 == iter).map(i => s"d$i").toDF("doc")
+
+        val files = ManifestCommit.liveFiles(spark, leafPath)
+        val plan = LeafPlan(leafPath, "fold", files, files.map(f => new File(f).length()).sum)
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fCompact = scala.concurrent.Future(ManifestCommit.mergeAndCommit(spark, plan, cfg))(ec)
+        val fDelete = scala.concurrent.Future(ManifestCommit.deleteKeysMoR(spark, leafPath, keys, cfg))(ec)
+        val rCompact = scala.concurrent.Await.result(fCompact, scala.concurrent.duration.Duration("120s"))
+        val rDelete = scala.concurrent.Await.result(fDelete, scala.concurrent.duration.Duration("120s"))
+
+        if (!rDelete.exists(_.success)) {
+          withClue(s"iter $iter eq-delete abort must be loud: $rDelete") {
+            rDelete.foreach(_.error should not be empty)
+          }
+          val retry = ManifestCommit.deleteKeysMoR(spark, leafPath, keys, cfg)
+          withClue(s"iter $iter eq-delete retry: $retry") { retry.exists(_.success) shouldBe true }
+        }
+        withClue(s"iter $iter compaction result must be decisive: $rCompact") {
+          if (!rCompact.success) rCompact.error should not be empty
+        }
+
+        val got = ManifestCommit.readLeaf(spark, leafPath)
+          .select("id").as[Long].collect().sorted
+        got shouldBe (1L to 200L).filterNot(_ % 10 == iter).toArray
+      }
+    } finally { pool.shutdown() }
+  }
 }
