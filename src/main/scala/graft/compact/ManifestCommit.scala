@@ -144,21 +144,22 @@ object ManifestCommit {
     // (sidecar, scope, keys) resolved ONCE per touched sidecar — the
     // applied set and the reseal share the same keys frame
     val eqTouched = eqWithScope.collect {
-      case (e, scope) if scope.exists(planRel) => (e, scope, readEqKeys(spark, leaf, e))
+      case (e, scope) if scope.exists(planRel) =>
+        (e, scope, readEqKeys(spark, leaf, e), eqKeyRowsOf(spark, leaf, e))
     }
     val eqApplied: Option[DataFrame] =
       if (eqTouched.isEmpty) None
       else {
-        val parts = eqTouched.flatMap { case (_, scope, keys) =>
+        val parts = eqTouched.flatMap { case (_, scope, keys, keyRows) =>
           val inPlan = scope.filter(planRel).sorted
           if (inPlan.isEmpty) None
           else Some(
-            semiJoinKeysGuarded(readWithPos(spark, leaf, inPlan.map(r => s"$leaf/$r")), keys)
+            semiJoinKeysGuarded(readWithPos(spark, leaf, inPlan.map(r => s"$leaf/$r")), keys, keyRows)
               .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos)))
         }
         parts.reduceOption(_.unionByName(_))
       }
-    val eqResiduals = eqTouched.flatMap { case (e, scope, keys) =>
+    val eqResiduals = eqTouched.flatMap { case (e, scope, keys, _) =>
       val survive = scope.filterNot(planRel).sorted
       if (survive.isEmpty) None
       else {
@@ -312,9 +313,10 @@ object ManifestCommit {
         if (st.nonEmpty) ManifestStats.write(fs, plan.leaf, runId, st)
       }
       if (cfg.bloomColumns.nonEmpty) {
-        // sized to the per-file row cap: bloomBitsPerItem=10 ≈ 1% fpp
-        // (StatsBench bits-ladder); an oversized bloom costs every
-        // future reader its sidecar bytes
+        // sized to the per-file row cap: bloomBitsPerItem=16 holds a
+        // 50-key batch probe's compounded fpp at ≈2% (StatsBench
+        // bits-ladder + fpp50); an oversized bloom costs every future
+        // reader its sidecar bytes
         val bl = ManifestStats.collectBlooms(
           spark, outputsRel.zip(outFiles.map(_.toString)), cfg.bloomColumns,
           expectedItems = cfg.maxRowsPerFile, numBits = cfg.bloomBitsPerItem.toLong * cfg.maxRowsPerFile,
@@ -621,9 +623,15 @@ object ManifestCommit {
     if (candidates.isEmpty) return None
     val liveDelAbs = st0.deletes.map(r => s"$leaf/$r")
     val awareScan = awareWithPos(spark, leaf, candidates, liveDelAbs)
+    // validate against the DATA schema, not the scan: the _mor_rel/
+    // _mor_pos identity columns readWithPos adds are not assignable (an
+    // assignment targeting them would pass the require and then be
+    // silently ignored — absent from the staged schema) and must not be
+    // advertised as leaf columns in the error either
+    val dataCols = awareScan.columns.filterNot(c0 => c0 == "_mor_rel" || c0 == "_mor_pos")
     set.keys.foreach(k => require(
-      awareScan.columns.exists(_.equalsIgnoreCase(k)),
-      s"UPDATE assignment targets unknown column '$k' (leaf columns: ${awareScan.columns.mkString(", ")})",
+      dataCols.exists(_.equalsIgnoreCase(k)),
+      s"UPDATE assignment targets unknown column '$k' (leaf columns: ${dataCols.mkString(", ")})",
     ))
     val perFile = awareScan.where(cond)
       .groupBy(c("_mor_rel").as("_uf"))
@@ -814,9 +822,10 @@ object ManifestCommit {
   /** Keyed DELETE, merge-on-read with EQUALITY sidecars — the zero-
     * data-read half of the MoR algebra ([[deleteWhereMoR]]'s position
     * sidecar still pays a classification READ of candidate files to
-    * resolve row ordinals; this commit reads no data pages — at most
-    * one live FOOTER for the string-type bloom guard, and it commits
-    * fine without even that).
+    * resolve row ordinals; this commit reads no data pages — at most a
+    * couple of live FOOTERS, for the key-column resolution check and
+    * the string-type bloom guard, and it commits fine without even
+    * those).
     * The commit is: the distinct non-NULL key tuples of `keys` (its
     * columns ARE the key columns), the SCOPE — live files that can
     * possibly hold a match, resolved purely from the stats/bloom
@@ -865,6 +874,37 @@ object ManifestCommit {
     val st0 = resolveState(fs, leaf, fs.listStatus(leafPath))
     val live = liveFiles(spark, leaf)
     if (live.isEmpty) return None
+    // Key columns must RESOLVE against the leaf's data schema (the same
+    // column contract updateWhere and merge enforce): a typoed key name
+    // would NULL-pad through the schema-evolution guard at read time —
+    // the delete silently matches nothing, yet the sealed sidecar taxes
+    // every read with an anti-join and requiresLive-pins the scope
+    // forever. Footer-only and resilient like the string-type guard:
+    // the first READABLE footer settles the common case; a key missing
+    // there (added later by schema evolution) pays one merged-schema
+    // inference before failing loudly; a leaf with no readable footer
+    // at all skips the check — the zero-data-read commit contract
+    // (proven over fully corrupted files) outranks an advisory require.
+    val schema0 = live.iterator.flatMap { f =>
+      try Some(spark.read.parquet(f).schema)
+      catch { case _: Throwable => None }
+    }.nextOption()
+    schema0.foreach { sc =>
+      val miss0 = keyCols.filterNot(k => sc.exists(_.name.equalsIgnoreCase(k)))
+      if (miss0.nonEmpty) {
+        val merged =
+          try Some(spark.read.option("mergeSchema", "true").parquet(live: _*).schema)
+          catch { case _: Throwable => None }
+        merged.foreach { m =>
+          val miss = miss0.filterNot(k => m.exists(_.name.equalsIgnoreCase(k)))
+          require(
+            miss.isEmpty,
+            s"deleteKeysMoR key column(s) not in the leaf schema: ${miss.mkString(", ")} " +
+              s"(leaf columns: ${m.fieldNames.mkString(", ")})",
+          )
+        }
+      }
+    }
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     val keysD = keys.na.drop("any", keyCols).dropDuplicates(keyCols).persist()
@@ -1835,14 +1875,37 @@ object ManifestCommit {
     (padded, missing)
   }
 
-  private[compact] def semiJoinKeysGuarded(df: DataFrame, keys: DataFrame): DataFrame = {
+  /** Broadcast the sidecar key frame only below this row count.
+    * [[deleteKeysMoR]] accepts key batches of ANY size (only the
+    * sidecar-prune collect is capped at [[ManifestStats.KeySetPruneCap]]),
+    * so an unconditional broadcast hint would make every later leaf
+    * read, fold, and count of a huge keyed-retention batch collect the
+    * whole key frame onto the driver and push it at Spark's broadcast
+    * ceiling. Below the cap the hint wins (the common churn-sized
+    * sidecar — sub-second anti-joins with no shuffle); above it the
+    * hint is omitted and the join plans as a normal shuffle join —
+    * which at that size is the correct plan anyway.
+    */
+  private[compact] val EqBroadcastKeyCap = 1000000L
+
+  /** Footer-only row count of a sidecar's key files — the broadcast
+    * dial's input (metadata-scale: eq sidecars seal keys coalesced to
+    * one small file).
+    */
+  private[compact] def eqKeyRowsOf(spark: SparkSession, leaf: String, s: EqSidecar): Long =
+    Merger.footerRows(spark, s.keyFiles.map(r => s"$leaf/$r"))
+
+  private def maybeBroadcastKeys(keys: DataFrame, keyRows: Long): DataFrame =
+    if (keyRows <= EqBroadcastKeyCap) org.apache.spark.sql.functions.broadcast(keys) else keys
+
+  private[compact] def semiJoinKeysGuarded(df: DataFrame, keys: DataFrame, keyRows: Long): DataFrame = {
     val (padded, _) = withKeyCols(df, keys)
-    padded.join(org.apache.spark.sql.functions.broadcast(keys), keys.columns.toSeq, "left_semi")
+    padded.join(maybeBroadcastKeys(keys, keyRows), keys.columns.toSeq, "left_semi")
   }
 
-  private[compact] def antiJoinKeysGuarded(df: DataFrame, keys: DataFrame): DataFrame = {
+  private[compact] def antiJoinKeysGuarded(df: DataFrame, keys: DataFrame, keyRows: Long): DataFrame = {
     val (padded, missing) = withKeyCols(df, keys)
-    padded.join(org.apache.spark.sql.functions.broadcast(keys), keys.columns.toSeq, "left_anti")
+    padded.join(maybeBroadcastKeys(keys, keyRows), keys.columns.toSeq, "left_anti")
       .drop(missing: _*)
   }
 
@@ -1909,12 +1972,13 @@ object ManifestCommit {
       if (eqs.isEmpty) readWithPos(spark, leaf, files)
       else {
         val scopes = eqs.map(e => eqScopeRels(spark, leaf, e).toSet)
+        val keyRows = eqs.map(e => eqKeyRowsOf(spark, leaf, e))
         val groups = files
           .groupBy(f => scopes.zipWithIndex.collect { case (sc, i) if sc(relativeTo(leaf, f)) => i })
           .toSeq.sortBy(_._2.head)
         val parts = groups.map { case (sids, fls) =>
           sids.foldLeft(readWithPos(spark, leaf, fls)) { (df, i) =>
-            antiJoinKeysGuarded(df, readEqKeys(spark, leaf, eqs(i)))
+            antiJoinKeysGuarded(df, readEqKeys(spark, leaf, eqs(i)), keyRows(i))
           }
         }
         parts.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1952,7 +2016,9 @@ object ManifestCommit {
       else Some(deletePositions(spark, posRels.map(r => s"$leaf/$r")))
     val eqDfs = eqs.map { e =>
       val scope = eqScopeRels(spark, leaf, e)
-      semiJoinKeysGuarded(readWithPos(spark, leaf, scope.map(r => s"$leaf/$r")), readEqKeys(spark, leaf, e))
+      semiJoinKeysGuarded(
+        readWithPos(spark, leaf, scope.map(r => s"$leaf/$r")),
+        readEqKeys(spark, leaf, e), eqKeyRowsOf(spark, leaf, e))
         .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos))
     }
     (posDf.toSeq ++ eqDfs).reduce(_.unionByName(_)).distinct()
@@ -2128,13 +2194,16 @@ object ManifestCommit {
     val eqParts = eqScopes.map { case (e, scope) =>
       val scopeSet = scope.toSet
       val mine = semiJoinKeysGuarded(
-        readWithPos(spark, leaf, scope.map(r => s"$leaf/$r")), readEqKeys(spark, leaf, e))
+        readWithPos(spark, leaf, scope.map(r => s"$leaf/$r")),
+        readEqKeys(spark, leaf, e), eqKeyRowsOf(spark, leaf, e))
       val refExcl = eqRefs(spark, leaf, e).flatMap { stem =>
         val rs = eqSidecarFromDisk(fs, leaf, stem)
         val shared = eqScopeRels(spark, leaf, rs).toSet.intersect(scopeSet).toSeq.sorted
         if (shared.isEmpty) None
         else Some(
-          semiJoinKeysGuarded(readWithPos(spark, leaf, shared.map(r => s"$leaf/$r")), readEqKeys(spark, leaf, rs))
+          semiJoinKeysGuarded(
+            readWithPos(spark, leaf, shared.map(r => s"$leaf/$r")),
+            readEqKeys(spark, leaf, rs), eqKeyRowsOf(spark, leaf, rs))
             .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos)))
       }
       val excl = (eqPrior(spark, leaf, e).toSeq ++ refExcl).reduceOption(_.unionByName(_))

@@ -397,4 +397,57 @@ class EqDeleteSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
     new File(leaf, ".eqdel-deadbeef-keys").exists() shouldBe false
     new File(leaf, ".eqdel-deadbeef-scope").exists() shouldBe false
   }
+
+  test("a key column that resolves against no live file is refused loudly; a case-variant key resolves") {
+    val leaf = new File(root, "keycols"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 1L to 20L, "a")
+    commitAll(leafPath)
+    // the hazard: a typoed key NULL-pads through the schema-evolution
+    // guard, the delete matches nothing, yet the sealed sidecar would
+    // tax every read and requiresLive-pin the scope forever
+    val s = spark
+    import s.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      ManifestCommit.deleteKeysMoR(spark, leafPath, Seq("d5").toDF("doc_uid"), cfg)
+    }
+    ex.getMessage should include("doc_uid")
+    ManifestCommit.liveDeletes(spark, leafPath) shouldBe Seq.empty
+    // session resolution is case-insensitive — a case-variant spelling
+    // is the SAME column, not a typo
+    val r = ManifestCommit.deleteKeysMoR(spark, leafPath, Seq("d5").toDF("DOC"), cfg)
+    withClue(r) { r.get.success shouldBe true }
+    bag(leafPath).map(_._2) should not contain "d5"
+  }
+
+  test("the key anti/semi joins broadcast below the cap and fall back to a shuffle join above it") {
+    val leaf = new File(root, "bcast"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", 1L to 50L, "a")
+    commitAll(leafPath)
+    ManifestCommit.deleteKeysMoR(spark, leafPath, keysDf(Seq("d3", "d4")), cfg).get.success shouldBe true
+    // churn-sized sidecar: the hint forces a broadcast join even with
+    // auto-broadcast off (the common retention batch never shuffles)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = ManifestCommit.readLeaf(spark, leafPath).queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin")
+      // above the cap the hint is omitted: with auto-broadcast off the
+      // same join plans as a shuffle join — never a driver-side collect
+      // of an arbitrarily large key frame into a broadcast
+      val (_, eqs) = ManifestCommit.splitSidecarRels(
+        ManifestCommit.liveDeletes(spark, leafPath).map(ManifestCommit.relativeTo(leafPath, _)))
+      val keys = ManifestCommit.readEqKeys(spark, leafPath, eqs.head)
+      val big = ManifestCommit.antiJoinKeysGuarded(
+        ManifestCommit.readWithPos(spark, leafPath, ManifestCommit.liveFiles(spark, leafPath)),
+        keys, keyRows = ManifestCommit.EqBroadcastKeyCap + 1)
+      val bigPlan = big.queryExecution.executedPlan.toString
+      bigPlan should not include "BroadcastHashJoin"
+      val small = ManifestCommit.antiJoinKeysGuarded(
+        ManifestCommit.readWithPos(spark, leafPath, ManifestCommit.liveFiles(spark, leafPath)),
+        keys, keyRows = 2L)
+      small.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

@@ -141,4 +141,25 @@ class UpdateWhereSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     val post = bag(leafPath).map(t => (t._1, t._2)).sorted
     (preAware ++ plus).diff(minus).sorted shouldBe post
   }
+
+  test("assignments targeting the _mor_rel/_mor_pos identity columns are refused, and the error lists only data columns") {
+    val leaf = new File(root, "internals"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    writeFile(leaf, "a.parquet", (1L to 10L).map(i => (i, i)), "a")
+    commitAll(leafPath)
+    // before the fix these passed the require (the identity columns ride
+    // the classification scan) and were then silently dropped from the
+    // staged schema — an UPDATE that "succeeds" and changes nothing
+    Seq("_mor_rel", "_mor_pos", "nope").foreach { bad =>
+      val ex = intercept[IllegalArgumentException] {
+        ManifestCommit.updateWhere(spark, leafPath, col("id") === 1L, Map(bad -> lit("x")), cfg)
+      }
+      ex.getMessage should include(s"unknown column '$bad'")
+      // the advertised leaf-column list must not leak the internals
+      val listed = ex.getMessage.substring(ex.getMessage.indexOf("leaf columns:"))
+      listed should not include "_mor"
+    }
+    // untouched: the refused commits left no manifest behind
+    bag(leafPath).map(_._2) shouldBe (1L to 10L)
+  }
 }
