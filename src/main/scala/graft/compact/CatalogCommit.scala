@@ -34,7 +34,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - torn snapshot upload: fails the seal-mark check, ignored —
   *     readers resolve the previous snapshot;
   *   - two writers racing seq S+1: same object name, create-only —
-  *     the loser gets [[ConcurrentCommitException]] and rolls back.
+  *     the loser gets [[ConcurrentCommitException]] and rolls back;
+  *   - a SLOW racer colliding as an unsealed file: the next publish
+  *     waits a bounded window for it to seal (abort if it does), and
+  *     after sealing audits every seq it skipped — a racer that sealed
+  *     late makes this publish retract itself and throw, so a racing
+  *     loser ALWAYS surfaces as [[ConcurrentCommitException]], never
+  *     as silently-dropped pins ([[publish]] guards 1 and 2).
   *
   * Retention: a pinned read is [[ManifestCommit.readLeafAt]], so leaf
   * lifecycle must keep superseded files for as long as a catalog
@@ -100,8 +106,47 @@ object CatalogCommit {
     * merged over the current snapshot's carried-forward pins. The ONE
     * create-only PUT is the cross-leaf commit point; a racer stamping
     * the same seq makes the loser throw [[ConcurrentCommitException]].
+    *
+    * An existing-but-UNSEALED `_cat-<seq>.json` at the next name is
+    * ambiguous: debris from a writer that died mid-upload, or a live
+    * racer still uploading — the two look identical at the moment of
+    * collision. Burning the seq on sight (the first cut) silently
+    * dropped a slow racer's pins from the chain: the racer would seal
+    * later and return success, yet every future snapshot skipped its
+    * updates. Two guards close that window (advice r16):
+    *
+    *   1. bounded re-check — wait up to `debrisWaitMs` for the
+    *      colliding file to seal; a racer that seals inside the window
+    *      aborts THIS publish with [[ConcurrentCommitException]] (the
+    *      caller re-resolves and re-publishes over the racer's pins);
+    *   2. post-seal audit — after sealing, if any seq this publish
+    *      skipped past turned out SEALED (a racer slower than the
+    *      window), this publish retracts its own snapshot (best-effort
+    *      delete — readers step down to the racer's) and throws, so a
+    *      racing loser ALWAYS gets the exception, never a silent
+    *      pin loss. The audit only runs when a seq was actually
+    *      burned — the no-debris fast path costs nothing extra.
     */
-  def publish(spark: SparkSession, root: String, updates: Map[String, Long]): Snapshot = {
+  def publish(
+      spark: SparkSession,
+      root: String,
+      updates: Map[String, Long],
+      debrisWaitMs: Long = 1000L,
+  ): Snapshot =
+    publishImpl(spark, root, updates, debrisWaitMs, onSeqBurned = _ => ())
+
+  /** [[publish]] with a test seam: `onSeqBurned` fires after a seq is
+    * classified as debris and burned, BEFORE the create at the next —
+    * the deterministic interleaving hook the racer specs schedule a
+    * late seal into.
+    */
+  private[compact] def publishImpl(
+      spark: SparkSession,
+      root: String,
+      updates: Map[String, Long],
+      debrisWaitMs: Long,
+      onSeqBurned: Long => Unit,
+  ): Snapshot = {
     require(updates.nonEmpty, "a catalog publish must pin at least one leaf")
     updates.keys.foreach(k =>
       require(
@@ -111,17 +156,9 @@ object CatalogCommit {
     val fs = fsFor(spark, root)
     fs.mkdirs(new Path(root))
     val cur = current(spark, root)
+    val curSeq = cur.map(_.seq).getOrElse(0L)
     val base = cur.map(_.leaves).getOrElse(Map.empty) ++ updates
-    // A SEALED collision is a live racer → abort (the loser must
-    // re-resolve and re-decide). An UNSEALED collision is debris from a
-    // writer that died mid-upload: its seq is burned — skip past it
-    // (readers already ignore it) rather than wedging every future
-    // publish on the same name forever. Object-store PUTs are atomic,
-    // so torn-visible files only arise on filesystems with non-atomic
-    // create+write; a writer slow enough to seal AFTER a skip-ahead
-    // loses its update — the same single-writer-per-catalog assumption
-    // the leaf head documents as best-effort.
-    var seq = cur.map(_.seq).getOrElse(0L) + 1L
+    var seq = curSeq + 1L
     var attempts = 0
     while (true) {
       val next = Snapshot(seq, base)
@@ -137,17 +174,39 @@ object CatalogCommit {
             if (!fs.exists(target)) throw e // transient IO stays IO
             if (parse(fs, target).isDefined)
               throw new ConcurrentCommitException(root, next.seq, "unknown")
+            // guard 1: give a live racer its upload window before
+            // declaring the file dead debris
+            val deadline = System.nanoTime() + debrisWaitMs * 1000000L
+            var sealedLate = false
+            while (!sealedLate && System.nanoTime() < deadline) {
+              Thread.sleep(math.max(1L, math.min(50L, debrisWaitMs)))
+              sealedLate = parse(fs, target).isDefined
+            }
+            if (sealedLate)
+              throw new ConcurrentCommitException(root, next.seq, "unknown")
             attempts += 1
             if (attempts > 64)
               throw new java.io.IOException(
                 s"catalog $root: $attempts torn snapshot files in a row starting at " +
                   s"${snapName(seq - attempts + 1)} — reclaim the debris manually")
+            onSeqBurned(seq)
             None // torn debris: burn the seq
         }
       created match {
         case Some(out) =>
           try out.write(json.getBytes(StandardCharsets.UTF_8))
           finally out.close()
+          // guard 2: a burned seq that SEALED after the window is a
+          // racer whose pins this snapshot never incorporated — retract
+          // ours (readers resolve the racer's) and fail loudly
+          if (attempts > 0) {
+            val lateSealed = ((curSeq + 1L) until next.seq)
+              .find(s0 => parse(fs, new Path(s"$root/${snapName(s0)}")).isDefined)
+            lateSealed.foreach { s0 =>
+              try { fs.delete(target, false); () } catch { case _: Throwable => () }
+              throw new ConcurrentCommitException(root, s0, "unknown")
+            }
+          }
           return next
         case None => seq += 1
       }

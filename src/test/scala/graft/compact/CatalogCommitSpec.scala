@@ -129,4 +129,64 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     CatalogCommit.current(spark, cat).get.seq shouldBe 3L
     CatalogCommit.snapshotAt(spark, cat, 1L) shouldBe None
   }
+
+  private def sealedJson(seq: Long, pins: (String, Long)*): Array[Byte] = {
+    val body = pins.sortBy(_._1).map { case (p, s) => s"""{"p":"$p","s":$s}""" }.mkString("[", ",", "]")
+    s"""{"seq":$seq,"leaves":$body,"sealed":true}""".getBytes
+  }
+
+  test("a live racer that seals its colliding snapshot DURING the debris wait aborts this publish — its pins are never dropped") {
+    val cat = new File(root, "cat4").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "ya1", 1L to 4L)
+    val seqB = appendCommit(s"$cat/leafB", "b.parquet", "yb1", 10L to 14L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA, "leafB" -> seqB))
+
+    // the racer's snapshot at seq 2 is mid-upload (unsealed) when our
+    // publish collides with it; it seals 300 ms in — inside the wait
+    val racerFile = new File(cat, "_cat-000000002.json")
+    Files.write(racerFile.toPath, """{"seq":2,""".getBytes)
+    val sealer = new Thread(() => {
+      Thread.sleep(300)
+      Files.write(racerFile.toPath, sealedJson(2L, "leafA" -> seqA, "leafB" -> (seqB + 7)))
+      ()
+    })
+    sealer.start()
+    val ex = intercept[ConcurrentCommitException] {
+      CatalogCommit.publish(spark, cat, Map("leafA" -> (seqA + 1)), debrisWaitMs = 5000L)
+    }
+    sealer.join()
+    withClue(ex.getMessage) { ex.getMessage should include(cat) }
+    // the racer's snapshot IS the current state, pins intact — the
+    // aborted loser re-resolves and re-publishes over it
+    val cur = CatalogCommit.current(spark, cat).get
+    cur.seq shouldBe 2L
+    cur.leaves("leafB") shouldBe (seqB + 7)
+  }
+
+  test("a racer that seals AFTER the skip-ahead is caught by the post-seal audit: the publish retracts itself and throws") {
+    val cat = new File(root, "cat5").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "za1", 1L to 4L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA))
+
+    // unsealed collider at seq 2; the racer is slower than any bounded
+    // wait — it seals only after our publish has burned the seq and
+    // moved on (scheduled deterministically through the burn hook)
+    val racerFile = new File(cat, "_cat-000000002.json")
+    Files.write(racerFile.toPath, """{"seq":2,""".getBytes)
+    val ex = intercept[ConcurrentCommitException] {
+      CatalogCommit.publishImpl(
+        spark, cat, Map("leafA" -> (seqA + 1)), debrisWaitMs = 0L,
+        onSeqBurned = { s0 =>
+          if (s0 == 2L) { Files.write(racerFile.toPath, sealedJson(2L, "leafA" -> (seqA + 9))); () }
+        },
+      )
+    }
+    withClue(ex.getMessage) { ex.getMessage should include(cat) }
+    // the loser's own seq-3 snapshot was retracted: the racer's chain
+    // is the surviving state (silently-lost pins were the old failure)
+    val cur = CatalogCommit.current(spark, cat).get
+    cur.seq shouldBe 2L
+    cur.leaves("leafA") shouldBe (seqA + 9)
+    new File(cat, "_cat-000000003.json").exists() shouldBe false
+  }
 }
