@@ -18,6 +18,39 @@ object Compactor {
   def run(spark: SparkSession, root: String, cfg: CompactorConfig = CompactorConfig()): Seq[LeafResult] =
     runOnFiles(spark, FileIndexer.list(spark, root), cfg)
 
+  /** Standalone maintenance sweep over EVERY leaf under `root` — the
+    * retention-heavy deployment shape the per-commit maintenance pass
+    * misses: a leaf whose files are already at target size never
+    * re-plans, so a keyed-delete cadence that outruns arrivals would
+    * stack sidecars on it unboundedly while [[runBatch]]'s maintenance
+    * (which rides successful commits) never fires. One sweep resolves
+    * the leaf set from the same distributed listing the planner uses
+    * and runs the full [[maintainLeaf]] pass (dials, gc, expire,
+    * checkpoint, consumer refresh) on each; every dial no-ops below
+    * its threshold, so a healthy lake costs one metadata pass. Wired
+    * behind GRAFT_MAINT_SWEEP in [[Main]].
+    */
+  def maintainAll(spark: SparkSession, root: String, cfg: CompactorConfig): Long = {
+    import spark.implicits._
+    require(cfg.commitMode == CommitMode.Manifest, "the maintenance sweep operates on manifest leaves")
+    // leaf names stream to the driver one partition at a time — the
+    // same no-whole-plan-on-the-driver discipline as runOnFiles. A
+    // manifest leaf's files live in hidden subdirs (.data-*, .delete-*,
+    // .eqdel-*): the leaf is the parent of the first hidden component,
+    // not the file's immediate dir.
+    val leafIt = FileIndexer.list(spark, root)
+      .map { f =>
+        val i = f.path.indexOf("/.")
+        if (i > 0) f.path.substring(0, i)
+        else f.path.substring(0, f.path.lastIndexOf('/'))
+      }
+      .distinct().orderBy("value").as[String]
+      .toLocalIterator()
+    var n = 0L
+    leafIt.asScala.foreach { leaf => maintainLeaf(spark, leaf, cfg); n += 1 }
+    n
+  }
+
   /** Plan + merge over an explicit file-metadata Dataset — the entry the
     * streaming trigger uses to re-plan only the leaves a micro-batch
     * touched, without re-listing the whole root.
@@ -41,8 +74,48 @@ object Compactor {
     planIt.asScala.grouped(math.max(1, cfg.planBatchSize)).foreach { batch =>
       out ++= runBatch(spark, batch.toSeq, cfg)
     }
+    publishCatalog(spark, out.toSeq, cfg)
     out.toSeq
   }
+
+  /** ONE cross-leaf snapshot per run (ROADMAP 113): pin every leaf the
+    * run successfully committed at its post-run head. Runs AFTER every
+    * batch (and its maintenance — the dial commits are part of the head
+    * being pinned), so catalog readers flip from pre-run-everything to
+    * post-run-everything in one create. Failures never fail the run —
+    * the leaf commits already stand; the next run's publish heals
+    * (crash window 1 of the CatalogCommit matrix). A successfully-
+    * committed leaf OUTSIDE the catalog root is a config error and
+    * fails loudly — silently skipping it would publish a snapshot
+    * claiming run-atomicity it doesn't have.
+    */
+  private def publishCatalog(spark: SparkSession, results: Seq[LeafResult], cfg: CompactorConfig): Unit =
+    cfg.catalogRoot.foreach { cat =>
+      val touched = results.filter(_.success).map(_.leaf).distinct.sorted
+      if (touched.nonEmpty) {
+        require(cfg.commitMode == CommitMode.Manifest, "a catalog publish pins manifest leaf seqs")
+        // both sides fs-qualified: the listing emits qualified paths
+        // (file:/…, s3a://…) while the configured root may be bare
+        val pfx = ManifestCommit.qualifiedPrefix(spark, cat)
+        val updates = touched.map { leaf =>
+          val leafQ = ManifestCommit.qualifiedPrefix(spark, leaf).dropRight(1)
+          require(leafQ.startsWith(pfx) && leafQ.length > pfx.length,
+            s"compacted leaf $leaf is not under the catalog root $cat")
+          leafQ.substring(pfx.length) -> ManifestCommit.currentSeq(spark, leaf)
+        }.toMap
+        try {
+          val snap = CatalogCommit.publish(spark, cat, updates)
+          // bounded snapshot history: expiring old snapshots moves
+          // oldestPin forward, which is what unblocks leaf expiry
+          cfg.catalogKeepSnapshots.foreach { keep =>
+            if (snap.seq > keep) { CatalogCommit.expire(spark, cat, snap.seq - keep + 1); () }
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[compact] catalog publish on $cat failed (leaf commits stand): ${e.toString}")
+        }
+      }
+    }
 
   /** One slice of the plan: tiny single-output-file groups ride the
     * batched one-job path ([[BatchMerger]]); everything else gets its own
@@ -67,7 +140,9 @@ object Compactor {
     // merge job of the slice is done (the batch and solo paths above run
     // sequentially, so nothing of this run is still writing here).
     if (cfg.commitMode == CommitMode.Manifest &&
-      (cfg.autoGcOrphans || cfg.expireKeepSnapshots.nonEmpty || cfg.matAggRoot.nonEmpty))
+      (cfg.autoGcOrphans || cfg.expireKeepSnapshots.nonEmpty || cfg.matAggRoot.nonEmpty ||
+        cfg.syncIndexRoot.nonEmpty || cfg.maintainDeleteSidecarsMax.nonEmpty ||
+        cfg.maintainEqSidecarsMax.nonEmpty || cfg.reclusterColumn.nonEmpty))
       results.filter(_.success).map(_.leaf).distinct.foreach(maintainLeaf(spark, _, cfg))
     results
   }
@@ -77,12 +152,46 @@ object Compactor {
     */
   private def maintainLeaf(spark: SparkSession, leaf: String, cfg: CompactorConfig): Unit =
     try {
+      // The LEAF DIALS first — each is a normal manifest COMMIT (a
+      // sidecar consolidation, a backlog fold, a re-sort) that acts
+      // only past its threshold, so gc/expire below measure the
+      // post-dial history and the consumer refresh at the bottom
+      // crosses the dial commits in the same pass (the walk nets the
+      // consolidation to zero and classifies the folds exactly).
+      // Ordering among the dials: the position consolidation is zero
+      // data I/O; the recluster rewrite FOLDS any sidecars whose scope
+      // its full-range plan covers, so when it acts the eq dial after
+      // it usually no-ops instead of paying a second rewrite.
+      cfg.maintainDeleteSidecarsMax.foreach { mx =>
+        graft.operators.StoreMaintenance.maintainDeleteSidecars(spark, leaf, cfg, maxSidecars = mx); ()
+      }
+      cfg.reclusterColumn.foreach { c =>
+        graft.operators.StoreMaintenance.maintainClustering(
+          spark, leaf, c, cfg, maxDepth = cfg.reclusterMaxDepth); ()
+      }
+      cfg.maintainEqSidecarsMax.foreach { mx =>
+        graft.operators.StoreMaintenance.maintainEqDeleteSidecars(spark, leaf, cfg, maxSidecars = mx); ()
+      }
       if (cfg.autoGcOrphans) { ManifestCommit.gcOrphans(spark, leaf); () }
       cfg.expireKeepSnapshots.foreach { keep =>
         val cur = ManifestCommit.currentSeq(spark, leaf)
         if (cur > keep) {
-          ManifestCommit.expireSnapshots(spark, leaf, cur - keep)
-          if (cfg.checkpointManifests) { ManifestCommit.checkpoint(spark, leaf, cur - keep); () }
+          // a catalog pin is a retention dependency: a pinned read is
+          // readLeafAt(pin), so the expire horizon never crosses the
+          // oldest seq any retained catalog snapshot pins this leaf at
+          val horizon0 = cur - keep
+          val horizon = cfg.catalogRoot match {
+            case Some(cat) =>
+              val pfx = ManifestCommit.qualifiedPrefix(spark, cat)
+              val leafQ = ManifestCommit.qualifiedPrefix(spark, leaf).dropRight(1)
+              if (leafQ.startsWith(pfx) && leafQ.length > pfx.length)
+                CatalogCommit.oldestPin(spark, cat, leafQ.substring(pfx.length))
+                  .fold(horizon0)(math.min(horizon0, _))
+              else horizon0
+            case None => horizon0
+          }
+          ManifestCommit.expireSnapshots(spark, leaf, horizon)
+          if (cfg.checkpointManifests) { ManifestCommit.checkpoint(spark, leaf, horizon); () }
         }
       }
       // Consumer maintenance LAST: gc/expire above may retire the

@@ -49,6 +49,30 @@ import org.apache.spark.sql.SparkSession
   *                        root (leaf must carry doc_id/text); with a
   *                        matagg configured, both consumers ride ONE
   *                        shared feed window per maintenance pass
+  *   GRAFT_MAINT_DELETE_SIDECARS=n  manifest mode: consolidate a leaf's
+  *                        POSITION delete-sidecar backlog into one
+  *                        sidecar-only commit past n live sidecars
+  *   GRAFT_MAINT_EQ_SIDECARS=n      manifest mode: physically fold the
+  *                        EQUALITY sidecar backlog (one compaction of
+  *                        the scope union) past n live sidecars
+  *   GRAFT_RECLUSTER_KEY  manifest mode: re-sort a leaf on this column
+  *                        when its sidecar-measured stabbing depth
+  *                        exceeds GRAFT_RECLUSTER_DEPTH (default 2.0);
+  *                        needs the column in GRAFT_STATS_COLUMNS so
+  *                        commits record the intervals the dial reads
+  *   GRAFT_MAINT_SWEEP=1  manifest mode: after the compaction pass, run
+  *                        the full maintenance pass over EVERY leaf
+  *                        under the root — the retention-heavy shape
+  *                        where sidecars stack on leaves that never
+  *                        re-plan (no commit = no per-commit pass)
+  *   GRAFT_CATALOG_ROOT   manifest mode: publish ONE CatalogCommit
+  *                        snapshot per run pinning every committed leaf
+  *                        at its new head (cross-leaf atomic publish);
+  *                        leaf expiry is clamped to the oldest retained
+  *                        pin — pair with retainSuperseded semantics
+  *   GRAFT_CATALOG_KEEP=n keep the newest n catalog snapshots (expire
+  *                        older ones after each publish, moving the
+  *                        pinned expiry floor forward)
   */
 object Main {
 
@@ -96,6 +120,12 @@ object Main {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(base.matAggMinMax),
       syncIndexRoot = env.get("GRAFT_SYNC_INDEX").orElse(base.syncIndexRoot),
+      maintainDeleteSidecarsMax = env.get("GRAFT_MAINT_DELETE_SIDECARS").map(_.toInt),
+      maintainEqSidecarsMax = env.get("GRAFT_MAINT_EQ_SIDECARS").map(_.toInt),
+      reclusterColumn = env.get("GRAFT_RECLUSTER_KEY").orElse(base.reclusterColumn),
+      reclusterMaxDepth = env.get("GRAFT_RECLUSTER_DEPTH").map(_.toDouble).getOrElse(base.reclusterMaxDepth),
+      catalogRoot = env.get("GRAFT_CATALOG_ROOT").orElse(base.catalogRoot),
+      catalogKeepSnapshots = env.get("GRAFT_CATALOG_KEEP").map(_.toInt),
     )
   }
 
@@ -122,6 +152,10 @@ object Main {
       spark.stop()
     } else {
       val results = Compactor.run(spark, root, cfg)
+      if (sys.env.get("GRAFT_MAINT_SWEEP").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+        val n = Compactor.maintainAll(spark, root, cfg)
+        println(s"[compact] maintenance sweep over $n leaves")
+      }
       val (ok, bad) = results.partition(_.success)
       println(s"[compact] ${ok.size} groups compacted, ${bad.size} failed")
       bad.foreach(r => println(s"[compact] FAILED ${r.leaf}/${r.stem}: ${r.error.getOrElse("?")}"))

@@ -142,10 +142,16 @@ final case class CompactorConfig(
     // Bloom sidecar sizing dial: numBits = bloomBitsPerItem ×
     // maxRowsPerFile. The StatsBench bits-ladder prices it on a real
     // unique-valued column (measured: 2 bits ≈ 38% fpp, 5 ≈ 9%,
-    // 10 ≈ 0.6%); sidecar bytes scale linearly with bits, so 10 is the
-    // default — the first point where a point-probe's expected useless
-    // scans (fpp × files) stop mattering next to the scan it saves.
-    bloomBitsPerItem: Int = 10,
+    // 10 ≈ 0.6%, 16 ≈ 0.05%); sidecar bytes scale linearly with bits.
+    // The default is sized for KEY-SET probes, not single points: a
+    // merge/keyed-delete classification probes each file with a whole
+    // key batch and the per-key fpp COMPOUNDS — P(any FP) ≈
+    // 1-(1-fpp)^|keys| — so 10 bits (fine for single lookups) kept
+    // 14/43 innocent files against a 50-key batch (≈30%/file,
+    // measured r16). At 16 bits the same batch compounds to ≈2% and
+    // the prune holds ≤3/43 (StatsBench merge_classify + fpp50
+    // ladder), for 1.6× the sidecar bytes — still metadata-scale.
+    bloomBitsPerItem: Int = 16,
     // Manifest-mode lifecycle: maintain an incrementally-refreshed
     // materialized GROUP-BY ([[MaterializedAgg]]) per compacted leaf.
     // State for leaf L lives at MaterializedAgg.pathFor(matAggRoot, L)
@@ -179,6 +185,37 @@ final case class CompactorConfig(
     // superseded by it (a real conflict still fails — re-stamping
     // would duplicate rows), and re-stamp; up to N times.
     commitRetries: Int = 0,
+    // Manifest-mode LEAF maintenance dials (round-16 verdict: spec-
+    // proven machinery with no production caller), evaluated in the
+    // per-leaf maintenance pass BEFORE gc/expire and the consumer
+    // refresh. Each acts only past its threshold — safe every run:
+    //   maintainDeleteSidecarsMax: Some(n) consolidates the POSITION
+    //   sidecar backlog into one sidecar-only commit past n live
+    //   sidecars (zero data I/O — bounds the read anti-join fan-out
+    //   between compactions).
+    //   maintainEqSidecarsMax: Some(n) physically folds the EQUALITY
+    //   sidecar backlog (one compaction of the scope union) past n —
+    //   the rewrite the keyed-retention cadence owed the leaf anyway.
+    //   reclusterColumn: re-sort the leaf on this column through the
+    //   normal commit path when the sidecar-measured stabbing depth
+    //   exceeds reclusterMaxDepth (1.0 = range-disjoint; unmeasurable
+    //   leaves are never touched).
+    maintainDeleteSidecarsMax: Option[Int] = None,
+    maintainEqSidecarsMax: Option[Int] = None,
+    reclusterColumn: Option[String] = None,
+    reclusterMaxDepth: Double = 2.0,
+    // Multi-leaf ATOMIC publish (CatalogCommit): when set, ONE catalog
+    // snapshot per Compactor.run pins every leaf the run successfully
+    // committed at its new head — a partitioned dataset's maintenance
+    // pass lands cross-leaf-atomically for catalog readers. Leaf
+    // expiry is clamped to the oldest retained pin (a pinned read is
+    // readLeafAt — its history is a retention dependency); pair with
+    // retainSuperseded so pinned reads stay resolvable between runs.
+    // catalogKeepSnapshots bounds the snapshot history itself: Some(n)
+    // expires catalog snapshots older than the newest n after each
+    // publish (which moves oldestPin forward and unblocks leaf expiry).
+    catalogRoot: Option[String] = None,
+    catalogKeepSnapshots: Option[Int] = None,
 ) {
   def asOfDate: java.time.LocalDate =
     asOf.getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
