@@ -316,6 +316,69 @@ object EtlQueries {
         .orderBy("doc_id")
     },
 
+    // ----- multi-leaf ATOMIC commit (CatalogCommit), oracled end to
+    // end: a partitioned dataset (orders hash-split across two member
+    // leaves) takes per-leaf CoW deletes, and ONE `_cat-<seq>.json`
+    // create publishes BOTH new heads together — catalog readers flip
+    // old-everything → new-everything in one PUT. The builder then
+    // lands a THIRD commit on one leaf WITHOUT publishing (the lagging-
+    // leaf crash window) and asserts the pin isolates it: the catalog
+    // read must resolve every member THROUGH its pinned seq
+    // (readLeafAt), never fall through to a leaf head. The DuckDB hash
+    // certifies the pinned resolution on both members, the CoW deletes
+    // under it, and the carried retention (superseded files stay
+    // readable at the pin).
+    Q(
+      "catalog_commit",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 2) AND NOT (o_orderkey % 10 = 5)
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      import graft.compact.{CatalogCommit, CommitMode, CompactorConfig, ManifestCommit, WapCommit}
+      val path = StoreCache.resolve(d, "catalog-commit", table = "orders") { p =>
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+        fs.delete(stage, true)
+        val cat = s"$stage/cat"
+        val cfg = CompactorConfig(
+          commitMode = CommitMode.Manifest, retainSuperseded = true,
+          statsColumns = Seq("o_orderkey"),
+        )
+        val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        Seq("east" -> 0, "west" -> 1).foreach { case (leafRel, parity) =>
+          val part = orders.where(col("o_orderkey") % 2 === parity)
+            .repartitionByRange(2, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+          WapCommit.writeAuditPublish(
+            s, s"$cat/$leafRel", part, Seq(WapCommit.AuditCheck.notNull("o_orderkey")), cfg)
+        }
+        def seqOf(leafRel: String) = ManifestCommit.currentSeq(s, s"$cat/$leafRel")
+        CatalogCommit.publish(s, cat, Map("east" -> seqOf("east"), "west" -> seqOf("west")))
+        // per-leaf deletes, then ONE cross-leaf publish of both heads
+        ManifestCommit.deleteWhere(s, s"$cat/east", col("o_orderkey") % 10 === 2, cfg)
+          .foreach(r => if (!r.success) throw new IllegalStateException(s"east delete failed: ${r.error}"))
+        ManifestCommit.deleteWhere(s, s"$cat/west", col("o_orderkey") % 10 === 5, cfg)
+          .foreach(r => if (!r.success) throw new IllegalStateException(s"west delete failed: ${r.error}"))
+        CatalogCommit.publish(s, cat, Map("east" -> seqOf("east"), "west" -> seqOf("west")))
+        // the lagging-leaf window: a further commit on east that is
+        // NEVER published — the pin must isolate it
+        ManifestCommit.deleteWhere(s, s"$cat/east", col("o_orderkey") % 10 === 4, cfg)
+          .foreach(r => if (!r.success) throw new IllegalStateException(s"east lag delete failed: ${r.error}"))
+        val headCnt = ManifestCommit.readLeaf(s, s"$cat/east").count()
+        val pinCnt = CatalogCommit.readLeaf(s, cat, "east").count()
+        if (headCnt >= pinCnt)
+          throw new IllegalStateException(
+            s"catalog pin is not isolating the unpublished commit (head $headCnt vs pinned $pinCnt)")
+        fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
+        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+          throw new java.io.IOException(s"catalog-commit store publish rename failed: $stage -> $p")
+      }
+      graft.compact.CatalogCommit.readLeaf(s, s"$path/cat", "east")
+        .unionByName(graft.compact.CatalogCommit.readLeaf(s, s"$path/cat", "west"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ----- data-quality expectations audit (the dbt-test / Deequ
     // shape): a battery of declared table checks, each one scalar
     // violation count, unioned into one report — the gate a pipeline
