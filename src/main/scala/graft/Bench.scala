@@ -1,6 +1,60 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Parse a BENCH_DETAIL file's per-query minima ("name": [t1, t2,…]).
+    * Regex over our own fixed format — no JSON dependency.
+    */
+  private def readDetailMins(path: java.nio.file.Path): Map[String, Double] =
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else {
+      val text = java.nio.file.Files.readString(path)
+      """"([A-Za-z0-9_]+)":\s*\[([0-9., ]+)\]""".r.findAllMatchIn(text).flatMap { m =>
+        val name = m.group(1)
+        if (name.startsWith("_")) None
+        else {
+          val vs = m.group(2).split(',').map(_.trim).filter(_.nonEmpty).flatMap(_.toDoubleOption)
+          if (vs.isEmpty) None else Some(name -> vs.min)
+        }
+      }.toMap
+    }
+
+  /** Isolated fresh-JVM re-run of ONE query — the bench adjudication
+    * protocol, automated (round-16 prescription 5): a flagged
+    * regression on this box is as often window noise (GC storm,
+    * co-tenant burst) as plan cost, and only a fresh JVM separates
+    * them. Reuses this (forked — `run / fork := true`) JVM's binary,
+    * flags, and classpath; the child's stdout goes to a temp file so
+    * the parent's capture-window line stays clean, and the child skips
+    * its own adjudication (filter set + NO_ADJ). Returns the child's
+    * min for exactly `q`, None on any failure or a 12-minute timeout.
+    */
+  private def adjudicateIsolated(q: String): Option[Double] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val cp = sys.props("java.class.path")
+      if (!cp.contains(java.io.File.pathSeparator)) return None // unforked parent: no real classpath
+      val javaBin = s"${sys.props("java.home")}/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val detail = java.nio.file.Files.createTempFile(s"graft-adj-$q", ".json")
+      val log = java.nio.file.Files.createTempFile(s"graft-adj-$q", ".log")
+      val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+      pb.redirectOutput(log.toFile)
+      pb.redirectErrorStream(true)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_BENCH_FILTER", q)
+      env.put("SPARK_GRAFT_BENCH_NO_ADJ", "1")
+      env.put("SPARK_GRAFT_BENCH_DETAIL", detail.toString)
+      val proc = pb.start()
+      val done = proc.waitFor(12, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); return None }
+      val v = readDetailMins(detail).get(q) // exact name: the substring filter may co-run others
+      java.nio.file.Files.deleteIfExists(detail)
+      java.nio.file.Files.deleteIfExists(log)
+      v
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,6 +111,15 @@ object Bench {
     val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
     val exclude = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCLUDE", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    // last round's committed detail = the adjudication baseline; read
+    // BEFORE this run overwrites the same path at the end.
+    // SPARK_GRAFT_BENCH_BASELINE points the flags at a different
+    // reference file (e.g. when the committed detail is a judge's
+    // filtered adjudication run, not a full suite).
+    val detailPath =
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    val baseline = readDetailMins(
+      sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(java.nio.file.Paths.get(_)).getOrElse(detailPath))
     val suite = SparkEntry.queries.toSeq
       .filter { case (n, _) => n.contains(filter) && !exclude.contains(n) }
       .sortBy(_._1)
@@ -97,6 +160,26 @@ object Bench {
       val best = math.min(math.min(t1, p2(name)), retried.getOrElse(name, Double.MaxValue))
       (name, best, t1, p2(name))
     }
+    // Auto-adjudication (round-16 prescription 5): every query that
+    // regressed >=1.5x against the LAST round's committed detail (read
+    // above, before this run overwrote it) gets an isolated fresh-JVM
+    // re-run, and the isolated number lands in _meta.adjudicated — the
+    // artifact itself now separates plan cost from window noise.
+    // Skipped on partial runs (filter/exclude) and inside the isolated
+    // children themselves; bounded to the 6 worst flags.
+    val adjEnabled =
+      !sys.env.contains("SPARK_GRAFT_BENCH_NO_ADJ") && filter.isEmpty && exclude.isEmpty
+    val flagged =
+      if (!adjEnabled) Seq.empty[(Double, String)]
+      else results.collect {
+        case (name, best, _, _)
+            if baseline.get(name).exists(b => math.max(b, best) >= 0.3 && best >= 1.5 * b) =>
+          (best / baseline(name), name)
+      }.sortBy(-_._1)
+    val adjudicated = flagged.take(6).flatMap { case (_, q) =>
+      System.err.println(s"[bench] adjudicating flagged regression: $q")
+      adjudicateIsolated(q).map(q -> _)
+    }
     def sec(v: Double) = {
       // Locale.ROOT: f"$v%.2f" uses the default locale — a comma-decimal
       // locale would emit invalid JSON on the one line that must parse
@@ -136,9 +219,11 @@ object Bench {
       // "passes" stays numeric (2 fixed passes); the adaptive third
       // sample is reported separately so numeric consumers don't break.
       (s"""  "_meta": {"unit": "sec", "passes": 2, "retried": ${retried.size}, "reported": "min",""" +
-        s""" "cpus": $cpus, "sf": "$sfDir"$filterJson$excludeJson}""")
+        s""" "cpus": $cpus, "sf": "$sfDir"$filterJson$excludeJson,""" +
+        s""" "flags": ${flagged.size}, "adjudicated": {""" +
+        adjudicated.map { case (q, v) => s""""$q": ${sec(v)}""" }.mkString(", ") + "}}")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
+      detailPath,
       detailEntries.mkString("{\n", ",\n", "\n}"),
     )
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

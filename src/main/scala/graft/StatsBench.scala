@@ -133,12 +133,23 @@ object StatsBench {
     // Bloom bits-per-item ladder: fpp vs sidecar bytes on the real
     // unique-valued `tag` column, measured by probing every file's
     // bloom with absent keys through the same serialized-filter +
-    // xxhash64(seed 42) path the reader uses. This prices the
-    // CompactorConfig.bloomBitsPerItem dial.
+    // xxhash64(seed 42) path the reader uses. Two figures per rung:
+    // single-probe fpp (the point-lookup cost) and fpp50 — the chance
+    // an innocent file SURVIVES a 50-key batch probe (the merge/keyed-
+    // delete classification shape, where per-key fpp compounds as
+    // 1-(1-fpp)^50). fpp50 is what sizes the default: 10 bits is fine
+    // for points but keeps ~30% of innocent files per 50-key batch;
+    // 16 holds it near 2% for 1.6x the sidecar bytes (ROADMAP 112).
     val liveFiles = ManifestCommit.liveFiles(spark, leafPath)
     val relAbs = liveFiles.map(p => p.stripPrefix(s"$leafPath/") -> p)
     val absentProbes = (0 until 1000).map(i => s"zz$i")
-    val bitsLadder = Seq(2, 5, 10).map { bits =>
+    def hashOf(s0: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s0),
+        org.apache.spark.sql.types.StringType, 42L,
+      )
+    val batches50 = (0 until 40).map(b => (0 until 50).map(i => hashOf(s"zz${b * 50 + i}")))
+    val bitsLadder = Seq(2, 5, 10, 16, 20).map { bits =>
       val blooms = ManifestStats.collectBlooms(
         spark, relAbs, Seq("tag"),
         expectedItems = rowsPer, numBits = bits.toLong * rowsPer,
@@ -146,19 +157,22 @@ object StatsBench {
       val bytes = blooms.valuesIterator.flatMap(_.valuesIterator.map(_.length.toLong)).sum
       var fp = 0L
       var probesTotal = 0L
+      var batchHits = 0L
+      var batchesTotal = 0L
       blooms.valuesIterator.foreach { cols =>
         val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(cols("tag"))
-        absentProbes.foreach { s =>
-          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-            org.apache.spark.unsafe.types.UTF8String.fromString(s),
-            org.apache.spark.sql.types.StringType, 42L,
-          )
+        absentProbes.foreach { s0 =>
           probesTotal += 1
-          if (bf.mightContainLong(h)) fp += 1
+          if (bf.mightContainLong(hashOf(s0))) fp += 1
+        }
+        batches50.foreach { batch =>
+          batchesTotal += 1
+          if (batch.exists(bf.mightContainLong)) batchHits += 1
         }
       }
       val fpp = if (probesTotal == 0) 0.0 else fp.toDouble / probesTotal
-      f"""{"bits":$bits,"bloom_bytes":$bytes,"fpp":$fpp%.4f}"""
+      val fpp50 = if (batchesTotal == 0) 0.0 else batchHits.toDouble / batchesTotal
+      f"""{"bits":$bits,"bloom_bytes":$bytes,"fpp":$fpp%.4f,"fpp50":$fpp50%.4f}"""
     }
 
     // Materialized-agg refresh vs rebuild (MaterializedAgg — the

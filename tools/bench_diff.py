@@ -79,6 +79,19 @@ def load_queries(path):
     return json.loads(best)["queries"]
 
 
+def load_adjudicated(path):
+    """The _meta.adjudicated map (isolated fresh-JVM re-runs graft.Bench
+    recorded for its own flags), when the artifact is a BENCH_DETAIL
+    file that carries one. Empty dict otherwise."""
+    try:
+        d = json.loads(open(path).read())
+        meta = d.get("_meta", {}) if isinstance(d, dict) else {}
+        adj = meta.get("adjudicated", {})
+        return {k: float(v) for k, v in adj.items()} if isinstance(adj, dict) else {}
+    except (json.JSONDecodeError, OSError, ValueError):
+        return {}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
@@ -91,6 +104,7 @@ def main():
 
     old = load_queries(args.old)
     new = load_queries(args.new)
+    adjudicated = load_adjudicated(args.new)
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
 
@@ -115,14 +129,30 @@ def main():
         print(f"removed ({len(removed)}): {', '.join(removed)}")
     for r, q, a, b in sorted(improved):
         print(f"IMPROVED {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+    real = []
     for r, q, a, b in sorted(flags, reverse=True):
+        if q in adjudicated:
+            # the artifact already carries the isolated fresh-JVM number
+            iso = adjudicated[q]
+            if a > 0 and iso / a < args.threshold:
+                print(f"ADJUDICATED {q}: {a:.2f}s -> {b:.2f}s in-suite, "
+                      f"{iso:.2f}s isolated ({iso / a:.2f}x) — window noise, not plan cost")
+                continue
+            print(f"REGRESSED {q}: {a:.2f}s -> {b:.2f}s "
+                  f"({r:.2f}x; isolated {iso:.2f}s CONFIRMS)")
+            real.append(q)
+            continue
         print(f"REGRESSED {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
         print(f"  adjudicate: SPARK_GRAFT_BENCH_FILTER={q} sbt 'runMain graft.Bench'"
               f"  # isolated fresh-JVM reading = the plan's cost")
+        real.append(q)
     if not flags:
         print(f"OK: no query regressed >= {args.threshold}x "
               f"(noise floor {args.min_sec}s)")
-    sys.exit(1 if flags else 0)
+    elif not real:
+        print(f"OK: all {len(flags)} flag(s) adjudicated as window noise "
+              f"(isolated numbers inside the {args.threshold}x threshold)")
+    sys.exit(1 if real else 0)
 
 
 if __name__ == "__main__":
