@@ -39,20 +39,24 @@ object Bench {
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
       val detail = java.nio.file.Files.createTempFile(s"graft-adj-$q", ".json")
       val log = java.nio.file.Files.createTempFile(s"graft-adj-$q", ".log")
-      val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
-      pb.redirectOutput(log.toFile)
-      pb.redirectErrorStream(true)
-      val env = pb.environment()
-      env.put("SPARK_GRAFT_BENCH_FILTER", q)
-      env.put("SPARK_GRAFT_BENCH_NO_ADJ", "1")
-      env.put("SPARK_GRAFT_BENCH_DETAIL", detail.toString)
-      val proc = pb.start()
-      val done = proc.waitFor(12, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { proc.destroyForcibly(); return None }
-      val v = readDetailMins(detail).get(q) // exact name: the substring filter may co-run others
-      java.nio.file.Files.deleteIfExists(detail)
-      java.nio.file.Files.deleteIfExists(log)
-      v
+      try {
+        val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+        pb.redirectOutput(log.toFile)
+        pb.redirectErrorStream(true)
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_BENCH_FILTER", q)
+        env.put("SPARK_GRAFT_BENCH_NO_ADJ", "1")
+        env.put("SPARK_GRAFT_BENCH_DETAIL", detail.toString)
+        val proc = pb.start()
+        val done = proc.waitFor(12, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); None }
+        else readDetailMins(detail).get(q) // exact name: the substring filter may co-run others
+      } finally {
+        // every exit path — timeout included — reclaims the temp pair
+        // (the log holds a full Spark run's merged output)
+        try { java.nio.file.Files.deleteIfExists(detail); () } catch { case _: Throwable => () }
+        try { java.nio.file.Files.deleteIfExists(log); () } catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
@@ -160,6 +164,13 @@ object Bench {
       val best = math.min(math.min(t1, p2(name)), retried.getOrElse(name, Double.MaxValue))
       (name, best, t1, p2(name))
     }
+    // Release the parent's Spark session BEFORE any isolated children
+    // run: the manual protocol's isolated reading came from a box
+    // where the suite JVM had exited, and a child racing a parent that
+    // still holds a full heap of cached state would inherit exactly
+    // the co-tenancy noise the adjudication exists to remove. Nothing
+    // below needs the session — the detail/stdout writing is pure.
+    spark.stop()
     // Auto-adjudication (round-16 prescription 5): every query that
     // regressed >=1.5x against the LAST round's committed detail (read
     // above, before this run overwrote it) gets an isolated fresh-JVM
@@ -233,8 +244,8 @@ object Bench {
     // so order the line for graceful truncation: per-query entries
     // sorted by DESCENDING cost first (anything cut is from the cheap
     // sub-noise-floor crowd), aggregate + failed + sf LAST so the
-    // window always retains them. Print after spark.stop() so nothing
-    // but the sbt epilogue follows.
+    // window always retains them. The session stopped before the
+    // adjudication above, so nothing but the sbt epilogue follows.
     val qs = results.sortBy(-_._2).map { case (k, v, _, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -242,7 +253,6 @@ object Bench {
     val line =
       s"""{"queries":$qs,"failed":$failedJson,"n":${results.size}$filterJson$excludeJson,""" +
         s""""metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir"}"""
-    spark.stop()
     println(line)
     // A second, SHORT aggregate-only object after the big line: the
     // driver's ~2000-char capture window truncates the per-query line's

@@ -119,13 +119,18 @@ object CatalogCommit {
     *      colliding file to seal; a racer that seals inside the window
     *      aborts THIS publish with [[ConcurrentCommitException]] (the
     *      caller re-resolves and re-publishes over the racer's pins);
-    *   2. post-seal audit — after sealing, if any seq this publish
-    *      skipped past turned out SEALED (a racer slower than the
-    *      window), this publish retracts its own snapshot (best-effort
-    *      delete — readers step down to the racer's) and throws, so a
-    *      racing loser ALWAYS gets the exception, never a silent
-    *      pin loss. The audit only runs when a seq was actually
-    *      burned — the no-debris fast path costs nothing extra.
+    *   2. post-seal audit, BOTH sides of the race — after sealing,
+    *      (a) if any seq this publish skipped past turned out SEALED
+    *      (a racer slower than the window), and (b) if a sealed
+    *      snapshot ABOVE ours exists that does not incorporate our
+    *      pins (a faster publisher burned OUR in-flight seq and moved
+    *      on), this publish retracts its own snapshot (best-effort
+    *      delete — readers resolve the other chain) and throws. Either
+    *      way the racing loser ALWAYS gets the exception, never a
+    *      silent pin loss. The burned-seq half only runs when a seq
+    *      was actually burned; the skipped-us half costs one
+    *      current() listing per publish — metadata-scale, and the
+    *      price of the guarantee.
     */
   def publish(
       spark: SparkSession,
@@ -135,10 +140,11 @@ object CatalogCommit {
   ): Snapshot =
     publishImpl(spark, root, updates, debrisWaitMs, onSeqBurned = _ => ())
 
-  /** [[publish]] with a test seam: `onSeqBurned` fires after a seq is
-    * classified as debris and burned, BEFORE the create at the next —
-    * the deterministic interleaving hook the racer specs schedule a
-    * late seal into.
+  /** [[publish]] with two test seams for deterministic race
+    * interleavings: `onSeqBurned` fires after a seq is classified as
+    * debris and burned (before the create at the next); `onCreated`
+    * fires after our create lands but BEFORE the body is written — the
+    * window in which a faster publisher sees us as unsealed debris.
     */
   private[compact] def publishImpl(
       spark: SparkSession,
@@ -146,6 +152,7 @@ object CatalogCommit {
       updates: Map[String, Long],
       debrisWaitMs: Long,
       onSeqBurned: Long => Unit,
+      onCreated: Long => Unit = _ => (),
   ): Snapshot = {
     require(updates.nonEmpty, "a catalog publish must pin at least one leaf")
     updates.keys.foreach(k =>
@@ -194,17 +201,38 @@ object CatalogCommit {
         }
       created match {
         case Some(out) =>
+          onCreated(next.seq)
           try out.write(json.getBytes(StandardCharsets.UTF_8))
           finally out.close()
-          // guard 2: a burned seq that SEALED after the window is a
-          // racer whose pins this snapshot never incorporated — retract
-          // ours (readers resolve the racer's) and fail loudly
+          // guard 2, WINNER side: a burned seq that SEALED after the
+          // window is a racer whose pins this snapshot never
+          // incorporated — retract ours (readers resolve the racer's)
+          // and fail loudly
           if (attempts > 0) {
             val lateSealed = ((curSeq + 1L) until next.seq)
               .find(s0 => parse(fs, new Path(s"$root/${snapName(s0)}")).isDefined)
             lateSealed.foreach { s0 =>
               try { fs.delete(target, false); () } catch { case _: Throwable => () }
               throw new ConcurrentCommitException(root, s0, "unknown")
+            }
+          }
+          // guard 2, LOSER side (the symmetric half — without it a
+          // SLOW writer whose in-flight file a faster publisher burned
+          // would seal last, run no audit, and return success while
+          // the winner's chain silently dropped its pins): if a sealed
+          // snapshot ABOVE ours exists that does not carry every one
+          // of our pins at-or-past our seqs, it skipped us — retract
+          // ours and throw so the caller re-resolves over the winner.
+          // A higher snapshot that DOES incorporate them was built on
+          // our chain (or independently observed the same leaf heads):
+          // nothing was lost, the publish stands.
+          current(spark, root).filter(_.seq > next.seq).foreach { cur2 =>
+            val dropped = updates.exists { case (leafRel, s0) =>
+              !cur2.leaves.get(leafRel).exists(_ >= s0)
+            }
+            if (dropped) {
+              try { fs.delete(target, false); () } catch { case _: Throwable => () }
+              throw new ConcurrentCommitException(root, cur2.seq, "unknown")
             }
           }
           return next

@@ -36,11 +36,16 @@ object Compactor {
     // leaf names stream to the driver one partition at a time — the
     // same no-whole-plan-on-the-driver discipline as runOnFiles. A
     // manifest leaf's files live in hidden subdirs (.data-*, .delete-*,
-    // .eqdel-*): the leaf is the parent of the first hidden component,
-    // not the file's immediate dir.
+    // .eqdel-*): the leaf is the parent of the first hidden component
+    // BELOW THE ROOT, not the file's immediate dir — and the search
+    // must start past the root prefix, or a lake mounted under any
+    // dot-directory (/srv/.cache/lake) would truncate every leaf to
+    // that ancestor and the sweep would maintain nothing real.
+    val rootPfx = ManifestCommit.qualifiedPrefix(spark, root)
     val leafIt = FileIndexer.list(spark, root)
       .map { f =>
-        val i = f.path.indexOf("/.")
+        val from = if (f.path.startsWith(rootPfx)) rootPfx.length else 0
+        val i = f.path.indexOf("/.", from)
         if (i > 0) f.path.substring(0, i)
         else f.path.substring(0, f.path.lastIndexOf('/'))
       }
@@ -106,9 +111,19 @@ object Compactor {
         try {
           val snap = CatalogCommit.publish(spark, cat, updates)
           // bounded snapshot history: expiring old snapshots moves
-          // oldestPin forward, which is what unblocks leaf expiry
-          cfg.catalogKeepSnapshots.foreach { keep =>
-            if (snap.seq > keep) { CatalogCommit.expire(spark, cat, snap.seq - keep + 1); () }
+          // oldestPin forward, which is what unblocks leaf expiry. An
+          // UNBOUNDED catalog with leaf expiry configured would pin
+          // the expire horizon at the first snapshot forever — a
+          // silent storage leak; say so loudly once per run.
+          cfg.catalogKeepSnapshots match {
+            case Some(keep) =>
+              if (snap.seq > keep) { CatalogCommit.expire(spark, cat, snap.seq - keep + 1); () }
+            case None =>
+              if (cfg.expireKeepSnapshots.nonEmpty)
+                System.err.println(
+                  s"[compact] WARNING: catalog $cat retains every snapshot (GRAFT_CATALOG_KEEP unset) " +
+                    "while leaf expiry is configured — oldestPin clamps the expire horizon at the first " +
+                    "pin forever and superseded files accumulate unboundedly; set GRAFT_CATALOG_KEEP")
           }
         } catch {
           case e: Throwable =>

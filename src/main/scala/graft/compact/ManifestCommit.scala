@@ -145,16 +145,16 @@ object ManifestCommit {
     // applied set and the reseal share the same keys frame
     val eqTouched = eqWithScope.collect {
       case (e, scope) if scope.exists(planRel) =>
-        (e, scope, readEqKeys(spark, leaf, e), eqKeyRowsOf(spark, leaf, e))
+        (e, scope, readEqKeys(spark, leaf, e), eqKeyBytesOf(spark, leaf, e))
     }
     val eqApplied: Option[DataFrame] =
       if (eqTouched.isEmpty) None
       else {
-        val parts = eqTouched.flatMap { case (_, scope, keys, keyRows) =>
+        val parts = eqTouched.flatMap { case (_, scope, keys, keyBytes) =>
           val inPlan = scope.filter(planRel).sorted
           if (inPlan.isEmpty) None
           else Some(
-            semiJoinKeysGuarded(readWithPos(spark, leaf, inPlan.map(r => s"$leaf/$r")), keys, keyRows)
+            semiJoinKeysGuarded(readWithPos(spark, leaf, inPlan.map(r => s"$leaf/$r")), keys, keyBytes)
               .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos)))
         }
         parts.reduceOption(_.unionByName(_))
@@ -1875,37 +1875,45 @@ object ManifestCommit {
     (padded, missing)
   }
 
-  /** Broadcast the sidecar key frame only below this row count.
-    * [[deleteKeysMoR]] accepts key batches of ANY size (only the
-    * sidecar-prune collect is capped at [[ManifestStats.KeySetPruneCap]]),
-    * so an unconditional broadcast hint would make every later leaf
-    * read, fold, and count of a huge keyed-retention batch collect the
-    * whole key frame onto the driver and push it at Spark's broadcast
-    * ceiling. Below the cap the hint wins (the common churn-sized
-    * sidecar — sub-second anti-joins with no shuffle); above it the
-    * hint is omitted and the join plans as a normal shuffle join —
-    * which at that size is the correct plan anyway.
+  /** Broadcast the sidecar key frame only below this many key-file
+    * BYTES. [[deleteKeysMoR]] accepts key batches of ANY size (only
+    * the sidecar-prune collect is capped at
+    * [[ManifestStats.KeySetPruneCap]]), so an unconditional broadcast
+    * hint would make every later leaf read, fold, and count of a huge
+    * keyed-retention batch collect the whole key frame onto the driver
+    * and push it at Spark's broadcast ceiling. Bytes, not rows: a
+    * 900k-row frame of two wide string columns is a driver OOM a row
+    * cap never sees. 32 MB of compressed parquet inflates to low
+    * hundreds of MB in-memory — comfortably broadcastable — and the
+    * common churn-sized sidecar is KBs; above the cap the hint is
+    * omitted and the join plans as a normal shuffle join, which at
+    * that size is the correct plan anyway.
     */
-  private[compact] val EqBroadcastKeyCap = 1000000L
+  private[compact] val EqBroadcastKeyBytesCap = 32L * 1024 * 1024
 
-  /** Footer-only row count of a sidecar's key files — the broadcast
-    * dial's input (metadata-scale: eq sidecars seal keys coalesced to
-    * one small file).
+  /** Total on-disk bytes of a sidecar's key files — the broadcast
+    * dial's input. One `getFileStatus` per key file (the sidecar seals
+    * them coalesced to one), no parquet opens.
     */
-  private[compact] def eqKeyRowsOf(spark: SparkSession, leaf: String, s: EqSidecar): Long =
-    Merger.footerRows(spark, s.keyFiles.map(r => s"$leaf/$r"))
-
-  private def maybeBroadcastKeys(keys: DataFrame, keyRows: Long): DataFrame =
-    if (keyRows <= EqBroadcastKeyCap) org.apache.spark.sql.functions.broadcast(keys) else keys
-
-  private[compact] def semiJoinKeysGuarded(df: DataFrame, keys: DataFrame, keyRows: Long): DataFrame = {
-    val (padded, _) = withKeyCols(df, keys)
-    padded.join(maybeBroadcastKeys(keys, keyRows), keys.columns.toSeq, "left_semi")
+  private[compact] def eqKeyBytesOf(spark: SparkSession, leaf: String, s: EqSidecar): Long = {
+    val fs = FileIndexer.fsFor(spark, leaf)
+    s.keyFiles.map { r =>
+      try fs.getFileStatus(new Path(s"$leaf/$r")).getLen
+      catch { case _: Throwable => Long.MaxValue } // unknown size: never force a broadcast
+    }.sum
   }
 
-  private[compact] def antiJoinKeysGuarded(df: DataFrame, keys: DataFrame, keyRows: Long): DataFrame = {
+  private def maybeBroadcastKeys(keys: DataFrame, keyBytes: Long): DataFrame =
+    if (keyBytes <= EqBroadcastKeyBytesCap) org.apache.spark.sql.functions.broadcast(keys) else keys
+
+  private[compact] def semiJoinKeysGuarded(df: DataFrame, keys: DataFrame, keyBytes: Long): DataFrame = {
+    val (padded, _) = withKeyCols(df, keys)
+    padded.join(maybeBroadcastKeys(keys, keyBytes), keys.columns.toSeq, "left_semi")
+  }
+
+  private[compact] def antiJoinKeysGuarded(df: DataFrame, keys: DataFrame, keyBytes: Long): DataFrame = {
     val (padded, missing) = withKeyCols(df, keys)
-    padded.join(maybeBroadcastKeys(keys, keyRows), keys.columns.toSeq, "left_anti")
+    padded.join(maybeBroadcastKeys(keys, keyBytes), keys.columns.toSeq, "left_anti")
       .drop(missing: _*)
   }
 
@@ -1972,13 +1980,18 @@ object ManifestCommit {
       if (eqs.isEmpty) readWithPos(spark, leaf, files)
       else {
         val scopes = eqs.map(e => eqScopeRels(spark, leaf, e).toSet)
-        val keyRows = eqs.map(e => eqKeyRowsOf(spark, leaf, e))
+        // byte sizes resolved LAZILY per sidecar actually applied to a
+        // group (a sidecar covering none of the read's files costs
+        // nothing) and memoized across groups
+        val keyBytesCache = scala.collection.mutable.Map.empty[Int, Long]
+        def keyBytes(i: Int): Long =
+          keyBytesCache.getOrElseUpdate(i, eqKeyBytesOf(spark, leaf, eqs(i)))
         val groups = files
           .groupBy(f => scopes.zipWithIndex.collect { case (sc, i) if sc(relativeTo(leaf, f)) => i })
           .toSeq.sortBy(_._2.head)
         val parts = groups.map { case (sids, fls) =>
           sids.foldLeft(readWithPos(spark, leaf, fls)) { (df, i) =>
-            antiJoinKeysGuarded(df, readEqKeys(spark, leaf, eqs(i)), keyRows(i))
+            antiJoinKeysGuarded(df, readEqKeys(spark, leaf, eqs(i)), keyBytes(i))
           }
         }
         parts.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2018,7 +2031,7 @@ object ManifestCommit {
       val scope = eqScopeRels(spark, leaf, e)
       semiJoinKeysGuarded(
         readWithPos(spark, leaf, scope.map(r => s"$leaf/$r")),
-        readEqKeys(spark, leaf, e), eqKeyRowsOf(spark, leaf, e))
+        readEqKeys(spark, leaf, e), eqKeyBytesOf(spark, leaf, e))
         .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos))
     }
     (posDf.toSeq ++ eqDfs).reduce(_.unionByName(_)).distinct()
@@ -2195,7 +2208,7 @@ object ManifestCommit {
       val scopeSet = scope.toSet
       val mine = semiJoinKeysGuarded(
         readWithPos(spark, leaf, scope.map(r => s"$leaf/$r")),
-        readEqKeys(spark, leaf, e), eqKeyRowsOf(spark, leaf, e))
+        readEqKeys(spark, leaf, e), eqKeyBytesOf(spark, leaf, e))
       val refExcl = eqRefs(spark, leaf, e).flatMap { stem =>
         val rs = eqSidecarFromDisk(fs, leaf, stem)
         val shared = eqScopeRels(spark, leaf, rs).toSet.intersect(scopeSet).toSeq.sorted
@@ -2203,7 +2216,7 @@ object ManifestCommit {
         else Some(
           semiJoinKeysGuarded(
             readWithPos(spark, leaf, shared.map(r => s"$leaf/$r")),
-            readEqKeys(spark, leaf, rs), eqKeyRowsOf(spark, leaf, rs))
+            readEqKeys(spark, leaf, rs), eqKeyBytesOf(spark, leaf, rs))
             .select(col("_mor_rel").as(DelFile), col("_mor_pos").as(DelPos)))
       }
       val excl = (eqPrior(spark, leaf, e).toSeq ++ refExcl).reduceOption(_.unionByName(_))

@@ -189,4 +189,36 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     cur.leaves("leafA") shouldBe (seqA + 9)
     new File(cat, "_cat-000000003.json").exists() shouldBe false
   }
+
+  test("the LOSER side of the burn race: a slow writer whose in-flight seq a faster publisher burned retracts itself and throws, never returns success") {
+    val cat = new File(root, "cat6").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "wa1", 1L to 4L)
+    val seqB = appendCommit(s"$cat/leafB", "b.parquet", "wb1", 10L to 14L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA, "leafB" -> seqB))
+
+    // WE are the slow writer: between our create of _cat-2 and our
+    // body write, a fast publisher collides, classifies us as debris
+    // (debrisWaitMs=0), burns seq 2 and seals seq 3 pinning leafB —
+    // carrying leafA at the OLD pin. Our seal lands last; without the
+    // loser-side audit we would return success while the current chain
+    // has dropped our leafA update forever.
+    val ex = intercept[ConcurrentCommitException] {
+      CatalogCommit.publishImpl(
+        spark, cat, Map("leafA" -> (seqA + 1)), debrisWaitMs = 0L,
+        onSeqBurned = _ => (),
+        onCreated = { s0 =>
+          if (s0 == 2L) { CatalogCommit.publish(spark, cat, Map("leafB" -> (seqB + 5)), debrisWaitMs = 0L); () }
+        },
+      )
+    }
+    withClue(ex.getMessage) { ex.getMessage should include(cat) }
+    // the fast publisher's chain stands; our sealed-last seq-2 file was
+    // retracted (it sat in the winner's burned gap claiming pins the
+    // chain dropped)
+    val cur = CatalogCommit.current(spark, cat).get
+    cur.seq shouldBe 3L
+    cur.leaves("leafA") shouldBe seqA // our update is NOT in the chain — hence the throw
+    cur.leaves("leafB") shouldBe (seqB + 5)
+    new File(cat, "_cat-000000002.json").exists() shouldBe false
+  }
 }

@@ -155,6 +155,25 @@ class CompactorMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec 
     bagIds(leafPath) shouldBe (0L until 20L).filterNot(Set(1L, 3L, 5L)).sorted
   }
 
+  test("the sweep resolves leaves correctly under a DOT-prefixed lake root (the hidden-component strip starts past the root)") {
+    // a lake mounted under any dot-directory (/srv/.cache/lake, a home
+    // dotdir): the naive indexOf("/.") truncates every leaf to that
+    // ancestor and the sweep maintains nothing real
+    val dotRoot = new File(root, ".cache/lake3")
+    val leaf = new File(dotRoot, "acct/source=m3/year=2026/month=01"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val cfg = CompactorConfig(commitMode = CommitMode.Manifest, statsColumns = Seq("id"))
+    (0 until 2).foreach(k => ingest(leafPath, k, (k.toLong until 20L by 2L), cfg))
+    Seq(2L, 4L, 6L).foreach { x =>
+      ManifestCommit.deleteWhereMoR(spark, leafPath, col("id") === x, cfg).get.success shouldBe true
+    }
+    sidecarCounts(leafPath)._1 shouldBe 3
+    val maintCfg = cfg.copy(maintainDeleteSidecarsMax = Some(2))
+    Compactor.maintainAll(spark, dotRoot.getAbsolutePath, maintCfg) shouldBe 1L
+    sidecarCounts(leafPath)._1 shouldBe 1
+    bagIds(leafPath) shouldBe (0L until 20L).filterNot(Set(2L, 4L, 6L)).sorted
+  }
+
   test("catalog lifecycle: one run() = one snapshot pinning every touched member at its new head; leaf expiry never crosses a live pin") {
     val cat = new File(root, "cat-lake")
     val leafA = new File(cat, "acct/source=ca/year=2026/month=01"); leafA.mkdirs()

@@ -439,14 +439,15 @@ class EqDeleteSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       val (_, eqs) = ManifestCommit.splitSidecarRels(
         ManifestCommit.liveDeletes(spark, leafPath).map(ManifestCommit.relativeTo(leafPath, _)))
       val keys = ManifestCommit.readEqKeys(spark, leafPath, eqs.head)
+      ManifestCommit.eqKeyBytesOf(spark, leafPath, eqs.head) should be < ManifestCommit.EqBroadcastKeyBytesCap
       val big = ManifestCommit.antiJoinKeysGuarded(
         ManifestCommit.readWithPos(spark, leafPath, ManifestCommit.liveFiles(spark, leafPath)),
-        keys, keyRows = ManifestCommit.EqBroadcastKeyCap + 1)
+        keys, keyBytes = ManifestCommit.EqBroadcastKeyBytesCap + 1)
       val bigPlan = big.queryExecution.executedPlan.toString
       bigPlan should not include "BroadcastHashJoin"
       val small = ManifestCommit.antiJoinKeysGuarded(
         ManifestCommit.readWithPos(spark, leafPath, ManifestCommit.liveFiles(spark, leafPath)),
-        keys, keyRows = 2L)
+        keys, keyBytes = 1024L)
       small.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
