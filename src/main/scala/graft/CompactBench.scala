@@ -119,6 +119,47 @@ object CompactBench {
           s""""bucket":"${bucketKey.fold("")(k => s"$k:$bucketCount")}",""" +
           s""""mb_in":${inBytes / 1048576.0},"mb_per_sec":${inBytes / 1048576.0 / sec}}""",
       )
+
+      // Maintenance-sweep pricing (SPARK_GRAFT_COMPACT_SWEEP=1, manifest
+      // mode): the retention-outruns-compaction shape at swarm scale —
+      // every compacted leaf takes a 3-deep MoR delete backlog, then ONE
+      // maintainAll pass with the consolidation dial retires all of them
+      // (act), and a second pass prices the healthy-lake steady state
+      // (no-op: per-leaf state resolution, zero commits). The act/no-op
+      // split is the operational claim the run-loop wiring makes: a dial
+      // below threshold must cost metadata only.
+      if (sys.env.get("SPARK_GRAFT_COMPACT_SWEEP").exists(v => v == "1") &&
+        commitMode == graft.compact.CommitMode.Manifest && ok) {
+        import org.apache.spark.sql.functions.col
+        val leaves = results.map(_.leaf).distinct.sorted
+        val tDel = System.nanoTime()
+        leaves.foreach { leaf =>
+          (1 to 3).foreach { k =>
+            graft.compact.ManifestCommit
+              .deleteWhereMoR(spark, leaf, col("l_linenumber") === k, CompactorConfig(
+                commitMode = graft.compact.CommitMode.Manifest))
+              .foreach(r => require(r.success, s"sweep fixture delete failed: ${r.error}"))
+          }
+        }
+        val delSec = (System.nanoTime() - tDel) / 1e9
+        val sweepCfg = CompactorConfig(
+          commitMode = graft.compact.CommitMode.Manifest,
+          maintainDeleteSidecarsMax = Some(2),
+        )
+        val tAct = System.nanoTime()
+        val swept = Compactor.maintainAll(spark, root.getAbsolutePath, sweepCfg)
+        val actSec = (System.nanoTime() - tAct) / 1e9
+        val backlog = leaves.map(l => graft.compact.ManifestCommit.liveDeletes(spark, l).size)
+        require(backlog.forall(_ == 1), s"sweep did not consolidate: $backlog")
+        val tNoop = System.nanoTime()
+        Compactor.maintainAll(spark, root.getAbsolutePath, sweepCfg)
+        val noopSec = (System.nanoTime() - tNoop) / 1e9
+        println(
+          s"""{"metric":"maint_sweep","leaves_swept":$swept,"deletes_per_leaf":3,""" +
+            s""""fixture_delete_sec":$delSec,"act_sec":$actSec,"noop_sec":$noopSec,""" +
+            s""""noop_ms_per_leaf":${noopSec * 1000.0 / math.max(1, swept)}}""",
+        )
+      }
     } finally {
       rm(root)
       spark.stop()
