@@ -51,9 +51,31 @@ object Compactor {
       }
       .distinct().orderBy("value").as[String]
       .toLocalIterator()
-    var n = 0L
-    leafIt.asScala.foreach { leaf => maintainLeaf(spark, leaf, cfg); n += 1 }
-    n
+    // Leaves are independent (own manifest log, own consumers), so the
+    // sweep parallelizes on the same bounded pool discipline as
+    // runPlans — one slot per leaf, maintainLeaf still single-writer
+    // per leaf. At 10⁵ leaves this turns a serial chain of ~0.2 s dial
+    // commits into pool-wide throughput; the no-op pass is metadata
+    // (~2 ms/leaf) either way. maintainLeaf swallows its own failures
+    // (maintenance never fails the sweep), so the futures only carry
+    // completion.
+    val pool = Executors.newFixedThreadPool(math.max(1, cfg.maxConcurrentLeaves))
+    try {
+      val futures = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
+      var n = 0L
+      leafIt.asScala.foreach { leaf =>
+        n += 1
+        futures += pool.submit(new Runnable {
+          override def run(): Unit = maintainLeaf(spark, leaf, cfg)
+        })
+      }
+      futures.foreach(_.get())
+      n
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.MINUTES)
+      ()
+    }
   }
 
   /** Plan + merge over an explicit file-metadata Dataset — the entry the
