@@ -42,6 +42,7 @@ object Compactor {
     // dot-directory (/srv/.cache/lake) would truncate every leaf to
     // that ancestor and the sweep would maintain nothing real.
     val rootPfx = ManifestCommit.qualifiedPrefix(spark, root)
+    val rootDir = rootPfx.dropRight(1)
     val leafIt = FileIndexer.list(spark, root)
       .map { f =>
         val from = if (f.path.startsWith(rootPfx)) rootPfx.length else 0
@@ -49,6 +50,12 @@ object Compactor {
         if (i > 0) f.path.substring(0, i)
         else f.path.substring(0, f.path.lastIndexOf('/'))
       }
+      // a file sitting DIRECTLY under the root with no hidden component
+      // (a _cat-*.json when the catalog root IS the lake root, a stray
+      // marker) derives to the root itself — not a leaf; submitting it
+      // would run a maintenance pass over the whole-lake dir and inflate
+      // the swept count (advice r17)
+      .filter(_ != rootDir)
       .distinct().orderBy("value").as[String]
       .toLocalIterator()
     // Leaves are independent (own manifest log, own consumers), so the

@@ -1897,10 +1897,18 @@ object ManifestCommit {
     */
   private[compact] def eqKeyBytesOf(spark: SparkSession, leaf: String, s: EqSidecar): Long = {
     val fs = FileIndexer.fsFor(spark, leaf)
-    s.keyFiles.map { r =>
-      try fs.getFileStatus(new Path(s"$leaf/$r")).getLen
-      catch { case _: Throwable => Long.MaxValue } // unknown size: never force a broadcast
-    }.sum
+    // SATURATING sum: the unknown-size sentinel is Long.MaxValue, and a
+    // plain .sum of two sentinels (or one plus anything) overflows to a
+    // negative total that PASSES the <= cap check — forcing the broadcast
+    // on exactly the sidecar the sentinel exists to protect (advice r17;
+    // latent today because sidecars seal key files coalesced to one).
+    s.keyFiles.foldLeft(0L) { (acc, r) =>
+      val len =
+        try fs.getFileStatus(new Path(s"$leaf/$r")).getLen
+        catch { case _: Throwable => Long.MaxValue } // unknown size: never force a broadcast
+      try Math.addExact(acc, len)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    }
   }
 
   private def maybeBroadcastKeys(keys: DataFrame, keyBytes: Long): DataFrame =

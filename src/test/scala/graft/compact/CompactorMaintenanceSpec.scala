@@ -230,8 +230,11 @@ class CompactorMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec 
     ManifestCommit.currentSeq(spark, leafAPath) - 1 should be > pinA
 
     // the sweep's maintenance pass expires with the oldestPin clamp:
-    // catalog time travel through snapshot 1 still reads the OLD leaf A
-    Compactor.maintainAll(spark, cat.getAbsolutePath, rwCfg) should be >= 2L
+    // catalog time travel through snapshot 1 still reads the OLD leaf A.
+    // EXACTLY the two member leaves are swept — the _cat-*.json files
+    // sitting at the root (catalog root == lake root here) must not
+    // derive the root itself as a phantom third "leaf" (advice r17)
+    Compactor.maintainAll(spark, cat.getAbsolutePath, rwCfg) shouldBe 2L
     val oldA = CatalogCommit.readLeafAt(spark, cat.getAbsolutePath, relA, snap1)
       .select("id").collect().map(_.getLong(0)).sorted
     oldA shouldBe (0L to 19L).toArray

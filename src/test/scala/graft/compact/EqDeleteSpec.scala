@@ -451,4 +451,26 @@ class EqDeleteSpec extends AnyFunSuite with Matchers with SparkSpec with BeforeA
       small.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("eqKeyBytesOf saturates on unknown-size key files: two unreadable statuses never overflow into a forced broadcast") {
+    val leaf = new File(root, "satsum"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    // two key files whose getFileStatus fails (they don't exist): each
+    // contributes the Long.MaxValue sentinel, and a plain .sum would
+    // wrap to -2 — BELOW the cap, forcing the broadcast the sentinel
+    // exists to prevent (advice r17). The fold must saturate instead.
+    val ghost = ManifestCommit.EqSidecar(
+      stemId = "ghost",
+      keyFiles = Seq(".eqdel-ghost/k1.parquet", ".eqdel-ghost/k2.parquet"),
+      scopeFiles = Seq.empty, priorFiles = Seq.empty, refFiles = Seq.empty)
+    ManifestCommit.eqKeyBytesOf(spark, leafPath, ghost) shouldBe Long.MaxValue
+    // one unknown plus one real size saturates too (MaxValue + n > 0 was
+    // the other wrap shape)
+    writeFile(leaf, "real.parquet", 1L to 5L, "r")
+    val fs = FileIndexer.fsFor(spark, leafPath)
+    val realLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$leafPath/real.parquet")).getLen
+    realLen should be > 0L
+    val mixed = ghost.copy(keyFiles = Seq("real.parquet", ".eqdel-ghost/k1.parquet"))
+    ManifestCommit.eqKeyBytesOf(spark, leafPath, mixed) shouldBe Long.MaxValue
+  }
 }
