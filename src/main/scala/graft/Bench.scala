@@ -19,6 +19,20 @@ object Bench {
       }.toMap
     }
 
+  /** True when a detail file's `_meta` says it was a PARTIAL run
+    * (filter/exclude set). Such a file is not a regression baseline:
+    * its entries carry whatever co-run mix the filter happened to
+    * select (a 1-query judge adjudication, a bisection run), so
+    * flagging against it measures artifact provenance, not plan drift
+    * (advice r17 — the committed partial baseline inflated flags:17).
+    */
+  private def detailIsPartial(path: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(path) && {
+      val meta = """"_meta":\s*\{[^}]*\}""".r
+        .findFirstIn(java.nio.file.Files.readString(path)).getOrElse("")
+      meta.contains("\"filter\"") || meta.contains("\"exclude\"")
+    }
+
   /** Isolated fresh-JVM re-run of ONE query — the bench adjudication
     * protocol, automated (round-16 prescription 5): a flagged
     * regression on this box is as often window noise (GC storm,
@@ -122,8 +136,23 @@ object Bench {
     // filtered adjudication run, not a full suite).
     val detailPath =
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
-    val baseline = readDetailMins(
-      sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(java.nio.file.Paths.get(_)).getOrElse(detailPath))
+    val baselinePath =
+      sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(java.nio.file.Paths.get(_)).getOrElse(detailPath)
+    // a PARTIAL baseline (filter/exclude in its _meta) is refused: its
+    // timings reflect the filtered co-run mix, and every flag raised
+    // against it would adjudicate artifact provenance instead of plan
+    // drift. An explicitly-pointed SPARK_GRAFT_BENCH_BASELINE is
+    // trusted as-is — the knob exists precisely to route around a
+    // partial committed detail.
+    val baseline =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_BASELINE") || !detailIsPartial(baselinePath))
+        readDetailMins(baselinePath)
+      else {
+        System.err.println(
+          s"[bench] baseline $baselinePath is a partial run (filter/exclude in _meta) — " +
+            "skipping regression flags; point SPARK_GRAFT_BENCH_BASELINE at the last full detail")
+        Map.empty[String, Double]
+      }
     val suite = SparkEntry.queries.toSeq
       .filter { case (n, _) => n.contains(filter) && !exclude.contains(n) }
       .sortBy(_._1)
@@ -187,7 +216,14 @@ object Bench {
             if baseline.get(name).exists(b => math.max(b, best) >= 0.3 && best >= 1.5 * b) =>
           (best / baseline(name), name)
       }.sortBy(-_._1)
-    val adjudicated = flagged.take(6).flatMap { case (_, q) =>
+    // every flag gets its isolated re-run when the count is small (the
+    // normal case now that partial baselines are refused); a large
+    // flood — plan-wide change or environmental storm — is bounded at
+    // the 8 worst, with the cut made visible in the artifact
+    val adjCap = if (flagged.size <= 8) flagged.size else 8
+    if (flagged.size > adjCap)
+      System.err.println(s"[bench] ${flagged.size} flags; adjudicating only the $adjCap worst")
+    val adjudicated = flagged.take(adjCap).flatMap { case (_, q) =>
       System.err.println(s"[bench] adjudicating flagged regression: $q")
       adjudicateIsolated(q).map(q -> _)
     }

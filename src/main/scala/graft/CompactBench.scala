@@ -120,42 +120,89 @@ object CompactBench {
           s""""mb_in":${inBytes / 1048576.0},"mb_per_sec":${inBytes / 1048576.0 / sec}}""",
       )
 
-      // Maintenance-sweep pricing (SPARK_GRAFT_COMPACT_SWEEP=1, manifest
-      // mode): the retention-outruns-compaction shape at swarm scale —
-      // every compacted leaf takes a 3-deep MoR delete backlog, then ONE
-      // maintainAll pass with the consolidation dial retires all of them
-      // (act), and a second pass prices the healthy-lake steady state
-      // (no-op: per-leaf state resolution, zero commits). The act/no-op
-      // split is the operational claim the run-loop wiring makes: a dial
-      // below threshold must cost metadata only.
-      if (sys.env.get("SPARK_GRAFT_COMPACT_SWEEP").exists(v => v == "1") &&
+      // Maintenance-sweep pricing (SPARK_GRAFT_COMPACT_SWEEP, manifest
+      // mode): the retention-outruns-compaction shape at swarm scale.
+      //   =1    every compacted leaf takes a 3-deep MoR delete backlog,
+      //         then ONE maintainAll pass with the consolidation dial
+      //         retires all of them (act), and a second pass prices the
+      //         healthy-lake steady state (no-op: per-leaf state
+      //         resolution, zero commits). The act/no-op split is the
+      //         operational claim the run-loop wiring makes: a dial
+      //         below threshold must cost metadata only.
+      //   =noop skip the backlog fixture and price ONLY the no-op pass —
+      //         the deep-ladder mode (10³–10⁴ leaves) where the act
+      //         fixture's per-leaf delete commits would dominate the
+      //         wall clock without informing the per-leaf no-op cost.
+      // SPARK_GRAFT_COMPACT_CATALOG=1 additionally runs the whole thing
+      // with a catalog at the lake root (grouped, G=16) and leaf expiry
+      // configured — the r17 weak-component shape: the sweep's expire
+      // clamp must read the pin floors ONCE (oldestPins), not once per
+      // leaf, so per-leaf no-op cost stays flat vs the no-catalog pass.
+      val sweepMode = sys.env.getOrElse("SPARK_GRAFT_COMPACT_SWEEP", "")
+      if ((sweepMode == "1" || sweepMode == "noop") &&
         commitMode == graft.compact.CommitMode.Manifest && ok) {
         import org.apache.spark.sql.functions.col
+        val withCatalog = sys.env.get("SPARK_GRAFT_COMPACT_CATALOG").exists(_ == "1")
         val leaves = results.map(_.leaf).distinct.sorted
-        val tDel = System.nanoTime()
-        leaves.foreach { leaf =>
-          (1 to 3).foreach { k =>
-            graft.compact.ManifestCommit
-              .deleteWhereMoR(spark, leaf, col("l_linenumber") === k, CompactorConfig(
-                commitMode = graft.compact.CommitMode.Manifest))
-              .foreach(r => require(r.success, s"sweep fixture delete failed: ${r.error}"))
-          }
+        if (withCatalog) {
+          // pin every leaf in one grouped publish so the sweep's expire
+          // clamp has a live floor to consult (leaf paths may come back
+          // fs-qualified from the listing — strip to root-relative)
+          val rootAbs = root.getAbsolutePath
+          val updates = leaves.map { leaf =>
+            val i = leaf.indexOf(rootAbs)
+            require(i >= 0, s"leaf $leaf not under $rootAbs")
+            leaf.substring(i + rootAbs.length + 1) -> graft.compact.ManifestCommit.currentSeq(spark, leaf)
+          }.toMap
+          graft.compact.CatalogCommit.publish(
+            spark, root.getAbsolutePath, updates, groups = Some(16))
+          ()
         }
-        val delSec = (System.nanoTime() - tDel) / 1e9
+        val (delSec, actSec) =
+          if (sweepMode == "noop") (0.0, 0.0)
+          else {
+            val tDel = System.nanoTime()
+            leaves.foreach { leaf =>
+              (1 to 3).foreach { k =>
+                graft.compact.ManifestCommit
+                  .deleteWhereMoR(spark, leaf, col("l_linenumber") === k, CompactorConfig(
+                    commitMode = graft.compact.CommitMode.Manifest))
+                  .foreach(r => require(r.success, s"sweep fixture delete failed: ${r.error}"))
+              }
+            }
+            val dSec = (System.nanoTime() - tDel) / 1e9
+            val actCfg = CompactorConfig(
+              commitMode = graft.compact.CommitMode.Manifest,
+              maintainDeleteSidecarsMax = Some(2),
+            )
+            val tAct = System.nanoTime()
+            Compactor.maintainAll(spark, root.getAbsolutePath, actCfg)
+            val aSec = (System.nanoTime() - tAct) / 1e9
+            val backlog = leaves.map(l => graft.compact.ManifestCommit.liveDeletes(spark, l).size)
+            require(backlog.forall(_ == 1), s"sweep did not consolidate: $backlog")
+            (dSec, aSec)
+          }
+        // SPARK_GRAFT_COMPACT_EXPIRE=1: configure leaf expiry WITHOUT
+        // the catalog — the control that splits the per-leaf expire
+        // machinery's cost from the catalog pin-floor lookup's
+        val withExpire = withCatalog || sys.env.get("SPARK_GRAFT_COMPACT_EXPIRE").exists(_ == "1")
         val sweepCfg = CompactorConfig(
           commitMode = graft.compact.CommitMode.Manifest,
           maintainDeleteSidecarsMax = Some(2),
+          catalogRoot = if (withCatalog) Some(root.getAbsolutePath) else None,
+          catalogKeepSnapshots = if (withCatalog) Some(5) else None,
+          expireKeepSnapshots = if (withExpire) Some(1) else None,
         )
-        val tAct = System.nanoTime()
-        val swept = Compactor.maintainAll(spark, root.getAbsolutePath, sweepCfg)
-        val actSec = (System.nanoTime() - tAct) / 1e9
-        val backlog = leaves.map(l => graft.compact.ManifestCommit.liveDeletes(spark, l).size)
-        require(backlog.forall(_ == 1), s"sweep did not consolidate: $backlog")
-        val tNoop = System.nanoTime()
+        // settle pass first (it may expire history / fold leftovers —
+        // real work), then the TIMED pass is the true steady-state no-op
         Compactor.maintainAll(spark, root.getAbsolutePath, sweepCfg)
+        val tNoop = System.nanoTime()
+        val swept = Compactor.maintainAll(spark, root.getAbsolutePath, sweepCfg)
         val noopSec = (System.nanoTime() - tNoop) / 1e9
         println(
-          s"""{"metric":"maint_sweep","leaves_swept":$swept,"deletes_per_leaf":3,""" +
+          s"""{"metric":"maint_sweep","leaves_swept":$swept,"mode":"$sweepMode",""" +
+            s""""catalog":$withCatalog,"expire":$withExpire,""" +
+            s""""deletes_per_leaf":${if (sweepMode == "noop") 0 else 3},""" +
             s""""fixture_delete_sec":$delSec,"act_sec":$actSec,"noop_sec":$noopSec,""" +
             s""""noop_ms_per_leaf":${noopSec * 1000.0 / math.max(1, swept)}}""",
         )

@@ -67,13 +67,17 @@ object Compactor {
     // (maintenance never fails the sweep), so the futures only carry
     // completion.
     val pool = Executors.newFixedThreadPool(math.max(1, cfg.maxConcurrentLeaves))
+    // catalog pin floors parsed ONCE for the whole sweep (r17 weak
+    // component: oldestPin per leaf re-parsed every retained snapshot —
+    // O(leaves × snapshots × members) driver JSON under maintainAll)
+    val catPins = catalogOldestPins(spark, cfg)
     try {
       val futures = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
       var n = 0L
       leafIt.asScala.foreach { leaf =>
         n += 1
         futures += pool.submit(new Runnable {
-          override def run(): Unit = maintainLeaf(spark, leaf, cfg)
+          override def run(): Unit = maintainLeaf(spark, leaf, cfg, catPins)
         })
       }
       futures.foreach(_.get())
@@ -138,7 +142,7 @@ object Compactor {
           leafQ.substring(pfx.length) -> ManifestCommit.currentSeq(spark, leaf)
         }.toMap
         try {
-          val snap = CatalogCommit.publish(spark, cat, updates)
+          val snap = CatalogCommit.publish(spark, cat, updates, groups = cfg.catalogGroups)
           // bounded snapshot history: expiring old snapshots moves
           // oldestPin forward, which is what unblocks leaf expiry. An
           // UNBOUNDED catalog with leaf expiry configured would pin
@@ -186,15 +190,36 @@ object Compactor {
     if (cfg.commitMode == CommitMode.Manifest &&
       (cfg.autoGcOrphans || cfg.expireKeepSnapshots.nonEmpty || cfg.matAggRoot.nonEmpty ||
         cfg.syncIndexRoot.nonEmpty || cfg.maintainDeleteSidecarsMax.nonEmpty ||
-        cfg.maintainEqSidecarsMax.nonEmpty || cfg.reclusterColumn.nonEmpty))
-      results.filter(_.success).map(_.leaf).distinct.foreach(maintainLeaf(spark, _, cfg))
+        cfg.maintainEqSidecarsMax.nonEmpty || cfg.reclusterColumn.nonEmpty)) {
+      val okLeaves = results.filter(_.success).map(_.leaf).distinct
+      if (okLeaves.nonEmpty) {
+        // one snapshot-set parse per batch, not per leaf
+        val catPins = catalogOldestPins(spark, cfg)
+        okLeaves.foreach(maintainLeaf(spark, _, cfg, catPins))
+      }
+    }
     results
   }
+
+  /** The per-leaf catalog expire floors, parsed ONCE per batch/sweep and
+    * threaded into [[maintainLeaf]] (computed only when leaf expiry is
+    * configured — nothing else reads pins). Conservative under racers:
+    * a stale map can only hold pins that have since EXPIRED, so the
+    * clamp it imposes is at-or-below the live horizon, never past it.
+    */
+  private def catalogOldestPins(spark: SparkSession, cfg: CompactorConfig): Option[Map[String, Long]] =
+    cfg.catalogRoot.filter(_ => cfg.expireKeepSnapshots.nonEmpty)
+      .map(cat => CatalogCommit.oldestPins(spark, cat))
 
   /** Debris + history reclaim for one leaf — failures here never fail the
     * run (the commits already stand; maintenance retries next run).
     */
-  private def maintainLeaf(spark: SparkSession, leaf: String, cfg: CompactorConfig): Unit =
+  private def maintainLeaf(
+      spark: SparkSession,
+      leaf: String,
+      cfg: CompactorConfig,
+      catalogPins: Option[Map[String, Long]],
+  ): Unit =
     try {
       // The LEAF DIALS first — each is a normal manifest COMMIT (a
       // sidecar consolidation, a backlog fold, a re-sort) that acts
@@ -224,15 +249,15 @@ object Compactor {
           // readLeafAt(pin), so the expire horizon never crosses the
           // oldest seq any retained catalog snapshot pins this leaf at
           val horizon0 = cur - keep
-          val horizon = cfg.catalogRoot match {
-            case Some(cat) =>
+          val horizon = (cfg.catalogRoot, catalogPins) match {
+            case (Some(cat), Some(pins)) =>
               val pfx = ManifestCommit.qualifiedPrefix(spark, cat)
               val leafQ = ManifestCommit.qualifiedPrefix(spark, leaf).dropRight(1)
               if (leafQ.startsWith(pfx) && leafQ.length > pfx.length)
-                CatalogCommit.oldestPin(spark, cat, leafQ.substring(pfx.length))
+                pins.get(leafQ.substring(pfx.length))
                   .fold(horizon0)(math.min(horizon0, _))
               else horizon0
-            case None => horizon0
+            case _ => horizon0
           }
           ManifestCommit.expireSnapshots(spark, leaf, horizon)
           if (cfg.checkpointManifests) { ManifestCommit.checkpoint(spark, leaf, horizon); () }

@@ -73,6 +73,10 @@ import org.apache.spark.sql.SparkSession
   *   GRAFT_CATALOG_KEEP=n keep the newest n catalog snapshots (expire
   *                        older ones after each publish, moving the
   *                        pinned expiry floor forward)
+  *   GRAFT_CATALOG_GROUPS=g publish the two-level snapshot layout with
+  *                        g group manifests — publish cost follows
+  *                        touched leaves, not total members (set for
+  *                        catalogs past ~10⁴ leaves; ~sqrt(members))
   */
 object Main {
 
@@ -126,6 +130,7 @@ object Main {
       reclusterMaxDepth = env.get("GRAFT_RECLUSTER_DEPTH").map(_.toDouble).getOrElse(base.reclusterMaxDepth),
       catalogRoot = env.get("GRAFT_CATALOG_ROOT").orElse(base.catalogRoot),
       catalogKeepSnapshots = env.get("GRAFT_CATALOG_KEEP").map(_.toInt),
+      catalogGroups = env.get("GRAFT_CATALOG_GROUPS").map(_.toInt),
     )
   }
 

@@ -214,8 +214,14 @@ final case class CompactorConfig(
     // catalogKeepSnapshots bounds the snapshot history itself: Some(n)
     // expires catalog snapshots older than the newest n after each
     // publish (which moves oldestPin forward and unblocks leaf expiry).
+    // catalogGroups switches the snapshot to the two-level root →
+    // group-manifest layout with this many groups (publish cost
+    // proportional to touched leaves instead of O(members) — the
+    // swarm-scale form; ~sqrt(expected member count) is a good G).
+    // None carries the catalog's current format forward.
     catalogRoot: Option[String] = None,
     catalogKeepSnapshots: Option[Int] = None,
+    catalogGroups: Option[Int] = None,
 ) {
   def asOfDate: java.time.LocalDate =
     asOf.getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC))

@@ -379,6 +379,75 @@ object EtlQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- the TWO-LEVEL catalog layout (root → group manifests),
+    // oracled end to end: orders hash-split across FOUR member leaves,
+    // published grouped (G=8) so the root carries only group
+    // references; a steady-state publish touching ONE leaf rewrites
+    // exactly ONE group manifest (asserted in the builder — the
+    // O(touched) publish contract at swarm scale), carries the other
+    // members by reference, and a further UNPUBLISHED commit on a
+    // different leaf is isolated by the pin. The DuckDB hash certifies
+    // the pinned resolution through the grouped root on all four
+    // members: the published delete is visible, the unpublished one is
+    // not, and carried-by-reference pins read identically to rewritten
+    // ones.
+    Q(
+      "catalog_grouped",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 4 = 1 AND o_orderkey % 10 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      import graft.compact.{CatalogCommit, CommitMode, CompactorConfig, ManifestCommit, WapCommit}
+      val path = StoreCache.resolve(d, "catalog-grouped", table = "orders") { p =>
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+        fs.delete(stage, true)
+        val cat = s"$stage/cat"
+        val cfg = CompactorConfig(
+          commitMode = CommitMode.Manifest, retainSuperseded = true,
+          statsColumns = Seq("o_orderkey"),
+        )
+        val members = (0 until 4).map(i => s"part$i")
+        val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        members.zipWithIndex.foreach { case (leafRel, i) =>
+          val part = orders.where(col("o_orderkey") % 4 === i)
+            .repartitionByRange(2, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+          WapCommit.writeAuditPublish(
+            s, s"$cat/$leafRel", part, Seq(WapCommit.AuditCheck.notNull("o_orderkey")), cfg)
+        }
+        def seqOf(leafRel: String) = ManifestCommit.currentSeq(s, s"$cat/$leafRel")
+        def grpCount: Int = fs.listStatus(new org.apache.hadoop.fs.Path(cat))
+          .count(_.getPath.getName.startsWith("_grp-"))
+        CatalogCommit.publish(
+          s, cat, members.map(m => m -> seqOf(m)).toMap, groups = Some(8))
+        val g1 = grpCount
+        // steady state: ONE member changes → ONE group manifest written
+        ManifestCommit.deleteWhere(s, s"$cat/part1", col("o_orderkey") % 10 === 3, cfg)
+          .foreach(r => if (!r.success) throw new IllegalStateException(s"part1 delete failed: ${r.error}"))
+        CatalogCommit.publish(s, cat, Map("part1" -> seqOf("part1"))) // format carries forward
+        if (grpCount != g1 + 1)
+          throw new IllegalStateException(
+            s"grouped publish touching one leaf wrote ${grpCount - g1} group manifests (want exactly 1)")
+        // the lagging-leaf window on a CARRIED member: a commit on
+        // part2 that is never published — the referenced pin isolates it
+        ManifestCommit.deleteWhere(s, s"$cat/part2", col("o_orderkey") % 10 === 6, cfg)
+          .foreach(r => if (!r.success) throw new IllegalStateException(s"part2 lag delete failed: ${r.error}"))
+        val headCnt = ManifestCommit.readLeaf(s, s"$cat/part2").count()
+        val pinCnt = CatalogCommit.readLeaf(s, cat, "part2").count()
+        if (headCnt >= pinCnt)
+          throw new IllegalStateException(
+            s"grouped catalog pin is not isolating the unpublished commit (head $headCnt vs pinned $pinCnt)")
+        fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
+        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+          throw new java.io.IOException(s"catalog-grouped store publish rename failed: $stage -> $p")
+      }
+      (0 until 4).map(i => graft.compact.CatalogCommit.readLeaf(s, s"$path/cat", s"part$i"))
+        .reduce(_ unionByName _)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ----- data-quality expectations audit (the dbt-test / Deequ
     // shape): a battery of declared table checks, each one scalar
     // violation count, unioned into one report — the gate a pipeline

@@ -221,4 +221,119 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     cur.leaves("leafB") shouldBe (seqB + 5)
     new File(cat, "_cat-000000002.json").exists() shouldBe false
   }
+
+  private def grpFiles(cat: String): Seq[String] =
+    new File(cat).listFiles().map(_.getName).filter(_.startsWith("_grp-")).sorted.toSeq
+
+  test("two-level layout: a grouped publish rewrites ONLY the touched groups, carries the rest by reference, and the pinned read still isolates the lagging commit") {
+    val cat = new File(root, "cat7").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "ga1", 1L to 10L)
+    val seqB = appendCommit(s"$cat/leafB", "b.parquet", "gb1", 100L to 110L)
+    // leafA and leafB must land in DIFFERENT groups for the touched-
+    // group assertion to bite; with 8 groups the stable hash separates
+    // them (asserted, not assumed)
+    val g = 8
+    CatalogCommit.groupOf("leafA", g) should not be CatalogCommit.groupOf("leafB", g)
+    val s1 = CatalogCommit.publish(spark, cat, Map("leafA" -> seqA, "leafB" -> seqB), groups = Some(g))
+    s1.seq shouldBe 1L
+    s1.leaves shouldBe Map("leafA" -> seqA, "leafB" -> seqB)
+    val files1 = grpFiles(cat)
+    files1.size shouldBe 2 // one manifest per non-empty group
+
+    // touch ONLY leafA: the next publish (format carried — no explicit
+    // groups) writes exactly ONE new group manifest and references
+    // leafB's group file untouched, byte-identical by name
+    val seqA2 = appendCommit(s"$cat/leafA", "a2.parquet", "ga2", 11L to 20L)
+    val s2 = CatalogCommit.publish(spark, cat, Map("leafA" -> seqA2))
+    s2.seq shouldBe 2L
+    val files2 = grpFiles(cat)
+    files2.size shouldBe 3
+    (files2.toSet -- files1.toSet).size shouldBe 1 // one new group file
+    files1.forall(files2.contains) shouldBe true // B's ref carried, file untouched
+    s2.leaves shouldBe Map("leafA" -> seqA2, "leafB" -> seqB)
+
+    // catalog readers stay pinned across an unpublished leaf commit —
+    // the same isolation contract as the inline form
+    val seqB2 = appendCommit(s"$cat/leafB", "b2.parquet", "gb2", 111L to 120L)
+    seqB2 should be > seqB
+    ids(CatalogCommit.readLeaf(spark, cat, "leafB")) shouldBe (100L to 110L)
+    ids(CatalogCommit.readLeaf(spark, cat, "leafA")) shouldBe (1L to 20L)
+    // time travel through the grouped root resolves the old view
+    val snap1 = CatalogCommit.snapshotAt(spark, cat, 1L).get
+    ids(CatalogCommit.readLeafAt(spark, cat, "leafA", snap1)) shouldBe (1L to 10L)
+    // non-members stay loud
+    intercept[IllegalArgumentException] {
+      CatalogCommit.readLeaf(spark, cat, "leafZ")
+    }.getMessage should include("not a member")
+  }
+
+  test("inline→grouped migration re-splits the carried map once; expire GCs exactly the group manifests no retained root references") {
+    val cat = new File(root, "cat8").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "ha1", 1L to 5L)
+    val seqB = appendCommit(s"$cat/leafB", "b.parquet", "hb1", 10L to 15L)
+    // two INLINE publishes first
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA, "leafB" -> seqB))
+    val seqA2 = appendCommit(s"$cat/leafA", "a2.parquet", "ha2", 6L to 9L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA2))
+    grpFiles(cat) shouldBe Seq.empty
+    // the migration publish splits the full carried map into groups
+    val seqB2 = appendCommit(s"$cat/leafB", "b2.parquet", "hb2", 16L to 19L)
+    val s3 = CatalogCommit.publish(spark, cat, Map("leafB" -> seqB2), groups = Some(4))
+    s3.leaves shouldBe Map("leafA" -> seqA2, "leafB" -> seqB2)
+    val migrated = grpFiles(cat)
+    migrated.nonEmpty shouldBe true
+    // a steady-state grouped publish after migration
+    val seqA3 = appendCommit(s"$cat/leafA", "a3.parquet", "ha3", 20L to 24L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA3))
+    // memoized sweep horizon == per-leaf horizon, across BOTH formats
+    // in the retained set (2 inline + 2 grouped roots)
+    val pins = CatalogCommit.oldestPins(spark, cat)
+    pins.keySet shouldBe Set("leafA", "leafB")
+    pins("leafA") shouldBe CatalogCommit.oldestPin(spark, cat, "leafA").get
+    pins("leafB") shouldBe CatalogCommit.oldestPin(spark, cat, "leafB").get
+    pins("leafA") shouldBe seqA // the first inline root still pins the original head
+
+    // expire below the newest root: older roots AND the group manifests
+    // only they referenced are GC'd; the retained root keeps resolving
+    val head = CatalogCommit.current(spark, cat).get
+    CatalogCommit.expire(spark, cat, keepFrom = head.seq) shouldBe 3
+    val kept = grpFiles(cat)
+    kept.size should be < migrated.size + 2 // the superseded group file is gone
+    val resolved = CatalogCommit.current(spark, cat).get
+    resolved.seq shouldBe head.seq
+    resolved.leaves shouldBe Map("leafA" -> seqA3, "leafB" -> seqB2)
+    // and the retained root's every referenced group survived the GC
+    ids(CatalogCommit.readLeaf(spark, cat, "leafA")) shouldBe ((1L to 9L) ++ (20L to 24L))
+    // the floor moved with the snapshots
+    CatalogCommit.oldestPins(spark, cat) shouldBe Map("leafA" -> seqA3, "leafB" -> seqB2)
+  }
+
+  test("guard 3: a publish whose referenced group manifest is GC'd before its root seals retracts itself and throws — never a sealed root that cannot resolve") {
+    val cat = new File(root, "cat9").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "ia1", 1L to 4L)
+    val seqB = appendCommit(s"$cat/leafB", "b.parquet", "ib1", 10L to 14L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA, "leafB" -> seqB), groups = Some(8))
+    val before = grpFiles(cat).toSet
+    // simulate the racing-expire window: between our root CREATE and the
+    // post-seal audit, the group manifest this publish just wrote (and
+    // the root now references) disappears
+    val seqA2 = appendCommit(s"$cat/leafA", "a2.parquet", "ia2", 5L to 8L)
+    val ex = intercept[ConcurrentCommitException] {
+      CatalogCommit.publishImpl(
+        spark, cat, Map("leafA" -> seqA2), debrisWaitMs = 0L,
+        onSeqBurned = _ => (),
+        onCreated = { _ =>
+          grpFiles(cat).filterNot(before.contains)
+            .foreach(f => new File(cat, f).delete() shouldBe true)
+        },
+      )
+    }
+    withClue(ex.getMessage) { ex.getMessage should include(cat) }
+    // the doomed root was retracted; the previous snapshot is current
+    // and fully resolvable
+    val cur = CatalogCommit.current(spark, cat).get
+    cur.seq shouldBe 1L
+    cur.leaves shouldBe Map("leafA" -> seqA, "leafB" -> seqB)
+    new File(cat, "_cat-000000002.json").exists() shouldBe false
+  }
 }

@@ -43,82 +43,87 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
   private def snapName(seq: Long) = f"_cat-$seq%09d.json"
 
   test("random publish/debris/racer/expire interleavings: the chain never loses an acknowledged pin, never resolves a torn file, and expiry respects the retained floor") {
-    val seeds = Seq(7L, 1234L, 987654L)
-    seeds.foreach { seed =>
-      val rnd = new Random(seed)
-      val cat = new File(root, s"cat-$seed").getAbsolutePath
-      new File(cat).mkdirs()
-      val members = Seq("leafA", "leafB", "leafC")
-      // the MODEL: what an acknowledged (non-throwing) publish history
-      // must pin, plus which seqs are expired. Racer seals update the
-      // model too — they are sealed snapshots like any other.
-      var model = Map.empty[String, Long]
-      var modelSeq = 0L
-      var expiredBelow = 1L
-      var acknowledged = 0
-      val history = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    Seq(7L, 1234L, 987654L).foreach(grind(_, groups = None))
+  }
 
-      (1 to 120).foreach { _ =>
-        rnd.nextInt(10) match {
-          case d if d <= 4 => // a normal publish of 1-3 member updates
-            val updates = rnd.shuffle(members).take(1 + rnd.nextInt(3))
-              .map(m => m -> (model.getOrElse(m, 0L) + 1L + rnd.nextInt(3))).toMap
-            try {
-              val snap = CatalogCommit.publish(spark, cat, updates, debrisWaitMs = 0L)
-              // an acknowledged publish must carry the full merged model
-              snap.leaves shouldBe (model ++ updates)
-              model = model ++ updates
-              modelSeq = snap.seq
-              history(snap.seq) = model
-              acknowledged += 1
-            } catch {
-              case _: ConcurrentCommitException =>
-              // a loser must not have changed the RESOLVED chain: the
-              // current snapshot still matches the model
-            }
-          case 5 | 6 => // torn debris at the next seq (writer died mid-upload)
-            val p = new File(cat, snapName(modelSeq + 1L + rnd.nextInt(2)))
-            if (!p.exists()) { Files.write(p.toPath, s"""{"seq":${modelSeq + 1},""".getBytes); () }
-          case 7 | 8 => // a RACER seals a complete snapshot at the next free seq
-            val s0 = modelSeq + 1L
-            val p = new File(cat, snapName(s0))
-            if (!p.exists()) {
-              val updates = Map(members(rnd.nextInt(members.size)) ->
-                (model.values.maxOption.getOrElse(0L) + 10L + rnd.nextInt(5)))
-              val pins = model ++ updates
-              Files.write(p.toPath, sealedJson(s0, pins))
-              model = pins
-              modelSeq = s0
-              history(s0) = model
-            }
-          case _ => // expire below a random retained floor
-            if (modelSeq > 1L) {
-              val keepFrom = expiredBelow + rnd.nextInt((modelSeq - expiredBelow + 1L).toInt).toLong
-              CatalogCommit.expire(spark, cat, keepFrom)
-              expiredBelow = math.max(expiredBelow, keepFrom)
-            }
-        }
+  test("the same grind in the two-level GROUPED layout — every publish re-grouped, racer seals flip the chain back to inline (forced re-migration), expiry GCs group manifests under it all") {
+    Seq(7L, 1234L, 987654L).foreach(grind(_, groups = Some(3)))
+  }
 
-        // INVARIANTS after every step:
-        val cur = CatalogCommit.current(spark, cat)
-        if (modelSeq > 0L) {
-          withClue(s"seed=$seed: ") {
-            cur.isDefined shouldBe true
-            cur.get.seq shouldBe modelSeq // torn files never resolve; newest sealed wins
-            cur.get.leaves shouldBe model // no acknowledged pin ever lost
+  private def grind(seed: Long, groups: Option[Int]): Unit = {
+    val rnd = new Random(seed)
+    val cat = new File(root, s"cat-${groups.fold("")(g => s"g$g-")}$seed").getAbsolutePath
+    new File(cat).mkdirs()
+    val members = Seq("leafA", "leafB", "leafC")
+    // the MODEL: what an acknowledged (non-throwing) publish history
+    // must pin, plus which seqs are expired. Racer seals update the
+    // model too — they are sealed snapshots like any other.
+    var model = Map.empty[String, Long]
+    var modelSeq = 0L
+    var expiredBelow = 1L
+    var acknowledged = 0
+    val history = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+
+    (1 to 120).foreach { _ =>
+      rnd.nextInt(10) match {
+        case d if d <= 4 => // a normal publish of 1-3 member updates
+          val updates = rnd.shuffle(members).take(1 + rnd.nextInt(3))
+            .map(m => m -> (model.getOrElse(m, 0L) + 1L + rnd.nextInt(3))).toMap
+          try {
+            val snap = CatalogCommit.publish(spark, cat, updates, debrisWaitMs = 0L, groups = groups)
+            // an acknowledged publish must carry the full merged model
+            snap.leaves shouldBe (model ++ updates)
+            model = model ++ updates
+            modelSeq = snap.seq
+            history(snap.seq) = model
+            acknowledged += 1
+          } catch {
+            case _: ConcurrentCommitException =>
+            // a loser must not have changed the RESOLVED chain: the
+            // current snapshot still matches the model
           }
-        }
-        // retained history still reads exactly; expired history is gone
-        history.foreach { case (s0, pins) =>
-          val at = CatalogCommit.snapshotAt(spark, cat, s0)
-          if (s0 >= expiredBelow) {
-            // a retained seq must still resolve IF its file was sealed
-            // (racer seals and publishes both qualify)
-            at.foreach(_.leaves shouldBe pins)
-          } else at shouldBe None
+        case 5 | 6 => // torn debris at the next seq (writer died mid-upload)
+          val p = new File(cat, snapName(modelSeq + 1L + rnd.nextInt(2)))
+          if (!p.exists()) { Files.write(p.toPath, s"""{"seq":${modelSeq + 1},""".getBytes); () }
+        case 7 | 8 => // a RACER seals a complete snapshot at the next free seq
+          val s0 = modelSeq + 1L
+          val p = new File(cat, snapName(s0))
+          if (!p.exists()) {
+            val updates = Map(members(rnd.nextInt(members.size)) ->
+              (model.values.maxOption.getOrElse(0L) + 10L + rnd.nextInt(5)))
+            val pins = model ++ updates
+            Files.write(p.toPath, sealedJson(s0, pins))
+            model = pins
+            modelSeq = s0
+            history(s0) = model
+          }
+        case _ => // expire below a random retained floor
+          if (modelSeq > 1L) {
+            val keepFrom = expiredBelow + rnd.nextInt((modelSeq - expiredBelow + 1L).toInt).toLong
+            CatalogCommit.expire(spark, cat, keepFrom)
+            expiredBelow = math.max(expiredBelow, keepFrom)
+          }
+      }
+
+      // INVARIANTS after every step:
+      val cur = CatalogCommit.current(spark, cat)
+      if (modelSeq > 0L) {
+        withClue(s"seed=$seed: ") {
+          cur.isDefined shouldBe true
+          cur.get.seq shouldBe modelSeq // torn files never resolve; newest sealed wins
+          cur.get.leaves shouldBe model // no acknowledged pin ever lost
         }
       }
-      withClue(s"seed=$seed: ") { acknowledged should be > 10 }
+      // retained history still reads exactly; expired history is gone
+      history.foreach { case (s0, pins) =>
+        val at = CatalogCommit.snapshotAt(spark, cat, s0)
+        if (s0 >= expiredBelow) {
+          // a retained seq must still resolve IF its file was sealed
+          // (racer seals and publishes both qualify)
+          at.foreach(_.leaves shouldBe pins)
+        } else at shouldBe None
+      }
     }
+    withClue(s"seed=$seed: ") { acknowledged should be > 10 }
   }
 }

@@ -261,4 +261,42 @@ class CompactorMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec 
     }
     ()
   }
+
+  test("catalogGroups publishes the two-level layout from the run loop; the sweep's memoized pin floor clamps expiry through grouped roots") {
+    val cat = new File(root, "cat-grouped")
+    val leafA = new File(cat, "acct/source=ga/year=2026/month=01"); leafA.mkdirs()
+    val leafB = new File(cat, "acct/source=gb/year=2026/month=01"); leafB.mkdirs()
+    val cfg = CompactorConfig(
+      commitMode = CommitMode.Manifest,
+      statsColumns = Seq("id"),
+      expireKeepSnapshots = Some(1),
+      catalogRoot = Some(cat.getAbsolutePath),
+      catalogKeepSnapshots = Some(10),
+      catalogGroups = Some(4),
+    )
+    writeRaw(leafA, "a1.parquet", 0L to 9L, "a", staleMs)
+    writeRaw(leafA, "a2.parquet", 10L to 19L, "a", staleMs)
+    writeRaw(leafB, "b1.parquet", 100L to 109L, "b", staleMs)
+    writeRaw(leafB, "b2.parquet", 110L to 119L, "b", staleMs)
+    Compactor.run(spark, cat.getAbsolutePath, cfg).map(_.success).distinct shouldBe Seq(true)
+    // the root is two-level: group manifests exist, the root resolves
+    cat.listFiles().count(_.getName.startsWith("_grp-")) should be > 0
+    val snap1 = CatalogCommit.current(spark, cat.getAbsolutePath).get
+    snap1.leaves.keySet.size shouldBe 2
+    val relA = snap1.leaves.keys.find(_.contains("source=ga")).get
+    CatalogCommit.readLeaf(spark, cat.getAbsolutePath, relA)
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe (0L to 19L).toArray
+    // out-of-band rewrites push A's head past the unclamped horizon,
+    // then the sweep (memoized oldestPins over GROUPED roots) must
+    // still protect snapshot 1's pinned read
+    val rwCfg = cfg.copy(retainSuperseded = true)
+    Seq("rw1", "rw2").foreach { st =>
+      ManifestCommit.compactWhere(
+        spark, leafA.getAbsolutePath, "id", 0.0, 100.0, rwCfg, stem = st, minFiles = 1)
+        .foreach(r => withClue(r) { r.success shouldBe true })
+    }
+    Compactor.maintainAll(spark, cat.getAbsolutePath, rwCfg) shouldBe 2L
+    CatalogCommit.readLeafAt(spark, cat.getAbsolutePath, relA, snap1)
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe (0L to 19L).toArray
+  }
 }
