@@ -225,6 +225,27 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
   private def grpFiles(cat: String): Seq[String] =
     new File(cat).listFiles().map(_.getName).filter(_.startsWith("_grp-")).sorted.toSeq
 
+  test("groupOf is a FROZEN function: concrete gid values pinned, because a drifted hash would silently orphan every pin in existing grouped catalogs") {
+    // these constants are the on-disk format: a leaf's pins live in the
+    // group manifest its hash selected at publish time, and every later
+    // read recomputes the gid to find them. If a Scala upgrade (or a
+    // refactor) changes MurmurHash3.stringHash, this spec fails BEFORE
+    // a deployment quietly starts reading the wrong group and reporting
+    // members as missing. On failure: do NOT update the constants —
+    // restore the old hash (or version the root's hash id).
+    CatalogCommit.groupOf("leafA", 8) shouldBe 4
+    CatalogCommit.groupOf("leafB", 8) shouldBe 1
+    CatalogCommit.groupOf("leafC", 8) shouldBe 5
+    CatalogCommit.groupOf("acct0001/source=s1/year=2026/month=01", 317) shouldBe 281
+    CatalogCommit.groupOf("", 4) shouldBe Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(""), 4)
+    // total function over any gcount: in-range and deterministic
+    (1 to 64).foreach { g =>
+      val v = CatalogCommit.groupOf("some/leaf", g)
+      v should (be >= 0 and be < g)
+      CatalogCommit.groupOf("some/leaf", g) shouldBe v
+    }
+  }
+
   test("two-level layout: a grouped publish rewrites ONLY the touched groups, carries the rest by reference, and the pinned read still isolates the lagging commit") {
     val cat = new File(root, "cat7").getAbsolutePath
     val seqA = appendCommit(s"$cat/leafA", "a.parquet", "ga1", 1L to 10L)
