@@ -28,9 +28,12 @@ object Bench {
     */
   private def detailIsPartial(path: java.nio.file.Path): Boolean =
     java.nio.file.Files.exists(path) && {
-      val meta = """"_meta":\s*\{[^}]*\}""".r
-        .findFirstIn(java.nio.file.Files.readString(path)).getOrElse("")
-      meta.contains("\"filter\"") || meta.contains("\"exclude\"")
+      // the writer emits _meta as ONE line; scanning that whole line
+      // (rather than a brace-bounded regex) keeps detection independent
+      // of field order around the nested adjudicated object
+      java.nio.file.Files.readString(path).linesIterator
+        .find(_.contains("\"_meta\""))
+        .exists(l => l.contains("\"filter\"") || l.contains("\"exclude\""))
     }
 
   /** Isolated fresh-JVM re-run of ONE query — the bench adjudication
@@ -220,10 +223,9 @@ object Bench {
     // normal case now that partial baselines are refused); a large
     // flood — plan-wide change or environmental storm — is bounded at
     // the 8 worst, with the cut made visible in the artifact
-    val adjCap = if (flagged.size <= 8) flagged.size else 8
-    if (flagged.size > adjCap)
-      System.err.println(s"[bench] ${flagged.size} flags; adjudicating only the $adjCap worst")
-    val adjudicated = flagged.take(adjCap).flatMap { case (_, q) =>
+    if (flagged.size > 8)
+      System.err.println(s"[bench] ${flagged.size} flags; adjudicating only the 8 worst")
+    val adjudicated = flagged.take(8).flatMap { case (_, q) =>
       System.err.println(s"[bench] adjudicating flagged regression: $q")
       adjudicateIsolated(q).map(q -> _)
     }

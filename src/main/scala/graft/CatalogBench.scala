@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import graft.compact.CatalogCommit
 
 /** Catalog snapshot-format ladder: prices publish / current / oldestPin
-  * / oldestPins at 10²/10³/10⁴ member leaves, inline vs two-level
+  * / oldestPins at 10²–10⁵ member leaves, inline vs two-level
   * grouped — the r17 verdict's "bound the snapshot format" done
   * criterion: steady-state GROUPED publish cost must follow TOUCHED
   * leaves (flat across the ladder), while inline publish cost follows

@@ -139,13 +139,20 @@ object CatalogCommit {
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Raw file text — IO failures THROW (callers that want step-down
+    * semantics catch; [[expire]]'s GC reference scan must not, because
+    * for it "couldn't read" and "torn" have opposite safe defaults).
+    */
+  private def readTextIO(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   private def readSealedText(fs: FileSystem, p: Path): Option[String] = {
     val text =
-      try {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
-      } catch { case _: Throwable => return None }
+      try readTextIO(fs, p)
+      catch { case _: Throwable => return None }
     if (text.endsWith(sealMark)) Some(text) else None
   }
 
@@ -153,17 +160,19 @@ object CatalogCommit {
     """\{"p":"([^"]+)","s":(\d+)\}""".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
 
-  private def parseRoot(fs: FileSystem, p: Path): Option[Root] =
-    readSealedText(fs, p).flatMap { text =>
-      """"seq":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong).map { seq =>
-        if (text.contains(""""groups":""")) {
-          val g = """"gcount":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt).getOrElse(1)
-          val groups = """\{"g":(\d+),"f":"([^"]+)"\}""".r.findAllMatchIn(text)
-            .map(m => m.group(1).toInt -> m.group(2)).toMap
-          GroupedRoot(seq, math.max(1, g), groups)
-        } else InlineRoot(seq, parseLeaves(text))
-      }
+  private def parseRootText(text: String): Option[Root] =
+    if (!text.endsWith(sealMark)) None
+    else """"seq":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong).map { seq =>
+      if (text.contains(""""groups":""")) {
+        val g = """"gcount":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt).getOrElse(1)
+        val groups = """\{"g":(\d+),"f":"([^"]+)"\}""".r.findAllMatchIn(text)
+          .map(m => m.group(1).toInt -> m.group(2)).toMap
+        GroupedRoot(seq, math.max(1, g), groups)
+      } else InlineRoot(seq, parseLeaves(text))
     }
+
+  private def parseRoot(fs: FileSystem, p: Path): Option[Root] =
+    readSealedText(fs, p).flatMap(parseRootText)
 
   private def cachedGroup(fs: FileSystem, root: String, name: String, cache: GroupCache): Option[Map[String, Long]] =
     cache.getOrElseUpdate(name, readSealedText(fs, new Path(s"$root/$name")).map(parseLeaves))
@@ -547,22 +556,49 @@ object CatalogCommit {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return 0
     val entries = fs.listStatus(rootPath).filter(_.isFile)
-    // reference scan FIRST (over retained roots only), deletes after
+    // Reference scan FIRST (over retained roots only), deletes after.
+    // "Couldn't READ" and "torn" have opposite safe defaults here: a
+    // torn (unsealed) retained file will never seal and rightly
+    // contributes no references, but a transient IO failure on a
+    // SEALED retained root would silently drop its references from
+    // the protection set and this pass would delete group manifests
+    // that root still resolves through — permanent catalog damage
+    // from a one-off read hiccup (review r18). So read failures make
+    // the scan UNKNOWN and the group GC (only) is skipped this pass;
+    // root deletion below stays purely name-based and safe.
+    var scanComplete = true
     val referenced: Set[String] = entries.toSeq
       .filter(e => seqOf(e.getPath.getName).exists(_ >= keepFrom))
-      .flatMap(e => parseRoot(fs, e.getPath))
-      .flatMap { case GroupedRoot(_, _, groups) => groups.values; case _ => Seq.empty }
+      .flatMap { e =>
+        val text =
+          try Some(readTextIO(fs, e.getPath))
+          catch {
+            case _: Throwable =>
+              // unreadable ≠ unreferenced: poison the scan
+              scanComplete = false
+              None
+          }
+        text.flatMap(parseRootText) match {
+          case Some(GroupedRoot(_, _, groups)) => groups.values
+          case _                               => Seq.empty
+        }
+      }
       .toSet
     val removed = entries
       .filter(e => seqOf(e.getPath.getName).exists(_ < keepFrom))
       .count(e => try fs.delete(e.getPath, false) catch { case _: Throwable => false })
-    entries.foreach { e =>
-      grpSeqOf(e.getPath.getName).foreach { s0 =>
-        if (s0 < keepFrom && !referenced.contains(e.getPath.getName)) {
-          try { fs.delete(e.getPath, false); () } catch { case _: Throwable => () }
+    if (scanComplete) {
+      entries.foreach { e =>
+        grpSeqOf(e.getPath.getName).foreach { s0 =>
+          if (s0 < keepFrom && !referenced.contains(e.getPath.getName)) {
+            try { fs.delete(e.getPath, false); () } catch { case _: Throwable => () }
+          }
         }
       }
-    }
+    } else
+      System.err.println(
+        s"[catalog] $root: a retained snapshot was unreadable during expire — " +
+          "group-manifest GC skipped this pass (retried next expire); root expiry proceeded")
     removed
   }
 }

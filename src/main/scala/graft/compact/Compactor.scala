@@ -109,8 +109,13 @@ object Compactor {
       .as[LeafPlan]
       .toLocalIterator()
     val out = scala.collection.mutable.ArrayBuffer.empty[LeafResult]
+    // the catalog cannot advance until publishCatalog below, so the pin
+    // floors are parsed at most ONCE for the whole run, not per batch
+    // (review r18) — lazily, since a run with zero successful commits
+    // never needs them
+    lazy val floors = catalogOldestPins(spark, cfg)
     planIt.asScala.grouped(math.max(1, cfg.planBatchSize)).foreach { batch =>
-      out ++= runBatch(spark, batch.toSeq, cfg)
+      out ++= runBatch(spark, batch.toSeq, cfg, () => floors)
     }
     publishCatalog(spark, out.toSeq, cfg)
     out.toSeq
@@ -173,6 +178,19 @@ object Compactor {
     * range shuffle (layout correctness over job-count savings).
     */
   def runBatch(spark: SparkSession, plans: Seq[LeafPlan], cfg: CompactorConfig): Seq[LeafResult] = {
+    lazy val floors = catalogOldestPins(spark, cfg)
+    runBatch(spark, plans, cfg, () => floors)
+  }
+
+  /** [[runBatch]] with the catalog pin floors supplied by the caller —
+    * [[runOnFiles]] parses them once for ALL its batches.
+    */
+  private def runBatch(
+      spark: SparkSession,
+      plans: Seq[LeafPlan],
+      cfg: CompactorConfig,
+      floors: () => CatalogFloors,
+  ): Seq[LeafResult] = {
     val (tiny, big) = plans.partition(p =>
       cfg.batchTinyLeaves && cfg.layoutKeys.isEmpty && cfg.bucketKey.isEmpty &&
         p.totalBytes <= cfg.targetFileBytes &&
@@ -193,23 +211,48 @@ object Compactor {
         cfg.maintainEqSidecarsMax.nonEmpty || cfg.reclusterColumn.nonEmpty)) {
       val okLeaves = results.filter(_.success).map(_.leaf).distinct
       if (okLeaves.nonEmpty) {
-        // one snapshot-set parse per batch, not per leaf
-        val catPins = catalogOldestPins(spark, cfg)
+        // one snapshot-set parse per RUN (threaded from runOnFiles),
+        // not per batch or per leaf
+        val catPins = floors()
         okLeaves.foreach(maintainLeaf(spark, _, cfg, catPins))
       }
     }
     results
   }
 
-  /** The per-leaf catalog expire floors, parsed ONCE per batch/sweep and
-    * threaded into [[maintainLeaf]] (computed only when leaf expiry is
-    * configured — nothing else reads pins). Conservative under racers:
-    * a stale map can only hold pins that have since EXPIRED, so the
-    * clamp it imposes is at-or-below the live horizon, never past it.
+  /** The per-leaf catalog pin floors for [[maintainLeaf]]'s expire
+    * clamp — a tri-state, because the failure mode matters: with no
+    * catalog configured expiry runs unclamped, with floors in hand it
+    * runs clamped, but when the configured catalog cannot be READ the
+    * only safe answer is to not expire at all (an absent clamp would
+    * GC under pins the read failure hid — the one wrong default).
     */
-  private def catalogOldestPins(spark: SparkSession, cfg: CompactorConfig): Option[Map[String, Long]] =
-    cfg.catalogRoot.filter(_ => cfg.expireKeepSnapshots.nonEmpty)
-      .map(cat => CatalogCommit.oldestPins(spark, cat))
+  private[compact] sealed trait CatalogFloors
+  private[compact] case object NoCatalog extends CatalogFloors
+  private[compact] case object FloorsUnavailable extends CatalogFloors
+  private[compact] final case class Floors(pins: Map[String, Long]) extends CatalogFloors
+
+  /** Parsed ONCE per run/sweep and threaded into [[maintainLeaf]]
+    * (computed only when leaf expiry is configured — nothing else
+    * reads pins). Conservative under racers: a stale map can only
+    * hold pins that have since EXPIRED, so the clamp it imposes is
+    * at-or-below the live horizon, never past it. Failures stay
+    * inside maintenance ("maintenance never fails the run"): a
+    * catalog read error yields [[FloorsUnavailable]], never a throw.
+    */
+  private def catalogOldestPins(spark: SparkSession, cfg: CompactorConfig): CatalogFloors =
+    cfg.catalogRoot.filter(_ => cfg.expireKeepSnapshots.nonEmpty) match {
+      case None => NoCatalog
+      case Some(cat) =>
+        try Floors(CatalogCommit.oldestPins(spark, cat))
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[compact] catalog $cat pin floors unreadable (${e.toString}) — " +
+                "leaf expiry SKIPPED this pass rather than risk GC under a hidden pin")
+            FloorsUnavailable
+        }
+    }
 
   /** Debris + history reclaim for one leaf — failures here never fail the
     * run (the commits already stand; maintenance retries next run).
@@ -218,7 +261,7 @@ object Compactor {
       spark: SparkSession,
       leaf: String,
       cfg: CompactorConfig,
-      catalogPins: Option[Map[String, Long]],
+      catalogPins: CatalogFloors,
   ): Unit =
     try {
       // The LEAF DIALS first — each is a normal manifest COMMIT (a
@@ -244,13 +287,16 @@ object Compactor {
       if (cfg.autoGcOrphans) { ManifestCommit.gcOrphans(spark, leaf); () }
       cfg.expireKeepSnapshots.foreach { keep =>
         val cur = ManifestCommit.currentSeq(spark, leaf)
-        if (cur > keep) {
+        // FloorsUnavailable = the configured catalog could not be read
+        // this pass: expiry (and its checkpoint) skip entirely — an
+        // unclamped horizon could GC under a pin the failure hid
+        if (cur > keep && catalogPins != FloorsUnavailable) {
           // a catalog pin is a retention dependency: a pinned read is
           // readLeafAt(pin), so the expire horizon never crosses the
           // oldest seq any retained catalog snapshot pins this leaf at
           val horizon0 = cur - keep
           val horizon = (cfg.catalogRoot, catalogPins) match {
-            case (Some(cat), Some(pins)) =>
+            case (Some(cat), Floors(pins)) =>
               val pfx = ManifestCommit.qualifiedPrefix(spark, cat)
               val leafQ = ManifestCommit.qualifiedPrefix(spark, leaf).dropRight(1)
               if (leafQ.startsWith(pfx) && leafQ.length > pfx.length)

@@ -1,13 +1,44 @@
 package graft.compact
 
 import java.io.File
+import java.net.URI
 import java.nio.file.Files
 
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
+
+/** A local-fs scheme whose `open` can be made to FAIL for chosen file
+  * names — the transient object-store read error (throttle, 500) the
+  * expire GC's reference scan must treat as UNKNOWN, never as
+  * "unreferenced". Statuses are eagerized like SecondFsSpec's scheme
+  * (RawLocalFileSystem loads permissions lazily via java.io.File,
+  * which rejects non-`file` schemes).
+  */
+class FlakyCatFs extends RawLocalFileSystem {
+  override def getScheme: String = "flakycat"
+  override def getUri: URI = URI.create("flakycat:///")
+  private def eager(st: FileStatus): FileStatus = new FileStatus(
+    st.getLen, st.isDirectory, st.getReplication, st.getBlockSize,
+    st.getModificationTime, st.getAccessTime,
+    if (st.isDirectory) FsPermission.getDirDefault else FsPermission.getFileDefault,
+    "graft", "graft", st.getPath,
+  )
+  override def getFileStatus(f: Path): FileStatus = eager(super.getFileStatus(f))
+  override def listStatus(f: Path): Array[FileStatus] = super.listStatus(f).map(eager)
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    if (FlakyCatFs.denyOpen.exists(f.getName.contains))
+      throw new java.io.IOException(s"injected read failure: $f")
+    super.open(f, bufferSize)
+  }
+}
+object FlakyCatFs {
+  @volatile var denyOpen: Set[String] = Set.empty
+}
 
 /** `CatalogCommit` — the multi-leaf atomic publish: catalog readers see
   * old-EVERYTHING or new-EVERYTHING across member leaves, never a mix,
@@ -356,5 +387,39 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     cur.seq shouldBe 1L
     cur.leaves shouldBe Map("leafA" -> seqA, "leafB" -> seqB)
     new File(cat, "_cat-000000002.json").exists() shouldBe false
+  }
+
+  test("an unreadable RETAINED root poisons expire's group GC (skipped, retried next pass) — a transient read error never deletes manifests a sealed root still references") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flakycat.impl", classOf[FlakyCatFs].getName)
+    val dir = new File(root, "cat-flaky"); dir.mkdirs()
+    val cat = s"flakycat:${dir.getAbsolutePath}"
+    // two grouped publishes: root 2 rewrites leafA's group and carries
+    // leafB's by reference — after expire(keepFrom=2), root 1 and the
+    // superseded leafA group are the ONLY legitimate GC targets
+    CatalogCommit.publish(spark, cat, Map("leafA" -> 1L, "leafB" -> 1L), groups = Some(8))
+    CatalogCommit.publish(spark, cat, Map("leafA" -> 2L))
+    def grp() = dir.listFiles().map(_.getName).filter(_.startsWith("_grp-")).sorted.toSeq
+    val before = grp()
+    before.size shouldBe 3
+
+    // the retained root (seq 2) is unreadable during this expire: the
+    // scan is UNKNOWN, so NO group manifest may be GC'd — deleting the
+    // "unreferenced-looking" ones would permanently break root 2,
+    // which still resolves through them. Root expiry itself is
+    // name-based and proceeds.
+    FlakyCatFs.denyOpen = Set("_cat-000000002.json")
+    try CatalogCommit.expire(spark, cat, keepFrom = 2L) shouldBe 1
+    finally FlakyCatFs.denyOpen = Set.empty
+    grp() shouldBe before // every group survived the poisoned scan
+    val cur2 = CatalogCommit.current(spark, cat).get
+    cur2.seq shouldBe 2L
+    cur2.leaves shouldBe Map("leafA" -> 2L, "leafB" -> 1L) // fully resolvable
+
+    // with the read healed, the next expire GCs exactly the superseded
+    // group and the retained root keeps resolving
+    CatalogCommit.expire(spark, cat, keepFrom = 2L) shouldBe 0
+    grp().size shouldBe 2
+    CatalogCommit.current(spark, cat).get.leaves shouldBe Map("leafA" -> 2L, "leafB" -> 1L)
   }
 }

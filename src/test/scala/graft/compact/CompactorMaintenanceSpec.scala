@@ -299,4 +299,44 @@ class CompactorMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec 
     CatalogCommit.readLeafAt(spark, cat.getAbsolutePath, relA, snap1)
       .select("id").collect().map(_.getLong(0)).sorted shouldBe (0L to 19L).toArray
   }
+
+  test("an UNREADABLE catalog makes maintenance skip leaf expiry entirely — never expire unclamped past pins a read failure hid") {
+    val lake = new File(root, "lake-floors")
+    val leaf = new File(lake, "acct/source=fl/year=2026/month=01"); leaf.mkdirs()
+    val leafPath = leaf.getAbsolutePath
+    val base = CompactorConfig(
+      commitMode = CommitMode.Manifest, statsColumns = Seq("id"), retainSuperseded = true)
+    (0 until 2).foreach(k => ingest(leafPath, k, (k.toLong until 20L by 2L), base))
+    Seq("fr1", "fr2").foreach { st =>
+      ManifestCommit.compactWhere(spark, leafPath, "id", 0.0, 100.0, base, stem = st, minFiles = 1)
+        .foreach(r => withClue(r) { r.success shouldBe true })
+    }
+    val head = ManifestCommit.currentSeq(spark, leafPath)
+    // strictly below the post-heal horizon (head - keep), so healed
+    // expiry definitely retires it
+    val oldSeq = head - 2
+    // sanity: the pre-head snapshot is readable while retained
+    ManifestCommit.readLeafAt(spark, leafPath, oldSeq).count() should be > 0L
+
+    // catalog root on an unregistered scheme: the pin-floor parse
+    // fails, the sweep must still complete (maintenance never fails
+    // the run) and expiry must NOT have run — the old snapshot lives
+    val broken = base.copy(
+      expireKeepSnapshots = Some(1),
+      catalogRoot = Some("nosuchscheme://cat"))
+    Compactor.maintainAll(spark, lake.getAbsolutePath, broken) shouldBe 1L
+    ManifestCommit.currentSeq(spark, leafPath) shouldBe head
+    ManifestCommit.readLeafAt(spark, leafPath, oldSeq).count() should be > 0L
+
+    // same config with the catalog healed (removed): expiry proceeds
+    // and the old snapshot is RETIRED — depending on how much of the
+    // chain the debris pruning could reclaim, the historical read
+    // either throws (files gone, manifest kept) or resolves empty
+    // (manifest pruned too); both mean the history no longer serves
+    Compactor.maintainAll(spark, lake.getAbsolutePath, broken.copy(catalogRoot = None)) shouldBe 1L
+    val post =
+      try ManifestCommit.readLeafAt(spark, leafPath, oldSeq).count()
+      catch { case _: Exception => 0L }
+    post shouldBe 0L
+  }
 }
