@@ -389,6 +389,63 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     new File(cat, "_cat-000000002.json").exists() shouldBe false
   }
 
+  test("LIVE grouped-publisher race: four threads publish disjoint leaves concurrently — every ACKNOWLEDGED update survives in the resolved chain and every retained root resolves") {
+    val cat = new File(root, "cat-race").getAbsolutePath
+    val threads = 4
+    val rounds = 6
+    // seed so every thread starts from a grouped root
+    CatalogCommit.publish(
+      spark, cat, (0 until threads).map(i => s"t$i" -> 0L).toMap, groups = Some(4))
+    val acked = Array.fill(threads)(0L)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { i =>
+      new Thread(() => {
+        try {
+          (1 to rounds).foreach { k =>
+            // a loser ALWAYS surfaces as ConcurrentCommitException (the
+            // protocol's contract) — retry until acknowledged, bounded
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try {
+                CatalogCommit.publish(spark, cat, Map(s"t$i" -> k.toLong), debrisWaitMs = 50L)
+                acked(i) = k.toLong
+                done = true
+              } catch {
+                case _: ConcurrentCommitException =>
+                  attempts += 1
+                  if (attempts > 200) throw new IllegalStateException(
+                    s"thread $i livelocked at k=$k after $attempts retries")
+                  Thread.sleep(1L + scala.util.Random.nextInt(5))
+              }
+            }
+          }
+        } catch { case t: Throwable => failures.add(t); () }
+      })
+    }
+    pool.foreach(_.start())
+    pool.foreach(_.join(120000))
+    failures.forEach(t => fail(s"racing publisher died: $t", t))
+    val cur = CatalogCommit.current(spark, cat).get
+    // no acknowledged update was ever lost (a carried-forward pin from
+    // a retracted racer may legally exceed the acknowledged value —
+    // the documented spurious-visible window — but never undercut it)
+    (0 until threads).foreach { i =>
+      withClue(s"t$i: ") { cur.leaves(s"t$i") should be >= acked(i) }
+    }
+    // the whole retained chain resolves: no sealed root was left
+    // referencing a GC'd or never-written group manifest
+    val fs0 = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.listStatus(new org.apache.hadoop.fs.Path(cat))
+      .flatMap(e => CatalogCommit.seqOf(e.getPath.getName))
+      .foreach { s0 =>
+        CatalogCommit.snapshotAt(spark, cat, s0).foreach { snap =>
+          snap.leaves.keySet shouldBe (0 until threads).map(i => s"t$i").toSet
+        }
+      }
+  }
+
   test("an unreadable RETAINED root poisons expire's group GC (skipped, retried next pass) — a transient read error never deletes manifests a sealed root still references") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.flakycat.impl", classOf[FlakyCatFs].getName)
