@@ -421,11 +421,17 @@ object CatalogCommit {
           // must still exist — a concurrent expire that outran this
           // publish (its GC floor past our embedded seq) would leave a
           // sealed root that cannot resolve; retract and fail loudly
-          // instead. One getFileStatus per referenced group (O(G)).
-          refFiles.find(f => !fs.exists(new Path(s"$root/$f"))).foreach { missing =>
-            retract()
-            throw new ConcurrentCommitException(
-              root, seq, s"referenced group manifest $missing was GC'd mid-publish")
+          // instead. ONE root-dir listing answers all G references (a
+          // per-file exists would be G metadata round-trips on an
+          // object store, per publish).
+          if (refFiles.nonEmpty) {
+            val present = fs.listStatus(new Path(root))
+              .iterator.map(_.getPath.getName).toSet
+            refFiles.find(!present.contains(_)).foreach { missing =>
+              retract()
+              throw new ConcurrentCommitException(
+                root, seq, s"referenced group manifest $missing was GC'd mid-publish")
+            }
           }
           // guard 2, WINNER side: a burned seq that SEALED after the
           // window is a racer whose pins this snapshot never
