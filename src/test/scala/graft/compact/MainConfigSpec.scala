@@ -25,6 +25,14 @@ class MainConfigSpec extends AnyFunSuite with Matchers {
       "GRAFT_MATAGG_KEYS" -> "k, tag",
       "GRAFT_MATAGG_VALUES" -> "amount",
       "GRAFT_MATAGG_MINMAX" -> "amount, ts",
+      "GRAFT_SYNC_INDEX" -> "/idx",
+      "GRAFT_MAINT_DELETE_SIDECARS" -> "4",
+      "GRAFT_MAINT_EQ_SIDECARS" -> "5",
+      "GRAFT_RECLUSTER_KEY" -> "id",
+      "GRAFT_RECLUSTER_DEPTH" -> "3.5",
+      "GRAFT_CATALOG_ROOT" -> "/cat",
+      "GRAFT_CATALOG_KEEP" -> "7",
+      "GRAFT_CATALOG_GROUPS" -> "64",
     ))
     cfg.targetFileBytes shouldBe (0.5 * (1L << 30)).toLong
     cfg.maxRowsPerFile shouldBe 500L
@@ -40,6 +48,14 @@ class MainConfigSpec extends AnyFunSuite with Matchers {
     cfg.matAggKeys shouldBe Seq("k", "tag")
     cfg.matAggValues shouldBe Seq("amount")
     cfg.matAggMinMax shouldBe Seq("amount", "ts")
+    cfg.syncIndexRoot shouldBe Some("/idx")
+    cfg.maintainDeleteSidecarsMax shouldBe Some(4)
+    cfg.maintainEqSidecarsMax shouldBe Some(5)
+    cfg.reclusterColumn shouldBe Some("id")
+    cfg.reclusterMaxDepth shouldBe 3.5
+    cfg.catalogRoot shouldBe Some("/cat")
+    cfg.catalogKeepSnapshots shouldBe Some(7)
+    cfg.catalogGroups shouldBe Some(64)
   }
 
   test("an empty environment yields exactly the defaults") {
