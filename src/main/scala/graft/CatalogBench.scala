@@ -72,14 +72,17 @@ object CatalogBench {
         val oldestPinsMs = ms(t5)
         require(pins.size == members)
 
+        // Locale.ROOT: default-locale %f can emit comma decimals — the
+        // one line that must parse as JSON (same discipline as Bench)
+        def n(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
         println(
           s"""{"metric":"catalog_ladder","members":$members,"format":"$fmt",""" +
-            s""""seed_publish_ms":${"%.1f".format(seedMs)},""" +
-            s""""steady_publish_ms":${"%.1f".format(steadyMs)},""" +
-            s""""current_root_ms":${"%.2f".format(rootOnlyMs)},""" +
-            s""""resolve_full_ms":${"%.1f".format(resolveMs)},""" +
-            s""""oldest_pin_ms":${"%.1f".format(oldestPinMs)},""" +
-            s""""oldest_pins_ms":${"%.1f".format(oldestPinsMs)}}""")
+            s""""seed_publish_ms":${n(seedMs)},""" +
+            s""""steady_publish_ms":${n(steadyMs)},""" +
+            s""""current_root_ms":${n(rootOnlyMs)},""" +
+            s""""resolve_full_ms":${n(resolveMs)},""" +
+            s""""oldest_pin_ms":${n(oldestPinMs)},""" +
+            s""""oldest_pins_ms":${n(oldestPinsMs)}}""")
       }
     } finally {
       Fs.rmTree(root)

@@ -190,17 +190,18 @@ object CatalogCommit {
   /** All root snapshot files, newest seq first (sealed or not — callers
     * parse, and torn files step down).
     */
-  private def rootFilesDesc(fs: FileSystem, rootPath: Path): Seq[(Long, Path)] =
+  private def rootFilesDesc(fs: FileSystem, rootPath: Path): Seq[Path] =
     if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath).toSeq
       .flatMap(e => if (e.isFile) seqOf(e.getPath.getName).map(_ -> e.getPath) else None)
       .sortBy(-_._1)
+      .map(_._2)
 
   /** The newest sealed root (torn files step down). O(G) for a grouped
     * root — group manifests are NOT read here.
     */
   private def currentRoot(fs: FileSystem, rootPath: Path): Option[Root] =
-    rootFilesDesc(fs, rootPath).iterator.flatMap { case (_, p) => parseRoot(fs, p) }.nextOption()
+    rootFilesDesc(fs, rootPath).iterator.flatMap(parseRoot(fs, _)).nextOption()
 
   /** Full pin map of a root — O(members) for grouped roots. */
   private def resolveAll(fs: FileSystem, root: String, r: Root, cache: GroupCache): Map[String, Long] =
@@ -519,7 +520,7 @@ object CatalogCommit {
     if (!fs.exists(rootPath)) return None
     val cache = newCache
     val pins = rootFilesDesc(fs, rootPath)
-      .flatMap { case (_, p) => parseRoot(fs, p) }
+      .flatMap(parseRoot(fs, _))
       .flatMap(r => pinIn(fs, root, r, leafRel, cache))
     if (pins.isEmpty) None else Some(pins.min)
   }
@@ -539,7 +540,7 @@ object CatalogCommit {
     if (!fs.exists(rootPath)) return Map.empty
     val cache = newCache
     val acc = mutable.Map.empty[String, Long]
-    rootFilesDesc(fs, rootPath).flatMap { case (_, p) => parseRoot(fs, p) }.foreach { r =>
+    rootFilesDesc(fs, rootPath).flatMap(parseRoot(fs, _)).foreach { r =>
       resolveAll(fs, root, r, cache).foreach { case (leaf, s) =>
         if (!acc.get(leaf).exists(_ <= s)) acc(leaf) = s
       }
