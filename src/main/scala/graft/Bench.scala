@@ -26,14 +26,21 @@ object Bench {
     * flagging against it measures artifact provenance, not plan drift
     * (advice r17 — the committed partial baseline inflated flags:17).
     */
-  private def detailIsPartial(path: java.nio.file.Path): Boolean =
+  private[graft] def detailIsPartial(path: java.nio.file.Path): Boolean =
     java.nio.file.Files.exists(path) && {
-      // the writer emits _meta as ONE line; scanning that whole line
-      // (rather than a brace-bounded regex) keeps detection independent
-      // of field order around the nested adjudicated object
-      java.nio.file.Files.readString(path).linesIterator
-        .find(_.contains("\"_meta\""))
-        .exists(l => l.contains("\"filter\"") || l.contains("\"exclude\""))
+      // a real JSON parse (Jackson rides in on the Spark classpath), so
+      // detection is invariant to formatting — the line-grep form broke
+      // on pretty-printed files and on any legitimately-named field
+      // containing "filter" (review r18). An UNPARSEABLE file is
+      // refused as a baseline too (true): flags raised against garbage
+      // timings would adjudicate noise, the exact failure mode this
+      // check exists to prevent.
+      try {
+        val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(path))
+          .get("_meta")
+        meta != null && (meta.has("filter") || meta.has("exclude"))
+      } catch { case _: Throwable => true }
     }
 
   /** Isolated fresh-JVM re-run of ONE query — the bench adjudication
@@ -209,7 +216,8 @@ object Bench {
     // re-run, and the isolated number lands in _meta.adjudicated — the
     // artifact itself now separates plan cost from window noise.
     // Skipped on partial runs (filter/exclude) and inside the isolated
-    // children themselves; bounded to the 6 worst flags.
+    // children themselves; bounded to the 8 worst flags (flagged.take(8)
+    // below — all of them adjudicate in the normal ≤8-flag case).
     val adjEnabled =
       !sys.env.contains("SPARK_GRAFT_BENCH_NO_ADJ") && filter.isEmpty && exclude.isEmpty
     val flagged =

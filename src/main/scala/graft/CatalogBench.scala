@@ -35,7 +35,12 @@ object CatalogBench {
       CatalogCommit.publish(
         spark, new java.io.File(root, "warm").getAbsolutePath, Map("w" -> 1L), groups = Some(2))
       val steadyTouches = 20
-      for (members <- Seq(100, 1000, 10000, 100000); grouped <- Seq(false, true)) {
+      // SPARK_GRAFT_CATALOG_MAX_MEMBERS=1000000 adds the 10⁶ rung (the
+      // ROADMAP 119 gate measurement — ~2 min extra, so opt-in); the
+      // default ladder stops at 10⁵ like the r18 table.
+      val maxMembers = sys.env.get("SPARK_GRAFT_CATALOG_MAX_MEMBERS").map(_.toInt).getOrElse(100000)
+      val rungs = Seq(100, 1000, 10000, 100000, 1000000).filter(_ <= maxMembers)
+      for (members <- rungs; grouped <- Seq(false, true)) {
         val g = math.ceil(math.sqrt(members.toDouble)).toInt
         val fmt = if (grouped) s"grouped($g)" else "inline"
         val cat = new java.io.File(root, s"cat-$members-$grouped").getAbsolutePath

@@ -88,14 +88,31 @@ object CatalogCommit {
   /** One sealed catalog snapshot. `leaves` (member leaf path RELATIVE
     * to the catalog root → pinned head seq) resolves LAZILY: for a
     * grouped root the full map means parsing every group manifest, and
-    * the publish / per-leaf read paths deliberately never force it.
+    * the publish / per-leaf read paths deliberately never force it —
+    * single-leaf resolution goes through [[pin]], which parses at most
+    * ONE group manifest. Laziness has a retention contract: force the
+    * map (or use the Snapshot) within the catalog's retention window —
+    * a thunk forced after a concurrent [[expire]] has retired this
+    * root and GC'd its groups fails loudly with IllegalStateException
+    * (the eager alternative would tax every `current()` call O(members)
+    * to protect a caller that holds snapshots across expiry cycles).
     */
-  final class Snapshot private[compact] (val seq: Long, thunk: () => Map[String, Long]) {
+  final class Snapshot private[compact] (
+      val seq: Long,
+      thunk: () => Map[String, Long],
+      pinFn: String => Option[Long],
+  ) {
     lazy val leaves: Map[String, Long] = thunk()
+
+    /** This snapshot's pin for one leaf — root + at most ONE group
+      * manifest parse for grouped roots, never the full member map.
+      */
+    def pin(leafRel: String): Option[Long] = pinFn(leafRel)
     override def toString: String = s"Snapshot($seq)"
   }
   object Snapshot {
-    def apply(seq: Long, leaves: Map[String, Long]): Snapshot = new Snapshot(seq, () => leaves)
+    def apply(seq: Long, leaves: Map[String, Long]): Snapshot =
+      new Snapshot(seq, () => leaves, leaves.get)
   }
 
   /** A parsed root snapshot file — inline (pin map in the root) or
@@ -177,6 +194,59 @@ object CatalogCommit {
   private def cachedGroup(fs: FileSystem, root: String, name: String, cache: GroupCache): Option[Map[String, Long]] =
     cache.getOrElseUpdate(name, readSealedText(fs, new Path(s"$root/$name")).map(parseLeaves))
 
+  /** Write a publish's new group manifests. Each is independent,
+    * create-only, uuid-named content (contention-free — only the ROOT
+    * create contends), so a large batch — the one-time inline→grouped
+    * migration or a gcount change, ~G ≈ √members files — fans out on a
+    * bounded pool instead of G serial PUTs (ROADMAP 120; measured
+    * ~pool× on the CatalogBench migration rung). Steady-state
+    * publishes touch ~1 group and stay on the calling thread. Any
+    * write failure aborts the publish before the root create — the
+    * manifests already written are unreferenced debris for [[expire]]'s
+    * GC, exactly the mid-publish-death crash window. The cache is
+    * seeded on the calling thread once all writes land (it is not
+    * thread-safe), so just-written content is never re-read.
+    */
+  private def writeGroups(
+      fs: FileSystem,
+      root: String,
+      seq: Long,
+      newGroups: Map[Int, (String, Map[String, Long])],
+      cache: GroupCache,
+  ): Unit = {
+    def writeOne(gid: Int, name: String, lv: Map[String, Long]): Unit = {
+      val out = fs.create(new Path(s"$root/$name"), false)
+      try out.write((s"""{"seq":$seq,"g":$gid,"leaves":${pinBodyJson(lv)},""" + sealMark)
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val batch = newGroups.toSeq.sortBy(_._1)
+    if (batch.size <= 4) batch.foreach { case (gid, (name, lv)) => writeOne(gid, name, lv) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, batch.size))
+      try {
+        val futures = batch.map { case (gid, (name, lv)) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = writeOne(gid, name, lv)
+          })
+        }
+        futures.foreach(_.get()) // first failure propagates and aborts the publish
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally {
+        pool.shutdown()
+        ()
+      }
+    }
+    batch.foreach { case (_, (name, lv)) => cache(name) = Some(lv) }
+  }
+
+  /** The sorted pin-array JSON body shared by root (inline) and group
+    * manifests.
+    */
+  private def pinBodyJson(lv: Map[String, Long]): String =
+    lv.toSeq.sortBy(_._1).map { case (p, s) => s"""{"p":"$p","s":$s}""" }.mkString("[", ",", "]")
+
   private def groupOrThrow(
       fs: FileSystem, root: String, rootSeq: Long, gid: Int, name: String, cache: GroupCache,
   ): Map[String, Long] =
@@ -228,26 +298,44 @@ object CatalogCommit {
     */
   def current(spark: SparkSession, root: String): Option[Snapshot] = {
     val fs = fsFor(spark, root)
-    currentRoot(fs, new Path(root)).map { r =>
-      val cache = newCache
-      new Snapshot(r.seq, () => resolveAll(fs, root, r, cache))
-    }
+    currentRoot(fs, new Path(root)).map(lazySnapshot(fs, root, _))
   }
 
-  /** A specific sealed snapshot — catalog time travel (eagerly
-    * resolved: time travel wants the whole pinned view).
+  /** A specific sealed snapshot — catalog time travel. Lazy like
+    * [[current]]: a single-leaf [[readLeafAt]] through a grouped
+    * historical root parses root + ONE group, never the full member
+    * map (review r18 — the eager form made one-leaf time travel pay
+    * O(members) at 10⁵ where the head read path paid O(members/G)).
     */
   def snapshotAt(spark: SparkSession, root: String, seq: Long): Option[Snapshot] = {
     val fs = fsFor(spark, root)
     val p = new Path(s"$root/${snapName(seq)}")
     if (!fs.exists(p)) None
-    else parseRoot(fs, p).map(r => Snapshot(r.seq, resolveAll(fs, root, r, newCache)))
+    else parseRoot(fs, p).map(lazySnapshot(fs, root, _))
+  }
+
+  /** ONE shared group cache behind both faces of a snapshot: pins
+    * forced along the way seed the eventual full resolution and vice
+    * versa, so interleaved pin/leaves use never re-reads a group.
+    */
+  private def lazySnapshot(fs: FileSystem, root: String, r: Root): Snapshot = {
+    val cache = newCache
+    new Snapshot(r.seq, () => resolveAll(fs, root, r, cache), pinIn(fs, root, r, _, cache))
   }
 
   /** Publish the next snapshot: `updates` (leaf rel → new head seq)
     * merged over the current snapshot's carried-forward pins. The ONE
     * create-only PUT is the cross-leaf commit point; a racer stamping
     * the same seq makes the loser throw [[ConcurrentCommitException]].
+    *
+    * PINS MOVE FORWARD: publish a leaf only at-or-past the seq the
+    * current snapshot pins it at (the compactor always does — its
+    * updates are the leaf heads it just committed). The maintenance
+    * sweep relies on this: it snapshots [[oldestPins]] ONCE and clamps
+    * every leaf's expire horizon against that map, so an external
+    * publisher pinning a leaf at an OLDER seq concurrently with a
+    * sweep can have its pin expired out from under it (advice r18).
+    * Re-pinning history is what [[snapshotAt]] time travel is for.
     *
     * `groups`: Some(G) publishes the two-level form with G group
     * manifests (a migration re-split when the current root is inline
@@ -325,16 +413,14 @@ object CatalogCommit {
     val targetGroups: Option[Int] = groups.orElse(cur.collect { case g: GroupedRoot => g.gcount })
     targetGroups.foreach(g => require(g > 0, s"catalog group count must be positive: $g"))
 
-    def pinBody(lv: Map[String, Long]): String =
-      lv.toSeq.sortBy(_._1).map { case (p, s) => s"""{"p":"$p","s":$s}""" }.mkString("[", ",", "]")
-
-    // (root body for a given seq, referenced group files, lazy full resolution)
-    val (bodyFor, refFiles, resolvedThunk): (Long => String, Seq[String], () => Map[String, Long]) =
+    // (root body for a given seq, referenced group files, snapshot builder)
+    val (bodyFor, refFiles, mkSnapshot): (Long => String, Seq[String], Long => Snapshot) =
       targetGroups match {
         case None =>
           val base = cur.map(r => resolveAll(fs, root, r, cache)).getOrElse(Map.empty) ++ updates
-          val body = pinBody(base)
-          ((seq: Long) => s"""{"seq":$seq,"leaves":$body,""" + sealMark, Seq.empty, () => base)
+          val body = pinBodyJson(base)
+          ((seq: Long) => s"""{"seq":$seq,"leaves":$body,""" + sealMark, Seq.empty,
+            (seq: Long) => Snapshot(seq, base))
         case Some(g) =>
           val updByGid = updates.groupBy { case (p, _) => groupOf(p, g) }
           // carried refs + the base pin maps of the groups we rewrite
@@ -363,22 +449,24 @@ object CatalogCommit {
           // group manifests land BEFORE the root-create loop: they are
           // invisible content until a sealed root references them (the
           // create below stays the one commit point); a death here
-          // leaves unreferenced debris for expire's GC
-          newGroups.toSeq.sortBy(_._1).foreach { case (gid, (name, lv)) =>
-            val out = fs.create(new Path(s"$root/$name"), false)
-            try out.write((s"""{"seq":$seq0,"g":$gid,"leaves":${pinBody(lv)},""" + sealMark)
-              .getBytes(StandardCharsets.UTF_8))
-            finally out.close()
-            cache(name) = Some(lv) // just-written content: never re-read
-          }
+          // leaves unreferenced debris for expire's GC. The writes are
+          // independent create-only content with uuid'd names (zero
+          // contention), so a MIGRATION's G-manifest burst goes out on
+          // a bounded pool — G serial PUTs against an object store was
+          // the one-time migration cost ROADMAP 120 priced; the steady
+          // state (~1 touched group) stays on the calling thread.
+          writeGroups(fs, root, seq0, newGroups, cache)
           val refs: Map[Int, String] = carried ++ newGroups.map { case (gid, (name, _)) => gid -> name }
           val refsBody = refs.toSeq.sortBy(_._1)
             .map { case (gid, f) => s"""{"g":$gid,"f":"$f"}""" }.mkString("[", ",", "]")
           ((seq: Long) => s"""{"seq":$seq,"gcount":$g,"groups":$refsBody,""" + sealMark,
             refs.values.toSeq.sorted,
-            () => refs.toSeq.sortBy(_._1).iterator
-              .map { case (gid, f) => groupOrThrow(fs, root, seq0, gid, f, cache) }
-              .foldLeft(Map.empty[String, Long])(_ ++ _))
+            // reuse the publish's own cache: the just-written groups
+            // are seeded, so neither pin nor full resolution re-reads
+            (seq: Long) => {
+              val r = GroupedRoot(seq, g, refs)
+              new Snapshot(seq, () => resolveAll(fs, root, r, cache), pinIn(fs, root, r, _, cache))
+            })
       }
 
     var seq = seq0
@@ -469,7 +557,7 @@ object CatalogCommit {
               throw new ConcurrentCommitException(root, r2.seq, "unknown")
             }
           }
-          return new Snapshot(seq, resolvedThunk)
+          return mkSnapshot(seq)
         case None => seq += 1
       }
     }
@@ -497,14 +585,16 @@ object CatalogCommit {
     ManifestCommit.readLeafAt(spark, s"$root/$leafRel", pin)
   }
 
-  /** [[readLeaf]] against an explicit snapshot (time travel). */
+  /** [[readLeaf]] against an explicit snapshot (time travel). Goes
+    * through [[Snapshot.pin]], so a grouped historical root costs one
+    * root + ONE group parse — the full member map is forced only on
+    * the non-member ERROR path, where the listing is worth the cost.
+    */
   def readLeafAt(spark: SparkSession, root: String, leafRel: String, snap: Snapshot): DataFrame = {
-    val pin = snap.leaves.getOrElse(
-      leafRel,
+    val pin = snap.pin(leafRel).getOrElse(
       throw new IllegalArgumentException(
         s"leaf $leafRel is not a member of catalog $root at seq ${snap.seq} " +
-          s"(members: ${snap.leaves.keys.toSeq.sorted.mkString(", ")})"),
-    )
+          s"(members: ${snap.leaves.keys.toSeq.sorted.mkString(", ")})"))
     ManifestCommit.readLeafAt(spark, s"$root/$leafRel", pin)
   }
 
@@ -538,12 +628,46 @@ object CatalogCommit {
     val fs = fsFor(spark, root)
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return Map.empty
+    val roots = rootFilesDesc(fs, rootPath).flatMap(parseRoot(fs, _))
+    // The floor parse is the last O(total retained pins) driver term in
+    // the maintenance path (ROADMAP 119). Two bounds keep it flat-ish:
+    // the DISTINCT group files across all retained roots (immutable,
+    // independent content — most roots share most references) parse on
+    // a bounded pool instead of serially, and the fold below walks each
+    // root's group maps directly instead of materializing a full
+    // O(members) map per root. Measured at the 10⁶ CatalogBench rung;
+    // failures inside the pool surface exactly like the serial form
+    // (groupOrThrow finds the None in the seeded cache and throws).
+    val distinctGroups = roots.flatMap {
+      case GroupedRoot(_, _, groups) => groups.values
+      case _                         => Seq.empty
+    }.distinct
     val cache = newCache
-    val acc = mutable.Map.empty[String, Long]
-    rootFilesDesc(fs, rootPath).flatMap(parseRoot(fs, _)).foreach { r =>
-      resolveAll(fs, root, r, cache).foreach { case (leaf, s) =>
-        if (!acc.get(leaf).exists(_ <= s)) acc(leaf) = s
+    if (distinctGroups.size > 4) {
+      val parsed = new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, Long]]]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, distinctGroups.size))
+      try {
+        distinctGroups.map { name =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              parsed.put(name, readSealedText(fs, new Path(s"$root/$name")).map(parseLeaves)); ()
+            }
+          })
+        }.foreach(_.get())
+      } finally {
+        pool.shutdown()
+        ()
       }
+      parsed.forEach((k, v) => cache(k) = v)
+    }
+    val acc = mutable.Map.empty[String, Long]
+    def fold(lv: Map[String, Long]): Unit = lv.foreach { case (leaf, s) =>
+      if (!acc.get(leaf).exists(_ <= s)) acc(leaf) = s
+    }
+    roots.foreach {
+      case InlineRoot(_, lv) => fold(lv)
+      case GroupedRoot(seq, _, groups) =>
+        groups.foreach { case (gid, f) => fold(groupOrThrow(fs, root, seq, gid, f, cache)) }
     }
     acc.toMap
   }
@@ -556,10 +680,24 @@ object CatalogCommit {
     * root seq past the current head, hence at-or-past any
     * keep-bounded floor; a slow publisher outrun anyway finds the
     * hole in its post-seal reference audit and retracts loudly.
+    * A root below `keepFrom` whose DELETE failed is still a sealed,
+    * resolvable snapshot — its group references stay protected this
+    * pass (both deletions retry next expire).
     * Returns the number of ROOT snapshots removed.
     */
   def expire(spark: SparkSession, root: String, keepFrom: Long): Int = {
     val fs = fsFor(spark, root)
+    expireImpl(fs, root, keepFrom,
+      deleteRoot = p => try fs.delete(p, false) catch { case _: Throwable => false })
+  }
+
+  /** [[expire]] with the root-file delete injectable — the test seam
+    * for the delete-failure branch (a local fs won't fail a delete on
+    * cue).
+    */
+  private[compact] def expireImpl(
+      fs: FileSystem, root: String, keepFrom: Long, deleteRoot: Path => Boolean,
+  ): Int = {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return 0
     val entries = fs.listStatus(rootPath).filter(_.isFile)
@@ -574,26 +712,37 @@ object CatalogCommit {
     // the scan UNKNOWN and the group GC (only) is skipped this pass;
     // root deletion below stays purely name-based and safe.
     var scanComplete = true
-    val referenced: Set[String] = entries.toSeq
-      .filter(e => seqOf(e.getPath.getName).exists(_ >= keepFrom))
-      .flatMap { e =>
-        val text =
-          try Some(readTextIO(fs, e.getPath))
-          catch {
-            case _: Throwable =>
-              // unreadable ≠ unreferenced: poison the scan
-              scanComplete = false
-              None
-          }
-        text.flatMap(parseRootText) match {
-          case Some(GroupedRoot(_, _, groups)) => groups.values
-          case _                               => Seq.empty
+    def groupRefsOf(e: org.apache.hadoop.fs.FileStatus): Iterable[String] = {
+      val text =
+        try Some(readTextIO(fs, e.getPath))
+        catch {
+          case _: Throwable =>
+            // unreadable ≠ unreferenced: poison the scan
+            scanComplete = false
+            None
         }
+      text.flatMap(parseRootText) match {
+        case Some(GroupedRoot(_, _, groups)) => groups.values
+        case _                               => Seq.empty
       }
-      .toSet
-    val removed = entries
+    }
+    val referenced = mutable.Set.empty[String]
+    entries.toSeq
+      .filter(e => seqOf(e.getPath.getName).exists(_ >= keepFrom))
+      .foreach(e => referenced ++= groupRefsOf(e))
+    // Root deletes next — and a root < keepFrom that SURVIVED a failed
+    // delete is still resolvable, so its group references join the
+    // protection set (read it now, post-failure): without this, GC'ing
+    // its groups would turn a one-off delete hiccup into a sealed root
+    // whose snapshotAt throws instead of returning None (advice r18).
+    // An unreadable survivor poisons the scan like any retained root.
+    var removed = 0
+    entries
       .filter(e => seqOf(e.getPath.getName).exists(_ < keepFrom))
-      .count(e => try fs.delete(e.getPath, false) catch { case _: Throwable => false })
+      .foreach { e =>
+        if (deleteRoot(e.getPath)) removed += 1
+        else referenced ++= groupRefsOf(e)
+      }
     if (scanComplete) {
       entries.foreach { e =>
         grpSeqOf(e.getPath.getName).foreach { s0 =>
@@ -604,7 +753,7 @@ object CatalogCommit {
       }
     } else
       System.err.println(
-        s"[catalog] $root: a retained snapshot was unreadable during expire — " +
+        s"[catalog] $root: a retained (or delete-surviving) snapshot was unreadable during expire — " +
           "group-manifest GC skipped this pass (retried next expire); root expiry proceeded")
     removed
   }

@@ -389,15 +389,30 @@ object EventQueries {
     // OPERATIONS (HLL unions only; theta intersects and differences).
     // "High-value purchasers who also reported errors" without ever
     // joining the two user sets — each side is one sketch, the overlap
-    // is sketch algebra. Below ~4k distinct items theta runs in exact
-    // mode, so SketchWitnessSpec pins the estimates to the exact
-    // INTERSECT/EXCEPT counts carried in-row. Rows-only check.
-    Q.noOracle("agg_theta_set_ops") { (s, d) =>
+    // is sketch algebra. FULLY ORACLED (review r18): with lgK=16 the
+    // sketches stay in exact mode to 2^16 distinct items — far past
+    // every fixture SF's ~10²–10³ filtered users — so every estimate
+    // EQUALS its exact count deterministically and DuckDB mirrors the
+    // whole row with plain INTERSECT/EXCEPT; SketchWitnessSpec pins
+    // the same equality in-row as defense at any SF.
+    Q("agg_theta_set_ops",
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 80),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value < 20)
+        |SELECT
+        |  (SELECT count(*) FROM a) AS est_a,
+        |  (SELECT count(*) FROM b) AS est_b,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS est_both,
+        |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS est_only_a,
+        |  (SELECT count(*) FROM a) AS exact_a,
+        |  (SELECT count(*) FROM b) AS exact_b,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS exact_both,
+        |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS exact_only_a""".stripMargin,
+    ) { (s, d) =>
       Q.withTempViews(s)("events_theta" -> Tables.events(s, d)) {
         s.sql(
-        """WITH a AS (SELECT theta_sketch_agg(user_id) AS s FROM events_theta
+        """WITH a AS (SELECT theta_sketch_agg(user_id, 16) AS s FROM events_theta
           |           WHERE event_type = 'purchase' AND value > 80),
-          |b AS (SELECT theta_sketch_agg(user_id) AS s FROM events_theta
+          |b AS (SELECT theta_sketch_agg(user_id, 16) AS s FROM events_theta
           |      WHERE event_type = 'error' AND value < 20)
           |SELECT
           |  CAST(theta_sketch_estimate((SELECT s FROM a)) AS BIGINT) AS est_a,

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** `Bench.detailIsPartial` — the baseline-provenance gate: a detail
+  * file whose `_meta` carries filter/exclude was a PARTIAL run and
+  * must be refused as a regression baseline. Detection is a real JSON
+  * parse, so it survives re-formatting (the r18 form line-grepped the
+  * `_meta` line and was one pretty-printer away from a false verdict
+  * in either direction).
+  */
+class BenchMetaSpec extends AnyFunSuite with Matchers {
+
+  private def tmp(content: String): java.nio.file.Path = {
+    val p = Files.createTempFile("graft-bench-meta", ".json")
+    p.toFile.deleteOnExit()
+    Files.writeString(p, content)
+  }
+
+  test("full-run detail (no filter/exclude) is accepted as baseline") {
+    Bench.detailIsPartial(tmp(
+      """{
+        |  "q1": [1.5, 1.2],
+        |  "_meta": {"unit": "sec", "passes": 2, "retried": 0, "reported": "min", "cpus": 32, "sf": "/x", "flags": 0, "adjudicated": {}}
+        |}""".stripMargin)) shouldBe false
+  }
+
+  test("filter/exclude in _meta marks the run partial — regardless of formatting") {
+    // the writer's current one-line _meta shape
+    Bench.detailIsPartial(tmp(
+      """{"q1": [1.5], "_meta": {"unit": "sec", "filter": "q1", "adjudicated": {}}}""")) shouldBe true
+    // the SAME object pretty-printed across lines (what broke the grep)
+    Bench.detailIsPartial(tmp(
+      """{
+        |  "q1": [1.5],
+        |  "_meta": {
+        |    "unit": "sec",
+        |    "exclude": "q2,q3",
+        |    "adjudicated": {}
+        |  }
+        |}""".stripMargin)) shouldBe true
+  }
+
+  test("a query NAMED like the knobs never false-positives; a missing file is not partial") {
+    // "filter"/"exclude" as top-level query names or inside adjudicated
+    // must not trip the check — only fields OF _meta count
+    Bench.detailIsPartial(tmp(
+      """{
+        |  "text_filter_quality": [0.4],
+        |  "_meta": {"unit": "sec", "adjudicated": {"text_filter_quality": 0.3}}
+        |}""".stripMargin)) shouldBe false
+    Bench.detailIsPartial(java.nio.file.Paths.get("/nonexistent/graft-detail.json")) shouldBe false
+  }
+
+  test("an unparseable baseline is refused (partial=true): flags against garbage timings would adjudicate noise") {
+    Bench.detailIsPartial(tmp("""{"q1": [1.5""")) shouldBe true
+  }
+}

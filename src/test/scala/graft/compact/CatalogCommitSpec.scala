@@ -479,4 +479,90 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     grp().size shouldBe 2
     CatalogCommit.current(spark, cat).get.leaves shouldBe Map("leafA" -> 2L, "leafB" -> 1L)
   }
+
+  test("grouped time travel is LAZY: a single-leaf readLeafAt parses root + ONE group — proven by deleting every other group manifest first") {
+    val cat = new File(root, "cat-lazy-tt").getAbsolutePath
+    val g = 8
+    // leafA..leafC land in three DIFFERENT groups (asserted via the
+    // frozen hash), so "only leafA's group is parsed" is observable
+    Seq(("leafA", "leafB"), ("leafA", "leafC"), ("leafB", "leafC")).foreach { case (x, y) =>
+      CatalogCommit.groupOf(x, g) should not be CatalogCommit.groupOf(y, g)
+    }
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "la1", 1L to 5L)
+    val seqB = appendCommit(s"$cat/leafB", "b.parquet", "lb1", 10L to 14L)
+    val seqC = appendCommit(s"$cat/leafC", "c.parquet", "lc1", 20L to 24L)
+    CatalogCommit.publish(
+      spark, cat, Map("leafA" -> seqA, "leafB" -> seqB, "leafC" -> seqC), groups = Some(g))
+    val seqA2 = appendCommit(s"$cat/leafA", "a2.parquet", "la2", 6L to 9L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA2))
+
+    // externally damage the catalog: every group manifest EXCEPT
+    // leafA's seq-1 group is gone. An eager snapshotAt (the r18 form)
+    // would throw right here; the lazy pin path never touches them.
+    val gidA = CatalogCommit.groupOf("leafA", g)
+    val keep = f"_grp-${1L}%09d-$gidA%04d-"
+    grpFiles(cat).filterNot(_.startsWith(keep))
+      .foreach(f => new File(cat, f).delete() shouldBe true)
+
+    val snap1 = CatalogCommit.snapshotAt(spark, cat, 1L).get
+    snap1.pin("leafA") shouldBe Some(seqA)
+    ids(CatalogCommit.readLeafAt(spark, cat, "leafA", snap1)) shouldBe (1L to 5L)
+    // forcing the FULL map still fails loudly on the damaged groups —
+    // laziness narrows what a single-leaf read pays, not what a full
+    // resolution still requires
+    intercept[IllegalStateException] { snap1.leaves }
+  }
+
+  test("a root delete failure during expire keeps that root's group manifests out of the GC — a sealed survivor must stay resolvable, not throw") {
+    val cat = new File(root, "cat-delfail").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "da1", 1L to 3L)
+    val seqB = appendCommit(s"$cat/leafB", "b.parquet", "db1", 10L to 12L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA, "leafB" -> seqB), groups = Some(8))
+    val seqA2 = appendCommit(s"$cat/leafA", "a2.parquet", "da2", 4L to 6L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA2))
+    val before = grpFiles(cat)
+    before.size shouldBe 3 // A@1, B@1 (carried into root 2), A@2
+
+    // root 1's delete FAILS (an object-store hiccup): it remains a
+    // sealed, resolvable snapshot, so the superseded leafA group it
+    // references must survive this GC pass — without the protection,
+    // snapshotAt(1).leaves would throw IllegalStateException instead
+    // of resolving (advice r18)
+    val fs = FileIndexer.fsFor(spark, cat)
+    val removed = CatalogCommit.expireImpl(
+      fs, cat, keepFrom = 2L,
+      deleteRoot = p => if (p.getName == "_cat-000000001.json") false else fs.delete(p, false))
+    removed shouldBe 0
+    grpFiles(cat) shouldBe before // every group protected
+    val snap1 = CatalogCommit.snapshotAt(spark, cat, 1L).get
+    snap1.leaves shouldBe Map("leafA" -> seqA, "leafB" -> seqB)
+
+    // the hiccup clears: the retried expire removes the root AND GCs
+    // exactly the group only it referenced
+    CatalogCommit.expire(spark, cat, keepFrom = 2L) shouldBe 1
+    grpFiles(cat).size shouldBe 2
+    CatalogCommit.current(spark, cat).get.leaves shouldBe Map("leafA" -> seqA2, "leafB" -> seqB)
+  }
+
+  test("a migration past the pool threshold (many groups) writes every manifest and resolves identically to the serial path") {
+    val cat = new File(root, "cat-pool").getAbsolutePath
+    val members = (0 until 40).map(i => f"leaf-$i%02d")
+    members.foreach { m =>
+      appendCommit(s"$cat/$m", s"$m.parquet", s"rp$m", 1L to 2L) shouldBe 1L
+    }
+    // inline first, then a 16-group migration: >4 new group manifests
+    // go out on the bounded pool; correctness must not depend on which
+    // path wrote them
+    CatalogCommit.publish(spark, cat, members.map(_ -> 1L).toMap)
+    val s2 = CatalogCommit.publish(spark, cat, Map(members.head -> 1L), groups = Some(16))
+    val files = grpFiles(cat)
+    files.size should be > 4
+    // every non-empty group got exactly one manifest and the resolved
+    // map is the full member set
+    s2.leaves shouldBe members.map(_ -> 1L).toMap
+    CatalogCommit.current(spark, cat).get.leaves shouldBe members.map(_ -> 1L).toMap
+    members.foreach { m =>
+      CatalogCommit.oldestPin(spark, cat, m) shouldBe Some(1L)
+    }
+  }
 }
