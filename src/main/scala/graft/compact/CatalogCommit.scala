@@ -194,6 +194,28 @@ object CatalogCommit {
   private def cachedGroup(fs: FileSystem, root: String, name: String, cache: GroupCache): Option[Map[String, Long]] =
     cache.getOrElseUpdate(name, readSealedText(fs, new Path(s"$root/$name")).map(parseLeaves))
 
+  /** Independent IO tasks (root parses, group parses, group writes —
+    * all against distinct immutable-or-fresh objects) on a bounded
+    * pool when the batch is big enough to amortize one, serial below
+    * that. Order-preserving; the first failure propagates unwrapped,
+    * exactly like the serial form.
+    */
+  private def boundedPar[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.size <= 4) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, items.size))
+      try {
+        val futures = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] { override def call(): B = f(a) })
+        }
+        try futures.map(_.get())
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      } finally {
+        pool.shutdown()
+        ()
+      }
+    }
+
   /** Write a publish's new group manifests. Each is independent,
     * create-only, uuid-named content (contention-free — only the ROOT
     * create contends), so a large batch — the one-time inline→grouped
@@ -221,23 +243,8 @@ object CatalogCommit {
       finally out.close()
     }
     val batch = newGroups.toSeq.sortBy(_._1)
-    if (batch.size <= 4) batch.foreach { case (gid, (name, lv)) => writeOne(gid, name, lv) }
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, batch.size))
-      try {
-        val futures = batch.map { case (gid, (name, lv)) =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = writeOne(gid, name, lv)
-          })
-        }
-        futures.foreach(_.get()) // first failure propagates and aborts the publish
-      } catch {
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
-      } finally {
-        pool.shutdown()
-        ()
-      }
-    }
+    // first failure propagates and aborts the publish
+    boundedPar(batch) { case (gid, (name, lv)) => writeOne(gid, name, lv) }
     batch.foreach { case (_, (name, lv)) => cache(name) = Some(lv) }
   }
 
@@ -628,38 +635,27 @@ object CatalogCommit {
     val fs = fsFor(spark, root)
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return Map.empty
-    val roots = rootFilesDesc(fs, rootPath).flatMap(parseRoot(fs, _))
-    // The floor parse is the last O(total retained pins) driver term in
-    // the maintenance path (ROADMAP 119). Two bounds keep it flat-ish:
-    // the DISTINCT group files across all retained roots (immutable,
-    // independent content — most roots share most references) parse on
-    // a bounded pool instead of serially, and the fold below walks each
-    // root's group maps directly instead of materializing a full
+    // The floor parse is the last O(total retained pins) driver term
+    // in the maintenance path (ROADMAP 119). Three bounds keep it
+    // flat-ish: the retained ROOT files parse on a bounded pool (the
+    // whole cost of the inline format, one small file each when
+    // grouped), the DISTINCT group files across all retained roots
+    // (immutable, independent content — most roots share most
+    // references) parse on the same pool, and the fold below walks
+    // each root's group maps directly instead of materializing a full
     // O(members) map per root. Measured at the 10⁶ CatalogBench rung;
-    // failures inside the pool surface exactly like the serial form
-    // (groupOrThrow finds the None in the seeded cache and throws).
+    // failures surface exactly like the serial form (torn/unreadable
+    // parse to None and step down; groupOrThrow finds the None in the
+    // seeded cache and throws).
+    val roots = boundedPar(rootFilesDesc(fs, rootPath))(parseRoot(fs, _)).flatten
     val distinctGroups = roots.flatMap {
       case GroupedRoot(_, _, groups) => groups.values
       case _                         => Seq.empty
     }.distinct
     val cache = newCache
-    if (distinctGroups.size > 4) {
-      val parsed = new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, Long]]]()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, distinctGroups.size))
-      try {
-        distinctGroups.map { name =>
-          pool.submit(new Runnable {
-            override def run(): Unit = {
-              parsed.put(name, readSealedText(fs, new Path(s"$root/$name")).map(parseLeaves)); ()
-            }
-          })
-        }.foreach(_.get())
-      } finally {
-        pool.shutdown()
-        ()
-      }
-      parsed.forEach((k, v) => cache(k) = v)
-    }
+    boundedPar(distinctGroups)(name =>
+      name -> readSealedText(fs, new Path(s"$root/$name")).map(parseLeaves))
+      .foreach { case (k, v) => cache(k) = v }
     val acc = mutable.Map.empty[String, Long]
     def fold(lv: Map[String, Long]): Unit = lv.foreach { case (leaf, s) =>
       if (!acc.get(leaf).exists(_ <= s)) acc(leaf) = s
@@ -744,13 +740,18 @@ object CatalogCommit {
         else referenced ++= groupRefsOf(e)
       }
     if (scanComplete) {
-      entries.foreach { e =>
-        grpSeqOf(e.getPath.getName).foreach { s0 =>
-          if (s0 < keepFrom && !referenced.contains(e.getPath.getName)) {
-            try { fs.delete(e.getPath, false); () } catch { case _: Throwable => () }
-          }
-        }
+      // unreferenced-group deletes are independent best-effort ops
+      // (a failure just leaves debris for the next pass), so a big
+      // GC batch — the tail of a migration retiring √N manifests —
+      // pools like the other group-file IO
+      val gcTargets = entries.toSeq.filter { e =>
+        grpSeqOf(e.getPath.getName).exists(_ < keepFrom) &&
+          !referenced.contains(e.getPath.getName)
       }
+      boundedPar(gcTargets) { e =>
+        try { fs.delete(e.getPath, false); () } catch { case _: Throwable => () }
+      }
+      ()
     } else
       System.err.println(
         s"[catalog] $root: a retained (or delete-surviving) snapshot was unreadable during expire — " +
