@@ -19,29 +19,30 @@ object Bench {
       }.toMap
     }
 
-  /** True when a detail file's `_meta` says it was a PARTIAL run
-    * (filter/exclude set). Such a file is not a regression baseline:
-    * its entries carry whatever co-run mix the filter happened to
-    * select (a 1-query judge adjudication, a bisection run), so
-    * flagging against it measures artifact provenance, not plan drift
-    * (advice r17 — the committed partial baseline inflated flags:17).
+  /** Why a detail file must be REFUSED as a regression baseline, None
+    * when it is usable. A PARTIAL run (filter/exclude in `_meta`)
+    * carries whatever co-run mix the filter happened to select (a
+    * 1-query judge adjudication, a bisection run), so flagging against
+    * it measures artifact provenance, not plan drift (advice r17 — the
+    * committed partial baseline inflated flags:17); an UNPARSEABLE
+    * file is refused too — flags raised against garbage timings would
+    * adjudicate noise — with its own reason so the operator isn't sent
+    * hunting for a filtered run that never happened (review r19). A
+    * real JSON parse (Jackson rides in on the Spark classpath) keeps
+    * detection invariant to formatting — the r18 line-grep broke on
+    * pretty-printed files.
     */
-  private[graft] def detailIsPartial(path: java.nio.file.Path): Boolean =
-    java.nio.file.Files.exists(path) && {
-      // a real JSON parse (Jackson rides in on the Spark classpath), so
-      // detection is invariant to formatting — the line-grep form broke
-      // on pretty-printed files and on any legitimately-named field
-      // containing "filter" (review r18). An UNPARSEABLE file is
-      // refused as a baseline too (true): flags raised against garbage
-      // timings would adjudicate noise, the exact failure mode this
-      // check exists to prevent.
+  private[graft] def baselineRefusal(path: java.nio.file.Path): Option[String] =
+    if (!java.nio.file.Files.exists(path)) None
+    else
       try {
         val meta = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readAllBytes(path))
           .get("_meta")
-        meta != null && (meta.has("filter") || meta.has("exclude"))
-      } catch { case _: Throwable => true }
-    }
+        if (meta != null && (meta.has("filter") || meta.has("exclude")))
+          Some("a partial run (filter/exclude in _meta)")
+        else None
+      } catch { case _: Throwable => Some("not parseable as JSON") }
 
   /** Isolated fresh-JVM re-run of ONE query — the bench adjudication
     * protocol, automated (round-16 prescription 5): a flagged
@@ -154,15 +155,16 @@ object Bench {
     // drift. An explicitly-pointed SPARK_GRAFT_BENCH_BASELINE is
     // trusted as-is — the knob exists precisely to route around a
     // partial committed detail.
-    val baseline =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_BASELINE") || !detailIsPartial(baselinePath))
-        readDetailMins(baselinePath)
-      else {
+    val refusal =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_BASELINE")) None else baselineRefusal(baselinePath)
+    val baseline = refusal match {
+      case None => readDetailMins(baselinePath)
+      case Some(why) =>
         System.err.println(
-          s"[bench] baseline $baselinePath is a partial run (filter/exclude in _meta) — " +
-            "skipping regression flags; point SPARK_GRAFT_BENCH_BASELINE at the last full detail")
+          s"[bench] baseline $baselinePath is $why — skipping regression flags; " +
+            "point SPARK_GRAFT_BENCH_BASELINE at the last full detail")
         Map.empty[String, Double]
-      }
+    }
     val suite = SparkEntry.queries.toSeq
       .filter { case (n, _) => n.contains(filter) && !exclude.contains(n) }
       .sortBy(_._1)

@@ -38,7 +38,10 @@ object CatalogBench {
       // SPARK_GRAFT_CATALOG_MAX_MEMBERS=1000000 adds the 10⁶ rung (the
       // ROADMAP 119 gate measurement — ~2 min extra, so opt-in); the
       // default ladder stops at 10⁵ like the r18 table.
-      val maxMembers = sys.env.get("SPARK_GRAFT_CATALOG_MAX_MEMBERS").map(_.toInt).getOrElse(100000)
+      val maxMembers = sys.env.get("SPARK_GRAFT_CATALOG_MAX_MEMBERS").map { v =>
+        v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CATALOG_MAX_MEMBERS must be a plain integer (e.g. 1000000), got '$v'"))
+      }.getOrElse(100000)
       val rungs = Seq(100, 1000, 10000, 100000, 1000000).filter(_ <= maxMembers)
       for (members <- rungs; grouped <- Seq(false, true)) {
         val g = math.ceil(math.sqrt(members.toDouble)).toInt

@@ -125,9 +125,15 @@ object CatalogCommit {
   /** Group manifests are create-only and immutable, so one parse per
     * NAME is sound across any number of referencing roots — the memo
     * that turns an all-snapshots scan into O(distinct group files).
+    * TrieMap, not HashMap: a [[Snapshot]] escapes to callers that may
+    * read several leaves from parallel threads (pin and the lazy
+    * `leaves` force share one cache), and a concurrent getOrElseUpdate
+    * on a plain mutable.HashMap corrupts the table — the worst case
+    * here is a duplicate parse of one immutable file, which TrieMap's
+    * atomic getOrElseUpdate makes benign.
     */
   private type GroupCache = mutable.Map[String, Option[Map[String, Long]]]
-  private def newCache: GroupCache = mutable.Map.empty
+  private def newCache: GroupCache = scala.collection.concurrent.TrieMap.empty
 
   private def snapName(seq: Long) = f"_cat-$seq%09d.json"
   private def grpName(seq: Long, gid: Int): String = {
@@ -209,7 +215,14 @@ object CatalogCommit {
           pool.submit(new java.util.concurrent.Callable[B] { override def call(): B = f(a) })
         }
         try futures.map(_.get())
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // don't let the ~queued remainder keep running (wasted
+            // PUTs racing the caller's error handling): cancel what
+            // hasn't started, then propagate the real failure
+            pool.shutdownNow()
+            throw e.getCause
+        }
       } finally {
         pool.shutdown()
         ()
@@ -594,14 +607,15 @@ object CatalogCommit {
 
   /** [[readLeaf]] against an explicit snapshot (time travel). Goes
     * through [[Snapshot.pin]], so a grouped historical root costs one
-    * root + ONE group parse — the full member map is forced only on
-    * the non-member ERROR path, where the listing is worth the cost.
+    * root + ONE group parse — including on the non-member ERROR path
+    * (forcing the full map for the error message would stall for
+    * seconds at 10⁶ members and could mask this exception with an
+    * IllegalStateException on a partially-expired root).
     */
   def readLeafAt(spark: SparkSession, root: String, leafRel: String, snap: Snapshot): DataFrame = {
     val pin = snap.pin(leafRel).getOrElse(
       throw new IllegalArgumentException(
-        s"leaf $leafRel is not a member of catalog $root at seq ${snap.seq} " +
-          s"(members: ${snap.leaves.keys.toSeq.sorted.mkString(", ")})"))
+        s"leaf $leafRel is not a member of catalog $root at seq ${snap.seq}"))
     ManifestCommit.readLeafAt(spark, s"$root/$leafRel", pin)
   }
 
@@ -712,6 +726,13 @@ object CatalogCommit {
       val text =
         try Some(readTextIO(fs, e.getPath))
         catch {
+          case _: java.io.FileNotFoundException =>
+            // GONE is not unreadable: a racer (another expire, a
+            // retraction) removed it between the listing and this
+            // read — a nonexistent root references nothing and must
+            // not poison the scan (a concurrent expire would
+            // otherwise permanently skip each other's GC)
+            None
           case _: Throwable =>
             // unreadable ≠ unreferenced: poison the scan
             scanComplete = false

@@ -5,12 +5,13 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-/** `Bench.detailIsPartial` — the baseline-provenance gate: a detail
+/** `Bench.baselineRefusal` — the baseline-provenance gate: a detail
   * file whose `_meta` carries filter/exclude was a PARTIAL run and
-  * must be refused as a regression baseline. Detection is a real JSON
-  * parse, so it survives re-formatting (the r18 form line-grepped the
-  * `_meta` line and was one pretty-printer away from a false verdict
-  * in either direction).
+  * must be refused as a regression baseline, and an unparseable file
+  * is refused with its OWN reason. Detection is a real JSON parse, so
+  * it survives re-formatting (the r18 form line-grepped the `_meta`
+  * line and was one pretty-printer away from a false verdict in
+  * either direction).
   */
 class BenchMetaSpec extends AnyFunSuite with Matchers {
 
@@ -21,19 +22,20 @@ class BenchMetaSpec extends AnyFunSuite with Matchers {
   }
 
   test("full-run detail (no filter/exclude) is accepted as baseline") {
-    Bench.detailIsPartial(tmp(
+    Bench.baselineRefusal(tmp(
       """{
         |  "q1": [1.5, 1.2],
         |  "_meta": {"unit": "sec", "passes": 2, "retried": 0, "reported": "min", "cpus": 32, "sf": "/x", "flags": 0, "adjudicated": {}}
-        |}""".stripMargin)) shouldBe false
+        |}""".stripMargin)) shouldBe None
   }
 
-  test("filter/exclude in _meta marks the run partial — regardless of formatting") {
+  test("filter/exclude in _meta refuses the baseline as partial — regardless of formatting") {
     // the writer's current one-line _meta shape
-    Bench.detailIsPartial(tmp(
-      """{"q1": [1.5], "_meta": {"unit": "sec", "filter": "q1", "adjudicated": {}}}""")) shouldBe true
+    Bench.baselineRefusal(tmp(
+      """{"q1": [1.5], "_meta": {"unit": "sec", "filter": "q1", "adjudicated": {}}}"""))
+      .get should include("partial")
     // the SAME object pretty-printed across lines (what broke the grep)
-    Bench.detailIsPartial(tmp(
+    Bench.baselineRefusal(tmp(
       """{
         |  "q1": [1.5],
         |  "_meta": {
@@ -41,21 +43,23 @@ class BenchMetaSpec extends AnyFunSuite with Matchers {
         |    "exclude": "q2,q3",
         |    "adjudicated": {}
         |  }
-        |}""".stripMargin)) shouldBe true
+        |}""".stripMargin)).get should include("partial")
   }
 
-  test("a query NAMED like the knobs never false-positives; a missing file is not partial") {
+  test("a query NAMED like the knobs never false-positives; a missing file is not refused") {
     // "filter"/"exclude" as top-level query names or inside adjudicated
     // must not trip the check — only fields OF _meta count
-    Bench.detailIsPartial(tmp(
+    Bench.baselineRefusal(tmp(
       """{
         |  "text_filter_quality": [0.4],
         |  "_meta": {"unit": "sec", "adjudicated": {"text_filter_quality": 0.3}}
-        |}""".stripMargin)) shouldBe false
-    Bench.detailIsPartial(java.nio.file.Paths.get("/nonexistent/graft-detail.json")) shouldBe false
+        |}""".stripMargin)) shouldBe None
+    Bench.baselineRefusal(java.nio.file.Paths.get("/nonexistent/graft-detail.json")) shouldBe None
   }
 
-  test("an unparseable baseline is refused (partial=true): flags against garbage timings would adjudicate noise") {
-    Bench.detailIsPartial(tmp("""{"q1": [1.5""")) shouldBe true
+  test("an unparseable baseline is refused with its OWN reason — never misreported as a partial run") {
+    val why = Bench.baselineRefusal(tmp("""{"q1": [1.5""")).get
+    why should include("parseable")
+    (why should not).include("partial")
   }
 }

@@ -544,6 +544,57 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     CatalogCommit.current(spark, cat).get.leaves shouldBe Map("leafA" -> seqA2, "leafB" -> seqB)
   }
 
+  test("one Snapshot is safe under concurrent readers: parallel pin() calls race each other and the lazy full-map force on the shared memo cache") {
+    val cat = new File(root, "cat-conc").getAbsolutePath
+    val members = (0 until 32).map(i => f"cleaf-$i%02d")
+    CatalogCommit.publish(spark, cat, members.map(_ -> 1L).toMap, groups = Some(8))
+    CatalogCommit.publish(spark, cat, Map(members.head -> 2L))
+    val snap = CatalogCommit.current(spark, cat).get
+    val expected = (members.map(_ -> 1L).toMap + (members.head -> 2L))
+    // 8 pin threads + 1 leaves-forcing thread over the SAME snapshot:
+    // the memo cache behind both faces must tolerate the race (a plain
+    // HashMap under getOrElseUpdate corrupts — lost entries, wrong
+    // lookups, or a hung resize; review r19)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        (1 to 20).foreach { _ =>
+          members.foreach { m =>
+            val p = snap.pin(m)
+            if (!p.contains(expected(m))) failures.add(s"t$t: $m pinned $p, expected ${expected(m)}")
+          }
+        }
+      })
+    } :+ new Thread(() => {
+      if (snap.leaves != expected) failures.add(s"leaves force diverged: ${snap.leaves.size}")
+    })
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    failures.toArray shouldBe empty
+  }
+
+  test("a root GONE by the time expire re-reads it (delete returned false because a racer removed it) contributes no references and does NOT poison the group GC") {
+    val cat = new File(root, "cat-gone").getAbsolutePath
+    val seqA = appendCommit(s"$cat/leafA", "a.parquet", "go1", 1L to 3L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA), groups = Some(4))
+    val seqA2 = appendCommit(s"$cat/leafA", "a2.parquet", "go2", 4L to 6L)
+    CatalogCommit.publish(spark, cat, Map("leafA" -> seqA2))
+    grpFiles(cat).size shouldBe 2
+    // the seam mimics a concurrent expire winning the delete race:
+    // our delete "fails" (returns false) but the file is already gone
+    // — the survivor-protection re-read must treat FileNotFound as
+    // "references nothing", not as an unreadable snapshot that skips
+    // the whole GC pass (review r19: two drivers running expire would
+    // otherwise permanently skip each other's group GC)
+    val fs = FileIndexer.fsFor(spark, cat)
+    val removed = CatalogCommit.expireImpl(
+      fs, cat, keepFrom = 2L,
+      deleteRoot = p => { fs.delete(p, false); false })
+    removed shouldBe 0 // we did not win the delete
+    grpFiles(cat).size shouldBe 1 // GC still ran: the superseded group went
+    CatalogCommit.current(spark, cat).get.leaves shouldBe Map("leafA" -> seqA2)
+  }
+
   test("a migration past the pool threshold (many groups) writes every manifest and resolves identically to the serial path") {
     val cat = new File(root, "cat-pool").getAbsolutePath
     val members = (0 until 40).map(i => f"leaf-$i%02d")

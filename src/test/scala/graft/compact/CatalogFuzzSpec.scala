@@ -63,6 +63,10 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     var expiredBelow = 1L
     var acknowledged = 0
     val history = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    // root files ACTUALLY removed (expire deletes can fail or be won by
+    // a racer): below-floor seqs not in here are sealed SURVIVORS and
+    // must keep resolving exactly — the r19 protection property
+    val gone = scala.collection.mutable.Set.empty[Long]
 
     (1 to 120).foreach { _ =>
       rnd.nextInt(10) match {
@@ -97,11 +101,33 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
             modelSeq = s0
             history(s0) = model
           }
-        case _ => // expire below a random retained floor
+        case _ => // expire below a random retained floor — half the time
+          // with FLAKY root deletes (fail-and-survive, or racer-won
+          // "gone but reported false"): the survivor-protection and
+          // no-poison-on-gone properties must hold under COMPOSITION
+          // with debris, racers, and re-migrations, not just in the
+          // deterministic specs
           if (modelSeq > 1L) {
             val keepFrom = expiredBelow + rnd.nextInt((modelSeq - expiredBelow + 1L).toInt).toLong
-            CatalogCommit.expire(spark, cat, keepFrom)
+            // decision nonce drawn BEFORE the callbacks so the rnd
+            // stream stays seed-deterministic even though the listing
+            // order the callbacks fire in is fs-dependent
+            val nonce = rnd.nextInt(1 << 20)
+            if (rnd.nextBoolean()) { CatalogCommit.expire(spark, cat, keepFrom); () }
+            else {
+              val fs = FileIndexer.fsFor(spark, cat)
+              CatalogCommit.expireImpl(fs, cat, keepFrom, deleteRoot = p =>
+                math.floorMod((p.getName + nonce).hashCode, 4) match {
+                  case 0 => false // delete failed; the sealed survivor stays
+                  case 1 => fs.delete(p, false); false // racer won: gone, reported false
+                  case _ => fs.delete(p, false)
+                })
+              ()
+            }
             expiredBelow = math.max(expiredBelow, keepFrom)
+            history.keys
+              .filter(s0 => s0 < expiredBelow && !new File(cat, snapName(s0)).exists())
+              .foreach(gone += _)
           }
       }
 
@@ -114,14 +140,20 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
           cur.get.leaves shouldBe model // no acknowledged pin ever lost
         }
       }
-      // retained history still reads exactly; expired history is gone
+      // retained history still reads exactly; removed history is gone;
+      // a below-floor survivor of a FAILED delete is still a sealed
+      // snapshot and must resolve exactly (its group manifests are
+      // GC-protected) until a later expire actually removes it
       history.foreach { case (s0, pins) =>
         val at = CatalogCommit.snapshotAt(spark, cat, s0)
-        if (s0 >= expiredBelow) {
-          // a retained seq must still resolve IF its file was sealed
-          // (racer seals and publishes both qualify)
-          at.foreach(_.leaves shouldBe pins)
-        } else at shouldBe None
+        withClue(s"seed=$seed seq=$s0: ") {
+          if (s0 >= expiredBelow) at.foreach(_.leaves shouldBe pins)
+          else if (gone(s0)) at shouldBe None
+          else {
+            at.isDefined shouldBe true
+            at.get.leaves shouldBe pins
+          }
+        }
       }
     }
     withClue(s"seed=$seed: ") { acknowledged should be > 10 }
