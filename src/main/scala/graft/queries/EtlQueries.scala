@@ -14,6 +14,63 @@ import graft.Tables
   */
 object EtlQueries {
 
+  /** The shared two-publish grouped-catalog fixture behind
+    * `catalog_grouped` (head reads) and `catalog_time_travel`
+    * (historical reads): orders hash-split across four member leaves,
+    * published grouped (G=8) at seq 1, then ONE steady-state publish
+    * (seq 2) after a delete on part1 — asserted to rewrite exactly one
+    * group manifest — plus an UNPUBLISHED delete on part2 the pins
+    * must isolate. Built once per sf dir under the StoreCache
+    * publish-by-rename discipline; both queries resolve the same
+    * store.
+    */
+  private def groupedCatalogStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.compact.{CatalogCommit, CommitMode, CompactorConfig, ManifestCommit, WapCommit}
+    StoreCache.resolve(d, "catalog-grouped", table = "orders") { p =>
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = new org.apache.hadoop.fs.Path(p + ".stage")
+      fs.delete(stage, true)
+      val cat = s"$stage/cat"
+      val cfg = CompactorConfig(
+        commitMode = CommitMode.Manifest, retainSuperseded = true,
+        statsColumns = Seq("o_orderkey"),
+      )
+      val members = (0 until 4).map(i => s"part$i")
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      members.zipWithIndex.foreach { case (leafRel, i) =>
+        val part = orders.where(col("o_orderkey") % 4 === i)
+          .repartitionByRange(2, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        WapCommit.writeAuditPublish(
+          s, s"$cat/$leafRel", part, Seq(WapCommit.AuditCheck.notNull("o_orderkey")), cfg)
+      }
+      def seqOf(leafRel: String) = ManifestCommit.currentSeq(s, s"$cat/$leafRel")
+      def grpCount: Int = fs.listStatus(new org.apache.hadoop.fs.Path(cat))
+        .count(_.getPath.getName.startsWith("_grp-"))
+      CatalogCommit.publish(
+        s, cat, members.map(m => m -> seqOf(m)).toMap, groups = Some(8))
+      val g1 = grpCount
+      // steady state: ONE member changes → ONE group manifest written
+      ManifestCommit.deleteWhere(s, s"$cat/part1", col("o_orderkey") % 10 === 3, cfg)
+        .foreach(r => if (!r.success) throw new IllegalStateException(s"part1 delete failed: ${r.error}"))
+      CatalogCommit.publish(s, cat, Map("part1" -> seqOf("part1"))) // format carries forward
+      if (grpCount != g1 + 1)
+        throw new IllegalStateException(
+          s"grouped publish touching one leaf wrote ${grpCount - g1} group manifests (want exactly 1)")
+      // the lagging-leaf window on a CARRIED member: a commit on
+      // part2 that is never published — the referenced pin isolates it
+      ManifestCommit.deleteWhere(s, s"$cat/part2", col("o_orderkey") % 10 === 6, cfg)
+        .foreach(r => if (!r.success) throw new IllegalStateException(s"part2 lag delete failed: ${r.error}"))
+      val headCnt = ManifestCommit.readLeaf(s, s"$cat/part2").count()
+      val pinCnt = CatalogCommit.readLeaf(s, cat, "part2").count()
+      if (headCnt >= pinCnt)
+        throw new IllegalStateException(
+          s"grouped catalog pin is not isolating the unpublished commit (head $headCnt vs pinned $pinCnt)")
+      fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
+      if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
+        throw new java.io.IOException(s"catalog-grouped store publish rename failed: $stage -> $p")
+    }
+  }
+
   /** Runs verbatim on BOTH engines — keep to the ANSI intersection:
     * no backticks, no engine-specific functions, DECIMAL money math.
     * (Declared before `qs`: object vals initialize in source order, and
@@ -398,53 +455,40 @@ object EtlQueries {
         |WHERE NOT (o_orderkey % 4 = 1 AND o_orderkey % 10 = 3)
         |ORDER BY o_orderkey""".stripMargin,
     ) { (s, d) =>
-      import graft.compact.{CatalogCommit, CommitMode, CompactorConfig, ManifestCommit, WapCommit}
-      val path = StoreCache.resolve(d, "catalog-grouped", table = "orders") { p =>
-        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
-        val stage = new org.apache.hadoop.fs.Path(p + ".stage")
-        fs.delete(stage, true)
-        val cat = s"$stage/cat"
-        val cfg = CompactorConfig(
-          commitMode = CommitMode.Manifest, retainSuperseded = true,
-          statsColumns = Seq("o_orderkey"),
-        )
-        val members = (0 until 4).map(i => s"part$i")
-        val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        members.zipWithIndex.foreach { case (leafRel, i) =>
-          val part = orders.where(col("o_orderkey") % 4 === i)
-            .repartitionByRange(2, col("o_orderkey")).sortWithinPartitions("o_orderkey")
-          WapCommit.writeAuditPublish(
-            s, s"$cat/$leafRel", part, Seq(WapCommit.AuditCheck.notNull("o_orderkey")), cfg)
-        }
-        def seqOf(leafRel: String) = ManifestCommit.currentSeq(s, s"$cat/$leafRel")
-        def grpCount: Int = fs.listStatus(new org.apache.hadoop.fs.Path(cat))
-          .count(_.getPath.getName.startsWith("_grp-"))
-        CatalogCommit.publish(
-          s, cat, members.map(m => m -> seqOf(m)).toMap, groups = Some(8))
-        val g1 = grpCount
-        // steady state: ONE member changes → ONE group manifest written
-        ManifestCommit.deleteWhere(s, s"$cat/part1", col("o_orderkey") % 10 === 3, cfg)
-          .foreach(r => if (!r.success) throw new IllegalStateException(s"part1 delete failed: ${r.error}"))
-        CatalogCommit.publish(s, cat, Map("part1" -> seqOf("part1"))) // format carries forward
-        if (grpCount != g1 + 1)
-          throw new IllegalStateException(
-            s"grouped publish touching one leaf wrote ${grpCount - g1} group manifests (want exactly 1)")
-        // the lagging-leaf window on a CARRIED member: a commit on
-        // part2 that is never published — the referenced pin isolates it
-        ManifestCommit.deleteWhere(s, s"$cat/part2", col("o_orderkey") % 10 === 6, cfg)
-          .foreach(r => if (!r.success) throw new IllegalStateException(s"part2 lag delete failed: ${r.error}"))
-        val headCnt = ManifestCommit.readLeaf(s, s"$cat/part2").count()
-        val pinCnt = CatalogCommit.readLeaf(s, cat, "part2").count()
-        if (headCnt >= pinCnt)
-          throw new IllegalStateException(
-            s"grouped catalog pin is not isolating the unpublished commit (head $headCnt vs pinned $pinCnt)")
-        fs.create(new org.apache.hadoop.fs.Path(s"$stage/_current-done"), true).close()
-        if (!fs.rename(stage, new org.apache.hadoop.fs.Path(p)))
-          throw new java.io.IOException(s"catalog-grouped store publish rename failed: $stage -> $p")
-      }
+      val path = groupedCatalogStore(s, d)
       (0 until 4).map(i => graft.compact.CatalogCommit.readLeaf(s, s"$path/cat", s"part$i"))
         .reduce(_ unionByName _)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ----- catalog TIME TRAVEL through the grouped root, oracled: the
+    // rows a published delete removed between snapshot 1 and head on
+    // ONE member leaf, computed as readLeafAt(snap 1) EXCEPT the
+    // current pinned read — the audit/rollback shape ("what did that
+    // publish change?"). Exercises the r19 LAZY historical path end to
+    // end in the oracle gate: snapshotAt parses the root only, the
+    // single-leaf read resolves exactly one group manifest of the
+    // historical root (spec-pinned by deletion of every other group in
+    // CatalogCommitSpec; here the DuckDB hash certifies the VALUES the
+    // lazy pin resolves to). Reuses the catalog_grouped store — same
+    // two-publish history, no second build.
+    Q(
+      "catalog_time_travel",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 3
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, d) =>
+      import graft.compact.CatalogCommit
+      val path = groupedCatalogStore(s, d)
+      val snap1 = CatalogCommit.snapshotAt(s, s"$path/cat", 1L).getOrElse(
+        throw new IllegalStateException("catalog-grouped store lost snapshot 1"))
+      CatalogCommit.readLeafAt(s, s"$path/cat", "part1", snap1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .except(
+          CatalogCommit.readLeaf(s, s"$path/cat", "part1")
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
         .orderBy("o_orderkey")
     },
 
