@@ -239,8 +239,8 @@ object CatalogCommit {
     * write failure aborts the publish before the root create — the
     * manifests already written are unreferenced debris for [[expire]]'s
     * GC, exactly the mid-publish-death crash window. The cache is
-    * seeded on the calling thread once all writes land (it is not
-    * thread-safe), so just-written content is never re-read.
+    * seeded once all writes land, so just-written content is never
+    * re-read.
     */
   private def writeGroups(
       fs: FileSystem,
@@ -336,12 +336,12 @@ object CatalogCommit {
 
   /** ONE shared group cache behind both faces of a snapshot: pins
     * forced along the way seed the eventual full resolution and vice
-    * versa, so interleaved pin/leaves use never re-reads a group.
+    * versa, so interleaved pin/leaves use never re-reads a group. A
+    * caller with already-parsed content (publish, whose just-written
+    * groups are seeded) passes its own cache.
     */
-  private def lazySnapshot(fs: FileSystem, root: String, r: Root): Snapshot = {
-    val cache = newCache
+  private def lazySnapshot(fs: FileSystem, root: String, r: Root, cache: GroupCache = newCache): Snapshot =
     new Snapshot(r.seq, () => resolveAll(fs, root, r, cache), pinIn(fs, root, r, _, cache))
-  }
 
   /** Publish the next snapshot: `updates` (leaf rel → new head seq)
     * merged over the current snapshot's carried-forward pins. The ONE
@@ -483,10 +483,7 @@ object CatalogCommit {
             refs.values.toSeq.sorted,
             // reuse the publish's own cache: the just-written groups
             // are seeded, so neither pin nor full resolution re-reads
-            (seq: Long) => {
-              val r = GroupedRoot(seq, g, refs)
-              new Snapshot(seq, () => resolveAll(fs, root, r, cache), pinIn(fs, root, r, _, cache))
-            })
+            (seq: Long) => lazySnapshot(fs, root, GroupedRoot(seq, g, refs), cache))
       }
 
     var seq = seq0
@@ -667,9 +664,7 @@ object CatalogCommit {
       case _                         => Seq.empty
     }.distinct
     val cache = newCache
-    boundedPar(distinctGroups)(name =>
-      name -> readSealedText(fs, new Path(s"$root/$name")).map(parseLeaves))
-      .foreach { case (k, v) => cache(k) = v }
+    boundedPar(distinctGroups)(cachedGroup(fs, root, _, cache)) // warm the (thread-safe) memo
     val acc = mutable.Map.empty[String, Long]
     def fold(lv: Map[String, Long]): Unit = lv.foreach { case (leaf, s) =>
       if (!acc.get(leaf).exists(_ <= s)) acc(leaf) = s
