@@ -65,6 +65,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     late makes this publish retract itself and throw, so a racing
   *     loser ALWAYS surfaces as [[ConcurrentCommitException]], never
   *     as silently-dropped pins ([[publish]] guards 1 and 2);
+  *   - an UNREADABLE colliding or audited file (transient IO, not
+  *     torn): never burned, never stepped over — the guards retract
+  *     if needed and fail as IO, because the failure may be hiding a
+  *     SEALED racer whose pins a burn would silently drop;
   *   - a publisher outrun by a concurrent [[expire]] (its just-written
   *     or carried group refs GC'd before its root sealed): the
   *     post-seal reference audit (guard 3) finds the hole, retracts,
@@ -179,6 +183,38 @@ object CatalogCommit {
     if (text.endsWith(sealMark)) Some(text) else None
   }
 
+  /** Classification of one root snapshot FILE where "couldn't read"
+    * must stay distinct from "torn" — the same asymmetry [[expire]]'s
+    * reference scan honors (review r19: the publish guards previously
+    * collapsed a transient read failure into "not sealed", so a racer
+    * whose SEALED root happened to be unreadable through the debris
+    * window could be burned as dead debris and its pins silently
+    * dropped — the exact loss the guards exist to prevent):
+    *   - [[SealedAs]]: read succeeded, seal mark present, parses;
+    *   - [[TornFile]]: read succeeded, no seal / garbled — a writer
+    *     died mid-upload; this is the ONLY state that may be burned;
+    *   - [[AbsentFile]]: the file is gone (retracted / GC'd) —
+    *     unambiguous, contributes nothing;
+    *   - [[Unreadable]]: an IO failure — the file may be ANYTHING,
+    *     so callers on the commit path must fail loudly, never
+    *     classify.
+    */
+  private sealed trait RootState
+  private final case class SealedAs(r: Root) extends RootState
+  private case object TornFile extends RootState
+  private case object AbsentFile extends RootState
+  private final case class Unreadable(cause: Throwable) extends RootState
+
+  private def rootState(fs: FileSystem, p: Path): RootState =
+    (try Right(readTextIO(fs, p))
+    catch {
+      case _: java.io.FileNotFoundException => Left(AbsentFile: RootState)
+      case e: Throwable                     => Left(Unreadable(e): RootState)
+    }) match {
+      case Right(text) => parseRootText(text).map(SealedAs.apply).getOrElse(TornFile)
+      case Left(st)    => st
+    }
+
   private def parseLeaves(text: String): Map[String, Long] =
     """\{"p":"([^"]+)","s":(\d+)\}""".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
@@ -198,7 +234,19 @@ object CatalogCommit {
     readSealedText(fs, p).flatMap(parseRootText)
 
   private def cachedGroup(fs: FileSystem, root: String, name: String, cache: GroupCache): Option[Map[String, Long]] =
-    cache.getOrElseUpdate(name, readSealedText(fs, new Path(s"$root/$name")).map(parseLeaves))
+    cache.getOrElseUpdate(
+      name, {
+        // only DEFINITIVE outcomes enter the memo: torn and absent are
+        // permanent states of an immutable create-only name, but a
+        // transient read failure THROWS uncached — negative-caching an
+        // IO hiccup would poison every later pin()/resolve on the same
+        // snapshot even after storage heals (review r19)
+        val text =
+          try Some(readTextIO(fs, new Path(s"$root/$name")))
+          catch { case _: java.io.FileNotFoundException => None }
+        text.filter(_.endsWith(sealMark)).map(parseLeaves)
+      },
+    )
 
   /** Independent IO tasks (root parses, group parses, group writes —
     * all against distinct immutable-or-fresh objects) on a bounded
@@ -222,6 +270,12 @@ object CatalogCommit {
             // hasn't started, then propagate the real failure
             pool.shutdownNow()
             throw e.getCause
+          case e: InterruptedException =>
+            // same cancellation on an interrupted CALLER (task kill,
+            // speculative retry) — and re-assert the interrupt flag
+            pool.shutdownNow()
+            Thread.currentThread().interrupt()
+            throw e
         }
       } finally {
         pool.shutdown()
@@ -287,11 +341,36 @@ object CatalogCommit {
       .sortBy(-_._1)
       .map(_._2)
 
-  /** The newest sealed root (torn files step down). O(G) for a grouped
-    * root — group manifests are NOT read here.
+  /** The newest sealed root (torn AND unreadable files step down —
+    * acceptable for READ paths, where the previous sealed snapshot is
+    * stale-but-consistent; the publish guards and the expiry-horizon
+    * derivations use [[rootState]] / [[sealedRootsStrict]] instead,
+    * because for them "unreadable" must fail loudly, never
+    * reclassify). O(G) for a grouped root — group manifests are NOT
+    * read here.
     */
   private def currentRoot(fs: FileSystem, rootPath: Path): Option[Root] =
     rootFilesDesc(fs, rootPath).iterator.flatMap(parseRoot(fs, _)).nextOption()
+
+  /** Every sealed root of the snapshot set, for EXPIRY-HORIZON
+    * derivation: torn/absent files contribute nothing, but an
+    * UNREADABLE file THROWS — silently dropping a sealed root from a
+    * floor computation would yield floors PAST its pins and let leaf
+    * expiry GC history a pinned read still needs (the maintenance
+    * caller maps the throw to FloorsUnavailable and skips expiry for
+    * the pass). Parses pool-parallel like the other catalog file IO.
+    */
+  private def sealedRootsStrict(fs: FileSystem, rootPath: Path): Seq[Root] =
+    boundedPar(rootFilesDesc(fs, rootPath)) { p =>
+      rootState(fs, p) match {
+        case SealedAs(r) => Some(r)
+        case Unreadable(cause) =>
+          throw new java.io.IOException(
+            s"unreadable catalog snapshot ${p.getName} while deriving pin floors — " +
+              "the floors cannot be trusted without it", cause)
+        case _ => None
+      }
+    }.flatten
 
   /** Full pin map of a root — O(members) for grouped roots. */
   private def resolveAll(fs: FileSystem, root: String, r: Root, cache: GroupCache): Map[String, Long] =
@@ -417,11 +496,16 @@ object CatalogCommit {
       groups: Option[Int] = None,
   ): Snapshot = {
     require(updates.nonEmpty, "a catalog publish must pin at least one leaf")
-    updates.keys.foreach(k =>
+    updates.keys.foreach { k =>
+      // the parser's pin regex requires a NON-EMPTY path — an empty key
+      // would seal fine and then silently vanish from every resolution
+      // (review r19), the opposite of the loud-failure contract
+      require(k.nonEmpty, "a catalog leaf path must be non-empty")
       require(
         !k.exists(c => c == '"' || c == '\\' || c == ']' || c == ','),
         s"unencodable leaf path: $k",
-      ))
+      )
+    }
     val fs = fsFor(spark, root)
     fs.mkdirs(new Path(root))
     val cache = newCache
@@ -496,18 +580,35 @@ object CatalogCommit {
         catch {
           case e: java.io.IOException =>
             if (!fs.exists(target)) throw e // transient IO stays IO
-            if (parseRoot(fs, target).isDefined)
-              throw new ConcurrentCommitException(root, seq, "unknown")
             // guard 1: give a live racer its upload window before
-            // declaring the file dead debris
+            // declaring the file dead debris. Classification matters:
+            // SEALED aborts us loudly, TORN/ABSENT may be burned, and
+            // UNREADABLE must never be burned — the file may be a
+            // sealed racer whose pins a burn would silently drop
+            // (review r19); re-probe through the window and fail LOUD
+            // as IO if it never classifies.
             val deadline = System.nanoTime() + debrisWaitMs * 1000000L
-            var sealedLate = false
-            while (!sealedLate && System.nanoTime() < deadline) {
-              Thread.sleep(math.max(1L, math.min(50L, debrisWaitMs)))
-              sealedLate = parseRoot(fs, target).isDefined
+            var st = rootState(fs, target)
+            var continue = st match {
+              case SealedAs(_) => throw new ConcurrentCommitException(root, seq, "unknown")
+              case _           => System.nanoTime() < deadline
             }
-            if (sealedLate)
-              throw new ConcurrentCommitException(root, seq, "unknown")
+            while (continue) {
+              Thread.sleep(math.max(1L, math.min(50L, debrisWaitMs)))
+              st = rootState(fs, target)
+              st match {
+                case SealedAs(_) => throw new ConcurrentCommitException(root, seq, "unknown")
+                case _           => continue = System.nanoTime() < deadline
+              }
+            }
+            st match {
+              case Unreadable(cause) =>
+                throw new java.io.IOException(
+                  s"catalog $root: colliding snapshot ${target.getName} stayed UNREADABLE through " +
+                    "the debris window — it may be a sealed racer, so its seq is not burned; retry",
+                  cause)
+              case _ => // TornFile or AbsentFile: safe to burn
+            }
             attempts += 1
             if (attempts > 64)
               throw new java.io.IOException(
@@ -542,13 +643,22 @@ object CatalogCommit {
           // guard 2, WINNER side: a burned seq that SEALED after the
           // window is a racer whose pins this snapshot never
           // incorporated — retract ours (readers resolve the racer's)
-          // and fail loudly
+          // and fail loudly. An UNREADABLE burned seq is the same
+          // retract (we cannot certify the burn was safe), surfaced as
+          // IO so the caller knows to retry rather than re-resolve.
           if (attempts > 0) {
-            val lateSealed = ((curSeq + 1L) until seq)
-              .find(s0 => parseRoot(fs, new Path(s"$root/${snapName(s0)}")).isDefined)
-            lateSealed.foreach { s0 =>
-              retract()
-              throw new ConcurrentCommitException(root, s0, "unknown")
+            ((curSeq + 1L) until seq).foreach { s0 =>
+              rootState(fs, new Path(s"$root/${snapName(s0)}")) match {
+                case SealedAs(_) =>
+                  retract()
+                  throw new ConcurrentCommitException(root, s0, "unknown")
+                case Unreadable(cause) =>
+                  retract()
+                  throw new java.io.IOException(
+                    s"catalog $root: burned seq $s0 became UNREADABLE before the post-seal audit — " +
+                      "cannot certify the burn was safe; this publish retracted itself, retry", cause)
+                case _ => ()
+              }
             }
           }
           // guard 2, LOSER side (the symmetric half — without it a
@@ -561,14 +671,45 @@ object CatalogCommit {
           // A higher snapshot that DOES incorporate them was built on
           // our chain (or independently observed the same leaf heads):
           // nothing was lost, the publish stands. Narrow resolution:
-          // only the groups OUR updates hash into are parsed.
-          currentRoot(fs, new Path(root)).filter(_.seq > seq).foreach { r2 =>
-            val dropped = updates.exists { case (leafRel, s0) =>
-              val pin =
-                try pinIn(fs, root, r2, leafRel, cache)
-                catch { case _: IllegalStateException => None } // unresolvable above us: can't verify → treat as dropped
-              !pin.exists(_ >= s0)
+          // only the groups OUR updates hash into are parsed. The scan
+          // walks file states newest-first WITHOUT silently stepping
+          // over an UNREADABLE file above us (currentRoot's step-down
+          // is a freshness tradeoff for readers; here it could hide
+          // the very root that skipped us — e.g. sealed at seq+2 over
+          // a burned seq+1 — so unreadable-above retracts and fails
+          // as IO instead, review r19).
+          val above = rootFilesDesc(fs, new Path(root))
+            .filter(p => seqOf(p.getName).exists(_ > seq))
+          var highest: Option[Root] = None
+          val aboveIt = above.iterator
+          while (highest.isEmpty && aboveIt.hasNext) {
+            val p = aboveIt.next()
+            rootState(fs, p) match {
+              case SealedAs(r) => highest = Some(r)
+              case Unreadable(cause) =>
+                retract()
+                throw new java.io.IOException(
+                  s"catalog $root: snapshot ${p.getName} above our seq $seq is UNREADABLE during the " +
+                    "post-seal audit — cannot rule out that it skipped our pins; this publish " +
+                    "retracted itself, retry", cause)
+              case _ => () // torn/absent above us: not a sealed chain
             }
+          }
+          highest.foreach { r2 =>
+            val dropped =
+              try updates.exists { case (leafRel, s0) =>
+                val pin =
+                  try pinIn(fs, root, r2, leafRel, cache)
+                  catch { case _: IllegalStateException => None } // unresolvable above us: can't verify → treat as dropped
+                !pin.exists(_ >= s0)
+              }
+              catch {
+                case e: Throwable => // group read IO failure: can't verify either way
+                  retract()
+                  throw new java.io.IOException(
+                    s"catalog $root: could not verify our pins against snapshot ${r2.seq} during the " +
+                      "post-seal audit; this publish retracted itself, retry", e)
+              }
             if (dropped) {
               retract()
               throw new ConcurrentCommitException(root, r2.seq, "unknown")
@@ -627,8 +768,9 @@ object CatalogCommit {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return None
     val cache = newCache
-    val pins = rootFilesDesc(fs, rootPath)
-      .flatMap(parseRoot(fs, _))
+    // strict roots: this is an expiry-horizon input — an unreadable
+    // snapshot must throw, not silently shrink the floor set
+    val pins = sealedRootsStrict(fs, rootPath)
       .flatMap(r => pinIn(fs, root, r, leafRel, cache))
     if (pins.isEmpty) None else Some(pins.min)
   }
@@ -654,11 +796,13 @@ object CatalogCommit {
     // (immutable, independent content — most roots share most
     // references) parse on the same pool, and the fold below walks
     // each root's group maps directly instead of materializing a full
-    // O(members) map per root. Measured at the 10⁶ CatalogBench rung;
-    // failures surface exactly like the serial form (torn/unreadable
-    // parse to None and step down; groupOrThrow finds the None in the
-    // seeded cache and throws).
-    val roots = boundedPar(rootFilesDesc(fs, rootPath))(parseRoot(fs, _)).flatten
+    // O(members) map per root. Measured at the 10⁶ CatalogBench rung.
+    // Strict root reads: floors are an expiry-horizon input, so an
+    // unreadable snapshot THROWS (→ FloorsUnavailable upstream, expiry
+    // skipped) instead of silently dropping its pins from the map —
+    // torn files still step down, and a transient group-read failure
+    // throws uncached (cachedGroup) so the next pass can succeed.
+    val roots = sealedRootsStrict(fs, rootPath)
     val distinctGroups = roots.flatMap {
       case GroupedRoot(_, _, groups) => groups.values
       case _                         => Seq.empty

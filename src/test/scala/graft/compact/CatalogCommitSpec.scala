@@ -81,6 +81,8 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.select("id").collect().map(_.getLong(0)).sorted.toSeq
 
+  private def snapName(seq: Long) = f"_cat-$seq%09d.json"
+
   test("crash matrix: readers land on old-everything or new-everything, never a mix; torn snapshots and lost publishes are invisible") {
     val cat = new File(root, "cat1").getAbsolutePath
     val seqA1 = appendCommit(s"$cat/leafA", "a1.parquet", "ra1", 1L to 10L)
@@ -593,6 +595,80 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     removed shouldBe 0 // we did not win the delete
     grpFiles(cat).size shouldBe 1 // GC still ran: the superseded group went
     CatalogCommit.current(spark, cat).get.leaves shouldBe Map("leafA" -> seqA2)
+  }
+
+  test("guard 1 never burns an UNREADABLE colliding snapshot: the publish fails as IO with the seq intact, and succeeds once the read heals") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flakycat.impl", classOf[FlakyCatFs].getName)
+    val dir = new File(root, "cat-unreadable-collision"); dir.mkdirs()
+    val cat = s"flakycat:${dir.getAbsolutePath}"
+    CatalogCommit.publish(spark, cat, Map("leafA" -> 1L))
+    // an in-flight writer's file sits at seq 2 (created, unsealed) and
+    // READS of it fail transiently — it may be a sealed racer the
+    // failure is hiding, so the publish must NOT classify it as dead
+    // debris and burn the seq (that was the r19 review's silent-loss
+    // schedule); it fails loudly as IO instead
+    Files.write(new File(dir, snapName(2L)).toPath, """{"seq":2,""".getBytes)
+    FlakyCatFs.denyOpen = Set(snapName(2L))
+    try {
+      val ex = intercept[java.io.IOException] {
+        CatalogCommit.publish(spark, cat, Map("leafA" -> 2L), debrisWaitMs = 50L)
+      }
+      ex.getMessage should include("UNREADABLE")
+      // nothing was burned or sealed past the debris
+      CatalogCommit.current(spark, cat).get.seq shouldBe 1L
+      new File(dir, snapName(3L)).exists() shouldBe false
+    } finally FlakyCatFs.denyOpen = Set.empty
+    // healed: the same publish classifies the debris as TORN, burns the
+    // seq, and lands at 3 — the normal debris path
+    val snap = CatalogCommit.publish(spark, cat, Map("leafA" -> 2L), debrisWaitMs = 0L)
+    snap.seq shouldBe 3L
+    snap.leaves shouldBe Map("leafA" -> 2L)
+  }
+
+  test("a transient group-read failure is NOT negative-cached: pin() throws while the read fails and succeeds on the same Snapshot after it heals") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flakycat.impl", classOf[FlakyCatFs].getName)
+    val dir = new File(root, "cat-pin-heal"); dir.mkdirs()
+    val cat = s"flakycat:${dir.getAbsolutePath}"
+    CatalogCommit.publish(spark, cat, Map("leafA" -> 1L, "leafB" -> 1L), groups = Some(8))
+    val snap = CatalogCommit.current(spark, cat).get
+    val grpOfA = dir.listFiles().map(_.getName)
+      .filter(_.startsWith(f"_grp-${1L}%09d-${CatalogCommit.groupOf("leafA", 8)}%04d-"))
+    grpOfA.length shouldBe 1
+    FlakyCatFs.denyOpen = grpOfA.toSet
+    try intercept[Exception] { snap.pin("leafA") }
+    finally FlakyCatFs.denyOpen = Set.empty
+    // the failure must not have been memoized as "missing": the SAME
+    // snapshot resolves once storage heals (review r19 — the old
+    // negative cache threw IllegalStateException forever)
+    snap.pin("leafA") shouldBe Some(1L)
+    snap.leaves shouldBe Map("leafA" -> 1L, "leafB" -> 1L)
+  }
+
+  test("floors are strict: oldestPin/oldestPins THROW on an unreadable retained snapshot instead of silently dropping its pins from the horizon") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flakycat.impl", classOf[FlakyCatFs].getName)
+    val dir = new File(root, "cat-strict-floors"); dir.mkdirs()
+    val cat = s"flakycat:${dir.getAbsolutePath}"
+    CatalogCommit.publish(spark, cat, Map("leafA" -> 1L))
+    CatalogCommit.publish(spark, cat, Map("leafA" -> 5L))
+    // snapshot 1 pins leafA at 1; hiding it must not yield floors {5}
+    // (expiry clamped to 5 would GC the history snapshot 1 still reads)
+    FlakyCatFs.denyOpen = Set(snapName(1L))
+    try {
+      intercept[java.io.IOException] { CatalogCommit.oldestPins(spark, cat) }
+      intercept[java.io.IOException] { CatalogCommit.oldestPin(spark, cat, "leafA") }
+    } finally FlakyCatFs.denyOpen = Set.empty
+    CatalogCommit.oldestPins(spark, cat) shouldBe Map("leafA" -> 1L)
+    CatalogCommit.oldestPin(spark, cat, "leafA") shouldBe Some(1L)
+  }
+
+  test("an empty leaf path is rejected at publish: the parser cannot round-trip it, so accepting it would silently lose the pin") {
+    val cat = new File(root, "cat-empty").getAbsolutePath
+    intercept[IllegalArgumentException] {
+      CatalogCommit.publish(spark, cat, Map("" -> 1L))
+    }.getMessage should include("non-empty")
   }
 
   test("a migration past the pool threshold (many groups) writes every manifest and resolves identically to the serial path") {
