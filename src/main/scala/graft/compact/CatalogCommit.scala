@@ -405,12 +405,22 @@ object CatalogCommit {
     * historical root parses root + ONE group, never the full member
     * map (review r18 — the eager form made one-leaf time travel pay
     * O(members) at 10⁵ where the head read path paid O(members/G)).
+    * None means the seq is genuinely NOT AVAILABLE (expired, retracted,
+    * or a torn never-sealed upload); a transient read failure THROWS
+    * instead — collapsing it into None would tell a time-travel caller
+    * "that history is gone" during an IO blip (review r19, the same
+    * unreadable-is-not-torn asymmetry as the publish guards).
     */
   def snapshotAt(spark: SparkSession, root: String, seq: Long): Option[Snapshot] = {
     val fs = fsFor(spark, root)
-    val p = new Path(s"$root/${snapName(seq)}")
-    if (!fs.exists(p)) None
-    else parseRoot(fs, p).map(lazySnapshot(fs, root, _))
+    rootState(fs, new Path(s"$root/${snapName(seq)}")) match {
+      case SealedAs(r) => Some(lazySnapshot(fs, root, r))
+      case Unreadable(cause) =>
+        throw new java.io.IOException(
+          s"catalog $root: snapshot ${snapName(seq)} is unreadable — not answering 'expired' " +
+            "for what may be a transient failure", cause)
+      case _ => None
+    }
   }
 
   /** ONE shared group cache behind both faces of a snapshot: pins

@@ -659,9 +659,13 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     try {
       intercept[java.io.IOException] { CatalogCommit.oldestPins(spark, cat) }
       intercept[java.io.IOException] { CatalogCommit.oldestPin(spark, cat, "leafA") }
+      // time travel is strict the same way: an unreadable snapshot
+      // file throws rather than answering "expired" (None)
+      intercept[java.io.IOException] { CatalogCommit.snapshotAt(spark, cat, 1L) }
     } finally FlakyCatFs.denyOpen = Set.empty
     CatalogCommit.oldestPins(spark, cat) shouldBe Map("leafA" -> 1L)
     CatalogCommit.oldestPin(spark, cat, "leafA") shouldBe Some(1L)
+    CatalogCommit.snapshotAt(spark, cat, 1L).get.leaves shouldBe Map("leafA" -> 1L)
   }
 
   test("an empty leaf path is rejected at publish: the parser cannot round-trip it, so accepting it would silently lose the pin") {
