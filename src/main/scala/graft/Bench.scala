@@ -30,7 +30,14 @@ object Bench {
     * hunting for a filtered run that never happened (review r19). A
     * real JSON parse (Jackson rides in on the Spark classpath) keeps
     * detection invariant to formatting — the r18 line-grep broke on
-    * pretty-printed files.
+    * pretty-printed files. The two failure classes get their OWN
+    * reasons (advice r19): a transient IO error reading the file is
+    * "could not be read" (the file may be a perfectly good baseline —
+    * retry, don't regenerate), while a parse failure is "not valid
+    * JSON" (the file is garbage — regenerate or point the knob
+    * elsewhere). JacksonException is matched BEFORE IOException
+    * because it extends it; fatal errors and interrupts propagate
+    * (NonFatal), never reclassified as a refusal reason.
     */
   private[graft] def baselineRefusal(path: java.nio.file.Path): Option[String] =
     if (!java.nio.file.Files.exists(path)) None
@@ -42,7 +49,11 @@ object Bench {
         if (meta != null && (meta.has("filter") || meta.has("exclude")))
           Some("a partial run (filter/exclude in _meta)")
         else None
-      } catch { case _: Throwable => Some("not parseable as JSON") }
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException => Some("not parseable as JSON")
+        case e: java.io.IOException => Some(s"not readable (${e.getClass.getSimpleName})")
+        case scala.util.control.NonFatal(e) => Some(s"not usable (${e.getClass.getSimpleName})")
+      }
 
   /** Isolated fresh-JVM re-run of ONE query — the bench adjudication
     * protocol, automated (round-16 prescription 5): a flagged

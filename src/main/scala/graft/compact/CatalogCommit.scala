@@ -179,7 +179,14 @@ object CatalogCommit {
   private def readSealedText(fs: FileSystem, p: Path): Option[String] = {
     val text =
       try readTextIO(fs, p)
-      catch { case _: Throwable => return None }
+      catch {
+        // read-path step-down: an unreadable file yields None (the
+        // caller resolves the previous sealed snapshot) — but only for
+        // genuine IO states; interrupts re-assert and propagate, fatal
+        // errors propagate (same discipline as rootState, advice r19)
+        case e: InterruptedException => Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(_) => return None
+      }
     if (text.endsWith(sealMark)) Some(text) else None
   }
 
@@ -209,7 +216,16 @@ object CatalogCommit {
     (try Right(readTextIO(fs, p))
     catch {
       case _: java.io.FileNotFoundException => Left(AbsentFile: RootState)
-      case e: Throwable                     => Left(Unreadable(e): RootState)
+      case e: InterruptedException =>
+        // an interrupted CALLER (task kill, speculative retry) is not a
+        // file state: classifying it Unreadable would make guard 1's
+        // debris loop re-probe until the deadline with the interrupt
+        // swallowed (advice r19) — re-assert the flag and propagate
+        Thread.currentThread().interrupt()
+        throw e
+      case scala.util.control.NonFatal(e) => Left(Unreadable(e): RootState)
+      // fatal errors (OOM, LinkageError) propagate — they are not a
+      // statement about THIS file either
     }) match {
       case Right(text) => parseRootText(text).map(SealedAs.apply).getOrElse(TornFile)
       case Left(st)    => st
@@ -248,16 +264,41 @@ object CatalogCommit {
       },
     )
 
+  /** Pool width for the catalog's driver-side metadata IO fan-out.
+    * GRAFT_CATALOG_POOL (env) sizes it for a deployment — 8 suits a
+    * local fs; an object store with 10–50 ms per PUT amortizes wider
+    * (the CatalogBench latency mode prices the scaling). The
+    * `graft.catalog.pool` SYSTEM PROPERTY overrides the env so a
+    * same-JVM caller (the bench comparing widths, a spec) can vary it —
+    * env vars are process-frozen. Read per call, so the override is
+    * never frozen into a lazy.
+    */
+  private[compact] def poolWidth: Int =
+    sys.props.get("graft.catalog.pool").orElse(sys.env.get("GRAFT_CATALOG_POOL")) match {
+      case None => 8
+      case Some(v) =>
+        v.toIntOption.filter(_ >= 1).getOrElse(throw new IllegalArgumentException(
+          s"GRAFT_CATALOG_POOL must be a positive integer, got '$v'"))
+    }
+
   /** Independent IO tasks (root parses, group parses, group writes —
     * all against distinct immutable-or-fresh objects) on a bounded
     * pool when the batch is big enough to amortize one, serial below
     * that. Order-preserving; the first failure propagates unwrapped,
-    * exactly like the serial form.
+    * exactly like the serial form. Interrupt/failure semantics (spec-
+    * pinned directly): the first task failure — or an interrupt of the
+    * CALLER — shuts the pool down NOW (queued tasks never start,
+    * running ones are interrupted), and a caller interrupt re-asserts
+    * the thread's interrupt flag before propagating. The pool is
+    * per-call by design: a shared executor would have to reconcile one
+    * caller's shutdownNow with another's live batch (advice r19 notes
+    * the churn; the interrupt semantics are worth it at metadata-IO
+    * call rates).
     */
-  private def boundedPar[A, B](items: Seq[A])(f: A => B): Seq[B] =
-    if (items.size <= 4) items.map(f)
+  private[compact] def boundedPar[A, B](items: Seq[A], width: Int = poolWidth)(f: A => B): Seq[B] =
+    if (items.size <= 4 || width <= 1) items.map(f)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, items.size))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(width, items.size))
       try {
         val futures = items.map { a =>
           pool.submit(new java.util.concurrent.Callable[B] { override def call(): B = f(a) })
@@ -882,7 +923,12 @@ object CatalogCommit {
             // not poison the scan (a concurrent expire would
             // otherwise permanently skip each other's GC)
             None
-          case _: Throwable =>
+          case e: InterruptedException =>
+            // an interrupted sweep is not a file state: propagate with
+            // the flag re-asserted rather than poisoning the scan
+            Thread.currentThread().interrupt()
+            throw e
+          case scala.util.control.NonFatal(_) =>
             // unreadable ≠ unreferenced: poison the scan
             scanComplete = false
             None

@@ -12,6 +12,16 @@ import graft.Tables
   */
 object EventQueries {
 
+  /** The exact-mode guard for `agg_theta_set_ops`: a QuickSelect theta
+    * sketch at lgK=16 answers exactly to at least k = 2¹⁶ retained
+    * hashes; the query's oracle identity (estimate == exact) is only
+    * valid in that regime, so its plan asserts every filtered user set
+    * is below the canonical 15/16·k rebuild fraction — failing with a
+    * NAMED error at a too-big SF instead of a bare oracle hash
+    * mismatch (r19 prescription 3).
+    */
+  private[queries] val thetaExactGuard: Long = 61440L // 15/16 * 2^16
+
   val qs: Seq[Q] = Seq(
 
     // ----- rolling z-score anomaly detection: each event scored
@@ -432,6 +442,21 @@ object EventQueries {
           |     EXCEPT
           |     SELECT DISTINCT user_id FROM events_theta WHERE event_type = 'error' AND value < 20)) AS exact_only_a""".stripMargin,
         )
+          // Oracle self-diagnosis (r19 prescription 3): the estimate=
+          // exact oracle identity holds ONLY while the sketches stay in
+          // exact mode. A QuickSelect theta sketch at lgK=16 is exact to
+          // at least k = 2^16 retained hashes; guard at the canonical
+          // 15/16·2k rebuild fraction of k (61440) so a run at an SF
+          // whose filtered user sets approach the bound fails with THIS
+          // named error instead of a bare DuckDB hash mismatch.
+          // assert_true returns NULL when the condition holds, so the
+          // filter keeps the row and the schema is unchanged.
+          .where(assert_true(
+            col("exact_a") < lit(thetaExactGuard) && col("exact_b") < lit(thetaExactGuard),
+            lit(s"theta exact-mode bound approached: a filtered user set is within the lgK=16 " +
+              s"guard ($thetaExactGuard of 2^16) at this SF — estimates may leave exact mode and " +
+              "diverge from the exact INTERSECT/EXCEPT oracle; raise lgK or drop this query to " +
+              "a witness-only check")).isNull)
       }
     },
 

@@ -62,4 +62,16 @@ class BenchMetaSpec extends AnyFunSuite with Matchers {
     why should include("parseable")
     (why should not).include("partial")
   }
+
+  test("an IO failure reading the baseline is 'not readable', never 'not parseable' — the file may be a perfectly good baseline behind a transient error (advice r19)") {
+    // a directory exists but readAllBytes refuses it with an
+    // IOException — the deterministic stand-in for a transient read
+    // failure (throttle, permission blip)
+    val dir = Files.createTempDirectory("graft-bench-meta-dir")
+    dir.toFile.deleteOnExit()
+    val why = Bench.baselineRefusal(dir).get
+    why should include("readable")
+    (why should not).include("parseable")
+    (why should not).include("partial")
+  }
 }

@@ -93,6 +93,34 @@ class SketchWitnessSpec extends AnyFunSuite with Matchers with SparkSpec {
     l("est_a") shouldBe l("est_both") + l("est_only_a")
   }
 
+  test("agg_theta_set_ops: past the exact-mode bound the query fails with the NAMED guard error, never a silent estimate the oracle would surface as a bare hash mismatch (r19 prescription 3)") {
+    val s = spark
+    // a fixture whose filtered purchase-user set has 70 000 DISTINCT
+    // members — past the lgK=16 guard (61 440) and past k = 2^16
+    // itself, the regime where estimate == exact stops being an
+    // identity
+    val dir = java.nio.file.Files.createTempDirectory("graft-theta-bound")
+    try {
+      s.range(70000)
+        .select(
+          col("id").as("event_id"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+          col("id").as("user_id"),
+          lit("purchase").as("event_type"),
+          lit(90.0).as("value"),
+          lit("{}").as("props"),
+        )
+        .write.parquet(dir.resolve("events.parquet").toString)
+      val e = intercept[Exception] {
+        SparkEntry.queries("agg_theta_set_ops")(s, dir.toString).collect()
+      }
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")
+      chain(e) should include("theta exact-mode bound")
+    } finally Fs.rmTree(dir.toFile)
+  }
+
   test("agg_hll_sketch_merge: merged DataSketches estimate within 3x the lgK=12 ~1.6% rse of exact") {
     val s = spark
     import s.implicits._

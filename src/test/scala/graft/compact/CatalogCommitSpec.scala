@@ -702,4 +702,72 @@ class CatalogCommitSpec extends AnyFunSuite with Matchers with SparkSpec with Be
       CatalogCommit.oldestPin(spark, cat, m) shouldBe Some(1L)
     }
   }
+
+  test("boundedPar: the first task failure shuts the pool down NOW — queued tasks never start, the cause propagates unwrapped (r19 prescription: the interrupt/failure semantics spec'd directly, not only through the pooled paths)") {
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val boom = new RuntimeException("task 0 failed")
+    try {
+      val thrown = intercept[RuntimeException] {
+        CatalogCommit.boundedPar(0 until 64, width = 2) { i =>
+          started.incrementAndGet()
+          if (i == 0) throw boom
+          gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          ()
+        }
+      }
+      // unwrapped: callers match on the real failure (IOException,
+      // ConcurrentCommitException), never ExecutionException
+      thrown should be theSameInstanceAs boom
+      // shutdownNow drained the queue: at width 2 only the tasks already
+      // running when task 0 failed ever started — the 60-odd queued
+      // PUTs of a migration must not keep racing the caller's abort
+      started.get() should be < 8
+    } finally gate.countDown()
+  }
+
+  test("boundedPar: an interrupted CALLER cancels the pool, re-asserts the interrupt flag, and propagates InterruptedException") {
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val firstRunning = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var flagReasserted: Option[Boolean] = None
+    val t = new Thread(() =>
+      try {
+        CatalogCommit.boundedPar(0 until 64, width = 2) { _ =>
+          started.incrementAndGet()
+          firstRunning.countDown()
+          gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          ()
+        }
+        ()
+      } catch {
+        // catching does NOT clear the flag — only a blocking call or
+        // Thread.interrupted() would — so observing it set here proves
+        // boundedPar re-asserted before throwing
+        case _: InterruptedException =>
+          flagReasserted = Some(Thread.currentThread().isInterrupted)
+      })
+    try {
+      t.start()
+      firstRunning.await(30, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      t.interrupt() // the caller blocks in future.get() — this lands there
+      t.join(30000)
+      t.isAlive shouldBe false
+      flagReasserted shouldBe Some(true)
+      started.get() should be < 8 // shutdownNow drained the queue here too
+    } finally gate.countDown()
+  }
+
+  test("poolWidth: graft.catalog.pool system property overrides, a non-positive or non-integer value fails loudly") {
+    if (!sys.env.contains("GRAFT_CATALOG_POOL"))
+      CatalogCommit.poolWidth shouldBe 8
+    sys.props("graft.catalog.pool") = "3"
+    try CatalogCommit.poolWidth shouldBe 3
+    finally sys.props -= "graft.catalog.pool"
+    Seq("zero", "0", "-2").foreach { bad =>
+      sys.props("graft.catalog.pool") = bad
+      try intercept[IllegalArgumentException](CatalogCommit.poolWidth).getMessage should include("positive")
+      finally sys.props -= "graft.catalog.pool"
+    }
+  }
 }
