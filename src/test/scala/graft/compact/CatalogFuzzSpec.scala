@@ -50,10 +50,29 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     Seq(7L, 1234L, 987654L).foreach(grind(_, groups = Some(3)))
   }
 
-  private def grind(seed: Long, groups: Option[Int]): Unit = {
+  test("the grind under a TRANSIENT-UNREADABLE axis: a random root snapshot is deny-read around each publish/expire — every injected failure is LOUD (IOException, only when injected) and the resolved chain still matches the model exactly (r19 prescription 7)") {
+    Seq(7L, 1234L, 987654L).foreach(grind(_, groups = None, flaky = true))
+  }
+
+  test("the same transient-unreadable grind in the GROUPED layout — the fourth-state guard paths (unreadable collision, unreadable above, poisoned GC scan) under randomized composition") {
+    Seq(7L, 1234L, 987654L).foreach(grind(_, groups = Some(3), flaky = true))
+  }
+
+  private def grind(seed: Long, groups: Option[Int], flaky: Boolean = false): Unit = {
     val rnd = new Random(seed)
-    val cat = new File(root, s"cat-${groups.fold("")(g => s"g$g-")}$seed").getAbsolutePath
+    val cat = new File(root, s"cat-${if (flaky) "f-" else ""}${groups.fold("")(g => s"g$g-")}$seed").getAbsolutePath
     new File(cat).mkdirs()
+    // flaky axis: CatalogCommit operations go through the flakycat
+    // scheme so a chosen ROOT SNAPSHOT name can be made unreadable for
+    // exactly one operation. Deny targets derive from the MODEL's seq
+    // space (never from a listing), keeping the rnd stream and the
+    // denied name deterministic per seed; group manifests carry a
+    // UUID — denying them here would break seed reproducibility, and
+    // their unreadable paths are pinned deterministically in
+    // CatalogCommitSpec (pin heal, strict floors, poisoned GC).
+    if (flaky) spark.sparkContext.hadoopConfiguration
+      .set("fs.flakycat.impl", classOf[FlakyCatFs].getName)
+    val catUri = if (flaky) s"flakycat:$cat" else cat
     val members = Seq("leafA", "leafB", "leafC")
     // the MODEL: what an acknowledged (non-throwing) publish history
     // must pin, plus which seqs are expired. Racer seals update the
@@ -68,14 +87,34 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
     // must keep resolving exactly — the r19 protection property
     val gone = scala.collection.mutable.Set.empty[Long]
 
+    // flaky axis: ~1/3 of publish/expire steps run with one root
+    // snapshot name unreadable. The NAME is drawn from the model's seq
+    // neighborhood (past roots, the head, the next in-flight seq), so
+    // the deny can land on the file currentRoot wants, on a guard-2
+    // audit target, or on a GC-scan root. Zero extra rnd draws when
+    // the axis is off — the non-flaky grinds keep their historical
+    // op sequences per seed.
+    def denyTarget(): Option[String] =
+      if (!flaky || rnd.nextInt(3) != 0) None
+      else Some(snapName(1L + rnd.nextInt(math.max(1, (modelSeq + 2L).toInt))))
+    def withDeny[A](name: Option[String])(op: => A): A = {
+      name.foreach(n => FlakyCatFs.denyOpen = Set(n))
+      try op
+      finally FlakyCatFs.denyOpen = Set.empty
+    }
+
     (1 to 120).foreach { _ =>
       rnd.nextInt(10) match {
         case d if d <= 4 => // a normal publish of 1-3 member updates
           val updates = rnd.shuffle(members).take(1 + rnd.nextInt(3))
             .map(m => m -> (model.getOrElse(m, 0L) + 1L + rnd.nextInt(3))).toMap
+          val deny = denyTarget()
           try {
-            val snap = CatalogCommit.publish(spark, cat, updates, debrisWaitMs = 0L, groups = groups)
+            val snap = withDeny(deny)(
+              CatalogCommit.publish(spark, catUri, updates, debrisWaitMs = 0L, groups = groups))
             // an acknowledged publish must carry the full merged model
+            // (asserted AFTER the deny clears: forcing the map may
+            // legitimately read carried group manifests)
             snap.leaves shouldBe (model ++ updates)
             model = model ++ updates
             modelSeq = snap.seq
@@ -85,6 +124,12 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
             case _: ConcurrentCommitException =>
             // a loser must not have changed the RESOLVED chain: the
             // current snapshot still matches the model
+            case _: java.io.IOException if deny.isDefined =>
+            // the LOUD unreadable path (guard 1 unreadable collision,
+            // guard 2 unreadable burned-seq/above, a denied group
+            // parse): allowed ONLY when this step injected the fault,
+            // and the publish must have retracted or never sealed —
+            // the invariants below verify the chain equals the model
           }
         case 5 | 6 => // torn debris at the next seq (writer died mid-upload)
           val p = new File(cat, snapName(modelSeq + 1L + rnd.nextInt(2)))
@@ -113,10 +158,12 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
             // stream stays seed-deterministic even though the listing
             // order the callbacks fire in is fs-dependent
             val nonce = rnd.nextInt(1 << 20)
-            if (rnd.nextBoolean()) { CatalogCommit.expire(spark, cat, keepFrom); () }
-            else {
-              val fs = FileIndexer.fsFor(spark, cat)
-              CatalogCommit.expireImpl(fs, cat, keepFrom, deleteRoot = p =>
+            val branch = rnd.nextBoolean()
+            val deny = denyTarget() // a denied root poisons the GC scan: groups survive, roots still expire
+            if (branch) { withDeny(deny)(CatalogCommit.expire(spark, catUri, keepFrom)); () }
+            else withDeny(deny) {
+              val fs = FileIndexer.fsFor(spark, catUri)
+              CatalogCommit.expireImpl(fs, catUri, keepFrom, deleteRoot = p =>
                 math.floorMod((p.getName + nonce).hashCode, 4) match {
                   case 0 => false // delete failed; the sealed survivor stays
                   case 1 => fs.delete(p, false); false // racer won: gone, reported false
@@ -131,8 +178,8 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
           }
       }
 
-      // INVARIANTS after every step:
-      val cur = CatalogCommit.current(spark, cat)
+      // INVARIANTS after every step (deny always cleared by here):
+      val cur = CatalogCommit.current(spark, catUri)
       if (modelSeq > 0L) {
         withClue(s"seed=$seed: ") {
           cur.isDefined shouldBe true
@@ -145,7 +192,7 @@ class CatalogFuzzSpec extends AnyFunSuite with Matchers with SparkSpec with Befo
       // snapshot and must resolve exactly (its group manifests are
       // GC-protected) until a later expire actually removes it
       history.foreach { case (s0, pins) =>
-        val at = CatalogCommit.snapshotAt(spark, cat, s0)
+        val at = CatalogCommit.snapshotAt(spark, catUri, s0)
         withClue(s"seed=$seed seq=$s0: ") {
           if (s0 >= expiredBelow) at.foreach(_.leaves shouldBe pins)
           else if (gone(s0)) at shouldBe None
