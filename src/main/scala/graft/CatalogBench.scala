@@ -127,10 +127,24 @@ object CatalogBench {
               val t0 = System.nanoTime()
               CatalogCommit.publish(spark, cat, Map(leaves.head -> 2L), groups = Some(g))
               val migMs = ms(t0)
+              // the steady shapes under the same latency — a single-
+              // touch publish (root parse + 1 group parse + 1 group
+              // write + root create ≈ 4 round trips regardless of N)
+              // and a single-leaf pin read (root + ONE group GET):
+              // these must stay FLAT in lat multiples while only the
+              // migration scales with G
+              val t1 = System.nanoTime()
+              CatalogCommit.publish(spark, cat, Map(leaves.head -> 3L))
+              val steadyMs = ms(t1)
+              val t2 = System.nanoTime()
+              val snap = CatalogCommit.current(spark, cat).get
+              require(snap.pin(leaves(1)).contains(1L))
+              val pinMs = ms(t2)
               def n(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
               println(
                 s"""{"metric":"catalog_migration_latency","members":$members,"groups":$g,""" +
-                  s""""put_latency_ms":$lat,"pool":$width,"migration_ms":${n(migMs)}}""")
+                  s""""put_latency_ms":$lat,"pool":$width,"migration_ms":${n(migMs)},""" +
+                  s""""steady_publish_ms":${n(steadyMs)},"pin_read_ms":${n(pinMs)}}""")
             } finally {
               SlowCatFs.latencyMs = 0L
               sys.props -= "graft.catalog.pool"

@@ -467,4 +467,41 @@ class ManifestChainSpec extends AnyFunSuite with Matchers with SparkSpec with Be
     ManifestCommit.readLeaf(spark, leafPath).count() shouldBe 60L
     ManifestCommit.liveFiles(spark, leafPath).foreach(_ should include("/.data-"))
   }
+
+  test("a manifest leaf is independently MOVABLE: a byte-identical directory clone resolves to the same bag/seq and commits on its own chain without perturbing the original — the relative-paths contract CompactBench's synth sweep fixture leans on") {
+    import org.apache.spark.sql.functions.col
+    val leaf = new File(root, "move/src-leaf")
+    leaf.mkdirs()
+    Seq("a", "b").foreach(n => writeFile(leaf, s"$n.parquet", s"mv-$n", 10))
+    val lp = leaf.getAbsolutePath
+    // a full little history: a compaction (hidden .data-* outputs), then
+    // a MoR delete (a .delete-* sidecar) — every recorded path class
+    val r = Merger.mergeAndCommit(
+      spark, LeafPlan(lp, "m1", Seq(new File(leaf, "a.parquet"), new File(leaf, "b.parquet"))
+        .map(_.getAbsolutePath), 20L), cfg)
+    withClue(r) { r.success shouldBe true }
+    ManifestCommit.deleteWhereMoR(spark, lp, col("id") === 1L, cfg).get.success shouldBe true
+    val srcBag = bag(lp)
+    val srcSeq = ManifestCommit.currentSeq(spark, lp)
+    srcSeq shouldBe 2L
+
+    // the clone is a plain recursive byte copy — the bench fixture's
+    // exact mechanism
+    val dst = new File(root, "move/dst-leaf")
+    def copyTree(s: File, d: File): Unit =
+      if (s.isDirectory) { d.mkdirs(); s.listFiles().foreach(c => copyTree(c, new File(d, c.getName))) }
+      else { Files.copy(s.toPath, d.toPath); () }
+    copyTree(leaf, dst)
+    val dp = dst.getAbsolutePath
+    ManifestCommit.currentSeq(spark, dp) shouldBe srcSeq
+    bag(dp) shouldBe srcBag
+
+    // independent lifecycles: a commit on the clone advances ONLY the
+    // clone's chain; the original's bag and head are untouched
+    ManifestCommit.deleteWhereMoR(spark, dp, col("id") === 2L, cfg).get.success shouldBe true
+    ManifestCommit.currentSeq(spark, dp) shouldBe srcSeq + 1
+    bag(dp).size shouldBe srcBag.size - 2 // id=2 killed in both tag groups
+    ManifestCommit.currentSeq(spark, lp) shouldBe srcSeq
+    bag(lp) shouldBe srcBag
+  }
 }
