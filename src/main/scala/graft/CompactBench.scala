@@ -92,10 +92,14 @@ object CompactBench {
       val withCatalog = sys.env.get("SPARK_GRAFT_COMPACT_CATALOG").exists(_ == "1")
 
       /** Price maintainAll over `leaves`: optional act pass (3-deep MoR
-        * backlog retired by the consolidation dial), then settle + the
-        * TIMED steady-state no-op pass.
+        * backlog on `delCol` ∈ {1,2,3}, retired by the consolidation
+        * dial), then settle + the TIMED steady-state no-op pass. With
+        * the catalog on, the pins published BEFORE the act deletes are
+        * BELOW the post-consolidation heads, so the expire clamp
+        * genuinely binds during the settle pass — the composition under
+        * test, not a no-op clamp.
         */
-      def sweepPrice(leaves: Seq[String], seqFor: String => Long, act: Boolean): Unit = {
+      def sweepPrice(leaves: Seq[String], seqFor: String => Long, act: Boolean, delCol: String): Unit = {
         import org.apache.spark.sql.functions.col
         if (withCatalog) {
           // pin every leaf in one grouped publish so the sweep's expire
@@ -116,13 +120,27 @@ object CompactBench {
           if (!act) (0.0, 0.0)
           else {
             val tDel = System.nanoTime()
-            leaves.foreach { leaf =>
-              (1 to 3).foreach { k =>
-                graft.compact.ManifestCommit
-                  .deleteWhereMoR(spark, leaf, col("l_linenumber") === k, CompactorConfig(
-                    commitMode = graft.compact.CommitMode.Manifest))
-                  .foreach(r => require(r.success, s"sweep fixture delete failed: ${r.error}"))
+            // fixture-only parallelism: leaves are independent, and the
+            // 3 deletes of one leaf stay sequential on its slot
+            // (single-writer-per-leaf), so the backlog builds at pool
+            // width instead of ~0.5 s x 3N serial commits
+            val delPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+            try {
+              val fs = leaves.map { leaf =>
+                delPool.submit(new Runnable {
+                  override def run(): Unit =
+                    (1 to 3).foreach { k =>
+                      graft.compact.ManifestCommit
+                        .deleteWhereMoR(spark, leaf, col(delCol) === k, CompactorConfig(
+                          commitMode = graft.compact.CommitMode.Manifest))
+                        .foreach(r => require(r.success, s"sweep fixture delete failed: ${r.error}"))
+                    }
+                })
               }
+              fs.foreach(_.get())
+            } finally {
+              delPool.shutdown()
+              ()
             }
             val dSec = (System.nanoTime() - tDel) / 1e9
             val actCfg = CompactorConfig(
@@ -167,9 +185,9 @@ object CompactBench {
       if (synth) {
         // ---- synthetic deep-ladder fixture: one real committed leaf,
         // cloned nLeaves times ----
-        require(sweepMode == "noop",
-          "SPARK_GRAFT_COMPACT_SYNTH=1 prices the no-op sweep ladder; set SPARK_GRAFT_COMPACT_SWEEP=noop " +
-            "(the act pass needs per-leaf fixture deletes, which the clone fixture deliberately skips)")
+        require(sweepMode == "noop" || sweepMode == "1",
+          "SPARK_GRAFT_COMPACT_SYNTH=1 prices the sweep ladder; set SPARK_GRAFT_COMPACT_SWEEP " +
+            "to 'noop' (steady-state pass only) or '1' (3-deep MoR backlog per clone + act pass)")
         val s = spark
         import s.implicits._
         val tFix = System.nanoTime()
@@ -230,7 +248,7 @@ object CompactBench {
           println(
             s"""{"metric":"synth_fixture","leaves":$nLeaves,"buckets":$buckets,""" +
               s""""fixture_sec":$fixSec}""")
-          sweepPrice(leaves, _ => headSeq, act = false)
+          sweepPrice(leaves, _ => headSeq, act = sweepMode == "1", delCol = "id")
         } finally rm(tmplRoot)
         return
       }
@@ -312,6 +330,7 @@ object CompactBench {
           leaves,
           leaf => graft.compact.ManifestCommit.currentSeq(spark, leaf),
           act = sweepMode != "noop",
+          delCol = "l_linenumber",
         )
       }
     } finally {

@@ -77,6 +77,12 @@ import org.apache.spark.sql.SparkSession
   *                        g group manifests — publish cost follows
   *                        touched leaves, not total members (set for
   *                        catalogs past ~10⁴ leaves; ~sqrt(members))
+  *   GRAFT_CATALOG_POOL=n width of the catalog's driver-side metadata
+  *                        IO fan-out (group parses/writes, root parses,
+  *                        GC deletes; default 8) — read directly by
+  *                        CatalogCommit, not part of CompactorConfig;
+  *                        size for per-PUT latency (ARCHITECTURE's
+  *                        latency-mode table)
   */
 object Main {
 
