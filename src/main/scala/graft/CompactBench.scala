@@ -210,9 +210,9 @@ object CompactBench {
           val r = graft.compact.Merger.mergeAndCommit(
             spark, graft.compact.LeafPlan(tmpl.getAbsolutePath, "m1", Seq(raw.getAbsolutePath), raw.length()), mCfg)
           require(r.success, s"template commit failed: ${r.error}")
-          // the raw arrival is superseded by the commit — drop it from
-          // the template (what gcOrphans would do) so each clone carries
-          // only live state
+          // the raw arrival is superseded by the commit — resolution
+          // subtracts it either way (it is in the manifest's inputs),
+          // so dropping the file shrinks every clone to live state only
           raw.delete()
           val headSeq = graft.compact.ManifestCommit.currentSeq(spark, tmpl.getAbsolutePath)
 
