@@ -60,6 +60,16 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"bloom_might_contain expects 2 arguments, got ${args.size}")
   }
 
+  private[functions] def nearestL2Builder(args: Seq[Expression]): Expression = args match {
+    case Seq(sv, cbs) => NearestCentroidL2(Cast(sv, ArrayType(DoubleType)), cbs)
+    case _ => throw new IllegalArgumentException(s"nearest_centroid_l2 expects 2 arguments, got ${args.size}")
+  }
+
+  private[functions] def rankCosBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, cbs) => CentroidRankCos(Cast(v, ArrayType(DoubleType)), cbs)
+    case _ => throw new IllegalArgumentException(s"centroid_rank_cos expects 2 arguments, got ${args.size}")
+  }
+
   /** Idempotent: safe to call from every query builder. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -69,6 +79,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("try_to_int", tryToIntBuilder, "built-in")
     registry.createOrReplaceTempFunction("bloom_filter_agg", bloomAggBuilder, "built-in")
     registry.createOrReplaceTempFunction("bloom_might_contain", mightContainBuilder, "built-in")
+    registry.createOrReplaceTempFunction("nearest_centroid_l2", nearestL2Builder, "built-in")
+    registry.createOrReplaceTempFunction("centroid_rank_cos", rankCosBuilder, "built-in")
   }
 }
 
@@ -118,6 +130,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "bloom_might_contain",
         ),
         (args: Seq[Expression]) => GraftFunctions.mightContainBuilder(args),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("nearest_centroid_l2"),
+        new ExpressionInfo(classOf[NearestCentroidL2].getName, "nearest_centroid_l2"),
+        (args: Seq[Expression]) => GraftFunctions.nearestL2Builder(args),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("centroid_rank_cos"),
+        new ExpressionInfo(classOf[CentroidRankCos].getName, "centroid_rank_cos"),
+        (args: Seq[Expression]) => GraftFunctions.rankCosBuilder(args),
       ),
     )
     ()

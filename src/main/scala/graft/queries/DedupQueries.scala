@@ -147,12 +147,19 @@ object DedupQueries {
       rowsPerBand: Int = 4,
   ): org.apache.spark.sql.DataFrame = {
     val nBands = 16 / rowsPerBand
+    // NO distinct before the min aggregation: min is multiset-invariant
+    // (a duplicate (doc_id, h) cannot change any per-seed minimum), so
+    // the distinct the oracle spells out (shh) is a pure no-op here —
+    // and as a plan node it cost a full corpus-wide exchange of the
+    // widest table in the pipeline AND blocked map-side partial
+    // aggregation of the groupBy below (with it, ~|shingles| rows
+    // crossed the wire twice; without it, only per-partition partial
+    // min states do). Values are unchanged at any scale.
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3) // <3 words -> no shingles; prune before the explode
       .select(col("doc_id"), explode(shingles(s)).as("sh"))
       .select(col("doc_id"), expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("h"))
-      .distinct()
     val mhAggs = perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * lit(a) + lit(b)) % lit(4294967296L)).as(s"mh$i")
     }
@@ -1098,7 +1105,16 @@ object DedupQueries {
     * overflow-free and mirror-exact with the oracle's literal.
     */
   private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val occ = Tables.fanout(Tables.documents(s, d))
+    // Explicit isnotnull(doc_id) BELOW the fanout: dedup_simhash_pairs'
+    // band self-join pushes isnotnull(doc_id) into its two join-side
+    // copies of this pipeline but NOT into the bucket-cap (`ok`) copy,
+    // so the three subtrees stopped being canonically equal and AQE
+    // stage reuse never fired — the whole token→votes pipeline (the
+    // dominant cost) executed twice per run (measured: 2× ~3.4 s stages
+    // at sf0.1). Pre-filtering makes every consumer's subtree identical,
+    // so the votes stage materializes once and is replayed. doc_id is
+    // never null in any fixture (primary key), so values are unchanged.
+    val occ = Tables.fanout(Tables.documents(s, d).where(col("doc_id").isNotNull))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h_lo", expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("h_hi", expr("CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)"))

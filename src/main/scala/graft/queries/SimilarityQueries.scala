@@ -63,28 +63,53 @@ object SimilarityQueries {
         .as("b"),
     ).select(col("vec_id"), col("b.m").as("m"), col("b.sv").as("sv"))
 
-  /** One Lloyd scoring pass: broadcast the 32-row codebook, score every
-    * (block, centroid) pair, rank per (vec_id, m).
+  /** Codebook pivoted to ONE row per block: (m, cbs = array of
+    * struct(cid, cv), sorted by cid — cid is unique per block, so the
+    * order is total and deterministic). Broadcast-sized by construction
+    * (M×K rows in, M rows out).
     */
-  private def pqScore(blocks: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
-    blocks.join(broadcast(cb), "m")
-      .withColumn("d2", l2sq("sv", "cv"))
-      .withColumn("rn", row_number().over(w))
-  }
+  private def cbArray(cb: DataFrame): DataFrame =
+    cb.groupBy("m").agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cbs"))
 
+  /** Nearest centroid of the broadcast `cbs` array by squared L2 —
+    * struct(d2, cid), ties to the LOWEST cid: exactly the
+    * `ORDER BY d2, cid LIMIT 1` the row_number window computed, but as
+    * a pure PROJECTION (no N×K row fanout, no exchange, no sort of N×K
+    * rows — at 100 TB the assignment pass is embarrassingly parallel
+    * where the window form shuffled the whole corpus per Lloyd
+    * iteration), evaluated by the compiled
+    * [[graft.functions.NearestCentroidL2]] kernel (the equivalent
+    * `array_sort(transform(…aggregate(zip_with(…))))` runs on
+    * Catalyst's interpreted lambda path at ~100× the cost — measured
+    * before the expression existed).
+    */
+  private val pqNearest: Column = expr("nearest_centroid_l2(sv, cbs)")
+
+  /** Nearest-centroid assignment as a map-only pass: broadcast the
+    * pivoted codebook, evaluate [[pqNearest]] per block row. Output
+    * (vec_id, m, sv, cid, d2) — the rn=1 slice of the old window form,
+    * value-identical (same d2 folds, same (d2, cid) tiebreak).
+    */
   private def pqAssign(blocks: DataFrame, cb: DataFrame): DataFrame =
-    pqScore(blocks, cb).where(col("rn") === 1)
+    blocks.join(broadcast(cbArray(cb)), "m")
+      .withColumn("best", pqNearest)
+      .select(col("vec_id"), col("m"), col("sv"), col("best.cid").as("cid"), col("best.d2").as("d2"))
 
-  /** Element-wise member mean per (block, centroid), rebuilt in
-    * position order — the ann_ivf_trained recenter on subvectors.
+  /** Element-wise member mean per (block, centroid) — ONE groupBy with
+    * 16 per-position avg columns instead of posexplode → groupBy(m, cid,
+    * pos) → groupBy(m, cid) + sorted collect_list (two exchanges and a
+    * 16× row fanout). Each avg consumes the identical value multiset
+    * with the same partial-aggregation structure (per-input-partition
+    * partial sums, merged once), and the inputs are float32-derived
+    * doubles whose sums are exact at this width, so the means are
+    * bit-identical to the posexplode form's.
     */
-  private def pqRecenter(a: DataFrame): DataFrame =
-    a.select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy("m", "cid", "pos")
-      .agg(avg("x").as("cav"))
-      .groupBy("m", "cid")
-      .agg(expr("transform(sort_array(collect_list(struct(pos, cav))), p -> p.cav)").as("cv"))
+  private def pqRecenter(a: DataFrame): DataFrame = {
+    val avgs = (0 until 16).map(i => avg(col("sv")(i)).as(s"c$i"))
+    a.groupBy("m", "cid")
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col("m"), col("cid"), array((0 until 16).map(i => col(s"c$i")): _*).as("cv"))
+  }
 
   /** Two Lloyd iterations over `train` from deterministic seed vectors
     * (by id, ties impossible). Split from assignment so the training
@@ -165,6 +190,29 @@ object SimilarityQueries {
   private val bucketSql =
     "array_to_string(list_transform(v[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
 
+  /** Coarse-centroid set pivoted to ONE broadcastable row:
+    * cbs = array of struct(cid, cv), sorted by the (unique) cid.
+    * The IVF analogue of [[cbArray]].
+    */
+  private def centsArray(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cbs"))
+
+  /** Every centroid of the broadcast `cbs` scored against `$v` by
+    * cosine, sorted best-first: array of struct(na = −acos, cid)
+    * ascending — (na, cid) ascending IS (acos DESC, cid ASC), the exact
+    * ordering of the row_number windows this replaces (negation is a
+    * bit-exact involution on non-NaN doubles, and the fixture has no
+    * zero-norm vectors, so no NaN enters the sort). Evaluating it as a
+    * projection removes the N×K crossJoin fanout AND the per-vector
+    * window exchange+sort — the assignment pass becomes map-only, which
+    * is also the correct 100-TB shape (the corpus never shuffles to get
+    * labeled). Compiled kernel: [[graft.functions.CentroidRankCos]]
+    * (the HOF spelling runs interpreted at ~100× the cost).
+    */
+  private def ivfSortedSql(v: String): String = s"centroid_rank_cos($v, cbs)"
+
+  private def ivfSorted(v: String): Column = expr(ivfSortedSql(v))
+
   val qs: Seq[Q] = Seq(
 
     // ----- brute-force cosine top-k (exact ANN baseline)
@@ -229,16 +277,21 @@ object SimilarityQueries {
          |WHERE m.vec_id <> 0
          |ORDER BY ${cosineSql("m.v", "qv")} DESC, m.vec_id LIMIT 5""".stripMargin,
     ) { (s, d) =>
+      // assignment + probe selection as PROJECTIONS over the broadcast
+      // pivoted centroid array (see ivfSorted) — the N×16 crossJoin +
+      // per-vector window this replaces shuffled and sorted the whole
+      // corpus just to pick each vector's argmax centroid
       val e = vecs(s, d)
-      val cents = broadcast(
+      val centsArr = broadcast(centsArray(
         e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv")),
+      ))
+      val members = e.crossJoin(centsArr)
+        .select(col("vec_id"), col("label"), col("v"), element_at(ivfSorted("v"), 1)("cid").as("cid"))
+      val probes = broadcast(
+        e.where(col("vec_id") === 0).crossJoin(centsArr)
+          .select(explode(expr(s"slice(${ivfSortedSql("v")}, 1, 2)")).as("p"))
+          .select(col("p.cid").as("pcid")),
       )
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
-      val scored = e.crossJoin(cents)
-        .withColumn("acos", cosine("v", "cv"))
-        .withColumn("rn", row_number().over(wAssign))
-      val members = scored.where(col("rn") === 1).select(col("vec_id"), col("label"), col("v"), col("cid"))
-      val probes = broadcast(scored.where(col("vec_id") === 0 && col("rn") <= 2).select(col("cid").as("pcid")))
       val q = broadcast(e.where(col("vec_id") === 0).select(col("v").as("qv")))
       members
         .join(probes, col("cid") === col("pcid"))
@@ -348,19 +401,22 @@ object SimilarityQueries {
          |SELECT qid, vec_id, label, cid, round(sim, 6) AS sim
          |FROM r WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin,
     ) { (s, d) =>
+      // assignment + per-query probe lists as projections over the
+      // broadcast pivoted centroid array (ivfSorted) — replaces the
+      // N×16 crossJoin + per-vector window (see ann_ivf_topk)
       val e = vecs(s, d)
-      val cents = broadcast(
+      val centsArr = broadcast(centsArray(
         e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv")),
-      )
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
-      val scored = e.crossJoin(cents)
-        .withColumn("acos", cosine("v", "cv"))
-        .withColumn("rn", row_number().over(wAssign))
-      val members = scored.where(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("v"), col("cid"))
+      ))
+      val members = e.crossJoin(centsArr)
+        .select(col("vec_id"), col("label"), col("v"), element_at(ivfSorted("v"), 1)("cid").as("cid"))
       val qprobes = broadcast(
-        scored.where(col("vec_id") < 10 && col("rn") <= 2)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("pcid")),
+        e.where(col("vec_id") < 10).crossJoin(centsArr)
+          .select(
+            col("vec_id").as("qid"), col("v").as("qv"),
+            explode(expr(s"slice(${ivfSortedSql("v")}, 1, 2)")).as("p"),
+          )
+          .select(col("qid"), col("qv"), col("p.cid").as("pcid")),
       )
       val wTop = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
       members.join(qprobes, col("cid") === col("pcid"))
@@ -696,31 +752,30 @@ object SimilarityQueries {
          |ORDER BY ${cosineSql("m.v", "qv")} DESC, m.vec_id LIMIT 5""".stripMargin,
     ) { (s, d) =>
       val e = vecs(s, d)
-      // one Lloyd step: score every (vector, centroid) pair (broadcast K
-      // centroids) and rank per vector; rn=1 is the assignment, rn<=nprobe
-      // on the query row picks the probe lists
-      def score(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
-        e.crossJoin(broadcast(cents))
-          .withColumn("acos", cosine("v", "cv"))
-          .withColumn("rn", row_number().over(w))
+      // one Lloyd step as a MAP-ONLY pass over the broadcast pivoted
+      // centroid array (ivfSorted — replaces the N×K crossJoin + window
+      // exchange+sort per iteration); re-center as ONE groupBy with 64
+      // per-position avg columns (same value-exactness argument as
+      // pqRecenter: identical multisets of float32-derived doubles,
+      // identical partial-agg structure)
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(centsArray(cents)))
+          .select(col("vec_id"), col("v"), element_at(ivfSorted("v"), 1)("cid").as("cid"))
+      def recenter(assigned: DataFrame): DataFrame = {
+        val avgs = (0 until 64).map(i => avg(col("v")(i)).as(s"c$i"))
+        assigned.groupBy("cid")
+          .agg(avgs.head, avgs.tail: _*)
+          .select(col("cid"), array((0 until 64).map(i => col(s"c$i")): _*).as("cv"))
       }
-      def assign(cents: DataFrame): DataFrame = score(cents).where(col("rn") === 1)
-      // re-center: element-wise mean per centroid, rebuilt into an array
-      // ordered by position (sort_array on (pos, mean) structs)
-      def recenter(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos")
-          .agg(avg("x").as("cav"))
-          .groupBy("cid")
-          .agg(expr("transform(sort_array(collect_list(struct(pos, cav))), p -> p.cav)").as("cv"))
       val seeds = e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv"))
       val trained = recenter(assign(recenter(assign(seeds))))
-      val scoredFinal = score(trained)
-      val finalAssign = scoredFinal.where(col("rn") === 1)
+      val trainedArr = broadcast(centsArray(trained))
+      val finalAssign = e.crossJoin(trainedArr)
+        .select(col("vec_id"), col("label"), col("v"), element_at(ivfSorted("v"), 1)("cid").as("cid"))
       val probes = broadcast(
-        scoredFinal.where(col("vec_id") === 0 && col("rn") <= 2).select(col("cid").as("pcid")),
+        e.where(col("vec_id") === 0).crossJoin(trainedArr)
+          .select(explode(expr(s"slice(${ivfSortedSql("v")}, 1, 2)")).as("p"))
+          .select(col("p.cid").as("pcid")),
       )
       val q = broadcast(e.where(col("vec_id") === 0).select(col("v").as("qv")))
       finalAssign
@@ -807,16 +862,19 @@ object SimilarityQueries {
          |WHERE y.vec_id IS NULL
          |ORDER BY x.vec_id""".stripMargin,
     ) { (s, d) =>
+      // assignment as a projection over the broadcast pivoted centroid
+      // array (ivfSorted); acos = −na is bit-exact (negation is an
+      // involution on non-NaN doubles)
       val e = vecs(s, d)
-      val cents = broadcast(
+      val centsArr = broadcast(centsArray(
         e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv")),
-      )
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cid"))
-      val members = e.crossJoin(cents)
-        .withColumn("acos", cosine("v", "cv"))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("v"), col("cid"), col("acos"))
+      ))
+      val members = e.crossJoin(centsArr)
+        .withColumn("best", element_at(ivfSorted("v"), 1))
+        .select(
+          col("vec_id"), col("label"), col("v"),
+          col("best.cid").as("cid"), (-col("best.na")).as("acos"),
+        )
       val wRank = Window.partitionBy("cid").orderBy(col("acos"), col("vec_id"))
       val ranked = members.withColumn("r", row_number().over(wRank))
       ranked.as("x")
@@ -849,13 +907,20 @@ object SimilarityQueries {
          |       max(sim) >= 0.3 AS contaminated
          |FROM sc GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
     ) { (s, d) =>
+      // the eval set broadcasts as ONE array row; each corpus vector's
+      // max-over-eval cosine is a projection (array_max over the same
+      // per-pair cosine folds — max is order-insensitive and exact), so
+      // the N×|eval| crossJoin fanout and the groupBy exchange both
+      // disappear: one map-only corpus pass + the presentation sort
       val e = vecs(s, d)
-      val ev = broadcast(e.where(col("vec_id") < 20).select(col("v").as("ev")))
+      val ev = broadcast(e.where(col("vec_id") < 20).agg(collect_list(col("v")).as("evs")))
       e.where(col("vec_id") >= 20)
         .crossJoin(ev)
-        .withColumn("sim", cosine("v", "ev"))
-        .groupBy("vec_id", "label")
-        .agg(round(max("sim"), 6).as("eval_sim"), (max("sim") >= 0.3).as("contaminated"))
+        .withColumn("msim", expr("array_max(transform(evs, ev -> cosine_similarity(v, ev)))"))
+        .select(
+          col("vec_id"), col("label"),
+          round(col("msim"), 6).as("eval_sim"), (col("msim") >= 0.3).as("contaminated"),
+        )
         .orderBy("vec_id")
     },
 
@@ -1112,17 +1177,18 @@ object SimilarityQueries {
          |WHERE p.vec_id <> 0
          |ORDER BY (p.a0 + p.a1 + p.a2 + p.a3), p.vec_id LIMIT 5""".stripMargin,
     ) { (s, d) =>
+      // coarse assignment + probe list as projections over the broadcast
+      // pivoted centroid array (ivfSorted — see ann_ivf_topk)
       val e = vecs(s, d)
-      val cents = broadcast(
-        e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("ccid"), col("v").as("ccv")),
-      )
-      val wA = Window.partitionBy("vec_id").orderBy(desc("acos"), col("ccid"))
-      val cscored = e.crossJoin(cents)
-        .withColumn("acos", cosine("v", "ccv"))
-        .withColumn("crn", row_number().over(wA))
-      val coarse = cscored.where(col("crn") === 1).select(col("vec_id"), col("ccid").as("list_id"))
+      val centsArr = broadcast(centsArray(
+        e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv")),
+      ))
+      val coarse = e.crossJoin(centsArr)
+        .select(col("vec_id"), element_at(ivfSorted("v"), 1)("cid").as("list_id"))
       val plist = broadcast(
-        cscored.where(col("vec_id") === 0 && col("crn") <= 4).select(col("ccid").as("probed")),
+        e.where(col("vec_id") === 0).crossJoin(centsArr)
+          .select(explode(expr(s"slice(${ivfSortedSql("v")}, 1, 4)")).as("p"))
+          .select(col("p.cid").as("probed")),
       )
       val blocks = pqBlocks(e)
       val trained = pqTrain(blocks)
@@ -1198,17 +1264,22 @@ object SimilarityQueries {
          |WHERE p.vec_id <> 0
          |ORDER BY (p.a0 + p.a1 + p.a2 + p.a3), p.vec_id LIMIT 5""".stripMargin,
     ) { (s, d) =>
+      // coarse assignment + probe list as projections over the broadcast
+      // pivoted centroid array (ivfSorted — see ann_ivf_topk); the plain
+      // centroid rows stay broadcast for the residual joins below
       val e = vecs(s, d)
       val cents = broadcast(
         e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("ccid"), col("v").as("ccv")),
       )
-      val wA = Window.partitionBy("vec_id").orderBy(desc("acos"), col("ccid"))
-      val cscored = e.crossJoin(cents)
-        .withColumn("acos", cosine("v", "ccv"))
-        .withColumn("crn", row_number().over(wA))
-      val coarse = cscored.where(col("crn") === 1).select(col("vec_id"), col("ccid").as("list_id"))
+      val centsArr = broadcast(centsArray(
+        e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv")),
+      ))
+      val coarse = e.crossJoin(centsArr)
+        .select(col("vec_id"), element_at(ivfSorted("v"), 1)("cid").as("list_id"))
       val plist = broadcast(
-        cscored.where(col("vec_id") === 0 && col("crn") <= 4).select(col("ccid").as("probed")),
+        e.where(col("vec_id") === 0).crossJoin(centsArr)
+          .select(explode(expr(s"slice(${ivfSortedSql("v")}, 1, 4)")).as("p"))
+          .select(col("p.cid").as("probed")),
       )
       // residual vectors, then residual subvector blocks
       val rv = e.join(coarse, "vec_id")
