@@ -39,7 +39,7 @@ object BpeTokenizer {
         ).otherwise(concat(acc, array(s))),
     )
 
-  /** Eager localCheckpoint that also returns the REGISTERED block
+  /** Lazy localCheckpoint that also returns the REGISTERED block
     * rdd(s), so the training loop can free superseded generations
     * deterministically. A checkpointed Dataset exposes no public
     * handle to its storage (unpersist() routes through the cache
@@ -52,7 +52,14 @@ object BpeTokenizer {
   private def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(true)
+    // LAZY localCheckpoint (r21): lineage truncation and block tracking
+    // are identical (persist registers at call time), but the
+    // materialization rides the NEXT iteration's pair-count job — whose
+    // TakeOrdered action computes every partition anyway — instead of
+    // costing a dedicated job per merge. An N-merge training run is N
+    // fewer sequential Spark jobs; values are unchanged (the same plan
+    // materializes, one action later).
+    val out = df.localCheckpoint(false)
     val created = sc.getPersistentRDDs.collect { case (id, r) if !before.contains(id) => r }.toSeq
     (out, created)
   }
@@ -83,6 +90,13 @@ object BpeTokenizer {
       .cache()
     syms.count()
     var blocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    // Storage superseded by the CURRENT (lazily checkpointed, so not
+    // yet materialized) generation: with a lazy checkpoint, freeing the
+    // previous generation immediately would force — or, for an already
+    // truncated local checkpoint, BREAK — recomputation when the
+    // current one finally materializes. Freed at the top of the next
+    // loop turn, right after the pair-count action has materialized it.
+    var freeAfterAction: Seq[() => Unit] = Nil
     try {
       var exhausted = false
       while (merges.size < nMerges && !exhausted) {
@@ -90,6 +104,9 @@ object BpeTokenizer {
           .orderBy(col("cnt").desc, col("a"), col("b"))
           .limit(1)
           .collect()
+        // that action materialized `syms` — its predecessors can go now
+        freeAfterAction.foreach(_.apply())
+        freeAfterAction = Nil
         if (best.isEmpty) exhausted = true
         else {
           val (x, y) = (best.head.getString(0), best.head.getString(1))
@@ -98,20 +115,25 @@ object BpeTokenizer {
           // keeps every predecessor's plan reachable (InMemoryRelation
           // holds its child), so a real-vocabulary run grows the driver
           // heap linearly in N and dies around a few hundred merges —
-          // the eager checkpoint materializes AND truncates lineage, so
-          // iteration memory is O(1) in merge count (the
-          // ConnectedComponents loop discipline); superseded
-          // generations' blocks free immediately via the tracked handle
+          // the checkpoint truncates lineage, so iteration memory is
+          // O(1) in merge count (the ConnectedComponents loop
+          // discipline). At most two generations of blocks are ever
+          // live, exactly as under the old eager scheme.
           val (next, newBlocks) = checkpointTracked(
             syms.withColumn("syms", applyMerge(col("syms"), x, y)))
-          syms.unpersist() // frees generation 0's cache; no-op afterwards
-          blocks.foreach(_.unpersist(false))
+          val (prev, prevBlocks) = (syms, blocks)
+          freeAfterAction = Seq(() => {
+            prev.unpersist() // frees generation 0's cache; no-op afterwards
+            prevBlocks.foreach(_.unpersist(false))
+            ()
+          })
           blocks = newBlocks
           syms = next
         }
       }
       merges.toSeq
     } finally {
+      freeAfterAction.foreach(_.apply())
       syms.unpersist()
       blocks.foreach(_.unpersist(false))
       ()
@@ -191,6 +213,10 @@ object BpeTokenizer {
       .cache()
     syms.count()
     var blocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    // same deferred-free discipline as [[train]]: lazily checkpointed
+    // generations free their predecessor only after the next pair-count
+    // action has materialized them
+    var freeAfterAction: Seq[() => Unit] = Nil
     try {
       var exhausted = false
       while (merges.size < nMerges && !exhausted) {
@@ -202,6 +228,8 @@ object BpeTokenizer {
           .orderBy(col("cnt").desc, col("a"), col("b"))
           .limit(want * 4 + 4)
           .collect()
+        freeAfterAction.foreach(_.apply())
+        freeAfterAction = Nil
         if (ranked.isEmpty) exhausted = true
         else {
           val used = scala.collection.mutable.Set.empty[String]
@@ -220,16 +248,22 @@ object BpeTokenizer {
           merges ++= accepted
           // same lineage-truncating tracked checkpoint as [[train]]'s
           // loop — a 32k-merge vocabulary at batch=32 is still 1000
-          // rounds, and each round's blocks free when superseded
+          // rounds, and each round's blocks free one action after being
+          // superseded
           val (next, newBlocks) = checkpointTracked(applyBatch(syms, accepted.toSeq))
-          syms.unpersist()
-          blocks.foreach(_.unpersist(false))
+          val (prev, prevBlocks) = (syms, blocks)
+          freeAfterAction = Seq(() => {
+            prev.unpersist()
+            prevBlocks.foreach(_.unpersist(false))
+            ()
+          })
           blocks = newBlocks
           syms = next
         }
       }
       merges.toSeq
     } finally {
+      freeAfterAction.foreach(_.apply())
       syms.unpersist()
       blocks.foreach(_.unpersist(false))
       ()

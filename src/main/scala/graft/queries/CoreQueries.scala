@@ -43,8 +43,15 @@ object CoreQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     ) { (s, d) =>
-      Tables.lineitem(s, d)
-        .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      // filter + project BEFORE the fanout so the added exchange carries
+      // only surviving rows and needed columns; fanout (100-TB no-op)
+      // parallelizes the DECIMAL partial aggregation off the
+      // single-row-group scan (r21 — see Tables.fanout)
+      Tables.fanout(
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
@@ -260,7 +267,12 @@ object CoreQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     ) { (s, d) =>
-      Tables.lineitem(s, d)
+      // fanout after a 3-column projection (r21): the fixture is one
+      // parquet row group, so the 4-way grouping-set Expand and the
+      // DECIMAL partial aggregation otherwise run on a single core; the
+      // projection keeps the added exchange narrow, and at 100 TB the
+      // fanout guard makes it a no-op (Tables.fanout).
+      Tables.fanout(Tables.lineitem(s, d).select("l_returnflag", "l_linestatus", "l_extendedprice"))
         .cube("l_returnflag", "l_linestatus")
         .agg(moneySum("l_extendedprice").as("sum_price"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
@@ -494,6 +506,14 @@ object CoreQueries {
         |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     ) { (s, d) =>
+      // NO fanout here (r21: tried and reverted) — (l_orderkey,
+      // l_linenumber) is NOT unique in the fixture, so the declared
+      // ORDER BY has ties and the oracle's row-order compare depends on
+      // the tie order both engines happen to produce from a sequential
+      // scan; a repartition upstream of the non-total sort reorders the
+      // tied rows and fails the gate. General rule recorded in
+      // OPTIMIZATION_r21.md: never change partitioning upstream of a
+      // non-total declared sort.
       Tables.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),

@@ -446,7 +446,7 @@ object EventQueries {
           // exact oracle identity holds ONLY while the sketches stay in
           // exact mode. A QuickSelect theta sketch at lgK=16 is exact to
           // at least k = 2^16 retained hashes; guard at the canonical
-          // 15/16·2k rebuild fraction of k (61440) so a run at an SF
+          // 15/16·k rebuild fraction (61440, k = 2^16) so a run at an SF
           // whose filtered user sets approach the bound fails with THIS
           // named error instead of a bare DuckDB hash mismatch.
           // assert_true returns NULL when the condition holds, so the

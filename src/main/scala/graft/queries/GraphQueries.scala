@@ -132,6 +132,15 @@ object GraphQueries {
       var rank = deg.select(col("src").as("node"), lit(1000000000L).as("rank"))
       (1 to iterations).foreach { _ =>
         rank = rank
+          // No join-strategy hint (r21: a SHUFFLE_HASH hint on the rank
+          // side was tried — it removes the per-iteration broadcast-build
+          // job and reads co-partitioned — and MEASURED +1.6 s against
+          // drift-corrected neighbors, so it was reverted). The
+          // optimizer's size-based choice is itself the scale-adaptive
+          // mechanism: locally rank estimates under the broadcast
+          // threshold and broadcasting it is the fastest plan; at real
+          // graph sizes the |V|-sized estimate exceeds the threshold and
+          // the planner falls back to the shuffle join on its own.
           .join(edgeDeg, col("src") === col("node"))
           .select(col("dst").as("node2"), expr("rank div outdeg").as("contrib"))
           .groupBy(col("node2").as("node"))

@@ -113,23 +113,28 @@ object TextQueries {
 
   /** Spark twin of [[pplSqlCte]]: per-doc (doc_id, n_tokens, s).
     *
-    * Three consumers re-tokenize (vocab counts, corpus total, scoring
-    * join) — deliberate: a repartition barrier does NOT dedupe here
-    * (each consumer prunes different columns below it, so the exchanges
-    * aren't identical and reuse never fires — measured as a pure
-    * regression), and the re-scans are cheap column-pruned parquet
-    * reads. At 100 TB you'd persist the tokenized view across the whole
+    * Two corpus tokenizations (model + scoring), not three (r21): the
+    * corpus token total is Σc over the vocab table — exact long
+    * arithmetic, no second corpus pass — and the per-token nll is
+    * precomputed INTO the broadcast vocabulary (one broadcast build
+    * instead of two, one join instead of join+crossJoin; −ln(c/t) per
+    * distinct word is the identical double expression it was per token
+    * row, so every scored value is bit-unchanged). A shared-subtree
+    * barrier for the remaining two tokenizations does NOT pay: each
+    * consumer prunes different columns below the exchange, so reuse
+    * never fires (measured as a pure regression in an earlier round).
+    * At 100 TB you'd persist the tokenized view across the whole
     * text-pipeline run instead.
     */
   private def docNll(s: org.apache.spark.sql.SparkSession, d: String) = {
     val toks = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
     val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = toks.agg(count(lit(1)).cast("double").as("t"))
+    val nllTable = cnt
+      .withColumn("t", sum("c").over(Window.partitionBy()).cast("double"))
+      .select(col("w"), (-log(col("c") / col("t"))).as("nll"))
     toks
-      .join(broadcast(cnt), "w")
-      .crossJoin(broadcast(tot))
-      .withColumn("nll", -log(col("c") / col("t")))
+      .join(broadcast(nllTable), "w")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -311,7 +316,13 @@ object TextQueries {
         .where(col("pw").isNotNull)
       val cnt1 = toks.groupBy("w").agg(count(lit(1)).cast("double").as("c1"))
       val cnt2 = bi.groupBy("pw", "w").agg(count(lit(1)).cast("double").as("c2"))
-      val tot = toks.agg(count(lit(1)).cast("double").as("t"))
+      // r21: the corpus token total is Σc1 over the unigram table (exact
+      // integer-valued double sums) instead of a third corpus
+      // tokenization. The four model tables stay SEPARATE broadcasts on
+      // purpose: independent broadcast exchanges build concurrently, so
+      // fusing them into one precomputed-nll table serializes the build
+      // chain (measured +2 s at sf0.1) for no byte saved at scale.
+      val tot = cnt1.agg(sum("c1").as("t"))
       bi
         .join(broadcast(cnt2), Seq("pw", "w"))
         .join(broadcast(cnt1.select(col("w").as("pw"), col("c1").as("c1p"))), Seq("pw"))
@@ -350,18 +361,23 @@ object TextQueries {
         |SELECT doc_id, CAST(n_distinct AS INTEGER) AS n_distinct, round(h, 4) AS entropy
         |FROM d ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      val t = Tables.fanout(Tables.documents(s, d))
+      // r21: one groupBy(doc_id) instead of [per-doc total agg + join
+      // back + second agg] — n rides the same aggregation as the sorted
+      // (w, c) list and the entropy terms compute in the post-agg fold
+      // (same per-term arithmetic, same w-ordered left-to-right
+      // addition → bit-identical h; one exchange and one broadcast
+      // build fewer at any scale).
+      Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w")
         .agg(count(lit(1)).as("c"))
-      val n = t.groupBy("doc_id").agg(sum("c").cast("double").as("n"))
-      t.join(n, "doc_id")
-        .withColumn("term", -(col("c") / col("n")) * log(col("c") / col("n")))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_distinct"),
-          expr("aggregate(transform(sort_array(collect_list(struct(w, term))), p -> p.term), 0D, (a, v) -> a + v)").as("h"),
+          sum("c").cast("double").as("n"),
+          expr("sort_array(collect_list(struct(w, c)))").as("wc"),
         )
+        .withColumn("h", expr("aggregate(wc, 0D, (a, p) -> a + (-(p.c / n) * ln(p.c / n)))"))
         .select(col("doc_id"), col("n_distinct").cast("int").as("n_distinct"), round(col("h"), 4).as("entropy"))
         .orderBy("doc_id")
     },
