@@ -329,10 +329,20 @@ object DedupQueries {
          |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.02
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
+      // explicit isnotnull on BOTH columns below the distinct (r21): the
+      // posting self-join pushes isnotnull(sh) AND isnotnull(doc_id)
+      // into its copies of this pipeline, `sizes` gets only the doc_id
+      // one and `rare` only the sh one — three canonically different
+      // subtrees, so AQE stage reuse never fired and the explode+distinct
+      // pipeline (the dominant stage) executed twice per run (measured:
+      // 2 × ~0.6–1.0 s 32-task stages). Neither column is ever null
+      // (md5/explode of non-null text), so values are unchanged; with
+      // the shared pre-filter every consumer replays ONE materialization.
       val sh = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3) // <3 words -> no shingles; prune before the explode
         .select(col("doc_id"), explode(shingles(s)).as("sh"))
+        .where(col("doc_id").isNotNull && col("sh").isNotNull)
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 150).select("sh")
