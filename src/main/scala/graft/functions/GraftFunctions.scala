@@ -70,6 +70,11 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"centroid_rank_cos expects 2 arguments, got ${args.size}")
   }
 
+  private[functions] def charBigramsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(s) => CharBigramCodes(Cast(s, org.apache.spark.sql.types.StringType))
+    case _ => throw new IllegalArgumentException(s"char_bigram_codes expects 1 argument, got ${args.size}")
+  }
+
   /** Idempotent: safe to call from every query builder. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -81,6 +86,7 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("bloom_might_contain", mightContainBuilder, "built-in")
     registry.createOrReplaceTempFunction("nearest_centroid_l2", nearestL2Builder, "built-in")
     registry.createOrReplaceTempFunction("centroid_rank_cos", rankCosBuilder, "built-in")
+    registry.createOrReplaceTempFunction("char_bigram_codes", charBigramsBuilder, "built-in")
   }
 }
 
@@ -144,6 +150,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("centroid_rank_cos"),
         new ExpressionInfo(classOf[CentroidRankCos].getName, "centroid_rank_cos"),
         (args: Seq[Expression]) => GraftFunctions.rankCosBuilder(args),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("char_bigram_codes"),
+        new ExpressionInfo(classOf[CharBigramCodes].getName, "char_bigram_codes"),
+        (args: Seq[Expression]) => GraftFunctions.charBigramsBuilder(args),
       ),
     )
     ()

@@ -747,23 +747,28 @@ object TextQueries {
     ) { (s, d) =>
       // Two deliberate divergences from the naive (oracle) formulation,
       // neither visible in the output:
-      //   1. Overlapping bigrams come from ONE codegen'd regex
-      //      (lookahead-with-capture) instead of a substring-per-index
-      //      lambda: substring(text, i, 2) re-scans the string to find
-      //      the char offset on every call — O(len²) per document — and
-      //      transform()'s lambda runs on the interpreted (non-codegen)
-      //      path. A doc under 2 chars yields no bigrams in both engines;
-      //      [\s\S] (not `.`, which Java excludes line terminators from)
-      //      keeps newline-containing bigrams, matching the oracle's
-      //      substr on multi-line text.
+      //   1. Overlapping bigrams come from the codegen'd
+      //      char_bigram_codes kernel — one code-point walk per doc that
+      //      packs each bigram into a LONG ((cp1 << 21) | cp2, injective
+      //      and UTF8String-order-preserving, so every downstream
+      //      equality AND the profile tiebreak order are unchanged; see
+      //      CharBigramCodes' scaladoc + CharBigramCodesSpec). This
+      //      replaced first a substring-per-index transform() lambda
+      //      (O(len²) re-scan per call, interpreted lambda path) and
+      //      then a lookahead-with-capture regex (r21: a java.util.regex
+      //      zero-width find per char position + a 2-char UTF8String
+      //      alloc per bigram — and string bigram keys shuffled ~2× the
+      //      bytes of the packed longs). A doc under 2 chars yields no
+      //      bigrams in all three spellings and the oracle.
       //   2. docBg is aggregated once and reused for both the language
       //      profiles and the per-doc scores (the isNotNull sits inside
       //      the shared subtree so the join can't break exchange reuse by
       //      pushing its own null filter into one branch).
+      graft.functions.GraftFunctions.register(s)
       val bg = Tables.fanout(Tables.documents(s, d))
         .select(
           col("doc_id"), col("lang"),
-          explode(expr("regexp_extract_all(text, '(?=([\\\\s\\\\S][\\\\s\\\\S]))', 1)")).as("bg"),
+          explode(expr("char_bigram_codes(text)")).as("bg"),
         )
         .where(col("bg").isNotNull)
       val docBg = bg.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("cnt"))
