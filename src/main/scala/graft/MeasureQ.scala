@@ -50,10 +50,19 @@ object MeasureQ {
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
       Thread.sleep(300) // let completion events drain
-      println(f"%n[measure] $name rep $rep: total $dt%.2f s, $jobs jobs, ${stages.size} stages")
+      // Driver-side share: wall time minus the union of stage intervals.
+      // Stages overlap (concurrent jobs), so merge intervals first — the
+      // remainder is planning, AQE re-optimization and job-gap scheduling,
+      // the time no executor was running anything for this query.
+      val iv = stages.values.toSeq.filter(s => s.t1 > s.t0).map(s => (s.t0, s.t1)).sortBy(_._1)
+      val covered = iv.foldLeft((0L, Long.MinValue)) { case ((acc, hi), (a, b)) =>
+        if (a > hi) (acc + (b - a), b) else (acc + math.max(0L, b - hi), math.max(hi, b))
+      }._1 / 1e9
+      println(f"%n[measure] $name rep $rep: total $dt%.2f s, $jobs jobs, ${stages.size} stages, stage-covered $covered%.2f s, driver-gap ${dt - covered}%.2f s")
       stages.toSeq.sortBy(_._1).foreach { case (id, st) =>
         val w = if (st.t1 > st.t0) (st.t1 - st.t0) / 1e9 else -1.0
-        println(f"  stage $id%4d  $w%7.3f s  ${st.tasks}%4d tasks  ${st.name}")
+        val off = (st.t0 - t0) / 1e9
+        println(f"  stage $id%4d  +$off%6.2f  $w%7.3f s  ${st.tasks}%4d tasks  ${st.name}")
       }
       if (rep == reps) {
         val plan = df.queryExecution.executedPlan.toString

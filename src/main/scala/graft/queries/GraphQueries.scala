@@ -89,8 +89,24 @@ object GraphQueries {
   }
 
   private def edges(s: SparkSession, d: String): DataFrame = {
+    // Explicit isnotnull(p) && isnotnull(sup) BELOW the distinct (the
+    // r21 stage-reuse discipline — same fix as the simhash and capped-
+    // jaccard kernels): pagerank's consumers push DIFFERENT isnotnull
+    // subsets through the union legs and the distinct into their copies
+    // of this subtree (the rank⋈edgeDeg join pushes isnotnull(src) ⇒
+    // isnotnull(p) into the forward leg but isnotnull(sup) into the
+    // flipped one; deg and edgeDeg push their own), so the six copies of
+    // the distinct exchange stopped being canonically equal and the
+    // lineitem scan + distinct executed up to 6× per run (measured:
+    // three ~0.6 s scan stages + four ~0.9 s distinct stages in one
+    // rep). Pre-filtering with the UNION of the pushed predicates makes
+    // every copy identical, so exchange/stage reuse materializes the
+    // pair table once. Both columns are never null (l_partkey is a
+    // fixture key; sup = l_suppkey + offset of a non-null key), so
+    // values are unchanged.
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), (col("l_suppkey") + supplierOffset).as("sup"))
+      .where(col("p").isNotNull && col("sup").isNotNull)
       .distinct()
     li.select(col("p").as("src"), col("sup").as("dst"))
       .unionAll(li.select(col("sup").as("src"), col("p").as("dst")))
@@ -181,15 +197,30 @@ object GraphQueries {
       // ONCE and each consumer replays the shuffle output — unlike
       // .cache(), the materialization lives in shuffle files (no
       // storage-memory budget, nothing left pinned after the query).
+      // The isnotnull(a) && isnotnull(b) pre-filters BELOW each barrier
+      // are the r21 stage-reuse discipline: deterministic filters push
+      // THROUGH RepartitionByExpression, and the orientation pipeline's
+      // consumers push different isnotnull subsets (deg's union legs
+      // push isnotnull(a) / isnotnull(b) separately; the closure join
+      // pushes both), so the barrier copies stopped being canonically
+      // equal and the pair join + aggregation executed 3× per run
+      // (measured: three concurrent ~1.1 s 10-task stages). With the
+      // union of the pushed predicates already below the barrier, every
+      // pushed copy is pruned as redundant by constraint propagation and
+      // the exchange materializes once. Both columns are group keys of
+      // a `pk < pk2` join — never null — so values are unchanged.
       val e0 = pp.join(pp.select(col("ok"), col("pk").as("pk2")), "ok")
         .where(col("pk") < col("pk2"))
         .groupBy(col("pk").as("a"), col("pk2").as("b"))
         .agg(count(lit(1)).as("w"))
+        .where(col("a").isNotNull && col("b").isNotNull)
         .repartition(col("a"))
       // second (tiny) barrier: the orientation pipeline consumes the
       // thresholded edge set three times — replaying a ~|E|-row exchange
       // beats re-filtering the |pairs|-row one per consumer
-      val e = e0.where(col("w") >= 2).select("a", "b").repartition(col("a"))
+      val e = e0.where(col("w") >= 2).select("a", "b")
+        .where(col("a").isNotNull && col("b").isNotNull)
+        .repartition(col("a"))
       val tri = trianglesOriented(e)
       // both e0-level counts in ONE pass over the reused exchange
       e0.agg(
