@@ -75,6 +75,13 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"char_bigram_codes expects 1 argument, got ${args.size}")
   }
 
+  private[functions] def simhashAggBuilder(args: Seq[Expression]): Expression = args match {
+    // the analyzer wraps a bare AggregateFunction in AggregateExpression
+    case Seq(lo, hi) =>
+      SimHashAgg(Cast(lo, org.apache.spark.sql.types.LongType), Cast(hi, org.apache.spark.sql.types.LongType))
+    case _ => throw new IllegalArgumentException(s"simhash_agg expects 2 arguments, got ${args.size}")
+  }
+
   /** Idempotent: safe to call from every query builder. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -87,6 +94,7 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("nearest_centroid_l2", nearestL2Builder, "built-in")
     registry.createOrReplaceTempFunction("centroid_rank_cos", rankCosBuilder, "built-in")
     registry.createOrReplaceTempFunction("char_bigram_codes", charBigramsBuilder, "built-in")
+    registry.createOrReplaceTempFunction("simhash_agg", simhashAggBuilder, "built-in")
   }
 }
 
@@ -157,6 +165,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("char_bigram_codes"),
         new ExpressionInfo(classOf[CharBigramCodes].getName, "char_bigram_codes"),
         (args: Seq[Expression]) => GraftFunctions.charBigramsBuilder(args),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash_agg"),
+        new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+        (args: Seq[Expression]) => GraftFunctions.simhashAggBuilder(args),
       ),
     )
     ()

@@ -1094,14 +1094,17 @@ object DedupQueries {
     * two 32-bit md5 slices per token, frequency-weighted ±1 votes per
     * bit, 64-bit assembly — identical in [[simhashSqlCte]].
     *
-    * The 64 bit-votes are 64 aggregate columns of ONE groupBy(doc_id)
-    * (the same single-shuffle shape as the MinHash kernel): the vote
-    * `sum(cnt * sign)` over distinct (doc, token) pairs equals
-    * `sum(sign)` over raw token occurrences, so the (doc_id, w) count
-    * pass, the 64× bit-index fanout join, and the (doc_id, j) shuffle
-    * all collapse away. Map-side partial aggregation means the only
-    * shuffled bytes are 64 longs per doc per partition; everything up
-    * to the exchange is one WholeStageCodegen span. Values are
+    * The 64 bit-votes ride ONE groupBy(doc_id) (the same single-shuffle
+    * shape as the MinHash kernel): the vote `sum(cnt * sign)` over
+    * distinct (doc, token) pairs equals `sum(sign)` over raw token
+    * occurrences, so the (doc_id, w) count pass, the 64× bit-index
+    * fanout join, and the (doc_id, j) shuffle all collapse away. Since
+    * r21 the 64 votes + assembly are ONE compiled aggregate
+    * ([[graft.functions.SimHashAgg]]) instead of 64 sum columns — same
+    * exact integer votes and threshold (spec-pinned), ~1/64th the plan
+    * nodes for the three copies dedup_simhash_pairs plans. Map-side
+    * partial aggregation still applies: the shuffled state is one
+    * 512-byte vote array per doc per partition. Values are
     * bit-identical to the oracle's distinct-token formulation.
     *
     * 64 bits (vs the original 16) is a candidate-volume decision, not a
@@ -1124,21 +1127,22 @@ object DedupQueries {
     // at sf0.1). Pre-filtering makes every consumer's subtree identical,
     // so the votes stage materializes once and is replayed. doc_id is
     // never null in any fixture (primary key), so values are unchanged.
+    graft.functions.GraftFunctions.register(s)
     val occ = Tables.fanout(Tables.documents(s, d).where(col("doc_id").isNotNull))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h_lo", expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("h_hi", expr("CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)"))
-    val voteAggs = (0 until 64).map { j =>
-      val src = if (j < 32) s"(h_lo >> $j)" else s"(h_hi >> ${j - 32})"
-      sum(expr(s"2 * ($src & 1) - 1")).as(s"v$j")
-    }
+    // r21: the 64 vote sums + the 64-way OR assembly collapse into ONE
+    // compiled aggregate (graft.functions.SimHashAgg — same exact vote
+    // sums, same > 0 threshold and disjoint-mask OR, null parity
+    // pinned by SimHashAggSpec). The values are untouched; the point is
+    // the PLAN: dedup_simhash_pairs carries three copies of this
+    // subtree, and Catalyst re-optimizes the whole tree at every
+    // adaptive stage boundary — with 64 aggregate columns the measured
+    // driver-side gap (planning + AQE re-optimization) was as large as
+    // the query's entire execution.
     occ.groupBy("doc_id")
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"),
-      )
+      .agg(expr("simhash_agg(h_lo, h_hi)").as("simhash"))
   }
 
 }
