@@ -507,6 +507,12 @@ object EventQueries {
         |FROM a LEFT JOIN b ON a.s < b.e AND b.s < a.e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (s, d) =>
+      // NO fanout on the sides (r21: tried and REVERTED on measurement —
+      // the filtered sides are single-row-group but tiny, and the added
+      // repartition exchanges + 32-task scheduling cost MORE than the
+      // single-task scans they replaced: warm MeasureQ 2.98 s → 5.35 s.
+      // The guard only pays off when the serialized work is CPU-heavy;
+      // a cheap scan+explode is not).
       val ev = Tables.events(s, d)
       def side(t: String) = ev
         .where(col("event_type") === t)

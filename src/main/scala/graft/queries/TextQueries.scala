@@ -700,7 +700,15 @@ object TextQueries {
         |SELECT k AS p_partkey, other AS nearest_key, CAST(dist AS INTEGER) AS dist
         |FROM d WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
     ) { (s, d) =>
-      val p = Tables.part(s, d).where(col("p_partkey") <= 1000).select("p_partkey", "p_name")
+      // fanout (r21): the filtered part slice is one parquet row group,
+      // so the length-bucket join + BOTH levenshtein evaluations ran as
+      // ONE task (measured: a single 1.5 s 1-task stage = ~70% of the
+      // query). The guard repartitions only when the scan estimate is
+      // below core count — a no-op at scale — and the final
+      // orderBy(p_partkey) is a total order (unique key), so the
+      // partitioning change cannot reorder the declared output.
+      val p = Tables.fanout(Tables.part(s, d).where(col("p_partkey") <= 1000))
+        .select("p_partkey", "p_name")
       val a = p.select(
         col("p_partkey").as("ka"), col("p_name").as("na"),
         floor(length(col("p_name")) / 4).as("lb"),
