@@ -124,8 +124,14 @@ object DedupQueries {
       s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame,
       rowsPerBand: Int = 4,
-  ): org.apache.spark.sql.DataFrame = {
-    val bands = minhashBands(s, docs, rowsPerBand)
+  ): org.apache.spark.sql.DataFrame =
+    pairsFromBands(minhashBands(s, docs, rowsPerBand))
+
+  /** The LSH candidate self-join over any banding table (doc_id, band,
+    * sig) — factored out so the set-derived banding of [[setsWithBands]]
+    * feeds the identical join.
+    */
+  private def pairsFromBands(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bands.as("x")
       .join(
         bands.as("y"),
@@ -134,6 +140,57 @@ object DedupQueries {
       )
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+
+  /** (sets, bands) for the verify/containment/cross family, both derived
+    * from ONE collect_set aggregation (r21): those queries materialize
+    * the full distinct-shingle sets regardless (their exact-overlap
+    * scoring needs them), and min is multiset-invariant, so the MinHash
+    * signature computes FROM the set as a post-aggregation projection —
+    * the compiled [[graft.functions.MinHashSigs]] kernel, pinned
+    * band-for-band against [[minhashBands]] by MinHashSigsSpec. Against
+    * the two-pipeline shape this removes one whole corpus scan + explode
+    * + md5 pass AND the separate 16-longs-per-doc bands exchange; the
+    * one corpus exchange left is the collect_set the queries already
+    * paid. Every consumer (the band self-join's two sides and the
+    * scoring joins' two set sides) prunes the SAME single-aggregate
+    * groupBy, so the canonical subtrees stay equal and adaptive stage
+    * reuse materializes the exchange once. The bands-ONLY queries (lsh,
+    * clusters, cluster_rep, …) deliberately keep [[minhashBands]]: for
+    * them collect_set would shuffle the shingle payload their 16-long
+    * signatures avoid.
+    */
+  private def setsWithBands(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      rowsPerBand: Int = 4,
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val nBands = 16 / rowsPerBand
+    val sets = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(shingles(s)).as("sh"))
+      .groupBy("doc_id").agg(collect_set("sh").as("ss"))
+    val sigs = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashSigs(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("ss")),
+        perms.map(_._1).toArray,
+        perms.map(_._2).toArray,
+      ),
+    )
+    // alias the signature array FIRST so the 16 element_at's reference
+    // one evaluation (CollapseProject keeps a non-cheap alias un-inlined)
+    val mh = sets.select(col("doc_id"), sigs.as("mh"))
+    val withBands = mh.select(
+      col("doc_id") +: (0 until nBands).map(b =>
+        concat_ws("|", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("mh"), i + 1)): _*).as(s"band$b"),
+      ): _*,
+    )
+    val bands = withBands.select(
+      col("doc_id"),
+      expr(s"stack($nBands, ${(0 until nBands).map(b => s"$b, band$b").mkString(", ")}) AS (band, sig)"),
+    )
+    (sets, bands)
   }
 
   /** LSH banding table (doc_id, band, sig) for an arbitrary (doc_id,
@@ -452,14 +509,12 @@ object DedupQueries {
          |WHERE CAST(n_inter AS DOUBLE) / (n_sum - n_inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
-      val shRows = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(shingles(s)).as("sh"))
-      val sets = shRows.groupBy("doc_id").agg(collect_set("sh").as("ss"))
+      // r21: sets AND bands from ONE collect_set aggregation (see
+      // setsWithBands — one corpus pass instead of two, values pinned)
+      val (sets, bands) = setsWithBands(s, Tables.fanout(Tables.documents(s, d)))
       val nInter = size(array_intersect(col("a.ss"), col("b.ss")))
       val jaccard = nInter.cast("double") / (size(col("a.ss")) + size(col("b.ss")) - nInter)
-      minhashPairs(s, d)
+      pairsFromBands(bands)
         .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
         .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
         .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
@@ -499,14 +554,12 @@ object DedupQueries {
          |WHERE 10 * n_inter >= 6 * n_min
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, d) =>
-      val shRows = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(shingles(s)).as("sh"))
-      val sets = shRows.groupBy("doc_id").agg(collect_set("sh").as("ss"))
+      // r21: sets AND bands from ONE collect_set aggregation (see
+      // setsWithBands — one corpus pass instead of two, values pinned)
+      val (sets, bands) = setsWithBands(s, Tables.fanout(Tables.documents(s, d)))
       val nInter = size(array_intersect(col("a.ss"), col("b.ss")))
       val nMin = least(size(col("a.ss")), size(col("b.ss")))
-      minhashPairs(s, d)
+      pairsFromBands(bands)
         .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
         .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
         .select(col("doc_a"), col("doc_b"), nInter.as("n_inter"), nMin.as("n_min"))
@@ -546,8 +599,10 @@ object DedupQueries {
          |FROM scored WHERE 3 * ni >= ns
          |ORDER BY new_doc, old_doc""".stripMargin,
     ) { (s, d) =>
+      // r21: sets AND bands from ONE collect_set aggregation (see
+      // setsWithBands — one corpus pass instead of two, values pinned)
       val docs = Tables.fanout(Tables.documents(s, d))
-      val bands = minhashBands(s, docs)
+      val (sets, bands) = setsWithBands(s, docs)
       val side = Tables.documents(s, d)
         // substring with no length (suffix to end-of-string) mirrors the
         // oracle's substr(source, 4) exactly — a fixed length would
@@ -559,11 +614,6 @@ object DedupQueries {
         .join(oldB.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
         .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("old_doc"))
         .distinct()
-      val sh = docs
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(shingles(s)).as("sh"))
-      val sets = sh.groupBy("doc_id").agg(collect_set("sh").as("ss"))
       val ni = size(array_intersect(col("a.ss"), col("b.ss")))
       val ns = size(col("a.ss")) + size(col("b.ss"))
       pairs
