@@ -85,10 +85,13 @@ object BpeTokenizer {
   def train(words: DataFrame, nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 0, "nMerges must be non-negative")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // cache WITHOUT a materializing count() (r21): iteration 1's
+    // pair-count action computes every partition anyway and fills the
+    // cache as a side effect — the dedicated count job was one more
+    // sequential driver round-trip per training run for nothing
     var syms = words
       .select(col("freq"), split(col("word"), "").as("syms"))
       .cache()
-    syms.count()
     var blocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     // Storage superseded by the CURRENT (lazily checkpointed, so not
     // yet materialized) generation: with a lazy checkpoint, freeing the
@@ -208,10 +211,11 @@ object BpeTokenizer {
     require(nMerges >= 0, "nMerges must be non-negative")
     require(batch >= 1, "batch must be at least 1")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // lazy cache fill, as in [[train]] (r21): round 1's ranked pair-count
+    // action materializes every partition
     var syms = words
       .select(col("freq"), split(col("word"), "").as("syms"))
       .cache()
-    syms.count()
     var blocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     // same deferred-free discipline as [[train]]: lazily checkpointed
     // generations free their predecessor only after the next pair-count
