@@ -95,6 +95,31 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+  private[graft] def sec(v: Double): String = {
+    // Locale.ROOT: f"$v%.2f" uses the default locale — a comma-decimal
+    // locale would emit invalid JSON on the one line that must parse
+    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // trim trailing zeros ("0.30"->"0.3", "1.00"->"1"): the one line
+    // the driver captures is length-budgeted (see below)
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+  }
+
+  /** Budget-bounded `"name":sec` entries of the COSTLIEST queries for
+    * the final short JSON object (r21 verdict item 1): the driver's
+    * ~2000-char tail window must retain the WHOLE final line, so the map
+    * takes entries most-expensive-first and stops at the first that
+    * would overflow `budget` chars (separators included) — contiguous
+    * prefix by cost, never a name-length-dependent skip pattern.
+    */
+  private[graft] def topEntriesJson(mins: Seq[(String, Double)], budget: Int): String = {
+    val sb = new StringBuilder
+    mins.sortBy(-_._2).iterator
+      .map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      .takeWhile(e => sb.length + e.length + 1 <= budget)
+      .foreach { e => if (sb.nonEmpty) sb.append(','); sb.append(e) }
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -250,14 +275,7 @@ object Bench {
       System.err.println(s"[bench] adjudicating flagged regression: $q")
       adjudicateIsolated(q).map(q -> _)
     }
-    def sec(v: Double) = {
-      // Locale.ROOT: f"$v%.2f" uses the default locale — a comma-decimal
-      // locale would emit invalid JSON on the one line that must parse
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      // trim trailing zeros ("0.30"->"0.3", "1.00"->"1"): the one line
-      // the driver captures is length-budgeted (see below)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
-    }
+    def sec(v: Double) = Bench.sec(v)
     // Full fidelity for the judge: both pass timings per query, written
     // into the repo (driver snapshots uncommitted work each round). The
     // stdout line below is capture-window-budgeted; this file is not.
@@ -301,11 +319,14 @@ object Bench {
     // the JSON line out of that window; the sbt epilogue (~75 chars)
     // also lands in it. At 95 queries the full line exceeds the window,
     // so order the line for graceful truncation: per-query entries
-    // sorted by DESCENDING cost first (anything cut is from the cheap
-    // sub-noise-floor crowd), aggregate + failed + sf LAST so the
-    // window always retains them. The session stopped before the
+    // sorted by ASCENDING cost (r21 verdict item 1: descending order put
+    // the expensive queries — exactly the ones optimization rounds touch
+    // — at the truncated HEAD, so the driver's window retained only the
+    // cheap sub-noise-floor crowd; ascending puts the costliest entries
+    // at the tail, adjacent to the aggregate + failed + sf keys the
+    // window always retains). The session stopped before the
     // adjudication above, so nothing but the sbt epilogue follows.
-    val qs = results.sortBy(-_._2).map { case (k, v, _, _) => "\"" + k + "\":" + sec(v) }
+    val qs = results.sortBy(_._2).map { case (k, v, _, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -313,14 +334,23 @@ object Bench {
       s"""{"queries":$qs,"failed":$failedJson,"n":${results.size}$filterJson$excludeJson,""" +
         s""""metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir"}"""
     println(line)
-    // A second, SHORT aggregate-only object after the big line: the
-    // driver's ~2000-char capture window truncates the per-query line's
-    // head at ~95 queries, so this complete object is what its JSON
-    // parse actually lands on (BENCH_DETAIL.json carries per-query
-    // fidelity for the judge either way).
+    // A second, SHORT object after the big line: the driver's ~2000-char
+    // capture window truncates the per-query line's head at ~95 queries,
+    // so this complete object is what its JSON parse actually lands on
+    // (BENCH_DETAIL.json carries per-query fidelity for the judge either
+    // way). r21 verdict item 1 (additions-only): it now also carries a
+    // "queries" map of the COSTLIEST entries, budget-bounded so the whole
+    // line + sbt epilogue always fit the window — per-query evidence for
+    // exactly the queries optimization rounds touch becomes visible to
+    // the driver's JSON parse (PERF per_query/geomean were empty in
+    // r20/r21 because neither parsed line carried any per-query data).
+    // 1100 chars of "name":sec entries: final line stays ~1300 chars,
+    // leaving the ~2000-char window room for the sbt epilogue plus the
+    // big line's (ascending-sorted) expensive tail
+    val top = Bench.topEntriesJson(results.map(r => (r._1, r._2)), 1100)
     println(
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},""" +
-        s""""failed":$failedJson$filterJson$excludeJson,"sf":"$sfDir"}""",
+        s""""failed":$failedJson$filterJson$excludeJson,"queries":{$top},"sf":"$sfDir"}""",
     )
   }
 }

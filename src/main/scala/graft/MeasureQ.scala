@@ -55,10 +55,14 @@ object MeasureQ {
       // remainder is planning, AQE re-optimization and job-gap scheduling,
       // the time no executor was running anything for this query.
       val iv = stages.values.toSeq.filter(s => s.t1 > s.t0).map(s => (s.t0, s.t1)).sortBy(_._1)
+      // stages with t1 <= t0 (still running / zero-duration at drain
+      // time) fall out of the interval union and inflate the reported
+      // gap — surface the count so such a gap is recognizable (advice r21)
+      val excluded = stages.size - iv.size
       val covered = iv.foldLeft((0L, Long.MinValue)) { case ((acc, hi), (a, b)) =>
         if (a > hi) (acc + (b - a), b) else (acc + math.max(0L, b - hi), math.max(hi, b))
       }._1 / 1e9
-      println(f"%n[measure] $name rep $rep: total $dt%.2f s, $jobs jobs, ${stages.size} stages, stage-covered $covered%.2f s, driver-gap ${dt - covered}%.2f s")
+      println(f"%n[measure] $name rep $rep: total $dt%.2f s, $jobs jobs, ${stages.size} stages ($excluded excluded from coverage), stage-covered $covered%.2f s, driver-gap ${dt - covered}%.2f s")
       stages.toSeq.sortBy(_._1).foreach { case (id, st) =>
         val w = if (st.t1 > st.t0) (st.t1 - st.t0) / 1e9 else -1.0
         val off = (st.t0 - t0) / 1e9

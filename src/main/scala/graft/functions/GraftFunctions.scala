@@ -82,6 +82,17 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"simhash_agg expects 2 arguments, got ${args.size}")
   }
 
+  private[functions] def avgArrayBuilder(args: Seq[Expression]): Expression = args match {
+    // the analyzer wraps a bare AggregateFunction in AggregateExpression
+    case Seq(arr, nExp) =>
+      val n = nExp match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"avg_array width must be an int literal, got $other")
+      }
+      AvgArray(Cast(arr, ArrayType(DoubleType)), n)
+    case _ => throw new IllegalArgumentException(s"avg_array expects 2 arguments, got ${args.size}")
+  }
+
   /** Idempotent: safe to call from every query builder. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -95,6 +106,7 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("centroid_rank_cos", rankCosBuilder, "built-in")
     registry.createOrReplaceTempFunction("char_bigram_codes", charBigramsBuilder, "built-in")
     registry.createOrReplaceTempFunction("simhash_agg", simhashAggBuilder, "built-in")
+    registry.createOrReplaceTempFunction("avg_array", avgArrayBuilder, "built-in")
   }
 }
 
@@ -172,6 +184,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("simhash_agg"),
         new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
         (args: Seq[Expression]) => GraftFunctions.simhashAggBuilder(args),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("avg_array"),
+        new ExpressionInfo(classOf[AvgArray].getName, "avg_array"),
+        (args: Seq[Expression]) => GraftFunctions.avgArrayBuilder(args),
       ),
     )
     ()

@@ -35,10 +35,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * The permutation tables arrive as constructor arrays (driver-computed
   * constants), so construction goes through [[org.apache.spark.sql.graft.ColumnBridge]]
   * rather than the SQL registry — the [[SortedBucket]] precedent.
+  *
+  * CONSTRAINT (advice r21): the Array fields give this case class
+  * reference-based equals/hashCode, so two separately constructed
+  * instances are never canonically equal — construct it ONCE per query
+  * (as setsWithBands does) or subexpression elimination / exchange reuse
+  * across the copies silently stops firing.
   */
 case class MinHashSigs(child: Expression, as: Array[Long], bs: Array[Long]) extends UnaryExpression {
 
   require(as.length == bs.length && as.nonEmpty, "minhash_sigs needs matching non-empty perm tables")
+  // the overflow-freedom argument below (a·h + b < 2⁶³ for h < 2³²)
+  // holds only for a < 2³¹ and b < 2³²; enforce it so a future caller
+  // passing larger constants fails loudly instead of silently wrapping
+  // to wrong signatures (advice r21)
+  require(
+    as.forall(a => 0 <= a && a < (1L << 31)) && bs.forall(b => 0 <= b && b < (1L << 32)),
+    "minhash_sigs perm tables out of range: need 0 <= a < 2^31 and 0 <= b < 2^32",
+  )
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -187,31 +187,42 @@ object GraphQueries {
         |       (SELECT count(*) FROM e) AS n_edges,
         |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin,
     ) { (s, d) =>
-      val pp = Tables.lineitem(s, d)
+      // r22: the per-order pair generation is ONE groupBy(ok) +
+      // collect_set + a map-side double explode, not a distinct + self-
+      // join on ok. The former shape shipped the corpus twice (the
+      // (ok, pk) distinct exchange, then the ok-exchange feeding both
+      // join sides) and materialized the quadratic pair stream THROUGH a
+      // join; collect_set computes the same distinct-pk set per order in
+      // a single exchange (partial_collect_set dedupes map-side), and the
+      // pairs fan out AFTER the shuffle as pure projection work. Values:
+      // the pk set per ok is identical to the distinct's, and exploding
+      // all (a, b) with a < b from a set enumerates exactly the pairs the
+      // `pk < pk2` self-join produced — same multiset into the same
+      // (a, b) count. Skew (guide §2.5): a hot order key is ONE task's
+      // quadratic loop instead of a skewed join partition — the same
+      // single-key bound AQE skew-join cannot split anyway, minus the
+      // join machinery; basket size is bounded (~7 here) and a real
+      // pipeline caps it upstream.
+      val pks = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      // e0 (the expensive per-order pair join + groupBy) feeds the two
-      // counts and the thresholded edge set. The repartition above it is
-      // a materialization barrier: the exchange is identical under every
-      // consumer, so exchange reuse computes the pair join + aggregation
-      // ONCE and each consumer replays the shuffle output — unlike
-      // .cache(), the materialization lives in shuffle files (no
-      // storage-memory budget, nothing left pinned after the query).
-      // The isnotnull(a) && isnotnull(b) pre-filters BELOW each barrier
-      // are the r21 stage-reuse discipline: deterministic filters push
-      // THROUGH RepartitionByExpression, and the orientation pipeline's
-      // consumers push different isnotnull subsets (deg's union legs
-      // push isnotnull(a) / isnotnull(b) separately; the closure join
-      // pushes both), so the barrier copies stopped being canonically
-      // equal and the pair join + aggregation executed 3× per run
-      // (measured: three concurrent ~1.1 s 10-task stages). With the
-      // union of the pushed predicates already below the barrier, every
-      // pushed copy is pruned as redundant by constraint propagation and
-      // the exchange materializes once. Both columns are group keys of
-      // a `pk < pk2` join — never null — so values are unchanged.
-      val e0 = pp.join(pp.select(col("ok"), col("pk").as("pk2")), "ok")
-        .where(col("pk") < col("pk2"))
-        .groupBy(col("pk").as("a"), col("pk2").as("b"))
+        .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+      // e0 (pair fanout + groupBy) feeds the two counts and the
+      // thresholded edge set. The repartition above it is a
+      // materialization barrier: the exchange is identical under every
+      // consumer, so exchange reuse computes the pair aggregation ONCE
+      // and each consumer replays the shuffle output — unlike .cache(),
+      // the materialization lives in shuffle files (no storage-memory
+      // budget, nothing left pinned after the query). The isnotnull
+      // pre-filters BELOW each barrier are the r21 stage-reuse
+      // discipline: consumers push different isnotnull subsets, which
+      // would otherwise split the barrier copies' canonical forms and
+      // re-execute the pipeline per consumer (measured 3× in r21).
+      // collect_set never emits nulls, so values are unchanged.
+      val e0 = pks
+        .select(explode(col("pks")).as("a"), col("pks"))
+        .select(col("a"), explode(col("pks")).as("b"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b")
         .agg(count(lit(1)).as("w"))
         .where(col("a").isNotNull && col("b").isNotNull)
         .repartition(col("a"))

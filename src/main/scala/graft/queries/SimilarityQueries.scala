@@ -96,20 +96,26 @@ object SimilarityQueries {
       .select(col("vec_id"), col("m"), col("sv"), col("best.cid").as("cid"), col("best.d2").as("d2"))
 
   /** Element-wise member mean per (block, centroid) — ONE groupBy with
-    * 16 per-position avg columns instead of posexplode → groupBy(m, cid,
-    * pos) → groupBy(m, cid) + sorted collect_list (two exchanges and a
-    * 16× row fanout). Each avg consumes the identical value multiset
-    * with the same partial-aggregation structure (per-input-partition
-    * partial sums, merged once), and the inputs are float32-derived
-    * doubles whose sums are exact at this width, so the means are
-    * bit-identical to the posexplode form's.
+    * a single compiled [[graft.functions.AvgArray]] aggregate instead of
+    * posexplode → groupBy(m, cid, pos) → groupBy(m, cid) + sorted
+    * collect_list (two exchanges and a 16× row fanout; r21 replaced that
+    * with 16 per-position avg columns, r22 fused them). The aggregate
+    * consumes the identical value multisets with the same
+    * partial-aggregation structure (per-input-partition partial sums,
+    * merged once), and the inputs are float32-derived doubles whose sums
+    * are exact at this width, so the means are bit-identical to the
+    * posexplode form's.
     */
-  private def pqRecenter(a: DataFrame): DataFrame = {
-    val avgs = (0 until 16).map(i => avg(col("sv")(i)).as(s"c$i"))
+  private def pqRecenter(a: DataFrame): DataFrame =
+    // r22: the 16 per-position avg columns + 16-column reassembly
+    // projection become ONE compiled aggregate (the SimHashAgg
+    // precedent — this subtree is planned into every Lloyd pass of
+    // every PQ query and re-optimized at each adaptive stage boundary).
+    // Values bit-identical: same per-position double sums in the same
+    // partial/merge order, same sum/count division — AvgArraySpec pins
+    // it against the column form.
     a.groupBy("m", "cid")
-      .agg(avgs.head, avgs.tail: _*)
-      .select(col("m"), col("cid"), array((0 until 16).map(i => col(s"c$i")): _*).as("cv"))
-  }
+      .agg(expr("avg_array(sv, 16)").as("cv"))
 
   /** Two Lloyd iterations over `train` from deterministic seed vectors
     * (by id, ties impossible). Split from assignment so the training
@@ -761,12 +767,12 @@ object SimilarityQueries {
       def assign(cents: DataFrame): DataFrame =
         e.crossJoin(broadcast(centsArray(cents)))
           .select(col("vec_id"), col("v"), element_at(ivfSorted("v"), 1)("cid").as("cid"))
-      def recenter(assigned: DataFrame): DataFrame = {
-        val avgs = (0 until 64).map(i => avg(col("v")(i)).as(s"c$i"))
+      def recenter(assigned: DataFrame): DataFrame =
+        // r22: ONE compiled aggregate instead of 64 avg columns + a
+        // 64-column reassembly (see pqRecenter; AvgArraySpec pins the
+        // bit-exact equivalence)
         assigned.groupBy("cid")
-          .agg(avgs.head, avgs.tail: _*)
-          .select(col("cid"), array((0 until 64).map(i => col(s"c$i")): _*).as("cv"))
-      }
+          .agg(expr("avg_array(v, 64)").as("cv"))
       val seeds = e.where(col("vec_id").between(1, 16)).select(col("vec_id").as("cid"), col("v").as("cv"))
       val trained = recenter(assign(recenter(assign(seeds))))
       val trainedArr = broadcast(centsArray(trained))

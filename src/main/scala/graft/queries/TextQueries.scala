@@ -130,11 +130,23 @@ object TextQueries {
     val toks = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
     val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val nllTable = cnt
-      .withColumn("t", sum("c").over(Window.partitionBy()).cast("double"))
-      .select(col("w"), (-log(col("c") / col("t"))).as("nll"))
+    // r22: the corpus total is a scalar agg + broadcast crossJoin (the
+    // bigram twin's shape) — the former Window.partitionBy() pulled the
+    // whole distinct-word table into ONE partition to compute Σc, a
+    // single straggler task at a web-scale vocabulary. The nll now
+    // computes per TOKEN row rather than being precomputed into the
+    // vocab broadcast: chaining tot's broadcast INTO the nll table's
+    // broadcast serializes the two builds (r21 finding #4 — measured as
+    // a regression when tried on the bigram twin), while cnt and tot as
+    // independent broadcasts build concurrently and share the vocab
+    // exchange via stage reuse. Values: same exact long Σc, same cast,
+    // and -ln(c/t) over the identical (c, t) doubles of each token's
+    // word ⇒ every scored value bit-unchanged.
+    val tot = cnt.agg(sum("c").cast("double").as("t"))
     toks
-      .join(broadcast(nllTable), "w")
+      .join(broadcast(cnt), "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("nll", -log(col("c") / col("t")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),

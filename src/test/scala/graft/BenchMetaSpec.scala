@@ -63,6 +63,22 @@ class BenchMetaSpec extends AnyFunSuite with Matchers {
     (why should not).include("partial")
   }
 
+  test("topEntriesJson: costliest-first contiguous prefix, budget-bounded, valid JSON entries (r21 verdict item 1)") {
+    val mins = Seq(("cheap_a", 0.1), ("expensive_one", 9.5), ("mid", 1.0), ("expensive_two", 4.25))
+    // generous budget: all four, most-expensive first
+    val all = Bench.topEntriesJson(mins, 1000)
+    all shouldBe "\"expensive_one\":9.5,\"expensive_two\":4.25,\"mid\":1,\"cheap_a\":0.1"
+    // the wrapped map must parse as JSON
+    noException should be thrownBy
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(s"{$all}")
+    // tight budget: a contiguous most-expensive prefix, nothing skipped —
+    // entries are "expensive_one":9.5 (19) + , + "expensive_two":4.25 (20)
+    // = 40, so budget 45 must cut at two even though "mid":1 (7) would fit
+    Bench.topEntriesJson(mins, 45) shouldBe "\"expensive_one\":9.5,\"expensive_two\":4.25"
+    // degenerate budget: empty map, never a broken fragment
+    Bench.topEntriesJson(mins, 3) shouldBe ""
+  }
+
   test("an IO failure reading the baseline is 'not readable', never 'not parseable' — the file may be a perfectly good baseline behind a transient error (advice r19)") {
     // a directory exists but readAllBytes refuses it with an
     // IOException — the deterministic stand-in for a transient read
