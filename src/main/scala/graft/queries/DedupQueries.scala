@@ -404,9 +404,28 @@ object DedupQueries {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 150).select("sh")
       val shr = sh.join(rare, "sh")
-      val inter = shr.as("a")
-        .join(shr.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // r22 (the graph_triangles rewrite, same shape): per-shingle pair
+      // generation is a groupBy(sh) + collect_set + map-side double
+      // explode, not a posting self-join. The join shuffled shr twice
+      // (both sides, AQE-reused to one materialization but still a join
+      // over the quadratic pair stream); collect_set rides the SAME
+      // sh-partitioning the rare join just established (no new
+      // exchange), and the pairs fan out AFTER the shuffle as projection
+      // work. The rare pre-filter stays BELOW the aggregation on
+      // purpose: it bounds every posting array at 150 doc_ids, so no
+      // stop-shingle ever materializes as a giant in-memory row — the
+      // cap that makes this the 100-TB form also makes the array form
+      // safe. Values: shr rows are distinct (doc_id, sh), so the
+      // per-shingle doc_id set is exactly the posting list, and
+      // exploding all (a, b) with a < b enumerates exactly the pairs
+      // the `a.doc_id < b.doc_id` self-join produced — same multiset
+      // into the same (doc_a, doc_b) count.
+      val posts = shr.groupBy("sh").agg(collect_set(col("doc_id")).as("ds"))
+      val inter = posts
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("ni"))
       val jac = col("ni").cast("double") / (col("sa.n") + col("sb.n") - col("ni"))
       inter
